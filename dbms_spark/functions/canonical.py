@@ -1,0 +1,190 @@
+"""Canonical row representation + checksum kernel.
+
+This is the semantic heart of the compare engine.  The reference
+normalizes every value to a canonical string before hashing so that
+heterogeneous engines produce comparable checksums (reference:
+database/oracle/data_compare.go:482-652 GetDatabaseTableCompareCrc —
+decimal normalization at :544-549, NULL/'' handling at :538-540,
+LOB-to-string at :532-566; separator + NULL literal constants in
+utils/constant/compare.go; MD5 hex slice-sum in
+database/processor/data_compare_seek.go:90-167).
+
+Canonical forms (per Spark type):
+
+- NULL            -> literal string ``NULL`` (any type)
+- integers        -> decimal string, no padding
+- float/double    -> round-half-up to scale 10, trailing zeros trimmed
+- decimal(p,s)    -> exact string, trailing zeros trimmed (1.10 -> 1.1)
+- string          -> identity (``oracle_empty_is_null=True`` maps '' -> NULL,
+                     mirroring Oracle semantics)
+- date            -> ``yyyy-MM-dd``
+- timestamp       -> ``yyyy-MM-dd HH:mm:ss.SSSSSS`` (microseconds, UTC)
+- boolean         -> ``true`` / ``false``
+- binary          -> lowercase hex
+
+Every expression is emitted TWICE from one spec: as a PySpark Column
+(JVM-side, whole-stage-codegen'd — no Python UDFs anywhere) and as a
+DuckDB SQL string, so the differential-test oracle is correct by
+construction.
+
+Checksum: per-row ``md5(concat_ws(SEP, canon(cols)))``; per-group
+checksum = the 4 independent sums of the 8-hex-digit slices of the MD5
+(a commutative, order-independent aggregate — same trick as the
+reference's SUM over hex slices).  Sums are DECIMAL(38,0): at 100 TB a
+slice sum can exceed 2^63 (n_rows * 2^32), so Long would overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Field separator inside the canonical row string.  Chosen to be
+#: unlikely in data; the reference uses a constant separator the same way.
+SEP = "|#|"
+NULL_LITERAL = "NULL"
+
+_TRIM_ZEROS_RE = r"(\.\d*?)0+$"
+_TRIM_DOT_RE = r"\.$"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side canonicalization (Column expressions)
+# ---------------------------------------------------------------------------
+
+def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = False) -> Column:
+    """Canonical string form of one column (NULL stays NULL here;
+    null-to-'NULL' substitution happens in :func:`canonical_row`)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        out = col.cast("string")
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        out = _trim_zeros_spark(col.cast(T.DecimalType(38, 10)).cast("string"))
+    elif isinstance(dtype, T.DecimalType):
+        out = _trim_zeros_spark(col.cast("string"))
+    elif isinstance(dtype, T.StringType):
+        out = F.when(col == "", F.lit(None).cast("string")).otherwise(col) if oracle_empty_is_null else col
+    elif isinstance(dtype, T.DateType):
+        out = F.date_format(col, "yyyy-MM-dd")
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        out = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif isinstance(dtype, T.BooleanType):
+        out = col.cast("string")
+    elif isinstance(dtype, T.BinaryType):
+        out = F.lower(F.hex(col))
+    else:
+        # arrays/maps/structs are outside the reference's flat-row model;
+        # to_json gives a stable form if a caller insists.
+        out = F.to_json(col)
+    return out
+
+
+def _trim_zeros_spark(s: Column) -> Column:
+    t = F.regexp_replace(s, _TRIM_ZEROS_RE, r"$1")
+    return F.regexp_replace(t, _TRIM_DOT_RE, "")
+
+
+def canonical_row(df: DataFrame, cols: list[str] | None = None,
+                  oracle_empty_is_null: bool = False) -> Column:
+    """Canonical string of a whole row over ``cols`` (default: all
+    columns, schema order).  NULL -> 'NULL' so concat_ws cannot drop
+    fields."""
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    parts = [
+        F.coalesce(canon_column(F.col(c), fields[c], oracle_empty_is_null), F.lit(NULL_LITERAL))
+        for c in cols
+    ]
+    return F.concat_ws(SEP, *parts)
+
+
+def row_md5(df: DataFrame, cols: list[str] | None = None,
+            oracle_empty_is_null: bool = False) -> Column:
+    return F.md5(canonical_row(df, cols, oracle_empty_is_null))
+
+
+def md5_slice_sum_aggs(md5_col: Column | str = "row_md5") -> list[Column]:
+    """The 4 commutative slice-sum aggregates over an MD5 hex column.
+
+    Mirrors the reference's checksum drill-down math (MD5 hex split into
+    4x8-hex ints, summed — database/processor/data_compare_seek.go:90-138)
+    but as a Spark aggregate: DECIMAL(38,0) sums, overflow-safe at scale.
+    Aliases ``h0..h3``.
+    """
+    c = F.col(md5_col) if isinstance(md5_col, str) else md5_col
+    return [
+        F.sum(F.conv(F.substring(c, 1 + 8 * i, 8), 16, 10).cast(T.DecimalType(38, 0))).alias(f"h{i}")
+        for i in range(4)
+    ]
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None,
+                   oracle_empty_is_null: bool = False) -> DataFrame:
+    """One-row DataFrame: (cnt, h0..h3) — order-independent table checksum.
+
+    Distributed: md5 is computed map-side per row inside codegen, the 4
+    sums partial-aggregate before the single-row shuffle, so the full
+    table never moves.
+    """
+    return (
+        df.select(row_md5(df, cols, oracle_empty_is_null).alias("row_md5"))
+        .agg(F.count(F.lit(1)).alias("cnt"), *md5_slice_sum_aggs())
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side canonicalization (SQL text) — mirrors the Spark emission
+# ---------------------------------------------------------------------------
+
+def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -> str:
+    """DuckDB SQL expression equivalent to :func:`canon_column`."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({col} AS VARCHAR)"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return _trim_zeros_sql(f"CAST(CAST({col} AS DECIMAL(38,10)) AS VARCHAR)")
+    if isinstance(dtype, T.DecimalType):
+        return _trim_zeros_sql(f"CAST({col} AS VARCHAR)")
+    if isinstance(dtype, T.StringType):
+        if oracle_empty_is_null:
+            return f"(CASE WHEN {col} = '' THEN NULL ELSE {col} END)"
+        return col
+    if isinstance(dtype, T.DateType):
+        return f"strftime({col}, '%Y-%m-%d')"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+    if isinstance(dtype, T.BooleanType):
+        return f"CAST({col} AS VARCHAR)"
+    if isinstance(dtype, T.BinaryType):
+        return f"lower(hex({col}))"
+    raise ValueError(f"no canonical SQL form for {dtype}")
+
+
+def _trim_zeros_sql(s: str) -> str:
+    # DuckDB (RE2) uses \1 backreferences where Spark (Java regex) uses $1.
+    return (
+        "regexp_replace(regexp_replace(" + s + r", '(\.\d*?)0+$', '\1'), '\.$', '')"
+    )
+
+
+def canonical_row_sql(df: DataFrame, cols: list[str] | None = None,
+                      oracle_empty_is_null: bool = False) -> str:
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    parts = [
+        f"COALESCE({canon_sql(c, fields[c], oracle_empty_is_null)}, '{NULL_LITERAL}')"
+        for c in cols
+    ]
+    return "concat_ws('" + SEP + "', " + ", ".join(parts) + ")"
+
+
+def row_md5_sql(df: DataFrame, cols: list[str] | None = None,
+                oracle_empty_is_null: bool = False) -> str:
+    return f"md5({canonical_row_sql(df, cols, oracle_empty_is_null)})"
+
+
+def md5_slice_sum_sql(md5_expr: str = "row_md5") -> list[str]:
+    """DuckDB equivalents of :func:`md5_slice_sum_aggs` (aliases h0..h3)."""
+    return [
+        f"CAST(SUM(('0x' || substr({md5_expr}, {1 + 8 * i}, 8))::BIGINT) AS DECIMAL(38,0)) AS h{i}"
+        for i in range(4)
+    ]

@@ -151,7 +151,9 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
     if isinstance(dtype, T.DateType):
         return f"strftime({col}, '%Y-%m-%d')"
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+        # CAST handles TIMESTAMP_NS parquet columns (truncates ns -> us,
+        # matching the Spark-side load_table truncation); no-op for us/ms
+        return f"strftime(CAST({col} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')"
     if isinstance(dtype, T.BooleanType):
         return f"CAST({col} AS VARCHAR)"
     if isinstance(dtype, T.BinaryType):
@@ -188,3 +190,55 @@ def md5_slice_sum_sql(md5_expr: str = "row_md5") -> list[str]:
         f"CAST(SUM(('0x' || substr({md5_expr}, {1 + 8 * i}, 8))::BIGINT) AS DECIMAL(38,0)) AS h{i}"
         for i in range(4)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-schema entry points (for contexts without a SparkSession, e.g.
+# generating oracle SQL text from a parquet footer)
+# ---------------------------------------------------------------------------
+
+def arrow_to_spark_type(at) -> T.DataType:
+    import pyarrow as pa
+
+    if pa.types.is_int8(at):
+        return T.ByteType()
+    if pa.types.is_int16(at):
+        return T.ShortType()
+    if pa.types.is_int32(at):
+        return T.IntegerType()
+    if pa.types.is_int64(at):
+        return T.LongType()
+    if pa.types.is_float32(at):
+        return T.FloatType()
+    if pa.types.is_float64(at):
+        return T.DoubleType()
+    if pa.types.is_decimal(at):
+        return T.DecimalType(at.precision, at.scale)
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return T.StringType()
+    if pa.types.is_date(at):
+        return T.DateType()
+    if pa.types.is_timestamp(at):
+        return T.TimestampNTZType()
+    if pa.types.is_boolean(at):
+        return T.BooleanType()
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return T.BinaryType()
+    raise ValueError(f"unsupported arrow type {at}")
+
+
+def parquet_field_types(path: str) -> dict[str, T.DataType]:
+    import pyarrow.parquet as pq
+
+    return {f.name: arrow_to_spark_type(f.type) for f in pq.read_schema(path)
+            if not str(f.type).startswith("list")}
+
+
+def canonical_row_sql_from_types(fields: dict[str, T.DataType], cols: list[str] | None = None,
+                                 oracle_empty_is_null: bool = False) -> str:
+    cols = cols or list(fields)
+    parts = [
+        f"COALESCE({canon_sql(c, fields[c], oracle_empty_is_null)}, '{NULL_LITERAL}')"
+        for c in cols
+    ]
+    return "concat_ws('" + SEP + "', " + ", ".join(parts) + ")"

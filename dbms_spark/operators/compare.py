@@ -1,0 +1,263 @@
+"""Data-verification (compare) operators — the reference's flagship path.
+
+Re-expresses the compare pipeline (reference: database/taskflow/
+data_compare.go Start; per-chunk dual-sided checksums
+database/processor/data_compare_row.go:472-899 CompareMd5ORCrc32;
+client-side multiset diff database/processor/data_compare_row.go:
+2132-2163 Cmp; column-localizing seek database/processor/
+data_compare_seek.go:49-430) as declarative Spark plans:
+
+- J1 multiset diff  -> groupBy-count + full-outer join (hash or
+  sort-merge picked by Catalyst; null-safe key equality).
+- J2 chunk checksum -> map-side chunk-id + partial-aggregated slice
+  sums, joined chunk-to-chunk; only unequal chunks survive.
+- J3 column seek    -> one pass computing per-column slice sums for
+  every column simultaneously (no per-column rescans like the
+  reference's drill-down loop needed — columnar scan amortizes it).
+- fix-SQL generation from the (small, collected) diff result
+  (reference: database/processor/data_compare_file.go:52-215).
+
+Scale notes: a full-row multiset diff shuffles both tables once on the
+md5 of the canonical row (32-byte keys, not wide rows) when
+``hash_rows=True``; chunk compare shuffles only (chunk_id -> 5 numbers)
+per side. Nothing here collects more than mismatch rows to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbms_spark.functions import canonical as C
+from dbms_spark.plans.chunker import ChunkPlan, assign_chunk_id
+
+
+def multiset_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """Full multiset comparison with multiplicities (J1).
+
+    Returns only differing rows: ``*cols, src_cnt, dst_cnt`` where the
+    per-side multiplicities disagree (0 = absent).  Equivalent to
+    EXCEPT ALL in both directions but reports both counts at once,
+    like the reference's Cmp returning add/delete row sets.
+    """
+    cols = cols or src.columns
+    a = src.groupBy(*cols).agg(F.count(F.lit(1)).alias("src_cnt"))
+    b = dst.groupBy(*cols).agg(F.count(F.lit(1)).alias("dst_cnt"))
+    joined = a.join(b, on=cols, how="full_outer")
+    return (
+        joined.select(
+            *cols,
+            F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
+            F.coalesce(F.col("dst_cnt"), F.lit(0)).alias("dst_cnt"),
+        )
+        .filter(F.col("src_cnt") != F.col("dst_cnt"))
+    )
+
+
+def multiset_diff_hashed(
+    src: DataFrame,
+    dst: DataFrame,
+    cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """J1 at scale: group by the 32-byte canonical-row MD5 instead of
+    the full wide row, so the shuffle carries (hash, count) pairs.
+    ``key_cols`` (if given) are carried through for row identification
+    in fix-SQL; they must be functionally dependent on the row hash.
+    """
+    cols = cols or src.columns
+    keep = key_cols or []
+
+    def hashed(df: DataFrame, cnt_alias: str) -> DataFrame:
+        firsts = [F.first(F.col(k)).alias(k) for k in keep]
+        return (
+            df.select(*cols, C.row_md5(df.select(*cols), cols, oracle_empty_is_null).alias("row_md5"))
+            .groupBy("row_md5")
+            .agg(F.count(F.lit(1)).alias(cnt_alias), *firsts)
+        )
+
+    a = hashed(src, "src_cnt")
+    b = hashed(dst, "dst_cnt").select("row_md5", "dst_cnt")
+    return (
+        a.join(b, "row_md5", "full_outer")
+        .select(
+            "row_md5",
+            *keep,
+            F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
+            F.coalesce(F.col("dst_cnt"), F.lit(0)).alias("dst_cnt"),
+        )
+        .filter(F.col("src_cnt") != F.col("dst_cnt"))
+    )
+
+
+def chunked_checksum(
+    df: DataFrame,
+    chunk_id: Column,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """Per-chunk (cnt, h0..h3): A1 count + A2/A3 checksum in one agg.
+
+    ``chunk_id`` is any deterministic map-side expression (from
+    :func:`dbms_spark.plans.chunker.assign_chunk_id`, a modulus, a
+    time bucket...).  Partial aggregation makes the shuffle tiny.
+    """
+    cols = cols or df.columns
+    return (
+        df.select(chunk_id.alias("chunk_id"), C.row_md5(df, cols, oracle_empty_is_null).alias("row_md5"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), *C.md5_slice_sum_aggs())
+    )
+
+
+def compare_chunked(
+    src: DataFrame,
+    dst: DataFrame,
+    src_chunk_id: Column,
+    dst_chunk_id: Column,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """J2: join per-chunk checksums of both sides, keep unequal chunks.
+
+    Output: chunk_id, src_cnt, dst_cnt, equal (bool) — one row per
+    chunk that differs (missing chunk on a side => counts 0).
+    Drill-down (J3 / row fetch) then touches only these chunks.
+    """
+    cols = cols or src.columns
+    a = chunked_checksum(src, src_chunk_id, cols, oracle_empty_is_null)
+    b = chunked_checksum(dst, dst_chunk_id, cols, oracle_empty_is_null)
+    sa = a.select(
+        "chunk_id",
+        F.col("cnt").alias("src_cnt"),
+        *[F.col(f"h{i}").alias(f"src_h{i}") for i in range(4)],
+    )
+    sb = b.select(
+        "chunk_id",
+        F.col("cnt").alias("dst_cnt"),
+        *[F.col(f"h{i}").alias(f"dst_h{i}") for i in range(4)],
+    )
+    j = sa.join(sb, "chunk_id", "full_outer")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("dst_cnt"))
+        & F.col("src_h0").eqNullSafe(F.col("dst_h0"))
+        & F.col("src_h1").eqNullSafe(F.col("dst_h1"))
+        & F.col("src_h2").eqNullSafe(F.col("dst_h2"))
+        & F.col("src_h3").eqNullSafe(F.col("dst_h3"))
+    )
+    return (
+        j.filter(~same)
+        .select(
+            "chunk_id",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("dst_cnt", F.lit(0)).alias("dst_cnt"),
+        )
+    )
+
+
+def seek_columns(
+    src: DataFrame,
+    dst: DataFrame,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """J3 column localization: which columns differ between two sides.
+
+    One scan per side computes per-column canonical-MD5 h0-slice sums
+    for ALL columns simultaneously (the reference re-queries per column;
+    a columnar scan gets them in one pass).  Output: one row per
+    column — ``col_name, src_cnt, dst_cnt, src_h0, dst_h0, equal``.
+    """
+    cols = cols or [c for c in src.columns if c in set(dst.columns)]
+    fields_s = {f.name: f.dataType for f in src.schema.fields}
+    fields_d = {f.name: f.dataType for f in dst.schema.fields}
+
+    def side(df: DataFrame, fields: dict) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        for c in cols:
+            canon = F.coalesce(
+                C.canon_column(F.col(c), fields[c], oracle_empty_is_null), F.lit(C.NULL_LITERAL)
+            )
+            h = F.md5(canon)
+            aggs.append(
+                F.sum(F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)")).alias(f"__h_{c}")
+            )
+        return df.agg(*aggs)
+
+    s_row = side(src, fields_s).collect()[0]
+    d_row = side(dst, fields_d).collect()[0]
+    rows = [
+        (c, s_row["cnt"], d_row["cnt"], s_row[f"__h_{c}"], d_row[f"__h_{c}"],
+         bool(s_row["cnt"] == d_row["cnt"] and s_row[f"__h_{c}"] == d_row[f"__h_{c}"]))
+        for c in cols
+    ]
+    return src.sparkSession.createDataFrame(
+        rows, "col_name string, src_cnt long, dst_cnt long, src_h0 decimal(38,0), dst_h0 decimal(38,0), equal boolean"
+    )
+
+
+@dataclass
+class CompareReport:
+    equal: bool
+    src_cnt: int
+    dst_cnt: int
+    mismatched_chunks: list[int]
+
+
+def compare_table(
+    src: DataFrame,
+    dst: DataFrame,
+    plan: ChunkPlan | None = None,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> CompareReport:
+    """End-to-end table compare: chunked when a plan is given, whole
+    table otherwise.  Driver-side result is O(n_chunks)."""
+    cols = cols or src.columns
+    if plan is None:
+        a = C.table_checksum(src, cols, oracle_empty_is_null).collect()[0]
+        b = C.table_checksum(dst, cols, oracle_empty_is_null).collect()[0]
+        eq = all(a[k] == b[k] for k in ["cnt", "h0", "h1", "h2", "h3"])
+        return CompareReport(eq, a["cnt"], b["cnt"], [] if eq else [0])
+    bad = compare_chunked(
+        src, dst, assign_chunk_id(plan, src), assign_chunk_id(plan, dst), cols, oracle_empty_is_null
+    ).collect()
+    src_cnt = src.count()
+    dst_cnt = dst.count()
+    return CompareReport(len(bad) == 0, src_cnt, dst_cnt, sorted(r["chunk_id"] for r in bad))
+
+
+def gen_fix_sql(
+    diff: DataFrame,
+    table: str,
+    cols: list[str],
+    max_statements: int = 10_000,
+) -> list[str]:
+    """Render repair SQL from a :func:`multiset_diff` result
+    (reference: fix-SQL file generation data_compare_file.go:66-215).
+    DELETE where dst has surplus copies, INSERT where dst is short.
+    The diff result is mismatches-only, hence small; cap defensively.
+    """
+    from dbms_spark.plans.chunker import sql_literal
+
+    stmts: list[str] = []
+    for r in diff.limit(max_statements).collect():
+        d = r.asDict()
+        delta = d["src_cnt"] - d["dst_cnt"]
+        values = ", ".join(sql_literal(d[c]) for c in cols)
+        conds = " AND ".join(
+            f"`{c}` IS NULL" if d[c] is None else f"`{c}` = {sql_literal(d[c])}" for c in cols
+        )
+        if delta > 0:
+            stmts.extend([f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({values});"] * delta)
+        else:
+            stmts.append(f"DELETE FROM {table} WHERE {conds} LIMIT {-delta};")
+    return stmts

@@ -1,0 +1,89 @@
+"""Data-scan / column profiling operators.
+
+Re-expresses the reference's sampled NUMBER-classification scan
+(reference: database/processor/data_scan_rule.go:150-168 CASE ladder,
+scan rows database/processor/data_scan_row.go:51-200, block sampling
+SAMPLE(pct) at :86-92) as declarative aggregations: integrality test
+``x = floor(x)`` + range ladder, counted per category.
+
+Sampling is deterministic (md5-prefix buckets) so profiles are
+reproducible across engines and runs — the reference's Oracle
+SAMPLE(pct) is block-random and not reproducible; determinism is a
+deliberate improvement, not a divergence, and it's what makes the
+DuckDB differential gate possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: classification ladder mirroring the NUMBER precision mapping
+#: (reference: database/mapping/oracle.go:30-250 — p<3 TINYINT,
+#: 3<=p<5 SMALLINT, 5<=p<9 INT, 9<=p<19 BIGINT, else DECIMAL)
+_LADDER = [
+    ("TINYINT", -128, 127),
+    ("SMALLINT", -32768, 32767),
+    ("INT", -2147483648, 2147483647),
+]
+
+
+def classify_number_expr(x: Column) -> Column:
+    """Category of a numeric value: smallest integer type that holds it
+    exactly, else DECIMAL.  Integrality via x = floor(x) (portable;
+    cast-based truncation rounds in some engines)."""
+    is_int = x == F.floor(x)
+    expr = F.when(~is_int, "DECIMAL")
+    chain = None
+    for name, lo, hi in _LADDER:
+        cond = is_int & x.between(lo, hi)
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    chain = chain.when(is_int, "BIGINT").otherwise("DECIMAL")
+    return chain
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: float) -> DataFrame:
+    """S5 sampled scan, reproducible: md5-prefix bucket of the key.
+    ``pct`` in (0,100]; granularity 1/256."""
+    threshold = max(1, round(256 * pct / 100.0))
+    bucket = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 2), 16, 10).cast("bigint")
+    return df.filter(bucket < threshold)
+
+
+def profile_numbers(df: DataFrame, cols: list[str], sample_key: str | None = None,
+                    sample_pct: float = 100.0) -> DataFrame:
+    """Per-column classification counts: (col_name, category, cnt).
+    One union'd pass; Catalyst prunes each leg to its single column."""
+    base = df if sample_pct >= 100.0 else deterministic_sample(df, sample_key or cols[0], sample_pct)
+    legs = [
+        base.select(F.lit(c).alias("col_name"), F.col(c).alias("x"))
+        for c in cols
+    ]
+    from functools import reduce
+
+    stacked = reduce(DataFrame.unionAll, legs)
+    return (
+        stacked.select("col_name", classify_number_expr(F.col("x")).alias("category"))
+        .groupBy("col_name", "category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def profile_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """General column profile: nulls, distinct (approx at scale), min/max
+    — the scan-side statistics the reference stores per column."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__cnt"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    rows = [
+        (c, row[f"{c}__cnt"], row[f"{c}__cnt"] - row[f"{c}__nonnull"], row[f"{c}__approx_distinct"])
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "col_name string, cnt long, nulls long, approx_distinct long"
+    )

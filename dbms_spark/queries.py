@@ -1,0 +1,447 @@
+"""Query registry: every implemented operator from SURVEY.md §2 exposed
+as a (spark_fn, duckdb_oracle_sql) pair for the correctness gate.
+
+Design rules (hard-won — violating any breaks the value-hash compare):
+
+- Alias every computed column identically in Spark and SQL.
+- Never aggregate raw doubles: cast to an explicit DECIMAL first, and
+  CAST the aggregate output to an explicit (p,s) so the string form
+  (scale!) matches across engines.
+- Averages = CAST(sum_decimal AS DOUBLE) / COUNT(*): identical IEEE
+  operands -> identical doubles.
+- events.ts is parquet TIMESTAMP_NS: Spark reads it via
+  catalog.load_table (ns->us truncation), DuckDB must CAST(ts AS
+  TIMESTAMP) everywhere — including in ORDER BY keys — so both engines
+  see identical microsecond values.
+- Deterministic "random": md5-prefix mod thresholds, never engine RNG.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbms_spark.functions import canonical as C
+from dbms_spark.operators import compare as X
+from dbms_spark.sources.catalog import TABLES, load_table, table_path
+
+# schemas are identical across scale factors; footers feed oracle-SQL text
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _fields(table: str) -> dict[str, T.DataType]:
+    return C.parquet_field_types(table_path(_ORACLE_SF_DIR, table))
+
+
+def _canon_h0_sql(col: str, dtype: T.DataType) -> str:
+    canon = f"COALESCE({C.canon_sql(col, dtype)}, '{C.NULL_LITERAL}')"
+    return f"CAST(SUM(('0x' || substr(md5({canon}), 1, 8))::BIGINT) AS DECIMAL(38,0))"
+
+
+def _canon_h0_spark(col: str, dtype: T.DataType):
+    canon = F.coalesce(C.canon_column(F.col(col), dtype), F.lit(C.NULL_LITERAL))
+    return F.sum(
+        F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast(T.DecimalType(38, 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing summary (scan + filter + multi-agg; TPC-H Q1 shape)
+# Covers SURVEY §2.4 A1/A5-style aggregation; pushdown-friendly plan.
+# ---------------------------------------------------------------------------
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", _Q01_SQL)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    disc_price = d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+    charge = disc_price * (F.lit(1) + d2("l_tax"))
+    return (
+        li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast(T.DecimalType(38, 2)).alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast(T.DecimalType(38, 2)).alias("sum_base_price"),
+            F.sum(disc_price).cast(T.DecimalType(38, 4)).alias("sum_disc_price"),
+            F.sum(charge).cast(T.DecimalType(38, 6)).alias("sum_charge"),
+            (F.sum(d2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(d2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — J1 multiset full-outer diff against a deterministically mutated copy
+# (reference kernel: database/processor/data_compare_row.go:2132 Cmp)
+# ---------------------------------------------------------------------------
+
+_ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+_MUTATED_ORDERS_SQL = f"""
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 53 <> 0
+  UNION ALL
+  SELECT {_ORDERS_COLS}
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 53 <> 0
+"""
+
+_Q03_SQL = f"""
+WITH dst AS ({_MUTATED_ORDERS_SQL}),
+a AS (SELECT {_ORDERS_COLS}, COUNT(*) AS src_cnt FROM orders GROUP BY ALL),
+b AS (SELECT {_ORDERS_COLS}, COUNT(*) AS dst_cnt FROM dst GROUP BY ALL)
+SELECT {_ORDERS_COLS},
+       COALESCE(src_cnt, 0) AS src_cnt, COALESCE(dst_cnt, 0) AS dst_cnt
+FROM a FULL OUTER JOIN b USING ({_ORDERS_COLS})
+WHERE COALESCE(src_cnt, 0) <> COALESCE(dst_cnt, 0)
+"""
+
+
+def _mutated_orders(orders: DataFrame) -> DataFrame:
+    kept = orders.filter("o_orderkey % 53 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 41 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    dup = orders.filter("o_orderkey % 97 = 0 AND o_orderkey % 53 != 0")
+    return kept.unionAll(dup.select(*kept.columns))
+
+
+@register("q03_multiset_diff", _Q03_SQL)
+def q03_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return X.multiset_diff(orders, _mutated_orders(orders))
+
+
+# ---------------------------------------------------------------------------
+# q04 — J2/A2/A3 per-chunk count + MD5 slice-sum checksum over lineitem
+# ---------------------------------------------------------------------------
+
+def _q04_sql() -> str:
+    fields = _fields("lineitem")
+    canon = C.canonical_row_sql_from_types(fields)
+    slices = ", ".join(C.md5_slice_sum_sql("row_md5"))
+    return f"""
+SELECT l_orderkey // 256 AS chunk_id, COUNT(*) AS cnt, {slices}
+FROM (SELECT l_orderkey, md5({canon}) AS row_md5 FROM lineitem)
+GROUP BY chunk_id
+"""
+
+
+@register("q04_chunked_checksum", _q04_sql())
+def q04_chunked_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return X.chunked_checksum(li, F.expr("l_orderkey div 256"))
+
+
+# ---------------------------------------------------------------------------
+# q05 — whole-table checksum (A2/A4 analogue: one commutative aggregate)
+# ---------------------------------------------------------------------------
+
+def _q05_sql() -> str:
+    canon = C.canonical_row_sql_from_types(_fields("customer"))
+    slices = ", ".join(C.md5_slice_sum_sql("row_md5"))
+    return f"SELECT COUNT(*) AS cnt, {slices} FROM (SELECT md5({canon}) AS row_md5 FROM customer)"
+
+
+@register("q05_table_checksum", _q05_sql())
+def q05_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.table_checksum(load_table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# q06 — J3 column-localizing seek: per-column checksums src vs mutated dst
+# (reference: database/processor/data_compare_seek.go:49-430)
+# ---------------------------------------------------------------------------
+
+def _q06_sql() -> str:
+    fields = _fields("customer")
+    cols = list(fields)
+    mut = ("SELECT c_custkey, c_name, c_nationkey, "
+           "CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal, "
+           "c_mktsegment FROM customer")
+    src_aggs = ", ".join(f"{_canon_h0_sql(c, fields[c])} AS h_{c}" for c in cols)
+    s_union = " UNION ALL ".join(f"SELECT '{c}' AS col_name, h_{c} AS src_h0 FROM s" for c in cols)
+    d_union = " UNION ALL ".join(f"SELECT '{c}' AS col_name, h_{c} AS dst_h0 FROM d" for c in cols)
+    return f"""
+WITH dst AS ({mut}),
+s AS (SELECT {src_aggs} FROM customer),
+d AS (SELECT {src_aggs} FROM dst),
+su AS ({s_union}), du AS ({d_union})
+SELECT su.col_name AS col_name, src_h0, dst_h0, (src_h0 = dst_h0) AS equal
+FROM su JOIN du ON su.col_name = du.col_name
+"""
+
+
+@register("q06_seek_columns", _q06_sql())
+def q06_seek_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mut = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1.0).otherwise(F.col("c_acctbal")),
+    )
+    fields = {f.name: f.dataType for f in cust.schema.fields}
+    cols = cust.columns
+
+    def unpivot(df: DataFrame, alias: str) -> DataFrame:
+        agg = df.agg(*[_canon_h0_spark(c, fields[c]).alias(f"h_{c}") for c in cols])
+        stack = ", ".join(f"'{c}', `h_{c}`" for c in cols)
+        return agg.selectExpr(f"stack({len(cols)}, {stack}) AS (col_name, {alias})")
+
+    su = unpivot(cust, "src_h0")
+    du = unpivot(mut, "dst_h0")
+    return su.join(du, "col_name").select(
+        "col_name", "src_h0", "dst_h0", (F.col("src_h0") == F.col("dst_h0")).alias("equal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — A1/A7 row-count compare pack across the whole catalog
+# ---------------------------------------------------------------------------
+
+_Q07_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS cnt FROM {t}" for t in TABLES
+)
+
+
+@register("q07_rowcounts", _Q07_SQL)
+def q07_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load_table(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(t).alias("table_name"), "cnt")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ---------------------------------------------------------------------------
+# q08 — A6 NUMBER-classification profile (data_scan_rule.go:150-168 ladder)
+# ---------------------------------------------------------------------------
+
+_CLASSIFY = """CASE
+  WHEN x = floor(x) AND x BETWEEN -128 AND 127 THEN 'TINYINT'
+  WHEN x = floor(x) AND x BETWEEN -32768 AND 32767 THEN 'SMALLINT'
+  WHEN x = floor(x) AND x BETWEEN -2147483648 AND 2147483647 THEN 'INT'
+  WHEN x = floor(x) THEN 'BIGINT'
+  ELSE 'DECIMAL' END"""
+
+_Q08_SQL = f"""
+WITH vals AS (
+  SELECT 'o_totalprice' AS col_name, o_totalprice AS x FROM orders
+  UNION ALL
+  SELECT 'c_acctbal' AS col_name, c_acctbal AS x FROM customer
+)
+SELECT col_name, {_CLASSIFY} AS category, COUNT(*) AS cnt
+FROM vals GROUP BY col_name, category
+"""
+
+
+@register("q08_number_classification", _Q08_SQL)
+def q08_number_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.scan import classify_number_expr
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("o_totalprice").alias("col_name"), F.col("o_totalprice").alias("x")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("c_acctbal").alias("col_name"), F.col("c_acctbal").alias("x")
+    )
+    return (
+        orders.unionAll(cust)
+        .select("col_name", classify_number_expr(F.col("x")).alias("category"))
+        .groupBy("col_name", "category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — S5 sampled scan, deterministic md5-prefix sampling (~5%)
+# ---------------------------------------------------------------------------
+
+_Q09_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::BIGINT < 13
+"""
+
+
+@register("q09_sampled_scan", _Q09_SQL)
+def q09_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("bigint")
+    return orders.filter(bucket < 13).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# q10 — P2/P4 column routing (rename) + custom WHERE range
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id, upper(o_orderpriority) AS priority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderstatus = 'F'
+"""
+
+
+@register("q10_route_rename", _Q10_SQL)
+def q10_route_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.upper("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — A5 TOP-N per group (assessment TOP queries -> window + row_number)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+  FROM customer
+) WHERE rn <= 5
+"""
+
+
+@register("q11_topn_per_group", _Q11_SQL)
+def q11_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — tumbling-window aggregation over the event stream (batch form of
+# the streaming C-path; windowed agg per SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM events GROUP BY window_start, event_type
+"""
+
+
+@register("q12_tumbling_window", _Q12_SQL)
+def q12_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2)).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — C4 idempotent-apply dedup: last event per key by (ts, event_id)
+# (reference: message/tidb/consumer.go:670-807 delete+insert apply)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("q13_cdc_dedup_last", _Q13_SQL)
+def q13_cdc_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — C1 resolvedTs watermark flush split: events at or before the
+# watermark are flushable (reference: message/tidb/consumer.go:617-668)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE CAST(ts AS TIMESTAMP) <= (SELECT w FROM wm)) AS flushed,
+       COUNT(*) FILTER (WHERE CAST(ts AS TIMESTAMP) >  (SELECT w FROM wm)) AS pending
+FROM events GROUP BY event_type
+"""
+
+
+@register("q14_resolved_flush", _Q14_SQL)
+def q14_resolved_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.expr("max(ts) - INTERVAL 1 HOUR").alias("w"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") <= F.col("w"), 1)).alias("flushed"),
+            F.count(F.when(F.col("ts") > F.col("w"), 1)).alias("pending"),
+        )
+    )

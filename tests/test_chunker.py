@@ -1,0 +1,70 @@
+"""Chunk planner properties: predicates tile the keyspace exactly,
+chunk sizes are balanced, and assign_chunk_id agrees with the
+predicate rendering (the reference's divider invariants,
+database/processor/data_compare_divider.go)."""
+
+from pyspark.sql import functions as F
+
+from dbms_spark.plans import chunker
+from dbms_spark.sources.catalog import load_table
+
+
+def test_single_key_partition_exact(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    plan = chunker.plan_chunks(df, ["l_orderkey"], 8)
+    preds = chunker.predicates(plan)
+    assert len(preds) == plan.n_chunks
+    total = df.count()
+    counts = [df.filter(p).count() for p in preds]
+    assert sum(counts) == total, "chunks must tile the table exactly"
+    # no overlap: pairwise conjunction is empty on adjacent chunks
+    assert df.filter(f"({preds[0]}) AND ({preds[1]})").count() == 0
+
+
+def test_chunks_balanced(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    plan = chunker.plan_chunks(df, ["l_orderkey"], 8)
+    counts = [df.filter(p).count() for p in chunker.predicates(plan)]
+    avg = sum(counts) / len(counts)
+    # sampled boundaries + duplicate orderkeys: generous tolerance
+    assert max(counts) < 2.2 * avg and min(counts) > 0.3 * avg, counts
+
+
+def test_composite_key_partition(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    plan = chunker.plan_chunks(df, ["l_returnflag", "l_orderkey", "l_linenumber"], 6)
+    preds = chunker.predicates(plan)
+    counts = [df.filter(p).count() for p in preds]
+    assert sum(counts) == df.count()
+    assert all(c > 0 for c in counts)
+
+
+def test_assign_chunk_id_matches_predicates(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    plan = chunker.plan_chunks(df, ["o_orderdate", "o_orderkey"], 5)
+    with_id = df.withColumn("cid", chunker.assign_chunk_id(plan, df))
+    for i, p in enumerate(chunker.predicates(plan)):
+        n_pred = df.filter(p).count()
+        n_id = with_id.filter(F.col("cid") == i).count()
+        assert n_pred == n_id, f"chunk {i}: predicate={n_pred} id={n_id}"
+
+
+def test_whole_table_fallback(spark, sf_dir):
+    df = load_table(spark, sf_dir, "region")
+    plan = chunker.plan_chunks(df, ["r_regionkey"], 1)
+    assert chunker.predicates(plan) == ["1 = 1"]
+    assert df.filter(chunker.predicates(plan)[0]).count() == df.count()
+
+
+def test_skew_dedup(spark):
+    # constant key: all boundaries equal -> must collapse to few chunks
+    df = spark.range(1000).select(F.lit("same").alias("k"), F.col("id"))
+    plan = chunker.plan_chunks(df, ["k"], 8)
+    preds = chunker.predicates(plan)
+    assert sum(df.filter(p).count() for p in preds) == 1000
+
+
+def test_sql_literal_escaping():
+    assert chunker.sql_literal("o'neil") == "'o''neil'"
+    assert chunker.sql_literal(None) == "NULL"
+    assert chunker.sql_literal(5) == "5"

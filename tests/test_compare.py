@@ -1,0 +1,95 @@
+"""Compare-operator properties, mirroring the reference's TestCmp
+table-driven structure (database/processor/compare_row_cmp_test.go:26)
+at Spark scale: compare(T,T) is clean; compare(T, mutate(T)) localizes
+exactly the mutated rows/chunks/columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_spark.operators import compare as X
+from dbms_spark.plans import chunker
+from dbms_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").cache()
+
+
+@pytest.fixture(scope="module")
+def mutated(orders):
+    """Deterministic mutation: drop %53==0, duplicate %97==0, and bump
+    o_totalprice on %41==0 rows."""
+    kept = orders.filter("o_orderkey % 53 != 0")
+    dup = orders.filter("o_orderkey % 97 = 0 AND o_orderkey % 53 != 0")
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 41 == 0, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    return bumped.unionAll(dup).cache()
+
+
+def test_identical_is_clean(orders):
+    assert X.multiset_diff(orders, orders).count() == 0
+    rep = X.compare_table(orders, orders)
+    assert rep.equal and rep.mismatched_chunks == []
+
+
+def test_diff_localizes_mutations(orders, mutated):
+    diff = X.multiset_diff(orders, mutated).cache()
+    rows = diff.collect()
+    for r in rows:
+        k = r["o_orderkey"]
+        assert k % 53 == 0 or k % 41 == 0 or k % 97 == 0, f"unexpected diff row {k}"
+    # dropped rows appear as src_cnt=1/dst_cnt=0
+    dropped = [r for r in rows if r["src_cnt"] == 1 and r["dst_cnt"] == 0]
+    assert all(r["o_orderkey"] % 53 == 0 or r["o_orderkey"] % 41 == 0 for r in dropped)
+    # duplicated rows appear as src_cnt=1/dst_cnt=2
+    dup = [r for r in rows if r["dst_cnt"] == 2]
+    assert all(r["o_orderkey"] % 97 == 0 for r in dup)
+    diff.unpersist()
+
+
+def test_hashed_diff_agrees_with_plain(orders, mutated):
+    plain = X.multiset_diff(orders, mutated)
+    hashed = X.multiset_diff_hashed(orders, mutated, key_cols=["o_orderkey"])
+    assert plain.count() == hashed.count()
+    assert plain.agg(F.sum("src_cnt"), F.sum("dst_cnt")).collect()[0] == \
+           hashed.agg(F.sum("src_cnt"), F.sum("dst_cnt")).collect()[0]
+
+
+def test_chunk_compare_localizes(orders, mutated):
+    plan = chunker.plan_chunks(orders, ["o_orderkey"], 10)
+    bad = X.compare_chunked(
+        orders, mutated, chunker.assign_chunk_id(plan, orders), chunker.assign_chunk_id(plan, mutated)
+    )
+    bad_ids = {r["chunk_id"] for r in bad.collect()}
+    assert bad_ids, "mutations must be detected"
+    # every chunk containing a mutated key must be flagged
+    mutated_keys = orders.filter(
+        "o_orderkey % 53 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 97 = 0"
+    ).withColumn("cid", chunker.assign_chunk_id(plan, orders))
+    expect = {r["cid"] for r in mutated_keys.select("cid").distinct().collect()}
+    assert bad_ids == expect
+
+
+def test_seek_columns_flags_only_mutated_column(orders):
+    bumped = orders.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    out = {r["col_name"]: r["equal"] for r in X.seek_columns(orders, bumped).collect()}
+    assert out["o_totalprice"] is False
+    for c in orders.columns:
+        if c != "o_totalprice":
+            assert out[c] is True, f"column {c} should be equal"
+
+
+def test_gen_fix_sql(orders, mutated, spark):
+    diff = X.multiset_diff(orders, mutated)
+    stmts = X.gen_fix_sql(diff, "orders", orders.columns)
+    n_insert = sum(1 for s in stmts if s.startswith("INSERT"))
+    n_delete = sum(1 for s in stmts if s.startswith("DELETE"))
+    sums = diff.agg(
+        F.sum(F.greatest(F.col("src_cnt") - F.col("dst_cnt"), F.lit(0))).alias("ins"),
+    ).collect()[0]
+    assert n_insert == sums["ins"]
+    assert n_delete == diff.filter("dst_cnt > src_cnt").count()
+    assert all(s.endswith(";") for s in stmts)

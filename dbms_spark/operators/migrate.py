@@ -1,0 +1,178 @@
+"""Data-migration operators: partitioned read -> batch sinks.
+
+The reference's 3-stage channel pipeline (reference: database/
+processor/stmt_migrate_row.go:62-304 MigrateRead/Process/Apply; CSV
+sink database/processor/csv_migrate_row.go:54-190; safe-mode REPLACE
+INTO database/processor/processor_translate_mysql.go:40,81; chunk
+ledger rows model/task/task_entity.go:196) collapses into Spark's own
+execution: a declarative read plan feeding a writer.  What remains to
+build is (a) sink option mapping, (b) safe-mode upsert semantics for
+non-transactional targets, (c) a slim append-only chunk ledger so
+batch jobs resume like the reference's checkpoint-enabled tasks.
+
+Scale notes: writers inherit the read's partitioning — ``repartition``
+only when the target layout demands it; CSV/parquet writes stream
+per-partition with no driver involvement; the ledger is O(chunks).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CsvSinkOptions:
+    """S10 CSV sink parameter surface (reference: proto/pb/
+    dbms_master.pb.go:5299 CsvMigrateParam — Header, Separator,
+    Terminator, Delimiter, NullValue, EscapeBackslash, OutputDir)."""
+
+    header: bool = True
+    separator: str = ","
+    terminator: str = "\n"
+    delimiter: str = '"'   # quote char
+    null_value: str = ""
+    escape_backslash: bool = False
+    charset: str = "UTF-8"
+    compression: str | None = None
+
+    def writer_options(self) -> dict[str, str]:
+        opts = {
+            "header": str(self.header).lower(),
+            "sep": self.separator,
+            "lineSep": self.terminator,
+            "quote": self.delimiter,
+            "nullValue": self.null_value,
+            "encoding": self.charset,
+        }
+        if self.escape_backslash:
+            opts["escape"] = "\\"
+        if self.compression:
+            opts["compression"] = self.compression
+        return opts
+
+
+def write_csv(df: DataFrame, path: str, options: CsvSinkOptions | None = None,
+              mode: str = "overwrite", num_files: int | None = None) -> None:
+    """CSV sink — the reference's whole csv_migrate subsystem is this
+    one writer call; file count steers size capping (the reference's
+    DiskUsageFactor) via repartition."""
+    options = options or CsvSinkOptions()
+    out = df.repartition(num_files) if num_files else df
+    out.write.mode(mode).options(**options.writer_options()).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               batchsize: int = 500, num_partitions: int | None = None,
+               properties: dict[str, str] | None = None) -> None:
+    """S9 JDBC batch sink.  batchsize default mirrors the reference's
+    insert batch (example/stmt_migrate_task.toml:51 = 500).  Requires a
+    JDBC driver jar on the classpath; untestable in this container but
+    the code path is the production sink."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Safe-mode apply (REPLACE INTO semantics): incoming rows win on
+    key collision.  anti-join + union — the MERGE emulation for
+    non-transactional file targets."""
+    survivors = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
+    return survivors.unionByName(incoming.select(*existing.columns))
+
+
+# ---------------------------------------------------------------------------
+# Chunk ledger: resumable batch migration bookkeeping
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChunkLedger:
+    """Append-only parquet ledger of per-chunk progress (the Spark
+    replacement for the reference's metadata-DB chunk rows; kept
+    append-only so concurrent writers can't corrupt it — status is
+    resolved as 'latest event per chunk')."""
+
+    spark: SparkSession
+    path: str
+    task: str
+    _schema: str = field(
+        default="task string, chunk_id int, predicate string, status string, rows long, ts timestamp",
+        repr=False,
+    )
+
+    def log(self, chunk_id: int, predicate: str, status: str, rows: int = 0) -> None:
+        import datetime
+
+        row = [(self.task, chunk_id, predicate, status, rows,
+                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None))]
+        self.spark.createDataFrame(row, self._schema).write.mode("append").parquet(self.path)
+
+    def state(self) -> DataFrame:
+        """Latest status per chunk (event-sourced resolve)."""
+        from pyspark.sql import Window
+
+        df = self.spark.read.parquet(self.path).filter(F.col("task") == self.task)
+        w = Window.partitionBy("chunk_id").orderBy(F.desc("ts"))
+        return (
+            df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+
+    def pending(self, all_chunk_ids: list[int]) -> list[int]:
+        if not os.path.exists(self.path):
+            return list(all_chunk_ids)
+        done = {r["chunk_id"] for r in self.state().filter("status = 'done'").collect()}
+        return [c for c in all_chunk_ids if c not in done]
+
+
+def migrate_chunked(
+    spark: SparkSession,
+    src: DataFrame,
+    predicates: list[str],
+    sink_path: str,
+    ledger: ChunkLedger | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Resumable chunked migrate: each chunk predicate becomes one
+    filtered write into a chunk-keyed subdirectory; completed chunks
+    are skipped on re-run.  (With a JDBC source the same predicates
+    feed ``spark.read.jdbc(predicates=...)`` so each chunk is one
+    remote range scan — S1/S2.)"""
+    todo = range(len(predicates)) if ledger is None else ledger.pending(list(range(len(predicates))))
+    migrated = 0
+    for i in todo:
+        pred = predicates[i]
+        if ledger:
+            ledger.log(i, pred, "running")
+        part = src.filter(pred)
+        out = os.path.join(sink_path, f"chunk={i}")
+        if fmt == "parquet":
+            part.write.mode("overwrite").parquet(out)
+        elif fmt == "csv":
+            write_csv(part, out)
+        else:
+            raise ValueError(f"unknown sink format {fmt}")
+        n = spark.read.format(fmt).load(out).count() if fmt == "parquet" else part.count()
+        if ledger:
+            ledger.log(i, pred, "done", n)
+        migrated += n
+    return migrated

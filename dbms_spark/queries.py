@@ -113,6 +113,51 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q02 — 3-way join + agg + top-k (TPC-H Q3 shape; exercises Catalyst
+# broadcast choice + deterministic tie-broken LIMIT)
+# ---------------------------------------------------------------------------
+
+_Q02_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q02_shipping_priority", _Q02_SQL)
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1995-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1995-03-15 00:00:00'")
+    )
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast(T.DecimalType(38, 4)).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q03 — J1 multiset full-outer diff against a deterministically mutated copy
 # (reference kernel: database/processor/data_compare_row.go:2132 Cmp)
 # ---------------------------------------------------------------------------
@@ -445,3 +490,118 @@ def q14_resolved_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("ts") > F.col("w"), 1)).alias("pending"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q15 — A5 categorical distribution with percentages (constraint/
+# partition-type breakdown shape from the assessment pack)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS pct
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("q15_status_distribution", _Q15_SQL)
+def q15_status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import value_distribution
+
+    orders = load_table(spark, sf_dir, "orders")
+    return value_distribution(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# q16 — §2.5 bucket machinery: equal-count buckets via ntile (the Spark
+# replacement for the reference's histogram-driven chunk statistics)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT bucket, COUNT(*) AS cnt,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM (
+  SELECT CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket, o_totalprice
+  FROM orders
+) GROUP BY bucket
+"""
+
+
+@register("q16_ntile_buckets", _Q16_SQL)
+def q16_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(F.ntile(4).over(w).cast("bigint").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — 6-way star join (TPC-H Q5 shape): broadcast dims, one fact shuffle
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q17_regional_revenue", _Q17_SQL)
+def q17_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'")
+    ).filter(F.expr("o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+            .cast(T.DecimalType(38, 4)).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
+# the same views -> rows-only check, unit-tested in pytest instead)
+# ---------------------------------------------------------------------------
+
+@register("q18_struct_compare", None)
+def q18_struct_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import schema_to_df, struct_compare
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = schema_to_df(spark, "lineitem", li.schema)
+    # deterministic "drifted" target: drop a column, retype another
+    dst_schema = T.StructType(
+        [
+            f if f.name != "l_quantity" else T.StructField("l_quantity", T.DecimalType(12, 2))
+            for f in li.schema.fields
+            if f.name != "l_tax"
+        ]
+    )
+    dst = schema_to_df(spark, "lineitem", dst_schema)
+    return struct_compare(src, dst)

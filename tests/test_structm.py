@@ -1,0 +1,71 @@
+"""Struct migrate/compare: the NUMBER ladder golden values
+(reference: database/mapping/oracle.go:30-250), rule priority, DDL
+render, and metadata diff kinds."""
+
+from pyspark.sql import types as T
+
+from dbms_spark.operators import structm as S
+
+
+def test_number_ladder():
+    assert S.map_number(2, 0) == (T.ByteType(), "TINYINT")
+    assert S.map_number(4, 0) == (T.ShortType(), "SMALLINT")
+    assert S.map_number(8, 0) == (T.IntegerType(), "INT")
+    assert S.map_number(18, 0) == (T.LongType(), "BIGINT")
+    assert S.map_number(19, 0) == (T.DecimalType(19, 0), "DECIMAL(19,0)")
+    assert S.map_number(10, 2) == (T.DecimalType(10, 2), "DECIMAL(10,2)")
+    assert S.map_number(None, None) == (T.DecimalType(38, 10), "DECIMAL(38,10)")
+    # precision/scale capping
+    assert S.map_number(40, 35) == (T.DecimalType(38, 30), "DECIMAL(38,30)")
+
+
+def test_map_type_families():
+    assert S.map_type(S.ColumnSpec("a", "VARCHAR2", length=50))[1] == "VARCHAR(50)"
+    assert S.map_type(S.ColumnSpec("a", "CLOB"))[0] == T.StringType()
+    assert S.map_type(S.ColumnSpec("a", "BLOB"))[0] == T.BinaryType()
+    assert S.map_type(S.ColumnSpec("a", "TIMESTAMP(9)"))[1] == "DATETIME(6)"  # Spark caps at 6
+    assert S.map_type(S.ColumnSpec("a", "BINARY_DOUBLE"))[0] == T.DoubleType()
+    assert "unmapped" in S.map_type(S.ColumnSpec("a", "SDO_GEOMETRY"))[1]
+
+
+def test_rule_priority():
+    out = S.resolve_rule(
+        builtin={"NUMBER": "DECIMAL", "DATE": "DATETIME"},
+        task={"DATE": "DATE"},
+        table={"NUMBER": "BIGINT"},
+        column={"NUMBER": "TINYINT"},
+    )
+    assert out["NUMBER"] == "TINYINT"  # column wins
+    assert out["DATE"] == "DATE"       # task layer applied
+
+
+def test_render_create_table():
+    ddl = S.render_create_table(
+        "t", [
+            S.ColumnSpec("id", "NUMBER", precision=10, nullable=False),
+            S.ColumnSpec("name", "VARCHAR2", length=20, default="'x'"),
+        ],
+    )
+    assert "`id` BIGINT NOT NULL" in ddl
+    assert "`name` VARCHAR(20) DEFAULT 'x'" in ddl
+    assert ddl.startswith("CREATE TABLE t (")
+
+
+def test_struct_compare_kinds(spark):
+    src_schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.DoubleType()),
+    ])
+    dst_schema = T.StructType([
+        T.StructField("a", T.IntegerType()),   # type mismatch
+        T.StructField("b", T.StringType()),    # ok
+        T.StructField("d", T.StringType()),    # extra in dst
+    ])                                          # c missing in dst
+    src = S.schema_to_df(spark, "t", src_schema)
+    dst = S.schema_to_df(spark, "t", dst_schema)
+    out = {r["col_name"]: r for r in S.struct_compare(src, dst).collect()}
+    assert out["a"]["kind"] == "TYPE_MISMATCH" and "MODIFY COLUMN" in out["a"]["alter_sql"]
+    assert out["c"]["kind"] == "MISSING_IN_DST" and "ADD COLUMN" in out["c"]["alter_sql"]
+    assert out["d"]["kind"] == "EXTRA_IN_DST" and "DROP COLUMN" in out["d"]["alter_sql"]
+    assert "b" not in out

@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup — the dedup family a training-
+data pipeline runs at corpus scale.
+
+Scale design:
+
+- exact dedup       — one hash-groupBy; shuffle key is the 32-byte md5.
+- MinHash + LSH     — shingle -> k minhashes (map-side array math) ->
+  band keys -> self-join per band bucket.  The join is on band-key
+  equality, so candidate generation is O(bucket²) per bucket instead
+  of O(n²) global — the standard banding argument.
+- SimHash           — explode (doc, token, bit) -> two shuffles with
+  partial aggregation; signature fits in two 32-bit halves so the
+  pair-compare stays cheap.
+- n-gram Jaccard    — exact verification on candidate pairs only.
+- embedding near-dup — fixed-point cosine (see similarity.py) over
+  LSH-bucketed candidates.
+
+All hash math is md5-based and integer-exact, so every operator here
+has a bit-identical DuckDB twin for the differential gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbms_spark.llm.text import tokens_expr, tokens_sql
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by content hash: one row per group with >1 member
+    — (content_md5, canonical_id = min id, group_size)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS content_md5, min({id_col}) AS canonical_id,
+       COUNT(*) AS group_size
+FROM {table} GROUP BY md5({text_col}) HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def shingles_expr(n: int = 3) -> F.Column:
+    """Word n-gram shingles from a ``toks`` array column (distinct)."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size(toks) < {n} THEN array(concat_ws(' ', toks)) "
+        f"ELSE array_distinct(transform(sequence(0, size(toks) - {n}), i -> {joined})) END"
+    )
+
+
+def shingles_sql(n: int = 3) -> str:
+    # range() end is EXCLUSIVE (Spark's sequence() is inclusive):
+    # 1-based start positions run 1 .. len-n+1, so end bound is len-n+2
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [concat_ws(' ', toks)] "
+        f"ELSE list_distinct([{joined} for i in range(1, len(toks) - {n - 2})]) END"
+    )
+
+
+def _minhash_expr_spark(k: int) -> str:
+    return (
+        f"array_min(transform(sh, s -> "
+        f"cast(conv(substring(md5(concat('{k}:', s)), 1, 8), 16, 10) as bigint)))"
+    )
+
+
+def _minhash_expr_duck(k: int) -> str:
+    return f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{k}:' || s), 1, 8))::BIGINT))"
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 8) -> DataFrame:
+    """Per-doc minhash signature h0..h{k-1} over word-3-gram shingles.
+    Pure map-side array math — no shuffle."""
+    with_sh = df.withColumn("toks", tokens_expr(text_col)).withColumn("sh", shingles_expr())
+    return with_sh.select(
+        F.col(id_col),
+        *[F.expr(_minhash_expr_spark(k)).alias(f"h{k}") for k in range(num_hashes)],
+    )
+
+
+def minhash_signatures_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                           num_hashes: int = 8) -> str:
+    hs = ", ".join(f"{_minhash_expr_duck(k)} AS h{k}" for k in range(num_hashes))
+    return f"""
+SELECT {id_col}, {hs}
+FROM (SELECT {id_col}, {shingles_sql()} AS sh
+      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}))
+"""
+
+
+def band_keys(num_hashes: int = 8, bands: int = 2) -> list[tuple[int, str]]:
+    """(band_idx, concat expression of its hash slots) — shared shape
+    for both dialects (md5 of comma-joined minhash values)."""
+    per = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        out.append((b, " || ',' || ".join(f"CAST({c} AS {{T}})" for c in cols)))
+    return out
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 2) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) sharing at least one LSH
+    band.  The self-join shuffles on the band key — bucket-local."""
+    per = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        legs.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+    banded = legs[0]
+    for leg in legs[1:]:
+        banded = banded.unionAll(leg)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                            num_hashes: int = 8, bands: int = 2) -> str:
+    per = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM sigs")
+    banded = " UNION ALL ".join(legs)
+    return f"""
+WITH sigs AS ({minhash_signatures_sql(table, id_col, text_col, num_hashes)}),
+banded AS ({banded})
+SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (hi, lo) — token-count
+    weighted bit votes over md5-derived token hashes.  Two partial-
+    aggregated shuffles: (doc, token) then (doc, bit)."""
+    toks = (
+        df.withColumn("tok", F.explode(tokens_expr(text_col)))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h_hi", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+        .withColumn("h_lo", F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+    )
+    bits = toks.select(
+        F.col(id_col), "cnt", "h_hi", "h_lo", F.explode(F.expr("sequence(0, 31)")).alias("b")
+    )
+    votes = bits.groupBy(id_col, "b").agg(
+        F.sum(F.expr("CASE WHEN (h_hi >> b) & 1 = 1 THEN cnt ELSE -cnt END")).alias("v_hi"),
+        F.sum(F.expr("CASE WHEN (h_lo >> b) & 1 = 1 THEN cnt ELSE -cnt END")).alias("v_lo"),
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.expr("CASE WHEN v_hi > 0 THEN cast(pow(2, b) as bigint) ELSE 0L END")).alias("simhash_hi"),
+        F.sum(F.expr("CASE WHEN v_lo > 0 THEN cast(pow(2, b) as bigint) ELSE 0L END")).alias("simhash_lo"),
+    )
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, tok, COUNT(*) AS cnt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+  FROM (SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table})
+  GROUP BY 1, 2
+),
+bits AS (SELECT {id_col}, cnt, h_hi, h_lo, unnest(range(32)) AS b FROM toks),
+votes AS (
+  SELECT {id_col}, b,
+         SUM(CASE WHEN (h_hi >> CAST(b AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS v_hi,
+         SUM(CASE WHEN (h_lo >> CAST(b AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS v_lo
+  FROM bits GROUP BY 1, 2
+)
+SELECT {id_col},
+       CAST(SUM(CASE WHEN v_hi > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+       CAST(SUM(CASE WHEN v_lo > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
+FROM votes GROUP BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def jaccard_fixed_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        min_sim: float = 0.0) -> DataFrame:
+    """Exact 3-gram Jaccard over a deterministic pair set (i, i + n/2):
+    the verification stage that would run on LSH candidates at scale,
+    here on a fixed blocking so the oracle can mirror it.  Similarity
+    is floor-quantized at 6 dp (ratio of identical ints — exact)."""
+    half = df.count() // 2
+    sh = df.withColumn("toks", tokens_expr(text_col)).select(
+        F.col(id_col), shingles_expr().alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = "size(array_intersect(a.sh, b.sh))"
+    union = "size(array_union(a.sh, b.sh))"
+    return (
+        a.join(b, F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + F.lit(half))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.expr(f"floor(CAST({inter} AS DOUBLE) / {union} * 1000000) / 1000000").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_sim)
+    )
+
+
+def jaccard_fixed_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                            min_sim: float = 0.0) -> str:
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, {shingles_sql()} AS sh
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+),
+half AS (SELECT COUNT(*) // 2 AS h FROM {table})
+SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 AS jaccard
+FROM sh a JOIN sh b ON b.{id_col} = a.{id_col} + (SELECT h FROM half)
+WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 >= {min_sim}
+"""

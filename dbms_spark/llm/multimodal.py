@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas
+functions over ``mapInPandas``.
+
+The decode/feature kernels are STUBBED (this container ships no
+image/audio libraries): ``decode_image_stub`` produces a deterministic
+fake decode so the Spark-side plumbing — schema contract, partition
+flow, UDF signature, Arrow batch shape — is real and testable.  Swap
+``_decode_one`` for a PIL/libav call in production; nothing else
+changes.
+
+Scale notes: mapInPandas streams Arrow batches per partition — no
+driver collection; binary payloads stay off the driver.  Partition
+sizing should target batches of a few hundred MB of payload
+(``spark.sql.files.maxPartitionBytes`` governs the scan side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of a multimodal asset row (binary payload + typed metadata)
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("modality", T.StringType()),      # image | audio | video
+    T.StructField("mime_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta_json", T.StringType()),
+])
+
+DECODED_SCHEMA = (
+    "asset_id long, modality string, n_bytes long, "
+    "width int, height int, n_frames int, sha_prefix string"
+)
+
+
+def synthesize_assets(df: DataFrame, id_col: str, payload_from: str) -> DataFrame:
+    """Build an asset table from any string column (deterministic stand-
+    in for real binary ingestion): payload = utf-8 bytes of the text."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video").alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(F.col(payload_from), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.length(payload_from).alias("orig_len"))).alias("meta_json"),
+    )
+
+
+def _decode_one(payload: bytes, modality: str) -> dict:
+    """STUB decode: deterministic fake dimensions derived from the
+    payload hash.  Production: PIL.Image.open / soundfile / pyav here.
+    Raises on empty payload like a real decoder would."""
+    import hashlib
+
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload — cannot decode")
+    h = hashlib.md5(payload).hexdigest()
+    w = int(h[:4], 16) % 1920 + 1
+    ht = int(h[4:8], 16) % 1080 + 1
+    frames = (int(h[8:12], 16) % 240 + 1) if modality == "video" else 1
+    return {"n_bytes": len(payload), "width": w, "height": ht,
+            "n_frames": frames, "sha_prefix": h[:8]}
+
+
+def decode_assets(assets: DataFrame, on_error: str = "skip") -> DataFrame:
+    """Arrow-batched decode over mapInPandas.  ``on_error``: 'skip'
+    drops undecodable rows (corrupt files are routine at corpus scale);
+    'fail' re-raises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    d = _decode_one(row["payload"], row["modality"])
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                out.append({"asset_id": row["asset_id"], "modality": row["modality"], **d})
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "modality", "n_bytes", "width", "height",
+                         "n_frames", "sha_prefix"],
+            )
+
+    return assets.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_images_stub(decoded: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning (pure arithmetic — the actual pixel work lives in
+    the decode stub's production swap): target dims preserving aspect
+    ratio, capped at max_side."""
+    scale = F.expr(
+        f"CASE WHEN greatest(width, height) <= {max_side} THEN 1.0 "
+        f"ELSE CAST({max_side} AS DOUBLE) / greatest(width, height) END"
+    )
+    return decoded.withColumn("resize_scale", scale).withColumn(
+        "target_width", F.expr("CAST(floor(width * resize_scale) AS INT)")
+    ).withColumn(
+        "target_height", F.expr("CAST(floor(height * resize_scale) AS INT)")
+    )
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame sampling plan for video assets: which frame indices a
+    downstream extractor would decode (sequence arithmetic, exploded)."""
+    return (
+        decoded.filter(F.col("modality") == "video")
+        .select(
+            "asset_id",
+            F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})")).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, JVM-side ``zip_with``/``aggregate``
+  dot products, per-query window top-k.  The O(|Q|·n) baseline.
+- :func:`lsh_buckets` / :func:`lsh_topk` — random-hyperplane LSH: a
+  deterministic md5-derived plane matrix maps each vector to a sign
+  bucket; search joins only within buckets.  The sub-linear scale path
+  (buckets shard the corpus; the join shuffles on the bucket key).
+
+Cross-engine exactness trick: vectors are quantized to fixed-point
+integers (round(x * 10000)) before any arithmetic.  Every product and
+partial sum is then an integer far below 2^53, so double accumulation
+is EXACT regardless of summation order — Spark and DuckDB agree
+bit-for-bit, with no dependence on either engine's reduction order.
+Quantization costs ~1e-4 relative error, irrelevant for neighbor
+ranking and a fair trade for a differential-testable operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10_000
+
+
+def quantize_expr(col: str = "embedding") -> F.Column:
+    return F.expr(f"transform({col}, x -> round(cast(x as double) * {_SCALE}))")
+
+
+def quantize_sql(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> round(CAST(x AS DOUBLE) * {_SCALE}))"
+
+
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM_SPARK = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+
+_DOT_DUCK = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self):
+    (query_id, neighbor_id, cos_sim) with cos_sim floor-quantized at
+    6 dp and ties broken by neighbor id."""
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec"))
+    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    qn = _NORM_SPARK.format(a="q_vec")
+    nn = _NORM_SPARK.format(a="n_vec")
+    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    query_filter: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    dot = _DOT_DUCK.format(a="q.v", b="c.v")
+    qn = _NORM_DUCK.format(a="q.v")
+    nn = _NORM_DUCK.format(a="c.v")
+    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    return f"""
+WITH vecs AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS v FROM {table}),
+q AS (SELECT id, v FROM vecs WHERE {query_filter}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {sim} AS cos_sim
+  FROM vecs c CROSS JOIN q WHERE q.id <> c.id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _plane_component(plane: int, dim: int) -> str:
+    """Deterministic pseudo-random plane component in [-500, 500],
+    identical text in both dialects modulo the hex-parse idiom."""
+    return f"md5('{plane}_' || {{i}})"
+
+
+def plane_expr_spark(plane: int, dims: int, vec: str = "q") -> str:
+    """Sign of <vec, plane>: plane component j = md5-derived int."""
+    comp = (
+        f"(cast(conv(substring(md5(concat('{plane}_', i)), 1, 8), 16, 10) as bigint) % 1001) - 500"
+    )
+    dot = (
+        f"aggregate(zip_with({vec}, transform(sequence(0, {dims - 1}), i -> cast({comp} as double)), "
+        f"(x, p) -> x * p), 0D, (acc, v) -> acc + v)"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
+def plane_expr_duck(plane: int, dims: int, vec: str = "v") -> str:
+    comp = f"((('0x' || substr(md5('{plane}_' || i), 1, 8))::BIGINT % 1001) - 500)"
+    dot = (
+        f"list_sum(list_transform(list_zip({vec}, "
+        f"list_transform(range({dims}), i -> CAST({comp} AS DOUBLE))), p -> p[1] * p[2]))"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 8, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vector -> sign-bucket string over n deterministic hyperplanes.
+    Map-side only; downstream joins shuffle on the bucket key."""
+    with_q = df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+    bucket = F.concat(*[F.expr(plane_expr_spark(p, dims)) for p in range(n_planes)])
+    return with_q.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_buckets_sql(table: str, n_planes: int = 8, dims: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    bucket = " || ".join(plane_expr_duck(p, dims) for p in range(n_planes))
+    return f"""
+SELECT {id_col}, {bucket} AS bucket
+FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+"""
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+             dims: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket — the candidate-pruned scale path.  Lower n_planes widens
+    recall; production would probe neighboring buckets too."""
+    from pyspark.sql import Window
+
+    cb = lsh_buckets(corpus, n_planes, dims, id_col, vec_col).alias("cb")
+    qb = lsh_buckets(queries, n_planes, dims, id_col, vec_col).alias("qb")
+    c = corpus.select(F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec"))
+    cand = (
+        cb.join(qb, F.col(f"cb.bucket") == F.col(f"qb.bucket"))
+        .select(F.col(f"qb.{id_col}").alias("q_id"), F.col(f"cb.{id_col}").alias("n_id"))
+        .filter(F.col("q_id") != F.col("n_id"))
+    )
+    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    qn = _NORM_SPARK.format(a="q_vec")
+    nn = _NORM_SPARK.format(a="n_vec")
+    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    scored = (
+        cand.join(q, "q_id").join(c, "n_id")
+        .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cos_sim")
+    )

@@ -585,6 +585,185 @@ def q17_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q20-q30 — LLM-data-pipeline operators over documents/embeddings
+# ---------------------------------------------------------------------------
+
+def _q20_sql() -> str:
+    from dbms_spark.llm.text import token_stats_sql
+
+    return token_stats_sql("documents")
+
+
+@register("q20_token_stats", _q20_sql())
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import token_stats_prepared
+
+    return token_stats_prepared(load_table(spark, sf_dir, "documents"))
+
+
+def _q21_sql() -> str:
+    from dbms_spark.llm.text import lang_id_sql
+
+    return lang_id_sql("documents")
+
+
+@register("q21_lang_id", _q21_sql())
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q22_sql() -> str:
+    from dbms_spark.llm.text import quality_score_sql, token_stats_sql
+
+    return f"""
+SELECT doc_id, {quality_score_sql()} AS quality
+FROM ({token_stats_sql('documents')})
+"""
+
+
+@register("q22_quality_score", _q22_sql())
+def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import quality_score_expr, token_stats_prepared
+
+    stats = token_stats_prepared(load_table(spark, sf_dir, "documents"))
+    return stats.select("doc_id", quality_score_expr().alias("quality"))
+
+
+_DUPED_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _duped_docs(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    dup = (
+        docs.filter("doc_id % 17 = 0")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return base.unionAll(dup)
+
+
+def _q23_sql() -> str:
+    from dbms_spark.llm.dedup import exact_dedup_sql
+
+    return f"WITH corpus AS ({_DUPED_DOCS_SQL})\n" + exact_dedup_sql("corpus")
+
+
+@register("q23_exact_dedup", _q23_sql())
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(_duped_docs(load_table(spark, sf_dir, "documents")))
+
+
+def _q24_sql() -> str:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs_sql
+
+    return lsh_candidate_pairs_sql("documents")
+
+
+@register("q24_minhash_lsh_pairs", _q24_sql())
+def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+def _q25_sql() -> str:
+    from dbms_spark.llm.dedup import simhash_sql
+
+    return simhash_sql("documents")
+
+
+@register("q25_simhash", _q25_sql())
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q26_sql() -> str:
+    from dbms_spark.llm.dedup import jaccard_fixed_pairs_sql
+
+    return jaccard_fixed_pairs_sql("documents")
+
+
+@register("q26_ngram_jaccard", _q26_sql())
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import jaccard_fixed_pairs
+
+    return jaccard_fixed_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q27_sql() -> str:
+    from dbms_spark.llm.similarity import cosine_topk_sql
+
+    return cosine_topk_sql("embeddings", "id % 100 = 0", k=5)
+
+
+@register("q27_cosine_topk", _q27_sql())
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id % 100 = 0")
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def _q28_sql() -> str:
+    from dbms_spark.llm.similarity import lsh_buckets_sql
+
+    return f"""
+SELECT bucket, COUNT(*) AS cnt
+FROM ({lsh_buckets_sql('embeddings', n_planes=8, dims=64)})
+GROUP BY bucket
+"""
+
+
+@register("q28_lsh_bucket_sizes", _q28_sql())
+def q28_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb, n_planes=8, dims=64).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _q29_sql() -> str:
+    from dbms_spark.llm.text import fingerprint_sql
+
+    return fingerprint_sql("documents")
+
+
+@register("q29_fingerprint", _q29_sql())
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("q30_multimodal_decode", None)
+def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize assets from documents, decode
+    via Arrow-batched mapInPandas (stubbed kernel), plan resizes.
+    Rows-only check — the decode stub is engine-internal by design."""
+    from dbms_spark.llm.multimodal import decode_assets, resize_images_stub, synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs, "doc_id", "text")
+    return resize_images_stub(decode_assets(assets)).select(
+        "asset_id", "modality", "n_bytes", "width", "height",
+        "target_width", "target_height", "sha_prefix",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

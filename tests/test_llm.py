@@ -1,0 +1,152 @@
+"""Semantic properties of the LLM-pipeline operators (the parity suite
+covers cross-engine equivalence; these pin the actual meanings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_spark.llm import dedup as D
+from dbms_spark.llm import multimodal as MM
+from dbms_spark.llm import similarity as S
+from dbms_spark.llm import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+        (4, "der hund ist nicht mit der katze und das haus"),        # German
+        (5, "完全是中文文本没有空格"),                                  # CJK
+        (6, ""),                                                      # empty
+        (7, "zqx wvu ttt completely different tokens here now ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id_semantics(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    assert out[5] == "zh"
+    assert out[6] == "unknown"
+
+
+def test_token_stats_and_quality(docs):
+    stats = TX.token_stats_prepared(docs)
+    got = {r["doc_id"]: r for r in stats.collect()}
+    assert got[1]["n_tokens"] == 9
+    assert got[1]["n_distinct"] == 8  # 'the' twice
+    assert got[6]["n_tokens"] == 0 and got[6]["avg_token_len"] == 0.0
+    q = {r["doc_id"]: r["quality"] for r in
+         stats.select("doc_id", TX.quality_score_expr().alias("quality")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[6] == 0.0
+    assert q[1] > q[6]
+
+
+def test_fingerprint_properties(docs):
+    fp = {r["doc_id"]: r for r in TX.fingerprint(docs).collect()}
+    assert fp[1]["content_md5"] == fp[2]["content_md5"]
+    assert fp[1]["poly_hash"] == fp[2]["poly_hash"]
+    assert fp[1]["content_md5"] != fp[3]["content_md5"]
+    assert fp[6]["poly_hash"] == 0
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["group_size"] == 2
+
+
+def test_minhash_identical_docs_always_candidates(docs):
+    sigs = D.minhash_signatures(docs)
+    pairs = {(r["a_id"], r["b_id"]) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # identical docs share every band
+
+
+def test_simhash_distance_ordering(docs):
+    sh = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"]) for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical docs -> identical signature
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[7])  # near-dup closer than unrelated
+
+
+def test_jaccard_extremes(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")]
+    df = spark.createDataFrame(rows + [(4, "t") for _ in range(0)], "doc_id long, text string")
+    # pair rule is (i, i + n/2): craft ids so 1 pairs with 2 (n=3//2=1 -> (1,2),(2,3))
+    out = {(r["a_id"], r["b_id"]): r["jaccard"] for r in D.jaccard_fixed_pairs(df).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(2, 3)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 0.37 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 100: exact copy of vec 0
+    rows.append((100, rows[0][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_copy_ranks_first(vectors):
+    queries = vectors.filter("vec_id = 0")
+    out = S.cosine_topk(vectors, queries, k=3, vec_col="embedding")
+    rows = out.orderBy(F.desc("cos_sim"), "neighbor_id").collect()
+    assert rows[0]["neighbor_id"] == 100
+    assert rows[0]["cos_sim"] >= 0.999999
+    assert len(rows) == 3
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_lsh_same_vector_same_bucket(vectors):
+    buckets = {r["vec_id"]: r["bucket"] for r in S.lsh_buckets(vectors, 8, 8).collect()}
+    assert buckets[0] == buckets[100]
+    assert all(len(b) == 8 and set(b) <= {"0", "1"} for b in buckets.values())
+
+
+def test_lsh_topk_subset_of_bruteforce(vectors):
+    queries = vectors.filter("vec_id = 0")
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in S.cosine_topk(vectors, queries, k=21, vec_col="embedding").collect()}
+    approx = S.lsh_topk(vectors, queries, k=5, n_planes=4, dims=8).collect()
+    assert approx, "bucketed search must return candidates"
+    for r in approx:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_multimodal_decode_and_plan(spark, docs):
+    assets = MM.synthesize_assets(docs.filter("doc_id != 6"), "doc_id", "text")
+    decoded = MM.decode_assets(assets)
+    rows = {r["asset_id"]: r for r in decoded.collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+        assert r["n_bytes"] > 0
+    # determinism
+    again = {r["asset_id"]: r["sha_prefix"] for r in MM.decode_assets(assets).collect()}
+    assert again == {k: v["sha_prefix"] for k, v in rows.items()}
+    # resize plan caps the long side
+    planned = MM.resize_images_stub(decoded, max_side=256).collect()
+    for r in planned:
+        assert max(r["target_width"], r["target_height"]) <= 256
+    # frame sampling only for video, step respected
+    frames = MM.frame_sample_plan(decoded, every_n=24).collect()
+    assert all(r["frame_idx"] % 24 == 0 for r in frames)
+
+
+def test_multimodal_empty_payload_error_modes(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", "application/octet-stream", b"", "{}")], MM.ASSET_SCHEMA
+    )
+    assert MM.decode_assets(bad, on_error="skip").count() == 0
+    with pytest.raises(Exception):
+        MM.decode_assets(bad, on_error="fail").collect()

@@ -1,0 +1,120 @@
+"""Engine facade: the reference's task-mode verbs as one Python API.
+
+A user of the reference drives it through task modes (struct_migrate,
+stmt_migrate, csv_migrate, sql_migrate, data_compare, data_scan,
+assess_migrate, cdc_consume — reference: worker/server.go:252-455 task
+dispatch; service/*.go).  This class exposes the same verbs over
+DataFrames; each delegates to the operator modules, so the facade adds
+orchestration only (no semantics of its own).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbms_spark.operators import assess as assess_ops
+from dbms_spark.operators import compare as compare_ops
+from dbms_spark.operators import migrate as migrate_ops
+from dbms_spark.operators import scan as scan_ops
+from dbms_spark.operators import structm
+from dbms_spark.plans import chunker
+from dbms_spark.sources import catalog
+
+
+@dataclass
+class DbmsEngine:
+    spark: SparkSession
+
+    # -- struct migrate / compare ------------------------------------
+
+    def struct_migrate(self, tables: dict[str, list[structm.ColumnSpec]]) -> dict[str, str]:
+        """Source column specs -> target CREATE TABLE DDLs."""
+        return {t: structm.render_create_table(t, specs) for t, specs in tables.items()}
+
+    def struct_compare(self, src: DataFrame, dst: DataFrame) -> DataFrame:
+        return structm.struct_compare(src, dst)
+
+    # -- data migrate --------------------------------------------------
+
+    def data_migrate(
+        self,
+        src: DataFrame,
+        sink_path: str,
+        key_cols: list[str] | None = None,
+        n_chunks: int = 1,
+        ledger_path: str | None = None,
+        task: str = "default",
+        fmt: str = "parquet",
+    ) -> int:
+        """stmt_migrate analogue: optionally chunked + resumable."""
+        if n_chunks <= 1 or not key_cols:
+            if fmt == "parquet":
+                migrate_ops.write_parquet(src, sink_path)
+            else:
+                migrate_ops.write_csv(src, sink_path)
+            return src.count()
+        plan = chunker.plan_chunks(src, key_cols, n_chunks)
+        ledger = (
+            migrate_ops.ChunkLedger(self.spark, ledger_path, task) if ledger_path else None
+        )
+        return migrate_ops.migrate_chunked(
+            self.spark, src, chunker.predicates(plan), sink_path, ledger, fmt
+        )
+
+    def csv_migrate(self, src: DataFrame, sink_path: str,
+                    options: migrate_ops.CsvSinkOptions | None = None) -> None:
+        migrate_ops.write_csv(src, sink_path, options)
+
+    def sql_migrate(self, sql: str, sf_dir: str, sink_path: str) -> int:
+        """S6 custom-SQL migrate: run user SQL over registered catalog
+        views, land the result."""
+        catalog.register_views(self.spark, sf_dir)
+        df = self.spark.sql(sql)
+        migrate_ops.write_parquet(df, sink_path)
+        return df.count()
+
+    # -- data compare ----------------------------------------------------
+
+    def data_compare(
+        self,
+        src: DataFrame,
+        dst: DataFrame,
+        key_cols: list[str] | None = None,
+        n_chunks: int = 1,
+        cols: list[str] | None = None,
+        oracle_empty_is_null: bool = False,
+    ) -> compare_ops.CompareReport:
+        plan = (
+            chunker.plan_chunks(src, key_cols, n_chunks)
+            if key_cols and n_chunks > 1 else None
+        )
+        return compare_ops.compare_table(src, dst, plan, cols, oracle_empty_is_null)
+
+    def compare_drilldown(self, src: DataFrame, dst: DataFrame,
+                          cols: list[str] | None = None) -> DataFrame:
+        return compare_ops.multiset_diff(src, dst, cols)
+
+    def gen_fix_sql(self, diff: DataFrame, table: str, cols: list[str]) -> list[str]:
+        return compare_ops.gen_fix_sql(diff, table, cols)
+
+    # -- scan / assess ---------------------------------------------------
+
+    def data_scan(self, df: DataFrame, cols: list[str],
+                  sample_pct: float = 100.0, sample_key: str | None = None) -> DataFrame:
+        return scan_ops.profile_numbers(df, cols, sample_key, sample_pct)
+
+    def assess(self, sf_dir: str) -> dict[str, DataFrame]:
+        return {
+            "overview": assess_ops.table_overview(self.spark, sf_dir),
+            "top_tables": assess_ops.top_tables_by_rows(self.spark, sf_dir),
+            "type_distribution": assess_ops.column_type_distribution(self.spark, sf_dir),
+        }
+
+    # -- cdc -------------------------------------------------------------
+
+    def cdc_consume(self, store, events: DataFrame, checkpoint_dir: str):
+        from dbms_spark.streaming import cdc
+
+        return cdc.consume_cdc_stream(store, events, checkpoint_dir)

@@ -585,6 +585,27 @@ def q17_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q19 — S6 custom-SQL scan: one ANSI text, two engines (the sql_migrate
+# mode where the user supplies the SQL; reference database/
+# data_migrate.go:134-175)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT p_brand, p_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+FROM part WHERE p_size >= 20 GROUP BY p_brand, p_type
+"""
+
+
+@register("q19_custom_sql", _Q19_SQL)
+def q19_custom_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
 # q20-q30 — LLM-data-pipeline operators over documents/embeddings
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,110 @@
+"""JDBC source planning: partition-predicate reads, consistent
+snapshots, and hint passthrough.
+
+The reference's chunked extracts (reference: database/oracle/
+data_migrate.go:350-465 ROWID chunks; statistics buckets
+database/processor/data_compare_divider.go:41; consistent snapshot
+clauses database/processor/data_compare_row.go:124-158; SQL hints
+database/data_migrate.go:69 SqlHintS) map onto
+``spark.read.jdbc(url, table, predicates=[...])`` — one predicate per
+chunk, each becoming one remote range scan running in its own task.
+
+No JDBC driver ships in this container, so these builders are
+exercised through their *planning* outputs (predicate lists, query
+text) in tests; the ``spark.read`` invocation itself is the standard
+DataSource V1 JDBC path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcSource:
+    url: str                                  # jdbc:postgresql://..., jdbc:mysql://...
+    table: str                                # schema-qualified table or subquery alias
+    properties: dict[str, str] = field(default_factory=dict)
+    fetch_size: int = 10_000
+    #: consistent-read clause per dialect (S4), e.g. Oracle
+    #: "AS OF SCN 123", TiDB "AS OF TIMESTAMP '...'".
+    snapshot_clause: str | None = None
+    #: optimizer hint injected into generated queries (reference SqlHintS)
+    sql_hint: str | None = None
+
+    def reader_options(self) -> dict[str, str]:
+        opts = {"url": self.url, "fetchsize": str(self.fetch_size), **self.properties}
+        return opts
+
+    def query_text(self, select_list: str = "*", where: str | None = None) -> str:
+        """Render the chunk query the way the reference's generated SQL
+        does: hint after SELECT, snapshot clause after the table."""
+        hint = f" /*+ {self.sql_hint} */" if self.sql_hint else ""
+        snap = f" {self.snapshot_clause}" if self.snapshot_clause else ""
+        w = f" WHERE {where}" if where else ""
+        return f"SELECT{hint} {select_list} FROM {self.table}{snap}{w}"
+
+
+def read_partitioned(
+    spark: SparkSession,
+    source: JdbcSource,
+    predicates: list[str],
+) -> DataFrame:
+    """S1/S2 chunked read: one task per predicate.  Predicates come from
+    :mod:`dbms_spark.plans.chunker` (statistics-driven) or any manual
+    range list; they must tile the table exactly, which the chunker
+    guarantees and its tests assert."""
+    return spark.read.jdbc(
+        url=source.url,
+        table=source.table,
+        predicates=predicates,
+        properties={"fetchsize": str(source.fetch_size), **source.properties},
+    )
+
+
+def read_numeric_range(
+    spark: SparkSession,
+    source: JdbcSource,
+    column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+) -> DataFrame:
+    """S2 fast path when the chunk key is single-column numeric: Spark's
+    built-in stride partitioning (equivalent to equal-width buckets; the
+    chunker's ntile predicates are the equal-count alternative for
+    skewed keys)."""
+    return spark.read.jdbc(
+        url=source.url,
+        table=source.table,
+        column=column,
+        lowerBound=lower,
+        upperBound=upper,
+        numPartitions=num_partitions,
+        properties={"fetchsize": str(source.fetch_size), **source.properties},
+    )
+
+
+def read_query(spark: SparkSession, source: JdbcSource, sql: str) -> DataFrame:
+    """S6 custom-SQL scan: user-provided source SQL instead of a table
+    (reference: sql_migrate mode, database/data_migrate.go:134-175)."""
+    return spark.read.jdbc(
+        url=source.url,
+        table=f"({sql}) AS q",
+        properties={"fetchsize": str(source.fetch_size), **source.properties},
+    )
+
+
+def gen_import_into(table: str, columns: list[str], csv_dir: str,
+                    charset: str = "utf8mb4", separator: str = ",") -> str:
+    """S11: TiDB bulk-load statement for CSV chunks this engine wrote
+    (reference: database/processor/csv_import_task.go:104-107) — emitted
+    as text for the caller to run on the target."""
+    cols = ", ".join(f"`{c}`" for c in columns)
+    return (
+        f"IMPORT INTO {table} ({cols}) FROM '{csv_dir}/*.csv' "
+        f"WITH CHARACTER_SET='{charset}', FIELDS_TERMINATED_BY='{separator}', "
+        f"SKIP_ROWS=1"
+    )

@@ -1,0 +1,75 @@
+"""Engine facade + JDBC planning surfaces."""
+
+from dbms_spark.engine import DbmsEngine
+from dbms_spark.operators.structm import ColumnSpec
+from dbms_spark.sources import jdbc
+from dbms_spark.sources.catalog import load_table
+
+
+def test_struct_migrate_ddls(spark):
+    eng = DbmsEngine(spark)
+    ddls = eng.struct_migrate({
+        "t1": [ColumnSpec("id", "NUMBER", precision=12, nullable=False),
+               ColumnSpec("name", "VARCHAR2", length=40)],
+    })
+    assert "CREATE TABLE t1" in ddls["t1"]
+    assert "`id` BIGINT NOT NULL" in ddls["t1"]
+
+
+def test_data_migrate_and_compare_roundtrip(spark, sf_dir, tmp_path):
+    eng = DbmsEngine(spark)
+    src = load_table(spark, sf_dir, "orders")
+    sink = str(tmp_path / "orders_out")
+    n = eng.data_migrate(src, sink, key_cols=["o_orderkey"], n_chunks=4,
+                         ledger_path=str(tmp_path / "ledger"))
+    assert n == src.count()
+    back = spark.read.parquet(sink)
+    report = eng.data_compare(src, back)
+    assert report.equal, "migrated copy must checksum-match the source"
+
+
+def test_compare_detects_and_fixes(spark, sf_dir, tmp_path):
+    eng = DbmsEngine(spark)
+    src = load_table(spark, sf_dir, "nation")
+    dst = src.filter("n_nationkey != 3")
+    report = eng.data_compare(src, dst)
+    assert not report.equal
+    diff = eng.compare_drilldown(src, dst)
+    stmts = eng.gen_fix_sql(diff, "nation", src.columns)
+    assert len(stmts) == 1 and stmts[0].startswith("INSERT INTO nation")
+
+
+def test_sql_migrate(spark, sf_dir, tmp_path):
+    eng = DbmsEngine(spark)
+    out = str(tmp_path / "sqlout")
+    n = eng.sql_migrate("SELECT r_regionkey, upper(r_name) AS rn FROM region", sf_dir, out)
+    assert n == 5
+    assert spark.read.parquet(out).columns == ["r_regionkey", "rn"]
+
+
+def test_assess_pack(spark, sf_dir):
+    eng = DbmsEngine(spark)
+    out = eng.assess(sf_dir)
+    ov = {r["table_name"]: r for r in out["overview"].collect()}
+    assert ov["lineitem"]["num_rows"] > ov["region"]["num_rows"]
+    top = [r["table_name"] for r in out["top_tables"].orderBy("rank").collect()]
+    assert top[0] == "lineitem"
+    assert out["type_distribution"].count() > 0
+
+
+def test_jdbc_query_text_rendering():
+    src = jdbc.JdbcSource(
+        url="jdbc:mysql://host/db", table="s.t",
+        snapshot_clause="AS OF TIMESTAMP '2024-01-01 00:00:00'",
+        sql_hint="FULL(t)",
+    )
+    q = src.query_text("a, b", "a > 5")
+    assert q == ("SELECT /*+ FULL(t) */ a, b FROM s.t "
+                 "AS OF TIMESTAMP '2024-01-01 00:00:00' WHERE a > 5")
+    assert src.reader_options()["fetchsize"] == "10000"
+
+
+def test_gen_import_into():
+    stmt = jdbc.gen_import_into("db.t", ["a", "b"], "/out/csv", separator="|")
+    assert stmt.startswith("IMPORT INTO db.t (`a`, `b`) FROM '/out/csv/*.csv'")
+    assert "FIELDS_TERMINATED_BY='|'" in stmt

@@ -45,8 +45,10 @@ from pyspark.sql import types as T
 SEP = "|#|"
 NULL_LITERAL = "NULL"
 
-_TRIM_ZEROS_RE = r"(\.\d*?)0+$"
-_TRIM_DOT_RE = r"\.$"
+#: single-pass trailing-zero trim: "1.5000"->"1.5", "100.0000"->"100",
+#: integers untouched.  One regex (not trim-zeros + trim-dot chained)
+#: because this runs per numeric column per row in every checksum.
+_TRIM_RE = r"(\.\d*[1-9])0+$|\.0*$"
 
 
 # ---------------------------------------------------------------------------
@@ -80,8 +82,7 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
 
 
 def _trim_zeros_spark(s: Column) -> Column:
-    t = F.regexp_replace(s, _TRIM_ZEROS_RE, r"$1")
-    return F.regexp_replace(t, _TRIM_DOT_RE, "")
+    return F.regexp_replace(s, _TRIM_RE, r"$1")
 
 
 def canonical_row(df: DataFrame, cols: list[str] | None = None,
@@ -124,10 +125,14 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
 
     Distributed: md5 is computed map-side per row inside codegen, the 4
     sums partial-aggregate before the single-row shuffle, so the full
-    table never moves.
+    table never moves.  The parallelism guard defends against
+    single-row-group inputs that would serialize the hash work.
     """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    src = ensure_parallelism(df)
     return (
-        df.select(row_md5(df, cols, oracle_empty_is_null).alias("row_md5"))
+        src.select(row_md5(src, cols, oracle_empty_is_null).alias("row_md5"))
         .agg(F.count(F.lit(1)).alias("cnt"), *md5_slice_sum_aggs())
     )
 
@@ -163,9 +168,7 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
 
 def _trim_zeros_sql(s: str) -> str:
     # DuckDB (RE2) uses \1 backreferences where Spark (Java regex) uses $1.
-    return (
-        "regexp_replace(regexp_replace(" + s + r", '(\.\d*?)0+$', '\1'), '\.$', '')"
-    )
+    return "regexp_replace(" + s + r", '(\.\d*[1-9])0+$|\.0*$', '\1')"
 
 
 def canonical_row_sql(df: DataFrame, cols: list[str] | None = None,

@@ -87,7 +87,10 @@ def _minhash_expr_duck(k: int) -> str:
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 8) -> DataFrame:
     """Per-doc minhash signature h0..h{k-1} over word-3-gram shingles.
-    Pure map-side array math — no shuffle."""
+    Pure map-side array math — no shuffle beyond the parallelism guard."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
     with_sh = df.withColumn("toks", tokens_expr(text_col)).withColumn("sh", shingles_expr())
     return with_sh.select(
         F.col(id_col),
@@ -165,6 +168,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """64-bit SimHash as two 32-bit halves (hi, lo) — token-count
     weighted bit votes over md5-derived token hashes.  Two partial-
     aggregated shuffles: (doc, token) then (doc, bit)."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = (
         df.withColumn("tok", F.explode(tokens_expr(text_col)))
         .groupBy(id_col, "tok")

@@ -74,17 +74,24 @@ def decode_assets(assets: DataFrame, on_error: str = "skip") -> DataFrame:
     drops undecodable rows (corrupt files are routine at corpus scale);
     'fail' re-raises."""
 
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    assets = ensure_parallelism(assets)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            # zip over columns, not iterrows — ~10x less per-row overhead
+            for aid, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
                 try:
-                    d = _decode_one(row["payload"], row["modality"])
+                    d = _decode_one(payload, modality)
                 except Exception:
                     if on_error == "fail":
                         raise
                     continue
-                out.append({"asset_id": row["asset_id"], "modality": row["modality"], **d})
+                out.append({"asset_id": aid, "modality": modality, **d})
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "modality", "n_bytes", "width", "height",

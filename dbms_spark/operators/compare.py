@@ -73,10 +73,13 @@ def multiset_diff_hashed(
     ``key_cols`` (if given) are carried through for row identification
     in fix-SQL; they must be functionally dependent on the row hash.
     """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
     cols = cols or src.columns
     keep = key_cols or []
 
     def hashed(df: DataFrame, cnt_alias: str) -> DataFrame:
+        df = ensure_parallelism(df)
         firsts = [F.first(F.col(k)).alias(k) for k in keep]
         return (
             df.select(*cols, C.row_md5(df.select(*cols), cols, oracle_empty_is_null).alias("row_md5"))
@@ -110,9 +113,12 @@ def chunked_checksum(
     :func:`dbms_spark.plans.chunker.assign_chunk_id`, a modulus, a
     time bucket...).  Partial aggregation makes the shuffle tiny.
     """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
     cols = cols or df.columns
+    src = ensure_parallelism(df)
     return (
-        df.select(chunk_id.alias("chunk_id"), C.row_md5(df, cols, oracle_empty_is_null).alias("row_md5"))
+        src.select(chunk_id.alias("chunk_id"), C.row_md5(src, cols, oracle_empty_is_null).alias("row_md5"))
         .groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("cnt"), *C.md5_slice_sum_aggs())
     )

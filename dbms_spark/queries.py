@@ -785,6 +785,95 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q31 — ROLLUP aggregation (Catalyst headroom beyond the reference's
+# flat GROUP BYs; partial/final agg with grouping sets)
+# ---------------------------------------------------------------------------
+
+_Q31_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("q31_rollup", _Q31_SQL)
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+        .cast(T.DecimalType(38, 2)).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — gap-based sessionization (batch form of streaming
+# session_window; lag + running-sum composition)
+# ---------------------------------------------------------------------------
+
+_Q32_SQL = """
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("q32_sessionize", _Q32_SQL)
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak=["event_id"])
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — as-of join: most recent signup at-or-before each event per user.
+# Oracle uses DuckDB's NATIVE ASOF JOIN — an independent implementation
+# of the semantics, the strongest kind of differential check.
+# ---------------------------------------------------------------------------
+
+_Q33_SQL = """
+SELECT e.event_id, e.user_id, e.ts, s.sts AS asof_signup_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts
+                FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.sts
+"""
+
+
+@register("q33_asof_join", _Q33_SQL)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(left, right, by="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["ts"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("asof_signup_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

@@ -146,7 +146,14 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return f"CAST({col} AS VARCHAR)"
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return _trim_zeros_sql(f"CAST(CAST({col} AS DECIMAL(38,10)) AS VARCHAR)")
+        # route through VARCHAR: both engines emit the shortest
+        # round-trip decimal repr, so the decimal cast sees the same
+        # value.  DuckDB's direct double->decimal goes through float
+        # multiplication and diverges from Spark (which casts via the
+        # shortest string) in ~6% of full-precision doubles.
+        return _trim_zeros_sql(
+            f"CAST(CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR)"
+        )
     if isinstance(dtype, T.DecimalType):
         return _trim_zeros_sql(f"CAST({col} AS VARCHAR)")
     if isinstance(dtype, T.StringType):

@@ -1,0 +1,42 @@
+"""Report sinks (S12) and progress counters (A8)."""
+
+import os
+
+from dbms_spark.functions.progress import batch_progress
+from dbms_spark.operators import report as R
+from dbms_spark.operators.assess import table_overview, top_tables_by_rows
+
+
+def test_write_fix_sql_file(tmp_path):
+    path = str(tmp_path / "fix" / "orders.sql")
+    out = R.write_fix_sql_file(
+        ["INSERT INTO t VALUES (1);", "DELETE FROM t WHERE id = 2 LIMIT 1;"], path, "orders"
+    )
+    content = open(out).read()
+    assert content.startswith("-- fix SQL for orders (2 statements)")
+    assert content.count(";\n") == 2
+
+
+def test_assess_report_html(spark, sf_dir, tmp_path):
+    sections = {
+        "Table overview": table_overview(spark, sf_dir),
+        "Top tables by rows": top_tables_by_rows(spark, sf_dir),
+    }
+    path = R.write_assess_report(sections, str(tmp_path / "assess.html"))
+    html_text = open(path).read()
+    assert "<h2>Table overview</h2>" in html_text
+    assert "lineitem" in html_text
+    assert html_text.count("<table>") == 2
+
+
+def test_assess_report_escapes_html(spark):
+    df = spark.createDataFrame([("<script>alert(1)</script>",)], "v string")
+    out = R.render_assess_report({"x<y": df})
+    assert "<script>alert" not in out
+    assert "&lt;script&gt;" in out
+    assert "x&lt;y" in out
+
+
+def test_batch_progress_snapshot(spark):
+    p = batch_progress(spark)   # idle session: zeros, but shape is valid
+    assert p.active_jobs >= 0 and p.num_tasks >= 0

@@ -874,6 +874,64 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q34 — JSON decode (the from_json primitive behind the CDC envelope
+# decoders S7/S8, in oracle-checkable batch form over events.props)
+# ---------------------------------------------------------------------------
+
+_Q34_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@register("q34_json_extract", _Q34_SQL)
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — BPE-ish regex tokenization (sub-word-ish classes: letter runs,
+# digit runs, single punctuation) — the non-whitespace tokenizer of the
+# text-analysis pack
+# ---------------------------------------------------------------------------
+
+_BPEISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_Q35_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPEISH}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPEISH}'))) AS BIGINT) AS n_bpe_distinct
+FROM documents
+"""
+
+
+@register("q35_bpe_tokens", _Q35_SQL)
+def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPEISH}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_bpe_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

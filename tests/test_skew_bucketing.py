@@ -1,0 +1,79 @@
+"""Skew mitigation + bucketed co-located joins."""
+
+from pyspark.sql import functions as F
+
+from dbms_spark.plans import skew as SK
+from dbms_spark.sources import bucketed as B
+from dbms_spark.sources.catalog import load_table
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["cnt"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")).collect()
+    }
+    li2 = li.withColumn("l_quantity", F.col("l_quantity").cast("decimal(18,2)"))
+    salted = {
+        r["l_returnflag"]: (r["count_l_orderkey"], r["sum_l_quantity"])
+        for r in SK.salted_agg(
+            li2, ["l_returnflag"], {"l_orderkey": "count", "l_quantity": "sum"}
+        ).collect()
+    }
+    for k, (cnt, s) in plain.items():
+        assert salted[k][0] == cnt
+        assert salted[k][1] == s
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    salted = SK.salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, on="c_custkey"
+    ).count()
+    assert salted == plain
+
+
+def test_top_keys_diagnosis(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    top = SK.top_keys(li, "l_returnflag", 3).collect()
+    assert len(top) == 3
+    assert abs(sum(r["share"] for r in top) - 1.0) < 1e-9  # 3 flags cover all
+    assert top[0]["cnt"] >= top[-1]["cnt"]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # warehouse dir is a static conf — uses the session default; clean
+    # any leftovers from prior crashed runs (drop doesn't always reap
+    # the location)
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    B.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    B.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    # force the big-table join path: at real scale neither side fits a
+    # broadcast, which is exactly when bucketing pays off
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert not B.plan_has_shuffle(joined), "bucketed join must not shuffle"
+        # and the same join on non-bucketed reads DOES shuffle
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert B.plan_has_shuffle(plain)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -151,6 +151,58 @@ FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
 """
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from shared
+    LSH bucket (few planes -> high recall), exact fixed-point cosine,
+    keep pairs at or above the threshold.  The dedup-family member for
+    embedding columns: O(bucket²) per bucket, never O(n²) global."""
+    b = lsh_buckets(df, n_planes, dims, id_col, vec_col)
+    v = df.select(F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v"))
+    a = b.alias("a").join(v.alias("va"), F.col(f"a.{id_col}") == F.col("va.__id"))
+    bb = b.alias("b").join(v.alias("vb"), F.col(f"b.{id_col}") == F.col("vb.__id"))
+    dot = _DOT_SPARK.format(a="va.__v", b="vb.__v")
+    na = _NORM_SPARK.format(a="va.__v")
+    nb = _NORM_SPARK.format(a="vb.__v")
+    sim = f"floor({dot} / ({na} * {nb}) * 1000000) / 1000000"
+    return (
+        a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.expr(sim).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_sql(table: str, threshold: float = 0.25, n_planes: int = 4,
+                       dims: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    dot = _DOT_DUCK.format(a="a.v", b="b.v")
+    na = _NORM_DUCK.format(a="a.v")
+    nb = _NORM_DUCK.format(a="b.v")
+    sim = f"floor({dot} / ({na} * {nb}) * 1000000) / 1000000"
+    return f"""
+WITH bk AS ({lsh_buckets_sql(table, n_planes, dims, id_col, vec_col)}),
+vecs AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS v FROM {table}),
+cand AS (
+  SELECT x.{id_col} AS aid, y.{id_col} AS bid
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.{id_col} < y.{id_col}
+)
+SELECT aid AS a_id, bid AS b_id, {sim} AS cos_sim
+FROM cand JOIN vecs a ON a.id = aid JOIN vecs b ON b.id = bid
+WHERE {sim} >= {threshold}
+"""
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
              dims: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH

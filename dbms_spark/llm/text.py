@@ -186,6 +186,22 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Text cleaning
+# ---------------------------------------------------------------------------
+
+def clean_text_expr(text_col: str = "text") -> Column:
+    """Garbled-byte cleanup for raw ingests: strips control characters
+    and U+FFFD replacement chars, collapses runs of whitespace
+    (capability parity with the reference's charset-conversion garbage
+    handling, utils/stringutil charset conversions — Spark is UTF-8
+    native so only the cleanup half survives)."""
+    stripped = F.regexp_replace(
+        F.col(text_col), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""
+    )
+    return F.regexp_replace(F.trim(stripped), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------
 

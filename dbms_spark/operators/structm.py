@@ -180,6 +180,56 @@ def schema_to_df(spark, table: str, schema: T.StructType) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class IndexSpec:
+    name: str
+    columns: tuple[str, ...]
+    unique: bool = False
+    primary: bool = False
+
+
+def indexes_to_df(spark, table: str, indexes: list[IndexSpec]) -> DataFrame:
+    rows = [
+        (table, ix.name, ",".join(ix.columns), ix.unique, ix.primary)
+        for ix in indexes
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, index_name string, columns string, is_unique boolean, is_primary boolean"
+    )
+
+
+def index_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Index/constraint diff keyed on the column tuple + uniqueness
+    (names routinely differ across engines; the reference compares by
+    definition, struct_compare_table.go index sections).  Emits
+    CREATE/DROP INDEX suggestions."""
+    key = ["table_name", "columns", "is_unique", "is_primary"]
+    s = src.select(*key, F.col("index_name").alias("src_name"))
+    d = dst.select(*key, F.col("index_name").alias("dst_name"))
+    j = s.join(d, key, "full_outer")
+    kind = (
+        F.when(F.col("dst_name").isNull(), "MISSING_IN_DST")
+        .when(F.col("src_name").isNull(), "EXTRA_IN_DST")
+        .otherwise("OK")
+    )
+    uniq = F.when(F.col("is_primary"), "PRIMARY KEY ").when(F.col("is_unique"), "UNIQUE ").otherwise("")
+    cols_sql = F.regexp_replace(F.col("columns"), ",", "`, `")
+    alter = (
+        F.when(kind == "MISSING_IN_DST",
+               F.concat(F.lit("CREATE "), uniq, F.lit("INDEX `"),
+                        F.coalesce("src_name", F.lit("ix")), F.lit("` ON "),
+                        F.col("table_name"), F.lit(" (`"), cols_sql, F.lit("`);")))
+        .when(kind == "EXTRA_IN_DST",
+              F.concat(F.lit("DROP INDEX `"), F.col("dst_name"), F.lit("` ON "),
+                       F.col("table_name"), F.lit(";")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        j.select(*key, "src_name", "dst_name", kind.alias("kind"), alter.alias("alter_sql"))
+        .filter(F.col("kind") != "OK")
+    )
+
+
 def struct_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
     """Metadata diff of two schema DataFrames (as from
     :func:`schema_to_df`): one row per discrepancy with an ALTER

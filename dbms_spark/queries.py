@@ -932,6 +932,44 @@ def q35_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q36 — embedding-cosine near-duplicate pairs (LSH candidates + exact
+# threshold verification) — completes the dedup family
+# ---------------------------------------------------------------------------
+
+def _q36_sql() -> str:
+    from dbms_spark.llm.similarity import near_dup_pairs_sql
+
+    return near_dup_pairs_sql("embeddings", threshold=0.25, n_planes=4)
+
+
+@register("q36_embedding_near_dup", _q36_sql())
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.25, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# q37 — EXCEPT ALL set operation (§2.7: the one-sided multiset diff the
+# reference's Cmp returns as 'rows to add')
+# ---------------------------------------------------------------------------
+
+_Q37_SQL = f"""
+WITH dst AS ({_MUTATED_ORDERS_SQL})
+SELECT {_ORDERS_COLS} FROM orders
+EXCEPT ALL
+SELECT {_ORDERS_COLS} FROM dst
+"""
+
+
+@register("q37_except_all", _Q37_SQL)
+def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.exceptAll(_mutated_orders(orders))
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

@@ -97,6 +97,36 @@ def read_query(spark: SparkSession, source: JdbcSource, sql: str) -> DataFrame:
     )
 
 
+def gen_merge_into(table: str, key_cols: list[str], cols: list[str],
+                   source_alias: str = "s") -> str:
+    """C4 apply as one MERGE statement (the SQL-generating half of the
+    reference's idempotent upsert, processor_translate_mysql.go /
+    consumer.go:670-807 — REPLACE INTO and delete+insert collapse into
+    MERGE on targets that support it).  Placeholders are positional
+    ``?`` for a prepared statement over one batch row."""
+    placeholders = ", ".join(["?"] * len(cols))
+    src_cols = ", ".join(cols)
+    on = " AND ".join(f"t.`{k}` = {source_alias}.`{k}`" for k in key_cols)
+    non_key = [c for c in cols if c not in key_cols]
+    ins_cols = ", ".join(f"`{c}`" for c in cols)
+    ins_vals = ", ".join(f"{source_alias}.`{c}`" for c in cols)
+    matched = ""
+    if non_key:  # all-key tables have nothing to update on match
+        sets = ", ".join(f"t.`{c}` = {source_alias}.`{c}`" for c in non_key)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    return (
+        f"MERGE INTO {table} t USING (SELECT {placeholders}) AS {source_alias} ({src_cols}) "
+        f"ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def gen_delete_by_key(table: str, key_cols: list[str]) -> str:
+    conds = " AND ".join(f"`{k}` = ?" for k in key_cols)
+    return f"DELETE FROM {table} WHERE {conds}"
+
+
 def gen_import_into(table: str, columns: list[str], csv_dir: str,
                     charset: str = "utf8mb4", separator: str = ",") -> str:
     """S11: TiDB bulk-load statement for CSV chunks this engine wrote

@@ -51,6 +51,41 @@ def test_render_create_table():
     assert ddl.startswith("CREATE TABLE t (")
 
 
+def test_index_compare(spark):
+    src = S.indexes_to_df(spark, "t", [
+        S.IndexSpec("pk_t", ("id",), unique=True, primary=True),
+        S.IndexSpec("ix_ab", ("a", "b")),
+        S.IndexSpec("ux_c", ("c",), unique=True),
+    ])
+    dst = S.indexes_to_df(spark, "t", [
+        S.IndexSpec("PRIMARY", ("id",), unique=True, primary=True),  # same def, diff name -> OK
+        S.IndexSpec("ix_extra", ("z",)),
+    ])
+    out = {(r["columns"], r["kind"]): r for r in S.index_compare(src, dst).collect()}
+    assert ("a,b", "MISSING_IN_DST") in out
+    assert "CREATE INDEX `ix_ab` ON t (`a`, `b`);" == out[("a,b", "MISSING_IN_DST")]["alter_sql"]
+    assert ("c", "MISSING_IN_DST") in out
+    assert out[("c", "MISSING_IN_DST")]["alter_sql"].startswith("CREATE UNIQUE INDEX")
+    assert ("z", "EXTRA_IN_DST") in out
+    assert out[("z", "EXTRA_IN_DST")]["alter_sql"] == "DROP INDEX `ix_extra` ON t;"
+    assert ("id", "OK") not in out  # name difference alone is not a diff
+
+
+def test_gen_merge_and_delete():
+    from dbms_spark.sources.jdbc import gen_delete_by_key, gen_merge_into
+
+    m = gen_merge_into("db.t", ["id"], ["id", "v", "ts"])
+    assert m.startswith("MERGE INTO db.t t USING (SELECT ?, ?, ?)")
+    assert "ON t.`id` = s.`id`" in m
+    assert "UPDATE SET t.`v` = s.`v`, t.`ts` = s.`ts`" in m
+    assert "INSERT (`id`, `v`, `ts`)" in m
+    assert gen_delete_by_key("t", ["a", "b"]) == "DELETE FROM t WHERE `a` = ? AND `b` = ?"
+    # all columns are keys: no WHEN MATCHED clause (nothing to update)
+    allkey = gen_merge_into("t", ["a", "b"], ["a", "b"])
+    assert "WHEN MATCHED" not in allkey
+    assert "WHEN NOT MATCHED THEN INSERT" in allkey
+
+
 def test_struct_compare_kinds(spark):
     src_schema = T.StructType([
         T.StructField("a", T.LongType()),

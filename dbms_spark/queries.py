@@ -970,6 +970,40 @@ def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q38 — J4 rule-table lookup: routing/mapping rules as broadcast data
+# (the reference ships rules as 1756-line Go tables; here a VALUES
+# relation joined broadcast-style)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_RULES = [
+    ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 4), ("5-LOW", 5),
+]
+
+_Q38_SQL = f"""
+WITH rules(priority, severity) AS (VALUES {', '.join(f"('{p}', {s})" for p, s in _PRIORITY_RULES)})
+SELECT severity, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+FROM orders JOIN rules ON o_orderpriority = priority
+GROUP BY severity
+"""
+
+
+@register("q38_rule_lookup", _Q38_SQL)
+def q38_rule_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(_PRIORITY_RULES, "priority string, severity int")
+    return (
+        orders.join(F.broadcast(rules), orders.o_orderpriority == rules.priority)
+        .groupBy("severity")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+            .cast(T.DecimalType(38, 2)).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

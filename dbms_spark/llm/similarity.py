@@ -54,12 +54,15 @@ def cosine_topk(
     6 dp and ties broken by neighbor id."""
     from pyspark.sql import Window
 
-    c = corpus.select(F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec"))
-    q = queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec"))
+    # norms are per-vector, computed once in the projection — never per pair
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec")
+    ).withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec")
+    ).withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec")))
     dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
-    qn = _NORM_SPARK.format(a="q_vec")
-    nn = _NORM_SPARK.format(a="n_vec")
-    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
@@ -85,12 +88,12 @@ def cosine_topk_sql(
     vec_col: str = "embedding",
 ) -> str:
     dot = _DOT_DUCK.format(a="q.v", b="c.v")
-    qn = _NORM_DUCK.format(a="q.v")
-    nn = _NORM_DUCK.format(a="c.v")
-    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    sim = f"floor({dot} / (q.nrm * c.nrm) * 1000000) / 1000000"
+    norm = _NORM_DUCK.format(a="v")
     return f"""
-WITH vecs AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS v FROM {table}),
-q AS (SELECT id, v FROM vecs WHERE {query_filter}),
+WITH vecs AS (SELECT {id_col} AS id, v, {norm} AS nrm
+              FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})),
+q AS (SELECT id, v, nrm FROM vecs WHERE {query_filter}),
 scored AS (
   SELECT q.id AS query_id, c.id AS neighbor_id, {sim} AS cos_sim
   FROM vecs c CROSS JOIN q WHERE q.id <> c.id
@@ -106,29 +109,33 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
-def _plane_component(plane: int, dim: int) -> str:
-    """Deterministic pseudo-random plane component in [-500, 500],
-    identical text in both dialects modulo the hex-parse idiom."""
-    return f"md5('{plane}_' || {{i}})"
+def plane_components(plane: int, dims: int) -> list[int]:
+    """Deterministic pseudo-random plane in [-500, 500]^dims derived
+    from md5 — computed ONCE in Python and embedded as literals in both
+    dialects (recomputing the md5 per row cost planes x dims hashes per
+    vector; as literals the per-row work is one fold)."""
+    import hashlib
+
+    out = []
+    for i in range(dims):
+        h = hashlib.md5(f"{plane}_{i}".encode()).hexdigest()
+        out.append(int(h[:8], 16) % 1001 - 500)
+    return out
 
 
 def plane_expr_spark(plane: int, dims: int, vec: str = "q") -> str:
-    """Sign of <vec, plane>: plane component j = md5-derived int."""
-    comp = (
-        f"(cast(conv(substring(md5(concat('{plane}_', i)), 1, 8), 16, 10) as bigint) % 1001) - 500"
-    )
+    comps = ", ".join(f"{c}D" for c in plane_components(plane, dims))
     dot = (
-        f"aggregate(zip_with({vec}, transform(sequence(0, {dims - 1}), i -> cast({comp} as double)), "
-        f"(x, p) -> x * p), 0D, (acc, v) -> acc + v)"
+        f"aggregate(zip_with({vec}, array({comps}), (x, p) -> x * p), "
+        f"0D, (acc, v) -> acc + v)"
     )
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
 def plane_expr_duck(plane: int, dims: int, vec: str = "v") -> str:
-    comp = f"((('0x' || substr(md5('{plane}_' || i), 1, 8))::BIGINT % 1001) - 500)"
+    comps = ", ".join(f"CAST({c} AS DOUBLE)" for c in plane_components(plane, dims))
     dot = (
-        f"list_sum(list_transform(list_zip({vec}, "
-        f"list_transform(range({dims}), i -> CAST({comp} AS DOUBLE))), p -> p[1] * p[2]))"
+        f"list_sum(list_transform(list_zip({vec}, [{comps}]), p -> p[1] * p[2]))"
     )
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
@@ -164,13 +171,13 @@ def near_dup_pairs(
     keep pairs at or above the threshold.  The dedup-family member for
     embedding columns: O(bucket²) per bucket, never O(n²) global."""
     b = lsh_buckets(df, n_planes, dims, id_col, vec_col)
-    v = df.select(F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v"))
+    v = df.select(
+        F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v")
+    ).withColumn("__n", F.expr(_NORM_SPARK.format(a="__v")))
     a = b.alias("a").join(v.alias("va"), F.col(f"a.{id_col}") == F.col("va.__id"))
     bb = b.alias("b").join(v.alias("vb"), F.col(f"b.{id_col}") == F.col("vb.__id"))
     dot = _DOT_SPARK.format(a="va.__v", b="vb.__v")
-    na = _NORM_SPARK.format(a="va.__v")
-    nb = _NORM_SPARK.format(a="vb.__v")
-    sim = f"floor({dot} / ({na} * {nb}) * 1000000) / 1000000"
+    sim = f"floor({dot} / (va.__n * vb.__n) * 1000000) / 1000000"
     return (
         a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -187,12 +194,12 @@ def near_dup_pairs_sql(table: str, threshold: float = 0.25, n_planes: int = 4,
                        dims: int = 64, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> str:
     dot = _DOT_DUCK.format(a="a.v", b="b.v")
-    na = _NORM_DUCK.format(a="a.v")
-    nb = _NORM_DUCK.format(a="b.v")
-    sim = f"floor({dot} / ({na} * {nb}) * 1000000) / 1000000"
+    sim = f"floor({dot} / (a.nrm * b.nrm) * 1000000) / 1000000"
+    norm = _NORM_DUCK.format(a="v")
     return f"""
 WITH bk AS ({lsh_buckets_sql(table, n_planes, dims, id_col, vec_col)}),
-vecs AS (SELECT {id_col} AS id, {quantize_sql(vec_col)} AS v FROM {table}),
+vecs AS (SELECT {id_col} AS id, v, {norm} AS nrm
+         FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})),
 cand AS (
   SELECT x.{id_col} AS aid, y.{id_col} AS bid
   FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.{id_col} < y.{id_col}
@@ -212,17 +219,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
 
     cb = lsh_buckets(corpus, n_planes, dims, id_col, vec_col).alias("cb")
     qb = lsh_buckets(queries, n_planes, dims, id_col, vec_col).alias("qb")
-    c = corpus.select(F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec"))
-    q = queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec")
+    ).withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec")
+    ).withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec")))
     cand = (
         cb.join(qb, F.col(f"cb.bucket") == F.col(f"qb.bucket"))
         .select(F.col(f"qb.{id_col}").alias("q_id"), F.col(f"cb.{id_col}").alias("n_id"))
         .filter(F.col("q_id") != F.col("n_id"))
     )
     dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
-    qn = _NORM_SPARK.format(a="q_vec")
-    nn = _NORM_SPARK.format(a="n_vec")
-    sim = f"floor({dot} / ({qn} * {nn}) * 1000000) / 1000000"
+    sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
     scored = (
         cand.join(q, "q_id").join(c, "n_id")
         .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))

@@ -80,11 +80,13 @@ def multiset_diff_hashed(
 
     def hashed(df: DataFrame, cnt_alias: str) -> DataFrame:
         df = ensure_parallelism(df)
-        firsts = [F.first(F.col(k)).alias(k) for k in keep]
+        # min not first: all rows in an md5 group are identical, and min
+        # keeps the result deterministic for differential checking
+        keeps = [F.min(F.col(k)).alias(k) for k in keep]
         return (
             df.select(*cols, C.row_md5(df.select(*cols), cols, oracle_empty_is_null).alias("row_md5"))
             .groupBy("row_md5")
-            .agg(F.count(F.lit(1)).alias(cnt_alias), *firsts)
+            .agg(F.count(F.lit(1)).alias(cnt_alias), *keeps)
         )
 
     a = hashed(src, "src_cnt")

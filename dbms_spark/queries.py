@@ -1004,6 +1004,32 @@ def q38_rule_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q39 — J1 at scale: hashed multiset diff (32-byte shuffle keys instead
+# of full rows — the 100 TB form of q03)
+# ---------------------------------------------------------------------------
+
+def _q39_sql() -> str:
+    fields = _fields("orders")
+    canon = C.canonical_row_sql_from_types(fields)
+    return f"""
+WITH dst AS ({_MUTATED_ORDERS_SQL}),
+a AS (SELECT md5({canon}) AS row_md5, min(o_orderkey) AS o_orderkey, COUNT(*) AS src_cnt
+      FROM orders GROUP BY 1),
+b AS (SELECT md5({canon}) AS row_md5, COUNT(*) AS dst_cnt FROM dst GROUP BY 1)
+SELECT row_md5, a.o_orderkey AS o_orderkey,
+       COALESCE(src_cnt, 0) AS src_cnt, COALESCE(dst_cnt, 0) AS dst_cnt
+FROM a FULL OUTER JOIN b USING (row_md5)
+WHERE COALESCE(src_cnt, 0) <> COALESCE(dst_cnt, 0)
+"""
+
+
+@register("q39_hashed_diff", _q39_sql())
+def q39_hashed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return X.multiset_diff_hashed(orders, _mutated_orders(orders), key_cols=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
 # the same views -> rows-only check, unit-tested in pytest instead)
 # ---------------------------------------------------------------------------

@@ -34,6 +34,28 @@ from dbms_spark.functions import canonical as C
 from dbms_spark.plans.chunker import ChunkPlan, assign_chunk_id
 
 
+def compare_method_for(
+    schema,
+    only_compare_row: bool = False,
+    disable_md5: bool = False,
+) -> str:
+    """Compare-method selection ladder (reference: database/processor/
+    data_compare_rule.go:661-672): ROWS when the caller wants count-only;
+    HASH_PROGRAM (client-side hashing, our md5 path over binary-safe
+    canonical forms) when LOB/binary columns would defeat DB-side
+    checksums; MD5 by default; CRC32-style slice-sum when md5 is
+    disabled (we keep md5 slice-sums as the commutative aggregate in
+    all hash modes — DuckDB-checkable, overflow-safe)."""
+    from pyspark.sql import types as T
+
+    if only_compare_row:
+        return "ROWS"
+    has_binary = any(isinstance(f.dataType, T.BinaryType) for f in schema.fields)
+    if has_binary:
+        return "HASH_PROGRAM"
+    return "CRC32_SLICES" if disable_md5 else "MD5_SLICES"
+
+
 def multiset_diff(
     src: DataFrame,
     dst: DataFrame,

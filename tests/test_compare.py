@@ -82,6 +82,19 @@ def test_seek_columns_flags_only_mutated_column(orders):
             assert out[c] is True, f"column {c} should be equal"
 
 
+def test_compare_method_ladder(spark):
+    from pyspark.sql import types as T
+
+    plain = T.StructType([T.StructField("a", T.LongType())])
+    with_blob = T.StructType([T.StructField("a", T.BinaryType())])
+    assert X.compare_method_for(plain) == "MD5_SLICES"
+    assert X.compare_method_for(plain, only_compare_row=True) == "ROWS"
+    assert X.compare_method_for(with_blob) == "HASH_PROGRAM"
+    assert X.compare_method_for(plain, disable_md5=True) == "CRC32_SLICES"
+    # only_compare_row wins over everything (reference ladder order)
+    assert X.compare_method_for(with_blob, only_compare_row=True) == "ROWS"
+
+
 def test_gen_fix_sql(orders, mutated, spark):
     diff = X.multiset_diff(orders, mutated)
     stmts = X.gen_fix_sql(diff, "orders", orders.columns)

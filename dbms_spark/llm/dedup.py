@@ -73,25 +73,45 @@ def shingles_sql(n: int = 3) -> str:
     )
 
 
+#: affine minhash family over ONE base hash per shingle:
+#: h_k(s) = (A[k] * base(s) + B[k]) mod P — the standard trick that
+#: replaces k md5 calls per shingle with one md5 + k multiply-adds.
+#: P = smallest prime > 2^32; every A odd and < 2^31 so that
+#: A * base < 2^31 * 2^32 = 2^63 never overflows a signed 64-bit
+#: (Spark runs ANSI mode: overflow throws, it doesn't wrap).
+_MINHASH_P = 4_294_967_311
+_MINHASH_A = [506952113, 99338871, 1119006269, 668265263,
+              374761393, 18652613, 597399067, 722376585]
+_MINHASH_B = [1013904223, 1664525, 1103515245, 12345,
+              1181783497, 1538597951, 69069, 362437]
+
+_BASE_SPARK = "transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+_BASE_DUCK = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+
+
 def _minhash_expr_spark(k: int) -> str:
-    return (
-        f"array_min(transform(sh, s -> "
-        f"cast(conv(substring(md5(concat('{k}:', s)), 1, 8), 16, 10) as bigint)))"
-    )
+    a, b = _MINHASH_A[k % 8], _MINHASH_B[k % 8]
+    return f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"
 
 
 def _minhash_expr_duck(k: int) -> str:
-    return f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{k}:' || s), 1, 8))::BIGINT))"
+    a, b = _MINHASH_A[k % 8], _MINHASH_B[k % 8]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 8) -> DataFrame:
     """Per-doc minhash signature h0..h{k-1} over word-3-gram shingles.
-    Pure map-side array math — no shuffle beyond the parallelism guard."""
+    Pure map-side array math — one md5 per shingle, k affine mins —
+    no shuffle beyond the parallelism guard."""
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     df = ensure_parallelism(df)
-    with_sh = df.withColumn("toks", tokens_expr(text_col)).withColumn("sh", shingles_expr())
+    with_sh = (
+        df.withColumn("toks", tokens_expr(text_col))
+        .withColumn("sh", shingles_expr())
+        .withColumn("hs", F.expr(_BASE_SPARK))
+    )
     return with_sh.select(
         F.col(id_col),
         *[F.expr(_minhash_expr_spark(k)).alias(f"h{k}") for k in range(num_hashes)],
@@ -103,8 +123,9 @@ def minhash_signatures_sql(table: str, id_col: str = "doc_id", text_col: str = "
     hs = ", ".join(f"{_minhash_expr_duck(k)} AS h{k}" for k in range(num_hashes))
     return f"""
 SELECT {id_col}, {hs}
-FROM (SELECT {id_col}, {shingles_sql()} AS sh
-      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}))
+FROM (SELECT {id_col}, {_BASE_DUCK} AS hs
+      FROM (SELECT {id_col}, {shingles_sql()} AS sh
+            FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})))
 """
 
 

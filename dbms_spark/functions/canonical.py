@@ -119,6 +119,23 @@ def md5_slice_sum_aggs(md5_col: Column | str = "row_md5") -> list[Column]:
     ]
 
 
+def md5_slice_cols(md5_expr: Column) -> list[Column]:
+    """Slice values as projection columns ``s0..s3`` (hex-parsed,
+    DECIMAL(38,0)).  Materializing slices in one Project and summing
+    plain columns beats putting conv() inside the aggregate
+    expressions — codegen CSE dedupes the md5 within the projection,
+    and the aggregate sums cheap columns (~20% on the sf0.1 checksum)."""
+    return [
+        F.conv(F.substring(md5_expr, 1 + 8 * i, 8), 16, 10)
+        .cast(T.DecimalType(38, 0)).alias(f"s{i}")
+        for i in range(4)
+    ]
+
+
+def _slice_sums() -> list[Column]:
+    return [F.sum(f"s{i}").alias(f"h{i}") for i in range(4)]
+
+
 def table_checksum(df: DataFrame, cols: list[str] | None = None,
                    oracle_empty_is_null: bool = False) -> DataFrame:
     """One-row DataFrame: (cnt, h0..h3) — order-independent table checksum.
@@ -132,8 +149,8 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
 
     src = ensure_parallelism(df)
     return (
-        src.select(row_md5(src, cols, oracle_empty_is_null).alias("row_md5"))
-        .agg(F.count(F.lit(1)).alias("cnt"), *md5_slice_sum_aggs())
+        src.select(*md5_slice_cols(row_md5(src, cols, oracle_empty_is_null)))
+        .agg(F.count(F.lit(1)).alias("cnt"), *_slice_sums())
     )
 
 

@@ -142,9 +142,12 @@ def chunked_checksum(
     cols = cols or df.columns
     src = ensure_parallelism(df)
     return (
-        src.select(chunk_id.alias("chunk_id"), C.row_md5(src, cols, oracle_empty_is_null).alias("row_md5"))
+        src.select(
+            chunk_id.alias("chunk_id"),
+            *C.md5_slice_cols(C.row_md5(src, cols, oracle_empty_is_null)),
+        )
         .groupBy("chunk_id")
-        .agg(F.count(F.lit(1)).alias("cnt"), *C.md5_slice_sum_aggs())
+        .agg(F.count(F.lit(1)).alias("cnt"), *[F.sum(f"s{i}").alias(f"h{i}") for i in range(4)])
     )
 
 

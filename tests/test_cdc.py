@@ -186,6 +186,33 @@ def test_streaming_end_to_end_with_checkpoint(spark, store, tmp_path):
     assert {r["id"]: r["v"] for r in store.read("t1").collect()} == {2: "b"}
 
 
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    """The same windowed aggregation as a REAL stream: file source,
+    watermark, append mode after window close."""
+    src = tmp_path / "wev"
+    src.mkdir()
+    rows = [
+        {"schema_name": "db", "table_name": "t1", "query_type": "INSERT",
+         "commit_ts": 1_000_000 * 60 * m, "key_json": None, "new_json": None,
+         "old_json": None, "is_ddl": False, "ddl_query": None}
+        for m in (1, 2, 3, 30, 31)  # two 5-min windows, far apart
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(cdc.CDC_EVENT_SCHEMA).json(str(src))
+    agg = cdc.windowed_event_counts(stream, "5 minutes", "1 minute")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("wout").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].minute, r["table_name"]): r["n"]
+           for r in spark.sql("SELECT * FROM wout").collect()}
+    # append mode emits only windows the watermark has closed: the
+    # 0-5min window (3 events) closed once the 30/31-min events arrived
+    assert got.get((0, "t1")) == 3
+    assert (30, "t1") not in got  # last window still open at stream end
+
+
 def test_windowed_event_counts_batch_shape(spark):
     events = make_events(spark, [
         ev("t1", "INSERT", 1_000_000 * 60, {"id": 1}, {"id": 1}),

@@ -57,6 +57,37 @@ def _fields(table: str) -> dict[str, T.DataType]:
     return C.parquet_field_types(table_path(_ORACLE_SF_DIR, table))
 
 
+# ---------------------------------------------------------------------------
+# Transport-stable final projections.
+#
+# The driver hashes results through pandas: DuckDB ``.df()`` coerces
+# DECIMAL and HUGEINT outputs to float64 (shortest repr ``138014.0``)
+# while Spark ``toPandas()`` keeps scale-preserving ``Decimal`` objects
+# (``138014.00``) — identical values, different transport strings.  So
+# every gate query's FINAL projection must be pandas-primitive on both
+# engines: BIGINT for counts, DOUBLE only where bit-identically
+# computed, and DECIMAL aggregates cast to STRING (a decimal-to-string
+# cast renders the full fixed scale identically on both engines:
+# '138014.00' either way — verified, exact at any magnitude).
+# Timestamps must be NTZ Spark-side (``date_trunc`` re-types NTZ input
+# as session-tz TIMESTAMP; DuckDB timestamps are naive).
+# ---------------------------------------------------------------------------
+
+def _stringify(df: DataFrame, cols: set[str]) -> DataFrame:
+    """Cast the named (decimal) columns to STRING, preserving order."""
+    return df.select(
+        *[F.col(c).cast("string").alias(c) if c in cols else F.col(c) for c in df.columns]
+    )
+
+
+def _stringify_sql(inner: str, all_cols: list[str], str_cols: set[str]) -> str:
+    """DuckDB twin of :func:`_stringify` as an outer SELECT wrapper."""
+    sel = ", ".join(
+        f"CAST({c} AS STRING) AS {c}" if c in str_cols else c for c in all_cols
+    )
+    return f"SELECT {sel} FROM ({inner})"
+
+
 def _canon_h0_sql(col: str, dtype: T.DataType) -> str:
     canon = f"COALESCE({C.canon_sql(col, dtype)}, '{C.NULL_LITERAL}')"
     return f"CAST(SUM(('0x' || substr(md5({canon}), 1, 8))::BIGINT) AS DECIMAL(38,0))"
@@ -74,7 +105,9 @@ def _canon_h0_spark(col: str, dtype: T.DataType):
 # Covers SURVEY §2.4 A1/A5-style aggregation; pushdown-friendly plan.
 # ---------------------------------------------------------------------------
 
-_Q01_SQL = """
+_Q01_STR_COLS = {"sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"}
+
+_Q01_SQL = _stringify_sql("""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
@@ -87,7 +120,8 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
-"""
+""", ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+      "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order"], _Q01_STR_COLS)
 
 
 @register("q01_pricing_summary", _Q01_SQL)
@@ -96,7 +130,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
     disc_price = d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
     charge = disc_price * (F.lit(1) + d2("l_tax"))
-    return (
+    out = (
         li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -110,6 +144,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+    return _stringify(out, _Q01_STR_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +152,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast choice + deterministic tie-broken LIMIT)
 # ---------------------------------------------------------------------------
 
-_Q02_SQL = """
+_Q02_SQL = _stringify_sql("""
 SELECT l_orderkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
        o_orderdate
@@ -130,7 +165,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
-"""
+""", ["l_orderkey", "revenue", "o_orderdate"], {"revenue"})
 
 
 @register("q02_shipping_priority", _Q02_SQL)
@@ -154,6 +189,7 @@ def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .withColumn("revenue", F.col("revenue").cast("string"))
     )
 
 
@@ -205,21 +241,25 @@ def q03_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q04 — J2/A2/A3 per-chunk count + MD5 slice-sum checksum over lineitem
 # ---------------------------------------------------------------------------
 
+_HCOLS = {"h0", "h1", "h2", "h3"}
+
+
 def _q04_sql() -> str:
     fields = _fields("lineitem")
     canon = C.canonical_row_sql_from_types(fields)
     slices = ", ".join(C.md5_slice_sum_sql("row_md5"))
-    return f"""
+    inner = f"""
 SELECT l_orderkey // 256 AS chunk_id, COUNT(*) AS cnt, {slices}
 FROM (SELECT l_orderkey, md5({canon}) AS row_md5 FROM lineitem)
 GROUP BY chunk_id
 """
+    return _stringify_sql(inner, ["chunk_id", "cnt", "h0", "h1", "h2", "h3"], _HCOLS)
 
 
 @register("q04_chunked_checksum", _q04_sql())
 def q04_chunked_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return X.chunked_checksum(li, F.expr("l_orderkey div 256"))
+    return _stringify(X.chunked_checksum(li, F.expr("l_orderkey div 256")), _HCOLS)
 
 
 # ---------------------------------------------------------------------------
@@ -229,12 +269,13 @@ def q04_chunked_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q05_sql() -> str:
     canon = C.canonical_row_sql_from_types(_fields("customer"))
     slices = ", ".join(C.md5_slice_sum_sql("row_md5"))
-    return f"SELECT COUNT(*) AS cnt, {slices} FROM (SELECT md5({canon}) AS row_md5 FROM customer)"
+    inner = f"SELECT COUNT(*) AS cnt, {slices} FROM (SELECT md5({canon}) AS row_md5 FROM customer)"
+    return _stringify_sql(inner, ["cnt", "h0", "h1", "h2", "h3"], _HCOLS)
 
 
 @register("q05_table_checksum", _q05_sql())
 def q05_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.table_checksum(load_table(spark, sf_dir, "customer"))
+    return _stringify(C.table_checksum(load_table(spark, sf_dir, "customer")), _HCOLS)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +292,7 @@ def _q06_sql() -> str:
     src_aggs = ", ".join(f"{_canon_h0_sql(c, fields[c])} AS h_{c}" for c in cols)
     s_union = " UNION ALL ".join(f"SELECT '{c}' AS col_name, h_{c} AS src_h0 FROM s" for c in cols)
     d_union = " UNION ALL ".join(f"SELECT '{c}' AS col_name, h_{c} AS dst_h0 FROM d" for c in cols)
-    return f"""
+    inner = f"""
 WITH dst AS ({mut}),
 s AS (SELECT {src_aggs} FROM customer),
 d AS (SELECT {src_aggs} FROM dst),
@@ -259,6 +300,7 @@ su AS ({s_union}), du AS ({d_union})
 SELECT su.col_name AS col_name, src_h0, dst_h0, (src_h0 = dst_h0) AS equal
 FROM su JOIN du ON su.col_name = du.col_name
 """
+    return _stringify_sql(inner, ["col_name", "src_h0", "dst_h0", "equal"], {"src_h0", "dst_h0"})
 
 
 @register("q06_seek_columns", _q06_sql())
@@ -278,9 +320,10 @@ def q06_seek_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     su = unpivot(cust, "src_h0")
     du = unpivot(mut, "dst_h0")
-    return su.join(du, "col_name").select(
+    out = su.join(du, "col_name").select(
         "col_name", "src_h0", "dst_h0", (F.col("src_h0") == F.col("dst_h0")).alias("equal")
     )
+    return _stringify(out, {"src_h0", "dst_h0"})
 
 
 # ---------------------------------------------------------------------------
@@ -416,25 +459,28 @@ def q11_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming C-path; windowed agg per SURVEY §2.9)
 # ---------------------------------------------------------------------------
 
-_Q12_SQL = """
+_Q12_SQL = _stringify_sql("""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
 FROM events GROUP BY window_start, event_type
-"""
+""", ["window_start", "event_type", "n", "sum_value"], {"sum_value"})
 
 
 @register("q12_tumbling_window", _Q12_SQL)
 def q12_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # date_trunc re-types NTZ input as session-tz TIMESTAMP; cast back so
+    # the transport stays naive like DuckDB's.
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("window_start"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2)).alias("sum_value"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2))
+            .cast("string").alias("sum_value"),
         )
     )
 
@@ -546,7 +592,7 @@ def q16_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q17 — 6-way star join (TPC-H Q5 shape): broadcast dims, one fact shuffle
 # ---------------------------------------------------------------------------
 
-_Q17_SQL = """
+_Q17_SQL = _stringify_sql("""
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
@@ -556,7 +602,7 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppke
   AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY n_name
-"""
+""", ["n_name", "revenue"], {"revenue"})
 
 
 @register("q17_regional_revenue", _Q17_SQL)
@@ -579,7 +625,7 @@ def q17_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
-            .cast(T.DecimalType(38, 4)).alias("revenue")
+            .cast(T.DecimalType(38, 4)).cast("string").alias("revenue")
         )
     )
 
@@ -592,7 +638,7 @@ def q17_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q19_SQL = """
 SELECT p_brand, p_type, COUNT(*) AS cnt,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_price
 FROM part WHERE p_size >= 20 GROUP BY p_brand, p_type
 """
 
@@ -791,7 +837,7 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q31_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -802,7 +848,7 @@ def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
-        .cast(T.DecimalType(38, 2)).alias("sum_qty"),
+        .cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
     )
 
 
@@ -881,7 +927,7 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q34_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -982,7 +1028,7 @@ _PRIORITY_RULES = [
 _Q38_SQL = f"""
 WITH rules(priority, severity) AS (VALUES {', '.join(f"('{p}', {s})" for p, s in _PRIORITY_RULES)})
 SELECT severity, COUNT(*) AS cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_price
 FROM orders JOIN rules ON o_orderpriority = priority
 GROUP BY severity
 """
@@ -998,7 +1044,7 @@ def q38_rule_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
-            .cast(T.DecimalType(38, 2)).alias("sum_price"),
+            .cast(T.DecimalType(38, 2)).cast("string").alias("sum_price"),
         )
     )
 

@@ -36,45 +36,63 @@ def duck(sf_dir):
 
 
 def _norm_cell(v):
+    """Stringify one pandas-transport cell FAITHFULLY.
+
+    Crucially this does NOT strip timezones and does NOT unify Decimal
+    with float: the driver hashes whatever pandas hands it, so a Spark
+    ``Decimal('138014.00')`` vs a DuckDB ``float64 138014.0``, or a
+    tz-aware vs naive timestamp, must FAIL here exactly as it fails in
+    the driver (the round-1 gate normalized these away and diverged
+    from the driver's verdict)."""
     import math
     from datetime import date, datetime
     from decimal import Decimal
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NULL"
-        return repr(v)
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, Decimal):
-        return str(v)
+        return "Decimal:" + str(v)  # decimals must not survive to the transport
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ")  # keeps tz offset if present -> tz bugs fail
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return v.isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def normalize_rows(cols, rows):
-    """Mimic the driver's order-insensitive, column-name-sorted compare:
-    sort columns by name, stringify every cell, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for _, c in sorted(zip(range(len(cols)), [cols[i] for i in order]))], out
+def _pandas_norm(pdf):
+    """Column-name-sorted, stringified, row-sorted form of a pandas frame
+    (the driver's compare shape)."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    rows.sort()
+    return list(pdf.columns), rows
 
 
 def assert_parity(spark_df, duck_con, sql):
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = duck_con.sql(sql)
-    d_cols = rel.columns
-    d_rows = rel.fetchall()
-    assert sorted(s_cols) == sorted(d_cols), f"column mismatch: {sorted(s_cols)} vs {sorted(d_cols)}"
-    _, s_norm = normalize_rows(s_cols, s_rows)
-    _, d_norm = normalize_rows(d_cols, d_rows)
+    """Differential gate through the DRIVER'S transport: Spark
+    ``toPandas()`` vs DuckDB ``.df()`` — not collect()/fetchall(), which
+    preserve Decimal objects on both sides and mask transport-type
+    divergence (DuckDB's .df() coerces DECIMAL/HUGEINT to float64)."""
+    s_pd = spark_df.toPandas()
+    d_pd = duck_con.sql(sql).df()
+    s_cols, s_norm = _pandas_norm(s_pd)
+    d_cols, d_norm = _pandas_norm(d_pd)
+    assert s_cols == d_cols, f"column mismatch: {s_cols} vs {d_cols}"
     assert len(s_norm) == len(d_norm), f"row count: spark={len(s_norm)} duck={len(d_norm)}"
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
-        assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+        assert a == b, f"row {i} differs (cols {s_cols}):\n  spark={a}\n  duck ={b}"

@@ -815,11 +815,37 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
-@register("q30_multimodal_decode", None)
+# The decode stub is deterministic md5 arithmetic over the utf-8 payload
+# (llm/multimodal.py:_decode_one), so DuckDB can twin it exactly: md5 of
+# a VARCHAR hashes its utf-8 bytes = md5 of the synthesized payload.
+_Q30_SQL = """
+WITH decoded AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS INTEGER) AS width,
+         CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS INTEGER) AS height,
+         substr(md5(text), 1, 8) AS sha_prefix
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+scaled AS (
+  SELECT *, CASE WHEN greatest(width, height) <= 512 THEN 1.0
+                 ELSE CAST(512 AS DOUBLE) / greatest(width, height) END AS resize_scale
+  FROM decoded
+)
+SELECT asset_id, modality, n_bytes, width, height,
+       CAST(floor(width * resize_scale) AS INTEGER) AS target_width,
+       CAST(floor(height * resize_scale) AS INTEGER) AS target_height,
+       sha_prefix
+FROM scaled
+"""
+
+
+@register("q30_multimodal_decode", _Q30_SQL)
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize assets from documents, decode
-    via Arrow-batched mapInPandas (stubbed kernel), plan resizes.
-    Rows-only check — the decode stub is engine-internal by design."""
+    via Arrow-batched mapInPandas (stubbed kernel), plan resizes."""
     from dbms_spark.llm.multimodal import decode_assets, resize_images_stub, synthesize_assets
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1076,11 +1102,36 @@ def q39_hashed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q18 — struct compare (metadata diff; non-SQL-expressible in DuckDB on
-# the same views -> rows-only check, unit-tested in pytest instead)
+# q18 — struct compare (metadata diff).  The drifted target schema is a
+# deterministic constant, so the expected diff is a constant too: the
+# oracle is a literal VALUES relation derived (in Python, at import
+# time) from the same parquet footer the Spark side reads.
 # ---------------------------------------------------------------------------
 
-@register("q18_struct_compare", None)
+def _q18_sql() -> str:
+    fields = _fields("lineitem")
+    rows = []
+    for name, dtype in fields.items():
+        simple = dtype.simpleString()
+        if name == "l_tax":
+            rows.append((name, simple, None, "MISSING_IN_DST",
+                         f"ALTER TABLE lineitem ADD COLUMN `{name}` {simple};"))
+        elif name == "l_quantity":
+            rows.append((name, simple, "decimal(12,2)", "TYPE_MISMATCH",
+                         f"ALTER TABLE lineitem MODIFY COLUMN `{name}` {simple};"))
+    lit = lambda v: "NULL" if v is None else "'" + v.replace("'", "''") + "'"  # noqa: E731
+    values = ", ".join(
+        f"('lineitem', {lit(c)}, {lit(s)}, {lit(d)}, {lit(k)}, {lit(a)})"
+        for c, s, d, k, a in rows
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(table_name, col_name, src_type, dst_type, kind, alter_sql)"
+    )
+
+
+@register("q18_struct_compare", _q18_sql())
 def q18_struct_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.structm import schema_to_df, struct_compare
 

@@ -13,7 +13,10 @@ Canonical forms (per Spark type):
 
 - NULL            -> literal string ``NULL`` (any type)
 - integers        -> decimal string, no padding
-- float/double    -> round-half-up to scale 10, trailing zeros trimmed
+- float/double    -> round-half-up to scale 10, trailing zeros trimmed;
+                     |x| in [1e28, 1e38) -> integer decimal string;
+                     |x| >= 1e38 -> normalized shortest repr ('1.5E300');
+                     NaN/Infinity/-Infinity -> those fixed literals
 - decimal(p,s)    -> exact string, trailing zeros trimmed (1.10 -> 1.1)
 - string          -> identity (``oracle_empty_is_null=True`` maps '' -> NULL,
                      mirroring Oracle semantics)
@@ -61,7 +64,18 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         out = col.cast("string")
     elif isinstance(dtype, (T.FloatType, T.DoubleType)):
-        out = _trim_zeros_spark(col.cast(T.DecimalType(38, 10)).cast("string"))
+        # Tiered: scale-10 decimal (|x| < 1e28), integer decimal
+        # (< 1e38), then normalized engine repr.  try_cast nulls on
+        # overflow instead of throwing under ANSI mode; NaN/±Inf get
+        # fixed literals (a plain decimal cast would throw on them).
+        dec10 = _trim_zeros_spark(col.try_cast(T.DecimalType(38, 10)).cast("string"))
+        dec0 = _trim_zeros_spark(col.try_cast(T.DecimalType(38, 0)).cast("string"))
+        out = (
+            F.when(F.isnan(col), F.lit("NaN"))
+            .when(col == F.lit(float("inf")), F.lit("Infinity"))
+            .when(col == F.lit(float("-inf")), F.lit("-Infinity"))
+            .otherwise(F.coalesce(dec10, dec0, _norm_repr_spark(col.cast("string"))))
+        )
     elif isinstance(dtype, T.DecimalType):
         out = _trim_zeros_spark(col.cast("string"))
     elif isinstance(dtype, T.StringType):
@@ -83,6 +97,14 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
 
 def _trim_zeros_spark(s: Column) -> Column:
     return F.regexp_replace(s, _TRIM_RE, r"$1")
+
+
+def _norm_repr_spark(s: Column) -> Column:
+    """Normalize a shortest-round-trip double repr across engines
+    (|x| >= 1e38 fallback only): uppercase exponent marker, no '+'
+    sign, mantissa always carries a decimal point ('1.5E300')."""
+    s = F.replace(F.upper(s), F.lit("E+"), F.lit("E"))
+    return F.regexp_replace(s, r"^(-?\d+)E", r"$1.0E")
 
 
 def canonical_row(df: DataFrame, cols: list[str] | None = None,
@@ -168,8 +190,28 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
         # value.  DuckDB's direct double->decimal goes through float
         # multiplication and diverges from Spark (which casts via the
         # shortest string) in ~6% of full-precision doubles.
-        return _trim_zeros_sql(
-            f"CAST(CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR)"
+        # Tiered like the Spark emission: TRY_CAST nulls on overflow,
+        # NaN/±Inf get fixed literals, >=1e38 falls back to the
+        # normalized shortest repr.
+        dec10 = _trim_zeros_sql(
+            f"CAST(TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR)"
+        )
+        # the < 1e38 guard matters: DuckDB's DECIMAL(38,0) is int128-
+        # backed and accepts 39-digit values that Spark's try_cast
+        # (true 38-digit precision) rejects
+        dec0 = (
+            f"(CASE WHEN abs({col}) < 1e38 THEN "
+            + _trim_zeros_sql(
+                f"CAST(TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR)"
+            )
+            + " END)"
+        )
+        fallback = _norm_repr_sql(f"CAST({col} AS VARCHAR)")
+        return (
+            f"(CASE WHEN isnan({col}) THEN 'NaN' "
+            f"WHEN {col} = 'infinity'::DOUBLE THEN 'Infinity' "
+            f"WHEN {col} = '-infinity'::DOUBLE THEN '-Infinity' "
+            f"ELSE COALESCE({dec10}, {dec0}, {fallback}) END)"
         )
     if isinstance(dtype, T.DecimalType):
         return _trim_zeros_sql(f"CAST({col} AS VARCHAR)")
@@ -193,6 +235,14 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
 def _trim_zeros_sql(s: str) -> str:
     # DuckDB (RE2) uses \1 backreferences where Spark (Java regex) uses $1.
     return "regexp_replace(" + s + r", '(\.\d*[1-9])0+$|\.0*$', '\1')"
+
+
+def _norm_repr_sql(s: str) -> str:
+    """DuckDB twin of :func:`_norm_repr_spark`."""
+    return (
+        r"regexp_replace(replace(upper(" + s + r"), 'E+', 'E'), "
+        r"'^(-?\d+)E', '\1.0E')"
+    )
 
 
 def canonical_row_sql(df: DataFrame, cols: list[str] | None = None,

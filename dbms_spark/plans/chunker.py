@@ -101,34 +101,56 @@ def sql_literal(v) -> str:
     return str(v)
 
 
+def _eq(col: str, v) -> str:
+    """Null-safe equality (boundary values can be NULL when the sampled
+    key is null-heavy)."""
+    return f"`{col}` IS NULL" if v is None else f"`{col}` = {sql_literal(v)}"
+
+
+def _cmp(col: str, op: str, v) -> str:
+    """One comparison under NULLS-FIRST ordering (NULL sorts below every
+    value — Spark's default ASC ordering, which :func:`plan_chunks` uses
+    when it ntiles the sample, and the ordering
+    :func:`assign_chunk_id`'s struct comparison induces: a NULL field
+    never satisfies ``>``).  Rendering NULL-aware comparisons here keeps
+    rows with NULL keys in exactly one chunk instead of none."""
+    c = f"`{col}`"
+    if v is None:
+        return {"<": "FALSE", "<=": f"{c} IS NULL",
+                ">": f"{c} IS NOT NULL", ">=": "TRUE"}[op]
+    lit = sql_literal(v)
+    if op in ("<", "<="):
+        return f"({c} IS NULL OR {c} {op} {lit})"
+    return f"{c} {op} {lit}"  # NULL (smallest) never satisfies > / >=
+
+
 def _gt_tuple(cols: tuple[str, ...], vals: tuple, strict: bool) -> str:
     """Composite-key comparison expansion, the reference's
     Range.ToString boundary form: (a>x) OR (a=x AND b>y) OR ...
     With strict=False the innermost comparison becomes >=."""
     terms = []
     for i in range(len(cols)):
-        eqs = [f"`{cols[j]}` = {sql_literal(vals[j])}" for j in range(i)]
+        eqs = [_eq(cols[j], vals[j]) for j in range(i)]
         op = ">" if (strict or i < len(cols) - 1) else ">="
-        last = f"`{cols[i]}` {op} {sql_literal(vals[i])}"
-        terms.append("(" + " AND ".join(eqs + [last]) + ")")
+        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i])]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
 def _le_tuple(cols: tuple[str, ...], vals: tuple) -> str:
     terms = []
     for i in range(len(cols)):
-        eqs = [f"`{cols[j]}` = {sql_literal(vals[j])}" for j in range(i)]
+        eqs = [_eq(cols[j], vals[j]) for j in range(i)]
         op = "<" if i < len(cols) - 1 else "<="
-        last = f"`{cols[i]}` {op} {sql_literal(vals[i])}"
-        terms.append("(" + " AND ".join(eqs + [last]) + ")")
+        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i])]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
 def chunk_predicate(plan: ChunkPlan, i: int) -> str:
     """WHERE-clause text for chunk ``i`` — valid as a DataFrame filter
     or a JDBC partition predicate (one element of ``predicates=[...]``).
-    Chunks partition the keyspace exactly: (-inf, b0], (b0, b1], ...,
-    (b_last, +inf)."""
+    Chunks partition the keyspace exactly under NULLS-FIRST ordering:
+    (-inf, b0], (b0, b1], ..., (b_last, +inf), with NULL keys landing in
+    chunk 0 (matching :func:`assign_chunk_id`)."""
     cols = plan.key_cols
     if plan.n_chunks == 1:
         return "1 = 1"  # whole-table fallback, reference's WHERE 1=1

@@ -23,24 +23,29 @@ def salted_agg(
     """Two-stage aggregation for skewed group keys.
 
     ``aggs`` maps column -> 'sum'|'count'|'min'|'max' (the mergeable
-    aggregates; avg = sum+count composed by the caller).  Stage 1
-    groups on (salt, keys) spreading a hot key over n_salts reducers;
-    stage 2 merges the partials — its cardinality is
-    |groups| x n_salts, tiny by construction.
+    aggregates; avg = sum+count composed by the caller).  ``count`` has
+    SQL COUNT(col) semantics — NULLs excluded; use the column key
+    ``"*"`` for a row count (aliased ``count_rows``).  Stage 1 groups
+    on (salt, keys) spreading a hot key over n_salts reducers; stage 2
+    merges the partials — its cardinality is |groups| x n_salts, tiny
+    by construction.
     """
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    safe = lambda c: "rows" if c == "*" else c  # noqa: E731
     stage1_aggs = []
     for c, fn in aggs.items():
         if fn == "count":
-            stage1_aggs.append(F.count(F.lit(1)).alias(f"__p_{c}"))
+            expr = F.count(F.lit(1)) if c == "*" else F.count(F.col(c))
+            stage1_aggs.append(expr.alias(f"__p_{safe(c)}"))
         elif fn in ("sum", "min", "max"):
-            stage1_aggs.append(getattr(F, fn)(c).alias(f"__p_{c}"))
+            stage1_aggs.append(getattr(F, fn)(c).alias(f"__p_{safe(c)}"))
         else:
             raise ValueError(f"non-mergeable aggregate {fn!r}")
     partial = salted.groupBy("__salt", *group_cols).agg(*stage1_aggs)
     merge = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     stage2_aggs = [
-        getattr(F, merge[fn])(f"__p_{c}").alias(f"{fn}_{c}") for c, fn in aggs.items()
+        getattr(F, merge[fn])(f"__p_{safe(c)}").alias(f"{fn}_{safe(c)}")
+        for c, fn in aggs.items()
     ]
     return partial.groupBy(*group_cols).agg(*stage2_aggs)
 

@@ -27,6 +27,10 @@ def _random_rows():
         "tab\there", "newline\\n", "héllo wörld", "中文字符", "emoji \U0001f600",
         "trailing space ", " leading", "0", "-0", "1.10",
     ]
+    weird_doubles = [
+        float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+        1e30, -3.7e33, 9.9e37, 1.00001e38, -4.2e120, 1.5e300, 1e-30,
+    ]
     rows = []
     for i in range(N):
         def maybe(v):
@@ -38,7 +42,8 @@ def _random_rows():
             maybe(rng.randint(-(2**62), 2**62)),
             maybe(Decimal(rng.randint(-10**12, 10**12)).scaleb(-2)),
             maybe(Decimal(rng.randint(-10**9, 10**9)).scaleb(-6)),
-            maybe(round(rng.uniform(-1e6, 1e6), rng.randint(0, 4))),
+            maybe(rng.choice(weird_doubles) if rng.random() < 0.2
+                  else round(rng.uniform(-1e6, 1e6), rng.randint(0, 4))),
             maybe(rng.choice(weird_strings) if rng.random() < 0.5
                   else "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 30)))),
             maybe(datetime.date(rng.randint(1970, 2100), rng.randint(1, 12), rng.randint(1, 28))),

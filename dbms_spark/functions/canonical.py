@@ -177,6 +177,43 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
 
 
 # ---------------------------------------------------------------------------
+# True CRC32 path (reference's default MySQL/PG checksum:
+# SUM(CRC32(CONCAT_WS(sep, canonical cols))),
+# database/processor/data_compare_row.go:1554-1577).  Spark's F.crc32 is
+# CRC-32/ISO-HDLC — the same polynomial as MySQL's CRC32() and Python's
+# binascii.crc32, so golden tests pin the exact reference semantics.
+# DuckDB has no crc32, so the differential oracle stays on the md5
+# slice-sum path; this path is golden-unit-tested instead.
+# ---------------------------------------------------------------------------
+
+def row_crc32(df: DataFrame, cols: list[str] | None = None,
+              oracle_empty_is_null: bool = False) -> Column:
+    """Per-row CRC32 of the canonical row string (utf-8 bytes)."""
+    return F.crc32(F.encode(canonical_row(df, cols, oracle_empty_is_null), "UTF-8"))
+
+
+def crc32_sum_agg(crc_col: Column | str = "row_crc") -> Column:
+    """The commutative SUM(CRC32) aggregate.  DECIMAL(38,0): at 100 TB
+    a sum of 2^32-bounded values over >2^31 rows exceeds BIGINT."""
+    c = F.col(crc_col) if isinstance(crc_col, str) else crc_col
+    return F.sum(c.cast(T.DecimalType(38, 0))).alias("crc_sum")
+
+
+def table_checksum_crc32(df: DataFrame, cols: list[str] | None = None,
+                         oracle_empty_is_null: bool = False) -> DataFrame:
+    """One-row (cnt, crc_sum) — the reference's CRC32 table checksum.
+    Same distributed shape as :func:`table_checksum`: map-side crc32,
+    partial-aggregated sum, single-row shuffle."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    src = ensure_parallelism(df)
+    return (
+        src.select(row_crc32(src, cols, oracle_empty_is_null).alias("row_crc"))
+        .agg(F.count(F.lit(1)).alias("cnt"), crc32_sum_agg())
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side canonicalization (SQL text) — mirrors the Spark emission
 # ---------------------------------------------------------------------------
 

@@ -151,6 +151,57 @@ def chunked_checksum(
     )
 
 
+def chunked_checksum_crc32(
+    df: DataFrame,
+    chunk_id: Column,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """Per-chunk (cnt, crc_sum) — the CRC32_SLICES method of the
+    selection ladder: the reference's default MySQL/PG chunk checksum
+    ``SUM(CRC32(CONCAT_WS(...)))`` (data_compare_row.go:1554-1577) as a
+    map-side crc32 + partial-aggregated sum."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    cols = cols or df.columns
+    src = ensure_parallelism(df)
+    return (
+        src.select(
+            chunk_id.alias("chunk_id"),
+            C.row_crc32(src, cols, oracle_empty_is_null).alias("row_crc"),
+        )
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), C.crc32_sum_agg())
+    )
+
+
+def compare_chunked_crc32(
+    src: DataFrame,
+    dst: DataFrame,
+    src_chunk_id: Column,
+    dst_chunk_id: Column,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """J2 on the CRC32 path: join per-chunk CRC32 sums, keep unequal
+    chunks.  Same output contract as :func:`compare_chunked`."""
+    cols = cols or src.columns
+    a = chunked_checksum_crc32(src, src_chunk_id, cols, oracle_empty_is_null)
+    b = chunked_checksum_crc32(dst, dst_chunk_id, cols, oracle_empty_is_null)
+    sa = a.select("chunk_id", F.col("cnt").alias("src_cnt"), F.col("crc_sum").alias("src_crc"))
+    sb = b.select("chunk_id", F.col("cnt").alias("dst_cnt"), F.col("crc_sum").alias("dst_crc"))
+    j = sa.join(sb, "chunk_id", "full_outer")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("dst_cnt"))
+        & F.col("src_crc").eqNullSafe(F.col("dst_crc"))
+    )
+    return j.filter(~same).select(
+        "chunk_id",
+        F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+        F.coalesce("dst_cnt", F.lit(0)).alias("dst_cnt"),
+    )
+
+
 def compare_chunked(
     src: DataFrame,
     dst: DataFrame,
@@ -251,16 +302,28 @@ def compare_table(
     plan: ChunkPlan | None = None,
     cols: list[str] | None = None,
     oracle_empty_is_null: bool = False,
+    method: str = "MD5_SLICES",
 ) -> CompareReport:
     """End-to-end table compare: chunked when a plan is given, whole
-    table otherwise.  Driver-side result is O(n_chunks)."""
+    table otherwise.  ``method`` is a ladder value from
+    :func:`compare_method_for` ('MD5_SLICES', 'CRC32_SLICES',
+    'HASH_PROGRAM' — the md5 client-side path — or 'ROWS' for
+    count-only).  Driver-side result is O(n_chunks)."""
     cols = cols or src.columns
+    if method == "ROWS":
+        src_cnt, dst_cnt = src.count(), dst.count()
+        eq = src_cnt == dst_cnt
+        return CompareReport(eq, src_cnt, dst_cnt, [] if eq else [0])
+    crc = method == "CRC32_SLICES"
     if plan is None:
-        a = C.table_checksum(src, cols, oracle_empty_is_null).collect()[0]
-        b = C.table_checksum(dst, cols, oracle_empty_is_null).collect()[0]
-        eq = all(a[k] == b[k] for k in ["cnt", "h0", "h1", "h2", "h3"])
+        check = C.table_checksum_crc32 if crc else C.table_checksum
+        keys = ["cnt", "crc_sum"] if crc else ["cnt", "h0", "h1", "h2", "h3"]
+        a = check(src, cols, oracle_empty_is_null).collect()[0]
+        b = check(dst, cols, oracle_empty_is_null).collect()[0]
+        eq = all(a[k] == b[k] for k in keys)
         return CompareReport(eq, a["cnt"], b["cnt"], [] if eq else [0])
-    bad = compare_chunked(
+    chunked = compare_chunked_crc32 if crc else compare_chunked
+    bad = chunked(
         src, dst, assign_chunk_id(plan, src), assign_chunk_id(plan, dst), cols, oracle_empty_is_null
     ).collect()
     src_cnt = src.count()

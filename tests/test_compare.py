@@ -95,6 +95,49 @@ def test_compare_method_ladder(spark):
     assert X.compare_method_for(with_blob, only_compare_row=True) == "ROWS"
 
 
+def test_crc32_golden_reference_semantics(spark):
+    """Golden test pinning the CRC32 path to the reference's exact
+    semantics (data_compare_row.go:1554-1577): SUM(CRC32(utf-8 bytes of
+    CONCAT_WS(sep, canonical cols))), with CRC-32/ISO-HDLC — the same
+    polynomial as MySQL CRC32() and Python binascii.crc32."""
+    import binascii
+
+    from dbms_spark.functions import canonical as C
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, None, -3.25), (3, "", 100.0), (4, "O'Neil|#|x", None)],
+        "id long, s string, v double",
+    )
+    # independently recompute the canonical strings the kernel hashes
+    canon = [r[0] for r in df.select(C.canonical_row(df).alias("c")).collect()]
+    expected = sum(binascii.crc32(c.encode("utf-8")) for c in canon)
+    got = C.table_checksum_crc32(df).collect()[0]
+    assert got["cnt"] == 4
+    assert int(got["crc_sum"]) == expected
+    # per-row agreement too (order by id for determinism)
+    rows = df.select("id", C.row_crc32(df).alias("crc")).orderBy("id").collect()
+    for r, c in zip(rows, canon):
+        assert r["crc"] == binascii.crc32(c.encode("utf-8"))
+
+
+def test_crc32_chunked_compare_localizes(orders, mutated):
+    plan = chunker.plan_chunks(orders, ["o_orderkey"], 10)
+    bad = X.compare_chunked_crc32(
+        orders, mutated, chunker.assign_chunk_id(plan, orders), chunker.assign_chunk_id(plan, mutated)
+    )
+    bad_ids = {r["chunk_id"] for r in bad.collect()}
+    mutated_keys = orders.filter(
+        "o_orderkey % 53 = 0 OR o_orderkey % 41 = 0 OR o_orderkey % 97 = 0"
+    ).withColumn("cid", chunker.assign_chunk_id(plan, orders))
+    expect = {r["cid"] for r in mutated_keys.select("cid").distinct().collect()}
+    assert bad_ids == expect
+    # end-to-end routing through the ladder value
+    rep = X.compare_table(orders, orders, plan=plan, method="CRC32_SLICES")
+    assert rep.equal and rep.mismatched_chunks == []
+    rep2 = X.compare_table(orders, mutated, plan=plan, method="CRC32_SLICES")
+    assert not rep2.equal and rep2.mismatched_chunks == sorted(expect)
+
+
 def test_gen_fix_sql(orders, mutated, spark):
     diff = X.multiset_diff(orders, mutated)
     stmts = X.gen_fix_sql(diff, "orders", orders.columns)

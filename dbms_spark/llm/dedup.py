@@ -185,30 +185,52 @@ FROM banded a JOIN banded b
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: fold one 32-bit half's bit votes over the token-hash array, entirely
+#: inside the row: accumulator is a 32-wide bigint vote array.
+_VOTE_FOLD = (
+    "aggregate({h}, array_repeat(0L, 32), (acc, h) -> "
+    "zip_with(acc, sequence(0, 31), (a, b) -> "
+    "a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END))"
+)
+
+#: collapse a vote array into the signature half: bit b set iff votes[b] > 0.
+_VOTE_SIG = (
+    "aggregate(zip_with({v}, sequence(0, 31), (v, b) -> "
+    "CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (a, x) -> a + x)"
+)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash as two 32-bit halves (hi, lo) — token-count
-    weighted bit votes over md5-derived token hashes.  Two partial-
-    aggregated shuffles: (doc, token) then (doc, bit)."""
+    """64-bit SimHash as two 32-bit halves (hi, lo) — bit votes over
+    md5-derived token hashes, folded ENTIRELY map-side with array
+    aggregates: zero shuffles, one row in → one row out (each input
+    row is one document).
+
+    Summing ±1 per token *occurrence* is arithmetically identical to
+    the classic count-weighted vote over *distinct* tokens
+    (Σ_occurrences ±1 = Σ_distinct cnt·±1), which is what the DuckDB
+    oracle (:func:`simhash_sql`) computes via its GROUP BY — values
+    match bit-for-bit while the Spark plan never explodes rows.
+    Documents with no tokens are dropped, matching the oracle's
+    ``unnest`` behavior."""
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = (
-        df.withColumn("tok", F.explode(tokens_expr(text_col)))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h_hi", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-        .withColumn("h_lo", F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+    votes = (
+        df.withColumn("toks", tokens_expr(text_col))
+        .filter(F.expr("size(toks) > 0"))
+        .withColumn("hm", F.expr("transform(toks, t -> md5(t))"))
+        .withColumn("hh", F.expr(
+            "transform(hm, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))"))
+        .withColumn("hl", F.expr(
+            "transform(hm, m -> cast(conv(substring(m, 9, 8), 16, 10) as bigint))"))
+        .withColumn("v_hi", F.expr(_VOTE_FOLD.format(h="hh")))
+        .withColumn("v_lo", F.expr(_VOTE_FOLD.format(h="hl")))
     )
-    bits = toks.select(
-        F.col(id_col), "cnt", "h_hi", "h_lo", F.explode(F.expr("sequence(0, 31)")).alias("b")
-    )
-    votes = bits.groupBy(id_col, "b").agg(
-        F.sum(F.expr("CASE WHEN (h_hi >> b) & 1 = 1 THEN cnt ELSE -cnt END")).alias("v_hi"),
-        F.sum(F.expr("CASE WHEN (h_lo >> b) & 1 = 1 THEN cnt ELSE -cnt END")).alias("v_lo"),
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN v_hi > 0 THEN cast(pow(2, b) as bigint) ELSE 0L END")).alias("simhash_hi"),
-        F.sum(F.expr("CASE WHEN v_lo > 0 THEN cast(pow(2, b) as bigint) ELSE 0L END")).alias("simhash_lo"),
+    return votes.select(
+        F.col(id_col),
+        F.expr(_VOTE_SIG.format(v="v_hi")).alias("simhash_hi"),
+        F.expr(_VOTE_SIG.format(v="v_lo")).alias("simhash_lo"),
     )
 
 
@@ -244,20 +266,52 @@ def jaccard_fixed_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     """Exact 3-gram Jaccard over a deterministic pair set (i, i + n/2):
     the verification stage that would run on LSH candidates at scale,
     here on a fixed blocking so the oracle can mirror it.  Similarity
-    is floor-quantized at 6 dp (ratio of identical ints — exact)."""
-    half = df.count() // 2
+    is floor-quantized at 6 dp (ratio of identical ints — exact).
+
+    Scale shape: no driver job and shingles computed ONCE — ``n/2`` is
+    a broadcast 1-row aggregate, each doc emits its pair role(s)
+    (``a`` keyed by own id, ``b`` keyed by ``id - half``), and one
+    groupBy on the pair key reunites the two shingle arrays.  That is
+    a single n-row shuffle instead of a self-join that re-reads and
+    re-shingles the corpus on both legs."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    lim = df.agg(
+        F.floor(F.count(F.lit(1)) / 2).cast("long").alias("half"),
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+    )
+    df = ensure_parallelism(df)
     sh = df.withColumn("toks", tokens_expr(text_col)).select(
         F.col(id_col), shingles_expr().alias("sh")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = "size(array_intersect(a.sh, b.sh))"
-    union = "size(array_union(a.sh, b.sh))"
-    return (
-        a.join(b, F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + F.lit(half))
+    tagged = (
+        sh.crossJoin(F.broadcast(lim))
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
+            "sh", "half",
+            F.explode(F.expr(
+                f"filter(array(named_struct('pk', {id_col}, 'side', 'a'), "
+                f"named_struct('pk', {id_col} - half, 'side', 'b')), "
+                "r -> r.pk >= mn AND r.pk + half <= mx)"
+            )).alias("r"),
+        )
+        .select(F.col("r.pk").alias("pk"), F.col("r.side").alias("side"), "sh", "half")
+    )
+    pairs = (
+        tagged.groupBy("pk")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
+            F.first("half").alias("half"),
+        )
+        .filter("sh_a IS NOT NULL AND sh_b IS NOT NULL")
+    )
+    inter = "size(array_intersect(sh_a, sh_b))"
+    union = "size(array_union(sh_a, sh_b))"
+    return (
+        pairs.select(
+            F.col("pk").alias("a_id"),
+            (F.col("pk") + F.col("half")).alias("b_id"),
             F.expr(f"floor(CAST({inter} AS DOUBLE) / {union} * 1000000) / 1000000").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_sim)

@@ -100,10 +100,12 @@ def _minhash_expr_duck(k: int) -> str:
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8, keep_shingles: bool = False) -> DataFrame:
     """Per-doc minhash signature h0..h{k-1} over word-3-gram shingles.
     Pure map-side array math — one md5 per shingle, k affine mins —
-    no shuffle beyond the parallelism guard."""
+    no shuffle beyond the parallelism guard.  ``keep_shingles`` also
+    emits the raw shingle array (``sh``) so a downstream verifier can
+    reuse it without re-shingling the corpus."""
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -114,6 +116,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
     return with_sh.select(
         F.col(id_col),
+        *(["sh"] if keep_shingles else []),
         *[F.expr(_minhash_expr_spark(k)).alias(f"h{k}") for k in range(num_hashes)],
     )
 
@@ -141,25 +144,44 @@ def band_keys(num_hashes: int = 8, bands: int = 2) -> list[tuple[int, str]]:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 2) -> DataFrame:
+                        num_hashes: int = 8, bands: int = 2,
+                        carry: list[str] | None = None) -> DataFrame:
     """Distinct candidate pairs (a_id < b_id) sharing at least one LSH
-    band.  The self-join shuffles on the band key — bucket-local."""
+    band.  The self-join shuffles on the band key — bucket-local.
+
+    ``carry`` names payload columns of ``sigs`` to ride along into the
+    output as ``<col>_a`` / ``<col>_b`` (e.g. the shingle array for a
+    downstream Jaccard verifier): the payload is shuffled with the
+    banded legs instead of re-joined — and because both join legs are
+    the identical banded plan partitioned on the same key, Catalyst
+    reuses one exchange for both.  Pair dedup is a groupBy taking the
+    first payload (identical across bands by construction)."""
+    carry = carry or []
     per = num_hashes // bands
     legs = []
     for b in range(bands):
         cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        legs.append(sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+        legs.append(sigs.select(F.col(id_col), *carry, F.lit(b).alias("band"), key.alias("bkey")))
     banded = legs[0]
     for leg in legs[1:]:
         banded = banded.unionAll(leg)
     a = banded.alias("a")
     b_ = banded.alias("b")
-    return (
+    joined = (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
+    )
+    if not carry:
+        return joined.distinct()
+    return joined.groupBy("a_id", "b_id").agg(
+        *[F.first(f"{c}_{s}").alias(f"{c}_{s}") for c in carry for s in ("a", "b")]
     )
 
 
@@ -260,6 +282,64 @@ FROM votes GROUP BY {id_col}
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
+
+#: floor-quantized 6-dp Jaccard between two shingle arrays — ratio of
+#: identical ints, so both engines produce the identical double.
+_JACCARD = ("floor(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) "
+            "/ size(array_union(sh_a, sh_b)) * 1000000) / 1000000")
+
+
+def jaccard_on_pairs(df: DataFrame, cands: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_sim: float = 0.0) -> DataFrame:
+    """The canonical dedup pipeline: LSH banding proposes, exact
+    n-gram Jaccard disposes (the reference always verifies candidates
+    before acting — data_compare semantics applied to dedup).
+
+    ``cands`` is an (a_id, b_id) pair table, e.g. from
+    :func:`lsh_candidate_pairs`.  If it already carries the shingle
+    payload (``sh_a``/``sh_b`` via ``carry=["sh"]``) the verification
+    is a pure map-side expression over the pair table — no join, no
+    re-shingling.  Otherwise the shingle signature table is declared
+    once and joined to both pair sides by id.  Output: (a_id, b_id,
+    jaccard), jaccard floor-quantized at 6 dp."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    if "sh_a" in cands.columns and "sh_b" in cands.columns:
+        return (
+            cands.select("a_id", "b_id", F.expr(_JACCARD).alias("jaccard"))
+            .filter(F.col("jaccard") >= min_sim)
+        )
+    sh = (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .select(F.col(id_col), shingles_expr().alias("sh"))
+    )
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", F.expr(_JACCARD).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_sim)
+    )
+
+
+def jaccard_on_lsh_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 8, bands: int = 2, min_sim: float = 0.0) -> str:
+    """DuckDB twin of ``jaccard_on_pairs(df, lsh_candidate_pairs(...))``."""
+    duck_j = (f"floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+              f"/ len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000")
+    return f"""
+WITH cands AS ({lsh_candidate_pairs_sql(table, id_col, text_col, num_hashes, bands)}),
+sh AS (
+  SELECT {id_col}, {shingles_sql()} AS sh
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+)
+SELECT c.a_id, c.b_id, {duck_j} AS jaccard
+FROM cands c
+JOIN sh a ON a.{id_col} = c.a_id
+JOIN sh b ON b.{id_col} = c.b_id
+WHERE {duck_j} >= {min_sim}
+"""
 
 def jaccard_fixed_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         min_sim: float = 0.0) -> DataFrame:

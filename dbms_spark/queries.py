@@ -1102,6 +1102,33 @@ def q39_hashed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q40 — the canonical dedup pipeline end-to-end: MinHash signatures ->
+# LSH banding candidates -> exact n-gram Jaccard verification on just
+# those pairs (propose-then-verify, the reference's compare discipline
+# applied to dedup)
+# ---------------------------------------------------------------------------
+
+def _q40_sql() -> str:
+    from dbms_spark.llm.dedup import jaccard_on_lsh_sql
+
+    return jaccard_on_lsh_sql("documents")
+
+
+@register("q40_lsh_jaccard_verify", _q40_sql())
+def q40_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, keep_shingles=True)
+    cands = lsh_candidate_pairs(sigs, carry=["sh"])
+    return jaccard_on_pairs(docs, cands)
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff).  The drifted target schema is a
 # deterministic constant, so the expected diff is a constant too: the
 # oracle is a literal VALUES relation derived (in Python, at import

@@ -150,3 +150,20 @@ def test_multimodal_empty_payload_error_modes(spark):
     assert MM.decode_assets(bad, on_error="skip").count() == 0
     with pytest.raises(Exception):
         MM.decode_assets(bad, on_error="fail").collect()
+
+
+def test_jaccard_on_pairs_carried_equals_joined(spark):
+    """The map-side carried-shingle path and the id-join path of
+    jaccard_on_pairs must agree on the full LSH pipeline output."""
+    rows = [(i, f"w{i} common text body shared tokens everywhere {i % 3}") for i in range(1, 21)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact dups -> certain candidates
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs_plain = D.minhash_signatures(df)
+    cands_plain = D.lsh_candidate_pairs(sigs_plain)
+    joined = {(r["a_id"], r["b_id"]): r["jaccard"]
+              for r in D.jaccard_on_pairs(df, cands_plain).collect()}
+    sigs = D.minhash_signatures(df, keep_shingles=True)
+    carried = {(r["a_id"], r["b_id"]): r["jaccard"]
+               for r in D.jaccard_on_pairs(df, D.lsh_candidate_pairs(sigs, carry=["sh"])).collect()}
+    assert joined == carried and len(carried) > 0
+    assert carried[(1, 100)] == 1.0  # exact dup pair verified at similarity 1

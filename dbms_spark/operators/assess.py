@@ -74,6 +74,150 @@ def column_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("data_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Dictionary-metadata assessments (reference assess_migrate.go:248-1160):
+# the catalog here is parquet footers, normalized to the same type
+# vocabulary DuckDB's information_schema reports for the registered
+# views, so every metadata assessment is differentially checkable.
+# ---------------------------------------------------------------------------
+
+_DUCK_TYPE = {
+    "int64": "BIGINT", "int32": "INTEGER", "string": "VARCHAR", "large_string": "VARCHAR",
+    "double": "DOUBLE", "float": "FLOAT", "binary": "BLOB", "date32[day]": "DATE",
+    "bool": "BOOLEAN",
+}
+
+
+def _duck_type_name(t) -> str:
+    """pyarrow type -> DuckDB information_schema data_type spelling."""
+    import pyarrow as pa
+
+    s = str(t)
+    if s in _DUCK_TYPE:
+        return _DUCK_TYPE[s]
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_decimal(t):
+        return f"DECIMAL({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"{_duck_type_name(t.value_type)}[]"
+    raise ValueError(f"unmapped arrow type {s}")
+
+
+def column_catalog(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> DataFrame:
+    """(table_name, column_name, ordinal, data_type) for the whole
+    catalog — the DBA_TAB_COLUMNS analog, read from parquet footers
+    (O(tables) driver work, no data scan)."""
+    import pyarrow.parquet as pq
+
+    tables = tables or [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+    rows = []
+    for t in tables:
+        schema = pq.read_schema(table_path(sf_dir, t))
+        for i, f in enumerate(schema):
+            rows.append((t, f.name, i + 1, _duck_type_name(f.type)))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int, data_type string"
+    )
+
+
+def column_counts_over_limit(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """Tables whose column count exceeds ``limit`` (reference:
+    GetDatabaseSchemaTableColumnCountsOverLimit assess_migrate.go:605)."""
+    return (
+        column_catalog(spark, sf_dir)
+        .groupBy("table_name")
+        .agg(F.count(F.lit(1)).alias("column_counts"))
+        .filter(F.col("column_counts") > limit)
+    )
+
+
+def column_name_length_over_limit(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """Columns whose name exceeds ``limit`` chars (reference:
+    GetDatabaseSchemaTableColumnNameLengthOverLimit assess_migrate.go:728)."""
+    cat = column_catalog(spark, sf_dir)
+    return (
+        cat.select(
+            "table_name", "column_name",
+            F.length("column_name").cast("bigint").alias("name_length"),
+        )
+        .filter(F.col("name_length") > limit)
+    )
+
+
+def special_datatype_columns(spark: SparkSession, sf_dir: str, types: list[str]) -> DataFrame:
+    """Columns of flagged datatypes (reference:
+    GetDatabaseSchemaTableSpecialDatatype assess_migrate.go:655) —
+    e.g. the types a migration needs manual rules for."""
+    cat = column_catalog(spark, sf_dir)
+    return cat.filter(F.col("data_type").isin(types)).select(
+        "table_name", "column_name", "data_type"
+    )
+
+
+def column_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datatype distribution across the catalog (reference:
+    GetDatabaseSchemaColumnTypeCounts assess_migrate.go:1160), in the
+    shared information_schema vocabulary."""
+    return (
+        column_catalog(spark, sf_dir)
+        .groupBy("data_type")
+        .agg(F.count(F.lit(1)).alias("counts"))
+    )
+
+
+def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: int = 3) -> DataFrame:
+    """TOP-N tables by average row length (reference:
+    GetDatabaseSchemaTableAvgRowLengthTOP assess_migrate.go:475).
+    Row length is the length of the table's canonical row string —
+    data-derived on both engines, scanned with partial aggregation."""
+    from pyspark.sql import Window
+
+    from dbms_spark.functions.canonical import canonical_row
+
+    per = []
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        per.append(
+            df.select(F.length(canonical_row(df)).cast("bigint").alias("len"))
+            .agg(F.sum("len").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select(
+                F.lit(t).alias("table_name"),
+                (F.col("s").cast("double") / F.col("c")).alias("avg_row_len"),
+            )
+        )
+    u = reduce(DataFrame.unionAll, per)
+    w = Window.orderBy(F.desc("avg_row_len"), F.asc("table_name"))
+    return (
+        u.select("table_name", "avg_row_len", F.row_number().over(w).cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def partition_counts_over_limit(
+    spark: SparkSession, sf_dir: str, specs: dict[str, str], limit: int
+) -> DataFrame:
+    """Tables whose logical RANGE(DAY) partition count exceeds
+    ``limit`` (reference: GetDatabaseSchemaPartitionTableCountsOverLimit
+    assess_migrate.go:527).  ``specs`` maps table -> its time column;
+    a partition is one distinct day of that column — the natural
+    partition spec a parquet lake would use for the table."""
+    per = []
+    for t, col in specs.items():
+        df = load_table(spark, sf_dir, t)
+        per.append(
+            df.select(F.to_date(F.col(col)).alias("d"))
+            .agg(F.countDistinct("d").alias("partition_counts"))
+            .select(
+                F.lit(t).alias("table_name"),
+                F.lit("RANGE(DAY)").alias("partition_type"),
+                F.col("partition_counts").cast("bigint").alias("partition_counts"),
+            )
+        )
+    u = reduce(DataFrame.unionAll, per)
+    return u.filter(F.col("partition_counts") > limit)
+
+
 def value_distribution(df: DataFrame, group_cols: list[str]) -> DataFrame:
     """Categorical distribution with percentage — the shape of the
     reference's constraint/partition-type breakdown queries."""

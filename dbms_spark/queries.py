@@ -1129,6 +1129,150 @@ def q40_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q41-q47 — assessment pack (reference assess_migrate.go:248-1160).
+# Metadata assessments read parquet footers Spark-side and DESCRIBE the
+# registered views DuckDB-side — two independent catalogs that must
+# agree; data assessments scan with partial aggregation on both engines.
+# ---------------------------------------------------------------------------
+
+_ASSESS_TABLES = [t for t in TABLES if os.path.exists(table_path(_ORACLE_SF_DIR, t))]
+
+_COLS_CTE = "cols AS (" + "\nUNION ALL ".join(
+    f"SELECT '{t}' AS table_name, column_name, column_type AS data_type "
+    f"FROM (DESCRIBE SELECT * FROM {t})"
+    for t in _ASSESS_TABLES
+) + ")"
+
+_Q41_TABLES = ["customer", "orders", "lineitem", "supplier", "part"]
+
+
+def _q41_sql() -> str:
+    per = []
+    for t in _Q41_TABLES:
+        canon = C.canonical_row_sql_from_types(_fields(t))
+        per.append(
+            f"SELECT '{t}' AS table_name, "
+            f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len FROM {t}"
+        )
+    u = "\nUNION ALL ".join(per)
+    return f"""
+WITH u AS ({u})
+SELECT * FROM (
+  SELECT table_name, avg_row_len,
+         CAST(ROW_NUMBER() OVER (ORDER BY avg_row_len DESC, table_name) AS BIGINT) AS "rank"
+  FROM u
+) WHERE "rank" <= 3
+"""
+
+
+@register("q41_avg_row_length_top", _q41_sql())
+def q41_avg_row_length_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import avg_row_length_top
+
+    return avg_row_length_top(spark, sf_dir, _Q41_TABLES, n=3)
+
+
+_Q42_SQL = f"""
+WITH {_COLS_CTE}
+SELECT table_name, COUNT(*) AS column_counts
+FROM cols GROUP BY table_name HAVING COUNT(*) > 8
+"""
+
+
+@register("q42_column_counts_over_limit", _Q42_SQL)
+def q42_column_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_counts_over_limit
+
+    return column_counts_over_limit(spark, sf_dir, limit=8)
+
+
+_Q43_SQL = f"""
+WITH {_COLS_CTE}
+SELECT table_name, column_name, CAST(length(column_name) AS BIGINT) AS name_length
+FROM cols WHERE length(column_name) > 12
+"""
+
+
+@register("q43_column_name_length_over_limit", _Q43_SQL)
+def q43_column_name_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_name_length_over_limit
+
+    return column_name_length_over_limit(spark, sf_dir, limit=12)
+
+
+_Q44_TYPES = ["DOUBLE", "FLOAT[]"]
+
+_Q44_SQL = f"""
+WITH {_COLS_CTE}
+SELECT table_name, column_name, data_type
+FROM cols WHERE data_type IN ({", ".join(repr(t) for t in _Q44_TYPES)})
+"""
+
+
+@register("q44_special_datatype_columns", _Q44_SQL)
+def q44_special_datatype_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import special_datatype_columns
+
+    return special_datatype_columns(spark, sf_dir, _Q44_TYPES)
+
+
+_Q45_SQL = f"""
+WITH {_COLS_CTE}
+SELECT data_type, COUNT(*) AS counts FROM cols GROUP BY data_type
+"""
+
+
+@register("q45_column_type_counts", _Q45_SQL)
+def q45_column_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_type_counts
+
+    return column_type_counts(spark, sf_dir)
+
+
+_Q46_SPECS = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+_Q46_SQL = """
+WITH p AS (
+  SELECT 'events' AS table_name, 'RANGE(DAY)' AS partition_type,
+         COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS partition_counts FROM events
+  UNION ALL
+  SELECT 'orders', 'RANGE(DAY)', COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'RANGE(DAY)', COUNT(DISTINCT CAST(l_shipdate AS DATE)) FROM lineitem
+)
+SELECT * FROM p WHERE partition_counts > 30
+"""
+
+
+@register("q46_partition_counts_over_limit", _Q46_SQL)
+def q46_partition_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import partition_counts_over_limit
+
+    return partition_counts_over_limit(spark, sf_dir, _Q46_SPECS, limit=30)
+
+
+def _q47_sql() -> str:
+    u = "\nUNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS num_rows FROM {t}" for t in _ASSESS_TABLES
+    )
+    return f"""
+WITH u AS ({u})
+SELECT * FROM (
+  SELECT table_name, num_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY num_rows DESC, table_name) AS BIGINT) AS "rank"
+  FROM u
+) WHERE "rank" <= 5
+"""
+
+
+@register("q47_top_tables_by_rows", _q47_sql())
+def q47_top_tables_by_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import top_tables_by_rows
+
+    return top_tables_by_rows(spark, sf_dir, n=5)
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff).  The drifted target schema is a
 # deterministic constant, so the expected diff is a constant too: the
 # oracle is a literal VALUES relation derived (in Python, at import

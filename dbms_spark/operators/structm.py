@@ -133,6 +133,89 @@ def map_type(spec: ColumnSpec) -> tuple[T.DataType, str]:
 
 
 # ---------------------------------------------------------------------------
+# Built-in rule tables as data (reference ships these as Go maps:
+# utils/constant/buildin_oracle_rule.go:193-242 O2M datatype names,
+# :89-103 default-value maps).  The numbered TIMESTAMP(n)/INTERVAL
+# YEAR(n) variants are generated, matching the reference's enumeration.
+# ---------------------------------------------------------------------------
+
+def _o2m_datatype_rules() -> list[tuple[str, str]]:
+    base = [
+        ("NUMBER", "TINYINT/SMALLINT/INT/BIGINT/DECIMAL"),
+        ("BFILE", "VARCHAR"), ("CHAR", "CHAR"), ("CHARACTER", "CHAR"),
+        ("CLOB", "LONGTEXT"), ("BLOB", "BLOB"), ("DATE", "DATETIME"),
+        ("DECIMAL", "DECIMAL"), ("DEC", "DECIMAL"),
+        ("DOUBLE PRECISION", "DOUBLE PRECISION"), ("FLOAT", "DOUBLE"),
+        ("INTEGER", "INT"), ("INT", "INT"), ("LONG", "LONGTEXT"),
+        ("LONG RAW", "LONGBLOB"), ("BINARY_FLOAT", "DOUBLE"),
+        ("BINARY_DOUBLE", "DOUBLE"), ("NCHAR", "CHAR"),
+        ("NCHAR VARYING", "NCHAR VARYING"), ("NCLOB", "LONGTEXT"),
+        ("NUMERIC", "NUMERIC"), ("NVARCHAR2", "VARCHAR"),
+        ("RAW", "VARBINARY"), ("REAL", "DOUBLE"), ("ROWID", "VARCHAR"),
+        ("SMALLINT", "SMALLINT"), ("UROWID", "VARCHAR"),
+        ("VARCHAR2", "VARCHAR"), ("VARCHAR", "VARCHAR"),
+        ("XMLTYPE", "LONGTEXT"),
+    ]
+    for n in range(10):
+        base.append((f"INTERVAL YEAR({n}) TO MONTH", "VARCHAR"))
+    base.append(("TIMESTAMP", "TIMESTAMP"))
+    for n in range(10):
+        base.append((f"TIMESTAMP({n})", "TIMESTAMP"))
+    for n in range(10):
+        base.append((f"TIMESTAMP({n}) WITH TIME ZONE", "TIMESTAMP"))
+    for n in range(10):
+        base.append((f"TIMESTAMP({n}) WITH LOCAL TIME ZONE", "TIMESTAMP"))
+    return base
+
+
+#: Oracle -> MySQL datatype name rules (71 rows, reference
+#: buildin_oracle_rule.go:193-242)
+O2M_DATATYPE_RULES: list[tuple[str, str]] = _o2m_datatype_rules()
+
+#: MySQL -> Oracle datatype name rules (reference
+#: buildin_mysql_rule.go:111-142)
+M2O_DATATYPE_RULES: list[tuple[str, str]] = [
+    ("SMALLINT", "NUMBER"), ("TINYINT", "NUMBER"), ("BIGINT", "NUMBER"),
+    ("DECIMAL", "DECIMAL"), ("DOUBLE", "BINARY_DOUBLE"),
+    ("DOUBLE PRECISION", "BINARY_DOUBLE"), ("FLOAT", "BINARY_FLOAT"),
+    ("INT", "NUMBER"), ("INTEGER", "NUMBER"), ("MEDIUMINT", "NUMBER"),
+    ("NUMERIC", "NUMBER"), ("REAL", "BINARY_FLOAT"), ("BIT", "RAW"),
+    ("DATE", "DATE"), ("DATETIME", "DATE"), ("TIMESTAMP", "TIMESTAMP"),
+    ("TIME", "DATE"), ("YEAR", "NUMBER"), ("BLOB", "BLOB"), ("CHAR", "CHAR"),
+    ("LONGBLOB", "BLOB"), ("LONGTEXT", "CLOB"), ("MEDIUMBLOB", "BLOB"),
+    ("MEDIUMTEXT", "CLOB"), ("TEXT", "CLOB"), ("TINYBLOB", "BLOB"),
+    ("TINYTEXT", "VARCHAR2"), ("VARCHAR", "VARCHAR2"), ("BINARY", "RAW"),
+    ("VARBINARY", "RAW"),
+]
+
+
+def datatype_rule_join(cat: DataFrame, spark) -> DataFrame:
+    """Round-trip every catalog column through the built-in rule
+    tables: MySQL-vocabulary catalog type -> Oracle type (M2O rules)
+    -> MySQL target type (O2M rules).  Both rule tables are broadcast
+    — the reference's in-process map lookups become two broadcast
+    joins; columns with no rule (e.g. array types) drop out."""
+    m2o = spark.createDataFrame(M2O_DATATYPE_RULES, "src_type string, oracle_type string")
+    o2m = spark.createDataFrame(O2M_DATATYPE_RULES, "ora_type string, mysql_type string")
+    return (
+        cat.join(F.broadcast(m2o), cat.data_type == m2o.src_type)
+        .join(F.broadcast(o2m), F.col("oracle_type") == o2m.ora_type)
+        .select("table_name", "column_name", "data_type", "oracle_type", "mysql_type")
+    )
+
+
+#: Oracle -> MySQL column default-value rules (buildin_oracle_rule.go:89-93)
+O2M_DEFAULT_VALUE_RULES: list[tuple[str, str]] = [
+    ("SYSDATE", "NOW()"), ("SYS_GUID()", "UUID()"), ("", "NULL"),
+]
+
+#: MySQL -> Oracle column default-value rules (buildin_oracle_rule.go:101-103)
+M2O_DEFAULT_VALUE_RULES: list[tuple[str, str]] = [
+    ("CURRENT_TIMESTAMP", "SYSDATE"), ("NULL", "NULL"),
+]
+
+
+# ---------------------------------------------------------------------------
 # Rule priority resolution (J4)
 # ---------------------------------------------------------------------------
 
@@ -177,6 +260,22 @@ def schema_to_df(spark, table: str, schema: T.StructType) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "table_name string, col_name string, data_type string, nullable boolean, ordinal int"
+    )
+
+
+def specs_to_df(spark, table: str, specs: list[ColumnSpec]) -> DataFrame:
+    """Full column-dictionary DataFrame — like :func:`schema_to_df` but
+    carrying default values and comments so :func:`struct_compare` can
+    diff them (reference struct_compare_table.go:854-1034 compares
+    datatype + nullable + default + comment per column)."""
+    rows = [
+        (table, s.name, map_type(s)[1], s.nullable, s.default, s.comment, i)
+        for i, s in enumerate(specs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, col_name string, data_type string, nullable boolean, "
+        "default string, comment string, ordinal int",
     )
 
 
@@ -232,24 +331,35 @@ def index_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
 
 def struct_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
     """Metadata diff of two schema DataFrames (as from
-    :func:`schema_to_df`): one row per discrepancy with an ALTER
-    suggestion — the reference's struct_compare output re-expressed as
-    a full-outer metadata join."""
-    s = src.select(
-        "table_name", "col_name",
-        F.col("data_type").alias("src_type"), F.col("nullable").alias("src_nullable"),
-    )
-    d = dst.select(
-        "table_name", "col_name",
-        F.col("data_type").alias("dst_type"), F.col("nullable").alias("dst_nullable"),
-    )
-    j = s.join(d, ["table_name", "col_name"], "full_outer")
+    :func:`schema_to_df` or :func:`specs_to_df`): one row per
+    discrepancy with an ALTER suggestion — the reference's
+    struct_compare output re-expressed as a full-outer metadata join
+    (struct_compare_table.go:854-1034).  Diffs datatype, nullability,
+    and — when the inputs carry them — default values and comments."""
+    def norm(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.col("table_name"), F.col("col_name"),
+            F.col("data_type").alias(f"{side}_type"),
+            F.col("nullable").alias(f"{side}_nullable"),
+        ]
+        for extra in ("default", "comment"):
+            c = F.col(extra) if extra in df.columns else F.lit(None).cast("string")
+            cols.append(c.alias(f"{side}_{extra}"))
+        return df.select(*cols)
+
+    j = norm(src, "src").join(norm(dst, "dst"), ["table_name", "col_name"], "full_outer")
     kind = (
-        F.when(F.col("dst_type").isNull(), "MISSING_IN_DST")
-        .when(F.col("src_type").isNull(), "EXTRA_IN_DST")
+        F.when(F.col("dst_type").isNull() & F.col("dst_nullable").isNull(), "MISSING_IN_DST")
+        .when(F.col("src_type").isNull() & F.col("src_nullable").isNull(), "EXTRA_IN_DST")
         .when(F.col("src_type") != F.col("dst_type"), "TYPE_MISMATCH")
         .when(F.col("src_nullable") != F.col("dst_nullable"), "NULLABILITY")
+        .when(~F.col("src_default").eqNullSafe(F.col("dst_default")), "DEFAULT_MISMATCH")
+        .when(~F.col("src_comment").eqNullSafe(F.col("dst_comment")), "COMMENT_MISMATCH")
         .otherwise("OK")
+    )
+    modify_prefix = F.concat(
+        F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" MODIFY COLUMN `"),
+        F.col("col_name"), F.lit("` "), F.col("src_type"),
     )
     alter = (
         F.when(kind == "MISSING_IN_DST",
@@ -258,14 +368,22 @@ def struct_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
         .when(kind == "EXTRA_IN_DST",
               F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" DROP COLUMN `"),
                        F.col("col_name"), F.lit("`;")))
-        .when(kind == "TYPE_MISMATCH",
-              F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" MODIFY COLUMN `"),
-                       F.col("col_name"), F.lit("` "), F.col("src_type"), F.lit(";")))
+        .when(kind == "TYPE_MISMATCH", F.concat(modify_prefix, F.lit(";")))
         .when(kind == "NULLABILITY",
-              F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" MODIFY COLUMN `"),
-                       F.col("col_name"), F.lit("` "), F.col("src_type"),
+              F.concat(modify_prefix,
                        F.when(F.col("src_nullable"), F.lit(" NULL")).otherwise(F.lit(" NOT NULL")),
                        F.lit(";")))
+        .when(kind == "DEFAULT_MISMATCH",
+              F.when(F.col("src_default").isNull(),
+                     F.concat(F.lit("ALTER TABLE "), F.col("table_name"),
+                              F.lit(" ALTER COLUMN `"), F.col("col_name"),
+                              F.lit("` DROP DEFAULT;")))
+              .otherwise(F.concat(F.lit("ALTER TABLE "), F.col("table_name"),
+                                  F.lit(" ALTER COLUMN `"), F.col("col_name"),
+                                  F.lit("` SET DEFAULT "), F.col("src_default"), F.lit(";"))))
+        .when(kind == "COMMENT_MISMATCH",
+              F.concat(modify_prefix, F.lit(" COMMENT '"),
+                       F.coalesce("src_comment", F.lit("")), F.lit("';")))
         .otherwise(F.lit(None).cast("string"))
     )
     return (
@@ -273,3 +391,119 @@ def struct_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
                  alter.alias("alter_sql"))
         .filter(F.col("kind") != "OK")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec and table-meta compare
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    name: str
+    high_value: str         # range bound / list values, rendered as text
+
+
+def partitions_to_df(spark, table: str, partition_type: str,
+                     parts: list[PartitionSpec]) -> DataFrame:
+    rows = [(table, partition_type, p.name, p.high_value) for p in parts]
+    return spark.createDataFrame(
+        rows, "table_name string, partition_type string, partition_name string, high_value string"
+    )
+
+
+def partition_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Partition-spec diff (reference struct_compare_table.go:45-77
+    type compare + :961-1034 per-partition detail).  A partition-type
+    mismatch is one 'Manual Create Partition Table' row; otherwise
+    partitions diff by (name, high_value) into ADD/DELETE suggestions."""
+    s = src.select(
+        "table_name", F.col("partition_type").alias("src_ptype"),
+        "partition_name", F.col("high_value").alias("src_high"),
+    )
+    d = dst.select(
+        "table_name", F.col("partition_type").alias("dst_ptype"),
+        "partition_name", F.col("high_value").alias("dst_high"),
+    )
+    types = (
+        s.select("table_name", "src_ptype").distinct()
+        .join(d.select("table_name", "dst_ptype").distinct(), "table_name", "full_outer")
+    )
+    type_rows = types.filter(
+        ~F.col("src_ptype").eqNullSafe(F.col("dst_ptype"))
+    ).select(
+        "table_name",
+        F.lit(None).cast("string").alias("partition_name"),
+        F.col("src_ptype").alias("src_value"),
+        F.col("dst_ptype").alias("dst_value"),
+        F.lit("PARTITION_TYPE").alias("kind"),
+        F.lit("Manual Create Partition Table").alias("suggest"),
+    )
+    j = s.join(d, ["table_name", "partition_name"], "full_outer")
+    part_kind = (
+        F.when(F.col("dst_high").isNull() & F.col("dst_ptype").isNull(), "ADD_PARTITION")
+        .when(F.col("src_high").isNull() & F.col("src_ptype").isNull(), "DELETE_PARTITION")
+        .when(F.col("src_high") != F.col("dst_high"), "HIGH_VALUE_MISMATCH")
+        .otherwise("OK")
+    )
+    suggest = (
+        F.when(part_kind == "ADD_PARTITION",
+               F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" ADD PARTITION ("),
+                        F.col("partition_name"), F.lit(" VALUES LESS THAN ("),
+                        F.col("src_high"), F.lit("));")))
+        .when(part_kind == "DELETE_PARTITION",
+              F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" DROP PARTITION "),
+                       F.col("partition_name"), F.lit(";")))
+        .when(part_kind == "HIGH_VALUE_MISMATCH", F.lit("Manual Reorganize Partition"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    part_rows = (
+        j.select(
+            "table_name", "partition_name",
+            F.col("src_high").alias("src_value"), F.col("dst_high").alias("dst_value"),
+            part_kind.alias("kind"), suggest.alias("suggest"),
+        )
+        .filter(F.col("kind") != "OK")
+        # type mismatch -> manual re-create; per-partition detail is
+        # meaningless then (the reference returns early there too)
+        .join(type_rows.select("table_name"), "table_name", "left_anti")
+    )
+    return type_rows.unionAll(part_rows)
+
+
+def table_meta_to_df(spark, rows: list[tuple[str, str | None, str, str]]) -> DataFrame:
+    """(table_name, table_comment, charset, collation) rows."""
+    return spark.createDataFrame(
+        rows, "table_name string, table_comment string, charset string, collation string"
+    )
+
+
+def table_meta_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Table-level attribute diff: comment (struct_compare_table.go:93-
+    133) and charset/collation (:135-186) with ALTER/convert hints."""
+    s = src.select(
+        "table_name", F.col("table_comment").alias("src_comment"),
+        F.col("charset").alias("src_charset"), F.col("collation").alias("src_collation"),
+    )
+    d = dst.select(
+        "table_name", F.col("table_comment").alias("dst_comment"),
+        F.col("charset").alias("dst_charset"), F.col("collation").alias("dst_collation"),
+    )
+    j = s.join(d, "table_name", "full_outer")
+    comment_rows = j.filter(~F.col("src_comment").eqNullSafe(F.col("dst_comment"))).select(
+        "table_name", F.lit("TABLE_COMMENT").alias("kind"),
+        F.col("src_comment").alias("src_value"), F.col("dst_comment").alias("dst_value"),
+        F.concat(F.lit("ALTER TABLE "), F.col("table_name"), F.lit(" COMMENT '"),
+                 F.coalesce("src_comment", F.lit("")), F.lit("';")).alias("suggest"),
+    )
+    charset_rows = j.filter(
+        ~F.col("src_charset").eqNullSafe(F.col("dst_charset"))
+        | ~F.col("src_collation").eqNullSafe(F.col("dst_collation"))
+    ).select(
+        "table_name", F.lit("CHARSET_COLLATION").alias("kind"),
+        F.concat_ws("/", "src_charset", "src_collation").alias("src_value"),
+        F.concat_ws("/", "dst_charset", "dst_collation").alias("dst_value"),
+        F.concat(F.lit("ALTER TABLE "), F.col("table_name"),
+                 F.lit(" CONVERT TO CHARACTER SET "), F.col("src_charset"),
+                 F.lit(" COLLATE "), F.col("src_collation"), F.lit(";")).alias("suggest"),
+    )
+    return comment_rows.unionAll(charset_rows)

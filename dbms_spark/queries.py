@@ -1273,6 +1273,85 @@ def q47_top_tables_by_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q48 — datatype rule-table round trip: each engine derives the column
+# catalog from its OWN metadata (parquet footers vs DESCRIBE) and maps
+# it through the reference's M2O + O2M rule tables as broadcast-join
+# data (buildin_mysql_rule.go:111-142, buildin_oracle_rule.go:193-242)
+# ---------------------------------------------------------------------------
+
+def _q48_sql() -> str:
+    from dbms_spark.operators.structm import M2O_DATATYPE_RULES, O2M_DATATYPE_RULES
+
+    m2o = ", ".join(f"('{s}', '{o}')" for s, o in M2O_DATATYPE_RULES)
+    o2m = ", ".join(f"('{o}', '{m}')" for o, m in O2M_DATATYPE_RULES)
+    return f"""
+WITH {_COLS_CTE},
+m2o(src_type, oracle_type) AS (VALUES {m2o}),
+o2m(ora_type, mysql_type) AS (VALUES {o2m})
+SELECT table_name, column_name, data_type, oracle_type, mysql_type
+FROM cols JOIN m2o ON cols.data_type = m2o.src_type
+JOIN o2m ON m2o.oracle_type = o2m.ora_type
+"""
+
+
+@register("q48_datatype_rule_join", _q48_sql())
+def q48_datatype_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_catalog
+    from dbms_spark.operators.structm import datatype_rule_join
+
+    return datatype_rule_join(column_catalog(spark, sf_dir), spark)
+
+
+# ---------------------------------------------------------------------------
+# q49 — struct compare with default/comment/nullability depth: a
+# constant drifted column dictionary (specs_to_df) diffed by
+# struct_compare; expected diff is a constant -> literal VALUES oracle
+# (the q18 pattern, now covering the deeper diff kinds)
+# ---------------------------------------------------------------------------
+
+_Q49_SQL = """
+SELECT * FROM (VALUES
+  ('account', 'audit_ts', CAST(NULL AS VARCHAR), 'DATETIME(6)', 'EXTRA_IN_DST',
+   'ALTER TABLE account DROP COLUMN `audit_ts`;'),
+  ('account', 'balance', 'DECIMAL(18,2)', 'DECIMAL(18,2)', 'COMMENT_MISMATCH',
+   'ALTER TABLE account MODIFY COLUMN `balance` DECIMAL(18,2) COMMENT '''';'),
+  ('account', 'created', 'DATE', 'DATE', 'DEFAULT_MISMATCH',
+   'ALTER TABLE account ALTER COLUMN `created` SET DEFAULT SYSDATE;'),
+  ('account', 'id', 'BIGINT', 'BIGINT', 'NULLABILITY',
+   'ALTER TABLE account MODIFY COLUMN `id` BIGINT NOT NULL;'),
+  ('account', 'name', 'VARCHAR(50)', 'VARCHAR(30)', 'TYPE_MISMATCH',
+   'ALTER TABLE account MODIFY COLUMN `name` VARCHAR(50);'),
+  ('account', 'status', 'CHAR(1)', CAST(NULL AS VARCHAR), 'MISSING_IN_DST',
+   'ALTER TABLE account ADD COLUMN `status` CHAR(1);')
+) AS t(table_name, col_name, src_type, dst_type, kind, alter_sql)
+"""
+
+
+@register("q49_struct_compare_deep", _Q49_SQL)
+def q49_struct_compare_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import ColumnSpec, specs_to_df, struct_compare
+
+    src = specs_to_df(spark, "account", [
+        ColumnSpec("id", "NUMBER", precision=10, scale=0, nullable=False),
+        ColumnSpec("name", "VARCHAR2", length=50),
+        ColumnSpec("created", "DATE", default="SYSDATE"),
+        ColumnSpec("balance", "NUMBER", precision=18, scale=2, default="0"),
+        ColumnSpec("status", "CHAR", length=1, default="'A'", comment="state flag"),
+        ColumnSpec("legacy", "CLOB"),
+    ])
+    dst = specs_to_df(spark, "account", [
+        ColumnSpec("id", "NUMBER", precision=10, scale=0, nullable=True),
+        ColumnSpec("name", "VARCHAR2", length=30),
+        ColumnSpec("created", "DATE", default="NOW()"),
+        ColumnSpec("balance", "NUMBER", precision=18, scale=2, default="0",
+                   comment="running balance"),
+        ColumnSpec("legacy", "CLOB"),
+        ColumnSpec("audit_ts", "TIMESTAMP"),
+    ])
+    return struct_compare(src, dst)
+
+
+# ---------------------------------------------------------------------------
 # q18 — struct compare (metadata diff).  The drifted target schema is a
 # deterministic constant, so the expected diff is a constant too: the
 # oracle is a literal VALUES relation derived (in Python, at import

@@ -104,3 +104,69 @@ def test_struct_compare_kinds(spark):
     assert out["c"]["kind"] == "MISSING_IN_DST" and "ADD COLUMN" in out["c"]["alter_sql"]
     assert out["d"]["kind"] == "EXTRA_IN_DST" and "DROP COLUMN" in out["d"]["alter_sql"]
     assert "b" not in out
+
+
+def test_struct_compare_default_comment_drift(spark):
+    src = S.specs_to_df(spark, "t", [
+        S.ColumnSpec("a", "INT", default="1", comment="counter"),
+        S.ColumnSpec("b", "VARCHAR", length=10, default="'x'"),
+        S.ColumnSpec("c", "DATE", default="SYSDATE"),
+    ])
+    dst = S.specs_to_df(spark, "t", [
+        S.ColumnSpec("a", "INT", default="1", comment="renamed comment"),
+        S.ColumnSpec("b", "VARCHAR", length=10),          # default dropped
+        S.ColumnSpec("c", "DATE", default="SYSDATE"),     # identical
+    ])
+    out = {r["col_name"]: r for r in S.struct_compare(src, dst).collect()}
+    assert out["a"]["kind"] == "COMMENT_MISMATCH" and "COMMENT 'counter'" in out["a"]["alter_sql"]
+    assert out["b"]["kind"] == "DEFAULT_MISMATCH" and "SET DEFAULT 'x'" in out["b"]["alter_sql"]
+    assert "c" not in out
+    # default dropped on the SOURCE side -> suggest DROP DEFAULT
+    out2 = {r["col_name"]: r for r in S.struct_compare(dst, src).collect()}
+    assert "DROP DEFAULT" in out2["b"]["alter_sql"]
+
+
+def test_partition_compare(spark):
+    src = S.partitions_to_df(spark, "t", "RANGE", [
+        S.PartitionSpec("p2023", "2024-01-01"),
+        S.PartitionSpec("p2024", "2025-01-01"),
+        S.PartitionSpec("p2025", "2026-01-01"),
+    ])
+    dst = S.partitions_to_df(spark, "t", "RANGE", [
+        S.PartitionSpec("p2023", "2024-01-01"),
+        S.PartitionSpec("p2024", "2025-06-01"),  # high value drift
+    ])
+    out = {r["partition_name"]: r for r in S.partition_compare(src, dst).collect()}
+    assert out["p2025"]["kind"] == "ADD_PARTITION" and "ADD PARTITION" in out["p2025"]["suggest"]
+    assert out["p2024"]["kind"] == "HIGH_VALUE_MISMATCH"
+    assert "p2023" not in out
+    # partition TYPE mismatch suppresses per-partition detail (manual path)
+    dst_hash = S.partitions_to_df(spark, "t", "HASH", [S.PartitionSpec("h0", "4")])
+    rows = S.partition_compare(src, dst_hash).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "PARTITION_TYPE"
+    assert rows[0]["suggest"] == "Manual Create Partition Table"
+
+
+def test_table_meta_compare(spark):
+    src = S.table_meta_to_df(spark, [("t", "orders fact", "utf8mb4", "utf8mb4_bin")])
+    dst = S.table_meta_to_df(spark, [("t", None, "latin1", "latin1_swedish_ci")])
+    out = {r["kind"]: r for r in S.table_meta_compare(src, dst).collect()}
+    assert "COMMENT 'orders fact'" in out["TABLE_COMMENT"]["suggest"]
+    assert "CONVERT TO CHARACTER SET utf8mb4" in out["CHARSET_COLLATION"]["suggest"]
+
+
+def test_datatype_rule_tables(spark):
+    # reference cardinality: 30 scalar + 10 interval + 1 + 30 timestamp variants
+    assert len(S.O2M_DATATYPE_RULES) == 71
+    assert dict(S.M2O_DATATYPE_RULES)["VARCHAR"] == "VARCHAR2"
+    assert dict(S.O2M_DATATYPE_RULES)["VARCHAR2"] == "VARCHAR"
+    assert dict(S.O2M_DATATYPE_RULES)["TIMESTAMP(6) WITH LOCAL TIME ZONE"] == "TIMESTAMP"
+    cat = spark.createDataFrame(
+        [("t", "a", 1, "BIGINT"), ("t", "b", 2, "VARCHAR"), ("t", "c", 3, "FLOAT[]")],
+        "table_name string, column_name string, ordinal int, data_type string",
+    )
+    out = {r["column_name"]: r for r in S.datatype_rule_join(cat, spark).collect()}
+    assert out["a"]["oracle_type"] == "NUMBER"
+    assert out["a"]["mysql_type"] == "TINYINT/SMALLINT/INT/BIGINT/DECIMAL"
+    assert out["b"]["oracle_type"] == "VARCHAR2" and out["b"]["mysql_type"] == "VARCHAR"
+    assert "c" not in out  # no rule for array types -> dropped on both engines

@@ -155,9 +155,25 @@ def split_batch_at_ddls(batch: DataFrame) -> list[tuple[DataFrame, dict | None]]
 
 @dataclass
 class ParquetTableStore:
-    """Micro target 'database': one parquet dir per table + a DDL log.
-    Stands in for the reference's JDBC target; the apply semantics
-    (delete-by-key + insert, DDL serialization) are the contract."""
+    """Micro target 'database': a versioned, hash-bucketed parquet
+    table per name + a DDL log.  Stands in for the reference's JDBC
+    target; the apply semantics (delete-by-key + insert, DDL
+    serialization) are the contract (consumer.go:670-807).
+
+    Layout (a minimal manifest-pointer table format):
+
+    - ``<base>/<table>/manifest.json`` — the COMMIT POINT: version,
+      applied watermark, and bucket -> data-dir mapping, replaced
+      atomically (`os.replace`), so a crash anywhere mid-apply leaves
+      the previous fully-consistent snapshot (data + watermark move
+      together — exactly-once survives crashes).
+    - ``<base>/<table>/files/v<N>/_kb=<k>/`` — parquet for key-hash
+      bucket ``k`` committed at version N.  An apply writes ONLY the
+      buckets its keys hash into and re-points untouched buckets at
+      their existing dirs: apply cost is proportional to touched
+      buckets, never O(table).  Unreferenced dirs are GC'd after
+      commit.  ``n_buckets`` bounds per-bucket rewrite size — scale it
+      with the table (thousands at 100 TB)."""
 
     spark: SparkSession
     base_path: str
@@ -165,37 +181,76 @@ class ParquetTableStore:
     key_cols: dict[str, list[str]]     # table -> PK columns
     ddl_rewrite_rules: dict[str, str] = field(default_factory=dict)
     applied_ddls: list[str] = field(default_factory=list)
+    n_buckets: int = 16
 
     def table_path(self, table: str) -> str:
         return os.path.join(self.base_path, table)
+
+    # -- manifest: atomic snapshot pointer --
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.table_path(table), "manifest.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"version": 0, "watermark": -1, "buckets": {}}
+
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        os.makedirs(self.table_path(table), exist_ok=True)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # atomic on POSIX
+
+    def _gc(self, table: str, manifest: dict) -> None:
+        """Remove bucket dirs no snapshot references (runs only after
+        a successful commit; a crash merely leaves orphans for the
+        next GC)."""
+        import shutil
+
+        referenced = set(manifest["buckets"].values())
+        files_root = os.path.join(self.table_path(table), "files")
+        if not os.path.isdir(files_root):
+            return
+        for v in os.listdir(files_root):
+            vdir = os.path.join(files_root, v)
+            for kb in os.listdir(vdir) if os.path.isdir(vdir) else []:
+                rel = os.path.join("files", v, kb)
+                if kb.startswith("_kb=") and rel not in referenced:
+                    shutil.rmtree(os.path.join(vdir, kb), ignore_errors=True)
+            if os.path.isdir(vdir) and not os.listdir(vdir):
+                os.rmdir(vdir)
 
     # -- applied high-watermark (C6): events at or below it are replays
     #    or out-of-order stragglers and must not regress state
     #    (reference: consumer.go:446-448 obsolete-message skip) --
 
-    def _wm_path(self) -> str:
-        return os.path.join(self.base_path, "_watermarks.json")
-
     def get_watermark(self, table: str) -> int:
-        if os.path.exists(self._wm_path()):
-            with open(self._wm_path()) as f:
-                return json.load(f).get(table, -1)
-        return -1
+        return self._read_manifest(table)["watermark"]
 
     def set_watermark(self, table: str, ts: int) -> None:
-        wms = {}
-        if os.path.exists(self._wm_path()):
-            with open(self._wm_path()) as f:
-                wms = json.load(f)
-        wms[table] = max(ts, wms.get(table, -1))
-        with open(self._wm_path(), "w") as f:
-            json.dump(wms, f)
+        m = self._read_manifest(table)
+        m["watermark"] = max(ts, m["watermark"])
+        self._commit_manifest(table, m)
+
+    def _bucket_paths(self, table: str, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+        items = manifest["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(k, v) for k, v in items if k in want]
+        return [os.path.join(self.table_path(table), rel) for _, rel in items]
+
+    def _read_buckets(self, table: str, buckets: list[int] | None = None) -> DataFrame:
+        paths = self._bucket_paths(table, self._read_manifest(table), buckets)
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[table])
+        return self.spark.read.schema(self.schemas[table]).parquet(*paths)
 
     def read(self, table: str) -> DataFrame:
-        p = self.table_path(table)
-        if os.path.exists(p):
-            return self.spark.read.schema(self.schemas[table]).parquet(p)
-        return self.spark.createDataFrame([], self.schemas[table])
+        return self._read_buckets(table)
 
     def execute_ddl(self, ddl: str) -> None:
         ddl = rewrite_ddl(ddl, self.ddl_rewrite_rules)
@@ -204,10 +259,16 @@ class ParquetTableStore:
             f.write(ddl + "\n")
         # C9: a JDBC target would re-read target column metadata here
 
+    def _bucket_expr(self, keys: list[str]) -> F.Column:
+        return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
+
     def apply_dml(self, table: str, events: DataFrame) -> None:
         """Idempotent apply: dedup to terminal event per key, then
         delete+insert (reference: consumer.go:670-807 — both INSERT and
-        UPDATE apply as delete-by-PK + insert)."""
+        UPDATE apply as delete-by-PK + insert).  Reads and rewrites
+        ONLY the key-hash buckets the batch touches; data, bucket
+        pointers, and the applied watermark commit in one atomic
+        manifest replace."""
         keys = self.key_cols[table]
         events = drop_obsolete(events, self.get_watermark(table))
         last = dedup_last_per_key(events, ["key_json"]).cache()
@@ -215,22 +276,41 @@ class ParquetTableStore:
             if last.isEmpty():
                 return
             applied_max = last.agg(F.max("commit_ts")).collect()[0][0]
-            existing = self.read(table)
+            manifest = self._read_manifest(table)
             parsed_keys = last.select(
                 F.from_json("key_json", ", ".join(f"{k} {self._key_type(table, k)}" for k in keys)).alias("k")
             ).select("k.*")
+            touched = sorted(
+                r["_kb"] for r in
+                parsed_keys.select(self._bucket_expr(keys).alias("_kb")).distinct().collect()
+            )
+            existing = self._read_buckets(table, touched)
             survivors = existing.join(F.broadcast(parsed_keys), on=keys, how="left_anti")
             upserts = (
                 last.filter(F.col("query_type") != "DELETE")
                 .select(F.from_json("new_json", self.schemas[table]).alias("r"))
                 .select("r.*")
             )
-            out = survivors.unionByName(upserts)
-            tmp = self.table_path(table) + "__tmp"
-            out.write.mode("overwrite").parquet(tmp)
-            final = self.table_path(table)
-            self.spark.read.schema(self.schemas[table]).parquet(tmp).write.mode("overwrite").parquet(final)
-            self.set_watermark(table, applied_max)
+            out = survivors.unionByName(upserts).withColumn("_kb", self._bucket_expr(keys))
+            version = manifest["version"] + 1
+            stage_rel = os.path.join("files", f"v{version}")
+            stage = os.path.join(self.table_path(table), stage_rel)
+            out.write.partitionBy("_kb").mode("overwrite").parquet(stage)
+            buckets = dict(manifest["buckets"])
+            written = {d for d in os.listdir(stage) if d.startswith("_kb=")} if os.path.isdir(stage) else set()
+            for b in touched:
+                kb = f"_kb={b}"
+                if kb in written:
+                    buckets[str(b)] = os.path.join(stage_rel, kb)
+                else:
+                    buckets.pop(str(b), None)   # bucket emptied by deletes
+            new_manifest = {
+                "version": version,
+                "watermark": max(applied_max, manifest["watermark"]),
+                "buckets": buckets,
+            }
+            self._commit_manifest(table, new_manifest)
+            self._gc(table, new_manifest)
         finally:
             last.unpersist()
 

@@ -223,3 +223,59 @@ def test_windowed_event_counts_batch_shape(spark):
     got = {(r["table_name"], r["window_start"].minute): r["n"] for r in out}
     assert got[("t1", 0)] == 2
     assert got[("t2", 5)] == 1
+
+
+def test_apply_prunes_untouched_buckets(store, spark):
+    """Apply cost must be proportional to touched keys: buckets whose
+    keys aren't in the batch keep their exact data dirs (no rewrite)."""
+    seed = make_events(spark, [
+        ev("t1", "INSERT", i, {"id": i}, {"id": i, "v": f"v{i}"}) for i in range(1, 33)
+    ])
+    store.apply_dml("t1", seed)
+    m1 = store._read_manifest("t1")
+    assert len(m1["buckets"]) > 4  # keys spread over several buckets
+    # update ONE key -> only that key's bucket may change
+    upd = make_events(spark, [ev("t1", "UPDATE", 100, {"id": 7}, {"id": 7, "v": "new"})])
+    store.apply_dml("t1", upd)
+    m2 = store._read_manifest("t1")
+    changed = {b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"].get(b)}
+    assert len(changed) == 1  # exactly the bucket id=7 hashes into
+    untouched_dirs = [os.path.join(store.table_path("t1"), m1["buckets"][b])
+                      for b in m1["buckets"] if b not in changed]
+    assert untouched_dirs and all(os.path.isdir(d) for d in untouched_dirs)
+    got = {r["id"]: r["v"] for r in store.read("t1").collect()}
+    assert got[7] == "new" and got[8] == "v8" and len(got) == 32
+    # old version of the rewritten bucket is GC'd
+    v1_dir = os.path.join(store.table_path("t1"), "files", "v1")
+    live_v1 = {b for b in m2["buckets"].values() if b.startswith(os.path.join("files", "v1"))}
+    if os.path.isdir(v1_dir):
+        kept = {os.path.join("files", "v1", d) for d in os.listdir(v1_dir) if d.startswith("_kb=")}
+        assert kept == live_v1
+
+
+def test_apply_crash_leaves_consistent_snapshot(store, spark, monkeypatch):
+    """A failure before the manifest commit must leave data AND
+    watermark at the previous snapshot (exactly-once across crashes)."""
+    seed = make_events(spark, [
+        ev("t1", "INSERT", 1, {"id": 1}, {"id": 1, "v": "a"}),
+        ev("t1", "INSERT", 2, {"id": 2}, {"id": 2, "v": "b"}),
+    ])
+    store.apply_dml("t1", seed)
+    wm_before = store.get_watermark("t1")
+    before = {r["id"]: r["v"] for r in store.read("t1").collect()}
+
+    def boom(table, manifest):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(store, "_commit_manifest", boom)
+    crash = make_events(spark, [ev("t1", "UPDATE", 9, {"id": 1}, {"id": 1, "v": "X"})])
+    with pytest.raises(RuntimeError):
+        store.apply_dml("t1", crash)
+    monkeypatch.undo()
+    # snapshot unchanged: data and watermark both at the old commit
+    assert {r["id"]: r["v"] for r in store.read("t1").collect()} == before
+    assert store.get_watermark("t1") == wm_before
+    # replaying the same batch after "restart" applies cleanly
+    store.apply_dml("t1", crash)
+    assert {r["id"]: r["v"] for r in store.read("t1").collect()} == {1: "X", 2: "b"}
+    assert store.get_watermark("t1") == 9

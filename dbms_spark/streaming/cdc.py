@@ -62,6 +62,84 @@ def parse_cdc_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("e.*")
 
 
+#: OceanBase OMS DefaultExtendColumnType envelope (reference:
+#: message/oceanbase/message.go:49-71): row images are loose
+#: column->value maps, metadata rides in allMetaData.
+OMS_ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("prevStruct", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("postStruct", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("allMetaData", T.StructType([
+        T.StructField("checkpoint", T.StringType()),
+        T.StructField("record_primary_key", T.StringType()),
+        T.StructField("record_primary_value", T.StringType()),
+        T.StructField("source_identity", T.StringType()),
+        T.StructField("dbType", T.StringType()),
+        T.StructField("storeDataSequence", T.LongType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("uniqueId", T.StringType()),
+        T.StructField("transId", T.StringType()),
+        T.StructField("clusterId", T.StringType()),
+        T.StructField("ddlType", T.StringType()),
+    ])),
+    T.StructField("recordType", T.StringType()),
+])
+
+#: OMS joins composite PK names/values with \x01
+#: (message/oceanbase/message.go:117-118)
+_OMS_PK_SEP = "\x01"
+
+
+def parse_oms_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S8: decode OceanBase OMS envelopes into the shared CDC event
+    shape — the second protocol through the same downstream pipeline
+    (reference: message/oceanbase/decoder.go + message.go:78-250):
+
+    - ``db`` is tenant-qualified (``tenant.schema``) -> schema part
+      (message.go:82,106)
+    - commit ts = ``storeDataSequence`` (message.go:244)
+    - composite PKs split on \\x01 and re-zipped into the key object
+      (message.go:117-118)
+    - DDL text rides in ``postStruct['ddl']`` (message.go:96)
+    - HEARTBEAT records carry no row change and are dropped
+      (decoder.go:120)
+    - ``__``-prefixed marker columns (``__light_type``) are envelope
+      metadata, not row data (message.go:231-238)
+
+    Pure ``from_json`` + map expressions — no Python row UDFs."""
+    e = raw.select(
+        F.from_json(F.col(value_col).cast("string"), OMS_ENVELOPE_SCHEMA).alias("m")
+    ).filter(F.col("m.recordType") != "HEARTBEAT")
+    meta = "m.allMetaData"
+    row_types = ("INSERT", "UPDATE", "DELETE")
+    strip_markers = "map_filter(m.{side}, (k, v) -> NOT startswith(k, '__'))"
+    key_json = F.to_json(F.map_from_arrays(
+        F.split(F.col(f"{meta}.record_primary_key"), _OMS_PK_SEP),
+        F.split(F.col(f"{meta}.record_primary_value"), _OMS_PK_SEP),
+    ))
+    return e.select(
+        F.coalesce(
+            F.split(F.col(f"{meta}.db"), r"\.").getItem(1), F.col(f"{meta}.db")
+        ).alias("schema_name"),
+        F.col(f"{meta}.table_name").alias("table_name"),
+        F.col("m.recordType").alias("query_type"),
+        F.col(f"{meta}.storeDataSequence").alias("commit_ts"),
+        F.when(F.col("m.recordType").isin(*row_types), key_json).alias("key_json"),
+        F.when(
+            F.col("m.recordType").isin(*row_types),
+            F.to_json(F.expr(strip_markers.format(side="postStruct"))),
+        ).alias("new_json"),
+        F.when(
+            F.col("m.recordType").isin(*row_types)
+            & (F.size(F.col("m.prevStruct")) > 0),
+            F.to_json(F.expr(strip_markers.format(side="prevStruct"))),
+        ).alias("old_json"),
+        (F.col("m.recordType") == "DDL").alias("is_ddl"),
+        F.element_at(F.col("m.postStruct"), "ddl").alias("ddl_query"),
+    )
+
+
 def kafka_cdc_stream(spark: SparkSession, brokers: str, topic: str,
                      starting_offsets: str = "earliest") -> DataFrame:
     """S7/S8 Kafka CDC source -> parsed event stream.  Requires the
@@ -277,19 +355,19 @@ class ParquetTableStore:
                 return
             applied_max = last.agg(F.max("commit_ts")).collect()[0][0]
             manifest = self._read_manifest(table)
-            parsed_keys = last.select(
-                F.from_json("key_json", ", ".join(f"{k} {self._key_type(table, k)}" for k in keys)).alias("k")
-            ).select("k.*")
+            parsed_keys = self._parse_typed(last, "key_json", {
+                k: self._key_type(table, k) for k in keys
+            })
             touched = sorted(
                 r["_kb"] for r in
                 parsed_keys.select(self._bucket_expr(keys).alias("_kb")).distinct().collect()
             )
             existing = self._read_buckets(table, touched)
             survivors = existing.join(F.broadcast(parsed_keys), on=keys, how="left_anti")
-            upserts = (
-                last.filter(F.col("query_type") != "DELETE")
-                .select(F.from_json("new_json", self.schemas[table]).alias("r"))
-                .select("r.*")
+            schema = T._parse_datatype_string(self.schemas[table])
+            upserts = self._parse_typed(
+                last.filter(F.col("query_type") != "DELETE"), "new_json",
+                {f.name: f.dataType.simpleString() for f in schema.fields},
             )
             out = survivors.unionByName(upserts).withColumn("_kb", self._bucket_expr(keys))
             version = manifest["version"] + 1
@@ -313,6 +391,17 @@ class ParquetTableStore:
             self._gc(table, new_manifest)
         finally:
             last.unpersist()
+
+    def _parse_typed(self, df: DataFrame, col: str, types: dict[str, str]) -> DataFrame:
+        """Parse a JSON object column into typed columns, tolerating
+        string-quoted scalars: the TiCDC-ish envelope carries typed
+        JSON values while OMS carries everything as strings
+        (message/oceanbase/message.go postStruct is map[string]any) —
+        parsing as all-strings then casting accepts both."""
+        as_strings = ", ".join(f"{name} string" for name in types)
+        return df.select(F.from_json(F.col(col), as_strings).alias("r")).select(
+            *[F.col(f"r.{name}").cast(t).alias(name) for name, t in types.items()]
+        )
 
     def _key_type(self, table: str, key: str) -> str:
         schema = T._parse_datatype_string(self.schemas[table])

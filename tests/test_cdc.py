@@ -279,3 +279,54 @@ def test_apply_crash_leaves_consistent_snapshot(store, spark, monkeypatch):
     store.apply_dml("t1", crash)
     assert {r["id"]: r["v"] for r in store.read("t1").collect()} == {1: "X", 2: "b"}
     assert store.get_watermark("t1") == 9
+
+
+def oms_msg(rtype, db, table, seq, pk=None, pkv=None, post=None, prev=None, ddl=None):
+    m = {
+        "recordType": rtype,
+        "prevStruct": ({**prev, "__light_type": "1"} if prev is not None else
+                       {"__light_type": "1"}),
+        "postStruct": (post if post is not None else ({"ddl": ddl} if ddl else None)),
+        "allMetaData": {
+            "checkpoint": "cp", "record_primary_key": pk, "record_primary_value": pkv,
+            "source_identity": "src", "dbType": "OB_MYSQL", "storeDataSequence": seq,
+            "table_name": table, "db": db, "timestamp": str(seq), "uniqueId": "u",
+            "transId": "tx", "clusterId": "c1", "ddlType": "ALTER TABLE" if ddl else None,
+        },
+    }
+    return (json.dumps(m),)
+
+
+def test_oms_envelope_decode_and_apply(store, spark):
+    """S8: OMS-shaped messages decode into the shared event shape and
+    run the SAME downstream pipeline (barrier, dedup, apply)."""
+    raw = spark.createDataFrame([
+        oms_msg("INSERT", "tenant1.db", "t1", 5, "id", "1", {"id": "1", "v": "a"}),
+        oms_msg("INSERT", "tenant1.db", "t1", 6, "id", "2", {"id": "2", "v": "b"}),
+        oms_msg("HEARTBEAT", "tenant1.db", "t1", 7),
+        oms_msg("UPDATE", "tenant1.db", "t1", 8, "id", "2",
+                {"id": "2", "v": "b2"}, prev={"id": "2", "v": "b"}),
+        oms_msg("DDL", "tenant1.db", "t1", 9, ddl="ALTER TABLE t1 ADD COLUMN z INT"),
+        oms_msg("DELETE", "tenant1.db", "t1", 10, "id", "1",
+                prev={"id": "1", "v": "a"}),
+    ], "value string")
+    events = cdc.parse_oms_json(raw)
+    rows = {r["commit_ts"]: r for r in events.collect()}
+    assert len(rows) == 5  # heartbeat dropped
+    assert rows[5]["schema_name"] == "db" and rows[5]["table_name"] == "t1"
+    assert json.loads(rows[5]["key_json"]) == {"id": "1"}
+    assert json.loads(rows[8]["old_json"]) == {"id": "2", "v": "b"}  # marker stripped
+    assert rows[9]["is_ddl"] and rows[9]["ddl_query"].startswith("ALTER TABLE")
+    assert rows[10]["query_type"] == "DELETE" and rows[10]["new_json"] is None
+    cdc.apply_cdc_batch(store, events)
+    assert {r["id"]: r["v"] for r in store.read("t1").collect()} == {2: "b2"}
+    assert store.applied_ddls == ["ALTER TABLE t1 ADD COLUMN z INT"]
+
+
+def test_oms_composite_pk_split(spark):
+    raw = spark.createDataFrame([
+        oms_msg("INSERT", "tenant1.db", "t2", 3, "a\x01b", "x\x011",
+                {"a": "x", "b": "1", "v": "y"}),
+    ], "value string")
+    row = cdc.parse_oms_json(raw).collect()[0]
+    assert json.loads(row["key_json"]) == {"a": "x", "b": "1"}

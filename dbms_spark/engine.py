@@ -96,8 +96,12 @@ class DbmsEngine:
                           cols: list[str] | None = None) -> DataFrame:
         return compare_ops.multiset_diff(src, dst, cols)
 
-    def gen_fix_sql(self, diff: DataFrame, table: str, cols: list[str]) -> list[str]:
-        return compare_ops.gen_fix_sql(diff, table, cols)
+    def gen_fix_sql(self, diff: DataFrame, table: str, cols: list[str],
+                    dialect: str = "mysql", safe_mode: bool = False,
+                    sql_hint: str = "") -> list[str]:
+        return compare_ops.gen_fix_sql(
+            diff, table, cols, dialect=dialect, safe_mode=safe_mode, sql_hint=sql_hint
+        )
 
     # -- scan / assess ---------------------------------------------------
 

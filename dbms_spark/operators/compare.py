@@ -331,29 +331,131 @@ def compare_table(
     return CompareReport(len(bad) == 0, src_cnt, dst_cnt, sorted(r["chunk_id"] for r in bad))
 
 
+#: identifier quote per dialect (MySQL-compatible backticks vs ANSI)
+_IDENT_QUOTE = {"mysql": "`", "tidb": "`", "oracle": '"', "postgres": '"'}
+
+
+def _qident(name: str, dialect: str) -> str:
+    q = _IDENT_QUOTE[dialect]
+    return ".".join(f"{q}{part}{q}" for part in name.split("."))
+
+
+def _gen_insert(table: str, cols: list[str], values: str, dialect: str,
+                safe_mode: bool, sql_hint: str) -> str:
+    """One repair upsert/insert in the target dialect (reference:
+    processor_translate_mysql.go:40,81 REPLACE INTO;
+    processor_translate_oracle.go:27-78 MERGE INTO ... FROM DUAL;
+    processor_translate_postgres.go:58-62 ON CONFLICT DO UPDATE)."""
+    t = _qident(table, dialect)
+    qcols = [_qident(c, dialect) for c in cols]
+    hint = f"{sql_hint} " if sql_hint else ""
+    col_list = ", ".join(qcols)
+    if not safe_mode:
+        return f"INSERT {hint}INTO {t} ({col_list}) VALUES ({values});"
+    if dialect in ("mysql", "tidb"):
+        return f"REPLACE {hint}INTO {t} ({col_list}) VALUES ({values});"
+    if dialect == "oracle":
+        selects = ", ".join(
+            f"{v.strip()} AS {c}" for v, c in zip(_split_values(values), qcols)
+        )
+        on = " AND ".join(f"T1.{c} = T2.{c}" for c in qcols)
+        t2_cols = ", ".join(f"T2.{c}" for c in qcols)
+        # the reference keys the MERGE on every column; a MATCHED row is
+        # then already identical, so no UPDATE clause is emitted
+        return (
+            f"MERGE {hint}INTO {t} T1 USING (SELECT {selects} FROM DUAL) T2 ON ({on}) "
+            f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({t2_cols});"
+        )
+    if dialect == "postgres":
+        updates = ", ".join(f"{c} = excluded.{c}" for c in qcols)
+        return (
+            f"INSERT {hint}INTO {t} ({col_list}) VALUES ({values}) "
+            f"ON CONFLICT ({col_list}) DO UPDATE SET {updates};"
+        )
+    raise ValueError(f"unknown dialect {dialect}")
+
+
+def _split_values(values: str) -> list[str]:
+    """Split a rendered value list on top-level commas (quotes-aware)."""
+    out, depth, quoted, cur = [], 0, False, []
+    i = 0
+    while i < len(values):
+        ch = values[i]
+        if quoted:
+            if ch == "'" and i + 1 < len(values) and values[i + 1] == "'":
+                cur.append("''")
+                i += 2
+                continue
+            if ch == "'":
+                quoted = False
+        elif ch == "'":
+            quoted = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _gen_delete(table: str, conds: str, n: int, dialect: str, sql_hint: str) -> str:
+    """Delete exactly ``n`` surplus copies of one row shape.  The
+    reference renders ``DELETE ... LIMIT n`` for every dialect
+    (processor_translate_{mysql,oracle,postgres}.go:134,:137,:88) —
+    valid only on MySQL/TiDB; here Oracle uses ROWNUM and Postgres a
+    ctid subselect so the scripts actually run."""
+    t = _qident(table, dialect)
+    hint = f"{sql_hint} " if sql_hint else ""
+    if dialect in ("mysql", "tidb"):
+        return f"DELETE {hint}FROM {t} WHERE {conds} LIMIT {n};"
+    if dialect == "oracle":
+        return f"DELETE {hint}FROM {t} WHERE {conds} AND ROWNUM <= {n};"
+    if dialect == "postgres":
+        return (
+            f"DELETE {hint}FROM {t} WHERE ctid IN "
+            f"(SELECT ctid FROM {t} WHERE {conds} LIMIT {n});"
+        )
+    raise ValueError(f"unknown dialect {dialect}")
+
+
 def gen_fix_sql(
     diff: DataFrame,
     table: str,
     cols: list[str],
     max_statements: int = 10_000,
+    dialect: str = "mysql",
+    safe_mode: bool = False,
+    sql_hint: str = "",
 ) -> list[str]:
     """Render repair SQL from a :func:`multiset_diff` result
-    (reference: fix-SQL file generation data_compare_file.go:66-215).
-    DELETE where dst has surplus copies, INSERT where dst is short.
-    The diff result is mismatches-only, hence small; cap defensively.
-    """
+    (reference: fix-SQL file generation data_compare_file.go:66-215,
+    dialect translation processor_translate_{mysql,oracle,postgres}.go).
+    DELETE where dst has surplus copies, INSERT (or the dialect's
+    safe-mode upsert) where dst is short.  The diff result is
+    mismatches-only, hence small; cap defensively."""
     from dbms_spark.plans.chunker import sql_literal
 
     stmts: list[str] = []
     for r in diff.limit(max_statements).collect():
         d = r.asDict()
         delta = d["src_cnt"] - d["dst_cnt"]
-        values = ", ".join(sql_literal(d[c]) for c in cols)
+        values = ", ".join(sql_literal(d[c], dialect) for c in cols)
+        q = _IDENT_QUOTE[dialect]
         conds = " AND ".join(
-            f"`{c}` IS NULL" if d[c] is None else f"`{c}` = {sql_literal(d[c])}" for c in cols
+            f"{q}{c}{q} IS NULL" if d[c] is None else f"{q}{c}{q} = {sql_literal(d[c], dialect)}"
+            for c in cols
         )
         if delta > 0:
-            stmts.extend([f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({values});"] * delta)
+            stmt = _gen_insert(table, cols, values, dialect, safe_mode, sql_hint)
+            # a safe-mode upsert is idempotent per row shape: one is enough
+            stmts.extend([stmt] * (1 if safe_mode else delta))
         else:
-            stmts.append(f"DELETE FROM {table} WHERE {conds} LIMIT {-delta};")
+            stmts.append(_gen_delete(table, conds, -delta, dialect, sql_hint))
     return stmts

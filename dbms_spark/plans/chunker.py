@@ -87,11 +87,18 @@ def plan_chunks(
     return ChunkPlan(tuple(key_cols), tuple(deduped))
 
 
-def sql_literal(v) -> str:
+def sql_literal(v, dialect: str = "mysql") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        hx = bytes(v).hex().upper()
+        if dialect == "oracle":
+            return f"HEXTORAW('{hx}')"
+        if dialect == "postgres":
+            return f"'\\x{hx}'::bytea"
+        return f"X'{hx}'"  # MySQL/TiDB hex literal
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):

@@ -149,3 +149,46 @@ def test_gen_fix_sql(orders, mutated, spark):
     assert n_insert == sums["ins"]
     assert n_delete == diff.filter("dst_cnt > src_cnt").count()
     assert all(s.endswith(";") for s in stmts)
+
+
+def test_gen_fix_sql_dialects(spark):
+    import datetime
+
+    from dbms_spark.plans.chunker import sql_literal
+
+    diff = spark.createDataFrame(
+        [(1, "O'Neil", bytearray(b"\x01\xab"), 2, 0),   # missing in dst: insert 2
+         (2, "x", bytearray(b"\xff"), 0, 3)],           # surplus in dst: delete 3
+        "id long, name string, payload binary, src_cnt long, dst_cnt long",
+    )
+    cols = ["id", "name", "payload"]
+    # binary literals render per dialect (not str(bytearray) — ADVICE fix)
+    assert sql_literal(b"\x01\xab") == "X'01AB'"
+    assert sql_literal(b"\x01\xab", "oracle") == "HEXTORAW('01AB')"
+    assert sql_literal(b"\x01\xab", "postgres") == "'\\x01AB'::bytea"
+    assert sql_literal(datetime.date(2020, 1, 2)) == "DATE '2020-01-02'"
+
+    my = X.gen_fix_sql(diff, "db.t", cols, dialect="mysql")
+    assert sum(s.startswith("INSERT INTO `db`.`t`") for s in my) == 2
+    assert any(s == "DELETE FROM `db`.`t` WHERE `id` = 2 AND `name` = 'x' "
+                    "AND `payload` = X'FF' LIMIT 3;" for s in my)
+    assert any("X'01AB'" in s for s in my)
+
+    my_safe = X.gen_fix_sql(diff, "db.t", cols, dialect="mysql", safe_mode=True)
+    assert sum(s.startswith("REPLACE INTO `db`.`t`") for s in my_safe) == 1  # idempotent: one
+
+    ora = X.gen_fix_sql(diff, "db.t", cols, dialect="oracle", safe_mode=True)
+    merge = next(s for s in ora if s.startswith("MERGE"))
+    assert 'USING (SELECT 1 AS "id", \'O\'\'Neil\' AS "name", '\
+           'HEXTORAW(\'01AB\') AS "payload" FROM DUAL) T2' in merge
+    assert "WHEN NOT MATCHED THEN INSERT" in merge and "WHEN MATCHED" not in merge
+    assert any("ROWNUM <= 3" in s and "LIMIT" not in s for s in ora)
+
+    pg = X.gen_fix_sql(diff, "db.t", cols, dialect="postgres", safe_mode=True)
+    ins = next(s for s in pg if s.startswith("INSERT"))
+    assert 'ON CONFLICT ("id", "name", "payload") DO UPDATE SET "id" = excluded."id"' in ins
+    delete = next(s for s in pg if s.startswith("DELETE"))
+    assert 'ctid IN (SELECT ctid FROM "db"."t" WHERE' in delete and "LIMIT 3" in delete
+
+    hinted = X.gen_fix_sql(diff, "t", cols, dialect="tidb", sql_hint="/*+ HINT */")
+    assert all("/*+ HINT */" in s for s in hinted)

@@ -68,8 +68,10 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
         # (< 1e38), then normalized engine repr.  try_cast nulls on
         # overflow instead of throwing under ANSI mode; NaN/±Inf get
         # fixed literals (a plain decimal cast would throw on them).
-        dec10 = _trim_zeros_spark(col.try_cast(T.DecimalType(38, 10)).cast("string"))
-        dec0 = _trim_zeros_spark(col.try_cast(T.DecimalType(38, 0)).cast("string"))
+        # scale-10 strings always contain '.', so the cheap rtrim trim
+        # applies; the scale-0 cast is an integer string — nothing to trim
+        dec10 = _trim_zeros_dot_spark(col.try_cast(T.DecimalType(38, 10)).cast("string"))
+        dec0 = col.try_cast(T.DecimalType(38, 0)).cast("string")
         out = (
             F.when(F.isnan(col), F.lit("NaN"))
             .when(col == F.lit(float("inf")), F.lit("Infinity"))
@@ -77,7 +79,11 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
             .otherwise(F.coalesce(dec10, dec0, _norm_repr_spark(col.cast("string"))))
         )
     elif isinstance(dtype, T.DecimalType):
-        out = _trim_zeros_spark(col.cast("string"))
+        # scale 0 -> integer string, no fraction to trim; scale > 0 ->
+        # the string always contains '.', so two rtrims replace the
+        # per-value regexp (the checksum hot path's dominant cost)
+        s = col.cast("string")
+        out = s if dtype.scale == 0 else _trim_zeros_dot_spark(s)
     elif isinstance(dtype, T.StringType):
         out = F.when(col == "", F.lit(None).cast("string")).otherwise(col) if oracle_empty_is_null else col
     elif isinstance(dtype, T.DateType):
@@ -97,6 +103,13 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
 
 def _trim_zeros_spark(s: Column) -> Column:
     return F.regexp_replace(s, _TRIM_RE, r"$1")
+
+
+def _trim_zeros_dot_spark(s: Column) -> Column:
+    """Trailing-zero trim for strings KNOWN to contain a decimal point
+    (any DECIMAL(p, s>0) cast): two rtrims, no regexp — equivalent to
+    :data:`_TRIM_RE` on that domain and far cheaper per value."""
+    return F.rtrim(F.rtrim(s, F.lit("0")), F.lit("."))
 
 
 def _norm_repr_spark(s: Column) -> Column:
@@ -230,7 +243,7 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
         # Tiered like the Spark emission: TRY_CAST nulls on overflow,
         # NaN/±Inf get fixed literals, >=1e38 falls back to the
         # normalized shortest repr.
-        dec10 = _trim_zeros_sql(
+        dec10 = _trim_zeros_dot_sql(
             f"CAST(TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR)"
         )
         # the < 1e38 guard matters: DuckDB's DECIMAL(38,0) is int128-
@@ -238,10 +251,8 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
         # (true 38-digit precision) rejects
         dec0 = (
             f"(CASE WHEN abs({col}) < 1e38 THEN "
-            + _trim_zeros_sql(
-                f"CAST(TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR)"
-            )
-            + " END)"
+            f"CAST(TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,0)) AS VARCHAR)"
+            " END)"
         )
         fallback = _norm_repr_sql(f"CAST({col} AS VARCHAR)")
         return (
@@ -251,7 +262,8 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
             f"ELSE COALESCE({dec10}, {dec0}, {fallback}) END)"
         )
     if isinstance(dtype, T.DecimalType):
-        return _trim_zeros_sql(f"CAST({col} AS VARCHAR)")
+        s = f"CAST({col} AS VARCHAR)"
+        return s if dtype.scale == 0 else _trim_zeros_dot_sql(s)
     if isinstance(dtype, T.StringType):
         if oracle_empty_is_null:
             return f"(CASE WHEN {col} = '' THEN NULL ELSE {col} END)"
@@ -272,6 +284,12 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
 def _trim_zeros_sql(s: str) -> str:
     # DuckDB (RE2) uses \1 backreferences where Spark (Java regex) uses $1.
     return "regexp_replace(" + s + r", '(\.\d*[1-9])0+$|\.0*$', '\1')"
+
+
+def _trim_zeros_dot_sql(s: str) -> str:
+    """DuckDB twin of :func:`_trim_zeros_dot_spark` (input must
+    contain a decimal point)."""
+    return f"rtrim(rtrim({s}, '0'), '.')"
 
 
 def _norm_repr_sql(s: str) -> str:

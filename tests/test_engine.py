@@ -36,7 +36,7 @@ def test_compare_detects_and_fixes(spark, sf_dir, tmp_path):
     assert not report.equal
     diff = eng.compare_drilldown(src, dst)
     stmts = eng.gen_fix_sql(diff, "nation", src.columns)
-    assert len(stmts) == 1 and stmts[0].startswith("INSERT INTO nation")
+    assert len(stmts) == 1 and stmts[0].startswith("INSERT INTO `nation`")
 
 
 def test_sql_migrate(spark, sf_dir, tmp_path):

@@ -370,27 +370,34 @@ class ParquetTableStore:
                 {f.name: f.dataType.simpleString() for f in schema.fields},
             )
             out = survivors.unionByName(upserts).withColumn("_kb", self._bucket_expr(keys))
-            version = manifest["version"] + 1
-            stage_rel = os.path.join("files", f"v{version}")
-            stage = os.path.join(self.table_path(table), stage_rel)
-            out.write.partitionBy("_kb").mode("overwrite").parquet(stage)
-            buckets = dict(manifest["buckets"])
-            written = {d for d in os.listdir(stage) if d.startswith("_kb=")} if os.path.isdir(stage) else set()
-            for b in touched:
-                kb = f"_kb={b}"
-                if kb in written:
-                    buckets[str(b)] = os.path.join(stage_rel, kb)
-                else:
-                    buckets.pop(str(b), None)   # bucket emptied by deletes
-            new_manifest = {
-                "version": version,
-                "watermark": max(applied_max, manifest["watermark"]),
-                "buckets": buckets,
-            }
-            self._commit_manifest(table, new_manifest)
-            self._gc(table, new_manifest)
+            self._commit_buckets(table, manifest, touched, out, applied_max)
         finally:
             last.unpersist()
+
+    def _commit_buckets(self, table: str, manifest: dict, touched: list[int],
+                        out: DataFrame, applied_max: int) -> None:
+        """Write the touched buckets of ``out`` (must carry ``_kb``) as
+        a new version, then atomically commit manifest (bucket pointers
+        + watermark) and GC unreferenced dirs."""
+        version = manifest["version"] + 1
+        stage_rel = os.path.join("files", f"v{version}")
+        stage = os.path.join(self.table_path(table), stage_rel)
+        out.write.partitionBy("_kb").mode("overwrite").parquet(stage)
+        buckets = dict(manifest["buckets"])
+        written = {d for d in os.listdir(stage) if d.startswith("_kb=")} if os.path.isdir(stage) else set()
+        for b in touched:
+            kb = f"_kb={b}"
+            if kb in written:
+                buckets[str(b)] = os.path.join(stage_rel, kb)
+            else:
+                buckets.pop(str(b), None)   # bucket emptied by deletes
+        new_manifest = {
+            "version": version,
+            "watermark": max(applied_max, manifest["watermark"]),
+            "buckets": buckets,
+        }
+        self._commit_manifest(table, new_manifest)
+        self._gc(table, new_manifest)
 
     def _parse_typed(self, df: DataFrame, col: str, types: dict[str, str]) -> DataFrame:
         """Parse a JSON object column into typed columns, tolerating

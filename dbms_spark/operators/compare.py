@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbms_spark.functions import canonical as C
 from dbms_spark.plans.chunker import ChunkPlan, assign_chunk_id
@@ -76,6 +77,52 @@ def multiset_diff(
     return (
         joined.select(
             *cols,
+            F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
+            F.coalesce(F.col("dst_cnt"), F.lit(0)).alias("dst_cnt"),
+        )
+        .filter(F.col("src_cnt") != F.col("dst_cnt"))
+    )
+
+
+def multiset_diff_collated(
+    src: DataFrame,
+    dst: DataFrame,
+    cols: list[str] | None = None,
+    collation: str = "UTF8_LCASE",
+) -> DataFrame:
+    """J1 under a non-binary collation: rows whose string fields are
+    equal under ``collation`` cancel out regardless of binary form —
+    the compare-side answer to linguistic-collation sources (the
+    reference's NLSSORT boundary concern, utils/structure/chunk.go:
+    80-95, applied to row equality).  Non-string columns compare
+    binary as usual.
+
+    Output: one row per collation-equivalence class with disagreeing
+    multiplicities; string fields report the class's minimum binary
+    representative (deterministic)."""
+    cols = cols or src.columns
+    fields = {f.name: f.dataType for f in src.schema.fields}
+
+    def grouped(df: DataFrame, cnt_alias: str) -> DataFrame:
+        gkeys = [
+            (F.collate(F.col(c), collation) if isinstance(fields[c], T.StringType) else F.col(c))
+            .alias(f"__g_{c}")
+            for c in cols
+        ]
+        return df.groupBy(*gkeys).agg(
+            F.count(F.lit(1)).alias(cnt_alias),
+            *[F.min(c).alias(c) for c in cols],
+        )
+
+    a = grouped(src, "src_cnt")
+    b = grouped(dst, "dst_cnt").select(
+        *[F.col(f"__g_{c}") for c in cols], "dst_cnt",
+        *[F.col(c).alias(f"__d_{c}") for c in cols],
+    )
+    j = a.join(b, on=[f"__g_{c}" for c in cols], how="full_outer")
+    return (
+        j.select(
+            *[F.coalesce(F.col(c), F.col(f"__d_{c}")).alias(c) for c in cols],
             F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
             F.coalesce(F.col("dst_cnt"), F.lit(0)).alias("dst_cnt"),
         )

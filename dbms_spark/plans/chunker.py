@@ -42,10 +42,27 @@ class ChunkPlan:
     #: sorted upper boundaries, one tuple per internal cut point
     #: (n_chunks - 1 entries); chunk i covers (bounds[i-1], bounds[i]]
     bounds: tuple[tuple, ...]
+    #: non-binary string ordering for boundary comparisons (a Spark
+    #: collation name, e.g. UNICODE or UTF8_LCASE).  The reference hits
+    #: the same problem as NLSSORT chunk boundaries on a linguistic-
+    #: collation Oracle source (utils/structure/chunk.go:80-95): with
+    #: binary comparisons the chunks would tile a DIFFERENT order than
+    #: the source's, mis-bucketing rows near boundaries.  Stored on the
+    #: plan so planning and assignment can never disagree.
+    collation: str | None = None
 
     @property
     def n_chunks(self) -> int:
         return len(self.bounds) + 1
+
+
+def _collated(col: Column, dtype, collation: str | None) -> Column:
+    """Apply the plan's collation to string columns (no-op otherwise)."""
+    from pyspark.sql import types as T
+
+    if collation and isinstance(dtype, T.StringType):
+        return F.collate(col, collation)
+    return col
 
 
 def plan_chunks(
@@ -54,27 +71,33 @@ def plan_chunks(
     n_chunks: int,
     sample_rows: int = 100_000,
     total_rows: int | None = None,
+    collation: str | None = None,
 ) -> ChunkPlan:
     """Equal-count chunk boundaries from a bounded sample.
 
     Mirrors the reference's equal-count bucket generation
     (utils/structure/bucket.go:228 StringSliceCreateBuckets) with
     ``ntile`` — the idiomatic Spark replacement for remote histograms.
+    With ``collation`` set, string keys order and tile under that
+    collation (the NLSSORT case), and the returned plan carries it so
+    :func:`assign_chunk_id` compares the same way.
     """
     if n_chunks < 2:
-        return ChunkPlan(tuple(key_cols), ())
+        return ChunkPlan(tuple(key_cols), (), collation)
     total = total_rows if total_rows is not None else df.count()
     if total == 0:
-        return ChunkPlan(tuple(key_cols), ())
+        return ChunkPlan(tuple(key_cols), (), collation)
+    fields = {f.name: f.dataType for f in df.schema.fields}
     fraction = min(1.0, sample_rows / max(total, 1))
     sample = df.select(*key_cols)
     if fraction < 1.0:
         sample = sample.sample(fraction=fraction, seed=42)
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    ckeys = [_collated(F.col(c), fields[c], collation) for c in key_cols]
+    w = Window.orderBy(*ckeys)
     tiles = (
         sample.withColumn("__nt", F.ntile(n_chunks).over(w))
         .groupBy("__nt")
-        .agg(F.max(F.struct(*[F.col(c) for c in key_cols])).alias("__hi"))
+        .agg(F.max(F.struct(*ckeys)).alias("__hi"))
         .orderBy("__nt")
         .collect()
     )
@@ -84,7 +107,7 @@ def plan_chunks(
     for b in bounds:
         if not deduped or b != deduped[-1]:
             deduped.append(b)
-    return ChunkPlan(tuple(key_cols), tuple(deduped))
+    return ChunkPlan(tuple(key_cols), tuple(deduped), collation)
 
 
 def sql_literal(v, dialect: str = "mysql") -> str:
@@ -108,47 +131,59 @@ def sql_literal(v, dialect: str = "mysql") -> str:
     return str(v)
 
 
-def _eq(col: str, v) -> str:
+def _ident(col: str, v, collation: str | None) -> str:
+    """Rendered column reference; string comparisons under a collated
+    plan carry the COLLATE clause (same syntax in Spark SQL and MySQL;
+    an Oracle target would need NLSSORT — out of scope, documented)."""
+    if collation and isinstance(v, str):
+        return f"`{col}` COLLATE {collation}"
+    return f"`{col}`"
+
+
+def _eq(col: str, v, collation: str | None = None) -> str:
     """Null-safe equality (boundary values can be NULL when the sampled
     key is null-heavy)."""
-    return f"`{col}` IS NULL" if v is None else f"`{col}` = {sql_literal(v)}"
+    return f"`{col}` IS NULL" if v is None else f"{_ident(col, v, collation)} = {sql_literal(v)}"
 
 
-def _cmp(col: str, op: str, v) -> str:
+def _cmp(col: str, op: str, v, collation: str | None = None) -> str:
     """One comparison under NULLS-FIRST ordering (NULL sorts below every
     value — Spark's default ASC ordering, which :func:`plan_chunks` uses
     when it ntiles the sample, and the ordering
     :func:`assign_chunk_id`'s struct comparison induces: a NULL field
     never satisfies ``>``).  Rendering NULL-aware comparisons here keeps
     rows with NULL keys in exactly one chunk instead of none."""
-    c = f"`{col}`"
     if v is None:
+        c = f"`{col}`"
         return {"<": "FALSE", "<=": f"{c} IS NULL",
                 ">": f"{c} IS NOT NULL", ">=": "TRUE"}[op]
+    c = _ident(col, v, collation)
     lit = sql_literal(v)
     if op in ("<", "<="):
-        return f"({c} IS NULL OR {c} {op} {lit})"
+        return f"(`{col}` IS NULL OR {c} {op} {lit})"
     return f"{c} {op} {lit}"  # NULL (smallest) never satisfies > / >=
 
 
-def _gt_tuple(cols: tuple[str, ...], vals: tuple, strict: bool) -> str:
+def _gt_tuple(cols: tuple[str, ...], vals: tuple, strict: bool,
+              collation: str | None = None) -> str:
     """Composite-key comparison expansion, the reference's
     Range.ToString boundary form: (a>x) OR (a=x AND b>y) OR ...
     With strict=False the innermost comparison becomes >=."""
     terms = []
     for i in range(len(cols)):
-        eqs = [_eq(cols[j], vals[j]) for j in range(i)]
+        eqs = [_eq(cols[j], vals[j], collation) for j in range(i)]
         op = ">" if (strict or i < len(cols) - 1) else ">="
-        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i])]) + ")")
+        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation)]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
-def _le_tuple(cols: tuple[str, ...], vals: tuple) -> str:
+def _le_tuple(cols: tuple[str, ...], vals: tuple,
+              collation: str | None = None) -> str:
     terms = []
     for i in range(len(cols)):
-        eqs = [_eq(cols[j], vals[j]) for j in range(i)]
+        eqs = [_eq(cols[j], vals[j], collation) for j in range(i)]
         op = "<" if i < len(cols) - 1 else "<="
-        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i])]) + ")")
+        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation)]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
@@ -163,9 +198,9 @@ def chunk_predicate(plan: ChunkPlan, i: int) -> str:
         return "1 = 1"  # whole-table fallback, reference's WHERE 1=1
     parts = []
     if i > 0:
-        parts.append(_gt_tuple(cols, plan.bounds[i - 1], strict=True))
+        parts.append(_gt_tuple(cols, plan.bounds[i - 1], strict=True, collation=plan.collation))
     if i < len(plan.bounds):
-        parts.append(_le_tuple(cols, plan.bounds[i]))
+        parts.append(_le_tuple(cols, plan.bounds[i], collation=plan.collation))
     return " AND ".join(parts) if parts else "1 = 1"
 
 
@@ -179,11 +214,16 @@ def assign_chunk_id(plan: ChunkPlan, df: DataFrame) -> Column:
     if plan.n_chunks == 1:
         return F.lit(0)
     fields = {f.name: f.dataType for f in df.schema.fields}
-    key = F.struct(*[F.col(c) for c in plan.key_cols])
+    key = F.struct(*[
+        _collated(F.col(c), fields[c], plan.collation) for c in plan.key_cols
+    ])
     cid: Column = F.lit(0)
     for b in plan.bounds:
         # literals must match the column types exactly (TIMESTAMP_NTZ vs
         # TIMESTAMP, INT vs BIGINT) or struct comparison fails analysis
-        lit = F.struct(*[F.lit(v).cast(fields[c]) for c, v in zip(plan.key_cols, b)])
+        lit = F.struct(*[
+            _collated(F.lit(v).cast(fields[c]), fields[c], plan.collation)
+            for c, v in zip(plan.key_cols, b)
+        ])
         cid = cid + F.when(key > lit, 1).otherwise(0)
     return cid

@@ -1303,6 +1303,71 @@ def q48_datatype_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q50 — collation-aware compare: a dst whose comments drift only by
+# CASE is clean under UTF8_LCASE but dirty binary; genuinely-changed
+# rows stay dirty under both.  Spark uses a real collation
+# (F.collate); the DuckDB twin reaches the same equivalence classes
+# via lower() — independent mechanisms, identical answer.
+# ---------------------------------------------------------------------------
+
+_Q50_DST_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 0 THEN text || '!'
+            WHEN doc_id % 31 = 0 THEN upper(text)
+            ELSE text END AS text
+FROM documents
+"""
+
+_Q50_SQL = f"""
+WITH dst AS ({_Q50_DST_SQL}),
+src AS (SELECT doc_id, text FROM documents),
+bin AS (
+  SELECT COUNT(*) AS c FROM (
+    SELECT doc_id, text,
+           COUNT(*) FILTER (WHERE side = 's') AS src_cnt,
+           COUNT(*) FILTER (WHERE side = 'd') AS dst_cnt
+    FROM (SELECT 's' AS side, * FROM src UNION ALL SELECT 'd', * FROM dst)
+    GROUP BY doc_id, text
+  ) WHERE src_cnt <> dst_cnt
+),
+ci AS (
+  SELECT COUNT(*) AS c FROM (
+    SELECT doc_id, lower(text) AS k,
+           COUNT(*) FILTER (WHERE side = 's') AS src_cnt,
+           COUNT(*) FILTER (WHERE side = 'd') AS dst_cnt
+    FROM (SELECT 's' AS side, * FROM src UNION ALL SELECT 'd', * FROM dst)
+    GROUP BY doc_id, lower(text)
+  ) WHERE src_cnt <> dst_cnt
+)
+SELECT CAST(bin.c AS BIGINT) AS bin_mismatch_rows,
+       CAST(ci.c AS BIGINT) AS ci_mismatch_rows
+FROM bin, ci
+"""
+
+
+@register("q50_collated_diff", _Q50_SQL)
+def q50_collated_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text"]
+    src = docs.select(*cols)
+    dst = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 97 = 0 THEN text || '!' "
+            "WHEN doc_id % 31 = 0 THEN upper(text) "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    bin_n = X.multiset_diff(src, dst, cols).agg(
+        F.count(F.lit(1)).alias("bin_mismatch_rows")
+    )
+    ci_n = X.multiset_diff_collated(src, dst, cols, "UTF8_LCASE").agg(
+        F.count(F.lit(1)).alias("ci_mismatch_rows")
+    )
+    return bin_n.crossJoin(ci_n)
+
+
+# ---------------------------------------------------------------------------
 # q49 — struct compare with default/comment/nullability depth: a
 # constant drifted column dictionary (specs_to_df) diffed by
 # struct_compare; expected diff is a constant -> literal VALUES oracle

@@ -68,3 +68,34 @@ def test_sql_literal_escaping():
     assert chunker.sql_literal("o'neil") == "'o''neil'"
     assert chunker.sql_literal(None) == "NULL"
     assert chunker.sql_literal(5) == "5"
+
+
+def test_collated_plan_assignment_consistent(spark):
+    """Chunk boundaries computed under a case-insensitive collation
+    must tile the collated order: rows differing only by case land in
+    the same chunk, and predicates agree with assign_chunk_id."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    rows = [(w + str(i),) for i, w in enumerate(
+        [c for c in string.ascii_letters] * 8)]
+    df = spark.createDataFrame(rows, "k string")
+    plan = chunker.plan_chunks(df, ["k"], 4, collation="UTF8_LCASE")
+    assert plan.collation == "UTF8_LCASE"
+    with_cid = df.withColumn("cid", chunker.assign_chunk_id(plan, df))
+    # predicate text must select exactly the rows of each chunk id
+    for i in range(plan.n_chunks):
+        pred_keys = {r["k"] for r in df.filter(F.expr(chunker.chunk_predicate(plan, i))).collect()}
+        cid_keys = {r["k"] for r in with_cid.filter(F.col("cid") == i).collect()}
+        assert pred_keys == cid_keys, f"chunk {i} predicate/assignment disagree"
+    assert "COLLATE UTF8_LCASE" in chunker.chunk_predicate(plan, 0)
+    # chunks partition: every row in exactly one chunk
+    assert with_cid.groupBy("cid").count().agg(F.sum("count")).collect()[0][0] == len(rows)
+
+
+def test_binary_plan_unchanged_by_default(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = chunker.plan_chunks(df, ["k"], 4)
+    assert plan.collation is None
+    assert "COLLATE" not in chunker.chunk_predicate(plan, 1)

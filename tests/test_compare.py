@@ -192,3 +192,24 @@ def test_gen_fix_sql_dialects(spark):
 
     hinted = X.gen_fix_sql(diff, "t", cols, dialect="tidb", sql_hint="/*+ HINT */")
     assert all("/*+ HINT */" in s for s in hinted)
+
+
+def test_multiset_diff_collated(spark):
+    src = spark.createDataFrame(
+        [(1, "Alpha"), (2, "beta"), (3, "gamma"), (4, "delta")], "id long, s string")
+    dst = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "beta"), (3, "changed"), (5, "new")], "id long, s string")
+    binary = {(r["id"], r["s"]) for r in X.multiset_diff(src, dst).collect()}
+    # binary: case drift on 1 counts as a difference
+    assert (1, "Alpha") in binary and (1, "ALPHA") in binary
+    ci = {(r["id"], r["s"], r["src_cnt"], r["dst_cnt"])
+          for r in X.multiset_diff_collated(src, dst).collect()}
+    ids = {t[0] for t in ci}
+    assert 1 not in ids and 2 not in ids       # case drift cancels under UTF8_LCASE
+    assert (3, "changed", 0, 1) in ci and (3, "gamma", 1, 0) in ci
+    assert (4, "delta", 1, 0) in ci and (5, "new", 0, 1) in ci
+    # representative is the deterministic min of the class
+    both = spark.createDataFrame([(9, "x")], "id long, s string")
+    dup = spark.createDataFrame([(9, "X"), (9, "x")], "id long, s string")
+    out = X.multiset_diff_collated(both, dup).collect()
+    assert len(out) == 1 and out[0]["src_cnt"] == 1 and out[0]["dst_cnt"] == 2

@@ -101,10 +101,6 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
     return out
 
 
-def _trim_zeros_spark(s: Column) -> Column:
-    return F.regexp_replace(s, _TRIM_RE, r"$1")
-
-
 def _trim_zeros_dot_spark(s: Column) -> Column:
     """Trailing-zero trim for strings KNOWN to contain a decimal point
     (any DECIMAL(p, s>0) cast): two rtrims, no regexp — equivalent to
@@ -279,11 +275,6 @@ def canon_sql(col: str, dtype: T.DataType, oracle_empty_is_null: bool = False) -
     if isinstance(dtype, T.BinaryType):
         return f"lower(hex({col}))"
     raise ValueError(f"no canonical SQL form for {dtype}")
-
-
-def _trim_zeros_sql(s: str) -> str:
-    # DuckDB (RE2) uses \1 backreferences where Spark (Java regex) uses $1.
-    return "regexp_replace(" + s + r", '(\.\d*[1-9])0+$|\.0*$', '\1')"
 
 
 def _trim_zeros_dot_sql(s: str) -> str:

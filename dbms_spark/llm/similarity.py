@@ -242,3 +242,169 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
         .filter(F.col("rn") <= k)
         .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
+                        sample: int = 4096, vec_col: str = "embedding"
+                        ) -> list[tuple[list[int], float]]:
+    """Deterministic spherical Lloyd k-means over a bounded sample —
+    the IVF coarse quantizer, trained ONCE driver-side and shipped as
+    literals into both dialects (same rules-as-data pattern as the LSH
+    plane matrices).
+
+    Determinism: init = first k vectors in vec_id order, fixed
+    iteration count, argmax ties to the lowest centroid index, float64
+    throughout; the result quantizes to fixed-point ints so
+    cross-engine assignment is integer-exact.  Returns
+    ``[(components_int, norm_float), ...]``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", vec_col])
+    order = np.argsort(t.column("vec_id").to_numpy())[:sample]
+    X = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    X = np.round(X * _SCALE)                      # same quantization as queries
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    U = X / norms[:, None]                        # unit sphere
+    C = U[:k].copy()
+    for _ in range(iters):
+        scores = U @ C.T                          # cosine vs unit-ish centroids
+        assign = np.argmax(scores, axis=1)        # ties -> lowest index
+        for j in range(k):
+            members = U[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    out = []
+    for j in range(k):
+        comps = [int(v) for v in np.round(C[j] * _SCALE)]
+        norm = float(np.linalg.norm(np.array(comps, dtype=np.float64)))
+        out.append((comps, norm if norm > 0 else 1.0))
+    return out
+
+
+def _ivf_scores_spark(cents: list[tuple[list[int], float]], vec: str = "q") -> str:
+    scores = []
+    for comps, norm in cents:
+        arr = ", ".join(f"{c}D" for c in comps)
+        dot = f"aggregate(zip_with({vec}, array({arr}), (x, c) -> x * c), 0D, (a, v) -> a + v)"
+        scores.append(f"{dot} / {norm!r}D")
+    return "array(" + ", ".join(scores) + ")"
+
+
+def _ivf_scores_duck(cents: list[tuple[list[int], float]], vec: str = "v") -> str:
+    scores = []
+    for comps, norm in cents:
+        arr = ", ".join(f"CAST({c} AS DOUBLE)" for c in comps)
+        dot = f"list_sum(list_transform(list_zip({vec}, [{arr}]), p -> p[1] * p[2]))"
+        scores.append(f"{dot} / {norm!r}")
+    return "[" + ", ".join(scores) + "]"
+
+
+def ivf_assign(df: DataFrame, cents: list[tuple[list[int], float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vector -> nearest-centroid cluster id (map-side, no shuffle):
+    integer-exact dots, first-position argmax, 0-based."""
+    scores = _ivf_scores_spark(cents)
+    cluster = f"array_position({scores}, array_max({scores})) - 1"
+    return df.select(
+        F.col(id_col), quantize_expr(vec_col).alias("q")
+    ).select(F.col(id_col), F.expr(cluster).cast("bigint").alias("cluster"))
+
+
+def ivf_assign_sql(table: str, cents: list[tuple[list[int], float]],
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    scores = _ivf_scores_duck(cents)
+    cluster = f"list_position({scores}, list_max({scores})) - 1"
+    return f"""
+SELECT {id_col}, CAST({cluster} AS BIGINT) AS cluster
+FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+"""
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             cents: list[tuple[list[int], float]], k: int = 5, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: assign the corpus to clusters, probe each
+    query's ``nprobe`` best clusters, exact fixed-point cosine within
+    the probed partitions only — the data-adaptive scale path next to
+    :func:`lsh_topk` (corpus scan per query drops from O(n) to
+    O(n * nprobe / n_cells); ``nprobe = n_cells`` degenerates to the
+    exact baseline)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec")
+    ).withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
+    c = c.join(
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .select(F.col(id_col).alias("n_id"), "cluster"),
+        "n_id",
+    )
+    scores = _ivf_scores_spark(cents, vec="q_vec")
+    # nprobe best cells: sort (-score, idx) structs -> first positions;
+    # tie-break to the lower index matches list_sort in the twin
+    probes = (
+        f"transform(slice(array_sort(zip_with({scores}, "
+        f"sequence(0, {len(cents) - 1}), (s, i) -> struct(-s AS s, i AS i))), "
+        f"1, {nprobe}), x -> cast(x.i AS bigint))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q_vec")
+    ).withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec"))).withColumn(
+        "cluster", F.explode(F.expr(probes))
+    )
+    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+def ivf_topk_sql(table: str, query_filter: str,
+                 cents: list[tuple[list[int], float]], k: int = 5, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    scores = _ivf_scores_duck(cents, vec="v")
+    probes = (
+        f"list_transform(list_sort(list_transform(list_zip({scores}, "
+        f"range(0, {len(cents)})), p -> {{'s': -p[1], 'i': p[2]}})), "
+        f"x -> CAST(x.i AS BIGINT))[1:{nprobe}]"
+    )
+    norm = _NORM_DUCK.format(a="v")
+    dot = _DOT_DUCK.format(a="q.v", b="c.v")
+    sim = f"floor({dot} / (q.nrm * c.nrm) * 1000000) / 1000000"
+    assign = ivf_assign_sql(table, cents, id_col, vec_col)
+    return f"""
+WITH vecs AS (SELECT {id_col} AS id, v, {norm} AS nrm
+              FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})),
+assigned AS ({assign}),
+c AS (SELECT vecs.*, assigned.cluster FROM vecs JOIN assigned ON vecs.id = assigned.{id_col}),
+q0 AS (SELECT id, v, nrm FROM vecs WHERE {query_filter}),
+qprobe AS (
+  SELECT id, v, nrm, unnest({probes}) AS cluster FROM q0
+),
+scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {sim} AS cos_sim
+  FROM qprobe q JOIN c ON q.cluster = c.cluster
+  WHERE q.id <> c.id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

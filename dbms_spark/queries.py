@@ -1368,6 +1368,40 @@ def q50_collated_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q51 — IVF ANN: deterministic k-means coarse quantizer trained once
+# driver-side (rules-as-data, like the LSH planes), corpus bucketed by
+# nearest centroid, queries probe their 2 best clusters, exact
+# fixed-point cosine inside the probed partitions only — the
+# data-adaptive scale path beside LSH (q28) and brute force (q27)
+# ---------------------------------------------------------------------------
+
+def _ivf_cents():
+    from dbms_spark.llm.similarity import train_ivf_centroids
+
+    global _IVF_CENTS
+    try:
+        return _IVF_CENTS
+    except NameError:
+        _IVF_CENTS = train_ivf_centroids(table_path(_ORACLE_SF_DIR, "embeddings"), k=8)
+        return _IVF_CENTS
+
+
+def _q51_sql() -> str:
+    from dbms_spark.llm.similarity import ivf_topk_sql
+
+    return ivf_topk_sql("embeddings", "id % 100 = 0", _ivf_cents(), k=5)
+
+
+@register("q51_ivf_topk", _q51_sql())
+def q51_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id % 100 = 0")
+    return ivf_topk(emb, queries_df, _ivf_cents(), k=5)
+
+
+# ---------------------------------------------------------------------------
 # q49 — struct compare with default/comment/nullability depth: a
 # constant drifted column dictionary (specs_to_df) diffed by
 # struct_compare; expected diff is a constant -> literal VALUES oracle

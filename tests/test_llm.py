@@ -167,3 +167,36 @@ def test_jaccard_on_pairs_carried_equals_joined(spark):
                for r in D.jaccard_on_pairs(df, D.lsh_candidate_pairs(sigs, carry=["sh"])).collect()}
     assert joined == carried and len(carried) > 0
     assert carried[(1, 100)] == 1.0  # exact dup pair verified at similarity 1
+
+
+def test_ivf_ann(spark, sf_dir):
+    """IVF coarse quantizer: deterministic training, exact cross-run
+    assignment, and useful recall vs the exact top-k baseline."""
+    from dbms_spark.sources.catalog import load_table, table_path
+    from dbms_spark.llm import similarity as S
+
+    path = table_path(sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(path, k=8)
+    assert cents == S.train_ivf_centroids(path, k=8)  # deterministic
+    assert len(cents) == 8 and all(len(c) == 64 for c, _ in cents)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = S.ivf_assign(emb, cents)
+    clusters = assign.groupBy("cluster").count().collect()
+    assert 1 < len(clusters) <= 8          # data actually spreads over cells
+    assert assign.count() == emb.count()   # every vector lands in exactly one
+
+    qs = emb.filter("vec_id % 50 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(emb, qs, k=5).collect()}
+
+    def recall(nprobe):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in S.ivf_topk(emb, qs, cents, k=5, nprobe=nprobe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.3, f"IVF nprobe=2 recall too low: {r2:.2f}"
+    assert r4 >= r2  # probing more cells can only help
+    # probing every cell degenerates to the exact baseline
+    assert recall(len(cents)) == 1.0

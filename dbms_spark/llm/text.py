@@ -201,6 +201,14 @@ def clean_text_expr(text_col: str = "text") -> Column:
     return F.regexp_replace(F.trim(stripped), r"\s+", " ")
 
 
+def clean_text_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`clean_text_expr` (RE2 needs the 'g' flag
+    for global replacement; the U+FFFD literal rides in the class)."""
+    cls = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F�]"
+    stripped = f"regexp_replace({text_expr}, '{cls}', '', 'g')"
+    return f"regexp_replace(trim({stripped}), '\\s+', ' ', 'g')"
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

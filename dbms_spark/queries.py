@@ -1402,6 +1402,43 @@ def q51_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q52 — text cleaning: control chars / U+FFFD stripped, whitespace
+# collapsed.  Noise is injected deterministically per doc_id so the
+# cleanup provably fires on every class of garbage it claims to handle.
+# ---------------------------------------------------------------------------
+
+# NB: Spark's chr() wraps at 256 (chr(65533) -> 'ý'); the U+FFFD
+# literal is embedded directly instead
+_Q52_NOISE_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(chr(7), '  x', chr(31)) "
+    "WHEN doc_id % 3 = 1 THEN concat('\\t\\t y ', '�') "
+    "ELSE '' END"
+)
+_Q52_NOISE_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN chr(7) || '  x' || chr(31) "
+    "WHEN doc_id % 3 = 1 THEN chr(9) || chr(9) || ' y ' || chr(65533) "
+    "ELSE '' END"
+)
+
+
+def _q52_sql() -> str:
+    from dbms_spark.llm.text import clean_text_sql
+
+    cleaned = clean_text_sql(f"(text || {_Q52_NOISE_DUCK})")
+    return f"SELECT doc_id, {cleaned} AS cleaned FROM documents"
+
+
+@register("q52_clean_text", _q52_sql())
+def q52_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import clean_text_expr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "noisy", F.expr(f"concat(text, {_Q52_NOISE_SPARK})")
+    )
+    return docs.select("doc_id", clean_text_expr("noisy").alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
 # q49 — struct compare with default/comment/nullability depth: a
 # constant drifted column dictionary (specs_to_df) diffed by
 # struct_compare; expected diff is a constant -> literal VALUES oracle

@@ -116,6 +116,48 @@ def resize_images_stub(decoded: DataFrame, max_side: int = 512) -> DataFrame:
     )
 
 
+def extract_features_stub(assets: DataFrame, dims: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``: one
+    ``(asset_id, dim, value)`` row per feature component — the
+    embedding-extraction stage of a multimodal pipeline (production
+    swap: a vision/audio encoder producing real vectors; the Spark
+    contract — schema, batching, partition flow — is identical).
+
+    The stub kernel is md5-derived and therefore has an exact SQL twin
+    (:func:`extract_features_stub_sql`): the differential gate then
+    checks the Arrow/pandas plumbing itself, not just built-in
+    expressions."""
+    import hashlib
+
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    assets = ensure_parallelism(assets)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for d in range(dims):
+                    h = hashlib.md5(bytes(payload) + b"_" + str(d).encode()).hexdigest()
+                    rows.append(
+                        {"asset_id": aid, "dim": d, "value": int(h[:8], 16) % 2001 - 1000}
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "dim", "value"])
+
+    return assets.mapInPandas(run, "asset_id long, dim int, value long")
+
+
+def extract_features_stub_sql(table: str, id_col: str, text_col: str,
+                              dims: int = 8) -> str:
+    """DuckDB twin of :func:`extract_features_stub` over assets
+    synthesized from a text column (payload = utf-8 bytes of text)."""
+    comp = f"('0x' || substr(md5({text_col} || '_' || d), 1, 8))::BIGINT % 2001 - 1000"
+    return f"""
+SELECT {id_col} AS asset_id, CAST(d AS INTEGER) AS dim, CAST({comp} AS BIGINT) AS value
+FROM {table}, range(0, {dims}) t(d)
+"""
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame sampling plan for video assets: which frame indices a
     downstream extractor would decode (sequence arithmetic, exploded)."""

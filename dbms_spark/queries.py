@@ -1439,6 +1439,28 @@ def q52_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q53 — multimodal feature extraction through the REAL Arrow/pandas
+# plumbing (mapInPandas): the deterministic md5 stub kernel has an
+# exact SQL twin, so the gate differentially checks the UDF transport
+# itself — batch shapes, schema contract, row fan-out — not just
+# built-in expressions
+# ---------------------------------------------------------------------------
+
+def _q53_sql() -> str:
+    from dbms_spark.llm.multimodal import extract_features_stub_sql
+
+    return extract_features_stub_sql("documents", "doc_id", "text")
+
+
+@register("q53_multimodal_features", _q53_sql())
+def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import extract_features_stub, synthesize_assets
+
+    assets = synthesize_assets(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return extract_features_stub(assets)
+
+
+# ---------------------------------------------------------------------------
 # q49 — struct compare with default/comment/nullability depth: a
 # constant drifted column dictionary (specs_to_df) diffed by
 # struct_compare; expected diff is a constant -> literal VALUES oracle

@@ -166,18 +166,30 @@ def column_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: int = 3) -> DataFrame:
+def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: int = 3,
+                       sample_pct: float = 100.0) -> DataFrame:
     """TOP-N tables by average row length (reference:
     GetDatabaseSchemaTableAvgRowLengthTOP assess_migrate.go:475).
     Row length is the length of the table's canonical row string —
-    data-derived on both engines, scanned with partial aggregation."""
+    data-derived on both engines, scanned with partial aggregation.
+    The reference reads dictionary STATS (an estimate); ``sample_pct``
+    matches that contract at scale via the deterministic md5-prefix
+    sample (identical subset on both engines), so a 100 TB assessment
+    reads a bounded fraction instead of canonicalizing every row."""
     from pyspark.sql import Window
 
     from dbms_spark.functions.canonical import canonical_row
+    from dbms_spark.operators.scan import deterministic_sample
+    from dbms_spark.plans.parallelism import ensure_parallelism
 
     per = []
     for t in tables:
-        df = load_table(spark, sf_dir, t)
+        # spread FIRST: the test files are single-row-group (1 scan
+        # partition), and both the md5 sample filter and the canonical
+        # projection are per-row CPU that must not run on one core
+        df = ensure_parallelism(load_table(spark, sf_dir, t))
+        if sample_pct < 100.0:
+            df = deterministic_sample(df, df.columns[0], sample_pct)
         per.append(
             df.select(F.length(canonical_row(df)).cast("bigint").alias("len"))
             .agg(F.sum("len").alias("s"), F.count(F.lit(1)).alias("c"))

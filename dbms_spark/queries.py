@@ -1146,13 +1146,23 @@ _COLS_CTE = "cols AS (" + "\nUNION ALL ".join(
 _Q41_TABLES = ["customer", "orders", "lineitem", "supplier", "part"]
 
 
+#: ~25% deterministic sample (64/256 md5-prefix buckets) — the
+#: assessment is an estimate, like the reference's dictionary stats
+_Q41_SAMPLE_PCT = 25.0
+
+
 def _q41_sql() -> str:
     per = []
     for t in _Q41_TABLES:
-        canon = C.canonical_row_sql_from_types(_fields(t))
+        fields = _fields(t)
+        canon = C.canonical_row_sql_from_types(fields)
+        key = next(iter(fields))
+        thr = max(1, round(256 * _Q41_SAMPLE_PCT / 100.0))
+        samp = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT < {thr}"
         per.append(
             f"SELECT '{t}' AS table_name, "
-            f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len FROM {t}"
+            f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len "
+            f"FROM {t} WHERE {samp}"
         )
     u = "\nUNION ALL ".join(per)
     return f"""
@@ -1169,7 +1179,7 @@ SELECT * FROM (
 def q41_avg_row_length_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import avg_row_length_top
 
-    return avg_row_length_top(spark, sf_dir, _Q41_TABLES, n=3)
+    return avg_row_length_top(spark, sf_dir, _Q41_TABLES, n=3, sample_pct=_Q41_SAMPLE_PCT)
 
 
 _Q42_SQL = f"""

@@ -103,6 +103,31 @@ class DbmsEngine:
             diff, table, cols, dialect=dialect, safe_mode=safe_mode, sql_hint=sql_hint
         )
 
+    def data_verify(self, src: DataFrame, dst: DataFrame, table: str,
+                    plan=None, cols: list[str] | None = None,
+                    method: str = "MD5_SLICES", dialect: str = "mysql",
+                    safe_mode: bool = False):
+        """The reference's full data-verify task in one verb: chunked
+        checksum compare, row drilldown on ONLY the mismatched chunks,
+        repair SQL in the target dialect.  Returns
+        ``(CompareReport, diff_df, fix_statements)`` — the diff scan is
+        range-pruned to the bad chunks, never a second full compare."""
+        cols = cols or src.columns
+        rep = compare_ops.compare_table(src, dst, plan=plan, cols=cols, method=method)
+        if rep.equal:
+            return rep, compare_ops.multiset_diff(src, dst, cols).filter("1=0"), []
+        if plan is not None and rep.mismatched_chunks:
+            diff = compare_ops.drilldown_chunks(src, dst, plan, rep.mismatched_chunks, cols)
+            stmts = compare_ops.gen_fix_sql(
+                diff.drop("chunk_id"), table, cols, dialect=dialect, safe_mode=safe_mode
+            )
+        else:
+            diff = compare_ops.multiset_diff(src, dst, cols)
+            stmts = compare_ops.gen_fix_sql(
+                diff, table, cols, dialect=dialect, safe_mode=safe_mode
+            )
+        return rep, diff, stmts
+
     # -- scan / assess ---------------------------------------------------
 
     def data_scan(self, df: DataFrame, cols: list[str],

@@ -378,6 +378,32 @@ def compare_table(
     return CompareReport(len(bad) == 0, src_cnt, dst_cnt, sorted(r["chunk_id"] for r in bad))
 
 
+def drilldown_chunks(
+    src: DataFrame,
+    dst: DataFrame,
+    plan: ChunkPlan,
+    chunk_ids: list[int],
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff restricted to the given chunks — the reference's
+    seek stage after a checksum mismatch (data_compare_seek.go: only
+    unequal chunks re-read rows).  The chunk predicates go into
+    ``filter`` BEFORE the diff, so both sides' scans prune to the
+    mismatched key ranges (JDBC: one range query per chunk; parquet:
+    min/max row-group skip) instead of re-reading the tables.  Output
+    matches :func:`multiset_diff` plus the chunk_id."""
+    from dbms_spark.plans.chunker import chunk_predicate
+
+    if not chunk_ids:
+        empty = multiset_diff(src, dst, cols)
+        return empty.filter(F.lit(False)).withColumn("chunk_id", F.lit(0))
+    pred = " OR ".join(f"({chunk_predicate(plan, i)})" for i in sorted(set(chunk_ids)))
+    diff = multiset_diff(src.filter(F.expr(pred)), dst.filter(F.expr(pred)), cols)
+    if all(k in diff.columns for k in plan.key_cols):
+        return diff.withColumn("chunk_id", assign_chunk_id(plan, diff))
+    return diff.withColumn("chunk_id", F.lit(None).cast("int"))
+
+
 #: identifier quote per dialect (MySQL-compatible backticks vs ANSI)
 _IDENT_QUOTE = {"mysql": "`", "tidb": "`", "oracle": '"', "postgres": '"'}
 

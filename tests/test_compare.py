@@ -213,3 +213,34 @@ def test_multiset_diff_collated(spark):
     dup = spark.createDataFrame([(9, "X"), (9, "x")], "id long, s string")
     out = X.multiset_diff_collated(both, dup).collect()
     assert len(out) == 1 and out[0]["src_cnt"] == 1 and out[0]["dst_cnt"] == 2
+
+
+def test_drilldown_chunks_prunes_and_localizes(orders, mutated, spark):
+    plan = chunker.plan_chunks(orders, ["o_orderkey"], 10)
+    bad = sorted(r["chunk_id"] for r in X.compare_chunked(
+        orders, mutated, chunker.assign_chunk_id(plan, orders),
+        chunker.assign_chunk_id(plan, mutated)).collect())
+    drill = X.drilldown_chunks(orders, mutated, plan, bad)
+    full = X.multiset_diff(orders, mutated)
+    # chunk-restricted drilldown finds exactly the full diff (every
+    # mismatched row lives in a mismatched chunk by construction)
+    assert drill.count() == full.count()
+    assert {r["chunk_id"] for r in drill.collect()} <= set(bad)
+    # the scans really are range-restricted
+    pred = " OR ".join(f"({chunker.chunk_predicate(plan, i)})" for i in bad)
+    assert "o_orderkey" in pred
+
+
+def test_engine_data_verify_end_to_end(orders, mutated, spark):
+    from dbms_spark.engine import DbmsEngine
+
+    eng = DbmsEngine(spark)
+    plan = chunker.plan_chunks(orders, ["o_orderkey"], 10)
+    rep, diff, stmts = eng.data_verify(orders, mutated, "orders", plan=plan,
+                                       dialect="mysql", safe_mode=True)
+    assert not rep.equal and rep.mismatched_chunks
+    assert diff.count() > 0
+    assert stmts and any(s.startswith("REPLACE INTO") for s in stmts)
+    # clean pair: report equal, empty diff, no statements
+    rep2, diff2, stmts2 = eng.data_verify(orders, orders, "orders", plan=plan)
+    assert rep2.equal and diff2.count() == 0 and stmts2 == []

@@ -166,6 +166,21 @@ def column_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def object_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog object counts by type (reference:
+    GetDatabaseSchemaCodeObject / overview blocks assess_migrate.go:
+    415-447 — object inventory for the compatibility report).  A
+    parquet catalog has tables and columns."""
+    cat = column_catalog(spark, sf_dir)
+    tables = cat.select("table_name").distinct().agg(
+        F.count(F.lit(1)).alias("counts")
+    ).select(F.lit("TABLE").alias("object_type"), "counts")
+    columns = cat.agg(F.count(F.lit(1)).alias("counts")).select(
+        F.lit("COLUMN").alias("object_type"), "counts"
+    )
+    return tables.unionAll(columns)
+
+
 def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: int = 3,
                        sample_pct: float = 100.0) -> DataFrame:
     """TOP-N tables by average row length (reference:

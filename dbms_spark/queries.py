@@ -1261,6 +1261,21 @@ def q46_partition_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFra
     return partition_counts_over_limit(spark, sf_dir, _Q46_SPECS, limit=30)
 
 
+_Q54_SQL = f"""
+WITH {_COLS_CTE}
+SELECT 'TABLE' AS object_type, COUNT(DISTINCT table_name) AS counts FROM cols
+UNION ALL
+SELECT 'COLUMN', COUNT(*) FROM cols
+"""
+
+
+@register("q54_object_counts", _Q54_SQL)
+def q54_object_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import object_counts
+
+    return object_counts(spark, sf_dir)
+
+
 def _q47_sql() -> str:
     u = "\nUNION ALL ".join(
         f"SELECT '{t}' AS table_name, COUNT(*) AS num_rows FROM {t}" for t in _ASSESS_TABLES

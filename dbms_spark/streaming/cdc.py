@@ -185,6 +185,41 @@ def dedup_last_per_key(events: DataFrame, key_cols: list[str] | None = None) -> 
     )
 
 
+def split_key_updates(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Normalize key-changing UPDATEs into DELETE(old key) +
+    INSERT(new key).  TiCDC pre-splits UK/PK updates upstream
+    (consumer.go:694-699 compatibility note: 'UK/PK UPDATE events ...
+    have been split by TiCDC'); feeds without that guarantee (generic
+    or OMS envelopes) are normalized here, else the delete-by-new-key
+    apply would leave the OLD key's row behind.
+
+    Key change detection compares the key fields re-serialized through
+    the same from_json/to_json canonicalization on both images, so
+    field order and non-key fields in the images don't matter."""
+    key_schema = ", ".join(f"{k} string" for k in key_cols)
+    old_key = F.to_json(F.from_json("old_json", key_schema))
+    new_key = F.to_json(F.from_json("key_json", key_schema))
+    changed = (
+        (F.col("query_type") == "UPDATE")
+        & F.col("old_json").isNotNull()
+        & (old_key != new_key)
+    )
+    # withColumn keeps any extra columns (e.g. a streaming event_time)
+    normal = events.filter(~F.coalesce(changed, F.lit(False)))
+    dels = (
+        events.filter(changed)
+        .withColumn("query_type", F.lit("DELETE"))
+        .withColumn("key_json", old_key)
+        .withColumn("new_json", F.lit(None).cast("string"))
+    )
+    ins = (
+        events.filter(changed)
+        .withColumn("query_type", F.lit("INSERT"))
+        .withColumn("old_json", F.lit(None).cast("string"))
+    )
+    return normal.unionByName(dels).unionByName(ins)
+
+
 def drop_obsolete(events: DataFrame, checkpoint_ts: int) -> DataFrame:
     """C6: events at or before the applied checkpoint are replays —
     drop them (reference: consumer.go:446-448)."""
@@ -349,6 +384,7 @@ class ParquetTableStore:
         manifest replace."""
         keys = self.key_cols[table]
         events = drop_obsolete(events, self.get_watermark(table))
+        events = split_key_updates(events, keys)
         last = dedup_last_per_key(events, ["key_json"]).cache()
         try:
             if last.isEmpty():

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dbms_spark.streaming.cdc import ParquetTableStore, dedup_last_per_key, drop_obsolete
+from dbms_spark.streaming.cdc import (
+    ParquetTableStore,
+    dedup_last_per_key,
+    drop_obsolete,
+    split_key_updates,
+)
 
 #: history metadata columns appended to the row schema
 SCD2_META = "valid_from bigint, valid_to bigint, is_current boolean"
@@ -126,6 +131,9 @@ class Scd2TableStore(ParquetTableStore):
     def apply_dml(self, table: str, events: DataFrame) -> None:
         keys = self.key_cols[table]
         events = drop_obsolete(events, self.get_watermark(table))
+        # a key-changing UPDATE must close the OLD key's chain and open
+        # the new key's — same normalization as the destructive path
+        events = split_key_updates(events, keys)
         events = events.filter(~F.col("is_ddl")).cache()
         try:
             if events.isEmpty():

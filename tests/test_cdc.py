@@ -330,3 +330,42 @@ def test_oms_composite_pk_split(spark):
     ], "value string")
     row = cdc.parse_oms_json(raw).collect()[0]
     assert json.loads(row["key_json"]) == {"a": "x", "b": "1"}
+
+
+def test_key_changing_update_splits(store, spark):
+    """An UPDATE that changes the PK must remove the OLD key's row
+    (TiCDC pre-splits these upstream, consumer.go:694-699; the engine
+    normalizes feeds that don't)."""
+    seed = make_events(spark, [
+        ev("t1", "INSERT", 1, {"id": 1}, {"id": 1, "v": "a"}),
+        ev("t1", "INSERT", 2, {"id": 2}, {"id": 2, "v": "b"}),
+    ])
+    store.apply_dml("t1", seed)
+    # id 1 renamed to id 9 — key_json carries the NEW key, old_json the old row
+    rekey = make_events(spark, [
+        ev("t1", "UPDATE", 5, {"id": 9}, {"id": 9, "v": "a2"}, old={"id": 1, "v": "a"}),
+    ])
+    store.apply_dml("t1", rekey)
+    got = {r["id"]: r["v"] for r in store.read("t1").collect()}
+    assert got == {9: "a2", 2: "b"}, f"old-key row must be deleted, got {got}"
+
+
+def test_key_changing_update_scd2(spark, tmp_path):
+    import os
+
+    from dbms_spark.streaming import scd2
+
+    base = str(tmp_path / "scd2k")
+    os.makedirs(base)
+    h = scd2.Scd2TableStore(
+        spark, base, schemas={"t1": "id bigint, v string"}, key_cols={"t1": ["id"]},
+    )
+    h.apply_dml("t1", make_events(spark, [
+        ev("t1", "INSERT", 1, {"id": 1}, {"id": 1, "v": "a"}),
+    ]))
+    h.apply_dml("t1", make_events(spark, [
+        ev("t1", "UPDATE", 5, {"id": 9}, {"id": 9, "v": "a2"}, old={"id": 1, "v": "a"}),
+    ]))
+    hist = {(r["id"], r["valid_from"]): r for r in h.read("t1").collect()}
+    assert hist[(1, 1)]["valid_to"] == 5 and hist[(1, 1)]["is_current"] is False
+    assert hist[(9, 5)]["is_current"] is True and hist[(9, 5)]["v"] == "a2"

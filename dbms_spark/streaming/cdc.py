@@ -295,6 +295,9 @@ class ParquetTableStore:
     ddl_rewrite_rules: dict[str, str] = field(default_factory=dict)
     applied_ddls: list[str] = field(default_factory=list)
     n_buckets: int = 16
+    #: snapshots kept readable for time travel (current + N-1 prior);
+    #: GC only removes bucket dirs no retained snapshot references
+    retention: int = 2
 
     def table_path(self, table: str) -> str:
         return os.path.join(self.base_path, table)
@@ -311,31 +314,66 @@ class ParquetTableStore:
                 return json.load(f)
         return {"version": 0, "watermark": -1, "buckets": {}}
 
+    def _history_dir(self, table: str) -> str:
+        return os.path.join(self.table_path(table), "manifests")
+
     def _commit_manifest(self, table: str, manifest: dict) -> None:
         os.makedirs(self.table_path(table), exist_ok=True)
+        # snapshot log entry first (time travel), then the atomic
+        # current-pointer replace — a crash between the two leaves an
+        # unreferenced log entry the next commit overwrites
+        os.makedirs(self._history_dir(table), exist_ok=True)
+        with open(os.path.join(self._history_dir(table), f"v{manifest['version']}.json"), "w") as f:
+            json.dump(manifest, f)
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(table))  # atomic on POSIX
 
+    def _retained_manifests(self, table: str, current: dict) -> list[dict]:
+        """The snapshots time travel keeps: current + up to
+        ``retention - 1`` predecessors from the manifest log."""
+        out = {current["version"]: current}
+        hdir = self._history_dir(table)
+        if os.path.isdir(hdir):
+            versions = sorted(
+                (int(f[1:-5]) for f in os.listdir(hdir)
+                 if f.startswith("v") and f.endswith(".json")),
+                reverse=True,
+            )
+            for v in versions:
+                if len(out) >= self.retention:
+                    break
+                if v < current["version"]:
+                    with open(os.path.join(hdir, f"v{v}.json")) as fh:
+                        out[v] = json.load(fh)
+        return [out[v] for v in sorted(out, reverse=True)]
+
     def _gc(self, table: str, manifest: dict) -> None:
-        """Remove bucket dirs no snapshot references (runs only after
-        a successful commit; a crash merely leaves orphans for the
-        next GC)."""
+        """Remove bucket dirs no RETAINED snapshot references, and
+        manifest-log entries past retention (runs only after a
+        successful commit; a crash merely leaves orphans for the next
+        GC)."""
         import shutil
 
-        referenced = set(manifest["buckets"].values())
+        retained = self._retained_manifests(table, manifest)
+        referenced = {rel for m in retained for rel in m["buckets"].values()}
+        keep_versions = {m["version"] for m in retained}
         files_root = os.path.join(self.table_path(table), "files")
-        if not os.path.isdir(files_root):
-            return
-        for v in os.listdir(files_root):
-            vdir = os.path.join(files_root, v)
-            for kb in os.listdir(vdir) if os.path.isdir(vdir) else []:
-                rel = os.path.join("files", v, kb)
-                if kb.startswith("_kb=") and rel not in referenced:
-                    shutil.rmtree(os.path.join(vdir, kb), ignore_errors=True)
-            if os.path.isdir(vdir) and not os.listdir(vdir):
-                os.rmdir(vdir)
+        if os.path.isdir(files_root):
+            for v in os.listdir(files_root):
+                vdir = os.path.join(files_root, v)
+                for kb in os.listdir(vdir) if os.path.isdir(vdir) else []:
+                    rel = os.path.join("files", v, kb)
+                    if kb.startswith("_kb=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(vdir, kb), ignore_errors=True)
+                if os.path.isdir(vdir) and not os.listdir(vdir):
+                    os.rmdir(vdir)
+        hdir = self._history_dir(table)
+        if os.path.isdir(hdir):
+            for f in os.listdir(hdir):
+                if f.startswith("v") and f.endswith(".json") and int(f[1:-5]) not in keep_versions:
+                    os.remove(os.path.join(hdir, f))
 
     # -- applied high-watermark (C6): events at or below it are replays
     #    or out-of-order stragglers and must not regress state
@@ -364,6 +402,22 @@ class ParquetTableStore:
 
     def read(self, table: str) -> DataFrame:
         return self._read_buckets(table)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: the table as of a retained snapshot version
+        (current or one of the ``retention - 1`` predecessors kept in
+        the manifest log)."""
+        current = self._read_manifest(table)
+        for m in self._retained_manifests(table, current):
+            if m["version"] == version:
+                paths = self._bucket_paths(table, m)
+                if not paths:
+                    return self.spark.createDataFrame([], self.schemas[table])
+                return self.spark.read.schema(self.schemas[table]).parquet(*paths)
+        raise ValueError(
+            f"version {version} of {table} is not retained "
+            f"(current {current['version']}, retention {self.retention})"
+        )
 
     def execute_ddl(self, ddl: str) -> None:
         ddl = rewrite_ddl(ddl, self.ddl_rewrite_rules)

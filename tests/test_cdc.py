@@ -245,12 +245,18 @@ def test_apply_prunes_untouched_buckets(store, spark):
     assert untouched_dirs and all(os.path.isdir(d) for d in untouched_dirs)
     got = {r["id"]: r["v"] for r in store.read("t1").collect()}
     assert got[7] == "new" and got[8] == "v8" and len(got) == 32
-    # old version of the rewritten bucket is GC'd
-    v1_dir = os.path.join(store.table_path("t1"), "files", "v1")
-    live_v1 = {b for b in m2["buckets"].values() if b.startswith(os.path.join("files", "v1"))}
-    if os.path.isdir(v1_dir):
-        kept = {os.path.join("files", "v1", d) for d in os.listdir(v1_dir) if d.startswith("_kb=")}
-        assert kept == live_v1
+    # on-disk bucket dirs == exactly what the RETAINED snapshots
+    # (current + previous, retention=2) reference — nothing more
+    retained = store._retained_manifests("t1", m2)
+    referenced = {rel for m in retained for rel in m["buckets"].values()}
+    files_root = os.path.join(store.table_path("t1"), "files")
+    on_disk = {
+        os.path.join("files", v, kb)
+        for v in os.listdir(files_root)
+        for kb in os.listdir(os.path.join(files_root, v))
+        if kb.startswith("_kb=")
+    }
+    assert on_disk == referenced
 
 
 def test_apply_crash_leaves_consistent_snapshot(store, spark, monkeypatch):
@@ -369,3 +375,19 @@ def test_key_changing_update_scd2(spark, tmp_path):
     hist = {(r["id"], r["valid_from"]): r for r in h.read("t1").collect()}
     assert hist[(1, 1)]["valid_to"] == 5 and hist[(1, 1)]["is_current"] is False
     assert hist[(9, 5)]["is_current"] is True and hist[(9, 5)]["v"] == "a2"
+
+
+def test_time_travel_with_retention(store, spark):
+    """Retained snapshots stay readable (read_version); past-retention
+    snapshots and their exclusive bucket dirs are GC'd."""
+    for ts, v in [(1, "a"), (2, "b"), (3, "c")]:
+        store.apply_dml("t1", make_events(spark, [
+            ev("t1", "INSERT" if ts == 1 else "UPDATE", ts, {"id": 1}, {"id": 1, "v": v}),
+        ]))
+    cur = store._read_manifest("t1")["version"]
+    assert {r["v"] for r in store.read_version("t1", cur).collect()} == {"c"}
+    assert {r["v"] for r in store.read_version("t1", cur - 1).collect()} == {"b"}
+    with pytest.raises(ValueError):
+        store.read_version("t1", cur - 2)  # past retention=2
+    # watermark applies to current, not historical reads
+    assert store.get_watermark("t1") == 3

@@ -424,7 +424,81 @@ class ParquetTableStore:
         self.applied_ddls.append(ddl)
         with open(os.path.join(self.base_path, "_ddl_log"), "a") as f:
             f.write(ddl + "\n")
-        # C9: a JDBC target would re-read target column metadata here
+        self._apply_ddl_to_schema(ddl)
+
+    #: ALTER TABLE grammar the store evolves through (C9 metadata
+    #: refresh: the reference re-reads target dictionary after DDL;
+    #: this store IS the target, so it applies the change itself)
+    _DDL_RE = (
+        r"(?i)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
+        r"(?:(ADD)\s+(?:COLUMN\s+)?`?(\w+)`?\s+([A-Za-z0-9_() ]+?)"
+        r"|(DROP)\s+(?:COLUMN\s+)?`?(\w+)`?"
+        r"|(RENAME)\s+(?:COLUMN\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?)\s*;?\s*$"
+    )
+
+    def _apply_ddl_to_schema(self, ddl: str) -> None:
+        """C9: evolve the tracked schema for simple column DDLs so
+        post-DDL events parse with the new shape.  ADD/DROP are lazy —
+        parquet reads project by NAME, so old files yield NULL for an
+        added column and silently drop a removed one; RENAME eagerly
+        rewrites retained buckets (name-based projection cannot see a
+        renamed column in old files).  Unrecognized DDL stays log-only,
+        like the reference forwarding it to the target verbatim."""
+        import re
+
+        m = re.match(self._DDL_RE, ddl)
+        if not m or m.group(1) not in self.schemas:
+            return
+        table = m.group(1)
+        schema = T._parse_datatype_string(self.schemas[table])
+        fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if m.group(2):  # ADD
+            from dbms_spark.operators.structm import ColumnSpec, map_type
+
+            name, decl = m.group(3), m.group(4).strip()
+            tm = re.match(r"(\w+(?: \w+)*)\s*(?:\((\d+)(?:,\s*(\d+))?\))?", decl)
+            spec = ColumnSpec(
+                name, tm.group(1),
+                precision=int(tm.group(2)) if tm.group(2) else None,
+                scale=int(tm.group(3)) if tm.group(3) else None,
+                length=int(tm.group(2)) if tm.group(2) else None,
+            )
+            fields[name] = map_type(spec)[0].simpleString()
+        elif m.group(5):  # DROP
+            fields.pop(m.group(6), None)
+        else:  # RENAME
+            old, new = m.group(8), m.group(9)
+            if old in fields:
+                fields = {(new if k == old else k): v for k, v in fields.items()}
+                self.schemas[table] = ", ".join(f"{k} {v}" for k, v in fields.items())
+                self._rewrite_renamed(table, old, new)
+                if table in self.key_cols:
+                    self.key_cols[table] = [
+                        new if k == old else k for k in self.key_cols[table]
+                    ]
+                return
+        self.schemas[table] = ", ".join(f"{k} {v}" for k, v in fields.items())
+
+    def _rewrite_renamed(self, table: str, old: str, new: str) -> None:
+        """Eager one-version rewrite for RENAME: read every live bucket
+        under the OLD name, write back under the new (rename is rare;
+        ADD/DROP never pay this)."""
+        manifest = self._read_manifest(table)
+        if not manifest["buckets"]:
+            return
+        old_schema = ", ".join(
+            f"{old if k == new else k} {v}" for k, v in (
+                (f.name, f.dataType.simpleString())
+                for f in T._parse_datatype_string(self.schemas[table]).fields
+            )
+        )
+        paths = self._bucket_paths(table, manifest)
+        df = self.spark.read.schema(old_schema).parquet(*paths)
+        out = df.withColumnRenamed(old, new).withColumn(
+            "_kb", self._bucket_expr(self.key_cols[table])
+        )
+        touched = sorted(int(b) for b in manifest["buckets"])
+        self._commit_buckets(table, manifest, touched, out, manifest["watermark"])
 
     def _bucket_expr(self, keys: list[str]) -> F.Column:
         return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(self.n_buckets))

@@ -391,3 +391,35 @@ def test_time_travel_with_retention(store, spark):
         store.read_version("t1", cur - 2)  # past retention=2
     # watermark applies to current, not historical reads
     assert store.get_watermark("t1") == 3
+
+
+def test_ddl_schema_evolution(store, spark):
+    """C9 metadata refresh: ADD/DROP/RENAME COLUMN evolve the tracked
+    schema so post-DDL events parse with the new shape; old rows show
+    NULL for added columns; rename rewrites live buckets."""
+    batch = make_events(spark, [
+        ev("t1", "INSERT", 1, {"id": 1}, {"id": 1, "v": "a"}),
+        ev("t1", "DDL", 5, None, ddl="ALTER TABLE t1 ADD COLUMN score BIGINT"),
+        ev("t1", "INSERT", 7, {"id": 2}, {"id": 2, "v": "b", "score": 42}),
+    ])
+    cdc.apply_cdc_batch(store, batch)
+    rows = {r["id"]: r for r in store.read("t1").collect()}
+    assert rows[2]["score"] == 42
+    assert rows[1]["score"] is None          # pre-DDL row: NULL-filled
+    # rename: data survives under the new name (bucket rewrite)
+    cdc.apply_cdc_batch(store, make_events(spark, [
+        ev("t1", "DDL", 9, None, ddl="ALTER TABLE t1 RENAME COLUMN v TO label"),
+    ]))
+    assert "label" in store.schemas["t1"] and " v " not in store.schemas["t1"]
+    rows = {r["id"]: r["label"] for r in store.read("t1").collect()}
+    assert rows == {1: "a", 2: "b"}
+    # drop: the column disappears from reads
+    cdc.apply_cdc_batch(store, make_events(spark, [
+        ev("t1", "DDL", 11, None, ddl="ALTER TABLE t1 DROP COLUMN score"),
+    ]))
+    assert "score" not in store.read("t1").columns
+    # events after the drop apply cleanly with the narrowed schema
+    cdc.apply_cdc_batch(store, make_events(spark, [
+        ev("t1", "UPDATE", 13, {"id": 1}, {"id": 1, "label": "a2"}),
+    ]))
+    assert {r["id"]: r["label"] for r in store.read("t1").collect()} == {1: "a2", 2: "b"}

@@ -394,11 +394,16 @@ class ParquetTableStore:
             items = [(k, v) for k, v in items if k in want]
         return [os.path.join(self.table_path(table), rel) for _, rel in items]
 
+    def _stored_schema(self, table: str) -> str:
+        """Schema of the rows as persisted (subclasses may append
+        bookkeeping columns, e.g. SCD2 validity metadata)."""
+        return self.schemas[table]
+
     def _read_buckets(self, table: str, buckets: list[int] | None = None) -> DataFrame:
         paths = self._bucket_paths(table, self._read_manifest(table), buckets)
         if not paths:
-            return self.spark.createDataFrame([], self.schemas[table])
-        return self.spark.read.schema(self.schemas[table]).parquet(*paths)
+            return self.spark.createDataFrame([], self._stored_schema(table))
+        return self.spark.read.schema(self._stored_schema(table)).parquet(*paths)
 
     def read(self, table: str) -> DataFrame:
         return self._read_buckets(table)
@@ -486,10 +491,12 @@ class ParquetTableStore:
         manifest = self._read_manifest(table)
         if not manifest["buckets"]:
             return
+        # files on disk still use the OLD name; includes any subclass
+        # bookkeeping columns (_stored_schema), so nothing is dropped
         old_schema = ", ".join(
             f"{old if k == new else k} {v}" for k, v in (
                 (f.name, f.dataType.simpleString())
-                for f in T._parse_datatype_string(self.schemas[table]).fields
+                for f in T._parse_datatype_string(self._stored_schema(table)).fields
             )
         )
         paths = self._bucket_paths(table, manifest)

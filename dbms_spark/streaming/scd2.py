@@ -115,11 +115,13 @@ class Scd2TableStore(ParquetTableStore):
     def _history_schema(self, table: str) -> str:
         return scd2_schema(self.schemas[table])
 
+    def _stored_schema(self, table: str) -> str:
+        # rows persist WITH the validity metadata; every base-class
+        # read/rewrite path must see it or history would be dropped
+        return self._history_schema(table)
+
     def read(self, table: str) -> DataFrame:
-        paths = self._bucket_paths(table, self._read_manifest(table))
-        if not paths:
-            return self.spark.createDataFrame([], self._history_schema(table))
-        return self.spark.read.schema(self._history_schema(table)).parquet(*paths)
+        return self._read_buckets(table)
 
     def current(self, table: str) -> DataFrame:
         """The live snapshot: current versions only, row columns only."""
@@ -148,11 +150,7 @@ class Scd2TableStore(ParquetTableStore):
                 r["_kb"] for r in
                 batch_keys.select(self._bucket_expr(keys).alias("_kb")).distinct().collect()
             )
-            paths = self._bucket_paths(table, manifest, touched)
-            existing = (
-                self.spark.read.schema(self._history_schema(table)).parquet(*paths)
-                if paths else self.spark.createDataFrame([], self._history_schema(table))
-            )
+            existing = self._read_buckets(table, touched)
             out = scd2_apply(existing, events, keys, self.schemas[table]).withColumn(
                 "_kb", self._bucket_expr(keys)
             )

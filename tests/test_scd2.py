@@ -85,3 +85,16 @@ def test_scd2_store_end_to_end(hstore, spark):
     # replay is a no-op (watermark guard)
     hstore.apply_dml("t1", b2)
     assert hstore.read("t1").count() == 3
+
+
+def test_scd2_rename_ddl_preserves_history(hstore, spark):
+    """RENAME COLUMN through the inherited DDL path must rewrite the
+    history buckets WITH the validity metadata intact."""
+    hstore.apply_dml("t1", spark.createDataFrame([
+        ev("t1", "INSERT", 1, {"id": 1}, {"id": 1, "v": "a"}),
+        ev("t1", "UPDATE", 5, {"id": 1}, {"id": 1, "v": "b"}),
+    ], cdc.CDC_EVENT_SCHEMA))
+    hstore.execute_ddl("ALTER TABLE t1 RENAME COLUMN v TO label")
+    hist = sorted((r["label"], r["valid_from"], r["valid_to"], r["is_current"])
+                  for r in hstore.read("t1").collect())
+    assert hist == [("a", 1, 5, False), ("b", 5, None, True)]

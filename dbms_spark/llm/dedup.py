@@ -413,3 +413,67 @@ FROM sh a JOIN sh b ON b.{id_col} = a.{id_col} + (SELECT h FROM half)
 WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 >= {min_sim}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup group assignment (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "a_id", id_b: str = "b_id",
+                 iters: int = 4) -> DataFrame:
+    """Assign every node appearing in ``pairs`` to its duplicate group
+    (``group_id`` = min node id in the connected component) by
+    ``iters`` rounds of min-label propagation.
+
+    Closes the dedup pipeline: LSH proposes pairs, Jaccard verifies
+    them, and this groups verified pairs so a keep-one-representative
+    policy (keep ``doc_id == group_id``) can be applied.
+
+    Scale shape: each round is one equi-join of the (symmetrized +
+    self-looped) edge list against the label frontier plus a map-side
+    partial MIN — both shuffles key on a node id, so AQE coalesces and
+    skew-splits them.  Duplicate clusters found by LSH banding are
+    near-cliques (every member shares a band with most others), so
+    their diameter is tiny and a small fixed ``iters`` converges; for
+    general graphs with long chains, raise ``iters`` (rounds needed =
+    graph diameter).  Reference analog: the compare/dedup grouping of
+    verified row matches (multiset diff buckets), re-expressed as a
+    bounded iterative DataFrame computation.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    nodes = fwd.unionAll(rev).select("src").distinct()
+    # self-loops make "min over neighbours" include the node's own label
+    edges = fwd.unionAll(rev).unionAll(nodes.select("src", F.col("src").alias("dst")))
+    labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
+    for _ in range(iters):
+        labels = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "id")
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_groups_sql(pairs_sql: str, id_a: str = "a_id", id_b: str = "b_id",
+                     iters: int = 4) -> str:
+    """DuckDB twin of :func:`dedup_groups` — the propagation rounds are
+    unrolled into ``iters`` chained CTEs (l1..lN), each the exact
+    relational step the Spark loop takes."""
+    ctes = [
+        f"pairs AS ({pairs_sql})",
+        f"edges AS (SELECT {id_a} AS src, {id_b} AS dst FROM pairs"
+        f" UNION ALL SELECT {id_b}, {id_a} FROM pairs"
+        f" UNION ALL SELECT {id_a}, {id_a} FROM pairs"
+        f" UNION ALL SELECT {id_b}, {id_b} FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"l{i + 1} AS (SELECT e.src AS id, MIN(l.label) AS label "
+            f"FROM edges e JOIN l{i} l ON e.dst = l.id GROUP BY e.src)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id AS doc_id, label AS group_id FROM l{iters}")

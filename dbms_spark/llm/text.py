@@ -244,3 +244,145 @@ SELECT {id_col},
                  (acc, h) -> (acc * {_POLY_BASE} + h) % {_POLY_MOD}) END AS poly_hash
 FROM (SELECT {id_col}, {text_col}, {tokens_sql(text_col)} AS toks FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+#: max occurrence count of any element in a string array, computed as the
+#: longest run of the SORTED array folded map-side — O(n log n) per row,
+#: zero shuffles (vs the classic explode + two groupBys).
+_MAX_FREQ_FOLD = (
+    "aggregate(array_sort({arr}), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+    "(acc, t) -> CASE WHEN acc.prev IS NOT NULL AND t = acc.prev "
+    "THEN named_struct('prev', t, 'run', acc.run + 1L, 'best', greatest(acc.best, acc.run + 1L)) "
+    "ELSE named_struct('prev', t, 'run', 1L, 'best', greatest(acc.best, 1L)) END, "
+    "acc -> acc.best)"
+)
+
+#: word bigram array (non-distinct, document order)
+_BIGRAMS = (
+    "CASE WHEN size(toks) < 2 THEN array() "
+    "ELSE transform(sequence(0, size(toks) - 2), i -> toks[i] || ' ' || toks[i + 1]) END"
+)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition heuristics (Gopher/C4-style filters):
+    duplicate-word fraction, most-frequent-word fraction, duplicate-
+    bigram fraction, plus the raw counts.
+
+    Everything is computed INSIDE the row with array folds (sort +
+    longest-run for the mode count) — zero shuffles, linear scan over
+    the corpus, so at 100 TB this is a pure map stage that pipelines
+    with the parquet scan.  The DuckDB twin takes the classic
+    unnest + GROUP BY route; values match exactly because both count
+    the same multiset.  Docs with no tokens are dropped (no
+    denominators).  Fractions are DOUBLE quotients of exact BIGINTs —
+    bit-identical across engines.
+    """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = (
+        df.withColumn("toks", tokens_expr(text_col))
+        .filter(F.expr("size(toks) > 0"))
+        .withColumn("bg", F.expr(_BIGRAMS))
+    )
+    n_words = F.expr("cast(size(toks) as bigint)")
+    n_dw = F.expr("cast(size(array_distinct(toks)) as bigint)")
+    top_w = F.expr(_MAX_FREQ_FOLD.format(arr="toks"))
+    n_bg = F.expr("cast(size(bg) as bigint)")
+    n_dbg = F.expr("cast(size(array_distinct(bg)) as bigint)")
+    return toks.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_dw.alias("n_distinct_words"),
+        top_w.alias("top_word_count"),
+        n_bg.alias("n_bigrams"),
+        n_dbg.alias("n_distinct_bigrams"),
+        ((n_words - n_dw).cast("double") / n_words).alias("dup_word_frac"),
+        (top_w.cast("double") / n_words).alias("top_word_frac"),
+        F.when(n_bg > 0, (n_bg - n_dbg).cast("double") / n_bg)
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def repetition_signals_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    return f"""
+WITH toks AS (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}),
+w AS (SELECT {id_col}, unnest(toks) AS t FROM toks WHERE len(toks) > 0),
+wc AS (SELECT {id_col}, t, COUNT(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_words,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+              CAST(MAX(c) AS BIGINT) AS top_word_count
+       FROM wc GROUP BY 1),
+bg AS (SELECT {id_col},
+              unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS g
+       FROM toks WHERE len(toks) >= 2),
+bc AS (SELECT {id_col}, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+       FROM bc GROUP BY 1)
+SELECT ws.{id_col}, n_words, n_distinct_words, top_word_count,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+       CAST(top_word_count AS DOUBLE) / n_words AS top_word_frac,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+            ELSE 0.0 END AS dup_bigram_frac
+FROM ws LEFT JOIN bs ON ws.{id_col} = bs.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram frequency (contamination / boilerplate analysis)
+# ---------------------------------------------------------------------------
+
+_TRIGRAMS = (
+    "CASE WHEN size(toks) < 3 THEN array() "
+    "ELSE transform(sequence(0, size(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END"
+)
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
+               k: int = 20) -> DataFrame:
+    """Top-``k`` word ``n``-grams across the whole corpus by frequency
+    (ties broken by ngram text, so the result set is deterministic).
+
+    One shuffle: explode is map-side, the groupBy count does map-side
+    partial aggregation on the ngram string, and the global top-k is a
+    TakeOrdered over per-partition heaps — no full sort materializes.
+    Boilerplate n-grams are heavy-hitter keys; the partial aggregation
+    absorbs the skew before the shuffle."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    grams = {2: _BIGRAMS, 3: _TRIGRAMS}[n]
+    return (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(table: str = "documents", text_col: str = "text", n: int = 3,
+                   k: int = 20) -> str:
+    assert n == 3, "oracle emitted for the trigram default"
+    return f"""
+WITH toks AS (SELECT {tokens_sql(text_col)} AS toks FROM {table}),
+g AS (SELECT unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                     for i in range(1, len(toks) - 1)]) AS ngram
+      FROM toks WHERE len(toks) >= 3)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
+"""

@@ -1580,3 +1580,51 @@ def q18_struct_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dst = schema_to_df(spark, "lineitem", dst_schema)
     return struct_compare(src, dst)
+
+
+def _q55_sql() -> str:
+    from dbms_spark.llm.dedup import dedup_groups_sql, lsh_candidate_pairs_sql
+
+    return dedup_groups_sql(lsh_candidate_pairs_sql(f"({_DUPED_DOCS_SQL})"))
+
+
+@register("q55_dedup_groups", _q55_sql())
+def q55_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group assignment: LSH candidate pairs over the duplicated
+    corpus, grouped into connected components (keep-one policy is
+    ``doc_id == group_id``).  Reference analog: grouping of verified
+    duplicate matches before repair/dedup."""
+    from dbms_spark.llm.dedup import dedup_groups, lsh_candidate_pairs, minhash_signatures
+
+    corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
+    return dedup_groups(lsh_candidate_pairs(minhash_signatures(corpus)))
+
+
+def _q56_sql() -> str:
+    from dbms_spark.llm.text import repetition_signals_sql
+
+    return repetition_signals_sql("documents")
+
+
+@register("q56_repetition_signals", _q56_sql())
+def q56_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: dup-word / top-word / dup-bigram
+    fractions per document, computed map-side with array folds."""
+    from dbms_spark.llm.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _q57_sql() -> str:
+    from dbms_spark.llm.text import top_ngrams_sql
+
+    return top_ngrams_sql("documents")
+
+
+@register("q57_top_ngrams", _q57_sql())
+def q57_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams (boilerplate / contamination
+    frequency analysis) — one partial-aggregated shuffle + TakeOrdered."""
+    from dbms_spark.llm.text import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"))

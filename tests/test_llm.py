@@ -200,3 +200,48 @@ def test_ivf_ann(spark, sf_dir):
     assert r4 >= r2  # probing more cells can only help
     # probing every cell degenerates to the exact baseline
     assert recall(len(cents)) == 1.0
+
+
+def test_dedup_groups_components(spark):
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, pair order mixed
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "a_id bigint, b_id bigint")
+    got = sorted(tuple(r) for r in D.dedup_groups(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)]
+    # one more round changes nothing (converged at iters=4)
+    got5 = sorted(tuple(r) for r in D.dedup_groups(pairs, iters=5).collect())
+    assert got5 == got
+
+
+def test_dedup_groups_matches_duck_oracle(spark):
+    import duckdb
+
+    pairs = [(1, 5), (5, 9), (2, 4), (100, 1)]
+    sdf = spark.createDataFrame(pairs, "a_id bigint, b_id bigint")
+    got = sorted(tuple(r) for r in D.dedup_groups(sdf).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = D.dedup_groups_sql(f"SELECT * FROM (VALUES {vals}) AS t(a_id, b_id)")
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_repetition_signals_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, "  ")], "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in TX.repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}  # token-less doc dropped
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct_words"], r1["top_word_count"]) == (3, 2, 2)
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (2, 2)
+    assert r1["dup_word_frac"] == 1.0 / 3 and r1["top_word_frac"] == 2.0 / 3
+    assert r1["dup_bigram_frac"] == 0.0
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_bigrams"], r2["top_word_frac"]) == (1, 0, 1.0)
+
+
+def test_top_ngrams_deterministic_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d")], "doc_id bigint, text string")
+    got = [(r["ngram"], r["cnt"]) for r in TX.top_ngrams(docs, k=3).collect()]
+    # 'a b c' x3; ties ('b c a','b c d','c a b' x1) break by text asc
+    assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]

@@ -386,3 +386,105 @@ g AS (SELECT unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
 SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def contamination_check(train: DataFrame, bench: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-train-document count of word ``n``-gram shingles that also
+    occur anywhere in the benchmark set (the standard train/eval
+    overlap decontamination pass).
+
+    Scale shape: the benchmark side is distinct-reduced and BROADCAST —
+    eval sets are tiny next to a 100 TB corpus, so the probe is a
+    map-side hash-join against the streamed train shingles; no shuffle
+    of the corpus.  Train shingles are per-doc distinct (from
+    :func:`~dbms_spark.llm.dedup.shingles_expr`), so ``n_hits`` counts
+    distinct contaminated shingles per document."""
+    from dbms_spark.llm.dedup import shingles_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    def sh(df: DataFrame, cols: list) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .withColumn("toks", tokens_expr(text_col))
+            .withColumn("sh", shingles_expr(n))
+            .select(*cols, F.explode("sh").alias("sh"))
+        )
+
+    bench_sh = sh(bench, []).distinct()
+    return (
+        sh(train, [F.col(id_col)])
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def contamination_check_sql(train_sql: str, bench_sql: str, id_col: str = "doc_id",
+                            n: int = 5) -> str:
+    from dbms_spark.llm.dedup import shingles_sql
+
+    return f"""
+WITH tr AS ({train_sql}),
+be AS ({bench_sql}),
+tsh AS (SELECT {id_col}, unnest({shingles_sql(n)}) AS sh
+        FROM (SELECT {id_col}, {tokens_sql()} AS toks FROM tr)),
+bsh AS (SELECT DISTINCT unnest({shingles_sql(n)}) AS sh
+        FROM (SELECT {tokens_sql()} AS toks FROM be))
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tsh JOIN bsh USING (sh) GROUP BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: deliberately simple patterns that parse identically under Java regex
+#: (Spark) and RE2 (DuckDB): char classes + bounded quantifiers only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii_expr(text_col: str = "text") -> Column:
+    """Emails then phones replaced by typed placeholder tags.  Spark's
+    ``regexp_replace`` is global by default (DuckDB needs the 'g' flag
+    — see :func:`pii_scan_sql`)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>",
+    )
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII counts plus an md5 of the redacted text (the
+    hash differentially proves the redaction itself, not just the
+    counts).  Pure map stage — JVM regex inside codegen, no shuffle."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.md5(redact_pii_expr(text_col).cast("binary")).alias("redacted_md5"),
+    )
+
+
+def pii_scan_sql(table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    em, ph = PII_EMAIL_RE, PII_PHONE_RE
+    return f"""
+SELECT {id_col},
+       CAST(len(regexp_extract_all({text_col}, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({text_col}, '{ph}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace({text_col}, '{em}', '<EMAIL>', 'g'),
+                          '{ph}', '<PHONE>', 'g')) AS redacted_md5
+FROM {table}
+"""

@@ -1628,3 +1628,71 @@ def q57_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.text import top_ngrams
 
     return top_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def _q58_sql() -> str:
+    from dbms_spark.llm.text import contamination_check_sql
+
+    return contamination_check_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0",
+        "SELECT text FROM documents WHERE doc_id % 13 = 0",
+        n=3,
+    )
+
+
+@register("q58_decontamination", _q58_sql())
+def q58_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap decontamination: distinct 5-gram shingles of a
+    broadcast benchmark split probed against the train split."""
+    from dbms_spark.llm.text import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter("doc_id % 13 <> 0").select("doc_id", "text"),
+        docs.filter("doc_id % 13 = 0").select("text"),
+        n=3,
+    )
+
+
+#: deterministic PII injection (mirrors q52's injected-noise pattern):
+#: every 7th doc gains an email, every 11th a NANP phone number.
+_PII_INJECT_SPARK = (
+    "CASE WHEN doc_id % 11 = 0 THEN t2 || ' call +1-555-' || "
+    "lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE t2 END"
+)
+_PII_INJECT_T2_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS STRING) || '@example.com' ELSE text END"
+)
+_PII_INJECT_DUCK = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN t2 || ' call +1-555-' ||
+              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE t2 END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                    CAST(doc_id AS VARCHAR) || '@example.com' ELSE text END AS t2
+        FROM documents)
+"""
+
+
+def _q59_sql() -> str:
+    from dbms_spark.llm.text import pii_scan_sql
+
+    return f"WITH corpus AS ({_PII_INJECT_DUCK})\n" + pii_scan_sql("corpus")
+
+
+@register("q59_pii_scan", _q59_sql())
+def q59_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a corpus with deterministically injected
+    emails/phones; the redacted-text md5 gates the replacement itself."""
+    from dbms_spark.llm.text import pii_scan
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t2", F.expr(_PII_INJECT_T2_SPARK))
+        .withColumn("text", F.expr(_PII_INJECT_SPARK))
+        .select("doc_id", "text")
+    )
+    return pii_scan(corpus)

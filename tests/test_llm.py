@@ -245,3 +245,28 @@ def test_top_ngrams_deterministic_topk(spark):
     got = [(r["ngram"], r["cnt"]) for r in TX.top_ngrams(docs, k=3).collect()]
     # 'a b c' x3; ties ('b c a','b c d','c a b' x1) break by text asc
     assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]
+
+
+def test_contamination_check_broadcast_probe(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id bigint, text string")
+    bench = spark.createDataFrame([("a b c d q",)], "text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           TX.contamination_check(train, bench, n=3).collect()}
+    # train doc 1 shares trigrams 'a b c' and 'b c d'; doc 2 shares none
+    assert got == {1: 2}
+    plan = TX.contamination_check(train, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail me at bob@corp.io or sue@x.org now"),
+         (2, "call +1-555-123-4567 today"),
+         (3, "clean text only")], "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in TX.pii_scan(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (2, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 1)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (0, 0)
+    import hashlib
+    assert rows[2]["redacted_md5"] == hashlib.md5(b"call <PHONE> today").hexdigest()

@@ -130,25 +130,58 @@ def multiset_diff_collated(
     )
 
 
+#: collations whose equivalence classes have a computable canonical
+#: string (hash that, and hash-compare works under the collation).
+_FOLDABLE_COLLATIONS = {"UTF8_BINARY": None, "UTF8_LCASE": F.lower}
+
+
 def multiset_diff_hashed(
     src: DataFrame,
     dst: DataFrame,
     cols: list[str] | None = None,
     key_cols: list[str] | None = None,
     oracle_empty_is_null: bool = False,
+    collation: str | None = None,
 ) -> DataFrame:
     """J1 at scale: group by the 32-byte canonical-row MD5 instead of
     the full wide row, so the shuffle carries (hash, count) pairs.
     ``key_cols`` (if given) are carried through for row identification
     in fix-SQL; they must be functionally dependent on the row hash.
+
+    ``collation`` extends the hashed path to case-insensitive sources:
+    string fields are folded to the collation's canonical form (lower
+    for UTF8_LCASE) BEFORE hashing, so collation-equal rows cancel just
+    as in :func:`multiset_diff_collated` — but the shuffle still
+    carries only (hash, count).  Collations with no computable
+    canonical string (linguistic UNICODE tailorings) can't ride a hash;
+    use :func:`multiset_diff_collated`, which compares instead.
     """
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     cols = cols or src.columns
     keep = key_cols or []
+    if collation is not None and collation not in _FOLDABLE_COLLATIONS:
+        raise ValueError(
+            f"collation {collation!r} has no canonical fold; "
+            "use multiset_diff_collated for linguistic collations")
+    fold = _FOLDABLE_COLLATIONS.get(collation) if collation else None
+    fields = {f.name: f.dataType for f in src.schema.fields}
 
     def hashed(df: DataFrame, cnt_alias: str) -> DataFrame:
         df = ensure_parallelism(df)
+        if fold is not None:
+            hash_in = df.select(*[
+                (fold(F.col(c)) if isinstance(fields[c], T.StringType) else F.col(c)).alias(c)
+                for c in cols
+            ], *[F.col(k).alias(f"__k_{k}") for k in keep])
+            keeps = [F.min(F.col(f"__k_{k}")).alias(k) for k in keep]
+            return (
+                hash_in.select(
+                    C.row_md5(hash_in, cols, oracle_empty_is_null).alias("row_md5"),
+                    *[f"__k_{k}" for k in keep])
+                .groupBy("row_md5")
+                .agg(F.count(F.lit(1)).alias(cnt_alias), *keeps)
+            )
         # min not first: all rows in an md5 group are identical, and min
         # keeps the result deterministic for differential checking
         keeps = [F.min(F.col(k)).alias(k) for k in keep]

@@ -131,81 +131,126 @@ def sql_literal(v, dialect: str = "mysql") -> str:
     return str(v)
 
 
-def _ident(col: str, v, collation: str | None) -> str:
+#: Spark collation name → Oracle NLS_SORT name (the reference plans
+#: chunk boundaries through NLSSORT on linguistic-collation sources,
+#: utils/structure/chunk.go:80-95).
+_NLS_SORT = {
+    "UTF8_BINARY": "BINARY",
+    "UTF8_LCASE": "BINARY_CI",
+    "UNICODE": "GENERIC_M",
+    "UNICODE_CI": "GENERIC_M_CI",
+}
+
+
+def _quote(col: str, dialect: str) -> str:
+    return f'"{col}"' if dialect == "oracle" else f"`{col}`"
+
+
+def _ident(col: str, v, collation: str | None, dialect: str = "spark") -> str:
     """Rendered column reference; string comparisons under a collated
-    plan carry the COLLATE clause (same syntax in Spark SQL and MySQL;
-    an Oracle target would need NLSSORT — out of scope, documented)."""
+    plan carry the COLLATE clause (same syntax in Spark SQL and MySQL)
+    or, for an Oracle source, an NLSSORT() wrap of the reference."""
+    base = _quote(col, dialect)
     if collation and isinstance(v, str):
-        return f"`{col}` COLLATE {collation}"
-    return f"`{col}`"
+        if dialect == "oracle":
+            nls = _NLS_SORT.get(collation, collation)
+            return f"NLSSORT({base}, 'NLS_SORT={nls}')"
+        return f"{base} COLLATE {collation}"
+    return base
 
 
-def _eq(col: str, v, collation: str | None = None) -> str:
+def _literal(v, collation: str | None, dialect: str) -> str:
+    """Literal side of a comparison — under Oracle NLSSORT both sides
+    of the comparison must be sort-key encoded."""
+    lit = sql_literal(v, dialect)
+    if dialect == "oracle" and collation and isinstance(v, str):
+        nls = _NLS_SORT.get(collation, collation)
+        return f"NLSSORT({lit}, 'NLS_SORT={nls}')"
+    return lit
+
+
+def _eq(col: str, v, collation: str | None = None, dialect: str = "spark") -> str:
     """Null-safe equality (boundary values can be NULL when the sampled
     key is null-heavy)."""
-    return f"`{col}` IS NULL" if v is None else f"{_ident(col, v, collation)} = {sql_literal(v)}"
+    if v is None:
+        return f"{_quote(col, dialect)} IS NULL"
+    return f"{_ident(col, v, collation, dialect)} = {_literal(v, collation, dialect)}"
 
 
-def _cmp(col: str, op: str, v, collation: str | None = None) -> str:
+def _cmp(col: str, op: str, v, collation: str | None = None,
+         dialect: str = "spark") -> str:
     """One comparison under NULLS-FIRST ordering (NULL sorts below every
     value — Spark's default ASC ordering, which :func:`plan_chunks` uses
     when it ntiles the sample, and the ordering
     :func:`assign_chunk_id`'s struct comparison induces: a NULL field
     never satisfies ``>``).  Rendering NULL-aware comparisons here keeps
-    rows with NULL keys in exactly one chunk instead of none."""
+    rows with NULL keys in exactly one chunk instead of none (Oracle
+    note: its native sort puts NULLs last, but these predicates define
+    chunk membership explicitly, so they stay correct there too)."""
+    c0 = _quote(col, dialect)
     if v is None:
-        c = f"`{col}`"
-        return {"<": "FALSE", "<=": f"{c} IS NULL",
-                ">": f"{c} IS NOT NULL", ">=": "TRUE"}[op]
-    c = _ident(col, v, collation)
-    lit = sql_literal(v)
+        false_ = "1 = 0" if dialect == "oracle" else "FALSE"
+        true_ = "1 = 1" if dialect == "oracle" else "TRUE"
+        return {"<": false_, "<=": f"{c0} IS NULL",
+                ">": f"{c0} IS NOT NULL", ">=": true_}[op]
+    c = _ident(col, v, collation, dialect)
+    lit = _literal(v, collation, dialect)
     if op in ("<", "<="):
-        return f"(`{col}` IS NULL OR {c} {op} {lit})"
+        return f"({c0} IS NULL OR {c} {op} {lit})"
     return f"{c} {op} {lit}"  # NULL (smallest) never satisfies > / >=
 
 
 def _gt_tuple(cols: tuple[str, ...], vals: tuple, strict: bool,
-              collation: str | None = None) -> str:
+              collation: str | None = None, dialect: str = "spark") -> str:
     """Composite-key comparison expansion, the reference's
     Range.ToString boundary form: (a>x) OR (a=x AND b>y) OR ...
     With strict=False the innermost comparison becomes >=."""
     terms = []
     for i in range(len(cols)):
-        eqs = [_eq(cols[j], vals[j], collation) for j in range(i)]
+        eqs = [_eq(cols[j], vals[j], collation, dialect) for j in range(i)]
         op = ">" if (strict or i < len(cols) - 1) else ">="
-        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation)]) + ")")
+        terms.append(
+            "(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation, dialect)]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
 def _le_tuple(cols: tuple[str, ...], vals: tuple,
-              collation: str | None = None) -> str:
+              collation: str | None = None, dialect: str = "spark") -> str:
     terms = []
     for i in range(len(cols)):
-        eqs = [_eq(cols[j], vals[j], collation) for j in range(i)]
+        eqs = [_eq(cols[j], vals[j], collation, dialect) for j in range(i)]
         op = "<" if i < len(cols) - 1 else "<="
-        terms.append("(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation)]) + ")")
+        terms.append(
+            "(" + " AND ".join(eqs + [_cmp(cols[i], op, vals[i], collation, dialect)]) + ")")
     return "(" + " OR ".join(terms) + ")"
 
 
-def chunk_predicate(plan: ChunkPlan, i: int) -> str:
+def chunk_predicate(plan: ChunkPlan, i: int, dialect: str = "spark") -> str:
     """WHERE-clause text for chunk ``i`` — valid as a DataFrame filter
     or a JDBC partition predicate (one element of ``predicates=[...]``).
     Chunks partition the keyspace exactly under NULLS-FIRST ordering:
     (-inf, b0], (b0, b1], ..., (b_last, +inf), with NULL keys landing in
-    chunk 0 (matching :func:`assign_chunk_id`)."""
+    chunk 0 (matching :func:`assign_chunk_id`).
+
+    ``dialect="oracle"`` renders double-quoted identifiers, Oracle
+    literals, and — when the plan carries a collation — NLSSORT-wrapped
+    comparisons on both sides, the reference's boundary form for
+    linguistic-collation sources (utils/structure/chunk.go:80-95)."""
     cols = plan.key_cols
     if plan.n_chunks == 1:
         return "1 = 1"  # whole-table fallback, reference's WHERE 1=1
     parts = []
     if i > 0:
-        parts.append(_gt_tuple(cols, plan.bounds[i - 1], strict=True, collation=plan.collation))
+        parts.append(_gt_tuple(cols, plan.bounds[i - 1], strict=True,
+                               collation=plan.collation, dialect=dialect))
     if i < len(plan.bounds):
-        parts.append(_le_tuple(cols, plan.bounds[i], collation=plan.collation))
+        parts.append(_le_tuple(cols, plan.bounds[i],
+                               collation=plan.collation, dialect=dialect))
     return " AND ".join(parts) if parts else "1 = 1"
 
 
-def predicates(plan: ChunkPlan) -> list[str]:
-    return [chunk_predicate(plan, i) for i in range(plan.n_chunks)]
+def predicates(plan: ChunkPlan, dialect: str = "spark") -> list[str]:
+    return [chunk_predicate(plan, i, dialect) for i in range(plan.n_chunks)]
 
 
 def assign_chunk_id(plan: ChunkPlan, df: DataFrame) -> Column:

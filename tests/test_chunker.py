@@ -99,3 +99,22 @@ def test_binary_plan_unchanged_by_default(spark):
     plan = chunker.plan_chunks(df, ["k"], 4)
     assert plan.collation is None
     assert "COLLATE" not in chunker.chunk_predicate(plan, 1)
+
+
+def test_oracle_dialect_predicate_rendering(spark):
+    df = spark.createDataFrame([(f"w{i}", i) for i in range(200)], "k string, n long")
+    plan = chunker.plan_chunks(df, ["k", "n"], 4, collation="UTF8_LCASE")
+    pred = chunker.chunk_predicate(plan, 1, dialect="oracle")
+    # NLSSORT wraps BOTH sides of every string comparison
+    assert "NLSSORT(\"k\", 'NLS_SORT=BINARY_CI')" in pred
+    assert "NLSSORT('" in pred
+    assert "`" not in pred and "COLLATE" not in pred
+    # numeric columns stay bare
+    assert '"n"' in pred
+    # spark rendering unchanged
+    assert "COLLATE UTF8_LCASE" in chunker.chunk_predicate(plan, 1)
+    # uncollated oracle: plain quoted identifiers, no NLSSORT
+    p2 = chunker.plan_chunks(df, ["k"], 4)
+    assert "NLSSORT" not in chunker.chunk_predicate(p2, 1, dialect="oracle")
+    assert '"k"' in chunker.chunk_predicate(p2, 1, dialect="oracle")
+    assert len(chunker.predicates(plan, dialect="oracle")) == plan.n_chunks

@@ -244,3 +244,24 @@ def test_engine_data_verify_end_to_end(orders, mutated, spark):
     # clean pair: report equal, empty diff, no statements
     rep2, diff2, stmts2 = eng.data_verify(orders, orders, "orders", plan=plan)
     assert rep2.equal and diff2.count() == 0 and stmts2 == []
+
+
+def test_multiset_diff_hashed_collated(spark):
+    import pytest as _pytest
+
+    src = spark.createDataFrame(
+        [(1, "Alpha"), (2, "beta"), (3, "gamma"), (4, "delta")], "id long, s string")
+    dst = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "beta"), (3, "changed"), (5, "new")], "id long, s string")
+    # binary hash: case drift on id 1 is a difference
+    binary_ids = {r["id"] for r in X.multiset_diff_hashed(
+        src, dst, key_cols=["id"]).collect()}
+    assert 1 in binary_ids
+    # folded hash: same disagreement classes as the collated compare
+    # (dst-only classes carry no src key — same contract as binary)
+    folded = X.multiset_diff_hashed(src, dst, key_cols=["id"], collation="UTF8_LCASE")
+    got = [(r["id"], r["src_cnt"], r["dst_cnt"]) for r in folded.collect()]
+    assert sorted(t for t in got if t[1] > 0) == [(3, 1, 0), (4, 1, 0)]
+    assert sorted(t for t in got if t[1] == 0) == [(None, 0, 1), (None, 0, 1)]
+    with _pytest.raises(ValueError):
+        X.multiset_diff_hashed(src, dst, collation="UNICODE")

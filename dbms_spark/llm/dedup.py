@@ -446,6 +446,10 @@ def dedup_groups(pairs: DataFrame, id_a: str = "a_id", id_b: str = "b_id",
     nodes = fwd.unionAll(rev).select("src").distinct()
     # self-loops make "min over neighbours" include the node's own label
     edges = fwd.unionAll(rev).unionAll(nodes.select("src", F.col("src").alias("dst")))
+    # the edge list is referenced by every round: persist it, or the
+    # upstream pipeline (LSH banding etc.) re-executes once per round
+    # and the label lineage re-expands it combinatorially
+    edges = edges.persist()
     labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
     for _ in range(iters):
         labels = (

@@ -364,10 +364,17 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     grams = {2: _BIGRAMS, 3: _TRIGRAMS}[n]
+    # explode_OUTER on purpose: a plain explode makes Catalyst infer a
+    # size()>0 pre-filter that re-inlines the whole ngram expression
+    # below the parallelism exchange — single-threaded and ~6x the
+    # work.  Outer generate infers nothing; empty docs yield one NULL
+    # ngram row dropped by the post-generate filter (which cannot sink
+    # below the Generate that defines its input).
     return (
         ensure_parallelism(df)
         .withColumn("toks", tokens_expr(text_col))
-        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .select(F.explode_outer(F.expr(grams)).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -408,11 +415,15 @@ def contamination_check(train: DataFrame, bench: DataFrame, id_col: str = "doc_i
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     def sh(df: DataFrame, cols: list) -> DataFrame:
+        # explode_outer + post-filter: see top_ngrams — a plain explode
+        # gets an inferred size()>0 filter that re-inlines the shingle
+        # expression below the parallelism exchange (serial, ~6x work)
         return (
             ensure_parallelism(df)
             .withColumn("toks", tokens_expr(text_col))
             .withColumn("sh", shingles_expr(n))
-            .select(*cols, F.explode("sh").alias("sh"))
+            .select(*cols, F.explode_outer("sh").alias("sh"))
+            .filter(F.col("sh").isNotNull())
         )
 
     bench_sh = sh(bench, []).distinct()

@@ -199,12 +199,14 @@ def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: i
 
     per = []
     for t in tables:
-        # spread FIRST: the test files are single-row-group (1 scan
-        # partition), and both the md5 sample filter and the canonical
-        # projection are per-row CPU that must not run on one core
-        df = ensure_parallelism(load_table(spark, sf_dir, t))
+        # sample FIRST, spread second: the repartition must shuffle only
+        # the sampled fraction, not the full wide table — the md5-prefix
+        # filter itself is a cheap narrow scan, while the canonical-row
+        # projection after it is the per-row CPU that needs the cores
+        df = load_table(spark, sf_dir, t)
         if sample_pct < 100.0:
             df = deterministic_sample(df, df.columns[0], sample_pct)
+        df = ensure_parallelism(df)
         per.append(
             df.select(F.length(canonical_row(df)).cast("bigint").alias("len"))
             .agg(F.sum("len").alias("s"), F.count(F.lit(1)).alias("c"))

@@ -441,14 +441,16 @@ def dedup_groups(pairs: DataFrame, id_a: str = "a_id", id_b: str = "b_id",
     verified row matches (multiset diff buckets), re-expressed as a
     bounded iterative DataFrame computation.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # persist the SLIM pair list first: fwd/rev/nodes/edges and the
+    # label frontier all re-derive it (6+ evaluations of the upstream
+    # LSH pipeline otherwise — the cache turns those into re-reads of
+    # a two-column in-memory table)
+    pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    fwd = pairs
+    rev = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     nodes = fwd.unionAll(rev).select("src").distinct()
     # self-loops make "min over neighbours" include the node's own label
     edges = fwd.unionAll(rev).unionAll(nodes.select("src", F.col("src").alias("dst")))
-    # the edge list is referenced by every round: persist it, or the
-    # upstream pipeline (LSH banding etc.) re-executes once per round
-    # and the label lineage re-expands it combinatorially
     edges = edges.persist()
     labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
     for _ in range(iters):

@@ -197,6 +197,20 @@ def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: i
     from dbms_spark.operators.scan import deterministic_sample
     from dbms_spark.plans.parallelism import ensure_parallelism
 
+    u = _avg_row_lengths(spark, sf_dir, tables, sample_pct)
+    w = Window.orderBy(F.desc("avg_row_len"), F.asc("table_name"))
+    return (
+        u.select("table_name", "avg_row_len", F.row_number().over(w).cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def _avg_row_lengths(spark: SparkSession, sf_dir: str, tables: list[str],
+                     sample_pct: float) -> DataFrame:
+    from dbms_spark.functions.canonical import canonical_row
+    from dbms_spark.operators.scan import deterministic_sample
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
     per = []
     for t in tables:
         # sample FIRST, spread second: the repartition must shuffle only
@@ -215,11 +229,54 @@ def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: i
                 (F.col("s").cast("double") / F.col("c")).alias("avg_row_len"),
             )
         )
-    u = reduce(DataFrame.unionAll, per)
-    w = Window.orderBy(F.desc("avg_row_len"), F.asc("table_name"))
+    return reduce(DataFrame.unionAll, per)
+
+
+def avg_row_length_over_limit(spark: SparkSession, sf_dir: str, tables: list[str],
+                              limit_bytes: float, sample_pct: float = 100.0) -> DataFrame:
+    """Tables whose (sampled) average canonical-row length exceeds a
+    byte limit (reference: GetDatabaseSchemaTableAvgRowLengthOverLimitMB
+    assess_migrate.go:554 — the MB threshold there divides dictionary
+    AVG_ROW_LEN the same way)."""
+    return _avg_row_lengths(spark, sf_dir, tables, sample_pct).filter(
+        F.col("avg_row_len") > limit_bytes)
+
+
+def table_name_length_over_limit(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """Tables whose name length exceeds the target's identifier limit
+    (reference: GetDatabaseSchemaTableNameLengthOverLimit
+    assess_migrate.go:697)."""
+    tables = [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+    df = spark.createDataFrame([(t,) for t in tables], "table_name string")
     return (
-        u.select("table_name", "avg_row_len", F.row_number().over(w).cast("bigint").alias("rank"))
-        .filter(F.col("rank") <= n)
+        df.select("table_name", F.length("table_name").cast("bigint").alias("name_length"))
+        .filter(F.col("name_length") > limit)
+    )
+
+
+def constraint_type_counts(idx_df: DataFrame) -> DataFrame:
+    """Constraint/index breakdown by kind (reference:
+    GetDatabaseSchemaConstraintTypeCounts assess_migrate.go:1094 and
+    GetDatabaseSchemaIndexTypeCounts :1115) over an index-spec catalog
+    (:func:`dbms_spark.operators.structm.indexes_to_df`)."""
+    kind = (
+        F.when(F.col("is_primary"), F.lit("PRIMARY"))
+        .when(F.col("is_unique"), F.lit("UNIQUE"))
+        .otherwise(F.lit("NORMAL"))
+    )
+    return (
+        idx_df.groupBy(kind.alias("constraint_type"))
+        .agg(F.count(F.lit(1)).alias("counts"))
+    )
+
+
+def column_default_counts(spec_df: DataFrame) -> DataFrame:
+    """Column counts per DATA_DEFAULT expression (reference:
+    GetDatabaseSchemaColumnDataDefaultCounts assess_migrate.go:927)
+    over a column-spec catalog (:func:`structm.specs_to_df`)."""
+    return (
+        spec_df.groupBy(F.coalesce(F.col("default"), F.lit("NULL")).alias("data_default"))
+        .agg(F.count(F.lit(1)).alias("counts"))
     )
 
 

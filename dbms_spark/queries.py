@@ -1696,3 +1696,122 @@ def q59_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return pii_scan(corpus)
+
+
+_Q60_SQL = f"""
+WITH {_COLS_CTE}
+SELECT table_name, CAST(length(table_name) AS BIGINT) AS name_length
+FROM (SELECT DISTINCT table_name FROM cols)
+WHERE length(table_name) > 8
+"""
+
+
+@register("q60_table_name_length_over_limit", _Q60_SQL)
+def q60_table_name_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import table_name_length_over_limit
+
+    return table_name_length_over_limit(spark, sf_dir, limit=8)
+
+
+def _q61_sql() -> str:
+    per = []
+    for t in _Q41_TABLES:
+        fields = _fields(t)
+        canon = C.canonical_row_sql_from_types(fields)
+        key = next(iter(fields))
+        thr = max(1, round(256 * _Q41_SAMPLE_PCT / 100.0))
+        samp = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT < {thr}"
+        per.append(
+            f"SELECT '{t}' AS table_name, "
+            f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len "
+            f"FROM {t} WHERE {samp}"
+        )
+    u = "\nUNION ALL ".join(per)
+    return f"WITH u AS ({u})\nSELECT * FROM u WHERE avg_row_len > 60"
+
+
+@register("q61_avg_row_length_over_limit", _q61_sql())
+def q61_avg_row_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import avg_row_length_over_limit
+
+    return avg_row_length_over_limit(
+        spark, sf_dir, _Q41_TABLES, limit_bytes=60, sample_pct=_Q41_SAMPLE_PCT)
+
+
+#: literal index/constraint catalog for the dictionary-breakdown
+#: assessments (a migration assessment runs against exactly such a
+#: harvested spec set)
+_IDX_CATALOG = [
+    ("orders", "pk_orders", "o_orderkey", True, True),
+    ("orders", "ix_orders_custkey", "o_custkey", False, False),
+    ("orders", "ux_orders_nk", "o_orderdate,o_custkey", True, False),
+    ("lineitem", "pk_lineitem", "l_orderkey,l_linenumber", True, True),
+    ("lineitem", "ix_lineitem_ship", "l_shipdate", False, False),
+    ("lineitem", "ix_lineitem_part", "l_partkey", False, False),
+    ("customer", "pk_customer", "c_custkey", True, True),
+]
+
+_Q62_SQL = """
+WITH ix(table_name, index_name, columns, is_unique, is_primary) AS (VALUES
+""" + ",\n".join(
+    f"  ('{t}', '{n}', '{c}', {str(u).upper()}, {str(p).upper()})"
+    for t, n, c, u, p in _IDX_CATALOG
+) + """
+)
+SELECT CASE WHEN is_primary THEN 'PRIMARY'
+            WHEN is_unique THEN 'UNIQUE'
+            ELSE 'NORMAL' END AS constraint_type,
+       COUNT(*) AS counts
+FROM ix GROUP BY 1
+"""
+
+
+@register("q62_constraint_type_counts", _Q62_SQL)
+def q62_constraint_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import constraint_type_counts
+    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
+
+    import itertools
+
+    frames = [
+        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
+                                 for _, n, c, u, p in grp])
+        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
+    ]
+    idx = frames[0]
+    for f in frames[1:]:
+        idx = idx.unionAll(f)
+    return constraint_type_counts(idx)
+
+
+#: literal column-spec catalog (same shape q49 diffs)
+_DEFAULT_SPECS = [
+    ("id", "NUMBER", None),
+    ("name", "VARCHAR2", None),
+    ("created", "DATE", "SYSDATE"),
+    ("updated", "DATE", "SYSDATE"),
+    ("balance", "NUMBER", "0"),
+    ("qty", "NUMBER", "0"),
+    ("status", "CHAR", "'A'"),
+    ("note", "CLOB", None),
+]
+
+_Q63_SQL = """
+WITH sp(col_name, dflt) AS (VALUES
+""" + ",\n".join(
+    "  ('{}', {})".format(n, "NULL" if d is None else "'" + d.replace("'", "''") + "'")
+    for n, _, d in _DEFAULT_SPECS
+) + """
+)
+SELECT COALESCE(dflt, 'NULL') AS data_default, COUNT(*) AS counts
+FROM sp GROUP BY 1
+"""
+
+
+@register("q63_column_default_counts", _Q63_SQL)
+def q63_column_default_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_default_counts
+    from dbms_spark.operators.structm import ColumnSpec, specs_to_df
+
+    specs = [ColumnSpec(n, ty, default=d) for n, ty, d in _DEFAULT_SPECS]
+    return column_default_counts(specs_to_df(spark, "account", specs))

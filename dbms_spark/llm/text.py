@@ -499,3 +499,94 @@ SELECT {id_col},
                           '{ph}', '<PHONE>', 'g')) AS redacted_md5
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training/RAG window splitter)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 32, stride: int = 16) -> DataFrame:
+    """Split each document into overlapping token windows with stable
+    (doc_id, chunk_idx) identity — the standard context-window splitter
+    in a training/RAG ingest pipeline.
+
+    Map-side only: the chunk list is built inside the row with
+    ``slice``/``transform`` and exploded (outer — see
+    :func:`top_ngrams` for why), so the operator pipelines with the
+    scan; chunk count per doc is ceil((n-w)/s)+1, short docs yield one
+    chunk.  ``n_tokens`` counts the actual tokens in the (possibly
+    short tail) chunk."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    n_chunks = (
+        f"CASE WHEN size(toks) <= {window} THEN 1 "
+        f"ELSE CAST(ceil((size(toks) - {window}) / CAST({stride} AS DOUBLE)) AS INT) + 1 END"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), i -> named_struct("
+        f"'chunk_idx', CAST(i AS BIGINT), "
+        f"'chunk_text', concat_ws(' ', slice(toks, i * {stride} + 1, {window})), "
+        f"'n_tokens', CAST(least({window}, size(toks) - i * {stride}) AS BIGINT)))"
+    )
+    return (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .select(F.col(id_col), F.explode_outer(F.expr(chunks)).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def chunk_documents_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 32,
+                        stride: int = 16) -> str:
+    n_chunks = (
+        f"CASE WHEN len(toks) <= {window} THEN 1 "
+        f"ELSE CAST(ceil((len(toks) - {window}) / CAST({stride} AS DOUBLE)) AS BIGINT) + 1 END"
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}),
+ix AS (SELECT {id_col}, toks, unnest(range({n_chunks})) AS i FROM toks)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {window}), ' ') AS chunk_text,
+       CAST(least({window}, len(toks) - i * {stride}) AS BIGINT) AS n_tokens
+FROM ix
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source mixing (dataset mixture weights)
+# ---------------------------------------------------------------------------
+
+def mix_sources(df: DataFrame, rates: dict[str, float], id_col: str = "doc_id",
+                source_col: str = "source") -> DataFrame:
+    """Down-sample each source to its mixture rate (pct) with the same
+    deterministic md5-prefix rule as the sampled scan — reproducible
+    across runs and engines, no RNG state.  Sources absent from
+    ``rates`` are dropped (rate 0).  Pure map-side filter: at 100 TB
+    this is a scan-speed pass with predicate pushdown on ``source``
+    when the lake is source-partitioned."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10).cast("bigint")
+    thr = F.lit(0)
+    expr = None
+    for s, pct in sorted(rates.items()):
+        t = int(round(256 * pct / 100.0))
+        cond = F.col(source_col) == s
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    thr = expr.otherwise(F.lit(0)) if expr is not None else thr
+    return df.filter(bucket < thr)
+
+
+def mix_sources_sql(table: str, rates: dict[str, float], id_col: str = "doc_id",
+                    source_col: str = "source") -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {int(round(256 * pct / 100.0))}"
+        for s, pct in sorted(rates.items())
+    )
+    return f"""
+SELECT * FROM {table}
+WHERE ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 2))::BIGINT
+      < (CASE {source_col} {arms} ELSE 0 END)
+"""

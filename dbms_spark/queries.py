@@ -1815,3 +1815,39 @@ def q63_column_default_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     specs = [ColumnSpec(n, ty, default=d) for n, ty, d in _DEFAULT_SPECS]
     return column_default_counts(specs_to_df(spark, "account", specs))
+
+
+def _q64_sql() -> str:
+    from dbms_spark.llm.text import chunk_documents_sql
+
+    return chunk_documents_sql("documents")
+
+
+@register("q64_chunk_documents", _q64_sql())
+def q64_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window splitter (training/RAG ingest): stable
+    (doc_id, chunk_idx) identity, map-side explode."""
+    from dbms_spark.llm.text import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+#: mixture weights for the source-mixing gate: heavy on even sources,
+#: light on a few odd ones, rest dropped
+_MIX_RATES = {"src0": 80.0, "src2": 60.0, "src4": 40.0, "src6": 25.0,
+              "src1": 10.0, "src3": 5.0}
+
+
+def _q65_sql() -> str:
+    from dbms_spark.llm.text import mix_sources_sql
+
+    return mix_sources_sql("documents", _MIX_RATES)
+
+
+@register("q65_mix_sources", _q65_sql())
+def q65_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (dataset recipe
+    weights) — reproducible md5-prefix rule, scan-speed filter."""
+    from dbms_spark.llm.text import mix_sources
+
+    return mix_sources(load_table(spark, sf_dir, "documents"), _MIX_RATES)

@@ -270,3 +270,31 @@ def test_pii_scan_counts_and_redaction(spark):
     assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (0, 0)
     import hashlib
     assert rows[2]["redacted_md5"] == hashlib.md5(b"call <PHONE> today").hexdigest()
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string")
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+                  for r in TX.chunk_documents(docs, window=4, stride=3).collect())
+    d1 = [r for r in rows if r[0] == 1]
+    # 10 tokens, w=4 s=3 -> ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2] == "t0 t1 t2 t3" and d1[0][3] == 4
+    assert d1[2][2] == "t6 t7 t8 t9" and d1[2][3] == 4
+    assert rows[-2:] == [(2, 0, "a b", 2), (3, 0, "", 0)]
+
+
+def test_mix_sources_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id bigint, source string")
+    out = TX.mix_sources(docs, {"s0": 50.0, "s1": 100.0})
+    got = {r["source"] for r in out.collect()}
+    assert got == {"s0", "s1"}  # s2 dropped entirely
+    n_s1 = out.filter("source = 's1'").count()
+    assert n_s1 == docs.filter("source = 's1'").count()  # 100% keeps all
+    # deterministic: second run identical
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in TX.mix_sources(docs, {"s0": 50.0, "s1": 100.0}).collect())
+    assert a == b

@@ -315,3 +315,28 @@ def value_distribution(df: DataFrame, group_cols: list[str]) -> DataFrame:
         *group_cols, "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(total)).alias("pct"),
     )
+
+
+def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column numeric profile (min / max / exact interpolated
+    p25/p50/p95) — the data-derived side of the reference's NUMBER
+    classification assessments (assess_migrate.go NUMBER blocks,
+    GetDatabaseSchemaColumnTypeCounts neighborhood).
+
+    ONE scan: every column's five aggregates run in a single agg
+    (partial map-side), then the wide row is unpivoted in-memory —
+    columns × stats never touches the table twice."""
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.min(d).alias(f"__mn_{c}"), F.max(d).alias(f"__mx_{c}"),
+            F.expr(f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.95))").alias(f"__p_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __mn_{c}, __mx_{c}, __p_{c}[0], __p_{c}[1], __p_{c}[2]" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col_name, min_v, max_v, p25, p50, p95)"
+    )

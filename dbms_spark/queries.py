@@ -1851,3 +1851,66 @@ def q65_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.text import mix_sources
 
     return mix_sources(load_table(spark, sf_dir, "documents"), _MIX_RATES)
+
+
+# ---------------------------------------------------------------------------
+# q66 — sliding-window aggregation (batch form of the streaming sliding
+# window; window 30 min, slide 15 min → every event in exactly two
+# windows).  The DuckDB twin materializes the two window memberships
+# per event explicitly; make_timestamp keeps the boundary naive-UTC on
+# both engines.
+# ---------------------------------------------------------------------------
+
+_Q66_SQL = """
+WITH ev AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS e, value FROM events),
+m AS (SELECT (floor(e / 900) - i) * 900 AS ws, value
+      FROM ev, (SELECT unnest(range(2)) AS i))
+SELECT make_timestamp(CAST(ws * 1000000 AS BIGINT)) AS window_start,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+FROM m GROUP BY 1
+"""
+
+
+@register("q66_sliding_window", _Q66_SQL)
+def q66_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "30 minutes", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2))
+            .cast("string").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n", "sum_value",
+        )
+    )
+
+
+_Q67_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_Q67_SQL = """
+WITH w AS (SELECT
+""" + ",\n".join(
+    f"  MIN(CAST({c} AS DOUBLE)) AS mn_{c}, MAX(CAST({c} AS DOUBLE)) AS mx_{c}, "
+    f"quantile_cont(CAST({c} AS DOUBLE), [0.25, 0.5, 0.95]) AS p_{c}"
+    for c in _Q67_COLS
+) + """
+FROM lineitem)
+""" + "\nUNION ALL ".join(
+    f"SELECT '{c}' AS col_name, mn_{c} AS min_v, mx_{c} AS max_v, "
+    f"p_{c}[1] AS p25, p_{c}[2] AS p50, p_{c}[3] AS p95 FROM w"
+    for c in _Q67_COLS
+)
+
+
+@register("q67_numeric_profile", _Q67_SQL)
+def q67_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan numeric column profile: min/max + exact interpolated
+    percentiles, unpivoted to one row per column."""
+    from dbms_spark.operators.assess import numeric_profile
+
+    return numeric_profile(load_table(spark, sf_dir, "lineitem"), _Q67_COLS)

@@ -625,14 +625,17 @@ def consume_cdc_stream(
 
 
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
-                          watermark: str = "10 minutes") -> DataFrame:
+                          watermark: str = "10 minutes",
+                          slide: str | None = None) -> DataFrame:
     """Streaming windowed aggregation with late-data handling — the
     watermark+window pattern over the event stream (works on a batch
-    DataFrame too, where watermark is a no-op)."""
+    DataFrame too, where watermark is a no-op).  ``slide`` shorter than
+    ``window`` makes the windows overlap (sliding); default tumbling."""
     ts = events.withColumn("event_time", F.timestamp_micros(F.col("commit_ts")))
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
     return (
         ts.withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window), "table_name")
+        .groupBy(win, "table_name")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("window.start").alias("window_start"),

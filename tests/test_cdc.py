@@ -423,3 +423,22 @@ def test_ddl_schema_evolution(store, spark):
         ev("t1", "UPDATE", 13, {"id": 1}, {"id": 1, "label": "a2"}),
     ]))
     assert {r["id"]: r["label"] for r in store.read("t1").collect()} == {1: "a2", 2: "b"}
+
+
+def test_windowed_event_counts_sliding_streaming(spark, tmp_path):
+    """Sliding windows in a real streaming query: window 10 min, slide
+    5 min — each event lands in two windows."""
+    src = tmp_path / "win_src"
+    rows = [ev("t1", "INSERT", 60_000_000 * m, {"id": m}, {"id": m})
+            for m in (2, 7)]  # minutes 2 and 7
+    spark.createDataFrame(rows, cdc.CDC_EVENT_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(cdc.CDC_EVENT_SCHEMA).parquet(str(src))
+    agg = cdc.windowed_event_counts(stream, "10 minutes", "1 minute", slide="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("slidewin")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["window_start"].minute, r["n"])
+                 for r in spark.sql("SELECT * FROM slidewin").collect())
+    # min-2 event -> windows starting 55 (prev hour, [-5,5)) and 0
+    # ([0,10)); min-7 -> [0,10) and [5,15)
+    assert got == [(0, 2), (5, 1), (55, 1)]

@@ -1914,3 +1914,48 @@ def q67_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import numeric_profile
 
     return numeric_profile(load_table(spark, sf_dir, "lineitem"), _Q67_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q68 — binned range join: events bucketed into overlapping literal
+# promo windows (operators/joins.range_join — equi-join on time bucket
+# + exact interval filter, never a nested loop).  Oracle: the plain
+# inequality join DuckDB can afford at this scale.
+# ---------------------------------------------------------------------------
+
+def _promo_windows() -> list[tuple[int, int, int]]:
+    """12 deterministic overlapping windows across Jan 2024, µs epoch."""
+    import datetime as _dt
+
+    base = int(_dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    hour = 3_600 * 1_000_000
+    out = []
+    for i in range(12):
+        lo = base + (i * 55 + 7 * (i % 3)) * hour
+        hi = lo + (18 + 13 * (i % 4)) * hour
+        out.append((i, lo, hi))
+    return out
+
+
+def _q68_sql() -> str:
+    vals = ",\n".join(f"  ({i}, {lo}, {hi})" for i, lo, hi in _promo_windows())
+    return f"""
+WITH w(promo_id, lo, hi) AS (VALUES
+{vals}
+),
+ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS e FROM events)
+SELECT promo_id, COUNT(*) AS n
+FROM ev JOIN w ON w.lo <= ev.e AND ev.e < w.hi
+GROUP BY promo_id
+"""
+
+
+@register("q68_range_join_windows", _q68_sql())
+def q68_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("e"))
+    w = spark.createDataFrame(_promo_windows(), "promo_id int, lo long, hi long")
+    joined = range_join(ev, w, "e", "lo", "hi", bucket_width=6 * 3_600 * 1_000_000)
+    return joined.groupBy("promo_id").agg(F.count(F.lit(1)).alias("n"))

@@ -139,7 +139,35 @@ class DbmsEngine:
             "overview": assess_ops.table_overview(self.spark, sf_dir),
             "top_tables": assess_ops.top_tables_by_rows(self.spark, sf_dir),
             "type_distribution": assess_ops.column_type_distribution(self.spark, sf_dir),
+            "type_counts": assess_ops.column_type_counts(self.spark, sf_dir),
+            "object_counts": assess_ops.object_counts(self.spark, sf_dir),
+            "name_length_over_limit": assess_ops.table_name_length_over_limit(
+                self.spark, sf_dir, limit=30),
         }
+
+    # -- llm data pipeline ----------------------------------------------
+
+    def dedup_pipeline(self, docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_sim: float = 0.7) -> DataFrame:
+        """The full near-dup removal verb: LSH proposes candidate
+        pairs, exact n-gram Jaccard verifies them, label propagation
+        groups the verified duplicates, and the keep-one-representative
+        policy (keep the minimum id of each group) drops the rest via a
+        left-anti join.  Every stage is the bucketed/bounded form — no
+        all-pairs work anywhere."""
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm import dedup
+
+        sigs = dedup.minhash_signatures(docs, id_col, text_col, keep_shingles=True)
+        pairs = dedup.lsh_candidate_pairs(sigs, id_col, carry=["sh"])
+        verified = dedup.jaccard_on_pairs(docs, pairs, id_col, text_col, min_sim=min_sim)
+        groups = dedup.dedup_groups(verified)
+        drop = (
+            groups.filter(F.col("doc_id") != F.col("group_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return docs.join(drop, id_col, "left_anti")
 
     # -- cdc -------------------------------------------------------------
 

@@ -73,3 +73,16 @@ def test_gen_import_into():
     stmt = jdbc.gen_import_into("db.t", ["a", "b"], "/out/csv", separator="|")
     assert stmt.startswith("IMPORT INTO db.t (`a`, `b`) FROM '/out/csv/*.csv'")
     assert "FIELDS_TERMINATED_BY='|'" in stmt
+
+
+def test_dedup_pipeline_keeps_one_representative(spark):
+    from dbms_spark.engine import DbmsEngine
+
+    base = [(i, f"unique doc number {i} with words " + " ".join(f"w{j}" for j in range(12)))
+            for i in range(8)]
+    dups = [(100 + i, base[0][1]) for i in range(3)]  # 3 exact dups of doc 0
+    docs = spark.createDataFrame(base + dups, "doc_id bigint, text string")
+    out = DbmsEngine(spark).dedup_pipeline(docs, min_sim=0.9)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # all 3 copies of doc 0 dropped, representative (min id 0) kept
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7]

@@ -169,6 +169,33 @@ class DbmsEngine:
         )
         return docs.join(drop, id_col, "left_anti")
 
+    def decontaminate(self, train: DataFrame, bench: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 13, max_hits: int = 0) -> DataFrame:
+        """Drop train docs sharing more than ``max_hits`` word
+        ``n``-gram shingles with the benchmark set (broadcast probe)."""
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm.text import contamination_check
+
+        hits = contamination_check(train, bench, id_col, text_col, n)
+        bad = hits.filter(F.col("n_hits") > max_hits).select(id_col)
+        return train.join(bad, id_col, "left_anti")
+
+    def chunk(self, docs: DataFrame, window: int = 512, stride: int = 384,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """Token-window splitter (training/RAG ingest)."""
+        from dbms_spark.llm.text import chunk_documents
+
+        return chunk_documents(docs, id_col, text_col, window, stride)
+
+    def mix(self, docs: DataFrame, rates: dict[str, float],
+            id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+        """Deterministic mixture sampling by source weights."""
+        from dbms_spark.llm.text import mix_sources
+
+        return mix_sources(docs, rates, id_col, source_col)
+
     # -- cdc -------------------------------------------------------------
 
     def cdc_consume(self, store, events: DataFrame, checkpoint_dir: str):

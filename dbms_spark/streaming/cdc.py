@@ -643,3 +643,17 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
             "table_name", "n",
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes",
+                 keys: list[str] | None = None) -> DataFrame:
+    """Exactly-once event intake for at-least-once transports (the
+    Kafka-redelivery side of C4/C6): drops redelivered duplicates of
+    the same (table, key, commit_ts) inside the watermark horizon —
+    state is bounded by the watermark, so this runs forever at any
+    rate.  Works as the stage BEFORE the idempotent store apply; the
+    store's own watermark guard remains the backstop for duplicates
+    older than the horizon."""
+    keys = keys or ["schema_name", "table_name", "key_json", "commit_ts"]
+    ts = events.withColumn("event_time", F.timestamp_micros(F.col("commit_ts")))
+    return ts.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)

@@ -442,3 +442,26 @@ def test_windowed_event_counts_sliding_streaming(spark, tmp_path):
     # min-2 event -> windows starting 55 (prev hour, [-5,5)) and 0
     # ([0,10)); min-7 -> [0,10) and [5,15)
     assert got == [(0, 2), (5, 1), (55, 1)]
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path):
+    """Redelivered copies of the same event are dropped inside the
+    watermark horizon (at-least-once transport -> exactly-once intake)."""
+    src = tmp_path / "dedup_src"
+    rows = [ev("t1", "INSERT", 60_000_000, {"id": 1}, {"id": 1})] * 3 + [
+        ev("t1", "INSERT", 120_000_000, {"id": 2}, {"id": 2}),
+        # same (key, commit_ts) as the first event: a redelivery under
+        # the default dedup keys even though query_type differs
+        ev("t1", "UPDATE", 60_000_000, {"id": 1}, {"id": 1}),
+    ]
+    spark.createDataFrame(rows, cdc.CDC_EVENT_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(cdc.CDC_EVENT_SCHEMA).parquet(str(src))
+    out = cdc.dedup_stream(stream, "5 minutes")
+    q = (out.writeStream.format("memory").queryName("dedupstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["commit_ts"], r["query_type"])
+                 for r in spark.sql("SELECT * FROM dedupstream").collect())
+    assert got == [(60_000_000, "INSERT"), (120_000_000, "INSERT")] or \
+           got == [(60_000_000, "UPDATE"), (120_000_000, "INSERT")]
+    assert len(got) == 2

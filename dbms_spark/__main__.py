@@ -1,0 +1,117 @@
+"""Command-line entry: the reference's task modes as subcommands.
+
+The reference is driven by a CLI + task config (reference:
+component/cli — dbms-ctl task verbs); this maps the same verbs onto
+:class:`dbms_spark.engine.DbmsEngine` over parquet paths.  Output is
+one JSON line per command (machine-parseable, like the reference's
+task status responses).
+
+    python -m dbms_spark assess --sf-dir /data/sf0.1
+    python -m dbms_spark compare --src a.parquet --dst b.parquet \
+        --keys id --chunks 8
+    python -m dbms_spark dedup --docs docs.parquet --out kept/
+    python -m dbms_spark chunk --docs docs.parquet --out chunks/ \
+        --window 512 --stride 384
+    python -m dbms_spark mix --docs docs.parquet --out mixed/ \
+        --rates web=80,books=100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_rates(s: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in s.split(","):
+        k, v = part.split("=", 1)
+        out[k] = float(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbms_spark")
+    p.add_argument("--cpus", default=None, help="local[N] override")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sp = sub.add_parser("assess")
+    sp.add_argument("--sf-dir", required=True)
+
+    sp = sub.add_parser("compare")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--keys", default=None, help="comma-separated key columns")
+    sp.add_argument("--chunks", type=int, default=1)
+
+    sp = sub.add_parser("dedup")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--min-sim", type=float, default=0.7)
+
+    sp = sub.add_parser("chunk")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--window", type=int, default=512)
+    sp.add_argument("--stride", type=int, default=384)
+
+    sp = sub.add_parser("mix")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--rates", required=True, help="source=pct[,source=pct...]")
+
+    args = p.parse_args(argv)
+
+    import os
+
+    if args.cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = args.cpus
+
+    from dbms_spark import get_spark
+    from dbms_spark.engine import DbmsEngine
+
+    spark = get_spark(f"dbms_spark_{args.verb}")
+    eng = DbmsEngine(spark)
+
+    if args.verb == "assess":
+        out = {name: df.count() for name, df in eng.assess(args.sf_dir).items()}
+        print(json.dumps({"verb": "assess", "blocks": out}))
+        return 0
+
+    if args.verb == "compare":
+        src = spark.read.parquet(args.src)
+        dst = spark.read.parquet(args.dst)
+        keys = args.keys.split(",") if args.keys else None
+        rep = eng.data_compare(src, dst, key_cols=keys, n_chunks=args.chunks)
+        print(json.dumps({
+            "verb": "compare", "equal": rep.equal,
+            "src_rows": rep.src_cnt, "dst_rows": rep.dst_cnt,
+            "mismatched_chunks": list(rep.mismatched_chunks or []),
+        }))
+        return 0 if rep.equal else 1
+
+    docs = spark.read.parquet(args.docs)
+    if args.verb == "dedup":
+        kept = eng.dedup_pipeline(docs, min_sim=args.min_sim)
+        kept.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"verb": "dedup", "in": docs.count(), "kept": n}))
+        return 0
+    if args.verb == "chunk":
+        ch = eng.chunk(docs, window=args.window, stride=args.stride)
+        ch.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"verb": "chunk", "docs": docs.count(),
+                          "chunks": spark.read.parquet(args.out).count()}))
+        return 0
+    if args.verb == "mix":
+        mixed = eng.mix(docs, _parse_rates(args.rates))
+        mixed.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"verb": "mix", "in": docs.count(),
+                          "kept": spark.read.parquet(args.out).count()}))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,3 +86,35 @@ def test_dedup_pipeline_keeps_one_representative(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # all 3 copies of doc 0 dropped, representative (min id 0) kept
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_cli_verbs(spark, tmp_path, capsys):
+    """The __main__ CLI drives compare / chunk / mix over parquet paths
+    (reuses the already-running session via getOrCreate)."""
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string") \
+        .write.parquet(a)
+    spark.createDataFrame([(i, f"v{i}") for i in range(49)], "id long, v string") \
+        .write.parquet(b)
+    rc = main(["compare", "--src", a, "--dst", b, "--keys", "id", "--chunks", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["equal"] is False and out["src_rows"] == 50
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20)), f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string").write.parquet(docs)
+    rc = main(["chunk", "--docs", docs, "--out", str(tmp_path / "ch"),
+               "--window", "8", "--stride", "6"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["chunks"] == 20 * 3  # 20 toks, w=8 s=6 -> 3 chunks
+
+    rc = main(["mix", "--docs", docs, "--out", str(tmp_path / "mx"),
+               "--rates", "s0=100"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["kept"] == 10

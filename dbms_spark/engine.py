@@ -196,6 +196,17 @@ class DbmsEngine:
 
         return mix_sources(docs, rates, id_col, source_col)
 
+    def filter_quality(self, docs: DataFrame, id_col: str = "doc_id",
+                       **thresholds) -> DataFrame:
+        """Keep only docs the composed quality pass marks 'kept'."""
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm.text import quality_filter
+
+        v = quality_filter(docs, id_col=id_col, **thresholds)
+        keep = v.filter(F.col("verdict") == "kept").select(id_col)
+        return docs.join(keep, id_col, "left_semi")
+
     # -- cdc -------------------------------------------------------------
 
     def cdc_consume(self, store, events: DataFrame, checkpoint_dir: str):

@@ -590,3 +590,66 @@ SELECT * FROM {table}
 WHERE ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 2))::BIGINT
       < (CASE {source_col} {arms} ELSE 0 END)
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed quality-filter pipeline (C4/Gopher-style pass)
+# ---------------------------------------------------------------------------
+
+def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   min_tokens: int = 30, min_quality: float = 0.5,
+                   max_dup_word_frac: float = 0.62) -> DataFrame:
+    """Every input row tagged with its filter ``verdict``: the FIRST
+    failing rule in fixed order (too_short → low_quality → repetitive)
+    or 'kept'.  One narrow projection — the token array is computed
+    once and shared by every rule via codegen subexpression
+    elimination; no shuffle, so at 100 TB this is a scan-speed pass."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    d = (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .withColumn("n_tokens", F.expr("size(toks)"))
+        .withColumn("n_distinct", F.expr("size(array_distinct(toks))"))
+        .withColumn("stopword_ratio", F.expr(
+            f"CASE WHEN size(toks) = 0 THEN 0.0 "
+            f"ELSE CAST(size(filter(toks, t -> array_contains({_sql_list(STOPWORDS['en'])}, t))) AS DOUBLE) / size(toks) END"
+        ))
+        .withColumn("quality", quality_score_expr())
+        .withColumn("dup_word_frac", F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0.0 "
+            "ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END"))
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("dup_word_frac") > max_dup_word_frac, "repetitive")
+        .otherwise("kept")
+    )
+    return d.select(F.col(id_col), verdict.alias("verdict"))
+
+
+def quality_filter_report(df: DataFrame, **kw) -> DataFrame:
+    """(verdict, n) breakdown — the pipeline's audit trail."""
+    return (
+        quality_filter(df, **kw)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_filter_report_sql(table: str = "documents", id_col: str = "doc_id",
+                              text_col: str = "text", min_tokens: int = 30,
+                              min_quality: float = 0.5,
+                              max_dup_word_frac: float = 0.62) -> str:
+    return f"""
+WITH s AS ({token_stats_sql(table, id_col, text_col)}),
+v AS (SELECT CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+                  WHEN {quality_score_sql()} < {min_quality} THEN 'low_quality'
+                  WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens END)
+                       > {max_dup_word_frac} THEN 'repetitive'
+                  ELSE 'kept' END AS verdict
+      FROM s)
+SELECT verdict, COUNT(*) AS n FROM v GROUP BY verdict
+"""

@@ -1959,3 +1959,18 @@ def q68_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = spark.createDataFrame(_promo_windows(), "promo_id int, lo long, hi long")
     joined = range_join(ev, w, "e", "lo", "hi", bucket_width=6 * 3_600 * 1_000_000)
     return joined.groupBy("promo_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q69_sql() -> str:
+    from dbms_spark.llm.text import quality_filter_report_sql
+
+    return quality_filter_report_sql("documents")
+
+
+@register("q69_quality_filter_report", _q69_sql())
+def q69_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style filter pass: first-failing-rule verdict
+    per doc (too_short/low_quality/repetitive/kept), audit counts."""
+    from dbms_spark.llm.text import quality_filter_report
+
+    return quality_filter_report(load_table(spark, sf_dir, "documents"))

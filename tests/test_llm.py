@@ -298,3 +298,15 @@ def test_mix_sources_deterministic(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in TX.mix_sources(docs, {"s0": 50.0, "s1": 100.0}).collect())
     assert a == b
+
+
+def test_quality_filter_first_failing_rule(spark):
+    docs = spark.createDataFrame(
+        [(1, "short doc"),                                  # too_short
+         (2, " ".join(f"w{i}" for i in range(40))),         # distinct, no stopwords
+         (3, " ".join(["the dup"] * 25))],                  # 50 toks, heavy dup
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["verdict"] for r in
+           TX.quality_filter(docs, min_tokens=30, min_quality=0.2,
+                             max_dup_word_frac=0.5).collect()}
+    assert got[1] == "too_short" and got[3] == "repetitive" and got[2] == "kept"

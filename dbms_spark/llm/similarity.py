@@ -408,3 +408,50 @@ SELECT query_id, neighbor_id, cos_sim FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (clustering / class-prototype support op)
+# ---------------------------------------------------------------------------
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Element-wise vector sums per label — the building block of
+    k-means updates, class prototypes, and per-cluster statistics.
+
+    Output: (label, pos, sum_q, n) with ``sum_q`` the fixed-point
+    quantized component sum (exact, order-independent — same trick as
+    :func:`cosine_topk`); centroid component = sum_q / scale / n.
+
+    Scale shape: posexplode is map-side, the (label, pos) groupBy
+    partial-aggregates before the shuffle, so the shuffle carries
+    labels x dims rows — independent of corpus size."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(df)
+    return (
+        d.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.expr(
+                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+            )).alias("pos", "vq"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("vq").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "sum_q", "n")
+    )
+
+
+def label_centroids_sql(table: str = "embeddings", label_col: str = "label",
+                        vec_col: str = "embedding") -> str:
+    return f"""
+WITH e AS (
+  SELECT {label_col} AS label,
+         unnest(list_transform({vec_col},
+                (x, i) -> {{'p': i - 1, 'v': CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)}})) AS u
+  FROM {table}
+)
+SELECT label, CAST(u.p AS BIGINT) AS pos, SUM(u.v) AS sum_q,
+       COUNT(*) AS n
+FROM e GROUP BY 1, 2
+"""

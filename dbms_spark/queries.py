@@ -1974,3 +1974,19 @@ def q69_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.text import quality_filter_report
 
     return quality_filter_report(load_table(spark, sf_dir, "documents"))
+
+
+def _q70_sql() -> str:
+    from dbms_spark.llm.similarity import label_centroids_sql
+
+    return label_centroids_sql("embeddings")
+
+
+@register("q70_label_centroids", _q70_sql())
+def q70_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise vector sums (fixed-point exact) — the
+    k-means-update / class-prototype building block; shuffle size is
+    labels x dims, independent of corpus size."""
+    from dbms_spark.llm.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))

@@ -1990,3 +1990,81 @@ def q70_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.similarity import label_centroids
 
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q71 — SCD2 versioning as a batch window (the oracle-expressible twin
+# of streaming/scd2.scd2_apply: each event is a new version of its
+# user's row; valid_to = next version's start, open tail is current).
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+SELECT user_id, event_id,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER
+         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+       (LEAD(CAST(ts AS TIMESTAMP)) OVER
+         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL) AS is_current,
+       value
+FROM events
+"""
+
+
+@register("q71_scd2_batch", _Q71_SQL)
+def q71_scd2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SCD2: per-key version chain via lead() — differential twin
+    of the streaming store's history semantics (streaming/scd2.py;
+    reference consumer apply ordering, message/tidb/consumer.go)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — funnel conversion: for each user, did a 'view' convert to a
+# 'purchase' within the horizon?  min-over-window formulation (the
+# set-based funnel, not a per-row scan): first view, first purchase
+# AFTER that view, horizon check — all hash aggregates.
+# ---------------------------------------------------------------------------
+
+_Q72_SQL = """
+WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.first_view
+      GROUP BY e.user_id)
+SELECT v.user_id, v.first_view, p.first_purchase,
+       (p.first_purchase IS NOT NULL AND
+        p.first_purchase <= v.first_view + INTERVAL 2 HOUR) AS converted
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("q72_funnel_conversion", _Q72_SQL)
+def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter("event_type = 'view'")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    p = (ev.filter("event_type = 'purchase'")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("first_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("first_purchase")))
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id", "first_view", "first_purchase",
+            (F.col("first_purchase").isNotNull()
+             & (F.col("first_purchase") <= F.col("first_view") + F.expr("INTERVAL 2 HOURS")))
+            .alias("converted"),
+        )
+    )

@@ -653,3 +653,73 @@ v AS (SELECT CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
       FROM s)
 SELECT verdict, COUNT(*) AS n FROM v GROUP BY verdict
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (keyword extraction)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3) -> DataFrame:
+    """Top-``k`` distinguishing tokens per document by tf-idf with a
+    RATIONAL idf (tf x N/df, no logarithm): every factor is an exact
+    integer below 2^53, so the one double division is correctly rounded
+    and bit-identical across engines — rank order matches the classic
+    ln() form because ln is monotone in N/df.
+
+    Shape: one explode + two partial-aggregated shuffles (doc-term
+    counts, term df) + a broadcast of the df table's aggregate; the
+    per-doc top-k is a bounded window."""
+    from pyspark.sql import Window
+
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    words = (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .select(F.col(id_col), F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    tc = words.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = tc.groupBy(id_col).agg(F.sum("c").alias("total"))
+    docfreq = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = words.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tc.join(totals, id_col)
+        .join(F.broadcast(docfreq), "tok")
+        .crossJoin(F.broadcast(n))  # one-row corpus size, stays lazy
+        .select(
+            F.col(id_col), "tok",
+            ((F.col("c") * F.col("n_docs")).cast("double") / (F.col("total") * F.col("df")))
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.select(id_col, "tok", "tfidf", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "tok", "tfidf", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3) -> str:
+    return f"""
+WITH words AS (SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}),
+tc AS (SELECT {id_col}, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+totals AS (SELECT {id_col}, SUM(c) AS total FROM tc GROUP BY 1),
+docfreq AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM words),
+scored AS (
+  SELECT tc.{id_col}, tc.tok,
+         CAST(tc.c * n.n_docs AS DOUBLE) / (totals.total * docfreq.df) AS tfidf
+  FROM tc JOIN totals ON tc.{id_col} = totals.{id_col}
+          JOIN docfreq ON tc.tok = docfreq.tok, n
+)
+SELECT {id_col}, tok, tfidf, rank FROM (
+  SELECT {id_col}, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                 ORDER BY tfidf DESC, tok) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -2068,3 +2068,60 @@ def q72_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — cohort retention: users grouped by signup week, counted per
+# activity-week offset.  Two hash aggregates + one equi-join — the
+# set-based cohort matrix.
+# ---------------------------------------------------------------------------
+
+_Q73_SQL = """
+WITH s AS (SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week
+      FROM events e),
+j AS (SELECT s.cohort_week, CAST(date_diff('day', s.cohort_week, a.activity_week) / 7 AS BIGINT) AS week_offset,
+             s.user_id
+      FROM s JOIN a ON s.user_id = a.user_id
+      WHERE a.activity_week >= s.cohort_week)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
+@register("q73_cohort_retention", _Q73_SQL)
+def q73_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter("event_type = 'signup'")
+         .groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    a = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")).distinct()
+    return (
+        s.join(a, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _q74_sql() -> str:
+    from dbms_spark.llm.text import tfidf_top_terms_sql
+
+    return tfidf_top_terms_sql("documents")
+
+
+@register("q74_tfidf_top_terms", _q74_sql())
+def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinguishing tokens by rational tf-idf
+    (bit-exact across engines — no logarithm in the score)."""
+    from dbms_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))

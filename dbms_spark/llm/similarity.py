@@ -451,7 +451,8 @@ WITH e AS (
                 (x, i) -> {{'p': i - 1, 'v': CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)}})) AS u
   FROM {table}
 )
-SELECT label, CAST(u.p AS BIGINT) AS pos, SUM(u.v) AS sum_q,
+SELECT label, CAST(u.p AS BIGINT) AS pos,
+       CAST(SUM(u.v) AS BIGINT) AS sum_q,  -- duck SUM(BIGINT)->HUGEINT->float64 in .df()
        COUNT(*) AS n
 FROM e GROUP BY 1, 2
 """

@@ -2085,7 +2085,7 @@ j AS (SELECT s.cohort_week, CAST(date_diff('day', s.cohort_week, a.activity_week
              s.user_id
       FROM s JOIN a ON s.user_id = a.user_id
       WHERE a.activity_week >= s.cohort_week)
-SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
        COUNT(DISTINCT user_id) AS n_users
 FROM j GROUP BY 1, 2
 """
@@ -2102,7 +2102,9 @@ def q73_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(a, "user_id")
         .filter(F.col("activity_week") >= F.col("cohort_week"))
         .select(
-            F.col("cohort_week").cast("date").alias("cohort_week"),
+            # NTZ, not DATE: DuckDB DATE lands as datetime64 in the
+            # driver's pandas transport, Spark DATE as datetime.date
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
             (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
             .cast("bigint").alias("week_offset"),
             "user_id",
@@ -2125,3 +2127,36 @@ def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q75 — CUBE aggregation (all grouping-set margins in one pass; the
+# partial-aggregated expand is Catalyst's, not hand-rolled).
+# ---------------------------------------------------------------------------
+
+_Q75_SQL = """
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q75_cube_margins", _Q75_SQL)
+def q75_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2))
+            .cast("string").alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("o_orderpriority"),
+            "n", "sum_price",
+        )
+    )

@@ -22,30 +22,32 @@ def salted_agg(
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys.
 
-    ``aggs`` maps column -> 'sum'|'count'|'min'|'max' (the mergeable
-    aggregates; avg = sum+count composed by the caller).  ``count`` has
-    SQL COUNT(col) semantics — NULLs excluded; use the column key
-    ``"*"`` for a row count (aliased ``count_rows``).  Stage 1 groups
-    on (salt, keys) spreading a hot key over n_salts reducers; stage 2
-    merges the partials — its cardinality is |groups| x n_salts, tiny
-    by construction.
+    ``aggs`` maps column -> 'sum'|'count'|'min'|'max' or a LIST of
+    those (the mergeable aggregates; avg = sum+count composed by the
+    caller).  ``count`` has SQL COUNT(col) semantics — NULLs excluded;
+    use the column key ``"*"`` for a row count (aliased
+    ``count_rows``).  Stage 1 groups on (salt, keys) spreading a hot
+    key over n_salts reducers; stage 2 merges the partials — its
+    cardinality is |groups| x n_salts, tiny by construction.
     """
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     safe = lambda c: "rows" if c == "*" else c  # noqa: E731
+    flat = [(c, fn) for c, fns in aggs.items()
+            for fn in ([fns] if isinstance(fns, str) else fns)]
     stage1_aggs = []
-    for c, fn in aggs.items():
+    for c, fn in flat:
         if fn == "count":
             expr = F.count(F.lit(1)) if c == "*" else F.count(F.col(c))
-            stage1_aggs.append(expr.alias(f"__p_{safe(c)}"))
+            stage1_aggs.append(expr.alias(f"__p_{fn}_{safe(c)}"))
         elif fn in ("sum", "min", "max"):
-            stage1_aggs.append(getattr(F, fn)(c).alias(f"__p_{safe(c)}"))
+            stage1_aggs.append(getattr(F, fn)(c).alias(f"__p_{fn}_{safe(c)}"))
         else:
             raise ValueError(f"non-mergeable aggregate {fn!r}")
     partial = salted.groupBy("__salt", *group_cols).agg(*stage1_aggs)
     merge = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     stage2_aggs = [
-        getattr(F, merge[fn])(f"__p_{safe(c)}").alias(f"{fn}_{safe(c)}")
-        for c, fn in aggs.items()
+        getattr(F, merge[fn])(f"__p_{fn}_{safe(c)}").alias(f"{fn}_{safe(c)}")
+        for c, fn in flat
     ]
     return partial.groupBy(*group_cols).agg(*stage2_aggs)
 

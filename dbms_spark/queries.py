@@ -2160,3 +2160,42 @@ def q75_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "sum_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — salted aggregation gate: the two-stage skew-spread aggregation
+# (plans/skew.salted_agg) must be value-identical to the plain GROUP BY
+# the oracle runs — differential proof the salt/merge stages lose
+# nothing (decimal sums are exact, so salting order cannot matter).
+# ---------------------------------------------------------------------------
+
+_Q76_SQL = """
+SELECT l_returnflag,
+       CAST(CAST(SUM(l_quantity) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+       COUNT(*) AS count_rows,
+       CAST(CAST(MIN(l_extendedprice) AS DECIMAL(38,2)) AS VARCHAR) AS min_price,
+       CAST(CAST(MAX(l_extendedprice) AS DECIMAL(38,2)) AS VARCHAR) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q76_salted_agg", _Q76_SQL)
+def q76_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.plans.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, ["l_returnflag"],
+        {"l_quantity": "sum", "*": "count",
+         "l_extendedprice": ["min", "max"]},
+        n_salts=8,
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.col("sum_l_quantity").cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
+            F.col("count_rows").alias("count_rows"),
+            F.col("min_l_extendedprice").cast(T.DecimalType(38, 2)).cast("string").alias("min_price"),
+            F.col("max_l_extendedprice").cast(T.DecimalType(38, 2)).cast("string").alias("max_price"),
+        )
+    )

@@ -2199,3 +2199,35 @@ def q76_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_l_extendedprice").cast(T.DecimalType(38, 2)).cast("string").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — salted join gate: the explicit skew-spread join
+# (plans/skew.salted_join, fact side salted, dim side replicated per
+# salt) must produce exactly the plain equi-join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+SELECT s_nationkey,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(l_quantity) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+@register("q77_salted_join", _Q77_SQL)
+def q77_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity") \
+        .withColumnRenamed("l_suppkey", "s_suppkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, su, on="s_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
+        )
+    )

@@ -129,7 +129,11 @@ def sessionize(
     timestamps (determinism for differential testing)."""
     order = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak or [])]
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # cast through TIMESTAMP: a no-op for tz-aware inputs, and the only
+    # legal epoch route for TIMESTAMP_NTZ (session tz is pinned to UTC,
+    # so NTZ values convert losslessly)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return (
         events.withColumn("__new", new_session)

@@ -7,10 +7,13 @@ from dbms_spark.functions import canonical as C
 from dbms_spark.sources.catalog import filter_tables, load_table
 
 
-def test_events_ns_timestamp_loads(spark, sf_dir):
+def test_events_timestamp_loads(spark, sf_dir):
+    """events.ts must load as a (µs-precision) timestamp regardless of
+    how the corpus stores it: timestamp[ns] (legacy-long + truncate
+    path) or timestamp[us] naive (read natively, as NTZ)."""
     df = load_table(spark, sf_dir, "events")
     ts_type = dict((f.name, f.dataType) for f in df.schema.fields)["ts"]
-    assert isinstance(ts_type, T.TimestampType)
+    assert isinstance(ts_type, (T.TimestampType, T.TimestampNTZType))
     assert df.count() > 0
 
 

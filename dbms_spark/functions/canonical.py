@@ -130,6 +130,25 @@ def canonical_row(df: DataFrame, cols: list[str] | None = None,
     return F.concat_ws(SEP, *parts)
 
 
+def canonical_row_length(df: DataFrame, cols: list[str] | None = None,
+                         oracle_empty_is_null: bool = False) -> Column:
+    """``length(canonical_row(...))`` computed arithmetically — the sum
+    of per-field canonical lengths plus separators — without
+    materializing the concatenated string.  Exact equality holds
+    because canonical fields are never NULL (NULL -> 'NULL'), so
+    concat_ws drops nothing.  Used by row-length assessments where
+    only the length is needed: the per-row concat allocation is the
+    avoidable cost, the per-field canonicalization is not."""
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    total: Column = F.lit(len(SEP) * (len(cols) - 1)).cast("bigint")
+    for c in cols:
+        canon = canon_column(F.col(c), fields[c], oracle_empty_is_null)
+        total = total + F.coalesce(F.length(canon).cast("bigint"),
+                                   F.lit(len(NULL_LITERAL)).cast("bigint"))
+    return total
+
+
 def row_md5(df: DataFrame, cols: list[str] | None = None,
             oracle_empty_is_null: bool = False) -> Column:
     return F.md5(canonical_row(df, cols, oracle_empty_is_null))

@@ -207,7 +207,7 @@ def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: i
 
 def _avg_row_lengths(spark: SparkSession, sf_dir: str, tables: list[str],
                      sample_pct: float) -> DataFrame:
-    from dbms_spark.functions.canonical import canonical_row
+    from dbms_spark.functions.canonical import canonical_row_length
     from dbms_spark.operators.scan import deterministic_sample
     from dbms_spark.plans.parallelism import ensure_parallelism
 
@@ -222,7 +222,7 @@ def _avg_row_lengths(spark: SparkSession, sf_dir: str, tables: list[str],
             df = deterministic_sample(df, df.columns[0], sample_pct)
         df = ensure_parallelism(df)
         per.append(
-            df.select(F.length(canonical_row(df)).cast("bigint").alias("len"))
+            df.select(canonical_row_length(df).alias("len"))
             .agg(F.sum("len").alias("s"), F.count(F.lit(1)).alias("c"))
             .select(
                 F.lit(t).alias("table_name"),
@@ -323,20 +323,57 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     classification assessments (assess_migrate.go NUMBER blocks,
     GetDatabaseSchemaColumnTypeCounts neighborhood).
 
-    ONE scan: every column's five aggregates run in a single agg
-    (partial map-side), then the wide row is unpivoted in-memory —
-    columns × stats never touches the table twice."""
-    aggs = []
-    for c in cols:
-        d = F.col(c).cast("double")
+    Plan shape: unpivot the profiled columns to (col_name, v), one
+    window sort partitioned by col_name, then order statistics by rank.
+    Exact interpolated quantiles via ``percentile()`` would build a
+    value->count hashmap per aggregate buffer and merge+sort it in one
+    reducer — memory O(distinct values), serial at the end, an OOM at
+    scale.  The sort formulation is the distributed-exact shape: one
+    shuffle of the narrow stacked frame, per-column parallel sorts,
+    O(1) state after ranking.  min/max ride the same pass as ranks 0
+    and n-1.  Interpolation is ``lo + (pos - floor(pos)) * (hi - lo)``
+    with ``pos = p * (n - 1)`` — bit-identical to both Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``."""
+    from pyspark.sql import Window
+
+    ps = [0.25, 0.5, 0.95]
+    # stack on an INT column id, not the name: the id is 4 bytes in the
+    # sort shuffle where the name string would be ~15, and the name
+    # comes back via a literal map after aggregation
+    stacked_expr = ", ".join(f"{i}, CAST({c} AS DOUBLE)" for i, c in enumerate(cols))
+    stacked = (
+        df.select(*cols)
+        .selectExpr(f"stack({len(cols)}, {stacked_expr}) AS (cid, v)")
+        .filter(F.col("v").isNotNull())
+    )
+    # per-column n via a tiny broadcast-joined aggregate, NOT a
+    # count-over-partition window: an unbounded-frame window would
+    # buffer each full column partition before emitting, while
+    # row_number alone streams through the sort
+    counts = stacked.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cid").orderBy("v")
+    ranked = stacked.select(
+        "cid", "v", (F.row_number().over(w) - 1).alias("rn"),
+    ).join(F.broadcast(counts), "cid")
+    pos = {p: F.lit(p) * (F.col("n") - 1).cast("double") for p in ps}
+    aggs = [F.min("v").alias("min_v"), F.max("v").alias("max_v")]
+    for i, p in enumerate(ps):
+        lo, hi = F.floor(pos[p]), F.ceil(pos[p])
         aggs += [
-            F.min(d).alias(f"__mn_{c}"), F.max(d).alias(f"__mx_{c}"),
-            F.expr(f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.95))").alias(f"__p_{c}"),
+            F.max(F.when(F.col("rn") == lo, F.col("v"))).alias(f"__lo{i}"),
+            F.max(F.when(F.col("rn") == hi, F.col("v"))).alias(f"__hi{i}"),
+            F.max(pos[p] - lo.cast("double")).alias(f"__fr{i}"),
         ]
-    wide = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', __mn_{c}, __mx_{c}, __p_{c}[0], __p_{c}[1], __p_{c}[2]" for c in cols
+    wide = ranked.groupBy("cid").agg(*aggs)
+    names = ["p25", "p50", "p95"]
+    quantiles = [
+        (F.col(f"__lo{i}") + F.col(f"__fr{i}") * (F.col(f"__hi{i}") - F.col(f"__lo{i}")))
+        .alias(names[i])
+        for i in range(len(ps))
+    ]
+    name_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(cols))]),
+        F.array(*[F.lit(c) for c in cols]),
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stacked}) AS (col_name, min_v, max_v, p25, p50, p95)"
-    )
+    return wide.select(
+        name_map[F.col("cid")].alias("col_name"), "min_v", "max_v", *quantiles)

@@ -126,7 +126,19 @@ def sessionize(
     since the previous event of the same key exceeds the gap.  Window
     lag + running sum — the batch form of streaming session_window.
     ``tiebreak`` columns make ordering total under duplicate
-    timestamps (determinism for differential testing)."""
+    timestamps (determinism for differential testing).
+
+    Requires a fixed-offset session timezone (``get_spark`` pins
+    ``spark.sql.session.timeZone=UTC``): TIMESTAMP_NTZ inputs are
+    routed to epoch seconds via cast-to-TIMESTAMP, which is only
+    lossless when the session zone has no DST transitions — under a
+    DST zone, gaps spanning a transition would be skewed by the
+    per-timestamp offset."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if not (tz == "UTC" or tz.startswith(("+", "-", "GMT+", "GMT-", "UTC+", "UTC-"))):
+        raise ValueError(
+            f"sessionize requires a fixed-offset session timezone, got {tz!r}; "
+            "set spark.sql.session.timeZone=UTC (get_spark does this)")
     order = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak or [])]
     w = Window.partitionBy(key).orderBy(*order)
     # cast through TIMESTAMP: a no-op for tz-aware inputs, and the only

@@ -483,3 +483,69 @@ def dedup_groups_sql(pairs_sql: str, id_a: str = "a_id", id_b: str = "b_id",
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id AS doc_id, label AS group_id FROM l{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (the C4 / RefinedWeb pass: boilerplate lines
+# repeat across pages; a doc dominated by corpus-duplicated lines is
+# boilerplate itself)
+# ---------------------------------------------------------------------------
+
+def duplicate_line_stats(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-document duplicate-line statistics against the whole corpus:
+    ``n_lines``, ``n_dup_lines`` (lines whose trimmed content occurs
+    more than once corpus-wide, counting multiplicity), and
+    ``dup_line_ratio``.
+
+    Scale shape: lines hash to 32-byte md5 map-side, so both shuffles
+    (global line-frequency groupBy, then per-doc rollup) move hashes +
+    counts, never line text.  The frequency side aggregates BEFORE the
+    join — at 100 TB the distinct-line table is the small side of a
+    key-only join, and duplicated boilerplate lines (the skew hazard)
+    are exactly what AQE's skew-join splitting handles."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    lines = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode_outer(F.split(F.col(text_col), "\n")).alias("line"))
+        .select(id_col, F.trim(F.col("line")).alias("line"))
+        .filter(F.length("line") > 0)
+        .select(id_col, F.md5(F.col("line")).alias("lk"))
+    )
+    freq = lines.groupBy("lk").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        lines.join(freq, "lk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup_lines"),
+        )
+        .select(
+            id_col,
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_dup_lines").cast("bigint").alias("n_dup_lines"),
+            (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias("dup_line_ratio"),
+        )
+    )
+
+
+def duplicate_line_stats_sql(table: str, id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB twin of :func:`duplicate_line_stats` (string_split on
+    chr(10) ≡ Spark's regex split on '\\n' for literal newlines)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col}, md5(line) AS lk
+  FROM (SELECT {id_col}, trim(unnest(string_split({text_col}, chr(10)))) AS line
+        FROM {table})
+  WHERE len(line) > 0
+),
+freq AS (SELECT lk, COUNT(*) AS occ FROM lines GROUP BY lk)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_line_ratio
+FROM lines JOIN freq USING (lk)
+GROUP BY {id_col}
+"""

@@ -723,3 +723,106 @@ SELECT {id_col}, tok, tfidf, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the broadcast-sketch scale path for
+# contamination_check: at 100 TB the train side streams against a
+# fixed-size bit set instead of the full benchmark shingle table)
+# ---------------------------------------------------------------------------
+
+#: two md5-derived bit positions per shingle (k=2 double hashing)
+_BLOOM_K = 2
+
+
+def _bloom_bit_expr(sh: Column, seed: int, m: int) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), sh)), 1, 8), 16, 10)
+    return h.cast("bigint") % m
+
+
+def _bloom_bit_sql(sh: str, seed: int, m: int) -> str:
+    return f"(('0x' || substr(md5('{seed}' || ':' || {sh}), 1, 8))::BIGint % {m})"
+
+
+def bloom_contamination_check(train: DataFrame, bench: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              n: int = 5, m: int = 4096) -> DataFrame:
+    """Per-train-document shingle contamination screened through a
+    Bloom filter of the benchmark shingles, with the exact membership
+    count alongside (``n_bloom_hits >= n_exact_hits`` always — Bloom
+    filters have no false negatives).
+
+    Scale shape: the filter is ``m`` bits built from the (tiny) bench
+    side and broadcast; each train shingle probes k=2 md5-derived bits
+    map-side.  Unlike the exact broadcast of every bench shingle
+    (:func:`contamination_check`), the broadcast here is fixed-size no
+    matter how many benchmark suites pile up — the standard
+    bloom-vs-hash-set tradeoff, paid in false positives that a second
+    exact pass on just the flagged docs resolves."""
+    from dbms_spark.llm.dedup import shingles_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    def sh(df: DataFrame, cols: list) -> DataFrame:
+        return (
+            ensure_parallelism(df)
+            .withColumn("toks", tokens_expr(text_col))
+            .withColumn("sh", shingles_expr(n))
+            .select(*cols, F.explode_outer("sh").alias("sh"))
+            .filter(F.col("sh").isNotNull())
+        )
+
+    bench_sh = sh(bench, []).distinct()
+    bits = (
+        bench_sh.select(F.explode(F.array(*[
+            _bloom_bit_expr(F.col("sh"), k, m) for k in range(_BLOOM_K)
+        ])).alias("bit"))
+        .distinct()
+    )
+    t = sh(train, [F.col(id_col)]).select(
+        id_col, "sh",
+        *[_bloom_bit_expr(F.col("sh"), k, m).alias(f"b{k}") for k in range(_BLOOM_K)],
+    )
+    for k in range(_BLOOM_K):
+        marker = bits.select(F.col("bit").alias(f"b{k}"), F.lit(1).alias(f"m{k}"))
+        t = t.join(F.broadcast(marker), f"b{k}", "left")
+    exact = bench_sh.select("sh", F.lit(1).alias("ex"))
+    t = t.join(F.broadcast(exact), "sh", "left")
+    maybe = F.when(sum(F.col(f"m{k}").isNotNull().cast("int") for k in range(_BLOOM_K))
+                   == _BLOOM_K, 1).otherwise(0)
+    return (
+        t.groupBy(id_col)
+        .agg(
+            F.sum(maybe).cast("bigint").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("ex"), F.lit(0))).cast("bigint").alias("n_exact_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+def bloom_contamination_check_sql(train_sql: str, bench_sql: str,
+                                  id_col: str = "doc_id", n: int = 5,
+                                  m: int = 4096) -> str:
+    from dbms_spark.llm.dedup import shingles_sql
+
+    bit_arms = " UNION ".join(
+        f"SELECT {_bloom_bit_sql('sh', k, m)} AS bit FROM bsh" for k in range(_BLOOM_K)
+    )
+    probe_cols = ", ".join(f"{_bloom_bit_sql('sh', k, m)} AS b{k}" for k in range(_BLOOM_K))
+    all_in = " AND ".join(f"b{k} IN (SELECT bit FROM bits)" for k in range(_BLOOM_K))
+    return f"""
+WITH tr AS ({train_sql}),
+be AS ({bench_sql}),
+bsh AS (SELECT DISTINCT unnest({shingles_sql(n)}) AS sh
+        FROM (SELECT {tokens_sql()} AS toks FROM be)),
+bits AS ({bit_arms}),
+tsh AS (SELECT {id_col}, sh, {probe_cols}
+        FROM (SELECT {id_col}, unnest({shingles_sql(n)}) AS sh
+              FROM (SELECT {id_col}, {tokens_sql()} AS toks FROM tr)))
+SELECT {id_col},
+       CAST(SUM(CASE WHEN {all_in} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_hits
+FROM tsh
+GROUP BY {id_col}
+HAVING SUM(CASE WHEN {all_in} THEN 1 ELSE 0 END) > 0
+"""

@@ -2231,3 +2231,72 @@ def q77_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — line-level exact dedup (C4/RefinedWeb boilerplate pass): per-doc
+# ratio of lines duplicated anywhere in the corpus.  Runs on the duped
+# corpus so duplicate lines exist by construction.
+# ---------------------------------------------------------------------------
+
+def _q78_sql() -> str:
+    from dbms_spark.llm.dedup import duplicate_line_stats_sql
+
+    body = duplicate_line_stats_sql("corpus")
+    return body.replace("\nWITH ", f"\nWITH corpus AS ({_DUPED_DOCS_SQL}),\n", 1)
+
+
+@register("q78_duplicate_lines", _q78_sql())
+def q78_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import duplicate_line_stats
+
+    return duplicate_line_stats(_duped_docs(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# q79 — count-min sketch heavy hitters: exact top-5 order keys by
+# frequency with their CMS estimates alongside (cms_est >= exact_cnt,
+# the one-sided guarantee the skew-salting planner relies on).
+# ---------------------------------------------------------------------------
+
+def _q79_sql() -> str:
+    from dbms_spark.operators.sketch import heavy_hitters_with_cms_sql
+
+    return heavy_hitters_with_cms_sql(
+        "SELECT o_custkey FROM orders", "o_custkey", n=5, depth=3, width=512)
+
+
+@register("q79_cms_heavy_hitters", _q79_sql())
+def q79_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import heavy_hitters_with_cms
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return heavy_hitters_with_cms(orders, "o_custkey", n=5, depth=3, width=512)
+
+
+# ---------------------------------------------------------------------------
+# q80 — Bloom-filter decontamination: the broadcast-sketch scale path
+# for q58, with the exact hit count alongside so the gate also checks
+# the no-false-negative invariant (n_bloom_hits >= n_exact_hits).
+# ---------------------------------------------------------------------------
+
+def _q80_sql() -> str:
+    from dbms_spark.llm.text import bloom_contamination_check_sql
+
+    return bloom_contamination_check_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0",
+        "SELECT text FROM documents WHERE doc_id % 13 = 0",
+        n=3,
+    )
+
+
+@register("q80_bloom_decontamination", _q80_sql())
+def q80_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import bloom_contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_contamination_check(
+        docs.filter("doc_id % 13 <> 0").select("doc_id", "text"),
+        docs.filter("doc_id % 13 = 0").select("text"),
+        n=3,
+    )

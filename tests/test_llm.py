@@ -310,3 +310,37 @@ def test_quality_filter_first_failing_rule(spark):
            TX.quality_filter(docs, min_tokens=30, min_quality=0.2,
                              max_dup_word_frac=0.5).collect()}
     assert got[1] == "too_short" and got[3] == "repetitive" and got[2] == "kept"
+
+
+def test_duplicate_line_stats_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared line\nunique one\n\n  shared line  "),
+            (2, "shared line\nunique two"),
+            (3, "all unique here\nanother unique"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in D.duplicate_line_stats(docs).collect()}
+    # doc 1: 3 non-empty lines after trim; 'shared line' occurs 3x
+    # corpus-wide (twice in doc 1, once in doc 2)
+    assert got[1]["n_lines"] == 3 and got[1]["n_dup_lines"] == 2
+    assert got[2]["n_lines"] == 2 and got[2]["n_dup_lines"] == 1
+    assert got[3]["n_dup_lines"] == 0
+    assert got[2]["dup_line_ratio"] == pytest.approx(0.5)
+
+
+def test_bloom_no_false_negatives_and_superset(spark):
+    train = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta{i}") for i in range(20)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([("alpha beta gamma delta x",)], "text string")
+    bloom = {r["doc_id"]: r for r in
+             TX.bloom_contamination_check(train, bench, n=3, m=256).collect()}
+    exact = {r["doc_id"]: r["n_hits"] for r in
+             TX.contamination_check(train, bench, n=3).collect()}
+    # every exact hit is bloom-flagged (no false negatives), and the
+    # bloom count dominates the exact count per doc
+    for d, n_hits in exact.items():
+        assert d in bloom
+        assert bloom[d]["n_bloom_hits"] >= bloom[d]["n_exact_hits"] == n_hits

@@ -77,3 +77,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cms_estimate_dominates_exact(spark):
+    from dbms_spark.operators.sketch import cms_cells, heavy_hitters_with_cms
+
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + list(range(100, 400))]
+    df = spark.createDataFrame(rows, "k bigint")
+    out = {r["k"]: r for r in heavy_hitters_with_cms(df, "k", n=2, width=64).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["exact_cnt"] == 50 and out[2]["exact_cnt"] == 30
+    # one-sided error: the sketch never undercounts
+    assert out[1]["cms_est"] >= 50 and out[2]["cms_est"] >= 30
+    # sketch size is bounded by depth*width regardless of input size
+    assert cms_cells(df, "k", depth=3, width=64).count() <= 3 * 64

@@ -456,3 +456,164 @@ SELECT label, CAST(u.p AS BIGINT) AS pos,
        COUNT(*) AS n
 FROM e GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC):
+# the compressed-domain ANN path.  At 100 TB the corpus vectors cannot
+# all hold raw floats in memory; PQ stores m small codes per vector
+# (here m bytes) and scans them against a per-query distance table —
+# the IVF-PQ half the IVF coarse quantizer (q51) composes with.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(parquet_path: str, m: int = 8, ksub: int = 16,
+                       iters: int = 5, sample: int = 4096,
+                       vec_col: str = "embedding") -> list[list[list[int]]]:
+    """Deterministic per-subspace Lloyd k-means (plain L2, not
+    spherical) over a bounded sample — ``m`` codebooks of ``ksub``
+    centroids each, trained ONCE driver-side and shipped as literals
+    into both dialects (the rules-as-data pattern of the LSH planes and
+    IVF centroids).  Vectors quantize to fixed-point ints first, and
+    centroids round to ints, so encode/ADC arithmetic is integer-exact
+    cross-engine.  Returns ``books[j][c] = component list``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", vec_col])
+    order = np.argsort(t.column("vec_id").to_numpy())[:sample]
+    X = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    X = np.round(X * _SCALE)
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    d = dims // m
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        S = X[:, j * d:(j + 1) * d]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            # pairwise squared L2; argmin ties -> lowest centroid index
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[int(v) for v in np.round(C[c])] for c in range(ksub)])
+    return books
+
+
+def _pq_dist_spark(sub: str, comps: list[int]) -> str:
+    arr = ", ".join(f"{c}D" for c in comps)
+    return (f"aggregate(zip_with({sub}, array({arr}), "
+            f"(x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)")
+
+
+def _pq_dist_duck(sub: str, comps: list[int]) -> str:
+    arr = ", ".join(f"CAST({c} AS DOUBLE)" for c in comps)
+    return (f"list_sum(list_transform(list_zip({sub}, [{arr}]), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def pq_encode(df: DataFrame, books: list[list[list[int]]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Vector -> m nearest-centroid codes (map-side, no shuffle).
+    Output (id, codes array<bigint>) — the compressed corpus
+    representation ADC scans."""
+    m = len(books)
+    d = len(books[0][0])
+    code_exprs = []
+    for j in range(m):
+        sub = f"slice(q, {j * d + 1}, {d})"
+        dists = "array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")"
+        code_exprs.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS BIGINT)")
+    codes = "array(" + ", ".join(code_exprs) + ")"
+    return (
+        df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+        .select(F.col(id_col), F.expr(codes).alias("codes"))
+    )
+
+
+def pq_encode_sql(table: str, books: list[list[list[int]]],
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    m = len(books)
+    d = len(books[0][0])
+    code_exprs = []
+    for j in range(m):
+        sub = f"v[{j * d + 1}:{j * d + d}]"
+        dists = "[" + ", ".join(_pq_dist_duck(sub, c) for c in books[j]) + "]"
+        code_exprs.append(f"CAST(list_position({dists}, list_min({dists})) - 1 AS BIGINT)")
+    codes = "[" + ", ".join(code_exprs) + "]"
+    return f"""
+SELECT {id_col}, {codes} AS codes
+FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+"""
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
+                books: list[list[list[int]]], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by asymmetric distance: corpus scanned in
+    compressed (code) form, each query carrying its m x ksub distance
+    table; per-pair cost is m table lookups instead of a dims-long dot
+    product.  All distances are integer-valued doubles < 2^53, so the
+    ranking is bit-identical cross-engine.  Output
+    (query_id, neighbor_id, adc_dist BIGINT), ascending distance,
+    ties -> lower neighbor id."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    d = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col) \
+        .select(F.col(id_col).alias("n_id"), "codes")
+    dtab_exprs = []
+    for j in range(m):
+        sub = f"slice(q, {j * d + 1}, {d})"
+        dtab_exprs.append("array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")")
+    dtab = "array(" + ", ".join(dtab_exprs) + ")"
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q"))
+        .select("q_id", F.expr(dtab).alias("dtab"))
+    )
+    adc = (f"CAST(aggregate(sequence(0, {m - 1}), 0D, "
+           f"(acc, j) -> acc + dtab[j][CAST(codes[j] AS INT)]) AS BIGINT)")
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(adc).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"),
+                "adc_dist")
+    )
+
+
+def pq_adc_topk_sql(table: str, query_filter: str,
+                    books: list[list[list[int]]], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    m = len(books)
+    d = len(books[0][0])
+    dtab_exprs = []
+    for j in range(m):
+        sub = f"v[{j * d + 1}:{j * d + d}]"
+        dtab_exprs.append("[" + ", ".join(_pq_dist_duck(sub, c) for c in books[j]) + "]")
+    dtab = "[" + ", ".join(dtab_exprs) + "]"
+    adc = (f"CAST(list_sum(list_transform(range(0, {m}), "
+           f"j -> dtab[j + 1][CAST(codes[j + 1] AS BIGINT) + 1])) AS BIGINT)")
+    return f"""
+WITH enc AS ({pq_encode_sql(table, books, id_col, vec_col)}),
+q AS (SELECT {id_col} AS q_id, {dtab} AS dtab
+      FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+      WHERE {query_filter}),
+scored AS (
+  SELECT q.q_id AS query_id, enc.{id_col} AS neighbor_id, {adc} AS adc_dist
+  FROM enc CROSS JOIN q WHERE q.q_id <> enc.{id_col}
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

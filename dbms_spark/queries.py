@@ -2300,3 +2300,35 @@ def q80_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("doc_id % 13 = 0").select("text"),
         n=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — PQ/ADC ANN: per-subspace codebooks trained once driver-side
+# (rules-as-data), corpus scanned in compressed code form, each query
+# carrying its m x ksub distance table — the compressed-domain scale
+# path that composes with IVF (q51) into IVF-PQ.
+# ---------------------------------------------------------------------------
+
+def _pq_books():
+    from dbms_spark.llm.similarity import train_pq_codebooks
+
+    global _PQ_BOOKS
+    try:
+        return _PQ_BOOKS
+    except NameError:
+        _PQ_BOOKS = train_pq_codebooks(table_path(_ORACLE_SF_DIR, "embeddings"), m=8, ksub=16)
+        return _PQ_BOOKS
+
+
+def _q81_sql() -> str:
+    from dbms_spark.llm.similarity import pq_adc_topk_sql
+
+    return pq_adc_topk_sql("embeddings", "vec_id % 100 = 0", _pq_books(), k=5)
+
+
+@register("q81_pq_adc_topk", _q81_sql())
+def q81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter("vec_id % 100 = 0"), _pq_books(), k=5)

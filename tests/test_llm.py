@@ -344,3 +344,50 @@ def test_bloom_no_false_negatives_and_superset(spark):
     for d, n_hits in exact.items():
         assert d in bloom
         assert bloom[d]["n_bloom_hits"] >= bloom[d]["n_exact_hits"] == n_hits
+
+
+def test_pq_adc_ann(spark, sf_dir):
+    """PQ codebooks: deterministic training, valid codes, and ADC
+    neighbor recall comparable to the exact L2-on-quantized baseline."""
+    from dbms_spark.sources.catalog import load_table, table_path
+
+    path = table_path(sf_dir, "embeddings")
+    books = S.train_pq_codebooks(path, m=8, ksub=16)
+    assert books == S.train_pq_codebooks(path, m=8, ksub=16)  # deterministic
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64 dims / 8 subspaces
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(emb, books)
+    assert enc.count() == emb.count()
+    rng = enc.selectExpr("min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi").first()
+    assert rng["lo"] >= 0 and rng["hi"] < 16
+
+    # ground truth: the distributed ADC ranking must equal a numpy
+    # reimplementation bit-for-bit (fixed-point => order-independent)
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.round(np.array(t.column("embedding").to_pylist(), dtype=np.float64) * 10000)
+    code_map = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    B = [np.array(b, dtype=np.float64) for b in books]
+
+    def adc_np(qv, cs):
+        return sum(((qv[j * 8:(j + 1) * 8] - B[j][cs[j]]) ** 2).sum() for j in range(8))
+
+    got = S.pq_adc_topk(emb, emb.filter("vec_id % 50 = 0"), books, k=5).collect()
+    for r in got:
+        qv = X[ids == r["query_id"]][0]
+        assert r["adc_dist"] == int(adc_np(qv, code_map[r["neighbor_id"]]))
+    # and the full per-query ranking matches numpy's
+    q_ids = sorted({r["query_id"] for r in got})
+    for qid in q_ids:
+        qv = X[ids == qid][0]
+        dists = {int(i): adc_np(qv, code_map[int(i)]) for i in ids if int(i) != qid}
+        want = sorted(dists, key=lambda i: (dists[i], i))[:5]
+        have = [r["neighbor_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid),
+            key=lambda r: (r["adc_dist"], r["neighbor_id"]))]
+        assert have == want, f"query {qid}: {have} != {want}"

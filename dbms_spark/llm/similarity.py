@@ -617,3 +617,96 @@ SELECT query_id, neighbor_id, adc_dist FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                cents: list[tuple[list[int], float]],
+                books: list[list[list[int]]], k: int = 5, nprobe: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the full ANN architecture — IVF coarse cells prune the
+    corpus to ``nprobe`` partitions per query (q51's quantizer), and
+    within them the scan runs in PQ-compressed form via the per-query
+    ADC table (q81's scan).  Cost per query drops from O(n * dims)
+    to O(n * nprobe / n_cells * m) table lookups, and the scanned
+    corpus state is m codes per vector instead of dims floats —
+    both reductions are what make 100 TB-scale vector search fit
+    executor memory."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    d = len(books[0][0])
+    c = (
+        pq_encode(corpus, books, id_col, vec_col)
+        .select(F.col(id_col).alias("n_id"), "codes")
+        .join(ivf_assign(corpus, cents, id_col, vec_col)
+              .select(F.col(id_col).alias("n_id"), "cluster"), "n_id")
+    )
+    dtab_exprs = []
+    for j in range(m):
+        sub = f"slice(q, {j * d + 1}, {d})"
+        dtab_exprs.append("array(" + ", ".join(_pq_dist_spark(sub, cb) for cb in books[j]) + ")")
+    dtab = "array(" + ", ".join(dtab_exprs) + ")"
+    scores = _ivf_scores_spark(cents, vec="q")
+    probes = (
+        f"transform(slice(array_sort(zip_with({scores}, "
+        f"sequence(0, {len(cents) - 1}), (s, i) -> struct(-s AS s, i AS i))), "
+        f"1, {nprobe}), x -> cast(x.i AS bigint))"
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q"))
+        .select("q_id", F.expr(dtab).alias("dtab"), F.explode(F.expr(probes)).alias("cluster"))
+    )
+    adc = (f"CAST(aggregate(sequence(0, {m - 1}), 0D, "
+           f"(acc, j) -> acc + dtab[j][CAST(codes[j] AS INT)]) AS BIGINT)")
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(adc).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"),
+                "adc_dist")
+    )
+
+
+def ivf_pq_topk_sql(table: str, query_filter: str,
+                    cents: list[tuple[list[int], float]],
+                    books: list[list[list[int]]], k: int = 5, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    m = len(books)
+    d = len(books[0][0])
+    dtab_exprs = []
+    for j in range(m):
+        sub = f"v[{j * d + 1}:{j * d + d}]"
+        dtab_exprs.append("[" + ", ".join(_pq_dist_duck(sub, cb) for cb in books[j]) + "]")
+    dtab = "[" + ", ".join(dtab_exprs) + "]"
+    scores = _ivf_scores_duck(cents, vec="v")
+    probes = (
+        f"list_transform(list_sort(list_transform(list_zip({scores}, "
+        f"range(0, {len(cents)})), p -> {{'s': -p[1], 'i': p[2]}})), "
+        f"x -> CAST(x.i AS BIGINT))[1:{nprobe}]"
+    )
+    adc = (f"CAST(list_sum(list_transform(range(0, {m}), "
+           f"j -> dtab[j + 1][CAST(codes[j + 1] AS BIGINT) + 1])) AS BIGINT)")
+    return f"""
+WITH enc AS ({pq_encode_sql(table, books, id_col, vec_col)}),
+assigned AS ({ivf_assign_sql(table, cents, id_col, vec_col)}),
+c AS (SELECT enc.{id_col} AS n_id, enc.codes, assigned.cluster
+      FROM enc JOIN assigned ON enc.{id_col} = assigned.{id_col}),
+q0 AS (SELECT {id_col} AS q_id, {dtab} AS dtab, {probes} AS pr
+       FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+       WHERE {query_filter}),
+qprobe AS (SELECT q_id, dtab, unnest(pr) AS cluster FROM q0),
+scored AS (
+  SELECT q.q_id AS query_id, c.n_id AS neighbor_id, {adc} AS adc_dist
+  FROM qprobe q JOIN c ON q.cluster = c.cluster
+  WHERE q.q_id <> c.n_id
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

@@ -2332,3 +2332,25 @@ def q81_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, emb.filter("vec_id % 100 = 0"), _pq_books(), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q82 — IVF-PQ ANN: the q51 coarse quantizer pruning cells composed
+# with the q81 compressed-domain ADC scan inside them — the full
+# memory-bounded vector-search architecture.
+# ---------------------------------------------------------------------------
+
+def _q82_sql() -> str:
+    from dbms_spark.llm.similarity import ivf_pq_topk_sql
+
+    return ivf_pq_topk_sql(
+        "embeddings", "vec_id % 100 = 0", _ivf_cents(), _pq_books(), k=5, nprobe=2)
+
+
+@register("q82_ivf_pq_topk", _q82_sql())
+def q82_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.filter("vec_id % 100 = 0"), _ivf_cents(), _pq_books(), k=5, nprobe=2)

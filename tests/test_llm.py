@@ -391,3 +391,20 @@ def test_pq_adc_ann(spark, sf_dir):
             (r for r in got if r["query_id"] == qid),
             key=lambda r: (r["adc_dist"], r["neighbor_id"]))]
         assert have == want, f"query {qid}: {have} != {want}"
+
+
+def test_ivf_pq_degenerates_to_full_adc(spark, sf_dir):
+    """With nprobe = n_cells the IVF pruning is a no-op, so IVF-PQ must
+    return exactly the full compressed-domain ADC scan's top-k."""
+    from dbms_spark.sources.catalog import load_table, table_path
+
+    path = table_path(sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(path, k=8)
+    books = S.train_pq_codebooks(path, m=8, ksub=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 50 = 0")
+    full = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+            for r in S.pq_adc_topk(emb, qs, books, k=5).collect()}
+    ivfpq = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
+             for r in S.ivf_pq_topk(emb, qs, cents, books, k=5, nprobe=len(cents)).collect()}
+    assert ivfpq == full

@@ -87,3 +87,36 @@ def profile_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows, "col_name string, cnt long, nulls long, approx_distinct long"
     )
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key: str,
+                      rates: dict[str, float]) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps rows whose
+    md5-prefix bucket of ``key`` falls under that stratum's pct
+    (granularity 1/256, like :func:`deterministic_sample`).  Strata
+    absent from ``rates`` are dropped.
+
+    The reproducible twin of ``df.sampleBy`` — what a training-data
+    mixing pipeline needs when re-runs must produce the SAME subset
+    (sampleBy's seed is engine-private; the md5 bucket is portable
+    across engines, runs, and partitionings).  Map-side only."""
+    bucket = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 2), 16, 10).cast("bigint")
+    thr = None
+    for s, pct in sorted(rates.items()):
+        t = max(1, round(256 * pct / 100.0))
+        cond = F.col(stratum_col) == s
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return df.filter(bucket < thr.otherwise(F.lit(0)))
+
+
+def stratified_sample_sql(table: str, stratum_col: str, key: str,
+                          rates: dict[str, float]) -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {max(1, round(256 * pct / 100.0))}"
+        for s, pct in sorted(rates.items())
+    )
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT "
+        f"< (CASE {stratum_col} {arms} ELSE 0 END)"
+    )

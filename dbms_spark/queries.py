@@ -2354,3 +2354,37 @@ def q82_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(
         emb, emb.filter("vec_id % 100 = 0"), _ivf_cents(), _pq_books(), k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# q83 — deterministic stratified sampling: per-language rates over
+# documents (the reproducible sampleBy twin a source-mixing pipeline
+# needs — same subset on every engine, run, and partitioning), rolled
+# up to per-stratum sampled counts plus the kept-id checksum.
+# ---------------------------------------------------------------------------
+
+_Q83_RATES = {"en": 50.0, "de": 25.0, "fr": 12.5, "zh": 6.25}
+
+
+def _q83_sql() -> str:
+    from dbms_spark.operators.scan import stratified_sample_sql
+
+    inner = stratified_sample_sql("documents", "lang", "doc_id", _Q83_RATES)
+    return f"""
+WITH s AS ({inner})
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY lang
+"""
+
+
+@register("q83_stratified_sample", _q83_sql())
+def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.scan import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, "lang", "doc_id", _Q83_RATES)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

@@ -408,3 +408,24 @@ def test_ivf_pq_degenerates_to_full_adc(spark, sf_dir):
     ivfpq = {(r["query_id"], r["neighbor_id"], r["adc_dist"])
              for r in S.ivf_pq_topk(emb, qs, cents, books, k=5, nprobe=len(cents)).collect()}
     assert ivfpq == full
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from dbms_spark.operators.scan import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = {r["doc_id"] for r in
+         stratified_sample(df, "lang", "doc_id", {"en": 50.0, "de": 25.0}).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df, "lang", "doc_id", {"en": 50.0, "de": 25.0}).collect()}
+    assert a == b and a  # reproducible, non-empty
+    # unknown strata are dropped
+    c = stratified_sample(df, "lang", "doc_id", {"fr": 100.0}).count()
+    assert c == 0
+    # thresholds nest: a lower rate selects a subset of a higher rate
+    lo = {r["doc_id"] for r in
+          stratified_sample(df, "lang", "doc_id", {"en": 12.5}).collect()}
+    hi = {r["doc_id"] for r in
+          stratified_sample(df, "lang", "doc_id", {"en": 50.0}).collect()}
+    assert lo <= hi

@@ -377,3 +377,12 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
     return wide.select(
         name_map[F.col("cid")].alias("col_name"), "min_v", "max_v", *quantiles)
+
+
+def tables_without_primary_key(tables_df: DataFrame, idx_df: DataFrame) -> DataFrame:
+    """Tables lacking a primary-key constraint (reference:
+    GetDatabaseSchemaTableNotPrimaryKey assess_migrate.go neighborhood
+    — the no-PK list is a standard migration blocker report).  A
+    left-anti join of the table catalog against primary index specs."""
+    pks = idx_df.filter(F.col("is_primary")).select("table_name").distinct()
+    return tables_df.select("table_name").join(pks, "table_name", "left_anti")

@@ -2388,3 +2388,39 @@ def q83_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — tables without a primary key (the standard migration-blocker
+# report): table catalog anti-joined against primary index specs.
+# ---------------------------------------------------------------------------
+
+_Q84_SQL = f"""
+WITH {_COLS_CTE},
+ix(table_name, index_name, columns, is_unique, is_primary) AS (VALUES
+""" + ",\n".join(
+    f"  ('{t}', '{n}', '{c}', {str(u).upper()}, {str(p).upper()})"
+    for t, n, c, u, p in _IDX_CATALOG
+) + """
+)
+SELECT table_name FROM (SELECT DISTINCT table_name FROM cols)
+WHERE table_name NOT IN (SELECT table_name FROM ix WHERE is_primary)
+"""
+
+
+@register("q84_tables_without_pk", _Q84_SQL)
+def q84_tables_without_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    from dbms_spark.operators.assess import tables_without_primary_key
+    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
+    from functools import reduce
+
+    tables = [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+    tdf = spark.createDataFrame([(t,) for t in tables], "table_name string")
+    idx = reduce(DataFrame.unionAll, [
+        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
+                                 for _, n, c, u, p in grp])
+        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
+    ])
+    return tables_without_primary_key(tdf, idx)

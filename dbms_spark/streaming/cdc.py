@@ -645,6 +645,27 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def session_event_counts(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gap-sessionization: Spark's native ``session_window``
+    — a session per (table) closes when no event arrives for ``gap``;
+    late events inside the watermark merge sessions retroactively.
+    The streaming twin of the batch :func:`~dbms_spark.operators.joins.
+    sessionize` (gate q32): same gap semantics, state bounded by the
+    watermark instead of a full-table window sort."""
+    ts = events.withColumn("event_time", F.timestamp_micros(F.col("commit_ts")))
+    return (
+        ts.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "table_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "table_name", "n",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes",
                  keys: list[str] | None = None) -> DataFrame:
     """Exactly-once event intake for at-least-once transports (the

@@ -465,3 +465,23 @@ def test_dedup_stream_drops_redelivered(spark, tmp_path):
     assert got == [(60_000_000, "INSERT"), (120_000_000, "INSERT")] or \
            got == [(60_000_000, "UPDATE"), (120_000_000, "INSERT")]
     assert len(got) == 2
+
+
+def test_session_event_counts_streaming(spark, tmp_path):
+    """Native session_window streaming: events 2 and 7 minutes apart
+    merge into one session under a 10-minute gap; an event an hour
+    later opens a second session."""
+    src = tmp_path / "sess_src"
+    rows = [ev("t1", "INSERT", 60_000_000 * m, {"id": m}, {"id": m})
+            for m in (2, 7, 70)]
+    spark.createDataFrame(rows, cdc.CDC_EVENT_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(cdc.CDC_EVENT_SCHEMA).parquet(str(src))
+    agg = cdc.session_event_counts(stream, gap="10 minutes", watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("sesswin")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["session_start"].minute, r["session_end"].minute, r["n"])
+                 for r in spark.sql("SELECT * FROM sesswin").collect())
+    # session 1: [2, 17) (7-min event extends the close to 7+10);
+    # session 2: [70 -> minute 10 of next hour +10 = 20)
+    assert got == [(2, 17, 2), (10, 20, 1)]

@@ -185,6 +185,64 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lsh_candidate_pairs_between(new_sigs: DataFrame, old_sigs: DataFrame,
+                                id_col: str = "doc_id",
+                                num_hashes: int = 8, bands: int = 2) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW batch and the
+    EXISTING corpus — (new_id, old_id) sharing at least one LSH band.
+
+    The production shape for a growing corpus: existing signatures are
+    mined once and persisted; each intake batch hashes only itself and
+    equi-joins the (new << old) banded legs, so the per-batch cost is
+    O(batch) map work + a bucket-local join — never a re-mine or a
+    corpus self-join.  The within-batch pairs remain
+    :func:`lsh_candidate_pairs` on the new signatures alone."""
+    per = num_hashes // bands
+
+    def banded(sigs: DataFrame, alias: str) -> DataFrame:
+        legs = []
+        for b in range(bands):
+            cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+            key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+            legs.append(sigs.select(
+                F.col(id_col).alias(alias), F.lit(b).alias("band"), key.alias("bkey")))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionAll(leg)
+        return out
+
+    n = banded(new_sigs, "new_id")
+    o = banded(old_sigs, "old_id")
+    return (
+        n.join(o, ["band", "bkey"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_between_sql(new_sql: str, old_sql: str,
+                                    id_col: str = "doc_id", text_col: str = "text",
+                                    num_hashes: int = 8, bands: int = 2) -> str:
+    per = num_hashes // bands
+
+    def banded(src: str) -> str:
+        legs = []
+        for b in range(bands):
+            cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+            key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+            legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM {src}")
+        return " UNION ALL ".join(legs)
+
+    return f"""
+WITH nsig AS ({minhash_signatures_sql(f"({new_sql})", id_col, text_col, num_hashes)}),
+osig AS ({minhash_signatures_sql(f"({old_sql})", id_col, text_col, num_hashes)}),
+nb AS ({banded("nsig")}),
+ob AS ({banded("osig")})
+SELECT DISTINCT nb.{id_col} AS new_id, ob.{id_col} AS old_id
+FROM nb JOIN ob ON nb.band = ob.band AND nb.bkey = ob.bkey
+"""
+
+
 def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
                             num_hashes: int = 8, bands: int = 2) -> str:
     per = num_hashes // bands

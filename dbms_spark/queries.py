@@ -2424,3 +2424,31 @@ def q84_tables_without_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
     ])
     return tables_without_primary_key(tdf, idx)
+
+
+# ---------------------------------------------------------------------------
+# q85 — incremental dedup: a NEW intake batch LSH-joined against the
+# EXISTING corpus signatures (per-batch cost O(batch), never a corpus
+# re-mine) — the production shape for a growing training corpus.  The
+# new batch is the q23 clone set, so every new doc has a known dup.
+# ---------------------------------------------------------------------------
+
+_Q85_NEW_SQL = "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0"
+_Q85_OLD_SQL = "SELECT doc_id, text FROM documents"
+
+
+def _q85_sql() -> str:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs_between_sql
+
+    return lsh_candidate_pairs_between_sql(_Q85_NEW_SQL, _Q85_OLD_SQL)
+
+
+@register("q85_incremental_dedup", _q85_sql())
+def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs_between, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return lsh_candidate_pairs_between(
+        minhash_signatures(new), minhash_signatures(docs))

@@ -429,3 +429,16 @@ def test_stratified_sample_deterministic_and_nested(spark):
     hi = {r["doc_id"] for r in
           stratified_sample(df, "lang", "doc_id", {"en": 50.0}).collect()}
     assert lo <= hi
+
+
+def test_incremental_dedup_finds_known_clones(spark):
+    """Every clone in the new batch must surface its original as a
+    cross-corpus candidate (identical docs share every band)."""
+    old_rows = [(i, f"text body {i} with shared phrasing tokens {i % 5}") for i in range(30)]
+    df_old = spark.createDataFrame(old_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(i + 1000, t) for i, t in old_rows[:5]], "doc_id bigint, text string")
+    pairs = {(r["new_id"], r["old_id"]) for r in D.lsh_candidate_pairs_between(
+        D.minhash_signatures(new), D.minhash_signatures(df_old)).collect()}
+    for i in range(5):
+        assert (i + 1000, i) in pairs

@@ -2452,3 +2452,65 @@ def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return lsh_candidate_pairs_between(
         minhash_signatures(new), minhash_signatures(docs))
+
+
+# ---------------------------------------------------------------------------
+# q86 — order-priority counts (TPC-H Q4 shape): EXISTS semantics as a
+# left-semi join — orders with at least one late line, counted by
+# priority.  Catalyst plans the semi join; no row is ever duplicated
+# by the multi-match probe side.
+# ---------------------------------------------------------------------------
+
+_Q86_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1996-06-30')
+GROUP BY o_orderpriority
+"""
+
+
+@register("q86_order_priority_exists", _Q86_SQL)
+def q86_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("date")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — supplier-count-per-part-attrs (TPC-H Q16 shape): NOT-IN
+# exclusion as an anti-join plus COUNT(DISTINCT) — the distinct
+# aggregate runs as Catalyst's two-phase partial-distinct expansion.
+# ---------------------------------------------------------------------------
+
+_Q87_SQL = """
+SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+@register("q87_supplier_distinct_counts", _Q87_SQL)
+def q87_supplier_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter("p_size <= 20") \
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type")
+    bad = load_table(spark, sf_dir, "supplier").filter("s_acctbal < 0") \
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

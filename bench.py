@@ -35,13 +35,14 @@ def main() -> None:
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    # two runs per query, report the min: the first run pays one-off
-    # codegen/python-worker spawn and absorbs transient VM noise; the
-    # min is the steady-state cost of the plan itself
+    # three runs per query, report the min: the first run pays one-off
+    # codegen/python-worker spawn; single-JVM GC/JIT noise at local[32]
+    # swings individual runs 2-4x, and the min over three is the
+    # steady-state cost of the plan itself
     timings: dict[str, float] = {}
     for name, fn in sorted(Q.queries().items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

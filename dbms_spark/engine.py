@@ -196,6 +196,40 @@ class DbmsEngine:
 
         return mix_sources(docs, rates, id_col, source_col)
 
+    def similarity_search(self, corpus: DataFrame, queries: DataFrame, k: int = 5,
+                          method: str = "exact",
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          train_path: str | None = None) -> DataFrame:
+        """ANN verb over an embedding column.  ``method``:
+        ``exact`` (brute-force cosine baseline), ``lsh`` (sign-bucket
+        pruning), ``ivf`` (k-means cells + nprobe), ``ivfpq`` (cells +
+        compressed-domain ADC scan).  ``ivf``/``ivfpq`` need
+        ``train_path`` (a parquet file to train quantizers on —
+        normally the corpus itself)."""
+        from dbms_spark.llm import similarity as sim
+
+        if method == "exact":
+            return sim.cosine_topk(corpus, queries, k, id_col, vec_col)
+        if method == "lsh":
+            return sim.lsh_topk(corpus, queries, k, id_col=id_col, vec_col=vec_col)
+        if method in ("ivf", "ivfpq"):
+            if not train_path:
+                raise ValueError(f"method {method!r} requires train_path")
+            cents = sim.train_ivf_centroids(train_path)
+            if method == "ivf":
+                return sim.ivf_topk(corpus, queries, cents, k, id_col=id_col, vec_col=vec_col)
+            books = sim.train_pq_codebooks(train_path)
+            return sim.ivf_pq_topk(corpus, queries, cents, books, k,
+                                   id_col=id_col, vec_col=vec_col)
+        raise ValueError(f"unknown similarity method {method!r}")
+
+    def heavy_hitters(self, df: DataFrame, key_col: str, n: int = 5) -> DataFrame:
+        """Skew screen: exact top-n keys with count-min estimates
+        alongside (feeds the salting planner in plans/skew)."""
+        from dbms_spark.operators.sketch import heavy_hitters_with_cms
+
+        return heavy_hitters_with_cms(df, key_col, n)
+
     def filter_quality(self, docs: DataFrame, id_col: str = "doc_id",
                        **thresholds) -> DataFrame:
         """Keep only docs the composed quality pass marks 'kept'."""

@@ -118,3 +118,22 @@ def test_cli_verbs(spark, tmp_path, capsys):
                "--rates", "s0=100"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["kept"] == 10
+
+
+def test_engine_similarity_and_heavy_hitter_verbs(spark, sf_dir):
+    from dbms_spark.engine import DbmsEngine
+    from dbms_spark.sources.catalog import load_table, table_path
+
+    eng = DbmsEngine(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 100 = 0")
+    path = table_path(sf_dir, "embeddings")
+    exact = eng.similarity_search(emb, qs, k=3)
+    assert exact.count() == qs.count() * 3
+    for m in ("lsh", "ivf", "ivfpq"):
+        out = eng.similarity_search(emb, qs, k=3, method=m, train_path=path)
+        assert set(out.columns) >= {"query_id", "neighbor_id"}
+        assert out.count() > 0
+    hh = eng.heavy_hitters(load_table(spark, sf_dir, "orders"), "o_custkey", n=3)
+    rows = hh.collect()
+    assert len(rows) == 3 and all(r["cms_est"] >= r["exact_cnt"] for r in rows)

@@ -2514,3 +2514,66 @@ def q87_supplier_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — analytic window breadth: lag / lead / cume_dist over customer
+# balances per nation — the window-function family beyond row_number
+# and ntile that the gate set didn't yet pin.
+# ---------------------------------------------------------------------------
+
+_Q88_SQL = """
+SELECT c_custkey,
+       c_nationkey,
+       CAST(lag(c_custkey) OVER w AS BIGINT) AS prev_key,
+       CAST(lead(c_custkey) OVER w AS BIGINT) AS next_key,
+       cume_dist() OVER w AS bal_cume
+FROM customer
+WHERE c_custkey % 10 = 0
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q88_window_analytics", _Q88_SQL)
+def q88_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 10 = 0")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_nationkey",
+        F.lag("c_custkey").over(w).cast("bigint").alias("prev_key"),
+        F.lead("c_custkey").over(w).cast("bigint").alias("next_key"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — pivot: order counts by status x priority.  Spark's
+# groupBy().pivot() with an explicit value list (one pass, no second
+# scan for value discovery); the oracle is the equivalent conditional
+# aggregation.
+# ---------------------------------------------------------------------------
+
+_Q89_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_Q89_SQL = "SELECT o_orderstatus, " + ", ".join(
+    f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS \"p{i + 1}\""
+    for i, p in enumerate(_Q89_PRIORITIES)
+) + "\nFROM orders GROUP BY o_orderstatus"
+
+
+@register("q89_pivot_status_priority", _Q89_SQL)
+def q89_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _Q89_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(f"p{i + 1}")
+          for i, p in enumerate(_Q89_PRIORITIES)],
+    )
+    return renamed

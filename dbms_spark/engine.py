@@ -241,6 +241,36 @@ class DbmsEngine:
         keep = v.filter(F.col("verdict") == "kept").select(id_col)
         return docs.join(keep, id_col, "left_semi")
 
+    def corpus_report(self, docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> dict[str, DataFrame]:
+        """Training-corpus health report — the LLM-pipeline analog of
+        :meth:`assess`'s migration report: language mix, quality-band
+        counts, token totals, duplicate-line pressure, and exact-dup
+        groups, each a small aggregate a dashboard can collect."""
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm import dedup
+        from dbms_spark.llm import text as tx
+
+        stats = tx.token_stats_prepared(docs, id_col, text_col)
+        quality = stats.select(
+            id_col, tx.quality_score_expr().alias("quality"))
+        return {
+            "languages": tx.lang_id(docs, id_col, text_col)
+            .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs")),
+            "quality_bands": quality.select(
+                F.floor(F.col("quality") * 10).cast("int").alias("band"))
+            .groupBy("band").agg(F.count(F.lit(1)).alias("n_docs")),
+            "token_totals": stats.agg(
+                F.sum("n_tokens").alias("total_tokens"),
+                F.avg("n_tokens").alias("avg_tokens_per_doc"),
+                F.count(F.lit(1)).alias("n_docs")),
+            "dup_line_pressure": dedup.duplicate_line_stats(docs, id_col, text_col)
+            .agg(F.avg("dup_line_ratio").alias("avg_dup_line_ratio"),
+                 F.sum("n_dup_lines").alias("total_dup_lines")),
+            "exact_dup_groups": dedup.exact_dedup(docs, id_col, text_col),
+        }
+
     # -- cdc -------------------------------------------------------------
 
     def cdc_consume(self, store, events: DataFrame, checkpoint_dir: str):

@@ -2577,3 +2577,36 @@ def q89_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           for i, p in enumerate(_Q89_PRIORITIES)],
     )
     return renamed
+
+
+# ---------------------------------------------------------------------------
+# q90 — composite indexes wider than the target limit (reference:
+# GetDatabaseSchemaIndexColumnCountsOverLimit assess_migrate.go:788
+# neighborhood) — migration targets cap index column counts.
+# ---------------------------------------------------------------------------
+
+_Q90_SQL = """
+WITH ix(table_name, index_name, columns, is_unique, is_primary) AS (VALUES
+""" + ",\n".join(
+    f"  ('{t}', '{n}', '{c}', {str(u).upper()}, {str(p).upper()})"
+    for t, n, c, u, p in _IDX_CATALOG
+) + """
+)
+SELECT table_name, index_name,
+       CAST(len(string_split(columns, ',')) AS BIGINT) AS column_counts
+FROM ix
+WHERE len(string_split(columns, ',')) > 1
+"""
+
+
+@register("q90_index_column_counts_over_limit", _Q90_SQL)
+def q90_index_column_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(t, n, c) for t, n, c, _, _ in _IDX_CATALOG]
+    idx = spark.createDataFrame(rows, "table_name string, index_name string, columns string")
+    return (
+        idx.select(
+            "table_name", "index_name",
+            F.size(F.split(F.col("columns"), ",")).cast("bigint").alias("column_counts"),
+        )
+        .filter(F.col("column_counts") > 1)
+    )

@@ -137,3 +137,20 @@ def test_engine_similarity_and_heavy_hitter_verbs(spark, sf_dir):
     hh = eng.heavy_hitters(load_table(spark, sf_dir, "orders"), "o_custkey", n=3)
     rows = hh.collect()
     assert len(rows) == 3 and all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_engine_corpus_report(spark, sf_dir):
+    from dbms_spark.engine import DbmsEngine
+    from dbms_spark.sources.catalog import load_table
+
+    eng = DbmsEngine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rep = eng.corpus_report(docs)
+    assert set(rep) == {"languages", "quality_bands", "token_totals",
+                        "dup_line_pressure", "exact_dup_groups"}
+    langs = {r["pred_lang"]: r["n_docs"] for r in rep["languages"].collect()}
+    assert sum(langs.values()) == docs.count()
+    tot = rep["token_totals"].first()
+    assert tot["n_docs"] == docs.count() and tot["total_tokens"] > 0
+    bands = rep["quality_bands"].collect()
+    assert all(0 <= r["band"] <= 10 for r in bands)

@@ -710,3 +710,96 @@ SELECT query_id, neighbor_id, adc_dist FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss): the dimension-reduction
+# scale path — project 64-dim vectors to a few dims with a
+# deterministic md5-derived matrix before clustering/ANN, shrinking
+# every downstream dot product and shuffle payload.
+# ---------------------------------------------------------------------------
+
+def random_projection_expr(out_dims: int, in_dims: int, vec: str = "q") -> str:
+    """Projected vector expression (Spark SQL): out[i] = <vec, R_i>
+    with R_i the md5-derived plane ``i`` (reuses the LSH plane
+    family).  Inputs are fixed-point ints and plane components are
+    ints, so every component is integer-exact cross-engine."""
+    comps = []
+    for i in range(out_dims):
+        arr = ", ".join(f"{c}D" for c in plane_components(1000 + i, in_dims))
+        comps.append(
+            f"aggregate(zip_with({vec}, array({arr}), (x, p) -> x * p), 0D, (a, v) -> a + v)")
+    return "array(" + ", ".join(comps) + ")"
+
+
+def random_projection_sql_expr(out_dims: int, in_dims: int, vec: str = "v") -> str:
+    comps = []
+    for i in range(out_dims):
+        arr = ", ".join(f"CAST({c} AS DOUBLE)" for c in plane_components(1000 + i, in_dims))
+        comps.append(
+            f"list_sum(list_transform(list_zip({vec}, [{arr}]), p -> p[1] * p[2]))")
+    return "[" + ", ".join(comps) + "]"
+
+
+def project_vectors(df: DataFrame, out_dims: int = 16, in_dims: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, proj array<double>) — map-side only."""
+    return (
+        df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+        .select(F.col(id_col),
+                F.expr(random_projection_expr(out_dims, in_dims)).alias("proj"))
+    )
+
+
+def projected_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   out_dims: int = 16, in_dims: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k by cosine in the PROJECTED space — every pair costs
+    out_dims multiplies instead of in_dims, and the corpus state
+    shuffled/broadcast downstream is out_dims/in_dims the size.  JL
+    preserves angles approximately, so the projected ranking is the
+    candidate-generation stage a full-precision re-rank refines."""
+    from pyspark.sql import Window
+
+    c = project_vectors(corpus, out_dims, in_dims, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("proj").alias("n_vec"))
+    c = c.withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
+    q = project_vectors(queries, out_dims, in_dims, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("proj").alias("q_vec"))
+    q = q.withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec")))
+    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("n_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+def projected_topk_sql(table: str, query_filter: str, k: int = 5,
+                       out_dims: int = 16, in_dims: int = 64,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    proj = random_projection_sql_expr(out_dims, in_dims)
+    norm = _NORM_DUCK.format(a="proj")
+    dot = _DOT_DUCK.format(a="q.proj", b="c.proj")
+    sim = f"floor({dot} / (q.nrm * c.nrm) * 1000000) / 1000000"
+    return f"""
+WITH pv AS (SELECT {id_col} AS id, proj, {norm} AS nrm
+            FROM (SELECT {id_col}, {proj} AS proj
+                  FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table}))),
+q AS (SELECT id, proj, nrm FROM pv WHERE {query_filter}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {sim} AS cos_sim
+  FROM pv c CROSS JOIN q WHERE q.id <> c.id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

@@ -2610,3 +2610,24 @@ def q90_index_column_counts_over_limit(spark: SparkSession, sf_dir: str) -> Data
         )
         .filter(F.col("column_counts") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — random-projection top-k (Johnson-Lindenstrauss): cosine in a
+# 16-dim projected space — the dimension-reduction stage that shrinks
+# every downstream dot product and shuffle payload 4x; full-precision
+# re-rank (q27) refines its candidates.
+# ---------------------------------------------------------------------------
+
+def _q91_sql() -> str:
+    from dbms_spark.llm.similarity import projected_topk_sql
+
+    return projected_topk_sql("embeddings", "id % 100 = 0", k=5)
+
+
+@register("q91_projected_topk", _q91_sql())
+def q91_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import projected_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return projected_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)

@@ -442,3 +442,44 @@ def test_incremental_dedup_finds_known_clones(spark):
         D.minhash_signatures(new), D.minhash_signatures(df_old)).collect()}
     for i in range(5):
         assert (i + 1000, i) in pairs
+
+
+def test_projected_topk_matches_numpy_ground_truth(spark, sf_dir):
+    """The distributed projected-space ranking must equal a numpy
+    reimplementation exactly (fixed-point inputs, integer plane
+    components => bit-exact dots), and be deterministic across runs.
+    (On this near-random synthetic corpus, projected-vs-exact recall is
+    not meaningful — top-5 among near-equidistant vectors is decided by
+    tiny margins any compression scrambles; exactness of the plan is
+    the testable property, as with PQ.)"""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from dbms_spark.sources.catalog import load_table, table_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 50 = 0")
+    got = S.projected_topk(emb, qs, k=5).collect()
+    again = S.projected_topk(emb, qs, k=5).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in again}
+
+    t = pq_.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.round(np.array(t.column("embedding").to_pylist(), dtype=np.float64) * 10000)
+    R = np.array([S.plane_components(1000 + i, 64) for i in range(16)], dtype=np.float64)
+    P = X @ R.T
+    norms = np.sqrt((P * P).sum(axis=1))
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = {}
+        for j, nid in enumerate(ids):
+            if int(nid) == qid:
+                continue
+            s = float(P[qi] @ P[j] / (norms[qi] * norms[j]))
+            sims[int(nid)] = np.floor(s * 1e6) / 1e6
+        want = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+        have = [r["neighbor_id"] for r in sorted(rows, key=lambda r: (-r["cos_sim"], r["neighbor_id"]))]
+        assert have == want, f"query {qid}: {have} != {want}"

@@ -2631,3 +2631,60 @@ def q91_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return projected_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q92 — INTERSECT ALL: the rows-in-common-with-multiplicity complement
+# of the q03/q37 EXCEPT ALL diffs (a compare engine reports matches as
+# well as mismatches).  Key projection only: intersect semantics on
+# the full mutated row set is q03's job.
+# ---------------------------------------------------------------------------
+
+_Q92_SQL = f"""
+WITH dst AS ({_MUTATED_ORDERS_SQL})
+SELECT o_orderkey, o_totalprice FROM orders
+INTERSECT ALL
+SELECT o_orderkey, o_totalprice FROM dst
+"""
+
+
+@register("q92_intersect_all", _Q92_SQL)
+def q92_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice")
+    b = _mutated_orders(orders).select("o_orderkey", "o_totalprice")
+    return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# q93 — null-safe equi-join (<=>): NULL keys must MATCH each other,
+# the semantic a compare engine needs when join keys are nullable
+# (a plain equi-join silently drops every NULL-keyed row).
+# ---------------------------------------------------------------------------
+
+_Q93_SQL = """
+WITH a AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k,
+                  c_custkey FROM customer),
+b AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k,
+             n_name FROM nation)
+SELECT a.k AS k, COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
+
+
+@register("q93_null_safe_join", _Q93_SQL)
+def q93_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("k"),
+        "c_custkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None)).otherwise(F.col("n_nationkey")).alias("k2"),
+        "n_name")
+    return (
+        cust.join(F.broadcast(nat), cust["k"].eqNullSafe(nat["k2"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.count_distinct("c_custkey").cast("bigint").alias("n_customers"))
+    )

@@ -61,6 +61,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--rates", required=True, help="source=pct[,source=pct...]")
 
+    sp = sub.add_parser("report")
+    sp.add_argument("--docs", required=True)
+
+    sp = sub.add_parser("ann")
+    sp.add_argument("--vectors", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--method", default="exact",
+                    choices=["exact", "lsh", "ivf", "ivfpq"])
+    sp.add_argument("--query-filter", default="vec_id % 100 = 0")
+    sp.add_argument("--k", type=int, default=5)
+
     args = p.parse_args(argv)
 
     import os
@@ -91,6 +102,17 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0 if rep.equal else 1
 
+    if args.verb == "ann":
+        vecs = spark.read.parquet(args.vectors)
+        qs = vecs.filter(args.query_filter)
+        out = eng.similarity_search(vecs, qs, k=args.k, method=args.method,
+                                    train_path=args.vectors)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"verb": "ann", "method": args.method,
+                          "queries": qs.count(),
+                          "results": spark.read.parquet(args.out).count()}))
+        return 0
+
     docs = spark.read.parquet(args.docs)
     if args.verb == "dedup":
         kept = eng.dedup_pipeline(docs, min_sim=args.min_sim)
@@ -109,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
         mixed.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"verb": "mix", "in": docs.count(),
                           "kept": spark.read.parquet(args.out).count()}))
+        return 0
+    if args.verb == "report":
+        rep = eng.corpus_report(docs)
+        out = {
+            "languages": {r["pred_lang"]: r["n_docs"]
+                          for r in rep["languages"].collect()},
+            "token_totals": rep["token_totals"].first().asDict(),
+            "dup_line_pressure": rep["dup_line_pressure"].first().asDict(),
+            "exact_dup_groups": rep["exact_dup_groups"].count(),
+        }
+        print(json.dumps({"verb": "report", **out}, default=str))
         return 0
     return 2
 

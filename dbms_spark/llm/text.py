@@ -746,7 +746,8 @@ def _bloom_bit_sql(sh: str, seed: int, m: int) -> str:
 
 def bloom_contamination_check(train: DataFrame, bench: DataFrame,
                               id_col: str = "doc_id", text_col: str = "text",
-                              n: int = 5, m: int = 4096) -> DataFrame:
+                              n: int = 5, m: int = 4096,
+                              with_exact: bool = True) -> DataFrame:
     """Per-train-document shingle contamination screened through a
     Bloom filter of the benchmark shingles, with the exact membership
     count alongside (``n_bloom_hits >= n_exact_hits`` always — Bloom
@@ -758,7 +759,13 @@ def bloom_contamination_check(train: DataFrame, bench: DataFrame,
     (:func:`contamination_check`), the broadcast here is fixed-size no
     matter how many benchmark suites pile up — the standard
     bloom-vs-hash-set tradeoff, paid in false positives that a second
-    exact pass on just the flagged docs resolves."""
+    exact pass on just the flagged docs resolves.
+
+    ``with_exact=True`` (the gate form) also broadcasts the exact
+    shingle set and emits ``n_exact_hits`` so the no-false-negative
+    invariant is checkable; production screening at scale passes
+    ``with_exact=False`` to keep ONLY the fixed-size broadcast —
+    that is the whole point of the filter."""
     from dbms_spark.llm.dedup import shingles_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
@@ -785,16 +792,17 @@ def bloom_contamination_check(train: DataFrame, bench: DataFrame,
     for k in range(_BLOOM_K):
         marker = bits.select(F.col("bit").alias(f"b{k}"), F.lit(1).alias(f"m{k}"))
         t = t.join(F.broadcast(marker), f"b{k}", "left")
-    exact = bench_sh.select("sh", F.lit(1).alias("ex"))
-    t = t.join(F.broadcast(exact), "sh", "left")
     maybe = F.when(sum(F.col(f"m{k}").isNotNull().cast("int") for k in range(_BLOOM_K))
                    == _BLOOM_K, 1).otherwise(0)
+    aggs = [F.sum(maybe).cast("bigint").alias("n_bloom_hits")]
+    if with_exact:
+        exact = bench_sh.select("sh", F.lit(1).alias("ex"))
+        t = t.join(F.broadcast(exact), "sh", "left")
+        aggs.append(
+            F.sum(F.coalesce(F.col("ex"), F.lit(0))).cast("bigint").alias("n_exact_hits"))
     return (
         t.groupBy(id_col)
-        .agg(
-            F.sum(maybe).cast("bigint").alias("n_bloom_hits"),
-            F.sum(F.coalesce(F.col("ex"), F.lit(0))).cast("bigint").alias("n_exact_hits"),
-        )
+        .agg(*aggs)
         .filter(F.col("n_bloom_hits") > 0)
     )
 

@@ -2688,3 +2688,29 @@ def q93_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"),
              F.count_distinct("c_custkey").cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — deterministic string aggregation (LISTAGG/string_agg): the
+# report-rendering aggregate (fix-SQL files, assessment HTML) — order
+# must be imposed explicitly or the result is nondeterministic on any
+# engine.  Spark: sort the collected array, then join.
+# ---------------------------------------------------------------------------
+
+_Q94_SQL = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_custkey % 100 = 0
+GROUP BY c_nationkey
+"""
+
+
+@register("q94_string_agg", _Q94_SQL)
+def q94_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 100 = 0")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

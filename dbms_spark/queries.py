@@ -2714,3 +2714,43 @@ def q94_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — windowed top-k: the top-2 event types per tumbling hour —
+# window aggregation composed with per-window ranking (the batch twin
+# of a streaming leaderboard; late data handled by the same watermark
+# machinery as q12/q66 in the streaming form).
+# ---------------------------------------------------------------------------
+
+_Q95_SQL = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+  FROM w
+) WHERE rnk <= 2
+"""
+
+
+@register("q95_windowed_topk", _Q95_SQL)
+def q95_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .drop("rnk")
+    )

@@ -1,0 +1,78 @@
+"""Data-validation rules: the constraint checks a migration
+verification runs AFTER the row compare — referential integrity and
+key uniqueness (the reference enforces these implicitly by comparing
+against a source whose engine enforced them; on a lake target they
+must be checked explicitly, reference discipline:
+database/processor/data_compare_* verification pass).
+
+Scale shapes: FK orphan detection is a left-anti join keyed on the FK
+(broadcast when the parent is a dim, shuffle otherwise — Catalyst
+picks); PK duplicate detection is one groupBy on the key columns with
+a HAVING filter.  Both shuffle keys + counts, never whole rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str,
+               relation: str) -> DataFrame:
+    """One-row summary for one FK relation: child rows whose ``fk`` has
+    no matching ``pk`` in the parent (NULL FKs are not orphans — SQL FK
+    semantics)."""
+    orphans = (
+        child.select(F.col(fk).alias("__fk")).filter(F.col("__fk").isNotNull())
+        .join(parent.select(F.col(pk).alias("__fk")).distinct(), "__fk", "left_anti")
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_rows")).select(
+        F.lit(relation).alias("relation"),
+        F.col("orphan_rows").cast("bigint").alias("orphan_rows"),
+    )
+
+
+def fk_orphan_report(relations: list[tuple[DataFrame, DataFrame, str, str, str]]) -> DataFrame:
+    """Union of :func:`fk_orphans` over (child, parent, fk, pk, name)."""
+    return reduce(DataFrame.unionAll,
+                  [fk_orphans(c, p, fk, pk, name) for c, p, fk, pk, name in relations])
+
+
+def fk_orphans_sql(child_table: str, parent_table: str, fk: str, pk: str,
+                   relation: str) -> str:
+    return f"""
+SELECT '{relation}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS orphan_rows
+FROM {child_table} c
+WHERE c.{fk} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {parent_table} p WHERE p.{pk} = c.{fk})
+"""
+
+
+def pk_duplicates(df: DataFrame, key_cols: list[str], table: str) -> DataFrame:
+    """One-row summary: key tuples appearing more than once, and the
+    total surplus rows a dedup would remove."""
+    dups = (
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    return dups.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("surplus_rows"),
+    ).select(
+        F.lit(table).alias("table_name"),
+        F.col("dup_keys").cast("bigint").alias("dup_keys"),
+        F.col("surplus_rows").cast("bigint").alias("surplus_rows"),
+    )
+
+
+def pk_duplicates_sql(table: str, key_cols: list[str]) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT '{table}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS dup_keys,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS surplus_rows
+FROM (SELECT {keys}, COUNT(*) AS n FROM {table} GROUP BY {keys} HAVING COUNT(*) > 1)
+"""

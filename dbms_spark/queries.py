@@ -2754,3 +2754,81 @@ def q95_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .drop("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — referential-integrity verify: FK orphan counts per relation
+# (the constraint check a lake target needs explicitly; the q03-family
+# compares rows, this verifies the relationships between tables).
+# An injected orphan set (every 31st lineitem gets a shifted orderkey)
+# proves the check actually fires.
+# ---------------------------------------------------------------------------
+
+_Q96_LI_SQL = """
+  SELECT CASE WHEN l_linenumber = 1 AND l_orderkey % 31 = 0
+              THEN l_orderkey + 900000000 ELSE l_orderkey END AS l_orderkey,
+         l_partkey, l_suppkey
+  FROM lineitem
+"""
+
+
+def _q96_sql() -> str:
+    from dbms_spark.operators.validate import fk_orphans_sql
+
+    parts = [
+        fk_orphans_sql("li", "orders", "l_orderkey", "o_orderkey", "lineitem->orders"),
+        fk_orphans_sql("li", "part", "l_partkey", "p_partkey", "lineitem->part"),
+        fk_orphans_sql("orders", "customer", "o_custkey", "c_custkey", "orders->customer"),
+    ]
+    return f"WITH li AS ({_Q96_LI_SQL})\n" + "\nUNION ALL ".join(parts)
+
+
+@register("q96_fk_orphans", _q96_sql())
+def q96_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import fk_orphan_report
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 31 == 0),
+               F.col("l_orderkey") + 900000000)
+        .otherwise(F.col("l_orderkey")).alias("l_orderkey"),
+        "l_partkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    return fk_orphan_report([
+        (li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        (li, part, "l_partkey", "p_partkey", "lineitem->part"),
+        (orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# q97 — key-uniqueness verify: duplicate PK tuples and the surplus rows
+# a dedup would drop, per table (duplicates injected via the q23 clone
+# corpus so the check provably fires).
+# ---------------------------------------------------------------------------
+
+def _q97_sql() -> str:
+    from dbms_spark.operators.validate import pk_duplicates_sql
+
+    dup_docs = pk_duplicates_sql("dd", ["text"]).replace("'dd'", "'documents_text'")
+    return f"""
+WITH dd AS ({_DUPED_DOCS_SQL})
+{pk_duplicates_sql("orders", ["o_orderkey"])}
+UNION ALL {pk_duplicates_sql("lineitem", ["l_orderkey", "l_linenumber"])}
+UNION ALL {dup_docs}
+"""
+
+
+@register("q97_pk_duplicates", _q97_sql())
+def q97_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import pk_duplicates
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = _duped_docs(load_table(spark, sf_dir, "documents"))
+    return (
+        pk_duplicates(orders, ["o_orderkey"], "orders")
+        .unionAll(pk_duplicates(li, ["l_orderkey", "l_linenumber"], "lineitem"))
+        .unionAll(pk_duplicates(docs, ["text"], "documents_text"))
+    )

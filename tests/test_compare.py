@@ -265,3 +265,22 @@ def test_multiset_diff_hashed_collated(spark):
     assert sorted(t for t in got if t[1] == 0) == [(None, 0, 1), (None, 0, 1)]
     with _pytest.raises(ValueError):
         X.multiset_diff_hashed(src, dst, collation="UNICODE")
+
+
+def test_validate_fk_orphans_and_pk_duplicates(spark):
+    from dbms_spark.operators.validate import fk_orphan_report, pk_duplicates
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan"), (None, "null-fk")],
+        "fk bigint, v string")
+    rep = {r["relation"]: r["orphan_rows"] for r in
+           fk_orphan_report([(child, parent, "fk", "pk", "c->p")]).collect()}
+    # NULL FK is not an orphan; key 9 is
+    assert rep == {"c->p": 1}
+
+    dup = spark.createDataFrame([(1, "x"), (1, "y"), (1, "z"), (2, "w")], "k bigint, v string")
+    row = pk_duplicates(dup, ["k"], "t").first()
+    assert row["dup_keys"] == 1 and row["surplus_rows"] == 2
+    clean = pk_duplicates(dup.filter("v = 'w'"), ["k"], "t").first()
+    assert clean["dup_keys"] == 0 and clean["surplus_rows"] == 0

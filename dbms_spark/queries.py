@@ -2832,3 +2832,33 @@ def q97_pk_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pk_duplicates(li, ["l_orderkey", "l_linenumber"], "lineitem"))
         .unionAll(pk_duplicates(docs, ["text"], "documents_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — date arithmetic: shipping-delay histogram in whole days
+# (datediff ≡ date_diff('day')) — pinning cross-engine day-difference
+# semantics over the timestamp-typed synthetic dates.
+# ---------------------------------------------------------------------------
+
+_Q98_SQL = """
+SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)
+         AS delay_days,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber = 1
+GROUP BY 1
+"""
+
+
+@register("q98_shipping_delay_histogram", _Q98_SQL)
+def q98_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter("l_linenumber = 1") \
+        .select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")).cast("bigint").alias("delay_days"))
+        .groupBy("delay_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

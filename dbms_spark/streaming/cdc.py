@@ -666,6 +666,39 @@ def session_event_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def attribute_conversions(clicks: DataFrame, purchases: DataFrame,
+                          within: str = "30 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the clicks
+    of the same user in the preceding ``within`` window — the
+    click->conversion attribution shape.  Both sides are watermarked,
+    so Spark bounds the join state: clicks older than
+    (watermark + within) are evicted, purchases after ``watermark``.
+    Works identically on batch frames (watermark is a no-op there).
+
+    Inputs are event frames with (user_id, ts/commit_ts); outputs one
+    row per (purchase, attributed click) pair."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.timestamp_micros(F.col("commit_ts")).alias("click_time"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_time", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.timestamp_micros(F.col("commit_ts")).alias("purchase_time"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_time", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_time") <= F.col("purchase_time"))
+        & (F.col("click_time") >= F.col("purchase_time") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        "purchase_time", "click_time",
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes",
                  keys: list[str] | None = None) -> DataFrame:
     """Exactly-once event intake for at-least-once transports (the

@@ -485,3 +485,32 @@ def test_session_event_counts_streaming(spark, tmp_path):
     # session 1: [2, 17) (7-min event extends the close to 7+10);
     # session 2: [70 -> minute 10 of next hour +10 = 20)
     assert got == [(2, 17, 2), (10, 20, 1)]
+
+
+def test_attribute_conversions_stream_stream_join(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute to same-user
+    clicks within the window; out-of-window and cross-user clicks
+    don't match."""
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    M = 60_000_000
+    clicks = [
+        dict(event_id=1, user_id=7, commit_ts=5 * M),    # in window for p@20
+        dict(event_id=2, user_id=7, commit_ts=18 * M),   # in window for p@20
+        dict(event_id=3, user_id=7, commit_ts=100 * M),  # after purchase
+        dict(event_id=4, user_id=8, commit_ts=19 * M),   # other user
+    ]
+    purchases = [dict(event_id=50, user_id=7, commit_ts=20 * M)]
+    schema = "event_id long, user_id long, commit_ts long"
+    spark.createDataFrame([tuple(c.values()) for c in clicks], schema) \
+        .write.parquet(str(csrc))
+    spark.createDataFrame([tuple(p.values()) for p in purchases], schema) \
+        .write.parquet(str(psrc))
+    cs = spark.readStream.schema(schema).parquet(str(csrc))
+    ps = spark.readStream.schema(schema).parquet(str(psrc))
+    out = cdc.attribute_conversions(cs, ps, within="30 minutes", watermark="1 minute")
+    q = (out.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted((r["purchase_id"], r["click_id"])
+                 for r in spark.sql("SELECT * FROM attrib").collect())
+    assert got == [(50, 1), (50, 2)]

@@ -2862,3 +2862,46 @@ def q98_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("delay_days")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — schema-evolution union: two intake batches with drifted
+# schemas (reordered columns; one batch lacks a column) merged by NAME
+# with NULL fill — the batch-boundary form of the CDC store's column
+# DDL evolution (add/drop lazy).
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+WITH old_batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+new_batch AS (
+  SELECT o_custkey, CAST(NULL AS DECIMAL(15,2)) AS o_totalprice,
+         o_orderkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS o_totalprice,
+       o_orderpriority
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority FROM old_batch
+  UNION ALL BY NAME
+  SELECT * FROM new_batch
+)
+"""
+
+
+@register("q99_schema_evolution_union", _Q99_SQL)
+def q99_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_b = orders.filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    new_b = orders.filter("o_orderkey % 2 = 1").select(
+        "o_custkey", F.lit(None).cast(T.DecimalType(15, 2)).alias("o_totalprice"),
+        "o_orderkey", "o_orderpriority")
+    merged = old_b.unionByName(new_b, allowMissingColumns=True)
+    return merged.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast(T.DecimalType(15, 2)).cast("string").alias("o_totalprice"),
+        "o_orderpriority",
+    )

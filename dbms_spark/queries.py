@@ -2905,3 +2905,34 @@ def q99_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast(T.DecimalType(15, 2)).cast("string").alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — the dedup pipeline END-TO-END as one gate: LSH proposes,
+# exact Jaccard verifies (>= 0.7), label propagation groups, and the
+# keep-one-representative policy drops non-canonical members — the
+# kept set over the clone-injected corpus, matching
+# engine.dedup_pipeline exactly.
+# ---------------------------------------------------------------------------
+
+def _q100_sql() -> str:
+    from dbms_spark.llm.dedup import dedup_groups_sql, jaccard_on_lsh_sql
+
+    verified = (f"SELECT a_id, b_id FROM "
+                f"({jaccard_on_lsh_sql('corpus', min_sim=0.7)})")
+    groups = dedup_groups_sql(verified)
+    return f"""
+WITH corpus AS ({_DUPED_DOCS_SQL}),
+g AS ({groups})
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM g WHERE doc_id <> group_id)
+"""
+
+
+@register("q100_dedup_pipeline_kept", _q100_sql())
+def q100_dedup_pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.engine import DbmsEngine
+
+    corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
+    eng = DbmsEngine(spark)
+    return eng.dedup_pipeline(corpus, min_sim=0.7).select("doc_id")

@@ -207,19 +207,28 @@ def avg_row_length_top(spark: SparkSession, sf_dir: str, tables: list[str], n: i
 
 def _avg_row_lengths(spark: SparkSession, sf_dir: str, tables: list[str],
                      sample_pct: float) -> DataFrame:
+    from pyspark.sql import types as T
+
     from dbms_spark.functions.canonical import canonical_row_length
-    from dbms_spark.operators.scan import deterministic_sample
+    from dbms_spark.operators.scan import deterministic_sample, deterministic_sample_int
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     per = []
     for t in tables:
         # sample FIRST, spread second: the repartition must shuffle only
-        # the sampled fraction, not the full wide table — the md5-prefix
+        # the sampled fraction, not the full wide table — the sampling
         # filter itself is a cheap narrow scan, while the canonical-row
-        # projection after it is the per-row CPU that needs the cores
+        # projection after it is the per-row CPU that needs the cores.
+        # Integer keys take the multiplicative-hash filter (pure int
+        # ops in the scan); others the md5-prefix filter.
         df = load_table(spark, sf_dir, t)
         if sample_pct < 100.0:
-            df = deterministic_sample(df, df.columns[0], sample_pct)
+            key = df.columns[0]
+            if isinstance(df.schema[key].dataType,
+                          (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                df = deterministic_sample_int(df, key, sample_pct)
+            else:
+                df = deterministic_sample(df, key, sample_pct)
         df = ensure_parallelism(df)
         per.append(
             df.select(canonical_row_length(df).alias("len"))

@@ -120,3 +120,36 @@ def stratified_sample_sql(table: str, stratum_col: str, key: str,
         f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT "
         f"< (CASE {stratum_col} {arms} ELSE 0 END)"
     )
+
+
+#: Knuth multiplicative constant (2^32 / golden ratio)
+_MULT_A = 2654435761
+
+
+def mult_hash_bucket_expr(key: Column) -> Column:
+    """Bucket in [0, 256) for NON-NEGATIVE integer keys via a Knuth
+    multiplicative hash on the low 32 bits, with the multiply split so
+    every intermediate stays under 2^63 (ANSI-safe; identical integer
+    math in DuckDB via :func:`mult_hash_bucket_sql`).  ~6 integer ops
+    per row where the md5-prefix filter pays a string cast + hash —
+    the cheap sampling path for integer keys; md5 remains the general
+    path."""
+    a = key.cast("bigint") % 4294967296
+    al, ah = a % 65536, (a / 65536).cast("bigint") % 65536
+    prod = (al * _MULT_A) % 4294967296 + ((ah * _MULT_A) % 65536) * 65536
+    return ((prod % 4294967296) / 16777216).cast("bigint")
+
+
+def mult_hash_bucket_sql(key: str) -> str:
+    return (
+        f"((((({key} % 4294967296) % 65536) * {_MULT_A}) % 4294967296"
+        f" + ((((({key} % 4294967296) // 65536) % 65536) * {_MULT_A}) % 65536) * 65536)"
+        f" % 4294967296) // 16777216"
+    )
+
+
+def deterministic_sample_int(df: DataFrame, key: str, pct: float) -> DataFrame:
+    """:func:`deterministic_sample` for non-negative integer keys —
+    same 1/256 granularity, multiplicative hash instead of md5."""
+    threshold = max(1, round(256 * pct / 100.0))
+    return df.filter(mult_hash_bucket_expr(F.col(key)) < threshold)

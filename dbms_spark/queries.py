@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from dbms_spark.functions import canonical as C
 from dbms_spark.operators import compare as X
+from dbms_spark.operators import scan as SC
 from dbms_spark.sources.catalog import TABLES, load_table, table_path
 
 # schemas are identical across scale factors; footers feed oracle-SQL text
@@ -1158,7 +1159,7 @@ def _q41_sql() -> str:
         canon = C.canonical_row_sql_from_types(fields)
         key = next(iter(fields))
         thr = max(1, round(256 * _Q41_SAMPLE_PCT / 100.0))
-        samp = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT < {thr}"
+        samp = f"{SC.mult_hash_bucket_sql(key)} < {thr}"
         per.append(
             f"SELECT '{t}' AS table_name, "
             f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len "
@@ -1720,7 +1721,7 @@ def _q61_sql() -> str:
         canon = C.canonical_row_sql_from_types(fields)
         key = next(iter(fields))
         thr = max(1, round(256 * _Q41_SAMPLE_PCT / 100.0))
-        samp = f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2))::BIGINT < {thr}"
+        samp = f"{SC.mult_hash_bucket_sql(key)} < {thr}"
         per.append(
             f"SELECT '{t}' AS table_name, "
             f"CAST(SUM(length({canon})) AS DOUBLE) / COUNT(*) AS avg_row_len "

@@ -2937,3 +2937,52 @@ def q100_dedup_pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
     eng = DbmsEngine(spark)
     return eng.dedup_pipeline(corpus, min_sim=0.7).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q101 — ratio-to-report: each nation's share of total revenue via an
+# unpartitioned window SUM over a pre-aggregated frame (the window
+# runs over ~25 rows, never the fact table — aggregate first, window
+# the aggregate: the only scalable order for global-ratio reports).
+# ---------------------------------------------------------------------------
+
+_Q101_SQL = """
+WITH n AS (
+  SELECT s_nationkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT s_nationkey,
+       CAST(rev_cents AS BIGINT) AS revenue_cents,
+       floor(CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER () AS DOUBLE)
+             * 1000000) / 1000000 AS share
+FROM n
+"""
+
+
+@register("q101_revenue_share", _Q101_SQL)
+def q101_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The price column is a raw DOUBLE, so the per-group sums quantize
+    to integer cents first — integer sums are exact and order-
+    independent where a double sum would be partial-aggregation-order
+    dependent and flap the share's floor; the single division happens
+    on already-exact operands."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy()
+    return n.select(
+        "s_nationkey",
+        F.col("rev_cents").cast("bigint").alias("revenue_cents"),
+        (F.floor(F.col("rev_cents").cast("double")
+                 / F.sum("rev_cents").over(w).cast("double") * 1000000) / 1000000).alias("share"),
+    )

@@ -2986,3 +2986,40 @@ def q101_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("rev_cents").cast("double")
                  / F.sum("rev_cents").over(w).cast("double") * 1000000) / 1000000).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — correlated scalar subquery: customers with above-average
+# balance WITHIN their nation — Catalyst decorrelates the inner
+# aggregate into a join against the per-nation averages; the oracle
+# keeps the textbook correlated form.  Averages compare exactly:
+# CAST(decimal-free int sums...) — balances are doubles, so both
+# sides derive the average from integer cents (order-independent).
+# ---------------------------------------------------------------------------
+
+_Q102_SQL = """
+WITH cb AS (SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer)
+SELECT c_custkey, c_nationkey, bal_cents
+FROM cb o
+WHERE bal_cents * (SELECT COUNT(*) FROM cb i WHERE i.c_nationkey = o.c_nationkey)
+      > (SELECT SUM(bal_cents) FROM cb i WHERE i.c_nationkey = o.c_nationkey)
+"""
+
+
+@register("q102_above_nation_average", _Q102_SQL)
+def q102_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"))
+    # the integer cross-multiplied comparison (bal * n > sum) avoids a
+    # float average entirely — exact on both engines
+    spark_sql_df = cb
+    stats = cb.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bal_cents").alias("s"))
+    return (
+        spark_sql_df.join(F.broadcast(stats), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_nationkey", "bal_cents")
+    )

@@ -3015,11 +3015,10 @@ def q102_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"))
     # the integer cross-multiplied comparison (bal * n > sum) avoids a
     # float average entirely — exact on both engines
-    spark_sql_df = cb
     stats = cb.groupBy(F.col("c_nationkey").alias("nk")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("bal_cents").alias("s"))
     return (
-        spark_sql_df.join(F.broadcast(stats), F.col("c_nationkey") == F.col("nk"))
+        cb.join(F.broadcast(stats), F.col("c_nationkey") == F.col("nk"))
         .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
         .select("c_custkey", "c_nationkey", "bal_cents")
     )

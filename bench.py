@@ -30,6 +30,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # The driver requires EXACTLY ONE stdout line.  PySpark/JVM startup can
+    # write chatter ("Setting default log level ...") straight to fd 1, so
+    # point fd 1 at stderr for the whole run and keep a private dup of the
+    # real stdout for the final JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     spark = get_spark("dbms_spark_bench")
 
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
@@ -53,14 +61,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    spark.stop()
+    line = json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
-    spark.stop()
+    }) + "\n"
+    os.write(real_stdout, line.encode())
 
 
 if __name__ == "__main__":

@@ -3022,3 +3022,262 @@ def q102_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
         .select("c_custkey", "c_nationkey", "bal_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — volume shipping (TPC-H Q7 shape): revenue between a nation
+# pair, either direction, per ship year.  Exercises a 6-table join
+# with a disjunctive cross-nation predicate: the fact tables shuffle-
+# join on their keys while both nation sides broadcast; Catalyst
+# pushes the date filter into the lineitem scan.  Revenue quantizes
+# to integer cents before summing (exact, order-independent).
+# ---------------------------------------------------------------------------
+
+_Q103_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q103_volume_shipping", _Q103_SQL)
+def q103_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ).filter(F.expr("l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+            .cast("bigint").alias("cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — market share (TPC-H Q8 shape): one supplier nation's share of
+# PROMO-part revenue sold into a region, per order year.  An 8-table
+# join tree where every dimension side broadcasts; the share divides
+# two exact integer-cent sums and floors to 1e-6 so both engines emit
+# the identical double.
+# ---------------------------------------------------------------------------
+
+_Q104_SQL = """
+WITH allv AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         n2.n_name AS supp_nation
+  FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) * 1000000) / 1000000 AS mkt_share
+FROM allv GROUP BY o_year
+"""
+
+
+@register("q104_market_share", _Q104_SQL)
+def q104_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+            .cast("bigint").alias("cents"),
+            "supp_nation",
+        )
+    )
+    is_n5 = F.when(F.col("supp_nation") == "NATION_5", F.col("cents")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(is_n5).cast("bigint").alias("nation_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "o_year", "nation_cents", "total_cents",
+            (F.floor(F.col("nation_cents").cast("double")
+                     / F.col("total_cents").cast("double") * 1000000) / 1000000)
+            .alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — disjunctive join predicate (TPC-H Q19 shape): OR-of-ANDs
+# spanning both join sides.  Catalyst extracts the common p_partkey =
+# l_partkey conjunct so the plan stays an equi-join (broadcast on the
+# filtered part side) with the disjunction as a post-join filter —
+# NOT a nested-loop.
+# ---------------------------------------------------------------------------
+
+_Q105_SQL = """
+SELECT p_brand, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+GROUP BY p_brand
+"""
+
+
+@register("q105_disjunctive_pred", _Q105_SQL)
+def q105_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & qty.between(1, 11) & size.between(1, 5))
+        | ((brand == "Brand#23") & qty.between(10, 20) & size.between(1, 10))
+        | ((brand == "Brand#34") & qty.between(20, 30) & size.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — RANGE-frame running aggregate: trailing-7-day revenue per
+# supplier nation.  Aggregate first (daily cents per nation), window
+# the aggregate — the frame walks ~2500 day rows per nation, never
+# the fact table; RANGE (value-based) vs ROWS matters because days
+# with no sales must still age out of the trailing window.
+# ---------------------------------------------------------------------------
+
+_Q106_SQL = """
+WITH daily AS (
+  SELECT s_nationkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS day_num,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_nationkey, day_num, day_cents,
+       CAST(SUM(day_cents) OVER (
+         PARTITION BY s_nationkey ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents
+FROM daily
+"""
+
+
+@register("q106_trailing_window_range", _Q106_SQL)
+def q106_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("day_num"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    daily = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "day_num")
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "s_nationkey", "day_num", "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("trailing7_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — distribution windows: percent_rank / cume_dist / nth_value
+# over per-nation balance orderings.  The ORDER BY carries c_custkey
+# as tiebreak so every rank is total; percent_rank and cume_dist are
+# small-integer divisions — bit-identical doubles on both engines.
+# ---------------------------------------------------------------------------
+
+_Q107_SQL = """
+SELECT c_custkey, c_nationkey, bal_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(nth_value(bal_cents, 2) OVER (PARTITION BY c_nationkey
+              ORDER BY bal_cents, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS second_lowest
+FROM (SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey)
+"""
+
+
+@register("q107_distribution_windows", _Q107_SQL)
+def q107_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"))
+    w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cb.select(
+        "c_custkey", "c_nationkey", "bal_cents",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("bal_cents", 2).over(wfull).cast("bigint").alias("second_lowest"),
+    )

@@ -399,6 +399,22 @@ FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
 # Benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------
 
+def _exploded_shingles(df: DataFrame, cols: list, text_col: str, n: int) -> DataFrame:
+    # explode_outer + post-filter: see top_ngrams — a plain explode
+    # gets an inferred size()>0 filter that re-inlines the shingle
+    # expression below the parallelism exchange (serial, ~6x work)
+    from dbms_spark.llm.dedup import shingles_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .withColumn("sh", shingles_expr(n))
+        .select(*cols, F.explode_outer("sh").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+
+
 def contamination_check(train: DataFrame, bench: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5) -> DataFrame:
     """Per-train-document count of word ``n``-gram shingles that also
@@ -411,28 +427,61 @@ def contamination_check(train: DataFrame, bench: DataFrame, id_col: str = "doc_i
     of the corpus.  Train shingles are per-doc distinct (from
     :func:`~dbms_spark.llm.dedup.shingles_expr`), so ``n_hits`` counts
     distinct contaminated shingles per document."""
-    from dbms_spark.llm.dedup import shingles_expr
-    from dbms_spark.plans.parallelism import ensure_parallelism
-
-    def sh(df: DataFrame, cols: list) -> DataFrame:
-        # explode_outer + post-filter: see top_ngrams — a plain explode
-        # gets an inferred size()>0 filter that re-inlines the shingle
-        # expression below the parallelism exchange (serial, ~6x work)
-        return (
-            ensure_parallelism(df)
-            .withColumn("toks", tokens_expr(text_col))
-            .withColumn("sh", shingles_expr(n))
-            .select(*cols, F.explode_outer("sh").alias("sh"))
-            .filter(F.col("sh").isNotNull())
-        )
-
-    bench_sh = sh(bench, []).distinct()
+    bench_sh = _exploded_shingles(bench, [], text_col, n).distinct()
     return (
-        sh(train, [F.col(id_col)])
+        _exploded_shingles(train, [F.col(id_col)], text_col, n)
         .join(F.broadcast(bench_sh), "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def contamination_overlap(train: DataFrame, bench: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-train-document contamination RATIO: distinct shingle count,
+    benchmark hits, and the floored hit fraction — the form a filter
+    thresholds on (drop docs with overlap_ratio > x).  Zero-hit docs
+    are kept (audit completeness), unlike :func:`contamination_check`.
+
+    Same scale shape: broadcast bench set probed by a LEFT flag join —
+    one shuffle of (doc_id, flag) pairs, corpus text never moves."""
+    bench_sh = (
+        _exploded_shingles(bench, [], text_col, n).distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        _exploded_shingles(train, [F.col(id_col)], text_col, n)
+        .join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            id_col, "n_shingles", "n_hits",
+            (F.floor(F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+                     * 1000000) / 1000000).alias("overlap_ratio"),
+        )
+    )
+
+
+def contamination_overlap_sql(train_sql: str, bench_sql: str, id_col: str = "doc_id",
+                              n: int = 5) -> str:
+    from dbms_spark.llm.dedup import shingles_sql
+
+    return f"""
+WITH tr AS ({train_sql}),
+be AS ({bench_sql}),
+tsh AS (SELECT {id_col}, unnest({shingles_sql(n)}) AS sh
+        FROM (SELECT {id_col}, {tokens_sql()} AS toks FROM tr)),
+bsh AS (SELECT DISTINCT unnest({shingles_sql(n)}) AS sh
+        FROM (SELECT {tokens_sql()} AS toks FROM be))
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN bsh.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       floor(CAST(SUM(CASE WHEN bsh.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000) / 1000000 AS overlap_ratio
+FROM tsh LEFT JOIN bsh ON tsh.sh = bsh.sh GROUP BY {id_col}
+"""
 
 
 def contamination_check_sql(train_sql: str, bench_sql: str, id_col: str = "doc_id",
@@ -833,4 +882,48 @@ SELECT {id_col},
 FROM tsh
 GROUP BY {id_col}
 HAVING SUM(CASE WHEN {all_in} THEN 1 ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analysis (crawl-corpus provenance profiling)
+# ---------------------------------------------------------------------------
+
+#: char-class-only pattern (parses identically under Java regex and RE2);
+#: group 1 captures the host.
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domain_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-domain URL and document counts over URLs embedded in text —
+    the provenance profile a crawl-based corpus filters on (domain
+    allow/deny lists, per-domain caps).
+
+    Scale shape: domain extraction is a map-side regexp over the text;
+    only (domain, doc_id) pairs shuffle, distinct-doc counting rides
+    the same aggregation."""
+    doms = F.expr(
+        f"transform(regexp_extract_all({text_col}, '{URL_DOMAIN_RE}', 1), x -> lower(x))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode_outer(doms).alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def url_domain_stats_sql(table: str, id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    return f"""
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs
+FROM (SELECT {id_col},
+             lower(unnest(regexp_extract_all({text_col}, '{URL_DOMAIN_RE}', 1))) AS domain
+      FROM {table})
+GROUP BY domain
 """

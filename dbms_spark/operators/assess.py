@@ -395,3 +395,105 @@ def tables_without_primary_key(tables_df: DataFrame, idx_df: DataFrame) -> DataF
     left-anti join of the table catalog against primary index specs."""
     pks = idx_df.filter(F.col("is_primary")).select("table_name").distinct()
     return tables_df.select("table_name").join(pks, "table_name", "left_anti")
+
+
+def column_profile(spark: SparkSession, sf_dir: str, table: str,
+                   cols: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: null count, exact distinct count, and
+    canonical min/max strings — one row per column (reference: the
+    per-column dictionary profile block of assess_detail.go; here
+    data-derived in a single pass).
+
+    Scale shape: one aggregation over the table computes every
+    column's stats (Catalyst expands the multi-distinct into one
+    logical pass); the stack() unpivot runs over the single result
+    row.  At 100 TB swap count_distinct for approx_count_distinct —
+    the gate keeps exact so the oracle can match."""
+    from dbms_spark.functions.canonical import canon_column
+
+    df = load_table(spark, sf_dir, table)
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nn{i}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd{i}"),
+            canon_column(F.min(F.col(c)), fields[c]).alias(f"__mn{i}"),
+            canon_column(F.max(F.col(c)), fields[c]).alias(f"__mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn{i}, __nd{i}, __mn{i}, __mx{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def column_profile_sql(sf_dir: str, table: str, cols: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`column_profile` (aggregate CTE + one
+    UNION ALL arm per column)."""
+    from dbms_spark.functions.canonical import canon_sql, parquet_field_types
+
+    fields = parquet_field_types(table_path(sf_dir, table))
+    cols = cols or list(fields)
+    aggs, arms = [], []
+    for i, c in enumerate(cols):
+        aggs += [
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS __nn{i}",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS __nd{i}",
+            f"{canon_sql(f'min({c})', fields[c])} AS __mn{i}",
+            f"{canon_sql(f'max({c})', fields[c])} AS __mx{i}",
+        ]
+        arms.append(
+            f"SELECT '{c}' AS column_name, __nn{i} AS n_nulls, __nd{i} AS n_distinct, "
+            f"__mn{i} AS min_val, __mx{i} AS max_val FROM s"
+        )
+    return f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL ".join(arms)
+
+
+def temporal_profile(spark: SparkSession, sf_dir: str,
+                     table_cols: list[tuple[str, str]]) -> DataFrame:
+    """Time-range profile per (table, timestamp column): canonical
+    min/max, whole-day span, non-null count — the freshness/coverage
+    block of an assessment report.  Min/max partial-aggregate map-side;
+    only one row per table shuffles."""
+    from dbms_spark.functions.canonical import canon_column
+
+    per = []
+    for t, c in table_cols:
+        df = load_table(spark, sf_dir, t)
+        dtype = df.schema[c].dataType
+        per.append(
+            df.agg(
+                F.min(F.col(c)).alias("__mn"),
+                F.max(F.col(c)).alias("__mx"),
+                F.count(F.col(c)).cast("bigint").alias("n"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                canon_column(F.col("__mn"), dtype).alias("min_ts"),
+                canon_column(F.col("__mx"), dtype).alias("max_ts"),
+                F.datediff(F.col("__mx").cast("date"), F.col("__mn").cast("date"))
+                .cast("bigint").alias("span_days"),
+                "n",
+            )
+        )
+    return reduce(DataFrame.unionAll, per)
+
+
+def temporal_profile_sql(sf_dir: str, table_cols: list[tuple[str, str]]) -> str:
+    from dbms_spark.functions.canonical import canon_sql, parquet_field_types
+
+    arms = []
+    for t, c in table_cols:
+        fields = parquet_field_types(table_path(sf_dir, t))
+        arms.append(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+            f"{canon_sql(f'min({c})', fields[c])} AS min_ts, "
+            f"{canon_sql(f'max({c})', fields[c])} AS max_ts, "
+            f"CAST(date_diff('day', CAST(min({c}) AS DATE), CAST(max({c}) AS DATE)) AS BIGINT)"
+            f" AS span_days, CAST(COUNT({c}) AS BIGINT) AS n FROM {t}"
+        )
+    return "\nUNION ALL ".join(arms)

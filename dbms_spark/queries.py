@@ -3281,3 +3281,177 @@ def q107_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("bal_cents", 2).over(wfull).cast("bigint").alias("second_lowest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — per-column data profile of orders: nulls / exact distinct /
+# canonical min-max in ONE aggregation pass (multi-distinct expands
+# inside Catalyst; the unpivot stacks the single result row).
+# ---------------------------------------------------------------------------
+
+def _q108_sql() -> str:
+    from dbms_spark.operators.assess import column_profile_sql
+
+    return column_profile_sql(_ORACLE_SF_DIR, "orders")
+
+
+@register("q108_column_profile", _q108_sql())
+def q108_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import column_profile
+
+    return column_profile(spark, sf_dir, "orders")
+
+
+# ---------------------------------------------------------------------------
+# q109 — temporal coverage profile: canonical min/max timestamp, day
+# span, and non-null count per time column across three tables.
+# ---------------------------------------------------------------------------
+
+_Q109_TABLE_COLS = [("orders", "o_orderdate"), ("lineitem", "l_shipdate"), ("events", "ts")]
+
+
+def _q109_sql() -> str:
+    from dbms_spark.operators.assess import temporal_profile_sql
+
+    return temporal_profile_sql(_ORACLE_SF_DIR, _Q109_TABLE_COLS)
+
+
+@register("q109_temporal_profile", _q109_sql())
+def q109_temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import temporal_profile
+
+    return temporal_profile(spark, sf_dir, _Q109_TABLE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q110 — contamination overlap RATIO per train doc (zero-hit docs
+# kept): the thresholdable form of q58's decontamination pass.
+# ---------------------------------------------------------------------------
+
+def _q110_sql() -> str:
+    from dbms_spark.llm.text import contamination_overlap_sql
+
+    return contamination_overlap_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0",
+        "SELECT text FROM documents WHERE doc_id % 13 = 0",
+        n=3,
+    )
+
+
+@register("q110_contamination_overlap", _q110_sql())
+def q110_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter("doc_id % 13 <> 0").select("doc_id", "text"),
+        docs.filter("doc_id % 13 = 0").select("text"),
+        n=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — URL/domain provenance stats over deterministically injected
+# URLs (the corpus text carries none): per-domain URL + doc counts.
+# ---------------------------------------------------------------------------
+
+_URL_INJECT_SPARK = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' see https://site' || CAST(doc_id % 9 AS STRING)"
+    " || '.example.org/p' || CAST(doc_id AS STRING) ELSE text END"
+)
+_URL_INJECT_T2_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN t2 || ' via http://www.ref' || CAST(doc_id % 4 AS STRING)"
+    " || '.net/x' ELSE t2 END"
+)
+_URL_INJECT_DUCK = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN t2 || ' via http://www.ref' ||
+              CAST(doc_id % 4 AS VARCHAR) || '.net/x' ELSE t2 END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' see https://site' ||
+                    CAST(doc_id % 9 AS VARCHAR) || '.example.org/p' ||
+                    CAST(doc_id AS VARCHAR) ELSE text END AS t2
+        FROM documents)
+"""
+
+
+def _q111_sql() -> str:
+    from dbms_spark.llm.text import url_domain_stats_sql
+
+    return f"WITH corpus AS ({_URL_INJECT_DUCK})\n" + url_domain_stats_sql("corpus")
+
+
+@register("q111_url_domain_stats", _q111_sql())
+def q111_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import url_domain_stats
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t2", F.expr(_URL_INJECT_SPARK))
+        .withColumn("text", F.expr(_URL_INJECT_T2_SPARK))
+        .select("doc_id", "text")
+    )
+    return url_domain_stats(corpus)
+
+
+# ---------------------------------------------------------------------------
+# q112 — GROUPING SETS with grouping() flags: independent margins per
+# priority and per status plus the grand total in one pass (Catalyst
+# Expand, one shuffle — not three scans).
+# ---------------------------------------------------------------------------
+
+_Q112_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("q112_grouping_sets", _Q112_SQL)
+def q112_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    orders.createOrReplaceTempView("__q112_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM __q112_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q113 — deterministic ordered array aggregation: per-order sorted
+# line-number list (collect_list is unordered by contract — the
+# array_sort imposes the total order both engines agree on).
+# ---------------------------------------------------------------------------
+
+_Q113_SQL = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+@register("q113_sorted_array_agg", _Q113_SQL)
+def q113_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr("concat_ws(',', transform(array_sort(collect_list(l_linenumber)),"
+                   " x -> CAST(x AS STRING)))").alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("total_qty"),
+        )
+    )

@@ -56,20 +56,33 @@ class CsvSinkOptions:
 
 
 def write_csv(df: DataFrame, path: str, options: CsvSinkOptions | None = None,
-              mode: str = "overwrite", num_files: int | None = None) -> None:
+              mode: str = "overwrite", num_files: int | None = None,
+              max_records_per_file: int | None = None) -> None:
     """CSV sink — the reference's whole csv_migrate subsystem is this
     one writer call; file count steers size capping (the reference's
-    DiskUsageFactor) via repartition."""
+    DiskUsageFactor) via repartition, and ``max_records_per_file``
+    caps individual file size without a shuffle (the writer rolls to
+    a new file mid-partition)."""
     options = options or CsvSinkOptions()
     out = df.repartition(num_files) if num_files else df
-    out.write.mode(mode).options(**options.writer_options()).csv(path)
+    w = out.write.mode(mode).options(**options.writer_options())
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.csv(path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
-                  partition_by: list[str] | None = None) -> None:
+                  partition_by: list[str] | None = None,
+                  max_records_per_file: int | None = None) -> None:
+    """Parquet sink; ``partition_by`` lays out hive-style partition
+    directories so downstream reads partition-prune (the scan lists
+    only matching directories — at 100 TB the difference between a
+    full-corpus scan and one day's worth)."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
 
 

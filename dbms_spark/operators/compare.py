@@ -205,6 +205,79 @@ def multiset_diff_hashed(
     )
 
 
+def snapshot_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> DataFrame:
+    """Key-level snapshot diff: classify every primary key as INSERT
+    (present in src, missing from dst), DELETE (dst only), or UPDATE
+    (both sides, non-key canonical hash differs) — the repair worklist
+    the fix-SQL generator consumes, relative to making dst match src
+    (reference: the compare->repair flow of data_compare_row.go; the
+    I/U/D split mirrors the three statement kinds gen_fix_sql emits).
+
+    Contract: keys are unique per side (PK semantics) — keyless or
+    duplicated-row tables take :func:`multiset_diff` instead.
+
+    Scale shape: each side reduces map-side to (key, 32-byte value
+    hash) before the single full-outer shuffle on the key — the value
+    columns never move, and unchanged keys are filtered immediately
+    after the join."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    cols = cols or src.columns
+    val_cols = [c for c in cols if c not in key_cols]
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        df = ensure_parallelism(df)
+        return df.select(
+            *key_cols, C.row_md5(df, val_cols, oracle_empty_is_null).alias(alias))
+
+    a = side(src, "src_md5")
+    b = side(dst, "dst_md5")
+    change = (
+        F.when(F.col("dst_md5").isNull(), F.lit("INSERT"))
+        .when(F.col("src_md5").isNull(), F.lit("DELETE"))
+        .when(F.col("src_md5") != F.col("dst_md5"), F.lit("UPDATE"))
+    )
+    return (
+        a.join(b, key_cols, "full_outer")
+        .select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def snapshot_diff_sql(
+    src_sql: str,
+    dst_sql: str,
+    key_cols: list[str],
+    fields: dict,
+    cols: list[str] | None = None,
+    oracle_empty_is_null: bool = False,
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` (``fields`` from
+    ``parquet_field_types``)."""
+    cols = cols or list(fields)
+    val_cols = [c for c in cols if c not in key_cols]
+    canon = C.canonical_row_sql_from_types(fields, val_cols, oracle_empty_is_null)
+    keys = ", ".join(key_cols)
+    return f"""
+WITH s AS (SELECT {keys}, md5({canon}) AS src_md5 FROM ({src_sql})),
+d AS (SELECT {keys}, md5({canon}) AS dst_md5 FROM ({dst_sql}))
+SELECT {keys},
+       CASE WHEN dst_md5 IS NULL THEN 'INSERT'
+            WHEN src_md5 IS NULL THEN 'DELETE'
+            WHEN src_md5 <> dst_md5 THEN 'UPDATE' END AS change_type
+FROM s FULL OUTER JOIN d USING ({keys})
+WHERE (CASE WHEN dst_md5 IS NULL THEN 'INSERT'
+            WHEN src_md5 IS NULL THEN 'DELETE'
+            WHEN src_md5 <> dst_md5 THEN 'UPDATE' END) IS NOT NULL
+"""
+
+
 def chunked_checksum(
     df: DataFrame,
     chunk_id: Column,

@@ -3455,3 +3455,161 @@ def q113_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — key-level snapshot diff: classify each PK as INSERT / UPDATE
+# / DELETE between two table states (the repair worklist feeding
+# gen_fix_sql; the key-unique complement of q39's multiset diff).
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DST_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 53 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 = 0
+"""
+
+
+def _snapshot_dst(orders: DataFrame) -> DataFrame:
+    kept = orders.filter("o_orderkey % 53 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 41 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    extra = orders.filter("o_orderkey % 89 = 0").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+    return kept.unionAll(extra.select(*kept.columns))
+
+
+def _q114_sql() -> str:
+    return X.snapshot_diff_sql(
+        "SELECT * FROM orders", _SNAPSHOT_DST_SQL, ["o_orderkey"], _fields("orders"))
+
+
+@register("q114_snapshot_diff", _q114_sql())
+def q114_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return X.snapshot_diff(orders, _snapshot_dst(orders), ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# q115 — functional-dependency profile: exact NDV per column and per
+# pair over orders — nd(a,b) = nd(a) implies a -> b (schema-inference
+# assessment for key discovery; one multi-distinct aggregation pass).
+# ---------------------------------------------------------------------------
+
+_Q115_PAIRS = [("o_custkey", "o_orderstatus"), ("o_orderkey", "o_custkey"),
+               ("o_orderpriority", "o_orderstatus")]
+
+_Q115_SQL = """
+WITH s AS (
+  SELECT """ + ", ".join(
+    [f"CAST(COUNT(DISTINCT {a}) AS BIGINT) AS nd_{a}" for a in
+     sorted({c for p in _Q115_PAIRS for c in p})]
+    + [f"CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS nd_{a}__{b}"
+       for a, b in _Q115_PAIRS]
+) + """
+  FROM orders
+)
+""" + "\nUNION ALL ".join(
+    f"SELECT '{a}' AS det, '{b}' AS dep, nd_{a} AS nd_det, nd_{a}__{b} AS nd_pair, "
+    f"CAST(nd_{a} = nd_{a}__{b} AS BOOLEAN) AS fd_holds FROM s"
+    for a, b in _Q115_PAIRS
+)
+
+
+@register("q115_fd_profile", _Q115_SQL)
+def q115_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    det_cols = sorted({c for p in _Q115_PAIRS for c in p})
+    aggs = [F.count_distinct(F.col(a)).cast("bigint").alias(f"nd_{a}") for a in det_cols]
+    aggs += [F.count_distinct(F.struct(a, b)).cast("bigint").alias(f"nd_{a}__{b}")
+             for a, b in _Q115_PAIRS]
+    wide = orders.agg(*aggs)
+    arms = [
+        wide.select(
+            F.lit(a).alias("det"), F.lit(b).alias("dep"),
+            F.col(f"nd_{a}").alias("nd_det"), F.col(f"nd_{a}__{b}").alias("nd_pair"),
+            (F.col(f"nd_{a}") == F.col(f"nd_{a}__{b}")).alias("fd_holds"),
+        )
+        for a, b in _Q115_PAIRS
+    ]
+    return reduce(DataFrame.unionAll, arms)
+
+
+# ---------------------------------------------------------------------------
+# q116 — equi-width histogram of o_totalprice with fixed stats-derived
+# bounds (production histograms bin against catalog-stats bounds, not
+# a second scan): one map-side bucket expression + one aggregation.
+# ---------------------------------------------------------------------------
+
+_Q116_BIN = 30000.0
+_Q116_SQL = f"""
+SELECT CAST(least(floor(o_totalprice / {_Q116_BIN}), 19) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1
+"""
+
+
+@register("q116_equi_width_histogram", _Q116_SQL)
+def q116_equi_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.least(F.floor(F.col("o_totalprice") / _Q116_BIN), F.lit(19))
+            .cast("bigint").alias("bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").cast("bigint").alias("total_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — weighted deterministic sampling: keep probability scales with
+# document token count (importance sampling for training mixes).  The
+# md5-bucket draw is deterministic, so both engines keep the exact
+# same rows; weights clamp to [5%, 90%].
+# ---------------------------------------------------------------------------
+
+_Q117_SQL = """
+SELECT doc_id, n_tokens, keep_permille
+FROM (
+  SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x != '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS BIGINT)
+           AS draw,
+         CAST(least(greatest(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                  x -> x != '')) AS BIGINT) * 10, 50), 900)
+              AS BIGINT) AS keep_permille
+  FROM documents
+)
+WHERE draw < keep_permille
+"""
+
+
+@register("q117_weighted_sample", _Q117_SQL)
+def q117_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.expr("size(toks)").cast("bigint")
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+        .cast("bigint") % 1000
+    keep = F.least(F.greatest(n_tok * 10, F.lit(50)), F.lit(900)).cast("bigint")
+    return (
+        docs.withColumn("toks", tokens_expr("text"))
+        .select(
+            "doc_id", n_tok.alias("n_tokens"), draw.alias("draw"),
+            keep.alias("keep_permille"),
+        )
+        .filter(F.col("draw") < F.col("keep_permille"))
+        .select("doc_id", "n_tokens", "keep_permille")
+    )

@@ -284,3 +284,17 @@ def test_validate_fk_orphans_and_pk_duplicates(spark):
     assert row["dup_keys"] == 1 and row["surplus_rows"] == 2
     clean = pk_duplicates(dup.filter("v = 'w'"), ["k"], "t").first()
     assert clean["dup_keys"] == 0 and clean["surplus_rows"] == 0
+
+
+def test_snapshot_diff_classifies_iud(spark):
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, v string, amt double")
+    # dst: missing id=2 (INSERT), changed id=3 (UPDATE), extra id=9 (DELETE)
+    dst = spark.createDataFrame(
+        [(1, "a", 10.0), (3, "c", 31.0), (4, "d", 40.0), (9, "z", 99.0)],
+        "id int, v string, amt double")
+    from dbms_spark.operators.compare import snapshot_diff
+
+    out = {r["id"]: r["change_type"] for r in snapshot_diff(src, dst, ["id"]).collect()}
+    assert out == {2: "INSERT", 3: "UPDATE", 9: "DELETE"}

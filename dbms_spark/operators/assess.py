@@ -409,26 +409,36 @@ def column_profile(spark: SparkSession, sf_dir: str, table: str,
     logical pass); the stack() unpivot runs over the single result
     row.  At 100 TB swap count_distinct for approx_count_distinct —
     the gate keeps exact so the oracle can match."""
-    from dbms_spark.functions.canonical import canon_column
+    from functools import reduce as _reduce
 
-    df = load_table(spark, sf_dir, table)
+    from dbms_spark.functions.canonical import canon_column
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(load_table(spark, sf_dir, table))
     cols = cols or df.columns
     fields = {f.name: f.dataType for f in df.schema.fields}
-    aggs = []
-    for i, c in enumerate(cols):
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nn{i}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd{i}"),
-            canon_column(F.min(F.col(c)), fields[c]).alias(f"__mn{i}"),
-            canon_column(F.max(F.col(c)), fields[c]).alias(f"__mx{i}"),
-        ]
-    wide = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', __nn{i}, __nd{i}, __mn{i}, __mx{i}" for i, c in enumerate(cols)
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, n_distinct, min_val, max_val)"
-    )
+    # one independent single-column aggregate per column, unioned:
+    # each arm's scan prunes to ITS column and the lone distinct
+    # expands by only 2x — a combined multi-distinct agg would Expand
+    # every row x(n_cols+1) and funnel all columns through one
+    # aggregation (measured ~2x slower on the 6-column gate)
+    arms = []
+    for c in cols:
+        arms.append(
+            df.select(c).agg(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("__nn"),
+                F.count_distinct(F.col(c)).cast("bigint").alias("__nd"),
+                F.min(F.col(c)).alias("__mn"),
+                F.max(F.col(c)).alias("__mx"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                F.col("__nn").alias("n_nulls"),
+                F.col("__nd").alias("n_distinct"),
+                canon_column(F.col("__mn"), fields[c]).alias("min_val"),
+                canon_column(F.col("__mx"), fields[c]).alias("max_val"),
+            )
+        )
+    return _reduce(DataFrame.unionAll, arms)
 
 
 def column_profile_sql(sf_dir: str, table: str, cols: list[str] | None = None) -> str:

@@ -3613,3 +3613,90 @@ def q117_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("draw") < F.col("keep_permille"))
         .select("doc_id", "n_tokens", "keep_permille")
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — event-type co-occurrence: users having both types, per
+# unordered pair.  Distinct-reduce per user FIRST (the vocabulary is
+# small, so the per-user pair fan-out is bounded O(k²)); the self-join
+# shuffles only (user_id, type) pairs, never raw events.
+# ---------------------------------------------------------------------------
+
+_Q118_SQL = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_users
+FROM ue x JOIN ue y USING (user_id)
+WHERE x.event_type < y.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("q118_event_cooccurrence", _Q118_SQL)
+def q118_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ue = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    x = ue.select("user_id", F.col("event_type").alias("a"))
+    y = ue.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("b"))
+    return (
+        x.join(y, (x["user_id"] == y["uid2"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — per-group exact percentiles: median / p95 order value per
+# priority (Spark percentile() ≡ DuckDB quantile_cont on identical
+# integer-cent inputs — interpolation arithmetic matches bit-exact).
+# ---------------------------------------------------------------------------
+
+_Q119_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(cents, 0.5) AS median_cents,
+       quantile_cont(cents, 0.95) AS p95_cents,
+       COUNT(*) AS n
+FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q119_group_percentiles", _Q119_SQL)
+def q119_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("cents", 0.5).alias("median_cents"),
+            F.percentile("cents", 0.95).alias("p95_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — string-function breadth: translate / lpad / reverse /
+# levenshtein agree cross-engine (the canonical-rewrite layer leans on
+# this family for P1-style SELECT rewriting).
+# ---------------------------------------------------------------------------
+
+_Q120_SQL = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr_name,
+       lpad(p_brand, 12, '.') AS padded_brand,
+       reverse(p_type) AS rev_type,
+       CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev_to_b11
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+@register("q120_string_functions", _Q120_SQL)
+def q120_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter("p_partkey % 7 = 0")
+    return part.select(
+        "p_partkey",
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("tr_name"),
+        F.lpad(F.col("p_brand"), 12, ".").alias("padded_brand"),
+        F.reverse(F.col("p_type")).alias("rev_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("bigint").alias("lev_to_b11"),
+    )

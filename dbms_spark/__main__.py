@@ -64,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("report")
     sp.add_argument("--docs", required=True)
 
+    sp = sub.add_parser("snapshot-diff")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--keys", required=True, help="comma-separated PK columns")
+    sp.add_argument("--out", default=None, help="optional parquet worklist path")
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--table", required=True)
+
     sp = sub.add_parser("ann")
     sp.add_argument("--vectors", required=True)
     sp.add_argument("--out", required=True)
@@ -101,6 +111,29 @@ def main(argv: list[str] | None = None) -> int:
             "mismatched_chunks": list(rep.mismatched_chunks or []),
         }))
         return 0 if rep.equal else 1
+
+    if args.verb == "snapshot-diff":
+        from pyspark.sql import functions as F
+
+        from dbms_spark.operators.compare import snapshot_diff
+
+        diff = snapshot_diff(spark.read.parquet(args.src),
+                             spark.read.parquet(args.dst), args.keys.split(","))
+        if args.out:
+            diff.write.mode("overwrite").parquet(args.out)
+            diff = spark.read.parquet(args.out)
+        counts = {r["change_type"]: r["n"] for r in
+                  diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"verb": "snapshot-diff", "changes": counts}))
+        return 0 if not counts else 1
+
+    if args.verb == "profile":
+        from dbms_spark.operators.assess import column_profile
+
+        rows = [r.asDict() for r in column_profile(spark, args.sf_dir, args.table).collect()]
+        print(json.dumps({"verb": "profile", "table": args.table, "columns": rows},
+                         default=str))
+        return 0
 
     if args.verb == "ann":
         vecs = spark.read.parquet(args.vectors)

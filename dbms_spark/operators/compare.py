@@ -232,7 +232,10 @@ def snapshot_diff(
     val_cols = [c for c in cols if c not in key_cols]
 
     def side(df: DataFrame, alias: str) -> DataFrame:
-        df = ensure_parallelism(df)
+        # key-partitioned guard: the exchange that spreads the md5 work
+        # already satisfies the full-outer join's distribution, so each
+        # side moves exactly once
+        df = ensure_parallelism(df, keys=key_cols)
         return df.select(
             *key_cols, C.row_md5(df, val_cols, oracle_empty_is_null).alias(alias))
 

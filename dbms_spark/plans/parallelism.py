@@ -18,11 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
+                       keys: list[str] | None = None) -> DataFrame:
     """Repartition iff the plan's current partitioning is below the
     session's parallelism — cheap insurance before expensive per-row
-    expressions; no-op on already-parallel inputs."""
+    expressions; no-op on already-parallel inputs.
+
+    ``keys``: when the guarded stage feeds a join/aggregate on known
+    keys, hash-partition on them instead of round-robin — the guard's
+    exchange then *satisfies* the downstream distribution requirement,
+    so the wide rows move once instead of (round-robin shuffle +
+    key shuffle)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        from pyspark.sql import functions as F
+
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df

@@ -3700,3 +3700,77 @@ def q120_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("p_type")).alias("rev_type"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("bigint").alias("lev_to_b11"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — marker-segmented windows: running purchase-count segments per
+# user (the "events since last purchase" shape: a cumulative marker
+# sum splits each user's stream into segments, then one aggregate per
+# segment).  Total order via (ts, event_id) makes the segmentation
+# deterministic.
+# ---------------------------------------------------------------------------
+
+_Q121_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS marker
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id, marker,
+         CAST(SUM(marker) OVER (PARTITION BY user_id ORDER BY uts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM ev
+)
+SELECT user_id, segment_id, COUNT(*) AS n_events,
+       CAST(SUM(marker) AS BIGINT) AS n_purchases
+FROM seg GROUP BY user_id, segment_id
+"""
+
+
+@register("q121_marker_segments", _Q121_SQL)
+def q121_marker_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("marker"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("segment_id", F.sum("marker").over(w).cast("bigint"))
+        .groupBy("user_id", "segment_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("marker").cast("bigint").alias("n_purchases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — state-transition matrix: (previous order status -> current)
+# counts per customer order history — lag over a total per-customer
+# order, aggregated into the transition matrix.
+# ---------------------------------------------------------------------------
+
+_Q122_SQL = """
+WITH h AS (
+  SELECT o_custkey, o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders
+)
+SELECT prev_status, o_orderstatus AS curr_status, COUNT(*) AS n
+FROM h WHERE prev_status IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("q122_status_transitions", _Q122_SQL)
+def q122_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderstatus",
+            F.lag("o_orderstatus").over(w).alias("prev_status"))
+        .filter(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", F.col("o_orderstatus").alias("curr_status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -3774,3 +3774,58 @@ def q122_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_status", F.col("o_orderstatus").alias("curr_status"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — shard balance report: deterministic md5-bucket shard
+# assignment (map-side, no shuffle) + per-shard doc/token totals.
+# ---------------------------------------------------------------------------
+
+def _q123_sql() -> str:
+    from dbms_spark.llm.shard import shard_assign_sql
+    from dbms_spark.llm.text import tokens_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens FROM documents)
+SELECT {shard_assign_sql('doc_id', 8)} AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
+"""
+
+
+@register("q123_shard_stats", _q123_sql())
+def q123_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.shard import shard_stats
+    from dbms_spark.llm.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_expr("text")).select(
+        "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
+    return shard_stats(docs, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# q124 — sequence packing: greedy token-budget binning into 512-token
+# context windows, per shard (running-total window partitioned by
+# shard — bounded state, no global sort).
+# ---------------------------------------------------------------------------
+
+def _q124_sql() -> str:
+    from dbms_spark.llm.shard import pack_sequences_sql
+    from dbms_spark.llm.text import tokens_sql
+
+    inner = (f"SELECT doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens "
+             f"FROM documents")
+    return pack_sequences_sql(inner, capacity=512, n_shards=8)
+
+
+@register("q124_sequence_packing", _q124_sql())
+def q124_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.shard import pack_sequences
+    from dbms_spark.llm.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_expr("text")).select(
+        "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
+    return pack_sequences(docs, capacity=512, n_shards=8)

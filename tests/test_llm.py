@@ -483,3 +483,23 @@ def test_projected_topk_matches_numpy_ground_truth(spark, sf_dir):
         want = sorted(sims, key=lambda i: (-sims[i], i))[:5]
         have = [r["neighbor_id"] for r in sorted(rows, key=lambda r: (-r["cos_sim"], r["neighbor_id"]))]
         assert have == want, f"query {qid}: {have} != {want}"
+
+
+def test_pack_sequences_semantics(spark):
+    """Bins fill in doc order per shard; offsets are running totals mod
+    capacity; a doc's bin_id is the window its FIRST token lands in."""
+    from dbms_spark.llm.shard import pack_sequences, shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 3) * 50) for i in range(30)], "doc_id long, n_tokens long")
+    out = pack_sequences(docs, capacity=256, n_shards=2).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard_id"], r["doc_id"])):
+        run = by_shard.get(r["shard_id"], 0)
+        assert r["bin_id"] == run // 256, r
+        assert r["bin_offset"] == run % 256, r
+        by_shard[r["shard_id"]] = run + r["n_tokens"]
+    # shard assignment is deterministic and matches shard_assign
+    expect = {r["doc_id"]: r["shard_id"]
+              for r in shard_assign(docs, 2).collect()}
+    assert all(r["shard_id"] == expect[r["doc_id"]] for r in out)

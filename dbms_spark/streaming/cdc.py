@@ -62,6 +62,29 @@ def parse_cdc_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("e.*")
 
 
+def parse_cdc_json_with_deadletter(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """S7/S8 decode with a dead-letter channel: returns (events,
+    dead_letters).  An envelope is dead if the JSON doesn't parse at
+    all OR lacks the fields no event can apply without (table_name,
+    commit_ts) — the reference logs-and-skips such messages
+    (decoder.go error paths); at scale a silent drop hides producer
+    bugs, so the raw payload is preserved for replay."""
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("raw_value"),
+        F.from_json(F.col(value_col).cast("string"), CDC_EVENT_SCHEMA).alias("e"),
+    )
+    ok = (
+        F.col("e").isNotNull()
+        & F.col("e.table_name").isNotNull()
+        & F.col("e.commit_ts").isNotNull()
+    )
+    events = parsed.filter(ok).select("e.*")
+    dead = parsed.filter(~F.coalesce(ok, F.lit(False))).select("raw_value")
+    return events, dead
+
+
 #: OceanBase OMS DefaultExtendColumnType envelope (reference:
 #: message/oceanbase/message.go:49-71): row images are loose
 #: column->value maps, metadata rides in allMetaData.

@@ -83,3 +83,61 @@ def latest_state(spark, out_dir: str) -> DataFrame:
     df = spark.read.parquet(out_dir)
     w = Window.partitionBy("key").orderBy(F.desc("total_events"))
     return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas form: the arbitrary-state API that
+# succeeds applyInPandasWithState — typed state handles (value/list/map)
+# with optional TTL, timers, and checkpoint-recovered state.  Same
+# semantics as running_key_stats, expressed on the new API so both
+# stateful surfaces of the engine are covered.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class _RunningStatsProcessor(StatefulProcessor):
+    """StatefulProcessor maintaining (total_events, total_value,
+    last_commit_ts) per key in a ValueState."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        total, value, last_ts = (
+            tuple(self._state.get()) if self._state.exists() else (0, 0.0, -1)
+        )
+        for pdf in rows:
+            total += len(pdf)
+            value += float(pdf["value"].sum())
+            if len(pdf):
+                last_ts = max(last_ts, int(pdf["commit_ts"].max()))
+        self._state.update((total, value, last_ts))
+        yield pd.DataFrame(
+            [{"key": key[0], "total_events": total, "total_value": value,
+              "last_commit_ts": last_ts}]
+        )
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def running_key_stats_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """:func:`running_key_stats` on transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed ValueState handle; state is
+    checkpoint-durable exactly like the GroupState form)."""
+    return (
+        events.groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

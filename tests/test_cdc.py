@@ -514,3 +514,24 @@ def test_attribute_conversions_stream_stream_join(spark, tmp_path):
     got = sorted((r["purchase_id"], r["click_id"])
                  for r in spark.sql("SELECT * FROM attrib").collect())
     assert got == [(50, 1), (50, 2)]
+
+
+def test_parse_cdc_json_with_deadletter(spark):
+    """Unparseable or field-missing envelopes land in the dead-letter
+    frame with their raw payload; well-formed events decode normally."""
+    import json as _json
+
+    from dbms_spark.streaming.cdc import parse_cdc_json_with_deadletter
+
+    good = _json.dumps({"schema_name": "s", "table_name": "t", "query_type": "INSERT",
+                        "commit_ts": 5, "key_json": "{\"id\": 1}",
+                        "new_json": "{\"id\": 1}", "is_ddl": False})
+    missing_table = _json.dumps({"schema_name": "s", "query_type": "INSERT",
+                                 "commit_ts": 6})
+    not_json = "%%% not json %%%"
+    raw = spark.createDataFrame([(good,), (missing_table,), (not_json,)], "value string")
+    events, dead = parse_cdc_json_with_deadletter(raw)
+    assert events.count() == 1
+    assert events.first()["table_name"] == "t"
+    dead_vals = {r["raw_value"] for r in dead.collect()}
+    assert dead_vals == {missing_table, not_json}

@@ -3829,3 +3829,116 @@ def q124_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", tokens_expr("text")).select(
         "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
     return pack_sequences(docs, capacity=512, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# q125 — rolling 7-day distinct users per day: each event contributes
+# to its 7 trailing day-windows (bounded 7x explode of (day, user)
+# pairs — already distinct-reduced per day first), then one exact
+# distinct per window.  The scalable sliding-distinct shape: explode a
+# BOUNDED factor, never hold per-window state.
+# ---------------------------------------------------------------------------
+
+_Q125_SQL = """
+WITH du AS (SELECT DISTINCT
+              CAST(date_diff('day', DATE '1995-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                   AS BIGINT) AS d,
+              user_id
+            FROM events),
+m AS (SELECT d + i AS w, user_id FROM du, (SELECT unnest(range(7)) AS i))
+SELECT w AS day_num, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling7_users
+FROM m GROUP BY w HAVING w >= 6
+"""
+
+
+@register("q125_rolling_distinct_users", _Q125_SQL)
+def q125_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("d"),
+        "user_id",
+    ).distinct()
+    m = du.select("d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")) \
+        .select((F.col("d") + F.col("i")).alias("w"), "user_id")
+    return (
+        m.groupBy(F.col("w").alias("day_num"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("rolling7_users"))
+        .filter(F.col("day_num") >= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — bitmap aggregation: each user's event-type set packed into
+# one BIGINT via bit_or(1 << type_idx), then exact counts per distinct
+# behavior signature — the bitmap-index trick for set-valued
+# attributes (5 types -> 5 bits, not a string set per user).
+# ---------------------------------------------------------------------------
+
+_Q126_TYPE_IDX = ("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+                  "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END")
+
+_Q126_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(bit_or(CAST(1 AS BIGINT) << ({_Q126_TYPE_IDX})) AS BIGINT) AS type_bitmap
+  FROM events GROUP BY user_id
+)
+SELECT type_bitmap, COUNT(*) AS n_users,
+       CAST(bit_count(type_bitmap) AS BIGINT) AS n_types
+FROM b GROUP BY type_bitmap
+"""
+
+
+@register("q126_bitmap_agg", _Q126_SQL)
+def q126_bitmap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select("user_id",
+                  F.expr(f"shiftleft(CAST(1 AS BIGINT), {_Q126_TYPE_IDX})").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").cast("bigint").alias("type_bitmap"))
+    )
+    return (
+        b.groupBy("type_bitmap")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("type_bitmap", "n_users",
+                F.bit_count("type_bitmap").cast("bigint").alias("n_types"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — IQR outlier flags: p25/p75 of order value computed once
+# (1-row broadcast), every order flagged against the 1.5*IQR fences,
+# counts per status — the two-phase stats pattern (aggregate, then
+# broadcast the scalar back over the table).
+# ---------------------------------------------------------------------------
+
+_Q127_SQL = """
+WITH c AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+q AS (SELECT quantile_cont(cents, 0.25) AS p25, quantile_cont(cents, 0.75) AS p75 FROM c)
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN cents < p25 - 1.5 * (p75 - p25)
+                       OR cents > p75 + 1.5 * (p75 - p25) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       COUNT(*) AS n
+FROM c, q GROUP BY o_orderstatus
+"""
+
+
+@register("q127_iqr_outliers", _Q127_SQL)
+def q127_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    q = c.agg(F.percentile("cents", 0.25).alias("p25"),
+              F.percentile("cents", 0.75).alias("p75"))
+    iqr = F.col("p75") - F.col("p25")
+    out = (F.col("cents") < F.col("p25") - 1.5 * iqr) | \
+          (F.col("cents") > F.col("p75") + 1.5 * iqr)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+             F.count(F.lit(1)).alias("n"))
+    )

@@ -607,3 +607,124 @@ SELECT {id_col},
 FROM lines JOIN freq USING (lk)
 GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join via prefix filtering (PPJoin-style) — the third
+# classic near-dup family alongside MinHash-LSH and SimHash.  Exact
+# (no probabilistic misses above the threshold): two sets with
+# Jaccard >= t MUST share a token within each other's rarest-first
+# prefix of length n - ceil(t*n) + 1, so joining on prefix tokens
+# finds every qualifying pair while the frequency ordering keeps
+# candidate buckets small (rare tokens first -> tiny join fan-out).
+# ---------------------------------------------------------------------------
+
+
+def _prefix_len_expr(n):
+    # ceil(0.7 * n) computed in integers: floor((7n + 9) / 10) — no
+    # float boundary anywhere, so both engines agree at every n
+    return n - F.floor((n * 7 + 9) / 10).cast("long") + 1
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with 5-gram-shingle-set Jaccard >= 0.7 via
+    prefix filtering: rank the shingle vocabulary rarest-first, keep
+    each doc's rank-sorted shingle set, join docs sharing a PREFIX
+    rank, verify exact Jaccard on the carried rank arrays (integer
+    cross-multiplied 10*|∩| >= 7*|∪|, no float threshold).
+
+    Shingle order matters doubly here: unigram (or short-shingle)
+    vocabularies are small, sets collide corpus-wide, and prefix
+    buckets go quadratic; 5-gram shingles make the space large enough
+    that only genuine near-dups share rare prefix entries.
+
+    Scale shape: rarity ordering WITHOUT a global rank — the sort key
+    is ``lpad(count)||shingle`` (bijective with the shingle;
+    lexicographic order == (count, shingle) order), so no
+    single-partition row_number window and no vocabulary broadcast
+    ever happens: the count join is an ordinary shuffle join on the
+    shingle, per-doc arrays shuffle once to the prefix join, and the
+    buckets are rare-shingle-keyed — the EXACT-join complement of the
+    probabilistic MinHash-LSH path (no misses above threshold)."""
+    from dbms_spark.llm.text import tokens_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    # persist the slim (doc, shingle) stream: the vocabulary count and
+    # the rarity-key join both consume it — without the cache the
+    # shingle explosion (the expensive map) runs twice.
+    # explode_outer + post-filter, NOT explode: a plain explode gets an
+    # inferred size()>0 filter that re-inlines the whole shingle
+    # expression as a per-row predicate (~10x the map cost — same trap
+    # documented at top_ngrams/contamination_check)
+    toks = (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .withColumn("sh", shingles_expr(5))
+        .select(F.col(id_col), F.explode_outer("sh").alias("t"))
+        .filter(F.col("t").isNotNull())
+        .persist()
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    keyed = toks.join(vocab, "t").select(
+        F.col(id_col),
+        F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.col("t")).alias("r"))
+    docr = (
+        keyed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("r")).alias("ranks"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    # candidate join carries IDS ONLY — the (large) rank arrays would
+    # otherwise be duplicated x(prefix length) through the explode;
+    # they re-attach afterwards to the (small) surviving pair set
+    pref = docr.select(
+        F.col(id_col),
+        F.explode(F.slice("ranks", 1, _prefix_len_expr(F.col("n")))).alias("pr"),
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("a_id"), "pr")
+        .join(pref.select(F.col(id_col).alias("b_id"), "pr"), ["pr"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = docr.select(F.col(id_col).alias("a_id"), F.col("ranks").alias("ra"),
+                     F.col("n").alias("na"))
+    vb = docr.select(F.col(id_col).alias("b_id"), F.col("ranks").alias("rb"),
+                     F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ra", "rb")).cast("long")
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
+        .select(
+            "a_id", "b_id", inter.alias("inter"),
+            (F.col("na") + F.col("nb") - inter).alias("uni"),
+        )
+        .filter(F.col("inter") * 10 >= F.col("uni") * 7)
+    )
+
+
+def prefix_filter_pairs_sql(table: str, id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    from dbms_spark.llm.text import tokens_sql
+
+    return f"""
+WITH tok AS (SELECT {id_col}, unnest({shingles_sql(5)}) AS t
+             FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+keyed AS (SELECT {id_col}, lpad(CAST(c AS VARCHAR), 12, '0') || t AS r
+          FROM tok JOIN vocab USING (t)),
+docr AS (SELECT {id_col}, list_sort(list(r)) AS ranks, CAST(COUNT(*) AS BIGINT) AS n
+         FROM keyed GROUP BY {id_col}),
+pref AS (SELECT {id_col}, ranks, n,
+                unnest(ranks[1 : CAST(n - floor((n * 7 + 9) / 10) + 1 AS BIGINT)]) AS pr
+         FROM docr),
+cand AS (SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id,
+                a.ranks AS ra, b.ranks AS rb, a.n AS na, b.n AS nb
+         FROM pref a JOIN pref b ON a.pr = b.pr AND a.{id_col} < b.{id_col})
+SELECT a_id, b_id, inter, uni
+FROM (SELECT a_id, b_id, CAST(len(list_intersect(ra, rb)) AS BIGINT) AS inter,
+             na + nb - CAST(len(list_intersect(ra, rb)) AS BIGINT) AS uni
+      FROM cand)
+WHERE inter * 10 >= uni * 7
+"""

@@ -3942,3 +3942,24 @@ def q127_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — prefix-filter set-similarity join (PPJoin family): EXACT
+# Jaccard>=0.7 pairs via rarest-first prefix-token candidate join —
+# the deterministic complement of the probabilistic MinHash-LSH path
+# (q24): no misses above threshold, rare-token buckets keep fan-out
+# near-linear.
+# ---------------------------------------------------------------------------
+
+def _q128_sql() -> str:
+    from dbms_spark.llm.dedup import prefix_filter_pairs_sql
+
+    return prefix_filter_pairs_sql(f"({_DUPED_DOCS_SQL})")
+
+
+@register("q128_prefix_filter_pairs", _q128_sql())
+def q128_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_duped_docs(load_table(spark, sf_dir, "documents")))

@@ -503,3 +503,39 @@ def test_pack_sequences_semantics(spark):
     expect = {r["doc_id"]: r["shard_id"]
               for r in shard_assign(docs, 2).collect()}
     assert all(r["shard_id"] == expect[r["doc_id"]] for r in out)
+
+
+def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
+    """Prefix filtering is EXACT: it must find precisely the pairs a
+    brute-force all-pairs 5-gram-shingle Jaccard >= 0.7 finds."""
+    from itertools import combinations
+
+    from dbms_spark.llm.dedup import prefix_filter_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base),                             # exact clone -> pair
+        (3, base + " lambda"),                 # near clone -> pair
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "totally different words entirely here now and then again more"),
+        (6, base.replace("alpha", "mu").replace("beta", "nu")),  # farther
+    ]
+
+    def shingles(text, n=5):
+        t = text.split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    expect = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if inter * 10 >= uni * 7:
+            expect.add((min(ia, ib), max(ia, ib)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]) for r in prefix_filter_pairs(df).collect()}
+    assert got == expect and (1, 2) in got and (1, 3) in got

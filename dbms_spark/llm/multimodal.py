@@ -168,3 +168,89 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
             F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})")).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometry planning: pure-arithmetic tiling / segmentation plans over
+# typed metadata — the part of multimodal preprocessing that is NOT a
+# codec call, so it runs JVM-side and oracle-checks exactly.
+# ---------------------------------------------------------------------------
+
+def image_tile_plan(decoded: DataFrame, tile: int = 128) -> DataFrame:
+    """Tile boxes covering each image on a ``tile``-px grid (edge
+    tiles clamp to the image bounds) — the crop plan a vision
+    preprocessor executes.  Pure arithmetic over (width, height)
+    metadata: explodes ceil(w/t)*ceil(h/t) rows per image, all
+    JVM-side."""
+    n_x = F.ceil(F.col("width") / tile).cast("int")
+    n_y = F.ceil(F.col("height") / tile).cast("int")
+    return (
+        decoded.filter("modality = 'image'")
+        .select("asset_id", "width", "height",
+                F.explode(F.sequence(F.lit(0), n_x - 1)).alias("tx"))
+        .select("asset_id", "width", "height", "tx",
+                F.explode(F.sequence(F.lit(0), n_y - 1)).alias("ty"))
+        .select(
+            "asset_id",
+            F.col("tx").cast("int").alias("tx"), F.col("ty").cast("int").alias("ty"),
+            (F.col("tx") * tile).cast("int").alias("x0"),
+            (F.col("ty") * tile).cast("int").alias("y0"),
+            F.least(F.col("tx") * tile + tile, F.col("width")).cast("int").alias("x1"),
+            F.least(F.col("ty") * tile + tile, F.col("height")).cast("int").alias("y1"),
+        )
+    )
+
+
+def image_tile_plan_sql(decoded_sql: str, tile: int = 128) -> str:
+    return f"""
+WITH d AS ({decoded_sql}),
+tx AS (SELECT asset_id, width, height,
+              unnest(range(CAST(ceil(CAST(width AS DOUBLE) / {tile}) AS BIGINT))) AS tx
+       FROM d WHERE modality = 'image'),
+txy AS (SELECT asset_id, width, height, tx,
+               unnest(range(CAST(ceil(CAST(height AS DOUBLE) / {tile}) AS BIGINT))) AS ty
+        FROM tx)
+SELECT asset_id, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(tx * {tile} AS INT) AS x0, CAST(ty * {tile} AS INT) AS y0,
+       CAST(least(tx * {tile} + {tile}, width) AS INT) AS x1,
+       CAST(least(ty * {tile} + {tile}, height) AS INT) AS y1
+FROM txy
+"""
+
+
+def audio_segment_plan(assets_meta: DataFrame, window_ms: int = 30000,
+                       stride_ms: int = 20000) -> DataFrame:
+    """Overlapping transcription windows per audio asset from a
+    ``duration_ms`` metadata column: the segment plan an ASR stage
+    executes.  Segment k covers [k*stride, min(k*stride + window,
+    duration)); the last window starts strictly inside the clip."""
+    n_seg = F.greatest(
+        F.ceil((F.col("duration_ms") - window_ms) / stride_ms).cast("long") + 1,
+        F.lit(1).cast("long"))
+    return (
+        assets_meta.filter("modality = 'audio'")
+        .select("asset_id", "duration_ms",
+                F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("seg"))
+        .select(
+            "asset_id", F.col("seg").cast("bigint").alias("seg"),
+            (F.col("seg") * stride_ms).cast("bigint").alias("start_ms"),
+            F.least(F.col("seg") * stride_ms + window_ms, F.col("duration_ms"))
+            .cast("bigint").alias("end_ms"),
+        )
+    )
+
+
+def audio_segment_plan_sql(meta_sql: str, window_ms: int = 30000,
+                           stride_ms: int = 20000) -> str:
+    return f"""
+WITH d AS ({meta_sql}),
+s AS (SELECT asset_id, duration_ms,
+             unnest(range(greatest(
+               CAST(ceil(CAST(duration_ms - {window_ms} AS DOUBLE) / {stride_ms}) AS BIGINT) + 1,
+               1))) AS seg
+      FROM d WHERE modality = 'audio')
+SELECT asset_id, CAST(seg AS BIGINT) AS seg,
+       CAST(seg * {stride_ms} AS BIGINT) AS start_ms,
+       CAST(least(seg * {stride_ms} + {window_ms}, duration_ms) AS BIGINT) AS end_ms
+FROM s
+"""

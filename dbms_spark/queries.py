@@ -3963,3 +3963,57 @@ def q128_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(_duped_docs(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# q129/q130 — multimodal GEOMETRY planning (the codec-free half of the
+# pipeline): image tile boxes on a 128-px grid and overlapping audio
+# transcription windows, both pure JVM arithmetic over typed metadata
+# (synthesized deterministically — the corpus carries no real assets).
+# ---------------------------------------------------------------------------
+
+_MM_META_DUCK = """
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         CAST(200 + (doc_id % 7) * 97 AS INT) AS width,
+         CAST(150 + (doc_id % 5) * 83 AS INT) AS height,
+         CAST(5000 + (doc_id % 23) * 7321 AS BIGINT) AS duration_ms
+  FROM documents
+"""
+
+
+def _mm_meta(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio"))
+        .alias("modality"),
+        (200 + (F.col("doc_id") % 7) * 97).cast("int").alias("width"),
+        (150 + (F.col("doc_id") % 5) * 83).cast("int").alias("height"),
+        (5000 + (F.col("doc_id") % 23) * 7321).cast("bigint").alias("duration_ms"),
+    )
+
+
+def _q129_sql() -> str:
+    from dbms_spark.llm.multimodal import image_tile_plan_sql
+
+    return image_tile_plan_sql(_MM_META_DUCK)
+
+
+@register("q129_image_tile_plan", _q129_sql())
+def q129_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import image_tile_plan
+
+    return image_tile_plan(_mm_meta(load_table(spark, sf_dir, "documents")))
+
+
+def _q130_sql() -> str:
+    from dbms_spark.llm.multimodal import audio_segment_plan_sql
+
+    return audio_segment_plan_sql(_MM_META_DUCK)
+
+
+@register("q130_audio_segment_plan", _q130_sql())
+def q130_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import audio_segment_plan
+
+    return audio_segment_plan(_mm_meta(load_table(spark, sf_dir, "documents")))

@@ -189,3 +189,43 @@ def migrate_chunked(
             ledger.log(i, pred, "done", n)
         migrated += n
     return migrated
+
+
+# ---------------------------------------------------------------------------
+# Data layout management: compaction + range-clustered writes.  At
+# 100 TB the dominant read costs are (a) small-file listing/open
+# overhead and (b) scans that can't skip row groups; these two
+# writers are the standing fixes.
+# ---------------------------------------------------------------------------
+
+def compact_parquet(spark: SparkSession, src_path: str, out_path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a fragmented parquet directory into ~target-sized files
+    (the periodic compaction job every long-lived table needs: a
+    10k-small-file day of streaming appends becomes a handful of
+    scan-friendly files).  Returns the output file count.  Coalesce,
+    not repartition — compaction must not shuffle."""
+    import glob
+
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src_path, "*.parquet"))) \
+        or sum(os.path.getsize(p) for p in glob.glob(os.path.join(src_path, "part-*")))
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return len(glob.glob(os.path.join(out_path, "part-*")))
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
+                         num_files: int | None = None, mode: str = "overwrite") -> None:
+    """Range-clustered write: repartitionByRange + sortWithinPartitions
+    on ``sort_cols`` gives every output file a DISJOINT value range, so
+    parquet min/max statistics let later range predicates skip whole
+    files/row groups (the poor man's clustered index — the same reason
+    the reference chunks on indexed key ranges)."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode).parquet(path)
+    )

@@ -99,3 +99,43 @@ def test_max_records_per_file_caps_output(spark, sf_dir, tmp_path):
     assert len(files) >= n // 40, f"expected >= {n // 40} files, got {len(files)}"
     back = spark.read.options(header="true").csv(out)
     assert back.count() == n
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "frag")
+    out_dir = str(tmp_path / "compact")
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(16).write.parquet(src_dir)
+    import glob
+
+    assert len(glob.glob(src_dir + "/part-*")) == 16
+    n_out = M.compact_parquet(spark, src_dir, out_dir, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(out_dir).count() == src.count()
+
+
+def test_write_sorted_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered layout: per-file (min, max) of the sort column
+    must be pairwise disjoint, so min/max stats skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted")
+    src = load_table(spark, sf_dir, "orders")
+    M.write_sorted_parquet(src, out, ["o_orderkey"], num_files=4)
+    ranges = []
+    for f in glob.glob(out + "/part-*"):
+        md = pq.read_metadata(f)
+        col_idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert spark.read.parquet(out).count() == src.count()

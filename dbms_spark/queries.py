@@ -4017,3 +4017,101 @@ def q130_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.multimodal import audio_segment_plan
 
     return audio_segment_plan(_mm_meta(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# q131 — UNPIVOT (wide -> long), the inverse reshaping of q89's pivot:
+# one stack() Expand pass, no join.
+# ---------------------------------------------------------------------------
+
+_Q131_SQL = """
+SELECT l_orderkey, l_linenumber, measure, CAST(round(v * 100) AS BIGINT) AS cents
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey % 11 = 0
+) UNPIVOT (v FOR measure IN (l_extendedprice, l_discount, l_tax))
+"""
+
+
+@register("q131_unpivot", _Q131_SQL)
+def q131_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey % 11 = 0")
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'l_extendedprice', l_extendedprice, 'l_discount', l_discount,"
+        " 'l_tax', l_tax) AS (measure, v)",
+    ).selectExpr("l_orderkey", "l_linenumber", "measure",
+                 "CAST(round(v * 100) AS BIGINT) AS cents")
+
+
+# ---------------------------------------------------------------------------
+# q132 — forward fill (gap filling): carry the last known non-null
+# observation forward within each key's timeline — last_value IGNORE
+# NULLS over a running frame; the standard sensor/time-series repair.
+# ---------------------------------------------------------------------------
+
+_Q132_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS reading
+  FROM events
+)
+SELECT user_id, event_id,
+       last_value(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY uts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM ev
+"""
+
+
+@register("q132_forward_fill", _Q132_SQL)
+def q132_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.round(F.col("value") * 100).cast("bigint")).alias("reading"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id", "event_id",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"))
+
+
+# ---------------------------------------------------------------------------
+# q133 — argmin attribution: each user's FIRST event type (min_by over
+# the total (ts, event_id) order) + their event count — the
+# acquisition-channel attribution shape, one aggregation, no window.
+# ---------------------------------------------------------------------------
+
+_Q133_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events
+)
+SELECT user_id,
+       arg_min(event_type, ord_key) AS first_type,
+       COUNT(*) AS n_events
+FROM ev GROUP BY user_id
+"""
+
+
+@register("q133_first_event_argmin", _Q133_SQL)
+def q133_first_event_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite order as one lexicographic key: (epoch µs, event_id)
+    # zero-padded — min_by/arg_min take scalar keys on both engines
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.col("ord_key")).alias("first_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

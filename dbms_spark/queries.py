@@ -4115,3 +4115,95 @@ def q133_first_event_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — deterministic data masking (migrate-to-nonprod): pseudonym
+# names, bucketed balances, month-truncated dates — md5-derived, so
+# referential integrity and differential tests survive masking.
+# ---------------------------------------------------------------------------
+
+def _q134_sql() -> str:
+    from dbms_spark.operators import mask as MK
+
+    return f"""
+SELECT c_custkey,
+       {MK.pseudonym_sql('c_name', 'CUST_')} AS c_name,
+       {MK.bucket_numeric_sql('c_acctbal', 1000.0)} AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+
+@register("q134_masked_migrate", _q134_sql())
+def q134_masked_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.mask import mask_columns
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    return mask_columns(cust, pseudonyms=["c_name"], buckets={"c_acctbal": 1000.0},
+                        prefix="CUST_")
+
+
+# ---------------------------------------------------------------------------
+# q135 — Benford first-digit profile of order values: the
+# data-quality fingerprint that flags fabricated or truncated numeric
+# columns; one map-side digit extraction + aggregation.
+# ---------------------------------------------------------------------------
+
+_Q135_SQL = """
+SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS first_digit,
+       COUNT(*) AS n,
+       floor(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) * 1000000) / 1000000 AS frac
+FROM orders WHERE o_totalprice > 0
+GROUP BY 1
+"""
+
+
+@register("q135_benford_profile", _Q135_SQL)
+def q135_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter("o_totalprice > 0")
+    d = orders.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint").alias("first_digit"))
+    agg = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return agg.select(
+        "first_digit", "n",
+        (F.floor(F.col("n").cast("double") / F.sum("n").over(w).cast("double") * 1000000)
+         / 1000000).alias("frac"))
+
+
+# ---------------------------------------------------------------------------
+# q136 — join-size estimation diagnostics: per-key cardinality product
+# predicts the join's output EXACTLY (sum over keys of cnt_l * cnt_r)
+# — the fan-out report a planner (or a human) checks before running a
+# potentially exploding join; aggregates shuffle, rows don't.
+# ---------------------------------------------------------------------------
+
+_Q136_SQL = """
+WITH l AS (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1),
+r AS (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1)
+SELECT CAST(SUM(cl * cr) AS BIGINT) AS predicted_rows,
+       CAST(MAX(cl * cr) AS BIGINT) AS max_key_fanout,
+       CAST(COUNT(*) AS BIGINT) AS n_join_keys
+FROM l JOIN r USING (k)
+"""
+
+
+@register("q136_join_size_estimate", _Q136_SQL)
+def q136_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+    r = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cr"))
+    return (
+        l.join(r, "k")
+        .agg(
+            F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("predicted_rows"),
+            F.max(F.col("cl") * F.col("cr")).cast("bigint").alias("max_key_fanout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+        )
+    )

@@ -458,18 +458,24 @@ def jaccard_fixed_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def jaccard_fixed_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
                             min_sim: float = 0.0) -> str:
+    # MATERIALIZED + jaccard-once subquery: the shingle CTE feeds both
+    # self-join legs and the score feeds select+filter — without them
+    # DuckDB re-inlines the shingle computation per leg and the list
+    # intersection per reference (~6x the oracle's gate wall time)
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT {id_col}, {shingles_sql()} AS sh
   FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
 ),
-half AS (SELECT COUNT(*) // 2 AS h FROM {table})
-SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
-       floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 AS jaccard
-FROM sh a JOIN sh b ON b.{id_col} = a.{id_col} + (SELECT h FROM half)
-WHERE floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 >= {min_sim}
+half AS (SELECT COUNT(*) // 2 AS h FROM {table}),
+probe AS (SELECT a.{id_col}, a.sh, a.{id_col} + h AS pk FROM sh a, half)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+         floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 AS jaccard
+  FROM probe a JOIN sh b ON b.{id_col} = a.pk
+)
+WHERE jaccard >= {min_sim}
 """
 
 

@@ -272,3 +272,42 @@ def assign_chunk_id(plan: ChunkPlan, df: DataFrame) -> Column:
         ])
         cid = cid + F.when(key > lit, 1).otherwise(0)
     return cid
+
+
+def rebalance_chunks(df: DataFrame, plan: ChunkPlan, max_rows_per_chunk: int,
+                     sample_rows: int = 100_000) -> ChunkPlan:
+    """Oversize-chunk re-split guard (SURVEY risk register: sampling-
+    based ntile is approximate — a skewed or mis-sampled key can leave
+    one chunk holding far more than its share, and with a JDBC source
+    that chunk becomes one giant remote scan).
+
+    One aggregation counts actual rows per chunk (map-side
+    ``assign_chunk_id``, no shuffle of rows); every chunk over the cap
+    is re-planned WITHIN its own range and the sub-boundaries splice
+    into the plan.  Returns the original plan when nothing is over."""
+    if not plan.bounds:
+        return plan
+    counts = {
+        r["cid"]: r["cnt"]
+        for r in df.groupBy(assign_chunk_id(plan, df).alias("cid"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    over = {cid: n for cid, n in counts.items() if n > max_rows_per_chunk}
+    if not over:
+        return plan
+    new_bounds: list[tuple] = []
+    for i in range(plan.n_chunks):
+        if i in over:
+            sub = df.filter(chunk_predicate(plan, i))
+            n_sub = -(-over[i] // max_rows_per_chunk)
+            subplan = plan_chunks(sub, list(plan.key_cols), n_sub,
+                                  sample_rows=sample_rows, total_rows=over[i],
+                                  collation=plan.collation)
+            new_bounds.extend(subplan.bounds)
+        if i < len(plan.bounds):
+            new_bounds.append(plan.bounds[i])
+    deduped: list[tuple] = []
+    for b in new_bounds:
+        if not deduped or b != deduped[-1]:
+            deduped.append(b)
+    return ChunkPlan(plan.key_cols, tuple(deduped), plan.collation)

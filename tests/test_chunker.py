@@ -118,3 +118,28 @@ def test_oracle_dialect_predicate_rendering(spark):
     assert "NLSSORT" not in chunker.chunk_predicate(p2, 1, dialect="oracle")
     assert '"k"' in chunker.chunk_predicate(p2, 1, dialect="oracle")
     assert len(chunker.predicates(plan, dialect="oracle")) == plan.n_chunks
+
+
+def test_rebalance_chunks_resplits_oversize(spark, sf_dir):
+    """A deliberately coarse 2-chunk plan over orders re-splits until
+    every chunk holds <= ~cap rows; the refined plan still tiles the
+    keyspace exactly (counts sum to the table total)."""
+    from pyspark.sql import functions as F
+
+    from dbms_spark.plans.chunker import (assign_chunk_id, plan_chunks,
+                                          rebalance_chunks)
+
+    src = load_table(spark, sf_dir, "orders")
+    total = src.count()
+    cap = max(1, total // 8)
+    coarse = plan_chunks(src, ["o_orderkey"], 2)
+    refined = rebalance_chunks(src, coarse, cap)
+    assert refined.n_chunks > coarse.n_chunks
+    counts = [r["cnt"] for r in src.groupBy(
+        assign_chunk_id(refined, src).alias("cid"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    assert sum(counts) == total
+    # equal-count re-tiling: every refined chunk is within ~2x the cap
+    assert max(counts) <= 2 * cap
+    # a plan already under the cap is returned unchanged
+    assert rebalance_chunks(src, refined, total) is refined

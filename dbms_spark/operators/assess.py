@@ -507,3 +507,39 @@ def temporal_profile_sql(sf_dir: str, table_cols: list[tuple[str, str]]) -> str:
             f" AS span_days, CAST(COUNT({c}) AS BIGINT) AS n FROM {t}"
         )
     return "\nUNION ALL ".join(arms)
+
+
+def parquet_layout_report(spark: SparkSession, sf_dir: str,
+                          tables: list[str] | None = None) -> DataFrame:
+    """Physical layout report per table file: rows, row groups, and
+    rows-per-group — the scan-parallelism diagnostic (a 600k-row file
+    with ONE row group scans as one task; this report is how you see
+    it before the stage graph does).  Footer reads only — no data
+    scan."""
+    import pyarrow.parquet as pq
+
+    tables = tables or [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+    rows = []
+    for t in tables:
+        md = pq.read_metadata(table_path(sf_dir, t))
+        rows.append((t, md.num_rows, md.num_row_groups,
+                     max(md.row_group(i).num_rows for i in range(md.num_row_groups))))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, num_rows long, num_row_groups long, max_group_rows long")
+
+
+def parquet_layout_report_sql(sf_dir: str, tables: list[str] | None = None) -> str:
+    tables = tables or [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+    arms = []
+    for t in tables:
+        p = table_path(sf_dir, t)
+        arms.append(f"""
+SELECT '{t}' AS table_name,
+       (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata('{p}')) AS num_rows,
+       (SELECT CAST(num_row_groups AS BIGINT) FROM parquet_file_metadata('{p}')) AS num_row_groups,
+       (SELECT CAST(MAX(row_group_num_rows) AS BIGINT)
+        FROM (SELECT DISTINCT row_group_id, row_group_num_rows
+              FROM parquet_metadata('{p}'))) AS max_group_rows
+""")
+    return "\nUNION ALL ".join(arms)

@@ -76,3 +76,73 @@ SELECT '{table}' AS table_name,
        CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS surplus_rows
 FROM (SELECT {keys}, COUNT(*) AS n FROM {table} GROUP BY {keys} HAVING COUNT(*) > 1)
 """
+
+
+# ---------------------------------------------------------------------------
+# Column-constraint rules: declarative NOT NULL / range / regex / set
+# membership checks — the data-contract pass a lake target needs where
+# a source database enforced these in-engine.
+# ---------------------------------------------------------------------------
+
+#: rule = (rule_name, column, kind, param); kinds: not_null,
+#: min (numeric lower bound), max, regexp (full match), in_set (list)
+ConstraintRule = tuple
+
+
+def _rule_violation_expr(column: str, kind: str, param) -> F.Column:
+    c = F.col(column)
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "min":
+        return c.isNotNull() & (c < F.lit(param))
+    if kind == "max":
+        return c.isNotNull() & (c > F.lit(param))
+    if kind == "regexp":
+        return c.isNotNull() & ~c.cast("string").rlike(f"^(?:{param})$")
+    if kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(param))
+    raise ValueError(f"unknown constraint kind {kind!r}")
+
+
+def _rule_violation_sql(column: str, kind: str, param) -> str:
+    if kind == "not_null":
+        return f"{column} IS NULL"
+    if kind == "min":
+        return f"{column} IS NOT NULL AND {column} < {param}"
+    if kind == "max":
+        return f"{column} IS NOT NULL AND {column} > {param}"
+    if kind == "regexp":
+        return (f"{column} IS NOT NULL AND NOT regexp_full_match("
+                f"CAST({column} AS VARCHAR), '{param}')")
+    if kind == "in_set":
+        vals = ", ".join(f"'{v}'" for v in param)
+        return f"{column} IS NOT NULL AND {column} NOT IN ({vals})"
+    raise ValueError(f"unknown constraint kind {kind!r}")
+
+
+def check_constraints(df: DataFrame, rules: list[ConstraintRule]) -> DataFrame:
+    """Violation counts per rule in ONE scan: each rule becomes a
+    conditional-sum aggregate (no per-rule pass, no row shuffle), then
+    unpivots to (rule_name, violations) rows."""
+    aggs = [
+        F.sum(F.when(_rule_violation_expr(col, kind, param), 1).otherwise(0))
+        .cast("bigint").alias(f"__r{i}")
+        for i, (_, col, kind, param) in enumerate(rules)
+    ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(f"'{name}', __r{i}" for i, (name, *_rest) in enumerate(rules))
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule_name, violations)")
+
+
+def check_constraints_sql(table: str, rules: list[ConstraintRule]) -> str:
+    aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN {_rule_violation_sql(col, kind, param)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS __r{i}"
+        for i, (_, col, kind, param) in enumerate(rules)
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS rule_name, __r{i} AS violations FROM s"
+        for i, (name, *_rest) in enumerate(rules)
+    )
+    return f"WITH s AS (SELECT {aggs} FROM {table})\n{arms}"

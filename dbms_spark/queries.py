@@ -4207,3 +4207,52 @@ def q136_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — data-contract constraint rules: NOT NULL / range / regex /
+# set-membership violation counts in ONE scan (conditional-sum
+# aggregates, then an unpivot of the single result row).
+# ---------------------------------------------------------------------------
+
+_Q137_RULES = [
+    ("cust_name_not_null", "c_name", "not_null", None),
+    ("cust_name_format", "c_name", "regexp", "Customer#[0-9]{9}"),
+    ("cust_bal_min", "c_acctbal", "min", -500.0),
+    ("cust_bal_max", "c_acctbal", "max", 9000.0),
+    ("cust_segment_domain", "c_mktsegment", "in_set",
+     ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+]
+
+
+def _q137_sql() -> str:
+    from dbms_spark.operators.validate import check_constraints_sql
+
+    return check_constraints_sql("customer", _Q137_RULES)
+
+
+@register("q137_constraint_rules", _q137_sql())
+def q137_constraint_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import check_constraints
+
+    return check_constraints(load_table(spark, sf_dir, "customer"), _Q137_RULES)
+
+
+# ---------------------------------------------------------------------------
+# q138 — physical layout report: rows / row groups / max rows-per-
+# group per table from parquet FOOTERS only (the scan-parallelism
+# diagnostic feeding ensure_parallelism) — cross-checked against
+# DuckDB's parquet_metadata() reading the same footers.
+# ---------------------------------------------------------------------------
+
+def _q138_sql() -> str:
+    from dbms_spark.operators.assess import parquet_layout_report_sql
+
+    return parquet_layout_report_sql(_ORACLE_SF_DIR)
+
+
+@register("q138_parquet_layout", _q138_sql())
+def q138_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import parquet_layout_report
+
+    return parquet_layout_report(spark, sf_dir)

@@ -11,6 +11,13 @@ from dbms_spark.sources.catalog import TABLES, table_path  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Oracle SQL text is generated at dbms_spark.queries import time; most
+# of it derives only the SCHEMA from this dir (identical across SFs),
+# but layout-metadata oracles (q138) embed its absolute paths — the
+# suite compares at SF_DIR, so the oracle must read the same files.
+# Must run before any test module imports dbms_spark.queries.
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -4256,3 +4256,46 @@ def q138_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import parquet_layout_report
 
     return parquet_layout_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q139 — schema-mapping assistant: match every source column to its
+# closest renamed target column by edit distance (struct-migrate's
+# column-routing suggestion when names drift).  Schemas are small, so
+# the cross join is catalog x catalog; the argmin key is
+# lpad(lev)||name for a total deterministic order.
+# ---------------------------------------------------------------------------
+
+_Q139_SQL = """
+WITH src AS (SELECT column_name AS s FROM (SELECT unnest([
+  'o_orderkey','o_custkey','o_orderstatus','o_totalprice','o_orderdate','o_orderpriority'
+]) AS column_name)),
+tgt AS (SELECT unnest([
+  'order_key','cust_key','order_status','total_price','order_date','priority','etl_ts'
+]) AS t)
+SELECT s AS src_column,
+       arg_min(t, lpad(CAST(levenshtein(s, t) AS VARCHAR), 4, '0') || t) AS best_target,
+       CAST(MIN(levenshtein(s, t)) AS BIGINT) AS distance
+FROM src, tgt GROUP BY s
+"""
+
+_Q139_SRC = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]
+_Q139_TGT = ["order_key", "cust_key", "order_status", "total_price",
+             "order_date", "priority", "etl_ts"]
+
+
+@register("q139_schema_name_match", _Q139_SQL)
+def q139_schema_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = spark.createDataFrame([(c,) for c in _Q139_SRC], "s string")
+    tgt = spark.createDataFrame([(c,) for c in _Q139_TGT], "t string")
+    lev = F.levenshtein(F.col("s"), F.col("t"))
+    key = F.concat(F.lpad(lev.cast("string"), 4, "0"), F.col("t"))
+    return (
+        src.crossJoin(F.broadcast(tgt))
+        .groupBy(F.col("s").alias("src_column"))
+        .agg(
+            F.min_by(F.col("t"), key).alias("best_target"),
+            F.min(lev).cast("bigint").alias("distance"),
+        )
+    )

@@ -4299,3 +4299,67 @@ def q139_schema_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(lev).cast("bigint").alias("distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — keep-BEST dedup policy: near-dup groups (LSH + label
+# propagation) resolved by QUALITY, not min-id — the policy real
+# pipelines want (keep the best-scoring member; id only tiebreaks).
+# Clones carry appended junk tokens, so members genuinely differ.
+# ---------------------------------------------------------------------------
+
+_NEAR_DUPED_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zq filler zq filler tail junk'
+  FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _near_duped_docs(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    dup = docs.filter("doc_id % 17 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq filler zq filler tail junk")).alias("text"))
+    return base.unionAll(dup)
+
+
+def _q140_sql() -> str:
+    from dbms_spark.llm.dedup import dedup_groups_sql, lsh_candidate_pairs_sql
+    from dbms_spark.llm.text import quality_score_sql, token_stats_sql
+
+    groups = dedup_groups_sql(lsh_candidate_pairs_sql(f"({_NEAR_DUPED_DOCS_SQL})"))
+    return f"""
+WITH g AS ({groups}),
+st AS ({token_stats_sql(f"({_NEAR_DUPED_DOCS_SQL})")}),
+q AS (SELECT doc_id, {quality_score_sql()} AS quality FROM st)
+SELECT group_id,
+       arg_min(doc_id,
+               lpad(CAST(CAST(10000 - round(quality * 10000) AS BIGINT) AS VARCHAR), 6, '0')
+               || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM g JOIN q USING (doc_id) GROUP BY group_id
+"""
+
+
+@register("q140_keep_best_dedup", _q140_sql())
+def q140_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import dedup_groups, lsh_candidate_pairs, minhash_signatures
+    from dbms_spark.llm.text import quality_score_expr, token_stats_prepared
+
+    corpus = _near_duped_docs(load_table(spark, sf_dir, "documents"))
+    groups = dedup_groups(lsh_candidate_pairs(minhash_signatures(corpus)))
+    quality = token_stats_prepared(corpus).select(
+        "doc_id", quality_score_expr().alias("quality"))
+    key = F.concat(
+        F.lpad((F.lit(10000) - F.round(F.col("quality") * 10000)).cast("bigint")
+               .cast("string"), 6, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+    return (
+        groups.join(quality, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.min_by("doc_id", key).alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )

@@ -69,14 +69,20 @@ def canon_column(col: Column, dtype: T.DataType, oracle_empty_is_null: bool = Fa
         # overflow instead of throwing under ANSI mode; NaN/±Inf get
         # fixed literals (a plain decimal cast would throw on them).
         # scale-10 strings always contain '.', so the cheap rtrim trim
-        # applies; the scale-0 cast is an integer string — nothing to trim
+        # applies; the scale-0 cast is an integer string — nothing to trim.
+        # The DECIMAL(18,10) tier is a pure FAST PATH: precision <= 18
+        # stays on Spark's Long-backed Decimal (Decimal128 above that —
+        # ~3x the checksum CPU, measured); for |x| < 1e8 its trimmed
+        # string is identical to the (38,10) form, and overflow nulls
+        # fall through to the wide tier.
+        dec10_fast = _trim_zeros_dot_spark(col.try_cast(T.DecimalType(18, 10)).cast("string"))
         dec10 = _trim_zeros_dot_spark(col.try_cast(T.DecimalType(38, 10)).cast("string"))
         dec0 = col.try_cast(T.DecimalType(38, 0)).cast("string")
         out = (
             F.when(F.isnan(col), F.lit("NaN"))
             .when(col == F.lit(float("inf")), F.lit("Infinity"))
             .when(col == F.lit(float("-inf")), F.lit("-Infinity"))
-            .otherwise(F.coalesce(dec10, dec0, _norm_repr_spark(col.cast("string"))))
+            .otherwise(F.coalesce(dec10_fast, dec10, dec0, _norm_repr_spark(col.cast("string"))))
         )
     elif isinstance(dtype, T.DecimalType):
         # scale 0 -> integer string, no fraction to trim; scale > 0 ->

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Scale smoke: replicate sf0.1 10x (~once more the gap to sf1) in
+/tmp and time the headline operators on it, printing one JSON line per
+operator plus the sf0.1 reference time — the near-linear-scaling
+evidence a 100 TB design claim needs at least a 10x local check for.
+
+Replication preserves distributions: every row is cloned K times with
+remapped keys (key * K + i), so join fan-outs, group cardinalities,
+and dup-cluster shapes scale with the data instead of degenerating.
+
+    python tools/scale_smoke.py [K]         # default K=10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbms_spark import get_spark  # noqa: E402
+from dbms_spark.sources.catalog import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/dbms_spark_scale")
+
+
+def replicate(df, k: int, id_cols: list[str]):
+    """K clones per row; every id column remapped to id*K + i."""
+    rep = df.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    return rep.select(
+        *[(F.col(c) * k + F.col("__i")).alias(c) if c in id_cols else F.col(c)
+          for c in df.columns]
+    )
+
+
+def build(spark, k: int) -> dict[str, str]:
+    paths = {}
+    specs = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for t, ids in specs.items():
+        p = os.path.join(OUT, f"k{k}", t + ".parquet")
+        paths[t] = p
+        if not os.path.exists(p):
+            replicate(load_table(spark, SF_DIR, t), k, ids) \
+                .write.mode("overwrite").parquet(p)
+    return paths
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_smoke")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    paths = build(spark, k)
+
+    li = spark.read.parquet(paths["lineitem"])
+    docs = spark.read.parquet(paths["documents"])
+
+    def bench(name, fn):
+        small_t = big_t = None
+        for scale, frame in (("sf0.1", None), (f"x{k}", "big")):
+            t0 = time.perf_counter()
+            fn(frame is not None).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 2)
+            if frame is None:
+                small_t = dt
+            else:
+                big_t = dt
+            spark.catalog.clearCache()
+        ratio = round(big_t / small_t, 1) if small_t else None
+        print(json.dumps({"op": name, "k": k, "sf0.1_s": small_t,
+                          f"x{k}_s": big_t, "ratio": ratio}), flush=True)
+
+    def pricing(big):
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        return (src.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                     .alias("cents")))
+
+    def checksum(big):
+        from dbms_spark.functions.canonical import table_checksum
+
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        return table_checksum(src)
+
+    def hashed_diff(big):
+        from dbms_spark.operators.compare import multiset_diff_hashed
+
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        dst = src.filter("l_orderkey % 53 != 0")
+        return multiset_diff_hashed(src, dst)
+
+    def lsh_pairs(big):
+        from dbms_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return lsh_candidate_pairs(minhash_signatures(src))
+
+    def pack(big):
+        from dbms_spark.llm.shard import pack_sequences
+        from dbms_spark.llm.text import tokens_expr
+
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        t = src.withColumn("toks", tokens_expr("text")).select(
+            "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
+        return pack_sequences(t, capacity=512, n_shards=64)
+
+    bench("pricing_agg", pricing)
+    bench("table_checksum", checksum)
+    bench("hashed_multiset_diff", hashed_diff)
+    bench("minhash_lsh_pairs", lsh_pairs)
+    bench("sequence_packing", pack)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

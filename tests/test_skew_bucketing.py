@@ -91,3 +91,35 @@ def test_cms_estimate_dominates_exact(spark):
     assert out[1]["cms_est"] >= 50 and out[2]["cms_est"] >= 30
     # sketch size is bounded by depth*width regardless of input size
     assert cms_cells(df, "k", depth=3, width=64).count() <= 3 * 64
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE config really does split a skewed join
+    partition at runtime: the FINAL adaptive plan must carry
+    SortMergeJoin(skew=true).  (Thresholds are lowered so a test-size
+    skew triggers; production keeps the session defaults — the point
+    is that the mechanism the 100 TB design leans on is live.)"""
+    from pyspark.sql import functions as F
+
+    keys = ["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "16KB")
+        spark.conf.set(keys[1], "8KB")
+        spark.conf.set(keys[2], "2")
+        spark.conf.set(keys[3], "-1")
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 7 == 0, F.col("id") % 1000).otherwise(0).alias("k"),
+            F.col("id").alias("lv"))
+        right = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+        j = left.join(right, "k").select(F.sum("lv").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -169,7 +169,14 @@ def near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: candidates from shared
     LSH bucket (few planes -> high recall), exact fixed-point cosine,
     keep pairs at or above the threshold.  The dedup-family member for
-    embedding columns: O(bucket²) per bucket, never O(n²) global."""
+    embedding columns: O(bucket²) per bucket, never O(n²) global.
+
+    SCALE RULE: ``n_planes`` must grow as log2(n) — bucket count is
+    2^n_planes, so fixed planes mean occupancy grows linearly with the
+    corpus and bucket-local pairs QUADRATICALLY (measured 17x wall at
+    10x data with the default; +3 planes restored ~1x, see
+    docs/SCALE.md).  Size it so n / 2^n_planes stays near the sf0.1
+    default occupancy (~100-500 vectors per bucket)."""
     b = lsh_buckets(df, n_planes, dims, id_col, vec_col)
     v = df.select(
         F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v")

@@ -50,8 +50,25 @@ def build(spark, k: int) -> dict[str, str]:
         p = os.path.join(OUT, f"k{k}", t + ".parquet")
         paths[t] = p
         if not os.path.exists(p):
-            replicate(load_table(spark, SF_DIR, t), k, ids) \
-                .write.mode("overwrite").parquet(p)
+            src = load_table(spark, SF_DIR, t)
+            rep = src.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            cols = []
+            for c in src.columns:
+                if c in ids:
+                    cols.append((F.col(c) * k + F.col("__i")).alias(c))
+                elif c == "embedding":
+                    # rotate each clone's vector by __i positions:
+                    # exact clones would make near-dup PAIR counts grow
+                    # quadratically in k (every copy pairs with every
+                    # other) — that measures the workload, not the
+                    # operator.  Rotation keeps norms and value
+                    # distributions, changes directions.
+                    cols.append(F.expr(
+                        "concat(slice(embedding, __i + 1, size(embedding) - __i),"
+                        " slice(embedding, 1, __i))").alias(c))
+                else:
+                    cols.append(F.col(c))
+            rep.select(*cols).write.mode("overwrite").parquet(p)
     return paths
 
 
@@ -114,11 +131,47 @@ def main() -> None:
             "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
         return pack_sequences(t, capacity=512, n_shards=64)
 
+    emb = spark.read.parquet(paths["embeddings"])
+
+    def near_dup(big):
+        from dbms_spark.llm.similarity import near_dup_pairs
+
+        src = emb if big else load_table(spark, SF_DIR, "embeddings")
+        # the operator's scale knob: planes grow log2(k) so bucket
+        # occupancy stays constant (see near_dup_pairs docstring)
+        extra = max(0, (k - 1).bit_length())
+        return near_dup_pairs(src, n_planes=4 + (extra if big else 0))
+
+    def dedup_cc(big):
+        from dbms_spark.llm.dedup import (dedup_groups, lsh_candidate_pairs,
+                                          minhash_signatures)
+
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return dedup_groups(lsh_candidate_pairs(minhash_signatures(src)))
+
+    def prefix_pairs(big):
+        from dbms_spark.llm.dedup import prefix_filter_pairs
+
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return prefix_filter_pairs(src)
+
+    def contamination(big):
+        from dbms_spark.llm.text import contamination_overlap
+
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return contamination_overlap(
+            src.filter("doc_id % 13 <> 0").select("doc_id", "text"),
+            src.filter("doc_id % 13 = 0").select("text"), n=3)
+
     bench("pricing_agg", pricing)
     bench("table_checksum", checksum)
     bench("hashed_multiset_diff", hashed_diff)
     bench("minhash_lsh_pairs", lsh_pairs)
     bench("sequence_packing", pack)
+    bench("embedding_near_dup", near_dup)
+    bench("dedup_connected_components", dedup_cc)
+    bench("prefix_filter_pairs", prefix_pairs)
+    bench("contamination_overlap", contamination)
     spark.stop()
 
 

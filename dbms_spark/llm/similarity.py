@@ -344,7 +344,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     the probed partitions only — the data-adaptive scale path next to
     :func:`lsh_topk` (corpus scan per query drops from O(n) to
     O(n * nprobe / n_cells); ``nprobe = n_cells`` degenerates to the
-    exact baseline)."""
+    exact baseline).
+
+    SCALE RULE (same family as near_dup_pairs' plane count): per-query
+    probe cost is n * nprobe / n_cells, so with FIXED cells a 10x
+    corpus costs 10x per query — grow ``n_cells`` ~ sqrt(n) (the
+    standard IVF sizing) to split growth between cell count and cell
+    occupancy; the centroid table stays a driver-side literal at any
+    realistic cell count."""
     from pyspark.sql import Window
 
     c = corpus.select(

@@ -4363,3 +4363,112 @@ def q140_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — fluency proxy without a language model: average corpus
+# frequency RANK of each document's bigrams (log-free, integer-exact
+# twin of an n-gram LM score).  Rare-bigram-heavy docs rank high —
+# the same signal a perplexity filter thresholds, derived purely from
+# corpus statistics: one bigram aggregation + a broadcastable rank
+# join.
+# ---------------------------------------------------------------------------
+
+_Q141_SQL = """
+WITH tok AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x != '') AS toks FROM documents),
+bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+                              for i in range(1, len(toks))]) AS b
+       FROM tok WHERE len(toks) >= 2),
+freq AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS freq_mass,
+       floor(CAST(SUM(c) AS DOUBLE) / COUNT(*) * 1000) / 1000 AS avg_bigram_freq
+FROM bg JOIN freq USING (b)
+GROUP BY doc_id
+"""
+
+
+@register("q141_bigram_fluency", _Q141_SQL)
+def q141_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import tokens_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        ensure_parallelism(docs)
+        .withColumn("toks", tokens_expr("text"))
+        .filter(F.expr("size(toks) >= 2"))
+        .withColumn("bgs", F.expr(
+            "transform(sequence(0, size(toks) - 2), i -> toks[i] || ' ' || toks[i + 1])"))
+        .select("doc_id", F.explode_outer("bgs").alias("b"))
+        .filter(F.col("b").isNotNull())
+        .persist()
+    )
+    freq = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(freq, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("freq_mass"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "freq_mass",
+            (F.floor(F.col("freq_mass").cast("double") / F.col("n_bigrams").cast("double")
+                     * 1000) / 1000).alias("avg_bigram_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — retrieval scoring without logs: BM11-ish score over a fixed
+# query term set — sum over matched terms of tf * floor(1e6 * N / df)
+# (idf as a scaled rational, integer-exact on both engines).  The
+# query side broadcasts; the corpus contributes one token explode.
+# ---------------------------------------------------------------------------
+
+_Q142_TERMS = ["spark", "merge", "window", "vector"]
+
+_Q142_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                               x -> x != '')) AS t FROM documents),
+n AS (SELECT COUNT(*) AS total FROM documents),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+       WHERE t IN ({", ".join(repr(t) for t in _Q142_TERMS)}) GROUP BY t),
+m AS (SELECT tok.doc_id, tok.t, COUNT(*) AS tf FROM tok
+      JOIN df ON tok.t = df.t GROUP BY tok.doc_id, tok.t)
+SELECT m.doc_id,
+       CAST(SUM(m.tf * (CAST(floor(1000000.0 * n.total / df.df) AS BIGINT))) AS BIGINT)
+         AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM m JOIN df ON m.t = df.t CROSS JOIN n
+GROUP BY m.doc_id
+"""
+
+
+@register("q142_query_scoring", _Q142_SQL)
+def q142_query_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import tokens_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    tok = (
+        ensure_parallelism(docs)
+        .withColumn("toks", tokens_expr("text"))
+        .select("doc_id", F.explode_outer("toks").alias("t"))
+        .filter(F.col("t").isin(_Q142_TERMS))
+    )
+    df_tbl = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    m = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.floor(F.lit(1000000.0) * F.lit(total) / F.col("df")).cast("bigint")
+    return (
+        m.join(F.broadcast(df_tbl), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * idf).cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+        )
+    )

@@ -4472,3 +4472,45 @@ def q142_query_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — cross-source duplication: identical content appearing under
+# multiple sources (mirror/syndication detection — such docs get
+# double-counted by per-source mixing unless dropped first).
+# ---------------------------------------------------------------------------
+
+_Q143_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT md5(text) AS content_md5,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       COUNT(*) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(DISTINCT source) > 1
+"""
+
+
+@register("q143_cross_source_dups", _Q143_SQL)
+def q143_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = base.filter("doc_id % 19 = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text",
+        F.lit("mirror").alias("source"))
+    docs = base.unionAll(mirror)
+    return (
+        docs.select(F.md5("text").alias("content_md5"), "source", "doc_id")
+        .groupBy("content_md5")
+        .agg(
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""End-to-end training-data pipeline: the composed form of the
+engine's verbs a corpus actually flows through —
+
+    quality filter -> exact+near dedup -> decontaminate ->
+    source mixing -> token-window chunking -> packed, sharded write
+
+Run (any scale dir):
+
+    python examples/pipeline.py [sf_dir] [out_dir]
+
+Prints one JSON line per stage with surviving row counts, then writes
+the final chunks partitioned by shard.  Every stage is a bounded,
+shuffle-lean plan (see docs/PLANS.md / docs/SCALE.md); nothing here
+collects a corpus to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbms_spark import get_spark  # noqa: E402
+from dbms_spark.engine import DbmsEngine  # noqa: E402
+from dbms_spark.sources.catalog import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dbms_spark_pipeline"
+    spark = get_spark("pipeline_example")
+    eng = DbmsEngine(spark)
+
+    def stage(name, df):
+        n = df.count()
+        print(json.dumps({"stage": name, "rows": n}), flush=True)
+        return df
+
+    docs = stage("ingest", load_table(spark, sf_dir, "documents"))
+
+    # 1. quality gate (length/diversity/stopword bands)
+    kept = stage("quality_filter", eng.filter_quality(docs))
+
+    # 2. near-dup removal (LSH propose -> Jaccard verify -> group ->
+    #    keep one representative per group)
+    deduped = stage("dedup", eng.dedup_pipeline(kept))
+
+    # 3. benchmark decontamination (a held-out split stands in for the
+    #    eval set; production passes the real benchmark corpus)
+    bench = docs.filter("doc_id % 97 = 0").select("text")
+    clean = stage("decontaminate", eng.decontaminate(deduped, bench))
+
+    # 4. deterministic source mixing (per-source sampling rates)
+    rates = {r["source"]: 80.0 for r in clean.select("source").distinct().collect()}
+    mixed = stage("mix", eng.mix(clean, rates))
+
+    # 5. token-window chunking into model-sized pieces (chunks carry
+    #    (doc_id, chunk_idx) identity; flatten it for packing)
+    chunks = stage("chunk", eng.chunk(mixed, window=256, stride=192)).withColumn(
+        "chunk_id", F.col("doc_id") * 10000 + F.col("chunk_idx"))
+
+    # 6. pack chunk token counts into context bins, shard, and write
+    from dbms_spark.llm.shard import pack_sequences
+
+    sized = chunks.select(
+        F.col("chunk_id").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    packed = stage("pack", pack_sequences(sized, capacity=512, n_shards=8))
+
+    final = chunks.join(
+        packed.select(F.col("doc_id").alias("chunk_id"), "shard_id", "bin_id", "bin_offset"),
+        "chunk_id")
+    final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    print(json.dumps({"stage": "write", "rows": spark.read.parquet(out_dir).count(),
+                      "out": out_dir}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4514,3 +4514,60 @@ def q143_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — concurrency sweep line: distinct activity levels over time
+# from session intervals (+1 at session start, -1 past its end, running
+# sum over the boundary timeline).  The window runs over SESSION
+# BOUNDARIES, not events — aggregate first, sweep the aggregate, the
+# only scalable order for a global timeline.
+# ---------------------------------------------------------------------------
+
+_Q144_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+seg AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800 * 1000000 OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+),
+sid AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seg
+),
+iv AS (SELECT user_id, session_id, MIN(t) AS lo, MAX(t) + 1 AS hi
+       FROM sid GROUP BY user_id, session_id),
+pts AS (SELECT lo AS t, 1 AS delta FROM iv UNION ALL SELECT hi, -1 FROM iv),
+agg AS (SELECT t, CAST(SUM(delta) AS BIGINT) AS d FROM pts GROUP BY t)
+SELECT t AS boundary_us,
+       CAST(SUM(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS concurrent
+FROM agg
+"""
+
+
+@register("q144_concurrency_sweep", _Q144_SQL)
+def q144_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak=["event_id"])
+    iv = (
+        s.withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("lo"), (F.max("t") + 1).alias("hi"))
+    )
+    pts = iv.select(F.col("lo").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("hi").alias("t"), F.lit(-1).alias("delta")))
+    agg = pts.groupBy("t").agg(F.sum("delta").cast("bigint").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        F.col("t").alias("boundary_us"),
+        F.sum("d").over(w).cast("bigint").alias("concurrent"),
+    )

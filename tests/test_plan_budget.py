@@ -1,0 +1,43 @@
+"""Shuffle-budget regression gate: headline queries must not grow
+extra shuffle exchanges.  Every entry's budget is the CURRENT measured
+count — the point is that a future edit can't silently double a
+shuffle (the way an innocent-looking .distinct() or mis-placed
+repartition would) without this test saying so.
+
+Broadcast exchanges are NOT counted against the budget: turning a
+shuffle join into a broadcast join is an improvement.
+"""
+
+import re
+
+import pytest
+
+from dbms_spark import queries as Q
+
+#: query -> max shuffle exchanges allowed in the (pre-execution
+#: adaptive) physical plan
+SHUFFLE_BUDGET = {
+    "q01_pricing_summary": 1,      # one partial-aggregated groupBy
+    "q05_table_checksum": 2,       # parallelism guard + 1-row agg
+    "q04_chunked_checksum": 2,     # guard + per-chunk agg
+    "q03_multiset_diff": 4,        # 2 groupBys + full-outer join (2 sides)
+    "q39_hashed_diff": 4,          # hashed form: same shape, 32-byte keys
+    "q17_regional_revenue": 1,     # star join: all dims broadcast
+    "q103_volume_shipping": 1,     # TPC-H Q7: all joins broadcast at test SF
+    "q23_exact_dedup": 1,          # one hash groupBy
+    "q114_snapshot_diff": 2,       # keyed guard doubles as the join shuffle
+    "q124_sequence_packing": 1,    # per-shard window
+    "q136_join_size_estimate": 3,  # two pre-aggregations + key join
+}
+
+_SHUFFLE_RE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)")
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    plan = Q.queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n = len(_SHUFFLE_RE.findall(plan))
+    assert n <= SHUFFLE_BUDGET[name], (
+        f"{name}: {n} shuffle exchanges, budget {SHUFFLE_BUDGET[name]} — "
+        f"a plan regression added a shuffle:\n{plan[:2000]}")

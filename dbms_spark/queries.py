@@ -4571,3 +4571,103 @@ def q144_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("boundary_us"),
         F.sum("d").over(w).cast("bigint").alias("concurrent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — common session paths: each session's first three event types
+# in time order, counted across sessions (the product-analytics "top
+# paths" report).  Ordered array aggregation via sort_array over
+# (ts, event_id, type) structs — no window re-sort after the groupBy.
+# ---------------------------------------------------------------------------
+
+_Q145_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+seg AS (
+  SELECT user_id, event_id, event_type, t,
+         CASE WHEN t - lag(t) OVER w > 1800 * 1000000 OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+),
+sid AS (
+  SELECT user_id, event_id, event_type, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seg
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list_transform(
+           list_sort(list({'t': t, 'e': event_id, 'y': event_type}))[1:3],
+           x -> x.y), '>') AS path3
+  FROM sid GROUP BY user_id, session_id
+)
+SELECT path3, COUNT(*) AS n_sessions
+FROM paths GROUP BY path3
+"""
+
+
+@register("q145_session_paths", _Q145_SQL)
+def q145_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak=["event_id"])
+    paths = (
+        s.withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+        .groupBy("user_id", "session_id")
+        .agg(F.expr(
+            "concat_ws('>', transform(slice(array_sort(collect_list("
+            "named_struct('t', t, 'e', event_id, 'y', event_type))), 1, 3),"
+            " x -> x.y))").alias("path3"))
+    )
+    return paths.groupBy("path3").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# q146 — dedup impact report: corpus-level before/after stats of the
+# end-to-end dedup pipeline (docs and token mass removed) — the
+# one-row summary a pipeline run logs.
+# ---------------------------------------------------------------------------
+
+def _q146_sql() -> str:
+    from dbms_spark.llm.text import tokens_sql
+
+    kept = _q100_sql().strip()
+    return f"""
+WITH corpus AS ({_DUPED_DOCS_SQL}),
+kept AS ({kept}),
+tok AS (SELECT doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens FROM corpus)
+SELECT CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_after
+FROM tok LEFT JOIN kept ON tok.doc_id = kept.doc_id
+"""
+
+
+@register("q146_dedup_impact", _q146_sql())
+def q146_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.engine import DbmsEngine
+    from dbms_spark.llm.text import tokens_expr
+
+    corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
+    kept = DbmsEngine(spark).dedup_pipeline(corpus, min_sim=0.7) \
+        .select("doc_id", F.lit(1).alias("__k"))
+    tok = corpus.withColumn("toks", tokens_expr("text")).select(
+        "doc_id", F.expr("size(toks)").cast("bigint").alias("n_tokens"))
+    return (
+        tok.join(kept, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0)).cast("bigint")
+            .alias("docs_after"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+            F.sum(F.when(F.col("__k").isNotNull(), F.col("n_tokens")).otherwise(0))
+            .cast("bigint").alias("tokens_after"),
+        )
+    )

@@ -128,6 +128,47 @@ class DbmsEngine:
             )
         return rep, diff, stmts
 
+    def full_verify(self, src: DataFrame, dst: DataFrame, table: str,
+                    key_cols: list[str], constraint_rules: list | None = None,
+                    dialect: str = "mysql", safe_mode: bool = False) -> dict:
+        """Migration acceptance in ONE verb — the checklist a real
+        cutover runs, in dependency order:
+
+        1. struct  — column/type diff of the two schemas (a data diff
+           against a drifted schema is noise, so this gates the rest);
+        2. counts+checksum — whole-table compare;
+        3. key diff — per-PK INSERT/UPDATE/DELETE worklist, only if
+           the checksum disagreed;
+        4. contract — constraint rules evaluated on the TARGET;
+        5. repair — fix-SQL for the worklist in the target dialect.
+
+        Returns a dict report; every DataFrame in it is still lazy.
+        """
+        from dbms_spark.operators import structm
+        from dbms_spark.operators import validate as validate_ops
+
+        report: dict = {}
+        s_spec = structm.schema_to_df(self.spark, table, src.schema)
+        d_spec = structm.schema_to_df(self.spark, table, dst.schema)
+        struct_diff = structm.struct_compare(s_spec, d_spec)
+        report["struct_diff"] = struct_diff
+        report["struct_equal"] = struct_diff.isEmpty()
+
+        common = [c for c in src.columns if c in set(dst.columns)]
+        rep = compare_ops.compare_table(src.select(*common), dst.select(*common))
+        report["compare"] = rep
+        if not rep.equal:
+            diff = compare_ops.snapshot_diff(src, dst, key_cols, cols=common)
+            report["key_diff"] = diff
+            row_diff = compare_ops.multiset_diff(src.select(*common),
+                                                 dst.select(*common), common)
+            report["fix_sql"] = compare_ops.gen_fix_sql(
+                row_diff, table, common, dialect=dialect, safe_mode=safe_mode)
+        if constraint_rules:
+            report["contract_violations"] = validate_ops.check_constraints(
+                dst, constraint_rules)
+        return report
+
     # -- scan / assess ---------------------------------------------------
 
     def data_scan(self, df: DataFrame, cols: list[str],

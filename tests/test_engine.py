@@ -154,3 +154,32 @@ def test_engine_corpus_report(spark, sf_dir):
     assert tot["n_docs"] == docs.count() and tot["total_tokens"] > 0
     bands = rep["quality_bands"].collect()
     assert all(0 <= r["band"] <= 10 for r in bands)
+
+
+def test_engine_full_verify(spark, sf_dir):
+    """The one-verb migration acceptance: struct drift detected, data
+    mismatch classified per key, contract checked on the target, and
+    repair SQL generated."""
+    from pyspark.sql import functions as F
+
+    from dbms_spark.engine import DbmsEngine
+
+    eng = DbmsEngine(spark)
+    src = load_table(spark, sf_dir, "orders")
+    dst = src.filter("o_orderkey % 53 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 41 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+    rules = [("price_positive", "o_totalprice", "min", 0.0)]
+    rep = eng.full_verify(src, dst, "orders", ["o_orderkey"], constraint_rules=rules)
+    assert rep["struct_equal"]
+    assert not rep["compare"].equal
+    kinds = {r["change_type"] for r in rep["key_diff"].collect()}
+    assert kinds == {"INSERT", "UPDATE"}
+    assert rep["fix_sql"] and any(s.upper().startswith(("INSERT", "REPLACE", "DELETE"))
+                                  for s in rep["fix_sql"])
+    assert rep["contract_violations"].first()["violations"] == 0
+
+    # identical tables: clean bill, no worklist keys in the report
+    rep2 = eng.full_verify(src, src, "orders", ["o_orderkey"])
+    assert rep2["compare"].equal and "key_diff" not in rep2

@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("report")
     sp.add_argument("--docs", required=True)
 
+    sp = sub.add_parser("verify")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--dst", required=True)
+    sp.add_argument("--keys", required=True, help="comma-separated PK columns")
+    sp.add_argument("--table", default="t")
+    sp.add_argument("--dialect", default="mysql")
+
     sp = sub.add_parser("snapshot-diff")
     sp.add_argument("--src", required=True)
     sp.add_argument("--dst", required=True)
@@ -111,6 +118,23 @@ def main(argv: list[str] | None = None) -> int:
             "mismatched_chunks": list(rep.mismatched_chunks or []),
         }))
         return 0 if rep.equal else 1
+
+    if args.verb == "verify":
+        from pyspark.sql import functions as F
+
+        rep = eng.full_verify(spark.read.parquet(args.src),
+                              spark.read.parquet(args.dst), args.table,
+                              args.keys.split(","), dialect=args.dialect)
+        out = {"verb": "verify", "struct_equal": rep["struct_equal"],
+               "data_equal": rep["compare"].equal,
+               "src_rows": rep["compare"].src_cnt, "dst_rows": rep["compare"].dst_cnt}
+        if "key_diff" in rep:
+            out["changes"] = {r["change_type"]: r["n"] for r in
+                              rep["key_diff"].groupBy("change_type")
+                              .agg(F.count(F.lit(1)).alias("n")).collect()}
+            out["fix_statements"] = len(rep["fix_sql"])
+        print(json.dumps(out))
+        return 0 if rep["struct_equal"] and rep["compare"].equal else 1
 
     if args.verb == "snapshot-diff":
         from pyspark.sql import functions as F

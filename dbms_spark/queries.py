@@ -4671,3 +4671,55 @@ def q146_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("tokens_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — distribution drift report: equi-width histogram of order
+# value on two snapshots, per-bucket rates in ppm (integer-exact — no
+# log-based PSI, so both engines agree bit-for-bit), absolute drift
+# per bucket.  The monitoring pass that decides when a migrated
+# pipeline's data has shifted.
+# ---------------------------------------------------------------------------
+
+_Q147_SQL = f"""
+WITH src AS (SELECT CAST(least(floor(o_totalprice / {_Q116_BIN}), 19) AS BIGINT) AS bucket
+             FROM orders),
+dst AS (SELECT CAST(least(floor(o_totalprice / {_Q116_BIN}), 19) AS BIGINT) AS bucket
+        FROM ({_MUTATED_ORDERS_SQL})),
+ha AS (SELECT bucket, COUNT(*) AS ca FROM src GROUP BY bucket),
+hb AS (SELECT bucket, COUNT(*) AS cb FROM dst GROUP BY bucket),
+na AS (SELECT COUNT(*) AS ta FROM src), nb AS (SELECT COUNT(*) AS tb FROM dst)
+SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+       CAST(floor(COALESCE(ca, 0) * 1000000.0 / ta) AS BIGINT) AS src_ppm,
+       CAST(floor(COALESCE(cb, 0) * 1000000.0 / tb) AS BIGINT) AS dst_ppm,
+       CAST(abs(floor(COALESCE(ca, 0) * 1000000.0 / ta)
+                - floor(COALESCE(cb, 0) * 1000000.0 / tb)) AS BIGINT) AS drift_ppm
+FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket CROSS JOIN na CROSS JOIN nb
+"""
+
+
+@register("q147_histogram_drift", _Q147_SQL)
+def q147_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / _Q116_BIN), F.lit(19)).cast("bigint")
+    ha = orders.select(bucket.alias("bucket")).groupBy("bucket") \
+        .agg(F.count(F.lit(1)).alias("ca"))
+    dst = _mutated_orders(orders)
+    hb = dst.select(bucket.alias("bucket")).groupBy("bucket") \
+        .agg(F.count(F.lit(1)).alias("cb"))
+    na = orders.agg(F.count(F.lit(1)).alias("ta"))
+    nb = dst.agg(F.count(F.lit(1)).alias("tb"))
+    src_ppm = F.floor(F.coalesce(F.col("ca"), F.lit(0)) * 1000000.0 / F.col("ta")) \
+        .cast("bigint")
+    dst_ppm = F.floor(F.coalesce(F.col("cb"), F.lit(0)) * 1000000.0 / F.col("tb")) \
+        .cast("bigint")
+    return (
+        ha.join(hb, "bucket", "full_outer")
+        .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+        .select(
+            "bucket",
+            src_ppm.alias("src_ppm"),
+            dst_ppm.alias("dst_ppm"),
+            F.abs(src_ppm - dst_ppm).cast("bigint").alias("drift_ppm"),
+        )
+    )

@@ -146,3 +146,25 @@ def check_constraints_sql(table: str, rules: list[ConstraintRule]) -> str:
         for i, (name, *_rest) in enumerate(rules)
     )
     return f"WITH s AS (SELECT {aggs} FROM {table})\n{arms}"
+
+
+def windowed_constraint_counts(stream: DataFrame, rules: list[ConstraintRule],
+                               ts_col: str = "ts", window: str = "15 minutes",
+                               watermark: str = "30 minutes") -> DataFrame:
+    """Streaming data-contract monitor: per event-time window, the
+    violation count of every rule — the live form of
+    :func:`check_constraints` (same conditional-sum aggregates, one
+    watermarked windowed groupBy; late data beyond the watermark is
+    dropped by contract)."""
+    aggs = [
+        F.sum(F.when(_rule_violation_expr(col, kind, param), 1).otherwise(0))
+        .cast("bigint").alias(name)
+        for name, col, kind, param in rules
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), *[
+            F.col(name) for name, *_ in rules])
+    )

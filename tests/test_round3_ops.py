@@ -82,3 +82,41 @@ def test_check_constraints_counts_exactly(spark):
     ]
     got = {r["rule_name"]: r["violations"] for r in check_constraints(df, rules).collect()}
     assert got == {"name_nn": 1, "v_min": 1, "v_max": 1, "cat_dom": 1}
+
+
+def test_windowed_constraint_counts_streaming(spark, tmp_path):
+    """The streaming contract monitor counts violations per event-time
+    window through a real micro-batch execution."""
+    import json
+
+    src = tmp_path / "cstream"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "v": 5.0, "name": "a"},
+        {"ts": "2024-01-01 00:02:00", "v": -1.0, "name": None},   # 2 violations
+        {"ts": "2024-01-01 00:20:00", "v": 99.0, "name": "b"},    # max violation
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("ts timestamp, v double, name string").json(str(src))
+
+    from dbms_spark.operators.validate import windowed_constraint_counts
+
+    out = windowed_constraint_counts(
+        stream,
+        [("name_nn", "name", "not_null", None),
+         ("v_min", "v", "min", 0.0),
+         ("v_max", "v", "max", 10.0)],
+        window="15 minutes")
+    # update mode: every window's running counts surface each batch
+    # (append would hold windows open until the watermark passes them)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("contract_mon").option(
+             "checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): (r["name_nn"], r["v_min"], r["v_max"])
+           for r in spark.sql("SELECT * FROM contract_mon").collect()}
+    assert got["2024-01-01 00:00:00"] == (1, 1, 0)
+    assert got["2024-01-01 00:15:00"] == (0, 0, 1)

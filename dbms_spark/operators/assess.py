@@ -543,3 +543,21 @@ SELECT '{t}' AS table_name,
               FROM parquet_metadata('{p}'))) AS max_group_rows
 """)
     return "\nUNION ALL ".join(arms)
+
+
+def approx_ndv_profile(df: DataFrame, cols: list[str] | None = None,
+                       rsd: float = 0.05) -> DataFrame:
+    """The 100 TB form of :func:`column_profile`'s distinct counts:
+    HyperLogLog++ sketches (``approx_count_distinct``) for every column
+    in ONE aggregation — no Expand, no per-column shuffle, fixed sketch
+    state per column regardless of cardinality.  ``rsd`` is the target
+    relative standard deviation.  No DuckDB oracle (estimates differ by
+    construction); the unit test bounds the error against exact."""
+    cols = cols or df.columns
+    wide = df.agg(*[
+        F.approx_count_distinct(F.col(c), rsd).cast("bigint").alias(f"__nd{i}")
+        for i, c in enumerate(cols)
+    ])
+    stacked = ", ".join(f"'{c}', __nd{i}" for i, c in enumerate(cols))
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column_name, approx_ndv)")

@@ -120,3 +120,18 @@ def test_windowed_constraint_counts_streaming(spark, tmp_path):
            for r in spark.sql("SELECT * FROM contract_mon").collect()}
     assert got["2024-01-01 00:00:00"] == (1, 1, 0)
     assert got["2024-01-01 00:15:00"] == (0, 0, 1)
+
+
+def test_approx_ndv_within_tolerance(spark, sf_dir):
+    """HLL estimates land within ~3 rsd of exact for every orders
+    column (the documented swap-in for column_profile at scale)."""
+    from dbms_spark.operators.assess import approx_ndv_profile, column_profile
+
+    exact = {r["column_name"]: r["n_distinct"]
+             for r in column_profile(spark, sf_dir, "orders").collect()}
+    approx = {r["column_name"]: r["approx_ndv"]
+              for r in approx_ndv_profile(
+                  spark.read.parquet(f"{sf_dir}/orders.parquet"), rsd=0.05).collect()}
+    for c, nd in exact.items():
+        rel = abs(approx[c] - nd) / max(nd, 1)
+        assert rel <= 0.15, f"{c}: exact={nd} approx={approx[c]} rel={rel:.3f}"

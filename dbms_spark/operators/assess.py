@@ -561,3 +561,24 @@ def approx_ndv_profile(df: DataFrame, cols: list[str] | None = None,
     stacked = ", ".join(f"'{c}', __nd{i}" for i, c in enumerate(cols))
     return wide.selectExpr(
         f"stack({len(cols)}, {stacked}) AS (column_name, approx_ndv)")
+
+
+def approx_percentile_profile(df: DataFrame, cols: list[str],
+                              percentiles: list[float] | None = None,
+                              accuracy: int = 10000) -> DataFrame:
+    """The 100 TB form of :func:`numeric_profile`'s exact quantiles:
+    ``percentile_approx`` (Greenwald-Khanna) sketches for every column
+    in one aggregation — bounded state instead of a full sort per
+    column.  No DuckDB oracle (approximate by construction); the unit
+    test bounds rank error against exact."""
+    ps = percentiles or [0.25, 0.5, 0.95]
+    wide = df.agg(*[
+        F.percentile_approx(F.col(c), ps, accuracy).alias(f"__p{i}")
+        for i, c in enumerate(cols)
+    ])
+    stacked = ", ".join(f"'{c}', __p{i}" for i, c in enumerate(cols))
+    out = wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column_name, qs)")
+    return out.select(
+        "column_name",
+        *[F.col("qs")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)])

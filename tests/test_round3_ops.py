@@ -135,3 +135,21 @@ def test_approx_ndv_within_tolerance(spark, sf_dir):
     for c, nd in exact.items():
         rel = abs(approx[c] - nd) / max(nd, 1)
         assert rel <= 0.15, f"{c}: exact={nd} approx={approx[c]} rel={rel:.3f}"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """GK approx percentiles land near the exact sort-based values for
+    lineitem's numeric columns (the at-scale swap-in for
+    numeric_profile)."""
+    from dbms_spark.operators.assess import approx_percentile_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    approx = {r["column_name"]: (r["p25"], r["p50"], r["p95"])
+              for r in approx_percentile_profile(li, cols).collect()}
+    for c in cols:
+        exact = li.selectExpr(
+            f"percentile({c}, array(0.25, 0.5, 0.95)) AS q").first()["q"]
+        for a, e in zip(approx[c], exact):
+            span = exact[2] - exact[0] or 1.0
+            assert abs(a - e) <= 0.05 * span + 1e-9, (c, a, e)

@@ -4723,3 +4723,76 @@ def q147_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(src_ppm - dst_ppm).cast("bigint").alias("drift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — set-semantics chain: UNION (distinct) then EXCEPT (distinct)
+# — the dedup-to-set complement of the engine's multiset EXCEPT ALL /
+# INTERSECT ALL family.
+# ---------------------------------------------------------------------------
+
+_Q148_SQL = """
+SELECT k FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey AS k FROM supplier
+)
+EXCEPT
+SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+"""
+
+
+@register("q148_set_semantics_chain", _Q148_SQL)
+def q148_set_semantics_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    nat0 = load_table(spark, sf_dir, "nation").filter("n_regionkey = 0") \
+        .select(F.col("n_nationkey").alias("k"))
+    return cust.union(supp).distinct().exceptAll(nat0.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q149 — calendar spine with zero-filled gaps: a generated continuous
+# month series LEFT JOINs monthly order aggregates, so months with no
+# orders report 0 instead of vanishing (every reporting pipeline's
+# gap-filling join; the spine is generated, never scanned).
+# ---------------------------------------------------------------------------
+
+_Q149_SQL = """
+WITH spine AS (
+  SELECT CAST(strftime(DATE '1995-01-01' + INTERVAL (m) MONTH, '%Y-%m') AS VARCHAR)
+           AS month
+  FROM (SELECT unnest(range(80)) AS m)
+),
+actual AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT spine.month, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(cents, 0) AS BIGINT) AS total_cents
+FROM spine LEFT JOIN actual ON spine.month = actual.month
+"""
+
+
+@register("q149_calendar_spine", _Q149_SQL)
+def q149_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(80).select(
+        F.date_format(F.add_months(F.lit("1995-01-01").cast("date"), F.col("id").cast("int")),
+                      "yyyy-MM").alias("month"))
+    actual = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    return (
+        spine.join(actual, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
+        )
+    )

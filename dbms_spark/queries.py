@@ -4796,3 +4796,45 @@ def q149_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — modal value per group: each nation's most frequent order
+# priority (count + windowed argmax with a total tiebreak) — the mode
+# aggregate SQL lacks natively, composed from the primitives the
+# engine already gates.
+# ---------------------------------------------------------------------------
+
+_Q150_SQL = """
+WITH c AS (
+  SELECT c_nationkey, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_orderpriority
+),
+r AS (
+  SELECT c_nationkey, o_orderpriority, n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM c
+)
+SELECT c_nationkey, o_orderpriority AS modal_priority, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+"""
+
+
+@register("q150_modal_per_group", _Q150_SQL)
+def q150_modal_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("c_nationkey", F.col("o_orderpriority").alias("modal_priority"),
+                F.col("n").cast("bigint").alias("n"))
+    )

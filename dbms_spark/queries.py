@@ -4838,3 +4838,94 @@ def q150_modal_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", F.col("o_orderpriority").alias("modal_priority"),
                 F.col("n").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — run detection: customers with >= 3 consecutive strictly
+# declining order values (lag chain over the per-customer order
+# timeline) — the sequential-pattern shape MATCH_RECOGNIZE engines
+# special-case, composed from lag + conjunction.
+# ---------------------------------------------------------------------------
+
+_Q151_SQL = """
+WITH h AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         lag(CAST(round(o_totalprice * 100) AS BIGINT), 1)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p1,
+         lag(CAST(round(o_totalprice * 100) AS BIGINT), 2)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p2
+  FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_declining_runs
+FROM h WHERE p2 > p1 AND p1 > cents
+GROUP BY o_custkey
+"""
+
+
+@register("q151_declining_runs", _Q151_SQL)
+def q151_declining_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = orders.select(
+        "o_custkey", "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("cents", 2).over(w).alias("p2"))
+    return (
+        h.filter((F.col("p2") > F.col("p1")) & (F.col("p1") > F.col("cents")))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_declining_runs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — Gini concentration of order value per nation: rank-weighted
+# integer sums (G = (2*Σ(i·x_i) - (n+1)·Σx) / (n·Σx)), exact until the
+# single floored division — the inequality metric for spend/traffic
+# concentration reports.
+# ---------------------------------------------------------------------------
+
+_Q152_SQL = """
+WITH x AS (
+  SELECT c_nationkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+           AS i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor((2.0 * SUM(i * v) - (COUNT(*) + 1.0) * SUM(v))
+             / (COUNT(*) * 1.0 * SUM(v)) * 1000000) / 1000000 AS gini
+FROM x GROUP BY c_nationkey
+"""
+
+
+@register("q152_gini_concentration", _Q152_SQL)
+def q152_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    x = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("v", "o_orderkey")))
+    )
+    n = F.count(F.lit(1))
+    return (
+        x.groupBy("c_nationkey")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.sum(F.col("i") * F.col("v")).alias("siv"),
+            F.sum("v").alias("sv"),
+            n.alias("__n"),
+        )
+        .select(
+            "c_nationkey", "n",
+            (F.floor((2.0 * F.col("siv") - (F.col("__n") + 1.0) * F.col("sv"))
+                     / (F.col("__n") * 1.0 * F.col("sv")) * 1000000) / 1000000)
+            .alias("gini"),
+        )
+    )

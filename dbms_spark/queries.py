@@ -4929,3 +4929,102 @@ def q152_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — time-weighted average (TWAP): each reading weighted by how
+# long it was current (lead-based interval weights over the user
+# timeline) — the correct mean for irregularly sampled series, where
+# the plain AVG over-weights bursts.
+# ---------------------------------------------------------------------------
+
+_Q153_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM events
+),
+w AS (
+  SELECT user_id, v, t,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+  FROM ev
+),
+iv AS (SELECT user_id, v, t_next - t AS dur
+       FROM w WHERE t_next IS NOT NULL)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       floor(CAST(SUM(v * dur) AS DOUBLE) / SUM(dur) * 100) / 100 AS twap_cents
+FROM iv GROUP BY user_id
+"""
+
+
+@register("q153_time_weighted_avg", _Q153_SQL)
+def q153_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    iv = (
+        ev.withColumn("t_next", F.lead("t").over(w))
+        .filter(F.col("t_next").isNotNull())
+        .select("user_id", "v", (F.col("t_next") - F.col("t")).alias("dur"))
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(F.sum("dur").cast("bigint").alias("total_us"),
+             F.sum(F.col("v") * F.col("dur")).alias("svd"),
+             F.sum("dur").alias("sd"))
+        .select(
+            "user_id", "total_us",
+            (F.floor(F.col("svd").cast("double") / F.col("sd") * 100) / 100)
+            .alias("twap_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — chi-square contingency: event_type x weekday dependence —
+# observed vs expected cell counts with the statistic's terms kept
+# rational (floor-scaled), the categorical-dependence miner for
+# feature/quality analysis.
+# ---------------------------------------------------------------------------
+
+_Q154_SQL = """
+WITH ev AS (
+  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — shift to match
+  SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow
+  FROM events
+),
+o AS (SELECT event_type, dow, COUNT(*) AS obs FROM ev GROUP BY 1, 2),
+r AS (SELECT event_type, SUM(obs) AS row_n FROM o GROUP BY 1),
+c AS (SELECT dow, SUM(obs) AS col_n FROM o GROUP BY 1),
+t AS (SELECT SUM(obs) AS total FROM o)
+SELECT o.event_type, o.dow, CAST(obs AS BIGINT) AS obs,
+       floor(1.0 * row_n * col_n / total * 1000) / 1000 AS expected,
+       floor((obs - 1.0 * row_n * col_n / total)
+             * (obs - 1.0 * row_n * col_n / total)
+             / (1.0 * row_n * col_n / total) * 1000) / 1000 AS chi2_term
+FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+"""
+
+
+@register("q154_chi_square_contingency", _Q154_SQL)
+def q154_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("dow"))
+    o = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    t = o.agg(F.sum("obs").alias("total"))
+    e = 1.0 * F.col("row_n") * F.col("col_n") / F.col("total")
+    return (
+        o.join(F.broadcast(r), "event_type").join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type", "dow", F.col("obs").cast("bigint").alias("obs"),
+            (F.floor(e * 1000) / 1000).alias("expected"),
+            (F.floor((F.col("obs") - e) * (F.col("obs") - e) / e * 1000) / 1000)
+            .alias("chi2_term"),
+        )
+    )

@@ -5028,3 +5028,41 @@ def q154_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — cumulative-distinct growth curve: users-to-date per day.  A
+# naive running COUNT(DISTINCT) holds an ever-growing set; the
+# scalable transform is first-seen-day per user (one aggregation) then
+# a running count over the DAY series — state bounded by days, not
+# users.
+# ---------------------------------------------------------------------------
+
+_Q155_SQL = """
+WITH fs AS (
+  SELECT user_id,
+         MIN(CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day AS day_num, COUNT(*) AS new_users FROM fs GROUP BY first_day)
+SELECT day_num, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day_num
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_to_date
+FROM d
+"""
+
+
+@register("q155_user_growth_curve", _Q155_SQL)
+def q155_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("day_num"))
+    fs = ev.groupBy("user_id").agg(F.min("day_num").alias("first_day"))
+    d = fs.groupBy(F.col("first_day").alias("day_num")).agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day_num", F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"))

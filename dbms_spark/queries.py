@@ -5066,3 +5066,105 @@ def q155_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day_num", F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("users_to_date"))
+
+
+# ---------------------------------------------------------------------------
+# q156 — universal quantification (FORALL): customers ALL of whose
+# orders are urgent-or-high — NOT EXISTS of a violating order, as a
+# left-anti join against violators (plus an inner EXISTS to exclude
+# order-less customers).
+# ---------------------------------------------------------------------------
+
+_Q156_SQL = """
+SELECT c_custkey
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+"""
+
+
+@register("q156_forall_orders", _Q156_SQL)
+def q156_forall_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    has_any = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    violators = orders.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")) \
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        cust.join(has_any, "c_custkey", "left_semi")
+        .join(violators, "c_custkey", "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — relational division: customers who ordered under EVERY
+# priority level — the count-distinct-equals-domain form (domain size
+# derived from the data, carried as a broadcast scalar).
+# ---------------------------------------------------------------------------
+
+_Q157_SQL = """
+WITH dom AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_dom FROM orders)
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders CROSS JOIN dom
+GROUP BY o_custkey, n_dom
+HAVING COUNT(DISTINCT o_orderpriority) = n_dom
+"""
+
+
+@register("q157_relational_division", _Q157_SQL)
+def q157_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    dom = orders.agg(F.count_distinct("o_orderpriority").alias("n_dom"))
+    return (
+        orders.crossJoin(F.broadcast(dom))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "n_dom")
+        .agg(F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"))
+        .filter(F.col("n_priorities") == F.col("n_dom"))
+        .select("c_custkey", "n_priorities")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — first-to-last trajectory per group: each customer's first and
+# last order value (argmin/argmax over the composite time key) and the
+# signed delta — one aggregation, no window.
+# ---------------------------------------------------------------------------
+
+_Q158_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         lpad(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), 20, '0')
+           || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+  FROM orders
+)
+SELECT o_custkey,
+       arg_min(cents, ord_key) AS first_cents,
+       arg_max(cents, ord_key) AS last_cents,
+       arg_max(cents, ord_key) - arg_min(cents, ord_key) AS delta_cents
+FROM o GROUP BY o_custkey
+"""
+
+
+@register("q158_first_last_delta", _Q158_SQL)
+def q158_first_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.concat(
+            F.lpad(F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+                   20, "0"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        ).alias("ord_key"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by("cents", F.col("ord_key")).alias("first_cents"),
+            F.max_by("cents", F.col("ord_key")).alias("last_cents"),
+        )
+        .select(
+            "o_custkey", "first_cents", "last_cents",
+            (F.col("last_cents") - F.col("first_cents")).alias("delta_cents"),
+        )
+    )

@@ -43,22 +43,32 @@ def main() -> None:
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    # three runs per query, report the min: the first run pays one-off
-    # codegen/python-worker spawn; single-JVM GC/JIT noise at local[32]
-    # swings individual runs 2-4x, and the min over three is the
-    # steady-state cost of the plan itself
+    # two runs per query, report the min: the first run pays one-off
+    # codegen/python-worker spawn, the second is the steady-state cost of
+    # the plan itself.  (Three runs would filter GC noise slightly better,
+    # but at 150+ registered queries the extra pass adds ~5 min of wall
+    # clock for no change in the plan being measured.)
+    # The driver captures only the TAIL of this process's output and parses
+    # the final JSON line out of it.  With 150+ registered queries the full
+    # "q41_avg_row_length_top"-style keys push the line past the capture
+    # window and the driver records parsed=null (this happened in round 2).
+    # Report under the short "q41" prefix instead — the long name's numeric
+    # prefix is unique by construction in the registry.
     timings: dict[str, float] = {}
-    for name, fn in sorted(Q.queries().items()):
+    for i, (name, fn) in enumerate(sorted(Q.queries().items())):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # drop accumulated broadcast/plan state so a long 53-query run
-        # doesn't bill later queries for earlier queries' GC pressure
+        short = name.split("_", 1)[0]
+        timings[short] = round(best, 3)
+        # drop accumulated broadcast/plan state so a long run doesn't bill
+        # later queries for earlier queries' GC pressure; a full System.gc()
+        # on this heap costs real wall clock, so only every 10th query
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        if i % 10 == 9:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     spark.stop()

@@ -1,0 +1,187 @@
+"""Bounded-iteration k-means over embedding columns (array<float>).
+
+The corpus-organization step a training-data pipeline runs after
+dedup: discover domains/topics in embedding space, then sample or
+re-weight per cluster (diversity sampling, domain mixing).  The
+reference has no ML clustering — this extends the LLM-pipeline
+surface the same way the ANN/LSH operators do.
+
+Algorithm (Lloyd's, pinned for differential testability):
+
+- Coordinates are fixed-point quantized (``round(x * 10000)``), so
+  every squared-distance and centroid sum is an integer far below
+  2^53 — double accumulation is EXACT on both engines regardless of
+  reduction order (same trick as :mod:`dbms_spark.llm.similarity`).
+- Seeds are the ``k`` vectors with the smallest ids (deterministic,
+  O(k) take — no RNG, so the DuckDB twin can reproduce it).
+- Assignment breaks distance ties toward the smaller centroid id via
+  a zero-padded ``dist||cid`` string key (unique per pair, so
+  ``min_by``/``arg_min`` is deterministic on both engines).
+- Centroid update rounds the integer mean half-up via pure integer
+  math ``floor((2*sum + n) / (2*n))`` — no engine-specific rounding
+  mode can diverge.
+- Exactly ``iters`` (assign, update) rounds, then one final
+  assignment.  Fixed iteration count (not convergence-tested) keeps
+  the computation a finite relational expression — the SQL twin
+  unrolls the same rounds as chained CTEs, like
+  :func:`dbms_spark.llm.dedup.dedup_groups_sql` does for label
+  propagation.  Empty clusters drop out of the update (their group
+  simply produces no row), matching both engines.
+
+Scale shape: each round is one broadcast of k centroids against the
+corpus (map-side nested-loop over k rows — never an all-pairs
+shuffle) plus one k-key aggregation with map-side partial sums (the
+per-dimension sums are 64 independent SUM aggregates, not an
+explode).  The only sort is the O(k) seed take.  Driver never sees
+vector data.  Integer-exactness bound: per-cluster coordinate sums
+stay below 2^53 up to ~10^11 member vectors per cluster at the
+default quantization — beyond any realistic shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbms_spark.llm.similarity import quantize_expr, quantize_sql
+
+#: squared L2 over quantized vectors — integer-valued doubles
+_DIST_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+               "0D, (acc, v) -> acc + v)")
+_DIST_DUCK = ("list_sum(list_transform(list_zip({a}, {b}), "
+              "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _key_expr(dist: F.Column, cid: F.Column) -> F.Column:
+    return F.concat(
+        F.lpad(dist.cast("bigint").cast("string"), 14, "0"),
+        F.lpad(cid.cast("string"), 10, "0"),
+    )
+
+
+def _assign(qv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid by quantized squared L2,
+    ties toward the smaller centroid id."""
+    dist = F.expr(_DIST_SPARK.format(a="q", b="cvec"))
+    return (
+        qv.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("cid"), _key_expr(dist, F.col("cid")).alias("key"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cid, key)").alias("cid"))
+    )
+
+
+def _update(assign: DataFrame, qv: DataFrame, dims: int) -> DataFrame:
+    """(cid, cvec): per-cluster integer mean, rounded half-up."""
+    j = assign.join(qv, "vec_id")
+    sums = j.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(dims)],
+    )
+    cvec = F.array(*[
+        F.expr(f"cast(floor((2 * s{d} + cnt) / (2 * cnt)) as double)")
+        for d in range(dims)
+    ])
+    return sums.select("cid", cvec.alias("cvec"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment (vec_id, cid) after ``iters`` Lloyd rounds.
+
+    ``cid`` is the seed vector's id (stable across engines).  ``dims``
+    must match the embedding width — the update aggregates one SUM per
+    dimension so the plan stays explode-free.
+    """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    qv = ensure_parallelism(
+        df.select(F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("q"))
+    ).persist()
+    cent = (
+        qv.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cvec"))
+    )
+    for _ in range(iters):
+        cent = _update(_assign(qv, cent), qv, dims)
+    return _assign(qv, cent).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cid").cast("bigint").alias("cid"),
+    )
+
+
+def kmeans_sizes(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster member counts after :func:`kmeans_assign`."""
+    a = kmeans_assign(df, k=k, iters=iters, dims=dims, id_col=id_col, vec_col=vec_col)
+    return a.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+
+
+def kmeans_assign_sql(
+    table: str,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — rounds unrolled as
+    chained CTEs.  The update explodes per-dimension (parallel-unnest
+    zip + ``list(... ORDER BY d)`` rebuild); explode is fine for the
+    oracle, while the Spark side keeps the explode-free form."""
+    dist = _DIST_DUCK.format(a="q", b="cvec")
+    key = (f"lpad(CAST(CAST({dist} AS BIGINT) AS VARCHAR), 14, '0') || "
+           f"lpad(CAST(cid AS VARCHAR), 10, '0')")
+
+    def assign_cte(name: str, cent: str) -> str:
+        return (f"{name} AS (SELECT vec_id, arg_min(cid, {key}) AS cid "
+                f"FROM qv CROSS JOIN {cent} GROUP BY vec_id)")
+
+    ctes = [
+        f"qv AS (SELECT {id_col} AS vec_id, "
+        f"{quantize_sql(vec_col)} AS q FROM {table})",
+        f"c0 AS (SELECT vec_id AS cid, q AS cvec FROM qv ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        ctes.append(assign_cte(f"a{i}", f"c{i}"))
+        ctes.append(
+            f"x{i} AS (SELECT cid, unnest(q) AS v, "
+            f"unnest(range(1, len(q) + 1)) AS d "
+            f"FROM a{i} JOIN qv USING (vec_id))"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT cid, COUNT(*) AS cnt FROM a{i} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT cid, list(CAST(floor((2 * s + cnt) / (2 * cnt)) "
+            f"AS DOUBLE) ORDER BY d) AS cvec FROM "
+            f"(SELECT cid, d, SUM(v) AS s FROM x{i} GROUP BY cid, d) "
+            f"JOIN n{i} USING (cid) GROUP BY cid)"
+        )
+    ctes.append(assign_cte("afinal", f"c{iters}"))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT CAST(vec_id AS BIGINT) AS vec_id, "
+              "CAST(cid AS BIGINT) AS cid FROM afinal")
+
+
+def kmeans_sizes_sql(
+    table: str,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    inner = kmeans_assign_sql(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return (f"SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members "
+            f"FROM ({inner}) GROUP BY cid")

@@ -5168,3 +5168,43 @@ def q158_first_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("last_cents") - F.col("first_cents")).alias("delta_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — k-means clustering over embeddings: the corpus-organization
+# step after dedup (domain discovery / diversity sampling).  Bounded
+# Lloyd iterations as a finite relational expression: quantized
+# integer coordinates, deterministic smallest-id seeding, half-up
+# integer centroid rounding — both engines agree bit-for-bit (see
+# dbms_spark/llm/cluster.py).
+# ---------------------------------------------------------------------------
+
+def _q159_sql() -> str:
+    from dbms_spark.llm.cluster import kmeans_assign_sql
+
+    return kmeans_assign_sql("embeddings", k=4, iters=2)
+
+
+@register("q159_kmeans_assign", _q159_sql())
+def q159_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.cluster import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# q160 — cluster size distribution from the same k-means rounds: the
+# report a mixing/sampling stage consumes (per-domain corpus mass).
+# ---------------------------------------------------------------------------
+
+def _q160_sql() -> str:
+    from dbms_spark.llm.cluster import kmeans_sizes_sql
+
+    return kmeans_sizes_sql("embeddings", k=4, iters=2)
+
+
+@register("q160_kmeans_sizes", _q160_sql())
+def q160_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.cluster import kmeans_sizes
+
+    return kmeans_sizes(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)

@@ -1,0 +1,87 @@
+"""k-means (llm/cluster.py): pinned-semantics checks against an
+independent numpy re-implementation, plus invariants the gate query
+relies on (determinism, cid domain, empty-cluster drop)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dbms_spark.llm.cluster import kmeans_assign, kmeans_sizes
+from dbms_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_kmeans(ids, vecs, k, iters):
+    """Straight-line reference of the pinned algorithm: quantize,
+    smallest-id seeds, dist||cid string tiebreak, half-up integer
+    mean.  Written independently of the Spark/SQL forms."""
+    q = np.round(vecs.astype(np.float64) * 10000.0)
+    order = np.argsort(ids)
+    cent = {int(ids[i]): q[i].copy() for i in order[:k]}
+
+    def assign():
+        out = {}
+        for i, vid in enumerate(ids):
+            best = None
+            for cid in sorted(cent):
+                d = int(((q[i] - cent[cid]) ** 2).sum())
+                key = f"{d:014d}{cid:010d}"
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            out[int(vid)] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        groups = {}
+        for vid, cid in a.items():
+            groups.setdefault(cid, []).append(vid)
+        idx = {int(v): i for i, v in enumerate(ids)}
+        cent = {}
+        for cid, members in groups.items():
+            s = np.sum([q[idx[v]] for v in members], axis=0)
+            n = len(members)
+            cent[cid] = np.floor((2 * s + n) / (2 * n))
+    return assign()
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows])
+    want = _numpy_kmeans(ids, vecs, k=3, iters=2)
+    got = {r["vec_id"]: r["cid"]
+           for r in kmeans_assign(emb, k=3, iters=2).collect()}
+    assert got == want
+
+
+def test_kmeans_deterministic_and_well_formed(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a1 = sorted(map(tuple, kmeans_assign(emb, k=4, iters=2).collect()))
+    a2 = sorted(map(tuple, kmeans_assign(emb, k=4, iters=2).collect()))
+    assert a1 == a2
+    n = emb.count()
+    assert len(a1) == n
+    seeds = {r["vec_id"] for r in
+             emb.orderBy("vec_id").limit(4).select("vec_id").collect()}
+    assert {cid for _, cid in a1} <= seeds  # cids are seed ids only
+    sizes = kmeans_sizes(emb, k=4, iters=2)
+    assert sizes.agg(F.sum("n_members")).first()[0] == n
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two well-separated planted blobs must land in two clusters
+    regardless of seed placement after 2 rounds."""
+    import itertools
+
+    rows = []
+    for i, off in itertools.product(range(20), (0.0, 100.0)):
+        vec = [off + (i % 5) * 0.01] * 64
+        rows.append((i * 2 + int(off > 0), vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = kmeans_assign(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in a.collect()}
+    lo = {got[v] for v in got if v % 2 == 0}
+    hi = {got[v] for v in got if v % 2 == 1}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi

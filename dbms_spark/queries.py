@@ -5208,3 +5208,95 @@ def q160_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.cluster import kmeans_sizes
 
     return kmeans_sizes(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# q161 — cluster-balanced sampling: exactly n docs per k-means
+# cluster, picked by deterministic md5 rank (the diversity-sampling
+# step that consumes q159's clusters).  The ranking window partitions
+# by cid, so its parallelism equals k — sized ~sqrt(corpus) at scale,
+# which keeps per-cluster rank inputs bounded; a rate-based variant
+# (md5-threshold filter, zero shuffles) is the alternative when exact
+# counts aren't required.
+# ---------------------------------------------------------------------------
+
+def _q161_sql() -> str:
+    from dbms_spark.llm.cluster import kmeans_assign_sql
+
+    inner = kmeans_assign_sql("embeddings", k=4, iters=2)
+    return f"""
+WITH a AS ({inner})
+SELECT cid, vec_id, rk FROM (
+  SELECT cid, vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+  FROM a
+) WHERE rk <= 25
+"""
+
+
+@register("q161_cluster_balanced_sample", _q161_sql())
+def q161_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.cluster import kmeans_assign
+
+    a = kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        a.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 25)
+        .select("cid", "vec_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — OLS trend line per event type (drift monitoring): slope of
+# value-cents against days, from exact integer sums (n, Sx, Sy, Sxy,
+# Sxx accumulate as BIGINTs — order-independent), combined in one
+# deterministic double expression per group.  One partial-aggregated
+# groupBy; no window, no per-row floats.
+# ---------------------------------------------------------------------------
+
+_Q162_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT)
+           - 18262 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+             * 1000000) / 1000000 AS slope_cents_per_day
+FROM s
+"""
+
+
+@register("q162_trend_slope", _Q162_SQL)
+def q162_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000)
+         .cast("bigint") - F.lit(18262)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = (F.col("n").cast("double") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    slope = F.floor(num / F.nullif(den, F.lit(0.0)) * 1000000) / 1000000
+    return s.select("event_type", "n", slope.alias("slope_cents_per_day"))

@@ -170,6 +170,17 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     )
 
 
+def frame_sample_plan_sql(decoded_sql: str, every_n: int = 24) -> str:
+    """DuckDB twin of :func:`frame_sample_plan` (range step = every_n;
+    range() end is exclusive, matching sequence()'s inclusive end at
+    step strides)."""
+    return f"""
+WITH d AS ({decoded_sql})
+SELECT asset_id, unnest(range(0, n_frames, {every_n})) AS frame_idx
+FROM d WHERE modality = 'video'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Geometry planning: pure-arithmetic tiling / segmentation plans over
 # typed metadata — the part of multimodal preprocessing that is NOT a

@@ -5300,3 +5300,123 @@ def q162_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sx").cast("double") * F.col("sx").cast("double"))
     slope = F.floor(num / F.nullif(den, F.lit(0.0)) * 1000000) / 1000000
     return s.select("event_type", "n", slope.alias("slope_cents_per_day"))
+
+
+# ---------------------------------------------------------------------------
+# q163 — video frame-sampling plan: completes the multimodal geometry
+# triad (image tiles q129, audio windows q130).  Which frame indices a
+# downstream extractor decodes per video — sequence arithmetic over
+# typed metadata, exploded JVM-side; the codec call itself stays in
+# the decode stub.
+# ---------------------------------------------------------------------------
+
+_MM_VIDEO_DUCK = """
+  SELECT doc_id AS asset_id, 'video' AS modality,
+         CAST(24 + (doc_id % 40) * 13 AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def _q163_sql() -> str:
+    from dbms_spark.llm.multimodal import frame_sample_plan_sql
+
+    return frame_sample_plan_sql(_MM_VIDEO_DUCK, every_n=24)
+
+
+@register("q163_frame_sample_plan", _q163_sql())
+def q163_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import frame_sample_plan
+
+    meta = load_table(spark, sf_dir, "documents").filter("doc_id % 3 = 2").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        (24 + (F.col("doc_id") % 40) * 13).cast("bigint").alias("n_frames"),
+    )
+    return frame_sample_plan(meta, every_n=24)
+
+
+# ---------------------------------------------------------------------------
+# q164 — ingest volume anomaly detection: flag days whose event count
+# deviates from the type's mean by more than 3 population sigmas.
+# The z-test is cross-multiplied into pure BIGINT arithmetic
+# ((N*c - S)^2 > 9*(N*SS - S^2)) — no sqrt, no floats, so the flag is
+# integer-exact on both engines.  Two aggregations (day rollup, then
+# per-type moments joined back) — the monitoring query a data
+# pipeline runs per ingest batch.
+# ---------------------------------------------------------------------------
+
+_Q164_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.c,
+       (d.c * m.n - m.s) * (d.c * m.n - m.s) > 9 * (m.n * m.ss - m.s * m.s)
+         AS is_anomaly
+FROM d JOIN m ON d.event_type = m.event_type
+"""
+
+
+@register("q164_volume_anomaly", _Q164_SQL)
+def q164_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000)
+        .cast("bigint").alias("day"))
+    d = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"))
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var9 = F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .select("event_type", "day", "c", (dev * dev > var9).alias("is_anomaly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — PageRank authority scoring (3 integer rounds) over the
+# customer<->supplier trade graph: the crawl-curation authority signal
+# (which hosts/URLs deserve corpus weight) expressed on the TPC-H
+# relations.  Edges are the distinct customer-supplier trade pairs,
+# symmetrized (both directions) so no mass drains; node ids disjoint
+# by parity (customer*2, supplier*2+1).
+# ---------------------------------------------------------------------------
+
+_Q165_EDGES = """
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _q165_sql() -> str:
+    from dbms_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_Q165_EDGES, iters=3)
+
+
+@register("q165_pagerank", _q165_sql())
+def q165_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank(edges, iters=3)

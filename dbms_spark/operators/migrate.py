@@ -229,3 +229,64 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
         .sortWithinPartitions(*cols)
         .write.mode(mode).parquet(path)
     )
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns, as ONE expression string valid in
+    both Spark SQL and DuckDB (floor/%/* arithmetic only — no shift
+    operators, whose dialects differ; operands stay far below 2^53 so
+    the double-division route is exact on both engines).
+
+    Sorting by this key clusters rows so that ranges over EITHER
+    column map to bounded z-key ranges — parquet min/max skipping
+    works for two predicates with one physical order, where a plain
+    sort only serves its leading column."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(floor({x} / {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(floor({y} / {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def write_zordered_parquet(df: DataFrame, path: str, x: str, y: str,
+                           bits: int = 16, num_files: int | None = None,
+                           mode: str = "overwrite") -> None:
+    """Z-order-clustered write: range-partition + sort on the Morton
+    key of (x, y), so files carry disjoint z-ranges and min/max stats
+    prune on BOTH dimensions.  The key column itself is not persisted
+    — layout only."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("__z", F.expr(zorder_key_sql(x, y, bits)))
+    (
+        keyed.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode).parquet(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                max_records_per_file: int | None = None,
+                compression: str | None = None) -> None:
+    """JSON-Lines sink — the interchange format training-data
+    pipelines exchange shards in.  Spark's json writer IS jsonl (one
+    object per line); ``max_records_per_file`` caps shard size the
+    same way the CSV/parquet sinks do (the reference's
+    DiskUsageFactor), ``compression`` e.g. 'gzip' for wire-format
+    shards."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
+    """Schema-pinned JSONL read (inference off at scale: one pass, no
+    sampling job, stable types)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)

@@ -5420,3 +5420,36 @@ def q165_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     return pagerank(edges, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# q166 — Z-order (Morton) clustering keys: the multi-dimensional
+# data-skipping layout (operators/migrate.write_zordered_parquet).
+# One shared floor/%/* expression renders in both dialects; the gate
+# pins the interleave kernel the layout writer sorts by.
+# ---------------------------------------------------------------------------
+
+def _q166_sql() -> str:
+    from dbms_spark.operators.migrate import zorder_key_sql
+
+    z = zorder_key_sql("x", "y", bits=16)
+    return f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 65536 AS BIGINT) AS x,
+         CAST(l_suppkey % 65536 AS BIGINT) AS y
+  FROM lineitem WHERE l_orderkey % 13 = 0
+)
+SELECT l_orderkey, l_linenumber, x, y, {z} AS zkey FROM b
+"""
+
+
+@register("q166_zorder_keys", _q166_sql())
+def q166_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.migrate import zorder_key_sql
+
+    b = load_table(spark, sf_dir, "lineitem").filter("l_orderkey % 13 = 0").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 65536).cast("bigint").alias("x"),
+        (F.col("l_suppkey") % 65536).cast("bigint").alias("y"))
+    return b.withColumn("zkey", F.expr(zorder_key_sql("x", "y", bits=16)))

@@ -139,3 +139,62 @@ def test_write_sorted_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
     assert spark.read.parquet(out).count() == src.count()
+
+
+def test_write_zordered_parquet_prunes_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max of BOTH interleaved columns
+    must be tighter than the global range, so a point-range predicate
+    on EITHER column can skip files — the property a single-column
+    sort only gives its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    side = 64
+    rows = [(x, y, x * side + y) for x in range(side) for y in range(side)]
+    src = spark.createDataFrame(rows, "x long, y long, payload long")
+    out = str(tmp_path / "zorder")
+    M.write_zordered_parquet(src, out, "x", "y", bits=6, num_files=16)
+
+    def file_ranges(col):
+        rngs = []
+        for f in glob.glob(out + "/part-*"):
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min); maxs.append(st.max)
+            if mins:
+                rngs.append((min(mins), max(maxs)))
+        return rngs
+
+    xr, yr = file_ranges("x"), file_ranges("y")
+    assert len(xr) >= 8
+    # every file covers a sub-square: strictly narrower than global on
+    # both dims (a plain x-sort would leave y spanning 0..63 everywhere)
+    assert all(hi - lo < side - 1 for lo, hi in xr)
+    assert all(hi - lo < side - 1 for lo, hi in yr)
+    # pruning: a 1/8-wide band on y overlaps only a minority of files
+    band = [r for r in yr if not (r[1] < 24 or r[0] > 31)]
+    assert len(band) <= len(yr) // 2
+    assert spark.read.parquet(out).count() == side * side
+
+
+def test_jsonl_roundtrip_and_shard_cap(spark, sf_dir, tmp_path):
+    import glob
+    import json
+
+    out = str(tmp_path / "docs_jsonl")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    M.write_jsonl(src, out, max_records_per_file=40)
+    files = glob.glob(out + "/part-*.json")
+    assert files, "no jsonl shards written"
+    # shard cap respected
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(l) for l in fh if l.strip()]
+        assert len(lines) <= 40
+        assert all({"doc_id", "text", "lang"} <= set(d) for d in lines)
+    back = M.read_jsonl(spark, out, "doc_id long, text string, lang string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

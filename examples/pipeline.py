@@ -3,7 +3,8 @@
 engine's verbs a corpus actually flows through —
 
     quality filter -> exact+near dedup -> decontaminate ->
-    source mixing -> token-window chunking -> packed, sharded write
+    source mixing -> embedding clustering + cluster-balanced sampling ->
+    token-window chunking -> packed, sharded write -> JSONL shards
 
 Run (any scale dir):
 
@@ -59,6 +60,22 @@ def main() -> None:
     rates = {r["source"]: 80.0 for r in clean.select("source").distinct().collect()}
     mixed = stage("mix", eng.mix(clean, rates))
 
+    # 4b. diversity pass: cluster the companion embeddings (bounded
+    #     integer-exact k-means), then keep a balanced per-cluster
+    #     sample so no embedding-space region dominates the mix
+    from dbms_spark.llm.cluster import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(emb, k=4, iters=2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    balanced_ids = (clusters.withColumn("rk", F.row_number().over(w))
+                    .filter("rk <= 1000").select(F.col("vec_id").alias("doc_id")))
+    # embeddings ids parallel doc ids in the synthetic corpus; in
+    # production this is the doc->embedding mapping table
+    mixed = stage("cluster_balance", mixed.join(balanced_ids, "doc_id", "left_semi"))
+
     # 5. token-window chunking into model-sized pieces (chunks carry
     #    (doc_id, chunk_idx) identity; flatten it for packing)
     chunks = stage("chunk", eng.chunk(mixed, window=256, stride=192)).withColumn(
@@ -79,6 +96,13 @@ def main() -> None:
     final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     print(json.dumps({"stage": "write", "rows": spark.read.parquet(out_dir).count(),
                       "out": out_dir}), flush=True)
+
+    # 7. interchange export: JSONL shards with a size cap
+    from dbms_spark.operators.migrate import write_jsonl
+
+    write_jsonl(final.select("chunk_id", "shard_id", "chunk_text"),
+                out_dir + "_jsonl", max_records_per_file=10000)
+    print(json.dumps({"stage": "jsonl", "out": out_dir + "_jsonl"}), flush=True)
     spark.stop()
 
 

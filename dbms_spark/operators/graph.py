@@ -37,15 +37,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     restart mass, a node with no out-edges simply ships nothing
     (its mass drains — standard dangling behaviour, pin semantics by
     symmetrizing the edge list upstream if undesired)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct() \
-             .select(F.col("src").alias("node"))
+             .select(F.col("src").alias("node")).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # degrees never change across rounds: fuse them onto the edge list
+    # ONCE and cache that — each round is then a single join against
+    # the rank frontier instead of re-joining the degree table
+    ed = e.join(deg, "src").persist()
     ranks = nodes.select("node", F.lit(_INIT).cast("bigint").alias("rank_e6"))
     for _ in range(iters):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.floor(F.col("rank_e6") * 85 / (100 * F.col("outdeg")))
                     .cast("bigint").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("inflow"))

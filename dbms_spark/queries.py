@@ -5414,6 +5414,10 @@ def q165_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # no manual cache on the pair list: the symmetrizing union's two
+    # branches are identical subplans, which Spark de-duplicates via
+    # ReusedExchange — a persist here was measured SLOWER (it blocks
+    # the reuse and pays a cache write)
     pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         (F.col("o_custkey") * 2).alias("c"),
         (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()

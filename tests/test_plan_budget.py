@@ -28,6 +28,15 @@ SHUFFLE_BUDGET = {
     "q114_snapshot_diff": 2,       # keyed guard doubles as the join shuffle
     "q124_sequence_packing": 1,    # per-shard window
     "q136_join_size_estimate": 3,  # two pre-aggregations + key join
+    "q162_trend_slope": 1,         # one moment-sum groupBy
+    "q164_volume_anomaly": 3,      # day rollup + moments + broadcast back
+    "q166_zorder_keys": 0,         # pure map-side interleave arithmetic
+    # iterative queries: cached relations re-print their child plans in
+    # toString, so these counts OVERSTATE runtime shuffles (InMemory
+    # reuse collapses them) — still pinned, as a canary against a round
+    # gaining a genuine extra exchange
+    "q159_kmeans_assign": 11,      # 3 assigns + 2 explode-free updates
+    "q165_pagerank": 62,           # 3 rounds over cached fused edges
 }
 
 _SHUFFLE_RE = re.compile(

@@ -163,6 +163,23 @@ def main() -> None:
             src.filter("doc_id % 13 <> 0").select("doc_id", "text"),
             src.filter("doc_id % 13 = 0").select("text"), n=3)
 
+    def kmeans(big):
+        from dbms_spark.llm.cluster import kmeans_assign
+
+        src = emb if big else load_table(spark, SF_DIR, "embeddings")
+        return kmeans_assign(src, k=4, iters=2)
+
+    def pr_rank(big):
+        from dbms_spark.operators.graph import pagerank
+
+        # order->part edges: src nodes (and edge count) grow ~k-fold
+        # under replication while part nodes stay fixed — rounds must
+        # scale with the edge list, not the iteration count
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        edges = src.select(F.col("l_orderkey").alias("src"),
+                           F.col("l_partkey").alias("dst"))
+        return pagerank(edges, iters=3)
+
     bench("pricing_agg", pricing)
     bench("table_checksum", checksum)
     bench("hashed_multiset_diff", hashed_diff)
@@ -172,6 +189,8 @@ def main() -> None:
     bench("dedup_connected_components", dedup_cc)
     bench("prefix_filter_pairs", prefix_pairs)
     bench("contamination_overlap", contamination)
+    bench("kmeans_assign", kmeans)
+    bench("pagerank", pr_rank)
     spark.stop()
 
 

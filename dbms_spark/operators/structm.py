@@ -507,3 +507,87 @@ def table_meta_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
                  F.lit(" COLLATE "), F.col("src_collation"), F.lit(";")).alias("suggest"),
     )
     return comment_rows.unionAll(charset_rows)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution compatibility verdicts
+# ---------------------------------------------------------------------------
+
+#: widenings that are always read-compatible (old data parses under
+#: the new type), as DATA — same rules-as-data posture as the datatype
+#: mapping ladder
+#: (old_base, new_base, min_new_size): the widening is safe only when
+#: the new type's first size parameter is at least min_new_size (0 = no
+#: size requirement) — e.g. BIGINT fits any DECIMAL(p>=19,0)
+SAFE_WIDENINGS: list[tuple[str, str, int]] = [
+    ("TINYINT", "SMALLINT", 0), ("TINYINT", "INT", 0), ("TINYINT", "BIGINT", 0),
+    ("SMALLINT", "INT", 0), ("SMALLINT", "BIGINT", 0),
+    ("INT", "BIGINT", 0),
+    ("TINYINT", "DECIMAL", 3), ("SMALLINT", "DECIMAL", 5),
+    ("INT", "DECIMAL", 10), ("BIGINT", "DECIMAL", 19),
+    ("FLOAT", "DOUBLE", 0),
+    ("CHAR", "VARCHAR", 0), ("VARCHAR", "TEXT", 0), ("CHAR", "TEXT", 0),
+    ("DATE", "DATETIME", 0),
+]
+
+
+def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Evolution verdict per column for moving a dataset from schema
+    ``old`` to schema ``new`` (both as :func:`specs_to_df` frames):
+
+    - ``OK`` — unchanged
+    - ``SAFE_WIDEN`` — same base with grown length/precision, or a
+      widening listed in :data:`SAFE_WIDENINGS`; old data always reads
+    - ``ADDITIVE`` — new nullable column (old rows read as NULL)
+    - ``BREAKING`` — dropped column, narrowed/changed type, nullable ->
+      NOT NULL, or a new NOT NULL column without default
+
+    One full-outer metadata join plus a broadcast join against the
+    widening rule table — the compatibility gate a schema registry
+    applies before accepting a producer's new version."""
+    base = F.regexp_extract(F.col("data_type"), r"^([A-Z0-9]+)", 1)
+    size = F.regexp_extract(F.col("data_type"), r"\((\d+)", 1).try_cast("long")
+    scale = F.regexp_extract(F.col("data_type"), r"\(\d+,(\d+)\)", 1).try_cast("long")
+
+    def norm(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.col("table_name"), F.col("col_name"),
+            F.col("data_type").alias(f"{side}_type"),
+            base.alias(f"{side}_base"), size.alias(f"{side}_size"),
+            scale.alias(f"{side}_scale"),
+            F.col("nullable").alias(f"{side}_nullable"),
+            (F.col("default") if "default" in df.columns
+             else F.lit(None).cast("string")).alias(f"{side}_default"),
+        ]
+        return df.select(*cols)
+
+    j = norm(old, "old").join(norm(new, "new"), ["table_name", "col_name"], "full_outer")
+    spark = old.sparkSession
+    widen = spark.createDataFrame(
+        SAFE_WIDENINGS, "w_old string, w_new string, w_min long")
+    j = j.join(
+        F.broadcast(widen),
+        (F.col("old_base") == F.col("w_old")) & (F.col("new_base") == F.col("w_new"))
+        & (F.coalesce(F.col("new_size"), F.lit(0)) >= F.col("w_min")),
+        "left",
+    )
+    same_base = F.col("old_base") == F.col("new_base")
+    # widening within a base must grow the first size parameter and
+    # keep the second (DECIMAL scale) unchanged — (12,2)->(13,1) would
+    # silently drop fraction digits
+    grown = same_base & (
+        F.coalesce(F.col("new_size"), F.lit(0)) >= F.coalesce(F.col("old_size"), F.lit(0))
+    ) & F.col("new_scale").eqNullSafe(F.col("old_scale"))
+    verdict = (
+        F.when(F.col("new_type").isNull() & F.col("new_nullable").isNull(),
+               F.lit("BREAKING"))                                   # dropped
+        .when(F.col("old_type").isNull() & F.col("old_nullable").isNull(),
+              F.when(F.col("new_nullable") | F.col("new_default").isNotNull(),
+                     F.lit("ADDITIVE")).otherwise(F.lit("BREAKING")))  # added
+        .when(F.col("old_nullable") & ~F.col("new_nullable"), F.lit("BREAKING"))
+        .when(F.col("old_type") == F.col("new_type"), F.lit("OK"))
+        .when(grown | F.col("w_old").isNotNull(), F.lit("SAFE_WIDEN"))
+        .otherwise(F.lit("BREAKING"))
+    )
+    return j.select(
+        "table_name", "col_name", "old_type", "new_type", verdict.alias("verdict"))

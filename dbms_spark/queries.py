@@ -5457,3 +5457,74 @@ def q166_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 65536).cast("bigint").alias("x"),
         (F.col("l_suppkey") % 65536).cast("bigint").alias("y"))
     return b.withColumn("zkey", F.expr(zorder_key_sql("x", "y", bits=16)))
+
+
+# ---------------------------------------------------------------------------
+# q167 — point-in-time (AS OF) lookup over the SCD2 version chain:
+# the row version active for each user at a fixed timestamp — time
+# travel as a pure filter over (valid_from, valid_to), no join, no
+# window beyond the chain itself (streaming/scd2.point_in_time).
+# ---------------------------------------------------------------------------
+
+_Q167_AT = "2024-01-15 00:00:00"
+
+_Q167_SQL = f"""
+WITH chain AS ({_Q71_SQL})
+SELECT user_id, event_id, valid_from, valid_to, is_current, value
+FROM chain
+WHERE valid_from <= TIMESTAMP '{_Q167_AT}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_Q167_AT}')
+"""
+
+
+@register("q167_point_in_time", _Q167_SQL)
+def q167_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.streaming.scd2 import point_in_time
+
+    return point_in_time(q71_scd2_batch(spark, sf_dir), _Q167_AT)
+
+
+# ---------------------------------------------------------------------------
+# q168 — schema-evolution compatibility verdicts: the gate a schema
+# registry applies before accepting a producer's new version
+# (structm.schema_compat — full-outer metadata join + broadcast
+# widening rule table with size requirements).  Inputs are literal
+# specs, so the oracle is the expected constant relation.
+# ---------------------------------------------------------------------------
+
+_Q168_SQL = """
+SELECT * FROM (VALUES
+  ('account', 'audit',   CAST(NULL AS VARCHAR), 'BIGINT',        'BREAKING'),
+  ('account', 'balance', 'DECIMAL(12,2)',       'DECIMAL(10,2)', 'BREAKING'),
+  ('account', 'code',    'CHAR(4)',             'VARCHAR(8)',    'SAFE_WIDEN'),
+  ('account', 'created', CAST(NULL AS VARCHAR), 'DATETIME(6)',   'ADDITIVE'),
+  ('account', 'flag',    'CHAR(1)',             'CHAR(1)',       'BREAKING'),
+  ('account', 'id',      'BIGINT',              'DECIMAL(19,0)', 'SAFE_WIDEN'),
+  ('account', 'name',    'VARCHAR(30)',         'VARCHAR(50)',   'SAFE_WIDEN'),
+  ('account', 'note',    'VARCHAR(100)',        CAST(NULL AS VARCHAR), 'BREAKING')
+) AS t(table_name, col_name, old_type, new_type, verdict)
+"""
+
+
+@register("q168_schema_compat", _Q168_SQL)
+def q168_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import ColumnSpec, schema_compat, specs_to_df
+
+    old = specs_to_df(spark, "account", [
+        ColumnSpec("id", "NUMBER", precision=10, scale=0, nullable=False),
+        ColumnSpec("name", "VARCHAR2", length=30),
+        ColumnSpec("code", "CHAR", length=4),
+        ColumnSpec("balance", "NUMBER", precision=12, scale=2),
+        ColumnSpec("note", "VARCHAR2", length=100),
+        ColumnSpec("flag", "CHAR", length=1, nullable=True),
+    ])
+    new = specs_to_df(spark, "account", [
+        ColumnSpec("id", "NUMBER", precision=19, scale=0, nullable=False),
+        ColumnSpec("name", "VARCHAR2", length=50),
+        ColumnSpec("code", "VARCHAR2", length=8),
+        ColumnSpec("balance", "NUMBER", precision=10, scale=2),
+        ColumnSpec("flag", "CHAR", length=1, nullable=False),
+        ColumnSpec("created", "TIMESTAMP", nullable=True),
+        ColumnSpec("audit", "NUMBER", precision=10, scale=0, nullable=False),
+    ])
+    return schema_compat(old, new)

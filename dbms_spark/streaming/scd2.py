@@ -157,3 +157,15 @@ class Scd2TableStore(ParquetTableStore):
             self._commit_buckets(table, manifest, touched, out, applied_max)
         finally:
             events.unpersist()
+
+
+def point_in_time(history: DataFrame, at_ts) -> DataFrame:
+    """AS OF query over an SCD2 history: the row version active at
+    ``at_ts`` per key — ``valid_from <= at < valid_to`` with an open
+    (NULL) tail.  A pure filter: at scale it rides partition/file
+    pruning on ``valid_from`` (pair with write_sorted_parquet on the
+    version chain) rather than any join or window."""
+    return history.filter(
+        (F.col("valid_from") <= F.lit(at_ts))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(at_ts)))
+    )

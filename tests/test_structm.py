@@ -170,3 +170,38 @@ def test_datatype_rule_tables(spark):
     assert out["a"]["mysql_type"] == "TINYINT/SMALLINT/INT/BIGINT/DECIMAL"
     assert out["b"]["oracle_type"] == "VARCHAR2" and out["b"]["mysql_type"] == "VARCHAR"
     assert "c" not in out  # no rule for array types -> dropped on both engines
+
+
+def test_schema_compat_verdicts(spark):
+    """Every verdict class from one evolution: widen by size, widen by
+    rule (with min-size requirement), additive nullable, and the
+    breaking trio (drop, narrow, nullable->NOT NULL)."""
+    from dbms_spark.operators.structm import ColumnSpec, schema_compat, specs_to_df
+
+    old = specs_to_df(spark, "t", [
+        ColumnSpec("a", "NUMBER", precision=12, scale=2),   # DECIMAL(12,2)
+        ColumnSpec("b", "VARCHAR2", length=10),
+        ColumnSpec("c", "CHAR", length=2, nullable=True),
+    ])
+    new = specs_to_df(spark, "t", [
+        ColumnSpec("a", "NUMBER", precision=10, scale=2),   # narrowed precision
+        ColumnSpec("b", "VARCHAR2", length=5),              # narrowed length
+        ColumnSpec("c", "CHAR", length=2, nullable=False),  # null -> NOT NULL
+        ColumnSpec("d", "DATE", nullable=True),             # additive
+    ])
+    got = {r["col_name"]: r["verdict"] for r in schema_compat(old, new).collect()}
+    assert got == {"a": "BREAKING", "b": "BREAKING", "c": "BREAKING", "d": "ADDITIVE"}
+
+    ok = specs_to_df(spark, "t", [ColumnSpec("a", "NUMBER", precision=10, scale=0)])
+    same = {r["verdict"] for r in schema_compat(ok, ok).collect()}
+    assert same == {"OK"}
+
+
+def test_schema_compat_scale_shrink_is_breaking(spark):
+    from dbms_spark.operators.structm import ColumnSpec, schema_compat, specs_to_df
+
+    old = specs_to_df(spark, "t", [ColumnSpec("a", "NUMBER", precision=12, scale=2)])
+    new = specs_to_df(spark, "t", [ColumnSpec("a", "NUMBER", precision=13, scale=1)])
+    assert schema_compat(old, new).first()["verdict"] == "BREAKING"
+    wider = specs_to_df(spark, "t", [ColumnSpec("a", "NUMBER", precision=14, scale=2)])
+    assert schema_compat(old, wider).first()["verdict"] == "SAFE_WIDEN"

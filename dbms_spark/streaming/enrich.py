@@ -60,3 +60,16 @@ def stream_interval_join(
     )
     joined = lw.join(rr, cond, "inner")
     return joined.drop(*[prefix + k for k in keys])
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], ts_col: str,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """At-least-once -> effectively-once: drop re-deliveries of the
+    same key seen within the watermark window
+    (``dropDuplicatesWithinWatermark``).  Unlike plain
+    ``dropDuplicates`` on a stream, state for a key is RELEASED once
+    the watermark passes it — bounded memory at any runtime, the only
+    viable stream dedup at scale (reference analog: the CDC consumer's
+    obsolete/duplicate event skip, message/tidb/consumer.go)."""
+    return stream.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)

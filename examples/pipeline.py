@@ -37,10 +37,18 @@ def main() -> None:
     spark = get_spark("pipeline_example")
     eng = DbmsEngine(spark)
 
+    # Stage survivor counts ride the FINAL action as Observation
+    # metrics — no mid-pipeline count() jobs, so the corpus is scanned
+    # once end-to-end (at 100 TB a per-stage count() would re-run every
+    # upstream stage per checkpoint; observe() is free).
+    from pyspark.sql import Observation
+
+    observations: list[tuple[str, Observation]] = []
+
     def stage(name, df):
-        n = df.count()
-        print(json.dumps({"stage": name, "rows": n}), flush=True)
-        return df
+        obs = Observation(name)
+        observations.append((name, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     docs = stage("ingest", load_table(spark, sf_dir, "documents"))
 
@@ -94,6 +102,8 @@ def main() -> None:
         packed.select(F.col("doc_id").alias("chunk_id"), "shard_id", "bin_id", "bin_offset"),
         "chunk_id")
     final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    for name, obs in observations:
+        print(json.dumps({"stage": name, "rows": int(obs.get["rows"])}), flush=True)
     print(json.dumps({"stage": "write", "rows": spark.read.parquet(out_dir).count(),
                       "out": out_dir}), flush=True)
 

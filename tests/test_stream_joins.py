@@ -75,3 +75,32 @@ def test_stream_interval_join_attribution(spark, tmp_path):
     q.awaitTermination(180)
     got = [(r["imp_id"], r["r_click_id"]) for r in spark.read.parquet(out).collect()]
     assert got == [(100, 900)]  # user 2's click fell outside the window
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    src = tmp_path / "ev2"; src.mkdir()
+    ckpt = str(tmp_path / "c2"); out = str(tmp_path / "o2")
+
+    _write(src, "b1.json", [
+        {"msg_id": 1, "ts": "2024-01-01 10:00:00", "v": 10},
+        {"msg_id": 1, "ts": "2024-01-01 10:00:05", "v": 10},  # redelivery
+        {"msg_id": 2, "ts": "2024-01-01 10:01:00", "v": 20},
+    ])
+    stream = spark.readStream.schema("msg_id long, ts timestamp, v long").json(str(src))
+    d = EN.dedup_within_watermark(stream, ["msg_id"], "ts", watermark="10 minutes")
+    q = _run(d, ckpt, out)
+    q.awaitTermination(120)
+    got = sorted(r["msg_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
+
+    # a redelivery in a LATER batch, still inside the watermark window,
+    # is also dropped (state persisted via checkpoint)
+    _write(src, "b2.json", [
+        {"msg_id": 1, "ts": "2024-01-01 10:02:00", "v": 10},
+        {"msg_id": 3, "ts": "2024-01-01 10:03:00", "v": 30},
+    ])
+    stream2 = spark.readStream.schema("msg_id long, ts timestamp, v long").json(str(src))
+    q2 = _run(EN.dedup_within_watermark(stream2, ["msg_id"], "ts"), ckpt, out)
+    q2.awaitTermination(120)
+    got2 = sorted(r["msg_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3]

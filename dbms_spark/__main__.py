@@ -81,6 +81,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("cluster")
+    sp.add_argument("--vectors", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--dims", type=int, default=64)
+
     sp = sub.add_parser("ann")
     sp.add_argument("--vectors", required=True)
     sp.add_argument("--out", required=True)
@@ -157,6 +164,20 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in column_profile(spark, args.sf_dir, args.table).collect()]
         print(json.dumps({"verb": "profile", "table": args.table, "columns": rows},
                          default=str))
+        return 0
+
+    if args.verb == "cluster":
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm.cluster import kmeans_assign
+
+        vecs = spark.read.parquet(args.vectors)
+        a = kmeans_assign(vecs, k=args.k, iters=args.iters, dims=args.dims)
+        a.write.mode("overwrite").parquet(args.out)
+        sizes = {str(r["cid"]): r["n"] for r in
+                 spark.read.parquet(args.out).groupBy("cid")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"verb": "cluster", "k": args.k, "sizes": sizes}))
         return 0
 
     if args.verb == "ann":

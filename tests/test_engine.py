@@ -119,6 +119,16 @@ def test_cli_verbs(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["kept"] == 10
 
+    vecs = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 3)] * 8) for i in range(30)],
+        "vec_id long, embedding array<float>").write.parquet(vecs)
+    rc = main(["cluster", "--vectors", vecs, "--out", str(tmp_path / "cl"),
+               "--k", "3", "--dims", "8"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and sum(out["sizes"].values()) == 30
+    assert len(out["sizes"]) == 3  # three planted value-groups, k=3
+
 
 def test_engine_similarity_and_heavy_hitter_verbs(spark, sf_dir):
     from dbms_spark.engine import DbmsEngine

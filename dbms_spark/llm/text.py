@@ -927,3 +927,41 @@ FROM (SELECT {id_col},
       FROM {table})
 GROUP BY domain
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted token index (retrieval primitive: postings + conjunctive
+# term queries)
+# ---------------------------------------------------------------------------
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Posting lists: (token, doc_ids sorted, df_count).  One explode +
+    one groupBy keyed on the token — the shuffle moves (token, id)
+    pairs, never text.  At scale the token key is Zipf-skewed: cap or
+    drop head terms (they carry no selectivity) before materializing,
+    or let AQE skew-split the build."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"))
+    return toks.groupBy("token").agg(
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("df_count"),
+    )
+
+
+def conjunctive_query(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Docs containing ALL ``terms``: explode distinct tokens, filter
+    to the query terms (a pushed-down IN over the scan — the posting
+    read), count per doc, keep count == len(terms).  No index
+    materialization needed for one-shot queries; pair with
+    :func:`inverted_index` persisted as a table for repeated ones."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"))
+    hits = toks.filter(F.col("token").isin(terms))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == len(terms))
+        .select(id_col)
+    )

@@ -5528,3 +5528,115 @@ def q168_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ColumnSpec("audit", "NUMBER", precision=10, scale=0, nullable=False),
     ])
     return schema_compat(old, new)
+
+
+# ---------------------------------------------------------------------------
+# q169/q170 — inverted token index + conjunctive retrieval: posting
+# lists per token (sorted doc lists + document frequency) and the
+# AND-query answered by posting intersection (count-of-hits == number
+# of terms) — the search primitive over the corpus (llm/text.py).
+# ---------------------------------------------------------------------------
+
+_Q169_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))) AS token
+  FROM documents
+)
+SELECT token, list_sort(list(doc_id)) AS doc_ids,
+       CAST(COUNT(*) AS BIGINT) AS df_count
+FROM toks WHERE token LIKE 's%'
+GROUP BY token
+"""
+
+
+@register("q169_inverted_index", _Q169_SQL)
+def q169_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs).filter("token LIKE 's%'")
+
+
+_Q170_TERMS = ["spark", "join", "window"]
+
+_Q170_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))) AS token
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE token IN ({", ".join(repr(t) for t in _Q170_TERMS)})
+GROUP BY doc_id HAVING COUNT(*) = {len(_Q170_TERMS)}
+"""
+
+
+@register("q170_conjunctive_query", _Q170_SQL)
+def q170_conjunctive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import conjunctive_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    return conjunctive_query(docs, _Q170_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# q171 — incremental-aggregate delta fold: a synthesized CDC batch
+# (INSERT/UPDATE/DELETE with group-moving updates) folded into
+# per-group (d_count, d_amount) deltas by
+# streaming/incremental_agg.batch_delta — the O(batch) maintenance
+# path for a downstream rollup.  The oracle computes the same signed
+# contributions directly (it never needs the JSON transport).
+# ---------------------------------------------------------------------------
+
+_Q171_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderpriority AS region,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey % 5 AS m
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+contrib AS (
+  -- DELETE (m=0): -old | UPDATE (m=1): -old +new (region moves) |
+  -- INSERT (else): +new
+  SELECT region, -1 AS s, -cents AS a FROM src WHERE m = 0
+  UNION ALL SELECT region, -1, -cents FROM src WHERE m = 1
+  UNION ALL SELECT CASE WHEN k % 10 = 1 THEN '0-MOVED' ELSE region END,
+                   1, cents + 100 FROM src WHERE m = 1
+  UNION ALL SELECT region, 1, cents FROM src WHERE m NOT IN (0, 1)
+)
+SELECT region, CAST(SUM(s) AS BIGINT) AS d_count,
+       CAST(SUM(a) AS BIGINT) AS d_amount
+FROM contrib GROUP BY region
+"""
+
+
+@register("q171_incremental_agg_delta", _Q171_SQL)
+def q171_incremental_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.streaming.incremental_agg import batch_delta
+
+    src = load_table(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("region"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % 5).alias("m"))
+    old_img = F.to_json(F.struct(F.col("region"), F.col("cents").alias("amount")))
+    new_region = F.when(F.col("k") % 10 == 1, F.lit("0-MOVED")).otherwise(F.col("region"))
+    new_img = F.to_json(F.struct(
+        new_region.alias("region"), (F.col("cents") + 100).alias("amount")))
+    ins_img = F.to_json(F.struct(F.col("region"), F.col("cents").alias("amount")))
+    events = src.select(
+        F.lit("s").alias("schema_name"), F.lit("t").alias("table_name"),
+        F.when(F.col("m") == 0, "DELETE").when(F.col("m") == 1, "UPDATE")
+        .otherwise("INSERT").alias("query_type"),
+        F.col("k").alias("commit_ts"),
+        F.to_json(F.struct(F.col("k").alias("id"))).alias("key_json"),
+        F.when(F.col("m") == 0, F.lit(None).cast("string"))
+        .when(F.col("m") == 1, new_img).otherwise(ins_img).alias("new_json"),
+        F.when(F.col("m").isin(0, 1), old_img).otherwise(F.lit(None).cast("string"))
+        .alias("old_json"),
+        F.lit(False).alias("is_ddl"), F.lit(None).cast("string").alias("ddl_query"))
+    d = batch_delta(events, ["region"], ["amount"],
+                    {"region": "string", "amount": "bigint"})
+    return d.select("region", F.col("d_count").cast("bigint").alias("d_count"),
+                    F.col("d_amount").cast("bigint").alias("d_amount"))

@@ -1,0 +1,109 @@
+"""Incremental aggregate (materialized-view) maintenance under CDC.
+
+Keeps a grouped COUNT/SUM table consistent with a mutating source by
+folding each CDC batch into ADDITIVE deltas instead of re-aggregating
+the table: an INSERT contributes (+1, +values) to its group, a DELETE
+(-1, -old values), and an UPDATE (-old, +new) — hitting TWO groups
+when the update moves the row across group keys.  Groups whose count
+reaches zero are dropped.
+
+This is the O(batch) maintenance path for any downstream rollup the
+reference's CDC apply feeds (consumer.go applies rows; a reporting
+table downstream would otherwise re-scan).  At scale: the delta is one
+map pass + a groupBy on the (small) batch; the merge shuffles only
+delta groups against the store's matching partitions.
+
+All summed columns are maintained in BIGINT (caller pre-scales money
+to cents etc.) — additive integer deltas are exact under any
+reordering, so replay order between batches doesn't matter as long as
+batch boundaries respect commit order per key (the consumer's flush
+contract, streaming/cdc.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _image(events: DataFrame, col: str, types: dict[str, str], sign: int,
+           pred) -> DataFrame:
+    schema = ", ".join(f"{k} string" for k in types)
+    img = events.filter(pred).withColumn("__r", F.from_json(F.col(col), schema))
+    out = img.select(
+        *[F.col(f"__r.{k}").cast(t).alias(k) for k, t in types.items()],
+        F.lit(sign).cast("bigint").alias("__sign"),
+    )
+    return out
+
+
+def batch_delta(events: DataFrame, keys: list[str], sum_cols: list[str],
+                col_types: dict[str, str]) -> DataFrame:
+    """Fold one CDC event batch into per-group deltas:
+    (keys..., d_count, d_<sum_col>...).  ``col_types`` maps every used
+    column (keys + sum_cols) to its type string for image parsing."""
+    types = {k: col_types[k] for k in [*keys, *sum_cols]}
+    qt = F.col("query_type")
+    ev = events.filter(~F.col("is_ddl"))
+    images = (
+        _image(ev, "new_json", types, +1, qt.isin("INSERT", "UPDATE"))
+        .unionByName(_image(ev, "old_json", types, -1, qt.isin("DELETE", "UPDATE")))
+    )
+    return images.groupBy(*keys).agg(
+        F.sum("__sign").alias("d_count"),
+        *[F.sum(F.col(c).cast("bigint") * F.col("__sign")).alias(f"d_{c}")
+          for c in sum_cols],
+    )
+
+
+def merge_delta(store: DataFrame, delta: DataFrame, keys: list[str],
+                sum_cols: list[str]) -> DataFrame:
+    """New store state: full-outer merge of (count, sums) components;
+    groups that net to zero rows disappear."""
+    d = delta
+    merged = store.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col("n_rows"), F.lit(0))
+         + F.coalesce(F.col("d_count"), F.lit(0))).alias("n_rows"),
+        *[(F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+           + F.coalesce(F.col(f"d_{c}"), F.lit(0))).alias(f"sum_{c}")
+          for c in sum_cols],
+    )
+    return merged.filter(F.col("n_rows") > 0)
+
+
+class AggStore:
+    """Parquet-backed maintained aggregate: versioned overwrite of the
+    (small) rollup table per batch.  The rollup has one row per group —
+    tiny next to the source — so a full rewrite per batch is O(groups),
+    not O(table); a partitioned MERGE applies when groups stop being
+    small."""
+
+    def __init__(self, spark, path: str, keys: list[str], sum_cols: list[str],
+                 col_types: dict[str, str]):
+        self.spark, self.path = spark, path
+        self.keys, self.sum_cols, self.col_types = keys, sum_cols, col_types
+
+    def _schema(self) -> str:
+        key_part = ", ".join(f"{k} {self.col_types[k]}" for k in self.keys)
+        sums = ", ".join(f"sum_{c} bigint" for c in self.sum_cols)
+        return f"{key_part}, n_rows bigint" + (f", {sums}" if sums else "")
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.parquet(self.path)
+
+    def apply_batch(self, events: DataFrame) -> None:
+        delta = batch_delta(events, self.keys, self.sum_cols, self.col_types)
+        new = merge_delta(self.read(), delta, self.keys, self.sum_cols)
+        # rewrite via staging dir: the new state derives from the files
+        # being replaced, so materialize before the overwrite
+        tmp = self.path + ".staging"
+        new.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)

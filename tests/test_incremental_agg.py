@@ -1,0 +1,77 @@
+"""Incremental aggregate maintenance (streaming/incremental_agg.py):
+the maintained rollup must equal a from-scratch aggregation of the
+surviving rows after any I/U/D replay — including group-moving
+updates and delete-to-empty groups."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from dbms_spark.streaming import incremental_agg as IA
+from dbms_spark.streaming.cdc import CDC_EVENT_SCHEMA
+
+TYPES = {"region": "string", "amount": "bigint"}
+
+
+def _ev(spark, rows):
+    def mk(qt, ts, key, new=None, old=None):
+        return ("s", "t", qt, ts, json.dumps({"id": key}),
+                json.dumps(new) if new else None,
+                json.dumps(old) if old else None, False, None)
+
+    data = [mk(*r) for r in rows]
+    return spark.createDataFrame(data, CDC_EVENT_SCHEMA)
+
+
+def test_incremental_agg_matches_direct(spark, tmp_path):
+    store = IA.AggStore(spark, str(tmp_path / "agg"), ["region"], ["amount"], TYPES)
+
+    b1 = _ev(spark, [
+        ("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 10}),
+        ("INSERT", 2, 2, {"id": 2, "region": "eu", "amount": 5}),
+        ("INSERT", 3, 3, {"id": 3, "region": "us", "amount": 7}),
+    ])
+    store.apply_batch(b1)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (2, 15), "us": (1, 7)}
+
+    # update that MOVES a row across groups + a delete emptying "us"
+    b2 = _ev(spark, [
+        ("UPDATE", 4, 2, {"id": 2, "region": "us", "amount": 6},
+         {"id": 2, "region": "eu", "amount": 5}),
+        ("DELETE", 5, 3, None, {"id": 3, "region": "us", "amount": 7}),
+        ("UPDATE", 6, 1, {"id": 1, "region": "eu", "amount": 11},
+         {"id": 1, "region": "eu", "amount": 10}),
+    ])
+    store.apply_batch(b2)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    # surviving rows: id1 (eu, 11), id2 (us, 6)
+    assert got == {"eu": (1, 11), "us": (1, 6)}
+
+    # delete the last eu row: the group must disappear entirely
+    b3 = _ev(spark, [
+        ("DELETE", 7, 1, None, {"id": 1, "region": "eu", "amount": 11}),
+    ])
+    store.apply_batch(b3)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"us": (1, 6)}
+
+
+def test_batch_delta_is_additive(spark):
+    """Splitting a batch in two and merging must equal folding it
+    whole (additivity — the property that makes replay order between
+    batches irrelevant)."""
+    rows = [
+        ("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 4}),
+        ("INSERT", 2, 2, {"id": 2, "region": "us", "amount": 9}),
+        ("UPDATE", 3, 1, {"id": 1, "region": "eu", "amount": 6},
+         {"id": 1, "region": "eu", "amount": 4}),
+    ]
+    whole = IA.batch_delta(_ev(spark, rows), ["region"], ["amount"], TYPES)
+    d1 = IA.batch_delta(_ev(spark, rows[:2]), ["region"], ["amount"], TYPES)
+    d2 = IA.batch_delta(_ev(spark, rows[2:]), ["region"], ["amount"], TYPES)
+    merged = (
+        d1.unionByName(d2).groupBy("region")
+        .agg(F.sum("d_count").alias("d_count"), F.sum("d_amount").alias("d_amount"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))

@@ -5640,3 +5640,73 @@ def q171_incremental_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"region": "string", "amount": "bigint"})
     return d.select("region", F.col("d_count").cast("bigint").alias("d_count"),
                     F.col("d_amount").cast("bigint").alias("d_amount"))
+
+
+# ---------------------------------------------------------------------------
+# q172 — LINEAR interpolation gap fill: the upgrade of q132's forward
+# fill for numeric series — missing readings get the time-weighted
+# blend of their known neighbors (two IGNORE-NULLS window lookups, no
+# self-join).  The blend stays cross-engine exact: integer neighbor
+# values + one identical double fraction, floor-quantized at 1e6.
+# ---------------------------------------------------------------------------
+
+_Q172_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS reading
+  FROM events
+),
+nb AS (
+  SELECT user_id, event_id, t, reading,
+         last_value(reading IGNORE NULLS) OVER wp AS y0,
+         last_value(CASE WHEN reading IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wp AS t0,
+         first_value(reading IGNORE NULLS) OVER wf AS y1,
+         first_value(CASE WHEN reading IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wf AS t1
+  FROM ev
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       CASE
+         WHEN reading IS NOT NULL THEN reading * 1000000
+         WHEN y0 IS NULL OR y1 IS NULL THEN NULL
+         ELSE CAST(floor((y0 + (y1 - y0) *
+                (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+                * 1000000) AS BIGINT)
+       END AS filled_e6
+FROM nb
+"""
+
+
+@register("q172_linear_interpolation", _Q172_SQL)
+def q172_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.round(F.col("value") * 100).cast("bigint")).alias("reading"))
+    wp = Window.partitionBy("user_id").orderBy("t", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wf = Window.partitionBy("user_id").orderBy("t", "event_id") \
+        .rowsBetween(1, Window.unboundedFollowing)
+    known_t = F.when(F.col("reading").isNotNull(), F.col("t"))
+    nb = ev.select(
+        "user_id", "event_id", "t", "reading",
+        F.last("reading", ignorenulls=True).over(wp).alias("y0"),
+        F.last(known_t, ignorenulls=True).over(wp).alias("t0"),
+        F.first("reading", ignorenulls=True).over(wf).alias("y1"),
+        F.first(known_t, ignorenulls=True).over(wf).alias("t1"))
+    frac = (F.col("t") - F.col("t0")).cast("double") / (F.col("t1") - F.col("t0")).cast("double")
+    interp = F.floor((F.col("y0") + (F.col("y1") - F.col("y0")) * frac) * 1000000) \
+        .cast("bigint")
+    return nb.select(
+        "user_id", "event_id",
+        F.when(F.col("reading").isNotNull(), F.col("reading") * 1000000)
+        .when(F.col("y0").isNull() | F.col("y1").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(interp).alias("filled_e6"))

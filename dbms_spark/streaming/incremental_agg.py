@@ -97,7 +97,25 @@ class AggStore:
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.parquet(self.path)
 
-    def apply_batch(self, events: DataFrame) -> None:
+    def _applied_marker(self) -> str:
+        return self.path + ".applied_batch"
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._applied_marker()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def apply_batch(self, events: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one batch into the store.  Pass foreachBatch's
+        ``batch_id`` for exactly-once semantics: a crash between the
+        sink write and the checkpoint commit makes Structured Streaming
+        REDELIVER the batch, and without the marker the redelivered
+        deltas would double-apply (deltas are not idempotent, unlike
+        the CDC store's key-replacement apply)."""
+        if batch_id is not None and batch_id <= self.last_batch_id():
+            return
         delta = batch_delta(events, self.keys, self.sum_cols, self.col_types)
         new = merge_delta(self.read(), delta, self.keys, self.sum_cols)
         # rewrite via staging dir: the new state derives from the files
@@ -107,3 +125,6 @@ class AggStore:
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+        if batch_id is not None:
+            with open(self._applied_marker(), "w") as f:
+                f.write(str(batch_id))

@@ -75,3 +75,17 @@ def test_batch_delta_is_additive(spark):
         .agg(F.sum("d_count").alias("d_count"), F.sum("d_amount").alias("d_amount"))
     )
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_apply_batch_idempotent_under_redelivery(spark, tmp_path):
+    """foreachBatch redelivers a batch after a crash-before-commit;
+    with batch_id passed, the second delivery must be a no-op."""
+    store = IA.AggStore(spark, str(tmp_path / "agg2"), ["region"], ["amount"], TYPES)
+    b = _ev(spark, [("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 10})])
+    store.apply_batch(b, batch_id=0)
+    store.apply_batch(b, batch_id=0)  # redelivery
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (1, 10)}
+    store.apply_batch(b, batch_id=1)  # genuinely new batch applies
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (2, 20)}

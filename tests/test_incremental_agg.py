@@ -89,3 +89,33 @@ def test_apply_batch_idempotent_under_redelivery(spark, tmp_path):
     store.apply_batch(b, batch_id=1)  # genuinely new batch applies
     got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
     assert got == {"eu": (2, 20)}
+
+
+def test_agg_store_behind_foreach_batch(spark, tmp_path):
+    """The maintained rollup driven by an actual Structured Streaming
+    query: foreachBatch passes its batch_id through, so the store is
+    exactly-once under the checkpoint contract."""
+    src = tmp_path / "cdc"; src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    store = IA.AggStore(spark, str(tmp_path / "agg3"), ["region"], ["amount"], TYPES)
+
+    with open(src / "b1.json", "w") as f:
+        for qt, ts, key, new, old in [
+            ("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 10}, None),
+            ("INSERT", 2, 2, {"id": 2, "region": "us", "amount": 3}, None),
+        ]:
+            f.write(json.dumps({
+                "schema_name": "s", "table_name": "t", "query_type": qt,
+                "commit_ts": ts, "key_json": json.dumps({"id": key}),
+                "new_json": json.dumps(new) if new else None,
+                "old_json": json.dumps(old) if old else None,
+                "is_ddl": False, "ddl_query": None}) + "\n")
+
+    stream = spark.readStream.schema(CDC_EVENT_SCHEMA).json(str(src))
+    q = (stream.writeStream
+         .foreachBatch(lambda batch, bid: store.apply_batch(batch, batch_id=bid))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (1, 10), "us": (1, 3)}

@@ -73,3 +73,25 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], ts_col: str,
     obsolete/duplicate event skip, message/tidb/consumer.go)."""
     return stream.withWatermark(ts_col, watermark) \
                  .dropDuplicatesWithinWatermark(keys)
+
+
+def sessionized_counts(stream: DataFrame, key: str, ts_col: str,
+                       gap: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming sessionization via native ``session_window``: dynamic
+    event-time windows that extend while events keep arriving within
+    ``gap`` and close (emit + state release) once the watermark passes
+    the last event + gap.  The streaming twin of the batch
+    ``operators/joins.sessionize`` lag/sum form — state per OPEN
+    session only, so memory tracks concurrency, not history."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -104,3 +104,32 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r["msg_id"] for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3]
+
+
+def test_sessionized_counts_groups_by_gap(spark, tmp_path):
+    src = tmp_path / "ev3"; src.mkdir()
+    ckpt = str(tmp_path / "c3"); out = str(tmp_path / "o3")
+
+    # user 1: two bursts separated by > 30 min -> two sessions
+    _write(src, "b1.json", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+        {"user_id": 1, "ts": "2024-01-01 12:00:00"},
+        {"user_id": 2, "ts": "2024-01-01 10:05:00"},
+        # watermark driver: far-future event closes everything above
+        {"user_id": 99, "ts": "2024-01-02 00:00:00"},
+    ])
+    stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+    s = EN.sessionized_counts(stream, "user_id", "ts", gap="30 minutes")
+
+    def sink(batch, epoch_id):
+        if not batch.isEmpty():
+            batch.write.mode("append").parquet(out)
+
+    q = (s.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["user_id"], r["n_events"])
+                 for r in spark.read.parquet(out).collect())
+    # sessions closed by the watermark: u1 burst(2) + u1 single + u2 single
+    assert got == [(1, 1), (1, 2), (2, 1)]

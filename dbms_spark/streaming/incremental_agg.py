@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 def _image(events: DataFrame, col: str, types: dict[str, str], sign: int,
            pred) -> DataFrame:
     schema = ", ".join(f"{k} string" for k in types)
-    img = events.filter(pred).withColumn("__r", F.from_json(F.col(col), schema))
+    # a missing image (e.g. an UPDATE from a source that doesn't ship
+    # old rows) must contribute NOTHING — without this filter it would
+    # fold a spurious delta into a NULL-keyed group
+    img = events.filter(pred & F.col(col).isNotNull()) \
+                .withColumn("__r", F.from_json(F.col(col), schema))
     out = img.select(
         *[F.col(f"__r.{k}").cast(t).alias(k) for k, t in types.items()],
         F.lit(sign).cast("bigint").alias("__sign"),

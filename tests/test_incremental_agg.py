@@ -119,3 +119,14 @@ def test_agg_store_behind_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
     assert got == {"eu": (1, 10), "us": (1, 3)}
+
+
+def test_update_without_old_image_contributes_nothing_negative(spark):
+    """Sources that don't ship old row images: the UPDATE's +new still
+    applies, but no NULL-keyed negative delta may appear."""
+    ev = _ev(spark, [
+        ("UPDATE", 1, 1, {"id": 1, "region": "eu", "amount": 10}, None),
+    ])
+    d = IA.batch_delta(ev, ["region"], ["amount"], TYPES)
+    rows = {r["region"]: (r["d_count"], r["d_amount"]) for r in d.collect()}
+    assert rows == {"eu": (1, 10)}  # and no None key

@@ -5710,3 +5710,55 @@ def q172_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("reading").isNotNull(), F.col("reading") * 1000000)
         .when(F.col("y0").isNull() | F.col("y1").isNull(), F.lit(None).cast("bigint"))
         .otherwise(interp).alias("filled_e6"))
+
+
+# ---------------------------------------------------------------------------
+# q173 — record linkage: customers matched against a perturbed second
+# "system" (one character mutated mid-name, balance drifted a few
+# cents) with NO shared key — blocked fuzzy join (nation + name
+# prefix block, O(block^2) not O(n^2)), Levenshtein <= 2 verify,
+# balance delta <= 500 cents (operators/linkage.py).
+# ---------------------------------------------------------------------------
+
+_Q173_SQL = """
+WITH a AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey,
+         substr(c_name, 1, 9) AS blk,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 5000000 AS id,
+         substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS name,
+         c_nationkey, substr(c_name, 1, 9) AS blk,
+         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) AS cents
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT a.id AS l_id, b.id AS r_id,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS numeric_delta
+FROM a JOIN b ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+WHERE levenshtein(a.name, b.name) <= 2 AND abs(a.cents - b.cents) <= 500
+"""
+
+
+@register("q173_record_linkage", _Q173_SQL)
+def q173_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.linkage import blocked_fuzzy_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        "c_nationkey", F.substring("c_name", 1, 9).alias("blk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"))
+    b = cust.filter("c_custkey % 3 = 0").select(
+        (F.col("c_custkey") + 5000000).alias("id"),
+        F.concat(F.substring("c_name", 1, 10), F.lit("X"),
+                 F.expr("substr(c_name, 12)")).alias("name"),
+        "c_nationkey", F.substring("c_name", 1, 9).alias("blk"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint")
+         + F.col("c_custkey") % 7).alias("cents"))
+    return blocked_fuzzy_match(
+        a, b, ["c_nationkey", "blk"], "name",
+        max_edit=2, numeric_col="cents", max_numeric_delta=500,
+    ).select(F.col("l_id"), F.col("r_id"), "edit_distance", "numeric_delta")

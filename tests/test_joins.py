@@ -67,3 +67,22 @@ def test_sessionize(spark):
     out = J.sessionize(df, "user_id", "t", gap_minutes=30)
     got = sorted((r["user_id"], r["t"].minute, r["session_id"]) for r in out.collect())
     assert got == [(1, 0, 1), (1, 10, 1), (1, 50, 2), (1, 55, 2), (2, 0, 1)]
+
+
+def test_blocked_fuzzy_match_blocks_and_thresholds(spark):
+    from dbms_spark.operators.linkage import blocked_fuzzy_match
+
+    left = spark.createDataFrame([
+        (1, "alice smith", "A", 100),
+        (2, "bob jones", "B", 50),
+    ], "id long, name string, blk string, amt long")
+    right = spark.createDataFrame([
+        (10, "alice smyth", "A", 101),   # 1 edit, same block -> match
+        (11, "alice smith", "B", 100),   # identical name, WRONG block -> no match
+        (12, "bob stones", "B", 50),     # 2 edits, same block -> match
+        (13, "bob jones", "B", 999),     # numeric delta too large -> no match
+    ], "id long, name string, blk string, amt long")
+    got = {(r["l_id"], r["r_id"]) for r in blocked_fuzzy_match(
+        left, right, ["blk"], "name", max_edit=2,
+        numeric_col="amt", max_numeric_delta=10).collect()}
+    assert got == {(1, 10), (2, 12)}

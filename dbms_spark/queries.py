@@ -5762,3 +5762,35 @@ def q173_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, ["c_nationkey", "blk"], "name",
         max_edit=2, numeric_col="cents", max_numeric_delta=500,
     ).select(F.col("l_id"), F.col("r_id"), "edit_distance", "numeric_delta")
+
+
+# ---------------------------------------------------------------------------
+# q174 — ranking-function completion: percent_rank and nth_value over
+# the same ordered frame (q88 covers lag/lead/cume_dist; this closes
+# the ranking family).  percent_rank's double is exact — it is
+# (rank-1)/(n-1) on identical integers both engines.
+# ---------------------------------------------------------------------------
+
+_Q174_SQL = """
+SELECT c_custkey, c_nationkey,
+       percent_rank() OVER w AS bal_pctrank,
+       CAST(nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+              ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS second_poorest
+FROM customer
+WHERE c_custkey % 10 = 0
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q174_rank_functions", _Q174_SQL)
+def q174_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 10 = 0")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey", "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pctrank"),
+        F.nth_value("c_custkey", 2).over(wfull).cast("bigint").alias("second_poorest"),
+    )

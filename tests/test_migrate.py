@@ -198,3 +198,25 @@ def test_jsonl_roundtrip_and_shard_cap(spark, sf_dir, tmp_path):
         assert all({"doc_id", "text", "lang"} <= set(d) for d in lines)
     back = M.read_jsonl(spark, out, "doc_id long, text string, lang string")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_ignore_corrupt_files_skips_damaged_shard(spark, tmp_path):
+    """At 100 TB some shard is always damaged: with
+    spark.sql.files.ignoreCorruptFiles the scan must skip it and keep
+    the healthy rows instead of failing the whole job."""
+    import glob
+
+    out = str(tmp_path / "shards")
+    spark.range(1000).withColumnRenamed("id", "v").repartition(4) \
+        .write.parquet(out)
+    victim = sorted(glob.glob(out + "/part-*"))[0]
+    with open(victim, "wb") as f:
+        f.write(b"not parquet at all")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # schema must be pinned: inference itself reads every footer
+        # and dies on the damaged one BEFORE the scan conf applies
+        n = spark.read.schema("v long").parquet(out).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert 0 < n < 1000  # healthy shards survive, damaged one skipped

@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("migrate")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--keys", default=None)
+    sp.add_argument("--chunks", type=int, default=1)
+    sp.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    sp.add_argument("--ledger", default=None)
+
+    sp = sub.add_parser("scan")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--cols", required=True)
+    sp.add_argument("--sample-pct", type=float, default=100.0)
+    sp.add_argument("--sample-key", default=None)
+
     sp = sub.add_parser("cluster")
     sp.add_argument("--vectors", required=True)
     sp.add_argument("--out", required=True)
@@ -164,6 +178,22 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in column_profile(spark, args.sf_dir, args.table).collect()]
         print(json.dumps({"verb": "profile", "table": args.table, "columns": rows},
                          default=str))
+        return 0
+
+    if args.verb == "migrate":
+        src = spark.read.parquet(args.src)
+        keys = args.keys.split(",") if args.keys else None
+        n = eng.data_migrate(src, args.out, key_cols=keys, n_chunks=args.chunks,
+                             ledger_path=args.ledger, fmt=args.format)
+        print(json.dumps({"verb": "migrate", "rows": n, "format": args.format,
+                          "chunks": args.chunks}))
+        return 0
+
+    if args.verb == "scan":
+        src = spark.read.parquet(args.src)
+        out = eng.data_scan(src, args.cols.split(","),
+                            sample_pct=args.sample_pct, sample_key=args.sample_key)
+        print(json.dumps({"verb": "scan", "profile": [r.asDict() for r in out.collect()]}))
         return 0
 
     if args.verb == "cluster":

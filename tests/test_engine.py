@@ -193,3 +193,22 @@ def test_engine_full_verify(spark, sf_dir):
     # identical tables: clean bill, no worklist keys in the report
     rep2 = eng.full_verify(src, src, "orders", ["o_orderkey"])
     assert rep2["compare"].equal and "key_diff" not in rep2
+
+
+def test_cli_migrate_and_scan_verbs(spark, tmp_path, capsys):
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(i, float(i) + 0.5) for i in range(40)],
+                          "id long, amount double").write.parquet(src)
+    rc = main(["migrate", "--src", src, "--out", str(tmp_path / "mig"),
+               "--keys", "id", "--chunks", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] == 40
+    assert spark.read.parquet(str(tmp_path / "mig")).count() == 40
+
+    rc = main(["scan", "--src", src, "--cols", "amount"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and sum(p["cnt"] for p in out["profile"]) == 40

@@ -81,6 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("cdc")
+    sp.add_argument("--events", required=True, help="dir of CDC JSON envelope files")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keys", required=True)
+    sp.add_argument("--row-schema", required=True,
+                    help='e.g. "id bigint, v string"')
+    sp.add_argument("--checkpoint", default=None)
+
     sp = sub.add_parser("migrate")
     sp.add_argument("--src", required=True)
     sp.add_argument("--out", required=True)
@@ -178,6 +187,22 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in column_profile(spark, args.sf_dir, args.table).collect()]
         print(json.dumps({"verb": "profile", "table": args.table, "columns": rows},
                          default=str))
+        return 0
+
+    if args.verb == "cdc":
+        from dbms_spark.streaming import cdc as cdc_mod
+
+        store = cdc_mod.ParquetTableStore(
+            spark, args.store,
+            schemas={args.table: args.row_schema},
+            key_cols={args.table: args.keys.split(",")})
+        stream = spark.readStream.schema(cdc_mod.CDC_EVENT_SCHEMA).json(args.events)
+        ckpt = args.checkpoint or (args.store.rstrip("/") + "_checkpoint")
+        q = eng.cdc_consume(store, stream, ckpt)
+        q.awaitTermination()
+        n = store.read(args.table).count()
+        print(json.dumps({"verb": "cdc", "table": args.table, "rows": n,
+                          "watermark": store.get_watermark(args.table)}))
         return 0
 
     if args.verb == "migrate":

@@ -212,3 +212,28 @@ def test_cli_migrate_and_scan_verbs(spark, tmp_path, capsys):
     rc = main(["scan", "--src", src, "--cols", "amount"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and sum(p["cnt"] for p in out["profile"]) == 40
+
+
+def test_cli_cdc_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    ev = tmp_path / "events"; ev.mkdir()
+    rows = [
+        {"schema_name": "s", "table_name": "t", "query_type": "INSERT",
+         "commit_ts": 1, "key_json": _json.dumps({"id": 1}),
+         "new_json": _json.dumps({"id": 1, "v": "a"}), "old_json": None,
+         "is_ddl": False, "ddl_query": None},
+        {"schema_name": "s", "table_name": "t", "query_type": "UPDATE",
+         "commit_ts": 2, "key_json": _json.dumps({"id": 1}),
+         "new_json": _json.dumps({"id": 1, "v": "a2"}), "old_json": None,
+         "is_ddl": False, "ddl_query": None},
+    ]
+    with open(ev / "b1.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    rc = main(["cdc", "--events", str(ev), "--store", str(tmp_path / "st"),
+               "--table", "t", "--keys", "id", "--row-schema", "id bigint, v string"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] == 1 and out["watermark"] == 2

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Skew stress: measure salted vs unsalted aggregation and join wall
+time on a Zipf-skewed key (one key owns ~half the rows).  Companion
+evidence for plans/skew.py — prints one JSON line per case.
+
+    python tools/skew_smoke.py [rows] [fanout]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbms_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    spark = get_spark("skew_smoke")
+    # AQE's skew mitigation would mask what we're measuring at the
+    # operator level; the production answer is AQE on TOP of salting
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # ~50% of rows on key 0, the rest uniform over 10k keys
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.pmod(F.hash("id"), 10_000)).alias("k"),
+        (F.col("id") % 997).alias("v"),
+    ).persist()
+    skewed.count()
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(json.dumps({"case": name, "sec": round(time.perf_counter() - t0, 2)}),
+              flush=True)
+
+    from dbms_spark.plans.skew import salted_agg
+
+    timed("agg_unsalted",
+          skewed.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")))
+    timed("agg_salted", salted_agg(skewed, ["k"], {"v": "sum"}))
+
+    dim = spark.range(10_000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    from dbms_spark.plans.skew import salted_join
+
+    # force the shuffle join (broadcast would hide the skew entirely —
+    # at real scale the dim side may be too big to broadcast)
+    nb = dim.hint("shuffle_hash")
+    timed("join_unsalted", skewed.join(nb, "k"))
+    timed("join_salted", salted_join(skewed, dim, "k", n_salts=16))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5794,3 +5794,40 @@ def q174_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pctrank"),
         F.nth_value("c_custkey", 2).over(wfull).cast("bigint").alias("second_poorest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — calendar semantics: ISO week/year bucketing of orders plus
+# month arithmetic with end-of-month clamping (add_months/last_day)
+# and day-of-week (Spark numbers Sunday=1, DuckDB Sunday=0 — the gate
+# pins the off-by-one normalization).
+# ---------------------------------------------------------------------------
+
+_Q175_SQL = """
+SELECT isoyear(o_orderdate) AS iso_year,
+       CAST(week(o_orderdate) AS INT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(min(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE)
+            AS VARCHAR) AS min_next_month,
+       CAST(max(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS max_month_end,
+       CAST(SUM(dayofweek(o_orderdate)) AS BIGINT) AS dow_sum
+FROM orders
+GROUP BY iso_year, iso_week
+"""
+
+
+@register("q175_calendar_buckets", _Q175_SQL)
+def q175_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"))
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM d)").alias("iso_year"),
+            F.weekofyear("d").alias("iso_week"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min(F.add_months("d", 1)).cast("string").alias("min_next_month"),
+            F.max(F.last_day("d")).cast("string").alias("max_month_end"),
+            F.sum(F.dayofweek("d") - 1).cast("bigint").alias("dow_sum"),
+        )
+    )

@@ -591,3 +591,67 @@ def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
     )
     return j.select(
         "table_name", "col_name", "old_type", "new_type", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# Postgres -> MySQL/TiDB datatype rules (the reference's third engine
+# family; doc/buildin_rule_reverse_p.md, model/buildin pg rule tables)
+# ---------------------------------------------------------------------------
+
+#: scalar name rules — P-independent mappings as data
+P2M_DATATYPE_RULES: list[tuple[str, str]] = [
+    ("INT", "INT"), ("SMALLINT", "SMALLINT"), ("BIGINT", "BIGINT"),
+    ("SERIAL", "INT"), ("SMALLSERIAL", "SMALLINT"), ("BIGSERIAL", "BIGINT"),
+    ("BIT", "BIT"), ("BOOLEAN", "TINYINT(1)"),
+    ("REAL", "FLOAT"), ("DOUBLE PRECISION", "DOUBLE"),
+    ("NUMERIC", "DECIMAL"), ("DECIMAL", "DECIMAL"), ("MONEY", "DECIMAL(19,2)"),
+    ("DATE", "DATE"), ("TIME", "TIME"), ("TIMESTAMP", "DATETIME"),
+    ("INTERVAL", "TIME"), ("BYTEA", "LONGBLOB"), ("TEXT", "LONGTEXT"),
+    ("CIDR", "VARCHAR(43)"), ("INET", "VARCHAR(43)"), ("MACADDR", "VARCHAR(17)"),
+    ("UUID", "VARCHAR(36)"), ("XML", "LONGTEXT"), ("JSON", "LONGTEXT"),
+    ("TSVECTOR", "LONGTEXT"), ("TSQUERY", "LONGTEXT"), ("ARRAY", "LONGTEXT"),
+    ("POINT", "POINT"), ("LINE", "LINESTRING"), ("LSEG", "LINESTRING"),
+    ("BOX", "POLYGON"), ("PATH", "LINESTRING"), ("POLYGON", "POLYGON"),
+    ("CIRCLE", "POLYGON"), ("TXID_SNAPSHOT", "VARCHAR(256)"),
+]
+
+#: character-length ladder thresholds: utf8mb4 row-format limits make
+#: the target type depend on P (65535/4 and 16777215/4 characters)
+_PG_CHAR_LADDER = 255
+_PG_VARCHAR_LADDER = 16382
+_PG_MEDIUMTEXT_LADDER = 4194303
+
+
+def map_pg_char_sql(base_col: str, len_col: str) -> str:
+    """The P-dependent half of the Postgres rules as ONE shared SQL
+    expression (valid in Spark SQL and DuckDB): CHAR/NCHAR ladder to
+    CHAR/VARCHAR/LONGTEXT, VARCHAR/NVARCHAR to
+    VARCHAR/MEDIUMTEXT/LONGTEXT, by declared character length."""
+    c, p = base_col, len_col
+    return f"""CASE
+  WHEN {c} IN ('CHAR', 'NATIONAL CHAR') THEN
+    CASE WHEN {p} <= {_PG_CHAR_LADDER} THEN 'CHAR(' || CAST({p} AS STRING) || ')'
+         WHEN {p} <= {_PG_VARCHAR_LADDER} THEN 'VARCHAR(' || CAST({p} AS STRING) || ')'
+         ELSE 'LONGTEXT' END
+  WHEN {c} IN ('VARCHAR', 'NATIONAL CHARACTER VARYING') THEN
+    CASE WHEN {p} <= {_PG_VARCHAR_LADDER} THEN 'VARCHAR(' || CAST({p} AS STRING) || ')'
+         WHEN {p} <= {_PG_MEDIUMTEXT_LADDER} THEN 'MEDIUMTEXT'
+         ELSE 'LONGTEXT' END
+END"""
+
+
+def pg_datatype_rule_join(cat: DataFrame, spark) -> DataFrame:
+    """Map a Postgres-vocabulary column catalog (table_name, col_name,
+    base_type, char_len) to MySQL/TiDB target types: scalar rules via
+    one broadcast join, the char ladder via the shared expression;
+    unmapped types surface as NULL target (the reference flags those
+    for manual review rather than guessing)."""
+    rules = spark.createDataFrame(P2M_DATATYPE_RULES, "pg_type string, my_type string")
+    ladder = F.expr(map_pg_char_sql("base_type", "char_len"))
+    return (
+        cat.join(F.broadcast(rules), cat["base_type"] == rules["pg_type"], "left")
+        .select(
+            "table_name", "col_name", "base_type",
+            F.coalesce(ladder, F.col("my_type")).alias("target_type"),
+        )
+    )

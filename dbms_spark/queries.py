@@ -5831,3 +5831,58 @@ def q175_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.dayofweek("d") - 1).cast("bigint").alias("dow_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — Postgres -> MySQL/TiDB datatype mapping: the reference's
+# third engine family as rules-as-data (scalar rules broadcast-joined,
+# the character-length LADDER — utf8mb4 row limits make the target
+# depend on declared length — as one shared CASE expression;
+# doc/buildin_rule_reverse_p.md, structm.pg_datatype_rule_join).
+# ---------------------------------------------------------------------------
+
+_Q176_CAT = """
+  SELECT 'users' AS table_name, c_name AS col_name,
+         CASE c_custkey % 8
+           WHEN 0 THEN 'SERIAL' WHEN 1 THEN 'TEXT' WHEN 2 THEN 'UUID'
+           WHEN 3 THEN 'TIMESTAMP' WHEN 4 THEN 'BYTEA' WHEN 5 THEN 'CHAR'
+           WHEN 6 THEN 'VARCHAR' ELSE 'GEOGRAPHY' END AS base_type,
+         CAST(CASE c_custkey % 5 WHEN 0 THEN 100 WHEN 1 THEN 300
+              WHEN 2 THEN 20000 WHEN 3 THEN 5000000 ELSE 10 END AS BIGINT)
+           AS char_len
+  FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+def _q176_sql() -> str:
+    from dbms_spark.operators.structm import P2M_DATATYPE_RULES, map_pg_char_sql
+
+    rules = ",\n".join(f"  ('{a}', '{b}')" for a, b in P2M_DATATYPE_RULES)
+    ladder = map_pg_char_sql("c.base_type", "c.char_len")
+    return f"""
+WITH cat AS ({_Q176_CAT}),
+rules(pg_type, my_type) AS (VALUES
+{rules})
+SELECT c.table_name, c.col_name, c.base_type,
+       COALESCE({ladder}, r.my_type) AS target_type
+FROM cat c LEFT JOIN rules r ON c.base_type = r.pg_type
+"""
+
+
+@register("q176_pg_datatype_rules", _q176_sql())
+def q176_pg_datatype_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import pg_datatype_rule_join
+
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 11 = 0")
+    cat = cust.select(
+        F.lit("users").alias("table_name"),
+        F.col("c_name").alias("col_name"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ["SERIAL", "TEXT", "UUID", "TIMESTAMP", "BYTEA",
+                       "CHAR", "VARCHAR", "GEOGRAPHY"]]),
+            (F.col("c_custkey") % 8 + 1).cast("int")).alias("base_type"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in [100, 300, 20000, 5000000, 10]]),
+            (F.col("c_custkey") % 5 + 1).cast("int")).cast("bigint").alias("char_len"))
+    return pg_datatype_rule_join(cat, spark)

@@ -205,3 +205,22 @@ def test_schema_compat_scale_shrink_is_breaking(spark):
     assert schema_compat(old, new).first()["verdict"] == "BREAKING"
     wider = specs_to_df(spark, "t", [ColumnSpec("a", "NUMBER", precision=14, scale=2)])
     assert schema_compat(old, wider).first()["verdict"] == "SAFE_WIDEN"
+
+
+def test_pg_datatype_rules_ladder_and_unmapped(spark):
+    from dbms_spark.operators.structm import pg_datatype_rule_join
+
+    cat = spark.createDataFrame([
+        ("t", "a", "SERIAL", 0),
+        ("t", "b", "CHAR", 100),        # -> CHAR(100)
+        ("t", "c", "CHAR", 300),        # -> VARCHAR(300)
+        ("t", "d", "CHAR", 20000),      # -> LONGTEXT
+        ("t", "e", "VARCHAR", 20000),   # -> MEDIUMTEXT
+        ("t", "f", "VARCHAR", 5000000), # -> LONGTEXT
+        ("t", "g", "GEOGRAPHY", 0),     # unmapped -> NULL (manual)
+    ], "table_name string, col_name string, base_type string, char_len long")
+    got = {r["col_name"]: r["target_type"]
+           for r in pg_datatype_rule_join(cat, spark).collect()}
+    assert got == {"a": "INT", "b": "CHAR(100)", "c": "VARCHAR(300)",
+                   "d": "LONGTEXT", "e": "MEDIUMTEXT", "f": "LONGTEXT",
+                   "g": None}

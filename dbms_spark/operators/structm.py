@@ -655,3 +655,16 @@ def pg_datatype_rule_join(cat: DataFrame, spark) -> DataFrame:
             F.coalesce(ladder, F.col("my_type")).alias("target_type"),
         )
     )
+
+
+#: Oracle -> TiDB: identical to O2M except NUMBER maps to DECIMAL
+#: uniformly — TiDB's decimal-vs-integer joins are slower, so the
+#: reference avoids emitting integer types for NUMBER
+#: (buildin_rule_datatype.go:469, buildin_oracle_rule.go:266-269)
+O2T_DATATYPE_RULES: list[tuple[str, str]] = [
+    (s, "DECIMAL" if s == "NUMBER" else t) for s, t in O2M_DATATYPE_RULES
+]
+
+#: TiDB -> Oracle: the reference reuses the MySQL map verbatim
+#: (buildin_rule_datatype.go:1105 targets BuildInMySQLM2ODatatypeNameMap)
+T2O_DATATYPE_RULES: list[tuple[str, str]] = list(M2O_DATATYPE_RULES)

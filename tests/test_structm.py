@@ -224,3 +224,16 @@ def test_pg_datatype_rules_ladder_and_unmapped(spark):
     assert got == {"a": "INT", "b": "CHAR(100)", "c": "VARCHAR(300)",
                    "d": "LONGTEXT", "e": "MEDIUMTEXT", "f": "LONGTEXT",
                    "g": None}
+
+
+def test_tidb_rule_families_mirror_reference():
+    """O2T == O2M except NUMBER->DECIMAL; T2O == M2O verbatim
+    (reference buildin_rule_datatype.go:469,1105)."""
+    o2m = dict(S.O2M_DATATYPE_RULES)
+    o2t = dict(S.O2T_DATATYPE_RULES)
+    assert o2t["NUMBER"] == "DECIMAL" and o2m["NUMBER"] != "DECIMAL" or \
+        o2m["NUMBER"] == o2t["NUMBER"] == "DECIMAL"
+    assert {k: v for k, v in o2t.items() if k != "NUMBER"} == \
+        {k: v for k, v in o2m.items() if k != "NUMBER"}
+    assert S.T2O_DATATYPE_RULES == S.M2O_DATATYPE_RULES
+    assert len(S.O2T_DATATYPE_RULES) == len(S.O2M_DATATYPE_RULES)

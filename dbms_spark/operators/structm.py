@@ -668,3 +668,32 @@ O2T_DATATYPE_RULES: list[tuple[str, str]] = [
 #: TiDB -> Oracle: the reference reuses the MySQL map verbatim
 #: (buildin_rule_datatype.go:1105 targets BuildInMySQLM2ODatatypeNameMap)
 T2O_DATATYPE_RULES: list[tuple[str, str]] = list(M2O_DATATYPE_RULES)
+
+
+# ---------------------------------------------------------------------------
+# Default-value translation rules (buildin_rule_defaultval.go:22-101,
+# buildin_oracle_rule.go:84-104) — applied when rendering target DDL
+# ---------------------------------------------------------------------------
+
+#: Oracle -> MySQL/TiDB default-expression rewrites ('' = no default)
+O2M_DEFAULTVAL_RULES: dict[str, str] = {
+    "SYSDATE": "NOW()",
+    "SYS_GUID()": "UUID()",
+    "": "NULL",
+}
+
+#: MySQL/TiDB -> Oracle default-expression rewrites
+M2O_DEFAULTVAL_RULES: dict[str, str] = {
+    "CURRENT_TIMESTAMP": "SYSDATE",
+    "NULL": "NULL",
+}
+
+
+def map_default_value(default: str | None, direction: str = "o2m") -> str | None:
+    """Translate a column default expression for the target dialect;
+    unknown expressions pass through verbatim (literals are dialect-
+    neutral — only the engine-function spellings need rewriting)."""
+    if default is None:
+        return None
+    rules = O2M_DEFAULTVAL_RULES if direction == "o2m" else M2O_DEFAULTVAL_RULES
+    return rules.get(default.strip(), default)

@@ -237,3 +237,13 @@ def test_tidb_rule_families_mirror_reference():
         {k: v for k, v in o2m.items() if k != "NUMBER"}
     assert S.T2O_DATATYPE_RULES == S.M2O_DATATYPE_RULES
     assert len(S.O2T_DATATYPE_RULES) == len(S.O2M_DATATYPE_RULES)
+
+
+def test_default_value_rules():
+    assert S.map_default_value("SYSDATE") == "NOW()"
+    assert S.map_default_value("SYS_GUID()") == "UUID()"
+    assert S.map_default_value("") == "NULL"
+    assert S.map_default_value("'x'") == "'x'"            # literal passes through
+    assert S.map_default_value(None) is None
+    assert S.map_default_value("CURRENT_TIMESTAMP", "m2o") == "SYSDATE"
+    assert S.map_default_value("NULL", "m2o") == "NULL"

@@ -582,3 +582,76 @@ def approx_percentile_profile(df: DataFrame, cols: list[str],
     return out.select(
         "column_name",
         *[F.col("qs")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)])
+
+
+# ---------------------------------------------------------------------------
+# O2M compatibility matrix (reference model/buildin/
+# buildin_rule_compatible.go:22-565): can each harvested object kind
+# migrate to a MySQL-compatible target as-is (compatible) and/or be
+# auto-converted (convertible)?  The assessment report joins the
+# object inventory against this matrix.
+# ---------------------------------------------------------------------------
+
+#: (category, object_name, is_compatible, is_convertible)
+O2M_COMPATIBLE_RULES: list[tuple[str, str, bool, bool]] = [
+    ("charset", "AL32UTF8", True, True),
+    ("charset", "ZHS16GBK", True, True),
+    ("table_type", "HEAP", True, True),
+    ("table_type", "CLUSTERED", False, True),
+    ("table_type", "TEMPORARY", True, True),
+    ("table_type", "PARTITIONED", True, True),
+    ("constraint_type", "P", True, True),
+    ("constraint_type", "U", True, True),
+    ("constraint_type", "C", False, True),
+    ("constraint_type", "F", False, True),
+    ("index_type", "NORMAL", True, True),
+    ("index_type", "FUNCTION-BASED NORMAL", False, True),
+    ("index_type", "BITMAP", False, False),
+    ("index_type", "FUNCTION-BASED BITMAP", False, False),
+    ("index_type", "DOMAIN", False, False),
+    ("object_type", "VIEW", True, True),
+    ("object_type", "MATERIALIZED VIEW", False, False),
+    ("object_type", "CLUSTER", False, False),
+    ("object_type", "FUNCTION", False, False),
+    ("object_type", "JOB", False, False),
+    ("object_type", "LOB", True, False),
+    ("object_type", "PACKAGE", False, False),
+    ("object_type", "PACKAGE BODY", False, False),
+    ("object_type", "PROCEDURE", False, False),
+    ("object_type", "SEQUENCE", False, False),
+    ("object_type", "TRIGGER", False, False),
+    ("object_type", "TYPE", False, False),
+    ("object_type", "SYNONYM", False, False),
+    ("object_type", "DATABASE LINK", False, False),
+    ("partition_type", "RANGE", True, False),
+    ("partition_type", "LIST", True, False),
+    ("partition_type", "HASH", True, False),
+    ("partition_type", "SYSTEM", False, False),
+    ("partition_type", "REFERENCE", False, False),
+    ("partition_type", "COMPOSITE", False, False),
+    ("partition_type", "INTERVAL", False, False),
+    ("partition_type", "RANGE-HASH", False, False),
+    ("partition_type", "RANGE-LIST", False, False),
+    ("partition_type", "LIST-HASH", False, False),
+    ("partition_type", "LIST-LIST", False, False),
+    ("temp_table_type", "SYS$SESSION", False, False),
+    ("temp_table_type", "SYS$TRANSACTION", False, False),
+]
+
+
+def compatibility_report(objects: DataFrame) -> DataFrame:
+    """Join a harvested object inventory (category, object_name,
+    n_objects) against the compatibility matrix: per object kind, the
+    count plus the compatible/convertible verdict (NULL verdicts =
+    kind unknown to the matrix -> manual review).  Matrix broadcast;
+    one join, no shuffle beyond the inventory's own aggregation."""
+    spark = objects.sparkSession
+    rules = spark.createDataFrame(
+        O2M_COMPATIBLE_RULES,
+        "category string, object_name string, is_compatible boolean, "
+        "is_convertible boolean")
+    return (
+        objects.join(F.broadcast(rules), ["category", "object_name"], "left")
+        .select("category", "object_name", "n_objects",
+                "is_compatible", "is_convertible")
+    )

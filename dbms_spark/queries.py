@@ -5886,3 +5886,57 @@ def q176_pg_datatype_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(v) for v in [100, 300, 20000, 5000000, 10]]),
             (F.col("c_custkey") % 5 + 1).cast("int")).cast("bigint").alias("char_len"))
     return pg_datatype_rule_join(cat, spark)
+
+
+# ---------------------------------------------------------------------------
+# q177 — migration compatibility report: a harvested object inventory
+# joined against the O2M compatibility matrix (75-entry rules-as-data,
+# reference buildin_rule_compatible.go) — the verdict table at the
+# heart of the reference's assessment HTML report.
+# ---------------------------------------------------------------------------
+
+def _q177_sql() -> str:
+    from dbms_spark.operators.assess import O2M_COMPATIBLE_RULES
+
+    rules = ",\n".join(
+        f"  ('{c}', '{n}', {str(a).upper()}, {str(b).upper()})"
+        for c, n, a, b in O2M_COMPATIBLE_RULES)
+    return f"""
+WITH inv AS (
+  SELECT CASE o_orderkey % 4
+           WHEN 0 THEN 'index_type' WHEN 1 THEN 'object_type'
+           WHEN 2 THEN 'partition_type' ELSE 'constraint_type' END AS category,
+         CASE o_orderkey % 7
+           WHEN 0 THEN 'NORMAL' WHEN 1 THEN 'BITMAP' WHEN 2 THEN 'VIEW'
+           WHEN 3 THEN 'SEQUENCE' WHEN 4 THEN 'RANGE' WHEN 5 THEN 'P'
+           ELSE 'JSON INDEX' END AS object_name,
+         CAST(COUNT(*) AS BIGINT) AS n_objects
+  FROM orders WHERE o_orderkey % 6 = 0
+  GROUP BY category, object_name
+),
+rules(category, object_name, is_compatible, is_convertible) AS (VALUES
+{rules})
+SELECT i.category, i.object_name, i.n_objects, r.is_compatible, r.is_convertible
+FROM inv i LEFT JOIN rules r
+  ON i.category = r.category AND i.object_name = r.object_name
+"""
+
+
+@register("q177_compatibility_report", _q177_sql())
+def q177_compatibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import compatibility_report
+
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 6 = 0")
+    cat = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["index_type", "object_type", "partition_type", "constraint_type"]]),
+        (F.col("o_orderkey") % 4 + 1).cast("int"))
+    name = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["NORMAL", "BITMAP", "VIEW", "SEQUENCE", "RANGE", "P",
+                   "JSON INDEX"]]),
+        (F.col("o_orderkey") % 7 + 1).cast("int"))
+    inv = (o.select(cat.alias("category"), name.alias("object_name"))
+           .groupBy("category", "object_name")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_objects")))
+    return compatibility_report(inv)

@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser("status")
+    sp.add_argument("--ledger", required=True)
+    sp.add_argument("--task", default="default")
+
     sp = sub.add_parser("cdc")
     sp.add_argument("--events", required=True, help="dir of CDC JSON envelope files")
     sp.add_argument("--store", required=True)
@@ -187,6 +191,19 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in column_profile(spark, args.sf_dir, args.table).collect()]
         print(json.dumps({"verb": "profile", "table": args.table, "columns": rows},
                          default=str))
+        return 0
+
+    if args.verb == "status":
+        from pyspark.sql import functions as F
+
+        from dbms_spark.operators.migrate import ChunkLedger
+
+        led = ChunkLedger(spark, args.ledger, args.task)
+        st = led.state().groupBy("status").agg(
+            F.count(F.lit(1)).alias("chunks"), F.sum("rows").alias("rows"))
+        out = {r["status"]: {"chunks": r["chunks"], "rows": r["rows"]}
+               for r in st.collect()}
+        print(json.dumps({"verb": "status", "task": args.task, "by_status": out}))
         return 0
 
     if args.verb == "cdc":

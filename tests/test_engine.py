@@ -237,3 +237,19 @@ def test_cli_cdc_verb(spark, tmp_path, capsys):
                "--table", "t", "--keys", "id", "--row-schema", "id bigint, v string"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["rows"] == 1 and out["watermark"] == 2
+
+
+def test_cli_status_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame([(i,) for i in range(30)], "id long").write.parquet(src)
+    rc = main(["migrate", "--src", src, "--out", str(tmp_path / "o"),
+               "--keys", "id", "--chunks", "3", "--ledger", str(tmp_path / "led")])
+    capsys.readouterr()
+    rc = main(["status", "--ledger", str(tmp_path / "led")])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["by_status"]["done"]["chunks"] == 3
+    assert out["by_status"]["done"]["rows"] == 30

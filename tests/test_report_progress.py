@@ -40,3 +40,18 @@ def test_assess_report_escapes_html(spark):
 def test_batch_progress_snapshot(spark):
     p = batch_progress(spark)   # idle session: zeros, but shape is valid
     assert p.active_jobs >= 0 and p.num_tasks >= 0
+
+
+def test_gates_md_in_sync():
+    """docs/GATES.md must match a fresh regeneration — a new @register
+    without running tools/gen_gates_md.py fails here."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    before = open(os.path.join(repo, "docs", "GATES.md")).read()
+    subprocess.run([sys.executable, os.path.join(repo, "tools", "gen_gates_md.py")],
+                   check=True, capture_output=True)
+    after = open(os.path.join(repo, "docs", "GATES.md")).read()
+    assert before == after, "docs/GATES.md is stale — run tools/gen_gates_md.py"

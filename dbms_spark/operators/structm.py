@@ -697,3 +697,109 @@ def map_default_value(default: str | None, direction: str = "o2m") -> str | None
         return None
     rules = O2M_DEFAULTVAL_RULES if direction == "o2m" else M2O_DEFAULTVAL_RULES
     return rules.get(default.strip(), default)
+
+
+# ---------------------------------------------------------------------------
+# Sequence migration (reference: database/processor/
+# struct_migrate_task.go:1142-1210, catalog read database/oracle/
+# struct_migrate.go:333-370 GetDatabaseSequences/GetDatabaseSequenceName)
+#
+# The one non-obvious semantic is the START headroom: the source's
+# in-flight sequence cache may already have handed out values past
+# LAST_NUMBER, so the target must start beyond any value the source
+# could have issued — NOCACHE sequences get a flat +5000 pad,
+# cached sequences get +2*CACHE_SIZE (struct_migrate_task.go:1157-1162).
+# MAX_VALUE >= 2^63-1 (Oracle's default is 10^28-1) exceeds the
+# MySQL-compatible BIGINT sequence domain and renders as NOMAXVALUE
+# (:1181-1198).
+# ---------------------------------------------------------------------------
+
+#: MySQL-compatible sequence ceiling (math.MaxInt64 in the reference)
+_SEQ_MAX_BIGINT = 9223372036854775807
+
+
+@dataclass(frozen=True)
+class SequenceSpec:
+    name: str
+    last_number: int
+    increment_by: int = 1
+    min_value: int = 1
+    max_value: str = "9999999999999999999999999999"  # Oracle default 10^28-1
+    cache_size: int = 20
+    cycle: bool = False
+
+
+def sequences_to_df(spark, schema: str, seqs: list[SequenceSpec]) -> DataFrame:
+    """Harvested DBA_SEQUENCES rows as a DataFrame (max_value is a
+    string column: Oracle's default 10^28-1 overflows BIGINT)."""
+    rows = [
+        (schema, s.name, s.last_number, s.increment_by, s.min_value,
+         s.max_value, s.cache_size, s.cycle)
+        for s in seqs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "schema_name string, sequence_name string, last_number bigint, "
+        "increment_by bigint, min_value bigint, max_value string, "
+        "cache_size bigint, cycle boolean",
+    )
+
+
+def sequence_migrate(seqs: DataFrame, target_schema: str,
+                     if_not_exists: bool = False) -> DataFrame:
+    """(sequence_name, start_with, ddl) for every harvested sequence —
+    the target-side CREATE SEQUENCE statements of a struct migration.
+
+    All per-row logic is JVM-side column expressions; at scale this is
+    a map-only pass over the (tiny) sequence catalog."""
+    start = (F.col("last_number")
+             + F.when(F.col("cache_size") == 0, F.lit(5000))
+             .otherwise(F.col("cache_size") * 2)).cast("bigint")
+    max_flag = F.when(
+        F.col("max_value").try_cast(T.DecimalType(38, 0))
+        >= F.lit(_SEQ_MAX_BIGINT).cast(T.DecimalType(38, 0)),
+        F.lit("NOMAXVALUE"),
+    ).otherwise(F.concat(F.lit("MAXVALUE "), F.col("max_value")))
+    cache_flag = F.when(F.col("cache_size") == 0, F.lit("NOCACHE")) \
+        .otherwise(F.concat(F.lit("CACHE "), F.col("cache_size").cast("string")))
+    cycle_flag = F.when(F.col("cycle"), F.lit("CYCLE")).otherwise(F.lit("NOCYCLE"))
+    create = "CREATE SEQUENCE IF NOT EXISTS" if if_not_exists else "CREATE SEQUENCE"
+    ddl = F.concat_ws(
+        " ",
+        F.lit(create),
+        F.concat(F.lit(target_schema), F.lit("."), F.col("sequence_name")),
+        F.lit("START"), start.cast("string"),
+        F.lit("INCREMENT"), F.col("increment_by").cast("string"),
+        F.lit("MINVALUE"), F.col("min_value").cast("string"),
+        max_flag, cache_flag, cycle_flag,
+    )
+    return seqs.select(
+        "sequence_name",
+        start.alias("start_with"),
+        F.concat(ddl, F.lit(";")).alias("ddl"),
+    )
+
+
+def sequence_migrate_sql(seqs_sql: str, target_schema: str,
+                         if_not_exists: bool = False) -> str:
+    """DuckDB twin of :func:`sequence_migrate` over a relation with the
+    :func:`sequences_to_df` column set."""
+    create = "CREATE SEQUENCE IF NOT EXISTS" if if_not_exists else "CREATE SEQUENCE"
+    return f"""
+SELECT sequence_name,
+       CAST(last_number + CASE WHEN cache_size = 0 THEN 5000 ELSE cache_size * 2 END
+            AS BIGINT) AS start_with,
+       '{create} {target_schema}.' || sequence_name
+         || ' START ' || CAST(last_number
+              + CASE WHEN cache_size = 0 THEN 5000 ELSE cache_size * 2 END AS VARCHAR)
+         || ' INCREMENT ' || CAST(increment_by AS VARCHAR)
+         || ' MINVALUE ' || CAST(min_value AS VARCHAR)
+         || ' ' || CASE WHEN TRY_CAST(max_value AS DECIMAL(38,0))
+                        >= CAST({_SEQ_MAX_BIGINT} AS DECIMAL(38,0))
+                   THEN 'NOMAXVALUE' ELSE 'MAXVALUE ' || max_value END
+         || ' ' || CASE WHEN cache_size = 0 THEN 'NOCACHE'
+                   ELSE 'CACHE ' || CAST(cache_size AS VARCHAR) END
+         || ' ' || CASE WHEN cycle THEN 'CYCLE' ELSE 'NOCYCLE' END
+         || ';' AS ddl
+FROM ({seqs_sql})
+"""

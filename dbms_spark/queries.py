@@ -5999,3 +5999,50 @@ def q178_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("string").alias("missing_day"),
                 pred.alias("predicate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — sequence migration DDL: harvested DBA_SEQUENCES specs ->
+# target CREATE SEQUENCE statements with the cache-headroom START
+# adjustment (NOCACHE +5000, cached +2*CACHE_SIZE) and the
+# BIGINT-ceiling NOMAXVALUE rule (operators/structm.py, reference
+# struct_migrate_task.go:1142-1210).  Literal catalog exercises every
+# branch: huge default MAXVALUE, exact-int64 boundary, kept MAXVALUE,
+# NOCACHE, CYCLE.
+# ---------------------------------------------------------------------------
+
+#: (name, last_number, increment_by, min_value, max_value, cache_size, cycle)
+_SEQ_CATALOG = [
+    ("seq_orders", 150000, 1, 1, "9999999999999999999999999999", 20, False),
+    ("seq_lineitem", 600572, 1, 1, "9223372036854775807", 0, False),
+    ("seq_events", 250000, 5, 1, "1000000000", 100, True),
+    ("seq_audit", 42, 1, 1, "99999", 0, True),
+    ("seq_parts", 20000, 2, 100, "9223372036854775806", 500, False),
+]
+
+
+def _q179_sql() -> str:
+    from dbms_spark.operators.structm import sequence_migrate_sql
+
+    vals = ", ".join(
+        f"('ODS', '{n}', {ln}, {inc}, {mn}, '{mx}', {cs}, {str(cy).upper()})"
+        for n, ln, inc, mn, mx, cs, cy in _SEQ_CATALOG
+    )
+    seqs = (
+        "SELECT * FROM (VALUES " + vals + ") AS s(schema_name, sequence_name, "
+        "last_number, increment_by, min_value, max_value, cache_size, cycle)"
+    )
+    return sequence_migrate_sql(seqs, "DWH", if_not_exists=True)
+
+
+@register("q179_sequence_migrate", _q179_sql())
+def q179_sequence_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import (
+        SequenceSpec, sequence_migrate, sequences_to_df)
+
+    seqs = sequences_to_df(spark, "ODS", [
+        SequenceSpec(n, last_number=ln, increment_by=inc, min_value=mn,
+                     max_value=mx, cache_size=cs, cycle=cy)
+        for n, ln, inc, mn, mx, cs, cy in _SEQ_CATALOG
+    ])
+    return sequence_migrate(seqs, "DWH", if_not_exists=True)

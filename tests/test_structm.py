@@ -247,3 +247,30 @@ def test_default_value_rules():
     assert S.map_default_value(None) is None
     assert S.map_default_value("CURRENT_TIMESTAMP", "m2o") == "SYSDATE"
     assert S.map_default_value("NULL", "m2o") == "NULL"
+
+
+def test_sequence_migrate(spark):
+    """Cache-headroom START, NOMAXVALUE at the BIGINT ceiling, and
+    flag rendering (reference struct_migrate_task.go:1142-1210)."""
+    seqs = S.sequences_to_df(spark, "ODS", [
+        S.SequenceSpec("s_cached", last_number=100, cache_size=20),
+        S.SequenceSpec("s_nocache", last_number=100, cache_size=0,
+                       max_value="9223372036854775807"),
+        S.SequenceSpec("s_kept", last_number=10, increment_by=3, min_value=5,
+                       max_value="500000", cache_size=7, cycle=True),
+    ])
+    out = {r["sequence_name"]: r for r in S.sequence_migrate(seqs, "DWH").collect()}
+    # cached: +2*cache; nocache: +5000
+    assert out["s_cached"]["start_with"] == 140
+    assert out["s_nocache"]["start_with"] == 5100
+    # Oracle default 10^28-1 and the exact int64 ceiling both exceed
+    # the MySQL-compatible BIGINT domain
+    assert "NOMAXVALUE" in out["s_cached"]["ddl"]
+    assert "NOMAXVALUE" in out["s_nocache"]["ddl"]
+    assert "NOCACHE" in out["s_nocache"]["ddl"]
+    assert out["s_kept"]["ddl"] == (
+        "CREATE SEQUENCE DWH.s_kept START 24 INCREMENT 3 MINVALUE 5 "
+        "MAXVALUE 500000 CACHE 7 CYCLE;")
+    # IF NOT EXISTS variant (CreateIfNotExist task param)
+    ine = S.sequence_migrate(seqs, "DWH", if_not_exists=True).collect()
+    assert all(r["ddl"].startswith("CREATE SEQUENCE IF NOT EXISTS DWH.") for r in ine)

@@ -803,3 +803,176 @@ SELECT sequence_name,
          || ';' AS ddl
 FROM ({seqs_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# Foreign-key / check-constraint struct compare (reference:
+# database/processor/struct_compare_table.go:535-620
+# CompareTableForeignConstraint, :622-705 CompareTableCheckConstraint —
+# constraints diffed by DEFINITION, target-only entries dropped,
+# source-only entries added, FK rule precedence ON DELETE before
+# ON UPDATE as in the reference's three-way render)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ForeignKeySpec:
+    name: str
+    columns: tuple[str, ...]
+    ref_schema: str
+    ref_table: str
+    ref_columns: tuple[str, ...]
+    delete_rule: str = ""          # e.g. CASCADE / SET NULL; '' = unspecified
+    update_rule: str = ""
+
+
+def fks_to_df(spark, table: str, fks: list[ForeignKeySpec]) -> DataFrame:
+    rows = [
+        (table, k.name, ",".join(k.columns), k.ref_schema, k.ref_table,
+         ",".join(k.ref_columns), k.delete_rule, k.update_rule)
+        for k in fks
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, fk_name string, columns string, ref_schema string, "
+        "ref_table string, ref_columns string, delete_rule string, update_rule string",
+    )
+
+
+_FK_KEY = ["table_name", "columns", "ref_schema", "ref_table", "ref_columns",
+           "delete_rule", "update_rule"]
+
+
+def fk_compare(src: DataFrame, dst: DataFrame, target_schema: str) -> DataFrame:
+    """FK diff keyed on the full definition (columns + referenced
+    relation + rules — names routinely differ across engines); a
+    definition drift therefore emits one ADD and one DROP, exactly the
+    reference's add/del pair."""
+    s = src.select(*_FK_KEY, F.col("fk_name").alias("src_name"))
+    d = dst.select(*_FK_KEY, F.col("fk_name").alias("dst_name"))
+    j = s.join(d, _FK_KEY, "full_outer")
+    kind = (
+        F.when(F.col("dst_name").isNull(), "ADD")
+        .when(F.col("src_name").isNull(), "DROP")
+        .otherwise("OK")
+    )
+    rule = (
+        F.when(F.col("delete_rule") != "",
+               F.concat(F.lit(" ON DELETE "), F.col("delete_rule")))
+        .when(F.col("update_rule") != "",
+              F.concat(F.lit(" ON UPDATE "), F.col("update_rule")))
+        .otherwise(F.lit(""))
+    )
+    tbl = F.concat(F.lit(target_schema), F.lit("."), F.col("table_name"))
+    ddl = (
+        F.when(kind == "ADD",
+               F.concat(F.lit("ALTER TABLE "), tbl,
+                        F.lit(" ADD FOREIGN KEY ("), F.col("columns"),
+                        F.lit(") REFERENCES "), F.col("ref_schema"), F.lit("."),
+                        F.col("ref_table"), F.lit("("), F.col("ref_columns"),
+                        F.lit(")"), rule, F.lit(";")))
+        .when(kind == "DROP",
+              F.concat(F.lit("ALTER TABLE "), tbl, F.lit(" DROP FOREIGN KEY "),
+                       F.col("dst_name"), F.lit(";")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        j.select("table_name", "columns", kind.alias("kind"), ddl.alias("alter_sql"))
+        .filter(F.col("kind") != "OK")
+    )
+
+
+def fk_compare_sql(src_sql: str, dst_sql: str, target_schema: str) -> str:
+    """DuckDB twin of :func:`fk_compare` over relations with the
+    :func:`fks_to_df` column set."""
+    key = ", ".join(_FK_KEY)
+    using = " AND ".join(f"s.{c} = d.{c}" for c in _FK_KEY)
+    return f"""
+WITH s AS (SELECT {key}, fk_name AS src_name FROM ({src_sql})),
+d AS (SELECT {key}, fk_name AS dst_name FROM ({dst_sql})),
+j AS (
+  SELECT COALESCE(s.table_name, d.table_name) AS table_name,
+         COALESCE(s.columns, d.columns) AS columns,
+         COALESCE(s.ref_schema, d.ref_schema) AS ref_schema,
+         COALESCE(s.ref_table, d.ref_table) AS ref_table,
+         COALESCE(s.ref_columns, d.ref_columns) AS ref_columns,
+         COALESCE(s.delete_rule, d.delete_rule) AS delete_rule,
+         COALESCE(s.update_rule, d.update_rule) AS update_rule,
+         s.src_name, d.dst_name
+  FROM s FULL OUTER JOIN d ON {using}
+)
+SELECT table_name, columns,
+       CASE WHEN dst_name IS NULL THEN 'ADD' ELSE 'DROP' END AS kind,
+       CASE WHEN dst_name IS NULL THEN
+         'ALTER TABLE {target_schema}.' || table_name || ' ADD FOREIGN KEY ('
+         || columns || ') REFERENCES ' || ref_schema || '.' || ref_table
+         || '(' || ref_columns || ')'
+         || CASE WHEN delete_rule <> '' THEN ' ON DELETE ' || delete_rule
+                 WHEN update_rule <> '' THEN ' ON UPDATE ' || update_rule
+                 ELSE '' END || ';'
+       ELSE
+         'ALTER TABLE {target_schema}.' || table_name || ' DROP FOREIGN KEY '
+         || dst_name || ';'
+       END AS alter_sql
+FROM j WHERE src_name IS NULL OR dst_name IS NULL
+"""
+
+
+def checks_to_df(spark, table: str, checks: list[tuple[str, str]]) -> DataFrame:
+    """(name, expression) check constraints as a DataFrame."""
+    rows = [(table, n, e) for n, e in checks]
+    return spark.createDataFrame(
+        rows, "table_name string, check_name string, expression string")
+
+
+def check_compare(src: DataFrame, dst: DataFrame, target_schema: str) -> DataFrame:
+    """Check-constraint diff keyed on the expression text (the
+    reference compares the ConstraintExpression payloads,
+    struct_compare_table.go:638)."""
+    key = ["table_name", "expression"]
+    s = src.select(*key, F.col("check_name").alias("src_name"))
+    d = dst.select(*key, F.col("check_name").alias("dst_name"))
+    j = s.join(d, key, "full_outer")
+    kind = (
+        F.when(F.col("dst_name").isNull(), "ADD")
+        .when(F.col("src_name").isNull(), "DROP")
+        .otherwise("OK")
+    )
+    tbl = F.concat(F.lit(target_schema), F.lit("."), F.col("table_name"))
+    ddl = (
+        F.when(kind == "ADD",
+               F.concat(F.lit("ALTER TABLE "), tbl, F.lit(" ADD CONSTRAINT "),
+                        F.col("src_name"), F.lit(" CHECK "),
+                        F.col("expression"), F.lit(";")))
+        .when(kind == "DROP",
+              F.concat(F.lit("ALTER TABLE "), tbl, F.lit(" DROP CHECK "),
+                       F.col("dst_name"), F.lit(";")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        j.select("table_name", "expression", kind.alias("kind"), ddl.alias("alter_sql"))
+        .filter(F.col("kind") != "OK")
+    )
+
+
+def check_compare_sql(src_sql: str, dst_sql: str, target_schema: str) -> str:
+    return f"""
+WITH s AS (SELECT table_name, expression, check_name AS src_name FROM ({src_sql})),
+d AS (SELECT table_name, expression, check_name AS dst_name FROM ({dst_sql})),
+j AS (
+  SELECT COALESCE(s.table_name, d.table_name) AS table_name,
+         COALESCE(s.expression, d.expression) AS expression,
+         s.src_name, d.dst_name
+  FROM s FULL OUTER JOIN d ON s.table_name = d.table_name AND s.expression = d.expression
+)
+SELECT table_name, expression,
+       CASE WHEN dst_name IS NULL THEN 'ADD' ELSE 'DROP' END AS kind,
+       CASE WHEN dst_name IS NULL THEN
+         'ALTER TABLE {target_schema}.' || table_name || ' ADD CONSTRAINT '
+         || src_name || ' CHECK ' || expression || ';'
+       ELSE
+         'ALTER TABLE {target_schema}.' || table_name || ' DROP CHECK '
+         || dst_name || ';'
+       END AS alter_sql
+FROM j WHERE src_name IS NULL OR dst_name IS NULL
+"""

@@ -6046,3 +6046,72 @@ def q179_sequence_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n, ln, inc, mn, mx, cs, cy in _SEQ_CATALOG
     ])
     return sequence_migrate(seqs, "DWH", if_not_exists=True)
+
+
+# ---------------------------------------------------------------------------
+# q180 — FK + check constraint struct compare: definition-keyed diff
+# of two harvested constraint catalogs emitting ALTER ADD/DROP pairs
+# (operators/structm.fk_compare/check_compare; reference
+# struct_compare_table.go:535-705).  A drifted delete-rule shows up as
+# the reference's add/del pair; name-only drift is NOT a diff.
+# ---------------------------------------------------------------------------
+
+#: (name, cols, ref_schema, ref_table, ref_cols, delete_rule, update_rule)
+_FK_SRC = [
+    ("fk_ord_cust", "o_custkey", "ODS", "customer", "c_custkey", "CASCADE", ""),
+    ("fk_li_ord", "l_orderkey", "ODS", "orders", "o_orderkey", "", "RESTRICT"),
+    ("fk_li_part", "l_partkey", "ODS", "part", "p_partkey", "", ""),
+]
+_FK_DST = [
+    # same definition, different name -> NOT a diff
+    ("fk_ord_cust_v2", "o_custkey", "ODS", "customer", "c_custkey", "CASCADE", ""),
+    # delete-rule drift -> ADD (src form) + DROP (dst form)
+    ("fk_li_ord", "l_orderkey", "ODS", "orders", "o_orderkey", "SET NULL", ""),
+    # target-only -> DROP
+    ("fk_li_supp", "l_suppkey", "ODS", "supplier", "s_suppkey", "", ""),
+]
+_CK_SRC = [("ck_qty_pos", "(l_quantity > 0)"), ("ck_price_pos", "(l_extendedprice > 0)")]
+_CK_DST = [("ck_qty_pos", "(l_quantity > 0)"), ("ck_disc", "(l_discount >= 0)")]
+
+
+def _q180_sql() -> str:
+    from dbms_spark.operators.structm import check_compare_sql, fk_compare_sql
+
+    def fk_vals(rows, tbl):
+        vals = ", ".join(
+            f"('{tbl}', '{n}', '{c}', '{rs}', '{rt}', '{rc}', '{dr}', '{ur}')"
+            for n, c, rs, rt, rc, dr, ur in rows)
+        return ("SELECT * FROM (VALUES " + vals + ") AS f(table_name, fk_name, "
+                "columns, ref_schema, ref_table, ref_columns, delete_rule, update_rule)")
+
+    def ck_vals(rows, tbl):
+        vals = ", ".join(f"('{tbl}', '{n}', '{e}')" for n, e in rows)
+        return ("SELECT * FROM (VALUES " + vals
+                + ") AS c(table_name, check_name, expression)")
+
+    fk = fk_compare_sql(fk_vals(_FK_SRC, "lineitem"), fk_vals(_FK_DST, "lineitem"), "DWH")
+    ck = check_compare_sql(ck_vals(_CK_SRC, "lineitem"), ck_vals(_CK_DST, "lineitem"), "DWH")
+    return f"""
+SELECT 'FK' AS object_type, kind, alter_sql FROM ({fk})
+UNION ALL
+SELECT 'CHECK' AS object_type, kind, alter_sql FROM ({ck})
+"""
+
+
+@register("q180_fk_check_compare", _q180_sql())
+def q180_fk_check_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import (
+        ForeignKeySpec, check_compare, checks_to_df, fk_compare, fks_to_df)
+
+    def fk_df(rows):
+        return fks_to_df(spark, "lineitem", [
+            ForeignKeySpec(n, tuple(c.split(",")), rs, rt, tuple(rc.split(",")),
+                           delete_rule=dr, update_rule=ur)
+            for n, c, rs, rt, rc, dr, ur in rows])
+
+    fk = fk_compare(fk_df(_FK_SRC), fk_df(_FK_DST), "DWH") \
+        .select(F.lit("FK").alias("object_type"), "kind", "alter_sql")
+    ck = check_compare(checks_to_df(spark, "lineitem", _CK_SRC),
+                       checks_to_df(spark, "lineitem", _CK_DST), "DWH") \
+        .select(F.lit("CHECK").alias("object_type"), "kind", "alter_sql")
+    return fk.unionAll(ck)

@@ -274,3 +274,37 @@ def test_sequence_migrate(spark):
     # IF NOT EXISTS variant (CreateIfNotExist task param)
     ine = S.sequence_migrate(seqs, "DWH", if_not_exists=True).collect()
     assert all(r["ddl"].startswith("CREATE SEQUENCE IF NOT EXISTS DWH.") for r in ine)
+
+
+def test_fk_check_compare(spark):
+    """Definition-keyed FK/check diff (struct_compare_table.go:535-705):
+    name-only drift is no diff; rule drift is an ADD+DROP pair."""
+    src = S.fks_to_df(spark, "t", [
+        S.ForeignKeySpec("fk_a", ("x",), "S", "r", ("rx",), delete_rule="CASCADE"),
+        S.ForeignKeySpec("fk_b", ("y",), "S", "q", ("qy",)),
+    ])
+    dst = S.fks_to_df(spark, "t", [
+        S.ForeignKeySpec("fk_a_renamed", ("x",), "S", "r", ("rx",), delete_rule="CASCADE"),
+        S.ForeignKeySpec("fk_b", ("y",), "S", "q", ("qy",), update_rule="RESTRICT"),
+    ])
+    rows = S.fk_compare(src, dst, "T").collect()
+    kinds = sorted(r["kind"] for r in rows)
+    assert kinds == ["ADD", "DROP"]          # fk_a name drift invisible
+    add = next(r for r in rows if r["kind"] == "ADD")
+    assert add["alter_sql"] == \
+        "ALTER TABLE T.t ADD FOREIGN KEY (y) REFERENCES S.q(qy);"
+    drop = next(r for r in rows if r["kind"] == "DROP")
+    assert drop["alter_sql"] == "ALTER TABLE T.t DROP FOREIGN KEY fk_b;"
+    # ON DELETE takes precedence over ON UPDATE in the render
+    both = S.fks_to_df(spark, "t", [
+        S.ForeignKeySpec("fk_c", ("z",), "S", "r", ("rz",),
+                         delete_rule="SET NULL", update_rule="RESTRICT")])
+    out = S.fk_compare(both, both.limit(0), "T").collect()
+    assert "ON DELETE SET NULL" in out[0]["alter_sql"]
+    assert "ON UPDATE" not in out[0]["alter_sql"]
+
+    cs = S.checks_to_df(spark, "t", [("ck1", "(a > 0)")])
+    cd = S.checks_to_df(spark, "t", [("ck2", "(b > 0)")])
+    ck = {r["kind"]: r["alter_sql"] for r in S.check_compare(cs, cd, "T").collect()}
+    assert ck["ADD"] == "ALTER TABLE T.t ADD CONSTRAINT ck1 CHECK (a > 0);"
+    assert ck["DROP"] == "ALTER TABLE T.t DROP CHECK ck2;"

@@ -5,11 +5,20 @@ step when the key itself is unreliable, e.g. merging customer masters
 from two systems).
 
 Scale shape: candidate generation is a BLOCKED equi-join — records
-only meet inside a block (coarse key: e.g. nation + name prefix), the
+only meet inside a block (coarse key: e.g. nation + name suffix), the
 same O(block²)-not-O(n²) trick as LSH banding, with the block key as
 the shuffle key.  Scoring is per-pair map-side arithmetic
 (levenshtein + numeric deltas — both engines implement plain
 Levenshtein identically, so the gate hash-matches).
+
+Block-key choice is load-bearing: a key sharing a common constant
+across the corpus (e.g. a name PREFIX over "Customer#…" data)
+silently degenerates to one giant block per coarse group and the join
+goes quadratic (docs/SCALE.md "Blocking-key degeneracy").  Before
+shipping a block key, measure its candidate-pair count with the
+per-key cardinality-product estimate (the q136_join_size_estimate
+machinery): sum over blocks of |L_b|*|R_b| IS the exact pair count
+the verify stage will score.
 """
 
 from __future__ import annotations

@@ -655,3 +655,61 @@ def compatibility_report(objects: DataFrame) -> DataFrame:
         .select("category", "object_name", "n_objects",
                 "is_compatible", "is_convertible")
     )
+
+
+def object_name_length_over_limit(df: DataFrame, name_col: str,
+                                  object_type: str, limit: int) -> DataFrame:
+    """Generic identifier-length check — the reference ships six
+    near-identical dictionary queries (Username/TableName/ColumnName/
+    IndexName/ViewName/SequenceName LengthOverLimit,
+    assess_migrate.go:679-841); here they are ONE operator
+    parameterized by catalog + name column, instantiated per object
+    family by the caller."""
+    return (
+        df.select(
+            F.lit(object_type).alias("object_type"),
+            F.col(name_col).alias("object_name"),
+            F.length(name_col).cast("bigint").alias("name_length"),
+        )
+        .filter(F.col("name_length") > limit)
+    )
+
+
+def index_counts_over_limit(idx_df: DataFrame, limit: int) -> DataFrame:
+    """Tables carrying more indexes than the target tolerates
+    (reference: GetDatabaseSchemaTableIndexCountsOverLimit
+    assess_migrate.go:630) over an index-spec catalog
+    (:func:`structm.indexes_to_df`)."""
+    return (
+        idx_df.groupBy("table_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("index_counts"))
+        .filter(F.col("index_counts") > limit)
+    )
+
+
+def code_object_summary(code_df: DataFrame) -> DataFrame:
+    """Stored-code inventory rollup: objects and line mass per TYPE
+    (reference: GetDatabaseSchemaCodeObject assess_migrate.go:415 —
+    DBA_SOURCE max-line per object, here pre-harvested to
+    (object_name, object_type, lines) rows).  Code objects don't
+    migrate mechanically; this sizes the manual-rewrite backlog."""
+    return (
+        code_df.groupBy("object_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+            F.sum("lines").cast("bigint").alias("total_lines"),
+            F.max("lines").cast("bigint").alias("max_lines"),
+        )
+    )
+
+
+def partition_type_counts(parts_df: DataFrame) -> DataFrame:
+    """Partitioned-table counts per partition TYPE (reference:
+    GetDatabaseSchemaPartitionTypeCounts assess_migrate.go:1001) over
+    a partition-spec catalog (:func:`structm.partitions_to_df`) —
+    one row per (partition_type), counting TABLES not partitions."""
+    return (
+        parts_df.select("table_name", "partition_type").distinct()
+        .groupBy("partition_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tables"))
+    )

@@ -6115,3 +6115,141 @@ def q180_fk_check_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                        checks_to_df(spark, "lineitem", _CK_DST), "DWH") \
         .select(F.lit("CHECK").alias("object_type"), "kind", "alter_sql")
     return fk.unionAll(ck)
+
+
+# ---------------------------------------------------------------------------
+# q181-q184 — assessment pack 2: the reference's remaining dictionary
+# aggregations (assess_migrate.go:415-1036) as data over harvested
+# catalogs.  q181 folds the reference's six near-identical
+# *NameLengthOverLimit queries into ONE generic operator instantiated
+# per object family (index / sequence / view / user).
+# ---------------------------------------------------------------------------
+
+_VIEW_CATALOG = ["v_order_summary", "v_cust", "mv_daily_revenue_rollup"]
+_USER_CATALOG = ["ODS_LOADER", "APP", "ANALYTICS_READONLY"]
+_NAMELEN_LIMIT = 12
+
+#: (object_name, object_type, lines) — harvested DBA_SOURCE rollup
+_CODE_CATALOG = [
+    ("pkg_load", "PACKAGE BODY", 1200),
+    ("pkg_load", "PACKAGE", 150),
+    ("prc_refresh", "PROCEDURE", 300),
+    ("prc_merge", "PROCEDURE", 210),
+    ("fn_rate", "FUNCTION", 45),
+    ("trg_audit", "TRIGGER", 80),
+]
+
+#: (table_name, partition_type, partition_name, high_value)
+_PART_CATALOG = [
+    ("lineitem", "RANGE", "p2024q1", "2024-04-01"),
+    ("lineitem", "RANGE", "p2024q2", "2024-07-01"),
+    ("orders", "RANGE", "p2024h1", "2024-07-01"),
+    ("events", "HASH", "h0", "0"),
+    ("events", "HASH", "h1", "1"),
+    ("documents", "LIST", "l_en", "en"),
+]
+
+
+def _q181_sql() -> str:
+    def fam(names, otype):
+        vals = ", ".join(f"('{n}')" for n in names)
+        return (f"SELECT '{otype}' AS object_type, object_name, "
+                f"CAST(length(object_name) AS BIGINT) AS name_length "
+                f"FROM (VALUES {vals}) AS v(object_name) "
+                f"WHERE length(object_name) > {_NAMELEN_LIMIT}")
+
+    fams = [
+        fam([r[1] for r in _IDX_CATALOG], "INDEX"),
+        fam([r[0] for r in _SEQ_CATALOG], "SEQUENCE"),
+        fam(_VIEW_CATALOG, "VIEW"),
+        fam(_USER_CATALOG, "USER"),
+    ]
+    return "\nUNION ALL ".join(fams)
+
+
+@register("q181_object_name_length_over_limit", _q181_sql())
+def q181_object_name_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import object_name_length_over_limit
+
+    fams = [
+        (spark.createDataFrame([(r[1],) for r in _IDX_CATALOG], "object_name string"), "INDEX"),
+        (spark.createDataFrame([(r[0],) for r in _SEQ_CATALOG], "object_name string"), "SEQUENCE"),
+        (spark.createDataFrame([(v,) for v in _VIEW_CATALOG], "object_name string"), "VIEW"),
+        (spark.createDataFrame([(u,) for u in _USER_CATALOG], "object_name string"), "USER"),
+    ]
+    parts = [
+        object_name_length_over_limit(df, "object_name", otype, _NAMELEN_LIMIT)
+        for df, otype in fams
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_Q182_SQL = """
+WITH ix(table_name, index_name) AS (VALUES
+""" + ",\n".join(f"  ('{t}', '{n}')" for t, n, *_ in _IDX_CATALOG) + """
+)
+SELECT table_name, CAST(COUNT(*) AS BIGINT) AS index_counts
+FROM ix GROUP BY table_name HAVING COUNT(*) > 2
+"""
+
+
+@register("q182_index_counts_over_limit", _Q182_SQL)
+def q182_index_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import index_counts_over_limit
+    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
+
+    import itertools
+    dfs = [
+        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
+                                 for _, n, c, u, p in grp])
+        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
+    ]
+    idx = dfs[0]
+    for d in dfs[1:]:
+        idx = idx.unionAll(d)
+    return index_counts_over_limit(idx, limit=2)
+
+
+_Q183_SQL = """
+WITH code(object_name, object_type, lines) AS (VALUES
+""" + ",\n".join(f"  ('{n}', '{t}', {ln})" for n, t, ln in _CODE_CATALOG) + """
+)
+SELECT object_type, CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(lines) AS BIGINT) AS total_lines,
+       CAST(MAX(lines) AS BIGINT) AS max_lines
+FROM code GROUP BY object_type
+"""
+
+
+@register("q183_code_object_summary", _Q183_SQL)
+def q183_code_object_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import code_object_summary
+
+    code = spark.createDataFrame(
+        _CODE_CATALOG, "object_name string, object_type string, lines bigint")
+    return code_object_summary(code)
+
+
+_Q184_SQL = """
+WITH p(table_name, partition_type, partition_name, high_value) AS (VALUES
+""" + ",\n".join(
+    f"  ('{t}', '{pt}', '{pn}', '{hv}')" for t, pt, pn, hv in _PART_CATALOG
+) + """
+)
+SELECT partition_type, CAST(COUNT(*) AS BIGINT) AS n_tables
+FROM (SELECT DISTINCT table_name, partition_type FROM p)
+GROUP BY partition_type
+"""
+
+
+@register("q184_partition_type_counts", _Q184_SQL)
+def q184_partition_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import partition_type_counts
+
+    parts = spark.createDataFrame(
+        _PART_CATALOG,
+        "table_name string, partition_type string, partition_name string, high_value string")
+    return partition_type_counts(parts)

@@ -713,3 +713,51 @@ def partition_type_counts(parts_df: DataFrame) -> DataFrame:
         .groupBy("partition_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tables"))
     )
+
+
+#: byte-width ladder for index-length accounting (MySQL-ish widths;
+#: VARCHAR assumes a 255-char utf8mb4 prefix — the worst case InnoDB
+#: actually indexes)
+INDEX_BYTE_WIDTHS: list[tuple[str, int]] = [
+    ("BIGINT", 8), ("INTEGER", 4), ("SMALLINT", 2), ("TINYINT", 1),
+    ("DOUBLE", 8), ("FLOAT", 4), ("DECIMAL", 16), ("BOOLEAN", 1),
+    ("DATE", 3), ("TIMESTAMP", 7), ("VARCHAR", 1024), ("BLOB", 1024),
+]
+
+
+def index_length_over_limit(idx_df: DataFrame, catalog_df: DataFrame,
+                            limit: int) -> DataFrame:
+    """Indexes whose summed key byte width exceeds the target's limit
+    (reference: GetDatabaseSchemaTableIndexLengthOverLimit
+    assess_migrate.go:581; InnoDB caps index keys at 3072 bytes).
+
+    ``idx_df``: index-spec catalog (:func:`structm.indexes_to_df`,
+    ``columns`` comma-joined); ``catalog_df``: column catalog with
+    ``data_type`` (:func:`column_catalog`).  The width ladder is rule
+    DATA broadcast into the join, the explode is O(index columns) —
+    catalog-sized, never data-sized."""
+    spark = idx_df.sparkSession
+    widths = spark.createDataFrame(INDEX_BYTE_WIDTHS, "data_type string, byte_width int")
+    keyed = idx_df.select(
+        "table_name", "index_name",
+        F.explode(F.split("columns", ",")).alias("column_name"))
+    return (
+        keyed.join(catalog_df, ["table_name", "column_name"])
+        .join(F.broadcast(widths), "data_type", "left")
+        .groupBy("table_name", "index_name")
+        .agg(F.sum(F.coalesce("byte_width", F.lit(8))).cast("bigint")
+             .alias("index_bytes"))
+        .filter(F.col("index_bytes") > limit)
+    )
+
+
+def table_type_counts(types_df: DataFrame) -> DataFrame:
+    """Table counts per storage type — HEAP / PARTITIONED / TEMPORARY /
+    CLUSTERED / MATERIALIZED VIEW / EXTERNAL (reference:
+    GetDatabaseSchemaTableTypeCounts assess_migrate.go:841 plus the
+    TemporaryTableTypeCounts :1072 breakdown) over a harvested
+    (table_name, table_type) catalog."""
+    return (
+        types_df.groupBy("table_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counts"))
+    )

@@ -6253,3 +6253,95 @@ def q184_partition_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PART_CATALOG,
         "table_name string, partition_type string, partition_name string, high_value string")
     return partition_type_counts(parts)
+
+
+# ---------------------------------------------------------------------------
+# q185 — index key length over limit: index catalog exploded to key
+# columns, joined to the REAL parquet column catalog for datatypes,
+# widths applied as broadcast rule data (assess.index_length_over_limit;
+# reference assess_migrate.go:581, InnoDB 3072-byte cap).
+# q186 — table storage-type counts (reference assess_migrate.go:841,
+# :1072) over a harvested table-type catalog.
+# ---------------------------------------------------------------------------
+
+#: extra index entries with wide VARCHAR keys (the case the check exists for)
+_IDX_WIDE = [
+    ("customer", "ix_cust_name_seg", "c_name,c_mktsegment", False, False),
+    ("documents", "ix_doc_lang", "lang", False, False),
+]
+
+_Q185_LIMIT = 1500
+
+
+def _q185_sql() -> str:
+    from dbms_spark.operators.assess import INDEX_BYTE_WIDTHS
+
+    ix = ", ".join(
+        f"('{t}', '{n}', '{c}')" for t, n, c, _, _ in (_IDX_CATALOG + _IDX_WIDE))
+    w = ", ".join(f"('{d}', {b})" for d, b in INDEX_BYTE_WIDTHS)
+    cols = _COLS_CTE  # (table_name, column_name, data_type) over real parquet
+    return f"""
+WITH {cols},
+ix(table_name, index_name, columns) AS (VALUES {ix}),
+w(data_type, byte_width) AS (VALUES {w}),
+keyed AS (
+  SELECT table_name, index_name, unnest(string_split(columns, ',')) AS column_name
+  FROM ix
+)
+SELECT k.table_name, k.index_name,
+       CAST(SUM(COALESCE(w.byte_width, 8)) AS BIGINT) AS index_bytes
+FROM keyed k
+JOIN cols c ON k.table_name = c.table_name AND k.column_name = c.column_name
+LEFT JOIN w ON c.data_type = w.data_type
+GROUP BY k.table_name, k.index_name
+HAVING SUM(COALESCE(w.byte_width, 8)) > {_Q185_LIMIT}
+"""
+
+
+@register("q185_index_length_over_limit", _q185_sql())
+def q185_index_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    from dbms_spark.operators.assess import column_catalog, index_length_over_limit
+    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
+
+    rows = _IDX_CATALOG + _IDX_WIDE
+    dfs = [
+        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
+                                 for _, n, c, u, p in grp])
+        for t, grp in itertools.groupby(
+            sorted(rows, key=lambda r: r[0]), key=lambda r: r[0])
+    ]
+    idx = dfs[0]
+    for d in dfs[1:]:
+        idx = idx.unionAll(d)
+    cat = column_catalog(spark, sf_dir)
+    return index_length_over_limit(idx, cat, limit=_Q185_LIMIT)
+
+
+#: (table_name, table_type) — harvested storage-type catalog
+_TABLE_TYPE_CATALOG = [
+    ("lineitem", "PARTITIONED"), ("orders", "PARTITIONED"),
+    ("customer", "HEAP"), ("supplier", "HEAP"), ("part", "HEAP"),
+    ("nation", "HEAP"), ("region", "HEAP"),
+    ("events", "PARTITIONED"), ("documents", "HEAP"),
+    ("tmp_load_stage", "GLOBAL TEMPORARY"), ("mv_daily_rev", "MATERIALIZED VIEW"),
+    ("ext_landing", "EXTERNAL"),
+]
+
+_Q186_SQL = """
+WITH t(table_name, table_type) AS (VALUES
+""" + ",\n".join(f"  ('{t}', '{ty}')" for t, ty in _TABLE_TYPE_CATALOG) + """
+)
+SELECT table_type, CAST(COUNT(*) AS BIGINT) AS counts
+FROM t GROUP BY table_type
+"""
+
+
+@register("q186_table_type_counts", _Q186_SQL)
+def q186_table_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import table_type_counts
+
+    types = spark.createDataFrame(
+        _TABLE_TYPE_CATALOG, "table_name string, table_type string")
+    return table_type_counts(types)

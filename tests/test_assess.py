@@ -35,3 +35,28 @@ def test_assessment_pack2(spark):
         "table_name string, partition_type string, partition_name string, high_value string")
     pt = {r["partition_type"]: r["n_tables"] for r in partition_type_counts(parts).collect()}
     assert pt == {"RANGE": 1, "HASH": 1}   # tables, not partitions
+
+
+def test_index_length_and_table_types(spark):
+    from dbms_spark.operators.assess import (
+        index_length_over_limit, table_type_counts)
+
+    idx = spark.createDataFrame(
+        [("t", "ix_wide", "a,b"), ("t", "ix_narrow", "c")],
+        "table_name string, index_name string, columns string")
+    cat = spark.createDataFrame(
+        [("t", "a", "VARCHAR"), ("t", "b", "VARCHAR"), ("t", "c", "BIGINT"),
+         ("t", "d", "SOMETYPE")],
+        "table_name string, column_name string, data_type string")
+    over = index_length_over_limit(idx, cat, limit=1500).collect()
+    assert [(r["index_name"], r["index_bytes"]) for r in over] == [("ix_wide", 2048)]
+    # unknown datatype falls back to 8 bytes, never drops the index
+    idx2 = spark.createDataFrame(
+        [("t", "ix_u", "d")], "table_name string, index_name string, columns string")
+    assert index_length_over_limit(idx2, cat, limit=1).collect()[0]["index_bytes"] == 8
+
+    tt = spark.createDataFrame(
+        [("a", "HEAP"), ("b", "HEAP"), ("c", "EXTERNAL")],
+        "table_name string, table_type string")
+    counts = {r["table_type"]: r["counts"] for r in table_type_counts(tt).collect()}
+    assert counts == {"HEAP": 2, "EXTERNAL": 1}

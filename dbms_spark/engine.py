@@ -210,6 +210,32 @@ class DbmsEngine:
         )
         return docs.join(drop, id_col, "left_anti")
 
+    def curate(self, docs: DataFrame, bench: DataFrame | None = None,
+               id_col: str = "doc_id", text_col: str = "text",
+               min_tokens: int = 30, min_quality: float = 0.5,
+               min_sim: float = 0.7) -> DataFrame:
+        """The whole training-data curation pass as ONE verb:
+        quality filter (drop short / low-quality / repetitive docs) →
+        near-dup removal (LSH → exact Jaccard → grouped keep-one) →
+        benchmark decontamination (when ``bench`` is given).
+
+        Stage order matters at scale: the quality filter is a
+        shuffle-free scan that shrinks the corpus BEFORE the dedup
+        pipeline's shuffles, and decontamination's broadcast probe runs
+        last against the already-minimal survivor set."""
+        from pyspark.sql import functions as F
+
+        from dbms_spark.llm.text import quality_filter
+
+        verdicts = quality_filter(
+            docs, id_col, text_col, min_tokens=min_tokens, min_quality=min_quality)
+        kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
+        kept = docs.join(kept_ids, id_col, "left_semi")
+        deduped = self.dedup_pipeline(kept, id_col, text_col, min_sim=min_sim)
+        if bench is None:
+            return deduped
+        return self.decontaminate(deduped, bench, id_col, text_col)
+
     def decontaminate(self, train: DataFrame, bench: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 13, max_hits: int = 0) -> DataFrame:

@@ -253,3 +253,36 @@ def test_cli_status_verb(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["by_status"]["done"]["chunks"] == 3
     assert out["by_status"]["done"]["rows"] == 30
+
+
+def test_engine_curate(spark, sf_dir):
+    """The one-verb curation pass: quality filter -> near-dup removal
+    -> decontamination, each stage observably shrinking the corpus."""
+    from pyspark.sql import functions as F
+
+    from dbms_spark.engine import DbmsEngine
+    from dbms_spark.sources.catalog import load_table
+
+    eng = DbmsEngine(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    # inject exact-ish clones (one char appended) so dedup has work
+    clones = docs.limit(5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"))
+    corpus = docs.unionAll(clones)
+    n0 = corpus.count()
+
+    # benchmark = clone texts verbatim: decontamination must drop any
+    # clone-family representative that survives the dedup stage
+    bench = docs.limit(5).select("doc_id", "text")
+    curated = eng.curate(corpus, bench=bench, min_tokens=10, min_quality=0.0,
+                         min_sim=0.5).cache()
+    n1 = curated.count()
+    assert 0 < n1 < n0                           # stages dropped rows
+    # every clone family (original + clone) is gone entirely: dedup
+    # kept one representative, decontamination removed it
+    family = [r["doc_id"] for r in docs.limit(5).collect()]
+    survivors = curated.filter(
+        (F.col("doc_id") >= 1000000) | F.col("doc_id").isin(family)).count()
+    assert survivors == 0
+    curated.unpersist()

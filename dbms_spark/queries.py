@@ -6345,3 +6345,41 @@ def q186_table_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = spark.createDataFrame(
         _TABLE_TYPE_CATALOG, "table_name string, table_type string")
     return table_type_counts(types)
+
+
+# ---------------------------------------------------------------------------
+# q187 — pivot: order counts per priority pivoted on the fixed status
+# domain.  Spark `groupBy().pivot(values=...)` with the domain PINNED
+# — an unpinned pivot runs a distinct-scan job just to learn the
+# columns and breaks schema stability; at scale the domain must be a
+# declared contract, not discovered.  Oracle: the equivalent
+# conditional-sum CASE projection (the relational form a pivot
+# compiles to).
+# ---------------------------------------------------------------------------
+
+_Q187_STATUSES = ["F", "O", "P"]
+
+_Q187_SQL = """
+SELECT o_orderpriority,
+""" + ",\n".join(
+    f"  CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS status_{s}"
+    for s in _Q187_STATUSES
+) + """
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("q187_pivot_status", _Q187_SQL)
+def q187_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _Q187_STATUSES)
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"status_{s}")
+          for s in _Q187_STATUSES],
+    )

@@ -79,6 +79,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }) + "\n"
+    # The driver parses the final JSON line out of a ~3.9 KB tail
+    # capture; past that the line truncates and the round records
+    # parsed=null (bit us in round 2 at 77 long keys).  Short q-prefix
+    # keys keep ~190 queries near 2.9 KB; if the registry grows past
+    # the window, drop to the slowest-N map rather than truncating.
+    if len(line) > 3500:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:150])
+        line = json.dumps({
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "queries_omitted": len(timings) - len(slowest),
+            "sf": sf,
+        }) + "\n"
+        print(f"bench: JSON line exceeded tail window, kept slowest "
+              f"{len(slowest)} of {len(timings)} queries", file=sys.stderr)
     os.write(real_stdout, line.encode())
 
 

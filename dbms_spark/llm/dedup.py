@@ -734,3 +734,74 @@ FROM (SELECT a_id, b_id, CAST(len(list_intersect(ra, rb)) AS BIGINT) AS inter,
       FROM cand)
 WHERE inter * 10 >= uni * 7
 """
+
+
+def strip_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", max_occ: int = 1) -> DataFrame:
+    """Corpus-level boilerplate strip: drop every line whose trimmed
+    content occurs in more than ``max_occ`` documents corpus-wide,
+    then REASSEMBLE each document from its surviving lines in original
+    order (the C4/RefinedWeb repeated-line removal, completing
+    :func:`duplicate_line_stats` which only reports).
+
+    A document whose every line is boilerplate vanishes from the
+    output on both engines (no surviving lines to group).
+
+    Scale shape: line DF (document frequency) aggregates over 32-byte
+    md5 line keys — text crosses the wire once, carried next to its
+    (doc, pos) key for the rebuild; the frequency side of the join is
+    hash+count only.  Reassembly is one per-doc aggregation of
+    (pos, line) structs sorted in-array — no window, no second sort
+    shuffle."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    lines = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        .select(id_col, "pos", F.trim(F.col("line")).alias("line"))
+        .filter(F.length("line") > 0)
+        .withColumn("lk", F.md5(F.col("line")))
+    )
+    docfreq = (
+        lines.select("lk", id_col).distinct()
+        .groupBy("lk").agg(F.count(F.lit(1)).alias("df"))
+    )
+    kept = lines.join(docfreq.filter(F.col("df") <= max_occ), "lk")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, line))),"
+            " x -> x.line), '\n')").alias("clean_text"),
+             F.count(F.lit(1)).cast("bigint").alias("n_kept_lines"))
+    )
+
+
+def strip_duplicated_lines_sql(table: str, id_col: str = "doc_id",
+                               text_col: str = "text", max_occ: int = 1) -> str:
+    """DuckDB twin of :func:`strip_duplicated_lines` —
+    generate_subscripts supplies Spark's posexplode ordinal, and the
+    ordered string_agg reproduces the in-array sorted rebuild."""
+    return f"""
+WITH split AS (
+  SELECT {id_col}, string_split({text_col}, chr(10)) AS ls FROM {table}
+),
+lines AS (
+  SELECT {id_col}, pos, trim(line) AS line, md5(trim(line)) AS lk
+  FROM (SELECT {id_col},
+               unnest(ls) AS line,
+               generate_subscripts(ls, 1) - 1 AS pos
+        FROM split)
+  WHERE len(trim(line)) > 0
+),
+docfreq AS (
+  SELECT lk, COUNT(*) AS df
+  FROM (SELECT DISTINCT lk, {id_col} FROM lines) GROUP BY lk
+)
+SELECT {id_col},
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+FROM lines JOIN docfreq USING (lk)
+WHERE df <= {max_occ}
+GROUP BY {id_col}
+"""

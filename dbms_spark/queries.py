@@ -6383,3 +6383,43 @@ def q187_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"status_{s}")
           for s in _Q187_STATUSES],
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — corpus-level boilerplate strip WITH document rebuild: shared
+# header (every doc) and shared footer (every third doc) are injected,
+# strip_duplicated_lines drops lines whose document frequency exceeds
+# 1 and reassembles each doc from its surviving lines in original
+# order (llm/dedup.py; the C4/RefinedWeb repeated-line REMOVAL pass —
+# q78 only reports the ratios).
+# ---------------------------------------------------------------------------
+
+_Q188_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         concat_ws(chr(10), '=== COMMON HEADER ===', text,
+                   CASE WHEN doc_id % 3 = 0 THEN '-- shared footer --' END) AS text
+  FROM documents
+),
+"""
+
+
+def _q188_sql() -> str:
+    from dbms_spark.llm.dedup import strip_duplicated_lines_sql
+
+    body = strip_duplicated_lines_sql("corpus", max_occ=1)
+    return body.replace("\nWITH ", _Q188_SQL, 1)
+
+
+@register("q188_strip_boilerplate", _q188_sql())
+def q188_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import strip_duplicated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("=== COMMON HEADER ==="), F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("-- shared footer --")),
+        ).alias("text"))
+    return strip_duplicated_lines(corpus, max_occ=1)

@@ -539,3 +539,25 @@ def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {(r["a_id"], r["b_id"]) for r in prefix_filter_pairs(df).collect()}
     assert got == expect and (1, 2) in got and (1, 3) in got
+
+
+def test_strip_duplicated_lines(spark):
+    """Boilerplate lines (df > max_occ) vanish, unique lines survive in
+    original order, all-boilerplate docs vanish entirely."""
+    from dbms_spark.llm.dedup import strip_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "HEADER\nalpha beta\nFOOTER"),
+         (2, "HEADER\ngamma delta\nepsilon zeta\nFOOTER"),
+         (3, "HEADER\nFOOTER")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           strip_duplicated_lines(docs, max_occ=1).collect()}
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[2]["clean_text"] == "gamma delta\nepsilon zeta"   # order kept
+    assert out[2]["n_kept_lines"] == 2
+    assert 3 not in out                      # all lines were boilerplate
+    # max_occ=3 keeps everything (df of HEADER/FOOTER is 3)
+    all_kept = {r["doc_id"]: r["n_kept_lines"] for r in
+                strip_duplicated_lines(docs, max_occ=3).collect()}
+    assert all_kept == {1: 3, 2: 4, 3: 2}

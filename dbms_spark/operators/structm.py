@@ -243,12 +243,21 @@ def spark_schema_for(specs: list[ColumnSpec]) -> T.StructType:
     return T.StructType([T.StructField(s.name, map_type(s)[0], s.nullable) for s in specs])
 
 
-def render_create_table(table: str, specs: list[ColumnSpec]) -> str:
+def render_create_table(table: str, specs: list[ColumnSpec],
+                        translate_defaults: str | None = "o2m") -> str:
+    """Target CREATE TABLE from mapped source declarations.  Default
+    expressions are translated for the target dialect (SYSDATE →
+    NOW() etc., reference buildin_rule_defaultval.go applied at DDL
+    render, struct_migrate_task.go) unless ``translate_defaults`` is
+    None; literals pass through either way."""
     cols = []
     for s in specs:
         _, ddl = map_type(s)
         null_sql = "" if s.nullable else " NOT NULL"
-        default_sql = f" DEFAULT {s.default}" if s.default is not None else ""
+        dflt = s.default
+        if dflt is not None and translate_defaults is not None:
+            dflt = map_default_value(dflt, translate_defaults)
+        default_sql = f" DEFAULT {dflt}" if dflt is not None else ""
         cols.append(f"  `{s.name}` {ddl}{null_sql}{default_sql}")
     return f"CREATE TABLE {table} (\n" + ",\n".join(cols) + "\n);"
 

@@ -308,3 +308,15 @@ def test_fk_check_compare(spark):
     ck = {r["kind"]: r["alter_sql"] for r in S.check_compare(cs, cd, "T").collect()}
     assert ck["ADD"] == "ALTER TABLE T.t ADD CONSTRAINT ck1 CHECK (a > 0);"
     assert ck["DROP"] == "ALTER TABLE T.t DROP CHECK ck2;"
+
+
+def test_render_create_table_translates_defaults():
+    """DDL render applies the default-value dialect rules (SYSDATE ->
+    NOW()); literals pass through; translate_defaults=None preserves
+    the source expression verbatim."""
+    specs = [S.ColumnSpec("ts", "DATE", default="SYSDATE"),
+             S.ColumnSpec("name", "VARCHAR2", length=10, default="'x'")]
+    ddl = S.render_create_table("t", specs)
+    assert "DEFAULT NOW()" in ddl and "DEFAULT 'x'" in ddl
+    raw = S.render_create_table("t", specs, translate_defaults=None)
+    assert "DEFAULT SYSDATE" in raw

@@ -761,3 +761,35 @@ def table_type_counts(types_df: DataFrame) -> DataFrame:
         types_df.groupBy("table_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("counts"))
     )
+
+
+def dictionary_overview(synonyms_df: DataFrame, mviews_df: DataFrame,
+                        idx_df: DataFrame, subparts_df: DataFrame) -> DataFrame:
+    """One dictionary-report rollup closing the reference's remaining
+    assessment queries: synonym counts per referenced schema
+    (GetDatabaseSchemaSynonymObject assess_migrate.go:509),
+    materialized views per refresh method (:518 — these never migrate
+    mechanically), per-table index counts
+    (GetDatabaseSchemaTableIndexOverview :248), and composite
+    PARTITION-SUBPARTITION type counts with 'NONE' subpartitioning
+    excluded (:1036).  Uniform (section, item, counts) shape — the
+    row form an assessment report renders."""
+    syn = (synonyms_df.groupBy("table_owner")
+           .agg(F.count(F.lit(1)).alias("counts"))
+           .select(F.lit("SYNONYM").alias("section"),
+                   F.col("table_owner").alias("item"), "counts"))
+    mv = (mviews_df.groupBy("refresh_method")
+          .agg(F.count(F.lit(1)).alias("counts"))
+          .select(F.lit("MVIEW").alias("section"),
+                  F.col("refresh_method").alias("item"), "counts"))
+    ix = (idx_df.groupBy("table_name")
+          .agg(F.count(F.lit(1)).alias("counts"))
+          .select(F.lit("INDEX_OVERVIEW").alias("section"),
+                  F.col("table_name").alias("item"), "counts"))
+    sp = (subparts_df.filter(F.col("subpartitioning_type") != "NONE")
+          .select(F.concat_ws("-", "partitioning_type",
+                              "subpartitioning_type").alias("item"))
+          .groupBy("item").agg(F.count(F.lit(1)).alias("counts"))
+          .select(F.lit("SUBPARTITION").alias("section"), "item", "counts"))
+    return (syn.unionAll(mv).unionAll(ix).unionAll(sp)
+            .select("section", "item", F.col("counts").cast("bigint").alias("counts")))

@@ -6423,3 +6423,69 @@ def q188_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 3 == 0, F.lit("-- shared footer --")),
         ).alias("text"))
     return strip_duplicated_lines(corpus, max_occ=1)
+
+
+# ---------------------------------------------------------------------------
+# q189 — dictionary overview report: the last of the reference's
+# assessment aggregations in one (section, item, counts) rollup —
+# synonyms per referenced schema, mviews per refresh method, index
+# overview per table, composite subpartition types ('NONE' excluded)
+# (assess.dictionary_overview; reference assess_migrate.go:248, :509,
+# :518, :1036).
+# ---------------------------------------------------------------------------
+
+_SYN_CATALOG = [("PUBLIC", "ORDERS_S", "ODS", "orders"),
+                ("PUBLIC", "CUST_S", "ODS", "customer"),
+                ("APP", "LI_S", "DWH", "lineitem")]
+_MV_CATALOG = [("ODS", "mv_daily_rev", "GENERAL", "DEMAND", "COMPLETE", "NO"),
+               ("ODS", "mv_cust_agg", "GENERAL", "COMMIT", "FAST", "YES"),
+               ("DWH", "mv_top_parts", "NONE", "DEMAND", "COMPLETE", "NO")]
+_SUBPART_CATALOG = [("lineitem", "RANGE", "HASH"),
+                    ("orders", "RANGE", "NONE"),
+                    ("events", "RANGE", "LIST"),
+                    ("documents", "LIST", "NONE")]
+
+
+def _q189_sql() -> str:
+    syn = ", ".join(f"('{o}', '{s}', '{to}', '{t}')" for o, s, to, t in _SYN_CATALOG)
+    mv = ", ".join(f"('{o}', '{n}', '{rw}', '{rm}', '{rf}', '{fr}')"
+                   for o, n, rw, rm, rf, fr in _MV_CATALOG)
+    ix = ", ".join(f"('{t}', '{n}')" for t, n, *_ in _IDX_CATALOG)
+    sp = ", ".join(f"('{t}', '{p}', '{s}')" for t, p, s in _SUBPART_CATALOG)
+    return f"""
+WITH syn(owner, synonym_name, table_owner, table_name) AS (VALUES {syn}),
+mv(owner, mview_name, rewrite_capability, refresh_mode, refresh_method,
+   fast_refreshable) AS (VALUES {mv}),
+ix(table_name, index_name) AS (VALUES {ix}),
+sp(table_name, partitioning_type, subpartitioning_type) AS (VALUES {sp})
+SELECT 'SYNONYM' AS section, table_owner AS item, CAST(COUNT(*) AS BIGINT) AS counts
+FROM syn GROUP BY table_owner
+UNION ALL
+SELECT 'MVIEW', refresh_method, CAST(COUNT(*) AS BIGINT) FROM mv GROUP BY refresh_method
+UNION ALL
+SELECT 'INDEX_OVERVIEW', table_name, CAST(COUNT(*) AS BIGINT) FROM ix GROUP BY table_name
+UNION ALL
+SELECT 'SUBPARTITION', partitioning_type || '-' || subpartitioning_type,
+       CAST(COUNT(*) AS BIGINT)
+FROM sp WHERE subpartitioning_type <> 'NONE'
+GROUP BY partitioning_type || '-' || subpartitioning_type
+"""
+
+
+@register("q189_dictionary_overview", _q189_sql())
+def q189_dictionary_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import dictionary_overview
+
+    syn = spark.createDataFrame(
+        _SYN_CATALOG,
+        "owner string, synonym_name string, table_owner string, table_name string")
+    mv = spark.createDataFrame(
+        _MV_CATALOG,
+        "owner string, mview_name string, rewrite_capability string, "
+        "refresh_mode string, refresh_method string, fast_refreshable string")
+    ix = spark.createDataFrame(
+        [(t, n) for t, n, *_ in _IDX_CATALOG], "table_name string, index_name string")
+    sp = spark.createDataFrame(
+        _SUBPART_CATALOG,
+        "table_name string, partitioning_type string, subpartitioning_type string")
+    return dictionary_overview(syn, mv, ix, sp)

@@ -180,7 +180,21 @@ def main() -> None:
                            F.col("l_partkey").alias("dst"))
         return pagerank(edges, iters=3)
 
+    def line_strip(big):
+        from dbms_spark.llm.dedup import strip_duplicated_lines
+
+        # multi-line corpus with shared boilerplate (header everywhere,
+        # footer on every third doc) — the q188 shape at smoke scale
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        corpus = src.select(
+            "doc_id",
+            F.concat_ws("\n", F.lit("=== HEADER ==="), F.col("text"),
+                        F.when(F.col("doc_id") % 3 == 0, F.lit("-- footer --"))
+                        ).alias("text"))
+        return strip_duplicated_lines(corpus)
+
     bench("pricing_agg", pricing)
+    bench("boilerplate_line_strip", line_strip)
     bench("table_checksum", checksum)
     bench("hashed_multiset_diff", hashed_diff)
     bench("minhash_lsh_pairs", lsh_pairs)

@@ -14,6 +14,7 @@ task status responses).
         --window 512 --stride 384
     python -m dbms_spark mix --docs docs.parquet --out mixed/ \
         --rates web=80,books=100
+    python -m dbms_spark struct --spec schema_spec.json --if-not-exists
 """
 
 from __future__ import annotations
@@ -123,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--query-filter", default="vec_id % 100 = 0")
     sp.add_argument("--k", type=int, default=5)
 
+    sp = sub.add_parser("struct")
+    sp.add_argument("--spec", required=True,
+                    help="JSON file: {tables: {name: [column specs]}, sequences: [...]}")
+    sp.add_argument("--target-schema", default="DWH")
+    sp.add_argument("--if-not-exists", action="store_true")
+
     args = p.parse_args(argv)
 
     import os
@@ -139,6 +146,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "assess":
         out = {name: df.count() for name, df in eng.assess(args.sf_dir).items()}
         print(json.dumps({"verb": "assess", "blocks": out}))
+        return 0
+
+    if args.verb == "struct":
+        from dbms_spark.operators import structm as S
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        tables = {
+            t: [S.ColumnSpec(**c) for c in cols]
+            for t, cols in spec.get("tables", {}).items()
+        }
+        ddls = eng.struct_migrate(tables)
+        seq_ddls = []
+        if spec.get("sequences"):
+            seqs = S.sequences_to_df(
+                spark, spec.get("source_schema", "ODS"),
+                [S.SequenceSpec(**s) for s in spec["sequences"]])
+            seq_ddls = [r["ddl"] for r in S.sequence_migrate(
+                seqs, args.target_schema,
+                if_not_exists=args.if_not_exists).collect()]
+        print(json.dumps({"verb": "struct", "tables": ddls,
+                          "sequences": seq_ddls}))
         return 0
 
     if args.verb == "compare":

@@ -286,3 +286,30 @@ def test_engine_curate(spark, sf_dir):
         (F.col("doc_id") >= 1000000) | F.col("doc_id").isin(family)).count()
     assert survivors == 0
     curated.unpersist()
+
+
+def test_cli_struct_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    spec = {
+        "tables": {"orders": [
+            {"name": "order_id", "type_name": "NUMBER", "precision": 12,
+             "nullable": False},
+            {"name": "created_at", "type_name": "TIMESTAMP(6)",
+             "default": "SYSDATE"},
+        ]},
+        "sequences": [
+            {"name": "seq_orders", "last_number": 1000, "cache_size": 50},
+        ],
+    }
+    f = tmp_path / "spec.json"
+    f.write_text(_json.dumps(spec))
+    rc = main(["struct", "--spec", str(f), "--if-not-exists"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert "`order_id` BIGINT NOT NULL" in out["tables"]["orders"]
+    assert "DEFAULT NOW()" in out["tables"]["orders"]       # dialect-translated
+    assert out["sequences"][0].startswith(
+        "CREATE SEQUENCE IF NOT EXISTS DWH.seq_orders START 1100 ")

@@ -738,14 +738,21 @@ WHERE inter * 10 >= uni * 7
 
 def strip_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", max_occ: int = 1) -> DataFrame:
-    """Corpus-level boilerplate strip: drop every line whose trimmed
+    """Corpus-level boilerplate strip: drop every line whose TRIMMED
     content occurs in more than ``max_occ`` documents corpus-wide,
-    then REASSEMBLE each document from its surviving lines in original
-    order (the C4/RefinedWeb repeated-line removal, completing
-    :func:`duplicate_line_stats` which only reports).
+    then REASSEMBLE each document from its surviving ORIGINAL lines in
+    original order (the C4/RefinedWeb repeated-line removal,
+    completing :func:`duplicate_line_stats` which only reports).
 
-    A document whose every line is boilerplate vanishes from the
-    output on both engines (no surviving lines to group).
+    Matching is on the trimmed line (indentation variants of the same
+    boilerplate collapse to one key), but surviving lines are emitted
+    VERBATIM — indentation and inner spacing survive, so code and
+    markdown round-trip.  Blank/whitespace-only lines are structure,
+    not boilerplate candidates: always kept, never counted.
+    ``n_kept_lines`` counts surviving non-blank lines; a document
+    whose every non-blank line is boilerplate keeps its blanks with
+    ``n_kept_lines = 0`` (a downstream quality filter's problem), and
+    only an empty-text doc degenerates to a single blank kept line.
 
     Scale shape: line DF (document frequency) aggregates over 32-byte
     md5 line keys — text crosses the wire once, carried next to its
@@ -759,21 +766,24 @@ def strip_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
         ensure_parallelism(df.select(id_col, text_col))
         .select(F.col(id_col),
                 F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
-        .select(id_col, "pos", F.trim(F.col("line")).alias("line"))
-        .filter(F.length("line") > 0)
-        .withColumn("lk", F.md5(F.col("line")))
+        .withColumn("blank", F.length(F.trim(F.col("line"))) == 0)
+        .withColumn("lk", F.when(~F.col("blank"), F.md5(F.trim(F.col("line")))))
     )
     docfreq = (
-        lines.select("lk", id_col).distinct()
+        lines.filter(~F.col("blank")).select("lk", id_col).distinct()
         .groupBy("lk").agg(F.count(F.lit(1)).alias("df"))
     )
-    kept = lines.join(docfreq.filter(F.col("df") <= max_occ), "lk")
+    kept = (
+        lines.join(docfreq, "lk", "left")
+        .filter(F.col("blank") | (F.col("df") <= max_occ))
+    )
     return (
         kept.groupBy(id_col)
         .agg(F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, line))),"
             " x -> x.line), '\n')").alias("clean_text"),
-             F.count(F.lit(1)).cast("bigint").alias("n_kept_lines"))
+             F.sum(F.when(F.col("blank"), 0).otherwise(1)).cast("bigint")
+             .alias("n_kept_lines"))
     )
 
 
@@ -787,21 +797,22 @@ WITH split AS (
   SELECT {id_col}, string_split({text_col}, chr(10)) AS ls FROM {table}
 ),
 lines AS (
-  SELECT {id_col}, pos, trim(line) AS line, md5(trim(line)) AS lk
+  SELECT {id_col}, pos, line,
+         len(trim(line)) = 0 AS blank,
+         CASE WHEN len(trim(line)) > 0 THEN md5(trim(line)) END AS lk
   FROM (SELECT {id_col},
                unnest(ls) AS line,
                generate_subscripts(ls, 1) - 1 AS pos
         FROM split)
-  WHERE len(trim(line)) > 0
 ),
 docfreq AS (
   SELECT lk, COUNT(*) AS df
-  FROM (SELECT DISTINCT lk, {id_col} FROM lines) GROUP BY lk
+  FROM (SELECT DISTINCT lk, {id_col} FROM lines WHERE NOT blank) GROUP BY lk
 )
 SELECT {id_col},
        string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-       CAST(COUNT(*) AS BIGINT) AS n_kept_lines
-FROM lines JOIN docfreq USING (lk)
-WHERE df <= {max_occ}
+       CAST(SUM(CASE WHEN blank THEN 0 ELSE 1 END) AS BIGINT) AS n_kept_lines
+FROM lines LEFT JOIN docfreq USING (lk)
+WHERE blank OR df <= {max_occ}
 GROUP BY {id_col}
 """

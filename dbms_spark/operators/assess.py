@@ -737,13 +737,17 @@ def index_length_over_limit(idx_df: DataFrame, catalog_df: DataFrame,
     DATA broadcast into the join, the explode is O(index columns) —
     catalog-sized, never data-sized."""
     spark = idx_df.sparkSession
-    widths = spark.createDataFrame(INDEX_BYTE_WIDTHS, "data_type string, byte_width int")
+    widths = spark.createDataFrame(INDEX_BYTE_WIDTHS, "base_type string, byte_width int")
     keyed = idx_df.select(
         "table_name", "index_name",
         F.explode(F.split("columns", ",")).alias("column_name"))
+    # join on the BASE type name: catalogs spell parameterized types as
+    # DECIMAL(15,2) / VARCHAR(80); the width rules are per-family
+    cat = catalog_df.withColumn(
+        "base_type", F.trim(F.split(F.col("data_type"), r"\(").getItem(0)))
     return (
-        keyed.join(catalog_df, ["table_name", "column_name"])
-        .join(F.broadcast(widths), "data_type", "left")
+        keyed.join(cat, ["table_name", "column_name"])
+        .join(F.broadcast(widths), "base_type", "left")
         .groupBy("table_name", "index_name")
         .agg(F.sum(F.coalesce("byte_width", F.lit(8))).cast("bigint")
              .alias("index_bytes"))

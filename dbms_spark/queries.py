@@ -1752,6 +1752,23 @@ _IDX_CATALOG = [
     ("customer", "pk_customer", "c_custkey", True, True),
 ]
 
+
+def _idx_catalog_df(spark: SparkSession, rows=None) -> DataFrame:
+    """Index-spec catalog rows -> one :func:`structm.indexes_to_df`
+    frame (shared by every index-assessment gate; row order is
+    normalized so callers may pass any ordering)."""
+    import itertools
+    from functools import reduce
+
+    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
+
+    rows = sorted(rows if rows is not None else _IDX_CATALOG, key=lambda r: r[0])
+    return reduce(DataFrame.unionAll, [
+        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
+                                 for _, n, c, u, p in grp])
+        for t, grp in itertools.groupby(rows, key=lambda r: r[0])
+    ])
+
 _Q62_SQL = """
 WITH ix(table_name, index_name, columns, is_unique, is_primary) AS (VALUES
 """ + ",\n".join(
@@ -1770,19 +1787,8 @@ FROM ix GROUP BY 1
 @register("q62_constraint_type_counts", _Q62_SQL)
 def q62_constraint_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import constraint_type_counts
-    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
 
-    import itertools
-
-    frames = [
-        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
-                                 for _, n, c, u, p in grp])
-        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
-    ]
-    idx = frames[0]
-    for f in frames[1:]:
-        idx = idx.unionAll(f)
-    return constraint_type_counts(idx)
+    return constraint_type_counts(_idx_catalog_df(spark))
 
 
 #: literal column-spec catalog (same shape q49 diffs)
@@ -2411,20 +2417,11 @@ WHERE table_name NOT IN (SELECT table_name FROM ix WHERE is_primary)
 
 @register("q84_tables_without_pk", _Q84_SQL)
 def q84_tables_without_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import itertools
-
     from dbms_spark.operators.assess import tables_without_primary_key
-    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
-    from functools import reduce
 
     tables = [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
     tdf = spark.createDataFrame([(t,) for t in tables], "table_name string")
-    idx = reduce(DataFrame.unionAll, [
-        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
-                                 for _, n, c, u, p in grp])
-        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
-    ])
-    return tables_without_primary_key(tdf, idx)
+    return tables_without_primary_key(tdf, _idx_catalog_df(spark))
 
 
 # ---------------------------------------------------------------------------
@@ -6199,18 +6196,8 @@ FROM ix GROUP BY table_name HAVING COUNT(*) > 2
 @register("q182_index_counts_over_limit", _Q182_SQL)
 def q182_index_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import index_counts_over_limit
-    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
 
-    import itertools
-    dfs = [
-        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
-                                 for _, n, c, u, p in grp])
-        for t, grp in itertools.groupby(_IDX_CATALOG, key=lambda r: r[0])
-    ]
-    idx = dfs[0]
-    for d in dfs[1:]:
-        idx = idx.unionAll(d)
-    return index_counts_over_limit(idx, limit=2)
+    return index_counts_over_limit(_idx_catalog_df(spark), limit=2)
 
 
 _Q183_SQL = """
@@ -6292,7 +6279,7 @@ SELECT k.table_name, k.index_name,
        CAST(SUM(COALESCE(w.byte_width, 8)) AS BIGINT) AS index_bytes
 FROM keyed k
 JOIN cols c ON k.table_name = c.table_name AND k.column_name = c.column_name
-LEFT JOIN w ON c.data_type = w.data_type
+LEFT JOIN w ON trim(string_split(c.data_type, '(')[1]) = w.data_type
 GROUP BY k.table_name, k.index_name
 HAVING SUM(COALESCE(w.byte_width, 8)) > {_Q185_LIMIT}
 """
@@ -6300,23 +6287,11 @@ HAVING SUM(COALESCE(w.byte_width, 8)) > {_Q185_LIMIT}
 
 @register("q185_index_length_over_limit", _q185_sql())
 def q185_index_length_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import itertools
-
     from dbms_spark.operators.assess import column_catalog, index_length_over_limit
-    from dbms_spark.operators.structm import IndexSpec, indexes_to_df
 
-    rows = _IDX_CATALOG + _IDX_WIDE
-    dfs = [
-        indexes_to_df(spark, t, [IndexSpec(n, tuple(c.split(",")), u, p)
-                                 for _, n, c, u, p in grp])
-        for t, grp in itertools.groupby(
-            sorted(rows, key=lambda r: r[0]), key=lambda r: r[0])
-    ]
-    idx = dfs[0]
-    for d in dfs[1:]:
-        idx = idx.unionAll(d)
-    cat = column_catalog(spark, sf_dir)
-    return index_length_over_limit(idx, cat, limit=_Q185_LIMIT)
+    idx = _idx_catalog_df(spark, _IDX_CATALOG + _IDX_WIDE)
+    return index_length_over_limit(idx, column_catalog(spark, sf_dir),
+                                   limit=_Q185_LIMIT)
 
 
 #: (table_name, table_type) — harvested storage-type catalog

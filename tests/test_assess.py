@@ -45,11 +45,15 @@ def test_index_length_and_table_types(spark):
         [("t", "ix_wide", "a,b"), ("t", "ix_narrow", "c")],
         "table_name string, index_name string, columns string")
     cat = spark.createDataFrame(
-        [("t", "a", "VARCHAR"), ("t", "b", "VARCHAR"), ("t", "c", "BIGINT"),
-         ("t", "d", "SOMETYPE")],
+        [("t", "a", "VARCHAR(80)"), ("t", "b", "VARCHAR"), ("t", "c", "BIGINT"),
+         ("t", "d", "SOMETYPE"), ("t", "e", "DECIMAL(15,2)")],
         "table_name string, column_name string, data_type string")
     over = index_length_over_limit(idx, cat, limit=1500).collect()
     assert [(r["index_name"], r["index_bytes"]) for r in over] == [("ix_wide", 2048)]
+    # parameterized spellings join on the BASE type: DECIMAL(15,2) -> 16
+    idx_dec = spark.createDataFrame(
+        [("t", "ix_dec", "e")], "table_name string, index_name string, columns string")
+    assert index_length_over_limit(idx_dec, cat, limit=1).collect()[0]["index_bytes"] == 16
     # unknown datatype falls back to 8 bytes, never drops the index
     idx2 = spark.createDataFrame(
         [("t", "ix_u", "d")], "table_name string, index_name string, columns string")

@@ -264,9 +264,13 @@ def test_engine_curate(spark, sf_dir):
     from dbms_spark.sources.catalog import load_table
 
     eng = DbmsEngine(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    # doc_id-keyed selections: limit() without ordering is not stable
+    # across partition layouts
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter("doc_id < 80")
+    family = docs.filter("doc_id < 5")
     # inject exact-ish clones (one char appended) so dedup has work
-    clones = docs.limit(5).select(
+    clones = family.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit(" x")).alias("text"))
     corpus = docs.unionAll(clones)
@@ -274,16 +278,14 @@ def test_engine_curate(spark, sf_dir):
 
     # benchmark = clone texts verbatim: decontamination must drop any
     # clone-family representative that survives the dedup stage
-    bench = docs.limit(5).select("doc_id", "text")
-    curated = eng.curate(corpus, bench=bench, min_tokens=10, min_quality=0.0,
+    curated = eng.curate(corpus, bench=family, min_tokens=10, min_quality=0.0,
                          min_sim=0.5).cache()
     n1 = curated.count()
     assert 0 < n1 < n0                           # stages dropped rows
     # every clone family (original + clone) is gone entirely: dedup
     # kept one representative, decontamination removed it
-    family = [r["doc_id"] for r in docs.limit(5).collect()]
     survivors = curated.filter(
-        (F.col("doc_id") >= 1000000) | F.col("doc_id").isin(family)).count()
+        (F.col("doc_id") >= 1000000) | (F.col("doc_id") < 5)).count()
     assert survivors == 0
     curated.unpersist()
 

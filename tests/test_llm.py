@@ -561,3 +561,16 @@ def test_strip_duplicated_lines(spark):
     all_kept = {r["doc_id"]: r["n_kept_lines"] for r in
                 strip_duplicated_lines(docs, max_occ=3).collect()}
     assert all_kept == {1: 3, 2: 4, 3: 2}
+
+    # surviving lines are VERBATIM (indentation intact), blank lines
+    # are structure (kept, uncounted), and matching is on the TRIM so
+    # indented boilerplate variants still collapse
+    code = spark.createDataFrame(
+        [(1, "  BOILER\ndef f():\n    return 1\n\nprint(f())"),
+         (2, "BOILER\nother body")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            strip_duplicated_lines(code, max_occ=1).collect()}
+    assert out2[1]["clean_text"] == "def f():\n    return 1\n\nprint(f())"
+    assert out2[1]["n_kept_lines"] == 3      # blank line kept but not counted
+    assert out2[2]["clean_text"] == "other body"

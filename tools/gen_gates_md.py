@@ -19,10 +19,20 @@ def main() -> None:
     for b in blocks:
         text = " ".join(l.lstrip("# ").strip() for l in b.split("\n"))
         text = re.sub(r"-{5,}", "", text).strip()
-        m = re.match(r"(q\d+(?:/q\d+)?)\s*[—-]\s*(.*)", text)
+        # heads: "q12 —", "q12/q13 —", "q181-q184 —" (range expands)
+        m = re.match(r"(q\d+(?:/q\d+)*(?:-q\d+)?)\s*[—-]\s*(.*)", text)
         if m:
-            for q in m.group(1).split("/"):
-                desc_by_q[q] = m.group(2).strip()
+            head, desc = m.group(1), m.group(2).strip()
+            qs: list[str] = []
+            for part in head.split("/"):
+                if "-q" in part:
+                    lo, hi = (int(x[1:]) for x in part.split("-"))
+                    qs += [f"q{n:02d}" if n < 100 else f"q{n}"
+                           for n in range(lo, hi + 1)]
+                else:
+                    qs.append(part)
+            for q in qs:
+                desc_by_q[q] = desc
     regs = re.findall(r'@register\("(q\d+)_(\w+)"', src)
     lines = [
         f"# GATES — the {len(regs)}-query differential registry",

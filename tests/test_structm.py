@@ -320,3 +320,34 @@ def test_render_create_table_translates_defaults():
     assert "DEFAULT NOW()" in ddl and "DEFAULT 'x'" in ddl
     raw = S.render_create_table("t", specs, translate_defaults=None)
     assert "DEFAULT SYSDATE" in raw
+
+
+def test_sequence_migrate_invariants(spark):
+    """Randomized invariants over one batched DataFrame pass: START
+    always exceeds LAST_NUMBER (the cache-headroom guarantee),
+    NOMAXVALUE exactly when max_value >= 2^63-1, flags consistent."""
+    import random
+
+    rng = random.Random(20260814)
+    specs = []
+    for i in range(50):
+        cache = rng.choice([0, 0, 20, 100, 5000])
+        maxv = rng.choice([
+            "99999", "9223372036854775806", "9223372036854775807",
+            "9999999999999999999999999999"])
+        specs.append(S.SequenceSpec(
+            f"s{i}", last_number=rng.randrange(1, 10**12),
+            increment_by=rng.choice([1, 2, 5]), min_value=rng.randrange(1, 100),
+            max_value=maxv, cache_size=cache, cycle=rng.random() < 0.5))
+    by_name = {s.name: s for s in specs}
+    out = S.sequence_migrate(
+        S.sequences_to_df(spark, "ODS", specs), "DWH").collect()
+    assert len(out) == len(specs)
+    for r in out:
+        s = by_name[r["sequence_name"]]
+        pad = 5000 if s.cache_size == 0 else 2 * s.cache_size
+        assert r["start_with"] == s.last_number + pad > s.last_number
+        assert ("NOMAXVALUE" in r["ddl"]) == (int(s.max_value) >= 2**63 - 1)
+        assert ("NOCACHE" in r["ddl"]) == (s.cache_size == 0)
+        assert r["ddl"].endswith("CYCLE;") and \
+            (" NOCYCLE;" in r["ddl"]) == (not s.cycle)

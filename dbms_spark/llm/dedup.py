@@ -751,8 +751,11 @@ def strip_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
     not boilerplate candidates: always kept, never counted.
     ``n_kept_lines`` counts surviving non-blank lines; a document
     whose every non-blank line is boilerplate keeps its blanks with
-    ``n_kept_lines = 0`` (a downstream quality filter's problem), and
-    only an empty-text doc degenerates to a single blank kept line.
+    ``n_kept_lines = 0``, and one that is ENTIRELY boilerplate (no
+    blanks either) still emits a row with ``clean_text = ''`` and
+    ``n_kept_lines = 0`` — every input doc appears in the output (a
+    downstream quality filter's problem to drop, not ours).  Only an
+    empty-text doc degenerates to a single blank kept line.
 
     Scale shape: line DF (document frequency) aggregates over 32-byte
     md5 line keys — text crosses the wire once, carried next to its
@@ -773,17 +776,23 @@ def strip_duplicated_lines(df: DataFrame, id_col: str = "doc_id",
         lines.filter(~F.col("blank")).select("lk", id_col).distinct()
         .groupBy("lk").agg(F.count(F.lit(1)).alias("df"))
     )
-    kept = (
+    # dropped lines become NULL structs (skipped by collect_list) instead
+    # of filtered-out ROWS: every doc keeps >=1 line row (split always
+    # yields one element), so a fully-boilerplate doc still groups and
+    # emits (clean_text='', n_kept_lines=0) — no doc-set join needed
+    keep = F.col("blank") | (F.col("df") <= max_occ)
+    marked = (
         lines.join(docfreq, "lk", "left")
-        .filter(F.col("blank") | (F.col("df") <= max_occ))
+        .withColumn("keep", keep)
     )
     return (
-        kept.groupBy(id_col)
+        marked.groupBy(id_col)
         .agg(F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, line))),"
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN keep THEN struct(pos, line) END)),"
             " x -> x.line), '\n')").alias("clean_text"),
-             F.sum(F.when(F.col("blank"), 0).otherwise(1)).cast("bigint")
-             .alias("n_kept_lines"))
+             F.sum(F.when(F.col("keep") & ~F.col("blank"), 1).otherwise(0))
+             .cast("bigint").alias("n_kept_lines"))
     )
 
 
@@ -810,9 +819,10 @@ docfreq AS (
   FROM (SELECT DISTINCT lk, {id_col} FROM lines WHERE NOT blank) GROUP BY lk
 )
 SELECT {id_col},
-       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-       CAST(SUM(CASE WHEN blank THEN 0 ELSE 1 END) AS BIGINT) AS n_kept_lines
+       COALESCE(string_agg(CASE WHEN blank OR df <= {max_occ} THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN (blank OR df <= {max_occ}) AND NOT blank
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines
 FROM lines LEFT JOIN docfreq USING (lk)
-WHERE blank OR df <= {max_occ}
 GROUP BY {id_col}
 """

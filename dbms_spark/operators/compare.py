@@ -432,8 +432,12 @@ def seek_columns(
             )
         return df.agg(*aggs)
 
-    s_row = side(src, fields_s).collect()[0]
-    d_row = side(dst, fields_d).collect()[0]
+    # one job for both sides: union the two one-row aggregates
+    both = {r["__side"]: r for r in (
+        side(src, fields_s).withColumn("__side", F.lit("s"))
+        .unionByName(side(dst, fields_d).withColumn("__side", F.lit("d")))
+        .collect())}
+    s_row, d_row = both["s"], both["d"]
     rows = [
         (c, s_row["cnt"], d_row["cnt"], s_row[f"__h_{c}"], d_row[f"__h_{c}"],
          bool(s_row["cnt"] == d_row["cnt"] and s_row[f"__h_{c}"] == d_row[f"__h_{c}"]))
@@ -467,24 +471,38 @@ def compare_table(
     count-only).  Driver-side result is O(n_chunks)."""
     cols = cols or src.columns
     if method == "ROWS":
-        src_cnt, dst_cnt = src.count(), dst.count()
+        src_cnt, dst_cnt = _both_counts(src, dst)
         eq = src_cnt == dst_cnt
         return CompareReport(eq, src_cnt, dst_cnt, [] if eq else [0])
     crc = method == "CRC32_SLICES"
     if plan is None:
         check = C.table_checksum_crc32 if crc else C.table_checksum
         keys = ["cnt", "crc_sum"] if crc else ["cnt", "h0", "h1", "h2", "h3"]
-        a = check(src, cols, oracle_empty_is_null).collect()[0]
-        b = check(dst, cols, oracle_empty_is_null).collect()[0]
+        # single job: both sides' one-row checksums unioned before collect
+        both = {r["__side"]: r for r in (
+            check(src, cols, oracle_empty_is_null).withColumn("__side", F.lit("s"))
+            .unionByName(check(dst, cols, oracle_empty_is_null)
+                         .withColumn("__side", F.lit("d")))
+            .collect())}
+        a, b = both["s"], both["d"]
         eq = all(a[k] == b[k] for k in keys)
         return CompareReport(eq, a["cnt"], b["cnt"], [] if eq else [0])
     chunked = compare_chunked_crc32 if crc else compare_chunked
     bad = chunked(
         src, dst, assign_chunk_id(plan, src), assign_chunk_id(plan, dst), cols, oracle_empty_is_null
     ).collect()
-    src_cnt = src.count()
-    dst_cnt = dst.count()
+    src_cnt, dst_cnt = _both_counts(src, dst)
     return CompareReport(len(bad) == 0, src_cnt, dst_cnt, sorted(r["chunk_id"] for r in bad))
+
+
+def _both_counts(src: DataFrame, dst: DataFrame) -> tuple[int, int]:
+    """Both sides' row counts in ONE Spark job (unioned one-row aggs)."""
+    rows = {r["__side"]: r["cnt"] for r in (
+        src.agg(F.count(F.lit(1)).alias("cnt")).withColumn("__side", F.lit("s"))
+        .unionByName(dst.agg(F.count(F.lit(1)).alias("cnt"))
+                     .withColumn("__side", F.lit("d")))
+        .collect())}
+    return rows["s"], rows["d"]
 
 
 def drilldown_chunks(

@@ -7,11 +7,15 @@ authority score crawl-curation pipelines use to weight hosts/URLs
 before sampling training data.
 
 Integer-exactness: ranks live in millionths (node starts at 1_000_000).
-Each round a node ships ``floor(rank * 85 / (100 * outdeg))`` to every
-out-neighbour and every node restarts from ``150_000`` — floor division
-on BIGINTs, so both engines agree exactly; no double accumulation at
-all.  (This is PageRank up to O(1e-6) quantization — the floors lose
-at most outdeg millionths per node per round.)
+Each round a node ships ``(rank * 85) DIV (100 * outdeg)`` to every
+out-neighbour and every node restarts from ``150_000`` — explicit
+INTEGER division on BIGINTs (Spark ``DIV``, DuckDB ``//``), so the
+computation never passes through doubles and both engines agree
+exactly as long as ``rank_e6 * 85`` fits int64, i.e. total graph mass
+below ~1e17 millionths (~1e11 nodes) — far beyond the 2^53 bound a
+double intermediate would impose.  (This is PageRank up to O(1e-6)
+quantization — the floors lose at most outdeg millionths per node per
+round.)
 
 Scale shape per round: one equi-join of the edge list against the rank
 frontier (shuffle keyed on node id — AQE-coalesced/skew-split) plus a
@@ -49,8 +53,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     for _ in range(iters):
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.floor(F.col("rank_e6") * 85 / (100 * F.col("outdeg")))
-                    .cast("bigint").alias("c"))
+            .select("dst", F.expr("(rank_e6 * 85) DIV (100 * outdeg)").alias("c"))
             .groupBy("dst").agg(F.sum("c").alias("inflow"))
         )
         ranks = (
@@ -64,9 +67,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
                  iters: int = 3) -> str:
     """DuckDB twin — rounds unrolled as chained CTEs.  The per-edge
-    contribution applies an explicit ``floor`` before the BIGINT cast:
-    DuckDB's double->BIGINT cast ROUNDS to nearest while Spark's
-    truncates, so a bare cast diverges — floor() first pins both."""
+    contribution uses DuckDB's ``//`` integer division (Spark's
+    ``DIV``): both stay in BIGINT end-to-end, so exactness holds to
+    int64 range rather than a double's 2^53."""
     ctes = [
         f"e AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
@@ -75,8 +78,8 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
     ]
     for i in range(iters):
         ctes.append(
-            f"c{i} AS (SELECT e.dst, SUM(CAST(floor(r.rank_e6 * 85 / (100 * d.outdeg)) "
-            f"AS BIGINT)) AS inflow "
+            f"c{i} AS (SELECT e.dst, SUM((r.rank_e6 * 85) // (100 * d.outdeg)) "
+            f"AS inflow "
             f"FROM e JOIN deg d ON e.src = d.src JOIN r{i} r ON e.src = r.node "
             f"GROUP BY e.dst)"
         )

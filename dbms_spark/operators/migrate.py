@@ -297,19 +297,31 @@ def compact_small_files(spark: SparkSession, path: str,
                         small_threshold_bytes: int = 8 * 1024 * 1024,
                         target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """IN-PLACE selective compaction: only files under the threshold
-    are read, merged into ~target-sized replacements, and atomically
-    swapped in; well-sized files are NOT touched.  At scale this is
-    the difference between compacting a day's streaming tail (cheap,
-    incremental) and rewriting the whole table (compact_parquet's
-    full-rewrite form).  Returns counts.  The merge is a coalesce —
-    no shuffle; the swap deletes the merged sources only after the
-    replacement files land."""
+    are read, merged into ~target-sized replacements, and swapped in;
+    well-sized files are NOT touched.  At scale this is the difference
+    between compacting a day's streaming tail (cheap, incremental) and
+    rewriting the whole table (compact_parquet's full-rewrite form).
+    Returns counts.  The merge is a coalesce — no shuffle.
+
+    Consistency contract: each individual file rename is atomic, but
+    the SET-level swap is not — replacement files land before the
+    merged sources are deleted, so a directory-listing reader in that
+    window sees the compacted rows twice.  This operator therefore
+    assumes a SINGLE WRITER and no concurrent directory-listing
+    readers.  For readers that must overlap compaction, a
+    ``_LIVE_MANIFEST`` file (one live filename per line, swapped in by
+    atomic rename as the commit point of the compaction) is maintained
+    in the directory: read exactly the files it names
+    (``spark.read.parquet(*live)``) and the double-read window
+    disappears — the manifest flips from old set to new set in one
+    rename."""
     import glob
     import uuid
 
     files = [p for p in glob.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
     small = [p for p in files if os.path.getsize(p) < small_threshold_bytes]
     if len(small) < 2:
+        _write_live_manifest(path, files)
         return {"files_before": len(files), "compacted": 0, "files_after": len(files)}
     total = sum(os.path.getsize(p) for p in small)
     n_out = max(1, -(-total // target_file_bytes))
@@ -321,8 +333,33 @@ def compact_small_files(spark: SparkSession, path: str,
         dst = os.path.join(path, f"part-compacted-{uuid.uuid4().hex[:8]}-{i}.parquet")
         os.rename(f, dst)
         moved.append(dst)
+    # commit point for manifest readers: live set flips old->new in one rename
+    keep = [p for p in files if p not in set(small)]
+    _write_live_manifest(path, keep + moved)
     for p in small:
         os.remove(p)
     shutil.rmtree(stage, ignore_errors=True)
     return {"files_before": len(files), "compacted": len(small),
             "files_after": len(files) - len(small) + len(moved)}
+
+
+def _write_live_manifest(path: str, live_files: list[str]) -> None:
+    """Atomically (write-then-rename) record the live file set — the
+    commit point concurrent readers key off (see compact_small_files)."""
+    manifest = os.path.join(path, "_LIVE_MANIFEST")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(sorted(os.path.basename(p) for p in live_files)))
+    os.rename(tmp, manifest)
+
+
+def read_live_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Read a compacted directory through its ``_LIVE_MANIFEST`` —
+    immune to the compaction swap window (falls back to the plain
+    directory read when no manifest exists yet)."""
+    manifest = os.path.join(path, "_LIVE_MANIFEST")
+    if not os.path.exists(manifest):
+        return spark.read.parquet(path)
+    with open(manifest) as f:
+        names = [ln for ln in f.read().splitlines() if ln]
+    return spark.read.parquet(*[os.path.join(path, n) for n in names])

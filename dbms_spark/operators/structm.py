@@ -819,8 +819,8 @@ FROM ({seqs_sql})
 # database/processor/struct_compare_table.go:535-620
 # CompareTableForeignConstraint, :622-705 CompareTableCheckConstraint —
 # constraints diffed by DEFINITION, target-only entries dropped,
-# source-only entries added, FK rule precedence ON DELETE before
-# ON UPDATE as in the reference's three-way render)
+# source-only entries added; each FK rule renders whenever it is set —
+# ON DELETE first, then ON UPDATE, both emitted when both are present)
 # ---------------------------------------------------------------------------
 
 
@@ -865,12 +865,16 @@ def fk_compare(src: DataFrame, dst: DataFrame, target_schema: str) -> DataFrame:
         .when(F.col("src_name").isNull(), "DROP")
         .otherwise("OK")
     )
-    rule = (
+    # Both rules render when both are set ('ON DELETE X ON UPDATE Y' is a
+    # single valid clause pair) — the reference emits each rule whenever it
+    # is non-empty (struct_compare_table.go CompareTableForeignConstraint).
+    rule = F.concat(
         F.when(F.col("delete_rule") != "",
                F.concat(F.lit(" ON DELETE "), F.col("delete_rule")))
-        .when(F.col("update_rule") != "",
-              F.concat(F.lit(" ON UPDATE "), F.col("update_rule")))
-        .otherwise(F.lit(""))
+        .otherwise(F.lit("")),
+        F.when(F.col("update_rule") != "",
+               F.concat(F.lit(" ON UPDATE "), F.col("update_rule")))
+        .otherwise(F.lit("")),
     )
     tbl = F.concat(F.lit(target_schema), F.lit("."), F.col("table_name"))
     ddl = (
@@ -917,7 +921,8 @@ SELECT table_name, columns,
          || columns || ') REFERENCES ' || ref_schema || '.' || ref_table
          || '(' || ref_columns || ')'
          || CASE WHEN delete_rule <> '' THEN ' ON DELETE ' || delete_rule
-                 WHEN update_rule <> '' THEN ' ON UPDATE ' || update_rule
+                 ELSE '' END
+         || CASE WHEN update_rule <> '' THEN ' ON UPDATE ' || update_rule
                  ELSE '' END || ';'
        ELSE
          'ALTER TABLE {target_schema}.' || table_name || ' DROP FOREIGN KEY '

@@ -17,6 +17,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# semanticHash -> partition count.  df.rdd.getNumPartitions() runs the
+# full physical planning each call; operators guard the SAME scan over
+# and over (every query reads the same parquet dirs), so memoizing on
+# the analyzed plan's semantic hash skips the replan.  Stale only if
+# files are appended under an already-guarded path mid-session — then
+# the guard re-fires or no-ops, never corrupts (it only picks a
+# partition count).
+_NPART_CACHE: dict[int, int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    try:
+        key = df.semanticHash()
+    except Exception:       # connect / legacy fallback: just plan it
+        return df.rdd.getNumPartitions()
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_NPART_CACHE) > 4096:
+            _NPART_CACHE.clear()
+        _NPART_CACHE[key] = n
+    return n
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
                        keys: list[str] | None = None) -> DataFrame:
@@ -30,7 +53,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     so the wide rows move once instead of (round-robin shuffle +
     key shuffle)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _num_partitions(df) < target:
         from pyspark.sql import functions as F
 
         if keys:

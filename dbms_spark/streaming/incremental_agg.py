@@ -80,11 +80,24 @@ def merge_delta(store: DataFrame, delta: DataFrame, keys: list[str],
 
 
 class AggStore:
-    """Parquet-backed maintained aggregate: versioned overwrite of the
-    (small) rollup table per batch.  The rollup has one row per group —
-    tiny next to the source — so a full rewrite per batch is O(groups),
-    not O(table); a partitioned MERGE applies when groups stop being
-    small."""
+    """Parquet-backed maintained aggregate with crash-safe versioned
+    snapshots.  The rollup has one row per group — tiny next to the
+    source — so a full rewrite per batch is O(groups), not O(table); a
+    partitioned MERGE applies when groups stop being small.
+
+    Layout (under ``path/``): snapshot dirs ``v_<n>/`` plus a pointer
+    file ``CURRENT`` containing ``<snapshot_dir> <applied_batch_id>``.
+    A batch commits by writing the NEW snapshot dir, then renaming a
+    staged pointer over ``CURRENT`` — one atomic POSIX rename carries
+    both the active-state switch AND the applied-batch marker, so a
+    crash at any instant leaves either the old (state, marker) pair or
+    the new one, never a mix.  Deltas are not idempotent (unlike the
+    CDC store's key-replacement apply), so that atomicity is what makes
+    redelivered batches exactly-once rather than double-applied.
+    Snapshot dirs not named by ``CURRENT`` are garbage from interrupted
+    commits; they are swept on the next apply."""
+
+    _POINTER = "CURRENT"
 
     def __init__(self, spark, path: str, keys: list[str], sum_cols: list[str],
                  col_types: dict[str, str]):
@@ -96,39 +109,53 @@ class AggStore:
         sums = ", ".join(f"sum_{c} bigint" for c in self.sum_cols)
         return f"{key_part}, n_rows bigint" + (f", {sums}" if sums else "")
 
-    def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], self._schema())
-        return self.spark.read.parquet(self.path)
+    def _pointer(self) -> tuple[str, int] | None:
+        """(active snapshot dirname, applied batch id), or None if the
+        store has never committed."""
+        try:
+            with open(os.path.join(self.path, self._POINTER)) as f:
+                snap, bid = f.read().split()
+                return snap, int(bid)
+        except (FileNotFoundError, ValueError):
+            return None
 
-    def _applied_marker(self) -> str:
-        return self.path + ".applied_batch"
+    def read(self) -> DataFrame:
+        ptr = self._pointer()
+        if ptr is None:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.parquet(os.path.join(self.path, ptr[0]))
 
     def last_batch_id(self) -> int:
-        try:
-            with open(self._applied_marker()) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return -1
+        ptr = self._pointer()
+        return -1 if ptr is None else ptr[1]
 
     def apply_batch(self, events: DataFrame, batch_id: int | None = None) -> None:
         """Fold one batch into the store.  Pass foreachBatch's
         ``batch_id`` for exactly-once semantics: a crash between the
         sink write and the checkpoint commit makes Structured Streaming
-        REDELIVER the batch, and without the marker the redelivered
-        deltas would double-apply (deltas are not idempotent, unlike
-        the CDC store's key-replacement apply)."""
-        if batch_id is not None and batch_id <= self.last_batch_id():
+        REDELIVER the batch; the pointer commit (see class docstring)
+        makes the redelivered application a no-op instead of a
+        double-apply."""
+        ptr = self._pointer()
+        last_bid = -1 if ptr is None else ptr[1]
+        if batch_id is not None and batch_id <= last_bid:
             return
         delta = batch_delta(events, self.keys, self.sum_cols, self.col_types)
         new = merge_delta(self.read(), delta, self.keys, self.sum_cols)
-        # rewrite via staging dir: the new state derives from the files
-        # being replaced, so materialize before the overwrite
-        tmp = self.path + ".staging"
-        new.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
-        if batch_id is not None:
-            with open(self._applied_marker(), "w") as f:
-                f.write(str(batch_id))
+        os.makedirs(self.path, exist_ok=True)
+        version = 0 if ptr is None else int(ptr[0].split("_")[1]) + 1
+        snap = f"v_{version:06d}"
+        # the new state derives from the files of the old snapshot, so
+        # it must be fully materialized before the pointer moves
+        new.write.mode("overwrite").parquet(os.path.join(self.path, snap))
+        staged = os.path.join(self.path, self._POINTER + ".staging")
+        with open(staged, "w") as f:
+            f.write(f"{snap} {batch_id if batch_id is not None else last_bid}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(staged, os.path.join(self.path, self._POINTER))  # atomic commit
+        # sweep snapshots the pointer no longer names (orphans from
+        # interrupted commits, plus the just-superseded snapshot)
+        for d in os.listdir(self.path):
+            if d.startswith("v_") and d != snap:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

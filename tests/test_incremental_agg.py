@@ -91,6 +91,42 @@ def test_apply_batch_idempotent_under_redelivery(spark, tmp_path):
     assert got == {"eu": (2, 20)}
 
 
+def test_apply_batch_crash_between_snapshot_and_pointer(spark, tmp_path, monkeypatch):
+    """Crash injected AFTER the new snapshot is written but BEFORE the
+    pointer rename: the store must still read the OLD state with the
+    OLD batch marker, and the redelivered batch must then apply exactly
+    once (the pointer rename is the single atomic commit point)."""
+    import os as _os
+    store = IA.AggStore(spark, str(tmp_path / "agg4"), ["region"], ["amount"], TYPES)
+    b0 = _ev(spark, [("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 10})])
+    store.apply_batch(b0, batch_id=0)
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.endswith(IA.AggStore._POINTER):
+            raise OSError("simulated crash before pointer commit")
+        return real_rename(src, dst)
+
+    b1 = _ev(spark, [("INSERT", 2, 2, {"id": 2, "region": "eu", "amount": 5})])
+    monkeypatch.setattr(IA.os, "rename", crashing_rename)
+    try:
+        store.apply_batch(b1, batch_id=1)
+    except OSError:
+        pass
+    monkeypatch.setattr(IA.os, "rename", real_rename)
+    # old state + old marker fully intact
+    assert store.last_batch_id() == 0
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (1, 10)}
+    # redelivery applies exactly once; orphan snapshot from the crash swept
+    store.apply_batch(b1, batch_id=1)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (2, 15)}
+    snaps = [d for d in _os.listdir(tmp_path / "agg4") if d.startswith("v_")]
+    assert len(snaps) == 1
+
+
 def test_agg_store_behind_foreach_batch(spark, tmp_path):
     """The maintained rollup driven by an actual Structured Streaming
     query: foreachBatch passes its batch_id through, so the store is

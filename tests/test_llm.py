@@ -543,7 +543,8 @@ def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
 
 def test_strip_duplicated_lines(spark):
     """Boilerplate lines (df > max_occ) vanish, unique lines survive in
-    original order, all-boilerplate docs vanish entirely."""
+    original order; an all-boilerplate doc still emits a row with
+    clean_text '' and n_kept_lines 0 (every input doc appears)."""
     from dbms_spark.llm.dedup import strip_duplicated_lines
 
     docs = spark.createDataFrame(
@@ -556,7 +557,8 @@ def test_strip_duplicated_lines(spark):
     assert out[1]["clean_text"] == "alpha beta"
     assert out[2]["clean_text"] == "gamma delta\nepsilon zeta"   # order kept
     assert out[2]["n_kept_lines"] == 2
-    assert 3 not in out                      # all lines were boilerplate
+    # all lines were boilerplate: doc survives, empty
+    assert out[3]["clean_text"] == "" and out[3]["n_kept_lines"] == 0
     # max_occ=3 keeps everything (df of HEADER/FOOTER is 3)
     all_kept = {r["doc_id"]: r["n_kept_lines"] for r in
                 strip_duplicated_lines(docs, max_occ=3).collect()}

@@ -243,4 +243,9 @@ def test_compact_small_files_leaves_big_ones(spark, tmp_path):
     assert rep["files_after"] == 2  # big file + one merged replacement
     assert os.path.exists(big) and os.path.getsize(big) == big_size
     assert spark.read.parquet(out).count() == 1000 + 60
+    # the manifest names exactly the live set: a manifest reader sees a
+    # consistent snapshot even mid-swap (commit is the manifest rename)
+    assert M.read_live_manifest(spark, out).count() == 1000 + 60
+    with open(os.path.join(out, "_LIVE_MANIFEST")) as f:
+        assert len([ln for ln in f.read().splitlines() if ln]) == 2
 

@@ -295,13 +295,14 @@ def test_fk_check_compare(spark):
         "ALTER TABLE T.t ADD FOREIGN KEY (y) REFERENCES S.q(qy);"
     drop = next(r for r in rows if r["kind"] == "DROP")
     assert drop["alter_sql"] == "ALTER TABLE T.t DROP FOREIGN KEY fk_b;"
-    # ON DELETE takes precedence over ON UPDATE in the render
+    # BOTH rules render when both are set — the reference emits each rule
+    # whenever non-empty (struct_compare_table.go CompareTableForeignConstraint)
     both = S.fks_to_df(spark, "t", [
         S.ForeignKeySpec("fk_c", ("z",), "S", "r", ("rz",),
                          delete_rule="SET NULL", update_rule="RESTRICT")])
     out = S.fk_compare(both, both.limit(0), "T").collect()
-    assert "ON DELETE SET NULL" in out[0]["alter_sql"]
-    assert "ON UPDATE" not in out[0]["alter_sql"]
+    assert out[0]["alter_sql"].endswith(
+        "(rz) ON DELETE SET NULL ON UPDATE RESTRICT;")
 
     cs = S.checks_to_df(spark, "t", [("ck1", "(a > 0)")])
     cd = S.checks_to_df(spark, "t", [("ck2", "(b > 0)")])

@@ -91,9 +91,9 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                batchsize: int = 500, num_partitions: int | None = None,
                properties: dict[str, str] | None = None) -> None:
     """S9 JDBC batch sink.  batchsize default mirrors the reference's
-    insert batch (example/stmt_migrate_task.toml:51 = 500).  Requires a
-    JDBC driver jar on the classpath; untestable in this container but
-    the code path is the production sink."""
+    insert batch (example/stmt_migrate_task.toml:51 = 500).  Executes
+    on executors, one connection per partition — exercised end-to-end
+    against embedded Derby in tests/test_jdbc_roundtrip.py."""
     out = df.repartition(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
@@ -105,6 +105,33 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def jdbc_upsert(df: DataFrame, url: str, target: str, staging: str,
+                keys: list[str], batchsize: int = 500,
+                num_partitions: int | None = None,
+                drop_staging: bool = True,
+                properties: dict[str, str] | None = None) -> int:
+    """Executed MERGE apply: stage the batch on the target via the
+    executor-side JDBC sink, then fold it into ``target`` with ONE
+    set-based MERGE (sources/jdbc.gen_merge_from_staging) — the Spark
+    re-expression of the reference's batched idempotent upsert
+    (database/processor/stmt_migrate_row.go:206-304).  Returns the
+    MERGE's affected-row count.  Idempotent: re-running with the same
+    batch converges (matched rows re-set to identical values).
+
+    Scale shape: the data leg is distributed (one JDBC connection per
+    partition writing the staging table); the apply leg is O(1)
+    statements regardless of batch size, and the target engine joins
+    staging->target with its own planner."""
+    from dbms_spark.sources.jdbc import gen_merge_from_staging
+    from dbms_spark.sources.jdbc_exec import execute
+
+    write_jdbc(df, url, staging, mode="overwrite", batchsize=batchsize,
+               num_partitions=num_partitions, properties=properties)
+    merge = gen_merge_from_staging(target, staging, keys, df.columns)
+    stmts = [merge] + ([f"DROP TABLE {staging}"] if drop_staging else [])
+    return execute(df.sparkSession, url, stmts)[0]
 
 
 def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:

@@ -143,7 +143,9 @@ _NLS_SORT = {
 
 
 def _quote(col: str, dialect: str) -> str:
-    return f'"{col}"' if dialect == "oracle" else f"`{col}`"
+    # oracle + derby (and other ANSI targets) take double-quoted
+    # identifiers; spark/mysql/tidb take backticks
+    return f'"{col}"' if dialect in ("oracle", "derby") else f"`{col}`"
 
 
 def _ident(col: str, v, collation: str | None, dialect: str = "spark") -> str:
@@ -189,8 +191,9 @@ def _cmp(col: str, op: str, v, collation: str | None = None,
     chunk membership explicitly, so they stay correct there too)."""
     c0 = _quote(col, dialect)
     if v is None:
-        false_ = "1 = 0" if dialect == "oracle" else "FALSE"
-        true_ = "1 = 1" if dialect == "oracle" else "TRUE"
+        always = dialect in ("oracle", "derby")  # no bare boolean literals
+        false_ = "1 = 0" if always else "FALSE"
+        true_ = "1 = 1" if always else "TRUE"
         return {"<": false_, "<=": f"{c0} IS NULL",
                 ">": f"{c0} IS NOT NULL", ">=": true_}[op]
     c = _ident(col, v, collation, dialect)

@@ -9,10 +9,12 @@ database/data_migrate.go:69 SqlHintS) map onto
 ``spark.read.jdbc(url, table, predicates=[...])`` — one predicate per
 chunk, each becoming one remote range scan running in its own task.
 
-No JDBC driver ships in this container, so these builders are
-exercised through their *planning* outputs (predicate lists, query
-text) in tests; the ``spark.read`` invocation itself is the standard
-DataSource V1 JDBC path.
+Executed end-to-end in-repo against embedded Apache Derby (the JDBC
+database Spark ships for its Hive metastore): chunk-predicate reads,
+executor-side batch writes, and the staged MERGE apply all run for
+real in ``tests/test_jdbc_roundtrip.py``.  Statement builders whose
+dialect has no in-container engine (Oracle snapshot clauses, TiDB
+IMPORT INTO) remain text-verified.
 """
 
 from __future__ import annotations
@@ -117,6 +119,32 @@ def gen_merge_into(table: str, key_cols: list[str], cols: list[str],
     return (
         f"MERGE INTO {table} t USING (SELECT {placeholders}) AS {source_alias} ({src_cols}) "
         f"ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def gen_merge_from_staging(table: str, staging: str, key_cols: list[str],
+                           cols: list[str], quote: str = '"') -> str:
+    """C4/S9 set-based apply: one MERGE folding an entire STAGED batch
+    table into the target — the scale shape of the reference's batched
+    upsert (stmt_migrate_row.go:206-304 applies row batches; here the
+    batch lands via executor-side ``write_jdbc`` and a single
+    statement applies it transactionally).  ANSI form (double-quoted
+    identifiers, unqualified SET targets) — runs as-is on Derby /
+    Oracle / PostgreSQL 15+; pass ``quote='`'`` for MySQL-family
+    targets that accept MERGE."""
+    q = lambda c: f"{quote}{c}{quote}"
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    non_key = [c for c in cols if c not in key_cols]
+    matched = ""
+    if non_key:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_key)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    ins_cols = ", ".join(q(c) for c in cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )

@@ -1,0 +1,148 @@
+"""Executed JDBC round trip against embedded Apache Derby (the JDBC
+database Spark ships for its Hive metastore — same jars, same
+classpath a production cluster would have for any driver).
+
+This flips S9/S1-as-JDBC from statement-generation evidence to
+EXECUTED evidence, covering the reference's core migrate loop
+(database/oracle/data_migrate.go:350-465 chunked extract;
+database/processor/stmt_migrate_row.go:206-304 batched apply):
+
+  seed -> plan chunks -> read_partitioned (one remote range scan per
+  predicate, executor-side) -> transform -> write_jdbc (executor-side
+  batch insert) -> MERGE from staging (set-based idempotent apply) ->
+  verify with compare_table against a parquet twin.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbms_spark.operators import migrate as M
+from dbms_spark.operators.compare import compare_table
+from dbms_spark.plans import chunker as CH
+from dbms_spark.sources import jdbc as J
+from dbms_spark.sources import jdbc_exec as X
+
+N = 500
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    """One embedded Derby database seeded with APP.SRC (N rows),
+    shared by the module's tests (read-only except where noted)."""
+    db = tmp_path_factory.mktemp("derby") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    X.execute(spark, url, [
+        "CREATE TABLE APP.SRC ("
+        "ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(64), AMT BIGINT)",
+    ])
+    X.execute_batch(
+        spark, url, "INSERT INTO APP.SRC VALUES (?, ?, ?)",
+        [(i, f"name{i}", i * 7) for i in range(N)])
+    return url
+
+
+def test_seed_visible_via_metadata_and_query(spark, derby):
+    assert X.table_exists(spark, derby, "APP", "SRC")
+    assert not X.table_exists(spark, derby, "APP", "NOPE")
+    assert X.query(spark, derby, "SELECT COUNT(*) FROM APP.SRC")[0][0] == N
+
+
+def test_chunk_planned_partitioned_read(spark, derby):
+    """S1/S2 executed: boundaries planned with the statistics chunker,
+    rendered in the derby dialect, and handed to spark.read.jdbc as
+    partition predicates — one REMOTE range scan per chunk.  The
+    predicates must tile the keyspace exactly: partition counts sum to
+    the table and the union equals a whole-table read."""
+    src = J.JdbcSource(url=derby, table="APP.SRC")
+    whole = J.read_query(spark, src, "SELECT ID, NAME, AMT FROM APP.SRC")
+    plan = CH.plan_chunks(whole, ["ID"], n_chunks=4)
+    preds = CH.predicates(plan, dialect="derby")
+    assert len(preds) == 4 and all('"ID"' in p for p in preds)
+
+    df = J.read_partitioned(spark, src, preds)
+    assert df.rdd.getNumPartitions() == 4
+    per_part = df.rdd.glom().map(len).collect()
+    assert sum(per_part) == N and all(c > 0 for c in per_part)
+    assert sorted(r["ID"] for r in df.select("ID").collect()) == list(range(N))
+
+
+def test_numeric_range_read_matches(spark, derby):
+    src = J.JdbcSource(url=derby, table="APP.SRC")
+    df = J.read_numeric_range(spark, src, "ID", 0, N, num_partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == N
+    got = df.agg(F.sum("AMT").alias("s")).collect()[0]["s"]
+    assert got == sum(i * 7 for i in range(N))
+
+
+def test_jdbc_upsert_merge_roundtrip(spark, derby):
+    """The migrate core loop, executed: target pre-seeded with stale
+    rows, a batch staged via the executor-side JDBC sink, ONE set-based
+    MERGE applies it; re-running the same batch converges (C4
+    idempotency).  Verified by comparing the JDBC-read target against
+    the Spark-computed expected state with the repo's own checksum
+    compare."""
+    X.execute(spark, derby, [
+        "CREATE TABLE APP.TGT ("
+        "ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(64), AMT BIGINT)",
+    ])
+    # stale seed: first 100 ids with wrong AMT
+    X.execute_batch(spark, derby, "INSERT INTO APP.TGT VALUES (?, ?, ?)",
+                    [(i, "stale", -1) for i in range(100)])
+
+    src = J.JdbcSource(url=derby, table="APP.SRC")
+    batch = (J.read_query(spark, src, "SELECT ID, NAME, AMT FROM APP.SRC")
+             .filter(F.col("ID") < 250)
+             .select("ID", "NAME", (F.col("AMT") * 2).alias("AMT")))
+    vtypes = {"createTableColumnTypes": "NAME VARCHAR(64)"}  # not Derby CLOB
+    affected = M.jdbc_upsert(batch, derby, "APP.TGT", "APP.STG", ["ID"],
+                             num_partitions=4, properties=vtypes)
+    assert affected == 250          # 100 updates + 150 inserts
+    # idempotent re-apply: same state, matched rows re-set identically
+    M.jdbc_upsert(batch, derby, "APP.TGT", "APP.STG", ["ID"],
+                  num_partitions=4, properties=vtypes)
+
+    got = spark.read.jdbc(url=derby, table="APP.TGT", properties={})
+    expect = batch
+    rep = compare_table(got, expect)
+    assert rep.equal and rep.src_cnt == 250 and rep.dst_cnt == 250
+    # staging dropped after apply
+    assert not X.table_exists(spark, derby, "APP", "STG")
+
+
+def test_delete_by_key_executed(spark, derby):
+    X.execute(spark, derby, [
+        "CREATE TABLE APP.DEL (ID BIGINT NOT NULL PRIMARY KEY, V BIGINT)",
+    ])
+    X.execute_batch(spark, derby, "INSERT INTO APP.DEL VALUES (?, ?)",
+                    [(i, i) for i in range(20)])
+    sql = J.gen_delete_by_key("APP.DEL", ["ID"]).replace("`", '"')
+    n = X.execute_batch(spark, derby, sql, [(i,) for i in range(0, 20, 2)])
+    assert n == 10
+    assert X.query(spark, derby, "SELECT COUNT(*) FROM APP.DEL")[0][0] == 10
+
+
+def test_compare_jdbc_vs_parquet_twin(spark, derby, tmp_path):
+    """The verify verb against a REAL JDBC source: parquet twin equal
+    -> green; a one-row drift -> detected by the checksum compare."""
+    src = J.JdbcSource(url=derby, table="APP.SRC")
+    jdf = J.read_query(spark, src, "SELECT ID, NAME, AMT FROM APP.SRC")
+    twin = str(tmp_path / "twin")
+    jdf.write.parquet(twin)
+    pq = spark.read.parquet(twin)
+    assert compare_table(jdf, pq).equal
+    drifted = pq.withColumn(
+        "AMT", F.when(F.col("ID") == 3, F.lit(999)).otherwise(F.col("AMT")))
+    assert not compare_table(jdf, drifted).equal
+
+
+def test_merge_from_staging_text_ansi_and_mysql():
+    """Statement-gen parity for targets we can't run here."""
+    ansi = J.gen_merge_from_staging("T.TGT", "T.STG", ["ID"], ["ID", "V"])
+    assert ansi == (
+        'MERGE INTO T.TGT t USING T.STG s ON t."ID" = s."ID" '
+        'WHEN MATCHED THEN UPDATE SET "V" = s."V" '
+        'WHEN NOT MATCHED THEN INSERT ("ID", "V") VALUES (s."ID", s."V")')
+    my = J.gen_merge_from_staging("t", "s_tbl", ["id"], ["id"], quote="`")
+    assert "WHEN MATCHED" not in my  # all-key table: insert-only merge

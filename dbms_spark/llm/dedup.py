@@ -22,7 +22,7 @@ has a bit-identical DuckDB twin for the differential gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbms_spark.llm.text import tokens_expr, tokens_sql
@@ -258,6 +258,97 @@ banded AS ({banded})
 SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+"""
+
+
+def lsh_candidate_pairs_capped(sigs: DataFrame, id_col: str = "doc_id",
+                               num_hashes: int = 8, bands: int = 2,
+                               bucket_cap: int = 64) -> DataFrame:
+    """Bucket-degeneracy-proof candidate pairs: buckets up to
+    ``bucket_cap`` members expand exactly (all a<b pairs, as
+    :func:`lsh_candidate_pairs`); LARGER buckets emit only the STAR to
+    the bucket's minimum id (min_id, id_i) — O(bucket) pairs instead
+    of O(bucket²).
+
+    Why this is the right scale trade: the hazard bucket at 100 TB is
+    a mega-cluster of near-identical docs (boilerplate pages, mirrored
+    corpora) — a hot bucket with c members otherwise proposes
+    c(c-1)/2 pairs; at c = 1M that is 5e11 pairs from ONE bucket.
+    For downstream verify->connected-components grouping a spanning
+    STAR keeps the whole cluster connected with GRAPH DIAMETER 1
+    (every member verifies directly against the hub), so the dedup
+    groups come out identical in one propagation round — a chain would
+    be equally linear in pairs but needs diameter-many rounds, which a
+    bounded label propagation won't finish.  The loss case is a giant
+    bucket polluted with false positives: a member similar to some
+    bucket-mate but NOT to the hub loses its link after verification;
+    small (≤ cap) buckets keep exact semantics, which is why this is a
+    cap, not a blanket star.  (The reference's histogram chunking,
+    data_compare_divider.go:41, is the same instinct: bound the unit
+    of work under a skewed key distribution.)
+
+    One extra shuffle vs the uncapped form (the per-bucket window for
+    size + min), also keyed on (band, bkey); the hot bucket's window
+    task is O(bucket) — a straggler, not a death.
+    """
+    per = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        legs.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
+                                key.alias("bkey")))
+    banded = legs[0]
+    for leg in legs[1:]:
+        banded = banded.unionAll(leg)
+    w = Window.partitionBy("band", "bkey")
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)) \
+                  .withColumn("__hub", F.min(id_col).over(w))
+    small = sized.filter(F.col("__n") <= bucket_cap)
+    a, b_ = small.alias("a"), small.alias("b")
+    exact = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+    )
+    star = (
+        sized.filter((F.col("__n") > bucket_cap) & (F.col(id_col) != F.col("__hub")))
+        .select(F.col("__hub").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+    return exact.unionByName(star).distinct()
+
+
+def lsh_candidate_pairs_capped_sql(table: str, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   num_hashes: int = 8, bands: int = 2,
+                                   bucket_cap: int = 64) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs_capped`."""
+    per = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM sigs")
+    banded = " UNION ALL ".join(legs)
+    return f"""
+WITH sigs AS ({minhash_signatures_sql(table, id_col, text_col, num_hashes)}),
+banded AS ({banded}),
+sized AS (
+  SELECT {id_col}, band, bkey,
+         COUNT(*) OVER (PARTITION BY band, bkey) AS n,
+         MIN({id_col}) OVER (PARTITION BY band, bkey) AS hub
+  FROM banded
+)
+SELECT DISTINCT a_id, b_id FROM (
+  SELECT a.{id_col} AS a_id, b.{id_col} AS b_id
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+  WHERE a.n <= {bucket_cap}
+  UNION ALL
+  SELECT hub AS a_id, {id_col} AS b_id
+  FROM sized WHERE n > {bucket_cap} AND {id_col} <> hub
+)
 """
 
 

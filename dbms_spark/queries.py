@@ -6464,3 +6464,43 @@ def q189_dictionary_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SUBPART_CATALOG,
         "table_name string, partitioning_type string, subpartitioning_type string")
     return dictionary_overview(syn, mv, ix, sp)
+
+
+# ---------------------------------------------------------------------------
+# q190 — skew-degenerate LSH dedup: every third document's text is
+# REPLACED with one shared boilerplate string, collapsing ~1/3 of the
+# corpus into a single LSH bucket.  lsh_candidate_pairs_capped keeps
+# small buckets exact and emits only the hub STAR for the mega-bucket
+# (O(bucket) pairs, graph diameter 1), so downstream grouping is
+# unchanged while the pair list stays linear — the skew-hardening
+# counterpart of the reference's histogram chunking
+# (database/processor/data_compare_divider.go:41).
+# ---------------------------------------------------------------------------
+
+_Q190_CORPUS = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'mirrored boilerplate page served for every third document'
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def _q190_sql() -> str:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs_capped_sql
+
+    body = lsh_candidate_pairs_capped_sql("corpus", bucket_cap=16)
+    return body.replace("\nWITH ", f"\nWITH corpus AS ({_Q190_CORPUS}),\n", 1)
+
+
+@register("q190_lsh_capped_skew_pairs", _q190_sql())
+def q190_lsh_capped_skew_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import lsh_candidate_pairs_capped, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("mirrored boilerplate page served for every third document"))
+        .otherwise(F.col("text")).alias("text"))
+    return lsh_candidate_pairs_capped(minhash_signatures(corpus), bucket_cap=16)

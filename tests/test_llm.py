@@ -541,6 +541,33 @@ def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
     assert got == expect and (1, 2) in got and (1, 3) in got
 
 
+def test_lsh_capped_pairs_bounds_megabucket_same_groups(spark):
+    """A mega-cluster (40 identical docs) must cost O(cluster) pairs
+    under the cap, not O(cluster²) — and the downstream dedup GROUPS
+    must be identical to the full expansion (the hub star has graph
+    diameter 1, so bounded label propagation closes it in one round).
+    Small buckets keep exact all-pairs semantics."""
+    from dbms_spark.llm.dedup import (dedup_groups, lsh_candidate_pairs,
+                                      lsh_candidate_pairs_capped,
+                                      minhash_signatures)
+
+    rows = [(i, "the same boilerplate page content repeated verbatim here")
+            for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words "
+              f"{i * 7} and tail {i * 13}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    full = lsh_candidate_pairs(sigs)
+    capped = lsh_candidate_pairs_capped(sigs, bucket_cap=8)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 40 * 39 // 2          # quadratic in the cluster
+    assert n_capped == 39                  # linear: one star edge per member
+    groups = lambda p: sorted(
+        (r["group_id"], r["count"])
+        for r in dedup_groups(p).groupBy("group_id").count().collect())
+    assert groups(full) == groups(capped)  # same dedup outcome
+
+
 def test_strip_duplicated_lines(spark):
     """Boilerplate lines (df > max_occ) vanish, unique lines survive in
     original order; an all-boilerplate doc still emits a row with

@@ -8,7 +8,9 @@ Replication preserves distributions: every row is cloned K times with
 remapped keys (key * K + i), so join fan-outs, group cardinalities,
 and dup-cluster shapes scale with the data instead of degenerating.
 
-    python tools/scale_smoke.py [K]         # default K=10
+    python tools/scale_smoke.py [K]         # default K=10, all ops
+    python tools/scale_smoke.py 100 hashed_multiset_diff dedup_pipeline
+                                            # K=100, only the named ops
 """
 
 from __future__ import annotations
@@ -49,7 +51,9 @@ def build(spark, k: int) -> dict[str, str]:
     for t, ids in specs.items():
         p = os.path.join(OUT, f"k{k}", t + ".parquet")
         paths[t] = p
-        if not os.path.exists(p):
+        # gate on the writer's _SUCCESS marker, not the dir: a killed
+        # build leaves a partial dir that would otherwise be reused
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
             src = load_table(spark, SF_DIR, t)
             rep = src.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
             cols = []
@@ -63,9 +67,11 @@ def build(spark, k: int) -> dict[str, str]:
                     # other) — that measures the workload, not the
                     # operator.  Rotation keeps norms and value
                     # distributions, changes directions.
+                    # offset mod dim: k can exceed the vector dimension
                     cols.append(F.expr(
-                        "concat(slice(embedding, __i + 1, size(embedding) - __i),"
-                        " slice(embedding, 1, __i))").alias(c))
+                        "concat(slice(embedding, pmod(__i, size(embedding)) + 1,"
+                        "             size(embedding) - pmod(__i, size(embedding))),"
+                        " slice(embedding, 1, pmod(__i, size(embedding))))").alias(c))
                 else:
                     cols.append(F.col(c))
             rep.select(*cols).write.mode("overwrite").parquet(p)
@@ -74,6 +80,7 @@ def build(spark, k: int) -> dict[str, str]:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # empty = all ops
     spark = get_spark("scale_smoke")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     paths = build(spark, k)
@@ -82,6 +89,8 @@ def main() -> None:
     docs = spark.read.parquet(paths["documents"])
 
     def bench(name, fn):
+        if only and name not in only:
+            return
         small_t = big_t = None
         for scale, frame in (("sf0.1", None), (f"x{k}", "big")):
             t0 = time.perf_counter()
@@ -193,7 +202,17 @@ def main() -> None:
                         ).alias("text"))
         return strip_duplicated_lines(corpus)
 
+    def dedup_pipeline(big):
+        from dbms_spark.engine import DbmsEngine
+
+        # the q100/q140 flagship shape end-to-end: minhash -> banded
+        # LSH -> exact-Jaccard verify -> connected components ->
+        # keep-one anti-join (every stage bucketed/bounded)
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return DbmsEngine(spark).dedup_pipeline(src.select("doc_id", "text"))
+
     bench("pricing_agg", pricing)
+    bench("dedup_pipeline", dedup_pipeline)
     bench("boilerplate_line_strip", line_strip)
     bench("table_checksum", checksum)
     bench("hashed_multiset_diff", hashed_diff)

@@ -55,6 +55,36 @@ def main() -> None:
     nb = dim.hint("shuffle_hash")
     timed("join_unsalted", skewed.join(nb, "k"))
     timed("join_salted", salted_join(skewed, dim, "k", n_salts=16))
+
+    # -- dedup-side skew: a mega-cluster of identical docs -------------
+    # fanout identical docs share one LSH bucket; full expansion mines
+    # O(c²) pairs from it, the capped hub-star O(c).
+    fanout = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    from dbms_spark.llm.dedup import (lsh_candidate_pairs,
+                                      lsh_candidate_pairs_capped,
+                                      minhash_signatures)
+
+    n_docs = fanout * 5
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < fanout,
+               F.lit("mirrored boilerplate page content served verbatim"))
+        .otherwise(F.concat(F.lit("unique document body number "),
+                            F.col("id").cast("string"),
+                            F.lit(" with distinct tail words "),
+                            (F.col("id") * 17).cast("string"))).alias("text"))
+    sigs = minhash_signatures(docs).persist()
+    sigs.count()
+    t0 = time.perf_counter()
+    n_full = lsh_candidate_pairs(sigs).count()
+    t_full = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"case": "lsh_pairs_full", "cluster": fanout,
+                      "pairs": n_full, "sec": t_full}), flush=True)
+    t0 = time.perf_counter()
+    n_cap = lsh_candidate_pairs_capped(sigs, bucket_cap=64).count()
+    t_cap = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"case": "lsh_pairs_capped", "cluster": fanout,
+                      "pairs": n_cap, "sec": t_cap}), flush=True)
     spark.stop()
 
 

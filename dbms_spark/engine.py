@@ -189,19 +189,33 @@ class DbmsEngine:
     # -- llm data pipeline ----------------------------------------------
 
     def dedup_pipeline(self, docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", min_sim: float = 0.7) -> DataFrame:
+                       text_col: str = "text", min_sim: float = 0.7,
+                       bucket_cap: int | None = None) -> DataFrame:
         """The full near-dup removal verb: LSH proposes candidate
         pairs, exact n-gram Jaccard verifies them, label propagation
         groups the verified duplicates, and the keep-one-representative
         policy (keep the minimum id of each group) drops the rest via a
         left-anti join.  Every stage is the bucketed/bounded form — no
-        all-pairs work anywhere."""
+        all-pairs work anywhere.
+
+        ``bucket_cap`` switches the pair miner to the skew-hardened
+        form (``lsh_candidate_pairs_capped``): LSH buckets larger than
+        the cap emit only the hub star (O(bucket) pairs) instead of
+        all pairs — set it when the corpus may contain mega-clusters
+        of near-identical docs (boilerplate/mirrors), the rule rather
+        than the exception at web scale; see docs/SCALE.md."""
         from pyspark.sql import functions as F
 
         from dbms_spark.llm import dedup
 
-        sigs = dedup.minhash_signatures(docs, id_col, text_col, keep_shingles=True)
-        pairs = dedup.lsh_candidate_pairs(sigs, id_col, carry=["sh"])
+        if bucket_cap is not None:
+            sigs = dedup.minhash_signatures(docs, id_col, text_col)
+            pairs = dedup.lsh_candidate_pairs_capped(sigs, id_col,
+                                                     bucket_cap=bucket_cap)
+        else:
+            sigs = dedup.minhash_signatures(docs, id_col, text_col,
+                                            keep_shingles=True)
+            pairs = dedup.lsh_candidate_pairs(sigs, id_col, carry=["sh"])
         verified = dedup.jaccard_on_pairs(docs, pairs, id_col, text_col, min_sim=min_sim)
         groups = dedup.dedup_groups(verified)
         drop = (

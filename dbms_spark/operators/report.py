@@ -63,3 +63,115 @@ def write_assess_report(sections: dict[str, DataFrame], path: str,
     with open(path, "w") as f:
         f.write(render_assess_report(sections, title))
     return path
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped AWR-style report (assess_report.go:44-62 renders
+# header/body + overview/summary/detail/compatible/check/related from
+# embedded templates; template/index.html & report_*.html define the
+# section grammar).  Re-expressed as a Python renderer with the same
+# SECTION SEMANTICS — overview key/values, one-row summary totals, an
+# anchor navigation table, per-section comments, [Top] backlinks —
+# with original styling (the structure is the behavioral parity, the
+# CSS is not).
+# ---------------------------------------------------------------------------
+
+_REPORT_CSS = (
+    "body{font:10pt/1.5 Arial,Helvetica,sans-serif;color:#1a1a1a;margin:2em}"
+    "h1{font-size:15pt;color:#1f4e79;border-bottom:2px solid #1f4e79;"
+    "padding-bottom:4px}"
+    ".section-head{text-align:center;font-size:13pt;color:#1f4e79;"
+    "font-weight:bold;margin-top:1.6em}"
+    ".section-rule{width:460px;margin:2px auto 10px}"
+    ".comment{font-size:8pt;color:#555;margin:2px 0 6px}"
+    "table{border-collapse:collapse;width:90%;margin-bottom:8px}"
+    "td,th{border:1px solid #9ab;padding:3px 8px;font-size:10pt}"
+    "th{background:#1f66b0;color:#fff;text-align:left}"
+    "td{background:#fffbe8}"
+    ".nav td{text-align:center;background:#fff}"
+    ".top{text-align:center;font-size:8pt;margin-bottom:8px}"
+)
+
+
+def _anchor(name: str) -> str:
+    return name.lower().replace(" ", "_")
+
+
+def _section_heading(name: str, comment: str | None) -> str:
+    a = _anchor(name)
+    parts = [
+        f"<a id='{a}'></a>",
+        f"<div class='section-head'>{html.escape(name.upper())}</div>",
+        "<hr class='section-rule'>",
+    ]
+    if comment:
+        parts.append(f"<div class='comment'>{html.escape(comment)}</div>")
+    return "".join(parts)
+
+
+def render_assess_report_structured(
+    overview: dict[str, str],
+    summary: dict[str, int],
+    sections: dict[str, tuple[str, DataFrame]],
+    title: str = "MIGRATE ASSESS",
+) -> str:
+    """The reference's full report grammar:
+
+    - ``overview``: environment key/values (report name, user, host,
+      database ... — ReportOverview's field block) as a 2-column table;
+    - ``summary``: the assess totals row — ``assess_total``,
+      ``compatible``, ``incompatible``, ``convertible``,
+      ``inconvertible`` (ReportSummary);
+    - a DETAIL navigation table linking every section anchor
+      (report_detail.html's link grid);
+    - ``sections``: name -> (comment, result DataFrame), each rendered
+      with its anchor, comment line, and a [Top] backlink
+      (report_compatible/check/related).
+    """
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{html.escape(title)}</title>",
+        f"<style>{_REPORT_CSS}</style></head><body><a id='top'></a>",
+        f"<h1>{html.escape(title)}</h1>",
+        _section_heading("report overview", None),
+        "<table>",
+        *(f"<tr><th style='width:25%'>{html.escape(k.upper())}</th>"
+          f"<td><tt>{html.escape(str(v))}</tt></td></tr>"
+          for k, v in overview.items()),
+        "</table>",
+        _section_heading(
+            "report summary",
+            "Struct object migrate cost assess summary."),
+        "<table><tr>",
+        *(f"<th>{html.escape(k.upper())}</th>" for k in summary),
+        "</tr><tr>",
+        *(f"<td style='text-align:center'>{int(v)}</td>" for v in summary.values()),
+        "</tr></table>",
+        _section_heading("report detail", None),
+        "<table class='nav'><tr>",
+    ]
+    names = list(sections)
+    for i, name in enumerate(names):
+        if i and i % 4 == 0:
+            parts.append("</tr><tr>")
+        parts.append(f"<td><a href='#{_anchor(name)}'>{html.escape(name)}</a></td>")
+    parts.append("</tr></table>")
+    for name, (comment, df) in sections.items():
+        parts.append(_section_heading(name, comment))
+        parts.append(_df_to_html_table(df))
+        parts.append("<div class='top'>[<a href='#top'>Top</a>]</div>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def write_assess_report_structured(
+    overview: dict[str, str],
+    summary: dict[str, int],
+    sections: dict[str, tuple[str, DataFrame]],
+    path: str,
+    title: str = "MIGRATE ASSESS",
+) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(render_assess_report_structured(overview, summary, sections, title))
+    return path

@@ -86,6 +86,9 @@ def test_dedup_pipeline_keeps_one_representative(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # all 3 copies of doc 0 dropped, representative (min id 0) kept
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7]
+    # skew-hardened miner (hub star for over-cap buckets): same kept set
+    capped = DbmsEngine(spark).dedup_pipeline(docs, min_sim=0.9, bucket_cap=2)
+    assert sorted(r["doc_id"] for r in capped.collect()) == kept
 
 
 def test_cli_verbs(spark, tmp_path, capsys):

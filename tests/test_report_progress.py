@@ -37,6 +37,38 @@ def test_assess_report_escapes_html(spark):
     assert "x&lt;y" in out
 
 
+def test_assess_report_structured_reference_grammar(spark, sf_dir, tmp_path):
+    """Reference report grammar (assess_report.go:44-62 +
+    template/report_*.html): overview key/values, one-row summary
+    totals, a detail NAV table whose links resolve to real section
+    anchors, per-section comment lines, and [Top] backlinks."""
+    overview = {"report name": "assess_demo", "report user": "tester",
+                "host name": "local", "database name": "TPCH"}
+    summary = {"assess_total": 10, "compatible": 7, "incompatible": 1,
+               "convertible": 2, "inconvertible": 0}
+    sections = {
+        "table type compatible": ("Schema table type compatible overview.",
+                                  table_overview(spark, sf_dir)),
+        "top tables": ("Largest tables by rows.",
+                       top_tables_by_rows(spark, sf_dir)),
+    }
+    path = R.write_assess_report_structured(
+        overview, summary, sections, str(tmp_path / "r.html"))
+    out = open(path).read()
+    assert "REPORT OVERVIEW" in out and "REPORT SUMMARY" in out \
+        and "REPORT DETAIL" in out
+    assert "<tt>assess_demo</tt>" in out
+    # summary totals render as one header row + one value row
+    assert "ASSESS_TOTAL" in out and "INCONVERTIBLE" in out
+    # nav links resolve: every href has a matching anchor id
+    import re
+    hrefs = set(re.findall(r"href='#([^']+)'", out)) - {"top"}
+    ids = set(re.findall(r"id='([^']+)'", out))
+    assert hrefs and hrefs <= ids
+    assert out.count("[<a href='#top'>Top</a>]") == len(sections)
+    assert "lineitem" in out
+
+
 def test_batch_progress_snapshot(spark):
     p = batch_progress(spark)   # idle session: zeros, but shape is valid
     assert p.active_jobs >= 0 and p.num_tasks >= 0

@@ -137,6 +137,35 @@ def test_compare_jdbc_vs_parquet_twin(spark, derby, tmp_path):
     assert not compare_table(jdf, drifted).equal
 
 
+def test_chunked_compare_and_drilldown_over_live_jdbc(spark, derby):
+    """The reference's verify flow (data_compare_divider plan ->
+    chunked checksum -> seek on unequal chunks) over two LIVE JDBC
+    tables: a copy with one drifted row must localize to exactly its
+    chunk, and the drill-down must surface exactly the drifted row
+    pair — all reads going through the JDBC source."""
+    from dbms_spark.operators.compare import drilldown_chunks
+
+    X.execute(spark, derby, [
+        "CREATE TABLE APP.SRC2 ("
+        "ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(64), AMT BIGINT)",
+        "INSERT INTO APP.SRC2 SELECT * FROM APP.SRC",
+        "UPDATE APP.SRC2 SET AMT = -5 WHERE ID = 123",
+    ])
+    src = J.JdbcSource(url=derby, table="APP.SRC")
+    a = J.read_query(spark, src, "SELECT ID, NAME, AMT FROM APP.SRC")
+    b = J.read_query(spark, src, "SELECT ID, NAME, AMT FROM APP.SRC2")
+    plan = CH.plan_chunks(a, ["ID"], n_chunks=5)
+    rep = compare_table(a, b, plan=plan)
+    assert not rep.equal and len(rep.mismatched_chunks) == 1
+    bad = rep.mismatched_chunks
+    rows = drilldown_chunks(a, b, plan, bad).collect()
+    drifted = {(r["ID"], r["AMT"], r["src_cnt"], r["dst_cnt"]) for r in rows}
+    assert drifted == {(123, 123 * 7, 1, 0), (123, -5, 0, 1)}
+    assert all(r["chunk_id"] == bad[0] for r in rows)
+    # and the clean pair compares equal under the same plan
+    assert compare_table(a, a, plan=plan).equal
+
+
 def test_merge_from_staging_text_ansi_and_mysql():
     """Statement-gen parity for targets we can't run here."""
     ansi = J.gen_merge_from_staging("T.TGT", "T.STG", ["ID"], ["ID", "V"])

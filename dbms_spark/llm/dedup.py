@@ -143,6 +143,34 @@ def band_keys(num_hashes: int = 8, bands: int = 2) -> list[tuple[int, str]]:
     return out
 
 
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
+            carry: list[str]) -> DataFrame:
+    """(id, carry..., band, bkey) — one leg per band, unioned.  The
+    single definition of the band bucket key (md5 of the band's
+    comma-joined minhash slots) every pair miner shares; the SQL twins
+    derive the identical key via :func:`band_keys`."""
+    per = num_hashes // bands
+    legs = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        legs.append(sigs.select(F.col(id_col), *carry,
+                                F.lit(b).alias("band"), key.alias("bkey")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+def _banded_sql_legs(id_col: str, num_hashes: int, bands: int) -> str:
+    """The DuckDB twin of :func:`_banded` over a CTE named ``sigs``."""
+    legs = []
+    for b, expr in band_keys(num_hashes, bands):
+        key = "md5(" + expr.format(T="VARCHAR") + ")"
+        legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM sigs")
+    return " UNION ALL ".join(legs)
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         num_hashes: int = 8, bands: int = 2,
                         carry: list[str] | None = None) -> DataFrame:
@@ -157,15 +185,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     reuses one exchange for both.  Pair dedup is a groupBy taking the
     first payload (identical across bands by construction)."""
     carry = carry or []
-    per = num_hashes // bands
-    legs = []
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        legs.append(sigs.select(F.col(id_col), *carry, F.lit(b).alias("band"), key.alias("bkey")))
-    banded = legs[0]
-    for leg in legs[1:]:
-        banded = banded.unionAll(leg)
+    banded = _banded(sigs, id_col, num_hashes, bands, carry)
     a = banded.alias("a")
     b_ = banded.alias("b")
     joined = (
@@ -197,22 +217,10 @@ def lsh_candidate_pairs_between(new_sigs: DataFrame, old_sigs: DataFrame,
     O(batch) map work + a bucket-local join — never a re-mine or a
     corpus self-join.  The within-batch pairs remain
     :func:`lsh_candidate_pairs` on the new signatures alone."""
-    per = num_hashes // bands
-
-    def banded(sigs: DataFrame, alias: str) -> DataFrame:
-        legs = []
-        for b in range(bands):
-            cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-            key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-            legs.append(sigs.select(
-                F.col(id_col).alias(alias), F.lit(b).alias("band"), key.alias("bkey")))
-        out = legs[0]
-        for leg in legs[1:]:
-            out = out.unionAll(leg)
-        return out
-
-    n = banded(new_sigs, "new_id")
-    o = banded(old_sigs, "old_id")
+    n = _banded(new_sigs, id_col, num_hashes, bands, carry=[]) \
+        .withColumnRenamed(id_col, "new_id")
+    o = _banded(old_sigs, id_col, num_hashes, bands, carry=[]) \
+        .withColumnRenamed(id_col, "old_id")
     return (
         n.join(o, ["band", "bkey"])
         .select("new_id", "old_id")
@@ -245,13 +253,7 @@ FROM nb JOIN ob ON nb.band = ob.band AND nb.bkey = ob.bkey
 
 def lsh_candidate_pairs_sql(table: str, id_col: str = "doc_id", text_col: str = "text",
                             num_hashes: int = 8, bands: int = 2) -> str:
-    per = num_hashes // bands
-    legs = []
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
-        legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM sigs")
-    banded = " UNION ALL ".join(legs)
+    banded = _banded_sql_legs(id_col, num_hashes, bands)
     return f"""
 WITH sigs AS ({minhash_signatures_sql(table, id_col, text_col, num_hashes)}),
 banded AS ({banded})
@@ -291,16 +293,7 @@ def lsh_candidate_pairs_capped(sigs: DataFrame, id_col: str = "doc_id",
     size + min), also keyed on (band, bkey); the hot bucket's window
     task is O(bucket) — a straggler, not a death.
     """
-    per = num_hashes // bands
-    legs = []
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        legs.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
-                                key.alias("bkey")))
-    banded = legs[0]
-    for leg in legs[1:]:
-        banded = banded.unionAll(leg)
+    banded = _banded(sigs, id_col, num_hashes, bands, carry=[])
     w = Window.partitionBy("band", "bkey")
     sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)) \
                   .withColumn("__hub", F.min(id_col).over(w))
@@ -324,13 +317,7 @@ def lsh_candidate_pairs_capped_sql(table: str, id_col: str = "doc_id",
                                    num_hashes: int = 8, bands: int = 2,
                                    bucket_cap: int = 64) -> str:
     """DuckDB twin of :func:`lsh_candidate_pairs_capped`."""
-    per = num_hashes // bands
-    legs = []
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-        key = "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
-        legs.append(f"SELECT {id_col}, {b} AS band, {key} AS bkey FROM sigs")
-    banded = " UNION ALL ".join(legs)
+    banded = _banded_sql_legs(id_col, num_hashes, bands)
     return f"""
 WITH sigs AS ({minhash_signatures_sql(table, id_col, text_col, num_hashes)}),
 banded AS ({banded}),

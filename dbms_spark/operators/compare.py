@@ -432,12 +432,7 @@ def seek_columns(
             )
         return df.agg(*aggs)
 
-    # one job for both sides: union the two one-row aggregates
-    both = {r["__side"]: r for r in (
-        side(src, fields_s).withColumn("__side", F.lit("s"))
-        .unionByName(side(dst, fields_d).withColumn("__side", F.lit("d")))
-        .collect())}
-    s_row, d_row = both["s"], both["d"]
+    s_row, d_row = _collect_sides(side(src, fields_s), side(dst, fields_d))
     rows = [
         (c, s_row["cnt"], d_row["cnt"], s_row[f"__h_{c}"], d_row[f"__h_{c}"],
          bool(s_row["cnt"] == d_row["cnt"] and s_row[f"__h_{c}"] == d_row[f"__h_{c}"]))
@@ -478,13 +473,8 @@ def compare_table(
     if plan is None:
         check = C.table_checksum_crc32 if crc else C.table_checksum
         keys = ["cnt", "crc_sum"] if crc else ["cnt", "h0", "h1", "h2", "h3"]
-        # single job: both sides' one-row checksums unioned before collect
-        both = {r["__side"]: r for r in (
-            check(src, cols, oracle_empty_is_null).withColumn("__side", F.lit("s"))
-            .unionByName(check(dst, cols, oracle_empty_is_null)
-                         .withColumn("__side", F.lit("d")))
-            .collect())}
-        a, b = both["s"], both["d"]
+        a, b = _collect_sides(check(src, cols, oracle_empty_is_null),
+                              check(dst, cols, oracle_empty_is_null))
         eq = all(a[k] == b[k] for k in keys)
         return CompareReport(eq, a["cnt"], b["cnt"], [] if eq else [0])
     chunked = compare_chunked_crc32 if crc else compare_chunked
@@ -495,14 +485,22 @@ def compare_table(
     return CompareReport(len(bad) == 0, src_cnt, dst_cnt, sorted(r["chunk_id"] for r in bad))
 
 
+def _collect_sides(s_agg: DataFrame, d_agg: DataFrame):
+    """Collect two schema-identical ONE-ROW aggregates in a single
+    Spark job: tag, union, collect, split.  Driver-side summaries only
+    — never row data."""
+    both = {r["__side"]: r for r in (
+        s_agg.withColumn("__side", F.lit("s"))
+        .unionByName(d_agg.withColumn("__side", F.lit("d")))
+        .collect())}
+    return both["s"], both["d"]
+
+
 def _both_counts(src: DataFrame, dst: DataFrame) -> tuple[int, int]:
     """Both sides' row counts in ONE Spark job (unioned one-row aggs)."""
-    rows = {r["__side"]: r["cnt"] for r in (
-        src.agg(F.count(F.lit(1)).alias("cnt")).withColumn("__side", F.lit("s"))
-        .unionByName(dst.agg(F.count(F.lit(1)).alias("cnt"))
-                     .withColumn("__side", F.lit("d")))
-        .collect())}
-    return rows["s"], rows["d"]
+    s, d = _collect_sides(src.agg(F.count(F.lit(1)).alias("cnt")),
+                          dst.agg(F.count(F.lit(1)).alias("cnt")))
+    return s["cnt"], d["cnt"]
 
 
 def drilldown_chunks(

@@ -371,22 +371,50 @@ def compact_small_files(spark: SparkSession, path: str,
 
 
 def _write_live_manifest(path: str, live_files: list[str]) -> None:
-    """Atomically (write-then-rename) record the live file set — the
-    commit point concurrent readers key off (see compact_small_files)."""
+    """Atomically (write+fsync, then rename) record the live file set —
+    the commit point concurrent readers key off (see
+    compact_small_files).  The fsync closes the crash window where the
+    rename survives a power loss but the content doesn't (a zero-length
+    manifest would otherwise wedge every reader)."""
     manifest = os.path.join(path, "_LIVE_MANIFEST")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         f.write("\n".join(sorted(os.path.basename(p) for p in live_files)))
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, manifest)
 
 
 def read_live_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Read a compacted directory through its ``_LIVE_MANIFEST`` —
     immune to the compaction swap window (falls back to the plain
-    directory read when no manifest exists yet)."""
+    directory read when no manifest exists yet).
+
+    Append-aware: a part file on disk but NOT in the manifest is one of
+    (a) a merged source awaiting deletion (modified BEFORE the
+    manifest) — excluded, its rows live in the compacted replacements;
+    (b) a sink file appended AFTER the last compaction — included, so
+    a streaming tail keeps landing between compactions without readers
+    going stale on the frozen snapshot; (c) a ``part-compacted-*``
+    replacement of an IN-FLIGHT compaction whose manifest hasn't
+    committed yet — excluded (its rows are still covered by the
+    currently-named sources; it joins the live set when its own
+    manifest rename lands)."""
+    import glob
+
     manifest = os.path.join(path, "_LIVE_MANIFEST")
     if not os.path.exists(manifest):
         return spark.read.parquet(path)
+    m_time = os.path.getmtime(manifest)
     with open(manifest) as f:
-        names = [ln for ln in f.read().splitlines() if ln]
-    return spark.read.parquet(*[os.path.join(path, n) for n in names])
+        named = {ln for ln in f.read().splitlines() if ln}
+    files = []
+    for p in glob.glob(os.path.join(path, "part-*")):
+        base = os.path.basename(p)
+        appended = (os.path.getmtime(p) >= m_time
+                    and not base.startswith("part-compacted-"))
+        if base in named or appended:
+            files.append(p)
+    if not files:
+        return spark.read.parquet(path)   # empty/corrupt manifest: degrade
+    return spark.read.parquet(*files)

@@ -94,7 +94,11 @@ _REPORT_CSS = (
 
 
 def _anchor(name: str) -> str:
-    return name.lower().replace(" ", "_")
+    """HTML-id-safe anchor: lowercase alphanumerics and underscores
+    only (attribute-injection-proof by construction — no escaping
+    needed because nothing else survives)."""
+    import re
+    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_") or "section"
 
 
 def _section_heading(name: str, comment: str | None) -> str:
@@ -128,6 +132,10 @@ def render_assess_report_structured(
       with its anchor, comment line, and a [Top] backlink
       (report_compatible/check/related).
     """
+    anchors = [_anchor(n) for n in sections]
+    if len(set(anchors)) != len(anchors):
+        raise ValueError(f"section names collide after anchor "
+                         f"normalization: {sorted(anchors)}")
     parts = [
         "<!DOCTYPE html><html><head><meta charset='utf-8'>",
         f"<title>{html.escape(title)}</title>",

@@ -157,6 +157,11 @@ def _ident(col: str, v, collation: str | None, dialect: str = "spark") -> str:
         if dialect == "oracle":
             nls = _NLS_SORT.get(collation, collation)
             return f"NLSSORT({base}, 'NLS_SORT={nls}')"
+        if dialect == "derby":
+            # Derby has no COLLATE clause / NLSSORT — fail fast rather
+            # than ship syntax the engine will reject at read time
+            raise ValueError("derby dialect does not support collated "
+                             "chunk plans; plan without a collation")
         return f"{base} COLLATE {collation}"
     return base
 

@@ -17,19 +17,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# semanticHash -> partition count.  df.rdd.getNumPartitions() runs the
-# full physical planning each call; operators guard the SAME scan over
-# and over (every query reads the same parquet dirs), so memoizing on
-# the analyzed plan's semantic hash skips the replan.  Stale only if
-# files are appended under an already-guarded path mid-session — then
-# the guard re-fires or no-ops, never corrupts (it only picks a
-# partition count).
-_NPART_CACHE: dict[int, int] = {}
+# (applicationId, semanticHash) -> partition count.
+# df.rdd.getNumPartitions() runs the full physical planning each call;
+# operators guard the SAME scan over and over (every query reads the
+# same parquet dirs), so memoizing on the analyzed plan's semantic
+# hash skips the replan.  The applicationId in the key stops a stale
+# count outliving its SparkSession.  Staleness within one session is
+# possible only when files are added/removed under an already-guarded
+# path: growth makes the cached (low) count keep firing the
+# repartition the guard would fire anyway, shrinkage makes a cached
+# high count skip a repartition that fresh planning would also skip at
+# the next session — a perf wobble, never a correctness issue (the
+# guard only picks a partition count).
+_NPART_CACHE: dict[tuple[str, int], int] = {}
 
 
 def _num_partitions(df: DataFrame) -> int:
     try:
-        key = df.semanticHash()
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     except Exception:       # connect / legacy fallback: just plan it
         return df.rdd.getNumPartitions()
     n = _NPART_CACHE.get(key)

@@ -61,10 +61,15 @@ def execute_batch(spark: SparkSession, url: str, sql: str,
     with jdbc_connection(spark, url) as conn:
         ps = conn.prepareStatement(sql)
         try:
+            # NULLs must be bound with the column's REAL SQL type —
+            # Derby rejects setNull(i, Types.NULL) outright
+            pmd = ps.getParameterMetaData()
+            ptypes = {i: pmd.getParameterType(i)
+                      for i in range(1, pmd.getParameterCount() + 1)}
             for row in rows:
                 for i, v in enumerate(row, start=1):
                     if v is None:
-                        ps.setNull(i, spark._jvm.java.sql.Types.NULL)
+                        ps.setNull(i, ptypes[i])
                     else:
                         ps.setObject(i, v)
                 ps.addBatch()

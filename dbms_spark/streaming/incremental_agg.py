@@ -111,13 +111,37 @@ class AggStore:
 
     def _pointer(self) -> tuple[str, int] | None:
         """(active snapshot dirname, applied batch id), or None if the
-        store has never committed."""
+        store has never committed.  Transparently migrates a store
+        written by the pre-pointer layout (parquet files directly under
+        ``path`` + a ``path + '.applied_batch'`` marker) into snapshot
+        v_000000 — without this, opening an old store would silently
+        read empty state and re-apply committed batches onto it."""
         try:
             with open(os.path.join(self.path, self._POINTER)) as f:
                 snap, bid = f.read().split()
                 return snap, int(bid)
         except (FileNotFoundError, ValueError):
+            pass
+        legacy = [f for f in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+                  if f.endswith(".parquet") or f == "_SUCCESS" or f.startswith("part-")]
+        if not legacy:
             return None
+        snap_dir = os.path.join(self.path, "v_000000")
+        os.makedirs(snap_dir, exist_ok=True)
+        for f in legacy:
+            os.rename(os.path.join(self.path, f), os.path.join(snap_dir, f))
+        try:
+            with open(self.path + ".applied_batch") as f:
+                bid = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            bid = -1
+        staged = os.path.join(self.path, self._POINTER + ".staging")
+        with open(staged, "w") as f:
+            f.write(f"v_000000 {bid}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(staged, os.path.join(self.path, self._POINTER))
+        return "v_000000", bid
 
     def read(self) -> DataFrame:
         ptr = self._pointer()

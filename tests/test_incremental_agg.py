@@ -127,6 +127,30 @@ def test_apply_batch_crash_between_snapshot_and_pointer(spark, tmp_path, monkeyp
     assert len(snaps) == 1
 
 
+def test_agg_store_migrates_legacy_layout(spark, tmp_path):
+    """A store written by the pre-pointer layout (parquet directly at
+    path + '.applied_batch' marker) must open with its state and
+    marker intact — not silently as an empty store."""
+    import os as _os
+    path = str(tmp_path / "agg5")
+    legacy = spark.createDataFrame([("eu", 2, 25)],
+                                   "region string, n_rows bigint, sum_amount bigint")
+    legacy.coalesce(1).write.parquet(path)
+    with open(path + ".applied_batch", "w") as f:
+        f.write("3")
+    store = IA.AggStore(spark, path, ["region"], ["amount"], TYPES)
+    assert store.last_batch_id() == 3
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (2, 25)}
+    # and it keeps applying exactly-once from there
+    b = _ev(spark, [("INSERT", 9, 9, {"id": 9, "region": "eu", "amount": 5})])
+    store.apply_batch(b, batch_id=3)   # already applied: no-op
+    store.apply_batch(b, batch_id=4)
+    got = {r["region"]: (r["n_rows"], r["sum_amount"]) for r in store.read().collect()}
+    assert got == {"eu": (3, 30)}
+    assert _os.path.exists(_os.path.join(path, "CURRENT"))
+
+
 def test_agg_store_behind_foreach_batch(spark, tmp_path):
     """The maintained rollup driven by an actual Structured Streaming
     query: foreachBatch passes its batch_id through, so the store is

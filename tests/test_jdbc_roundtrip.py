@@ -111,6 +111,32 @@ def test_jdbc_upsert_merge_roundtrip(spark, derby):
     assert not X.table_exists(spark, derby, "APP", "STG")
 
 
+def test_execute_batch_binds_nulls(spark, derby):
+    """NULLs bind through ParameterMetaData types — Derby rejects
+    setNull(i, Types.NULL), so a None in any nullable column must
+    still apply."""
+    X.execute(spark, derby, [
+        "CREATE TABLE APP.NULLS ("
+        "ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(32), AMT BIGINT)",
+    ])
+    n = X.execute_batch(spark, derby, "INSERT INTO APP.NULLS VALUES (?, ?, ?)",
+                        [(1, None, 5), (2, "x", None), (3, None, None)])
+    assert n == 3
+    rows = X.query(spark, derby,
+                   "SELECT ID, NAME, AMT FROM APP.NULLS ORDER BY ID")
+    assert rows == [(1, None, 5), (2, "x", None), (3, None, None)]
+
+
+def test_derby_dialect_rejects_collated_plans(spark):
+    """Derby has no COLLATE clause: rendering a collated chunk plan in
+    the derby dialect must fail fast, not ship invalid SQL."""
+    import pytest
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "k string")
+    plan = CH.plan_chunks(docs, ["k"], n_chunks=2, collation="UTF8_LCASE")
+    with pytest.raises(ValueError, match="derby"):
+        CH.predicates(plan, dialect="derby")
+
+
 def test_delete_by_key_executed(spark, derby):
     X.execute(spark, derby, [
         "CREATE TABLE APP.DEL (ID BIGINT NOT NULL PRIMARY KEY, V BIGINT)",

@@ -249,3 +249,17 @@ def test_compact_small_files_leaves_big_ones(spark, tmp_path):
     with open(os.path.join(out, "_LIVE_MANIFEST")) as f:
         assert len([ln for ln in f.read().splitlines() if ln]) == 2
 
+    # append-aware: sink files landing AFTER the compaction are part of
+    # the live set even though the manifest predates them...
+    import time
+    time.sleep(0.01)
+    spark.range(5000, 5020).coalesce(1).write.mode("append").parquet(out)
+    assert M.read_live_manifest(spark, out).count() == 1000 + 60 + 20
+    # ...but an unlisted part-compacted-* file (mid-swap replacement of
+    # an in-flight compaction) is NOT double-read
+    import glob as g
+    import shutil
+    src_file = g.glob(out + "/part-compacted-*")[0]
+    shutil.copy(src_file, os.path.join(out, "part-compacted-inflight-0.parquet"))
+    assert M.read_live_manifest(spark, out).count() == 1000 + 60 + 20
+

@@ -150,6 +150,18 @@ def gen_merge_from_staging(table: str, staging: str, key_cols: list[str],
     )
 
 
+def gen_merge_delete(table: str, staging: str, key_cols: list[str],
+                     quote: str = '"') -> str:
+    """Set-based delete apply: one MERGE removing every target row
+    whose key appears in the staged key table (the DELETE half of the
+    reference's batched CDC apply, consumer.go:670-807 — delete-by-PK
+    statements collapsed into one set operation)."""
+    q = lambda c: f"{quote}{c}{quote}"
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    return (f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN DELETE")
+
+
 def gen_delete_by_key(table: str, key_cols: list[str]) -> str:
     conds = " AND ".join(f"`{k}` = ?" for k in key_cols)
     return f"DELETE FROM {table} WHERE {conds}"

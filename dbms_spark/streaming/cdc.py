@@ -626,6 +626,93 @@ def apply_cdc_batch(store: ParquetTableStore, batch: DataFrame, checkpoint_ts: i
             store.execute_ddl(ddl["ddl_query"])
 
 
+def apply_cdc_batch_jdbc(batch: DataFrame, url: str, table: str,
+                         key_cols: list[str], row_types: dict[str, str],
+                         staging_prefix: str | None = None,
+                         properties: dict[str, str] | None = None) -> dict:
+    """C4 idempotent apply against a LIVE JDBC target: dedup to the
+    terminal event per key (key-moving updates pre-split into
+    delete+insert), then TWO set-based statements — a staged
+    MERGE...DELETE for the delete keys and a staged MERGE upsert for
+    the survivors (the reference's batched delete-by-PK + REPLACE
+    INTO, consumer.go:670-807 / stmt_migrate_row.go:206-304, collapsed
+    into one statement each).  Idempotent under foreachBatch
+    redelivery: re-running the same batch re-deletes absent keys
+    (no-op) and re-sets matched rows to identical values.
+
+    Returns {"deletes": n, "upserts": n} (target-reported counts).
+    Scale shape: both data legs are executor-side JDBC writes of SLIM
+    frames (keys / rows); the apply legs are O(1) statements whose
+    join the target engine plans."""
+    from dbms_spark.operators.migrate import write_jdbc
+    from dbms_spark.sources.jdbc import gen_merge_delete, gen_merge_from_staging
+    from dbms_spark.sources.jdbc_exec import execute
+
+    spark = batch.sparkSession
+    staging_prefix = staging_prefix or f"{table}_STG"
+    ev = split_key_updates(batch.filter(~F.col("is_ddl")), key_cols)
+    last = dedup_last_per_key(ev, ["key_json"])
+
+    def parse(df: DataFrame, col: str, types: dict[str, str]) -> DataFrame:
+        as_strings = ", ".join(f"{name} string" for name in types)
+        return df.select(F.from_json(F.col(col), as_strings).alias("r")).select(
+            *[F.col(f"r.{name}").cast(t).alias(name) for name, t in types.items()])
+
+    key_types = {k: row_types[k] for k in key_cols}
+    dels = parse(last.filter(F.col("query_type") == "DELETE"), "key_json", key_types)
+    ups = parse(last.filter(F.col("query_type") != "DELETE"), "new_json", row_types)
+
+    def scoped(props: dict[str, str] | None, cols: list[str]):
+        """createTableColumnTypes trimmed to the frame's columns (the
+        delete staging carries keys only)."""
+        if not props or "createTableColumnTypes" not in props:
+            return props
+        keep = [e for e in props["createTableColumnTypes"].split(",")
+                if e.strip().split()[0] in cols]
+        out = {k: v for k, v in props.items() if k != "createTableColumnTypes"}
+        if keep:
+            out["createTableColumnTypes"] = ", ".join(e.strip() for e in keep)
+        return out
+
+    stg_d, stg_u = f"{staging_prefix}_D", f"{staging_prefix}_U"
+    write_jdbc(dels, url, stg_d, mode="overwrite",
+               properties=scoped(properties, key_cols))
+    n_del = execute(spark, url, [
+        gen_merge_delete(table, stg_d, key_cols),
+        f"DROP TABLE {stg_d}",
+    ])[0]
+    write_jdbc(ups, url, stg_u, mode="overwrite", properties=properties)
+    n_up = execute(spark, url, [
+        gen_merge_from_staging(table, stg_u, key_cols, list(row_types)),
+        f"DROP TABLE {stg_u}",
+    ])[0]
+    return {"deletes": n_del, "upserts": n_up}
+
+
+def consume_cdc_stream_jdbc(
+    events: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    row_types: dict[str, str],
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+):
+    """The reference's consumer loop with a REAL database as the
+    target: parsed CDC stream -> foreachBatch -> set-based
+    delete+upsert apply over JDBC, exactly-once via the streaming
+    checkpoint + the apply's idempotency (a redelivered batch
+    re-applies to the same state)."""
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch, _epoch: apply_cdc_batch_jdbc(
+            batch, url, table, key_cols, row_types, properties=properties))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def consume_cdc_stream(
     store: ParquetTableStore,
     events: DataFrame,

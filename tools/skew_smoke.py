@@ -20,9 +20,38 @@ from pyspark.sql import functions as F  # noqa: E402
 from dbms_spark import get_spark  # noqa: E402
 
 
+def _stage_api(spark, suffix: str):
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{suffix}") as r:
+        return json.load(r)
+
+
+def _completed_stages(spark) -> set[tuple[int, int]]:
+    return {(s["stageId"], s["attemptId"])
+            for s in _stage_api(spark, "stages?status=COMPLETE")}
+
+
+def _max_task_ms(spark, before: set[tuple[int, int]]) -> int:
+    """Longest single task (executorRunTime ms) across the stages that
+    completed since ``before`` — the straggler metric skew mitigation
+    must bound: wall time hides a stuck reducer behind parallel
+    neighbours, max-task-time doesn't."""
+    worst = 0
+    for sid, att in _completed_stages(spark) - before:
+        try:
+            d = _stage_api(spark, f"stages/{sid}/{att}/taskSummary?quantiles=1.0")
+            worst = max(worst, int(d["executorRunTime"][0]))
+        except Exception:
+            pass  # stage evicted from the status store: skip
+    return worst
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    spark = get_spark("skew_smoke")
+    spark = get_spark("skew_smoke", extra_conf={"spark.ui.enabled": "true"})
     # AQE's skew mitigation would mask what we're measuring at the
     # operator level; the production answer is AQE on TOP of salting
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -36,9 +65,12 @@ def main() -> None:
     skewed.count()
 
     def timed(name, df):
+        before = _completed_stages(spark)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        print(json.dumps({"case": name, "sec": round(time.perf_counter() - t0, 2)}),
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"case": name, "sec": wall,
+                          "max_task_ms": _max_task_ms(spark, before)}),
               flush=True)
 
     from dbms_spark.plans.skew import salted_agg

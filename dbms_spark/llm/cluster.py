@@ -185,3 +185,94 @@ def kmeans_sizes_sql(
     inner = kmeans_assign_sql(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return (f"SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members "
             f"FROM ({inner}) GROUP BY cid")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster-scoped
+# embedding near-dup removal
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means partitions the embedding
+    space, exact fixed-point cosine runs ONLY within each cluster, and
+    pairs at/above ``threshold`` collapse via label propagation to
+    their min-id representative.  Returns the SURVIVORS as
+    ``(vec_id, cid)``.
+
+    This is the scale story of the SemDeDup paper re-expressed
+    relationally: the cluster assignment bounds the pair join to
+    sum(c_i^2) instead of n^2 (cross-cluster near-dups are the
+    accepted recall loss — vectors that similar land in the same cell
+    of a reasonable quantizer), the pair sim is the same integer-exact
+    quantized cosine as the ANN family, and the keep-one policy reuses
+    :func:`dbms_spark.llm.dedup.dedup_groups`.  Every shuffle keys on
+    cid or a vec id — AQE-coalesced/skew-split."""
+    from dbms_spark.llm.dedup import dedup_groups
+    from dbms_spark.llm.similarity import _DOT_SPARK, _NORM_SPARK
+
+    assign = kmeans_assign(df, k=k, iters=iters, dims=dims,
+                           id_col=id_col, vec_col=vec_col)
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  quantize_expr(vec_col).alias("v"))
+    v = v.withColumn("nrm", F.expr(_NORM_SPARK.format(a="v")))
+    m = assign.join(v, "vec_id")
+    a = m.select(F.col("cid"), F.col("vec_id").alias("a_id"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = m.select(F.col("cid"), F.col("vec_id").alias("b_id"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = _DOT_SPARK.format(a="va", b="vb")
+    sim = f"floor({dot} / (na * nb) * 1000000) / 1000000"
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(sim).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    groups = dedup_groups(pairs)
+    drop = groups.filter(F.col("doc_id") != F.col("group_id")) \
+                 .select(F.col("doc_id").alias("vec_id"))
+    return m.select("vec_id", "cid").join(drop, "vec_id", "left_anti")
+
+
+def semantic_dedup_sql(
+    table: str,
+    threshold: float,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — the label-propagation
+    sub-query nests its own WITH (outer CTEs are lexically visible
+    inside it, so its pair source can reference ``m`` directly)."""
+    from dbms_spark.llm.dedup import dedup_groups_sql
+    from dbms_spark.llm.similarity import _DOT_DUCK, _NORM_DUCK
+
+    assign = kmeans_assign_sql(table, k=k, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    dot = _DOT_DUCK.format(a="a.v", b="b.v")
+    pairs = (
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+        f"FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE floor({dot} / (a.nrm * b.nrm) * 1000000) / 1000000 "
+        f">= {threshold}"
+    )
+    norm = _NORM_DUCK.format(a="v")
+    return f"""
+WITH assign AS ({assign}),
+vq AS (SELECT {id_col} AS vec_id, {quantize_sql(vec_col)} AS v FROM {table}),
+m AS (SELECT vec_id, cid, v, {norm} AS nrm FROM assign JOIN vq USING (vec_id)),
+grp AS ({dedup_groups_sql(pairs)}),
+drop0 AS (SELECT doc_id AS vec_id FROM grp WHERE doc_id <> group_id)
+SELECT m.vec_id, m.cid
+FROM m LEFT JOIN drop0 USING (vec_id)
+WHERE drop0.vec_id IS NULL
+"""

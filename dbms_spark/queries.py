@@ -6504,3 +6504,27 @@ def q190_lsh_capped_skew_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit("mirrored boilerplate page served for every third document"))
         .otherwise(F.col("text")).alias("text"))
     return lsh_candidate_pairs_capped(minhash_signatures(corpus), bucket_cap=16)
+
+
+# ---------------------------------------------------------------------------
+# q191 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means
+# partitions the embedding space, exact fixed-point cosine runs only
+# WITHIN each cluster (sum(c_i^2) pairs, not n^2), pairs >= 0.3
+# collapse to their min-id representative via label propagation —
+# survivors (vec_id, cid).  The embedding-space counterpart of the
+# text near-dup pipeline (llm/cluster.semantic_dedup).
+# ---------------------------------------------------------------------------
+
+
+def _q191_sql() -> str:
+    from dbms_spark.llm.cluster import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", threshold=0.3, k=4, iters=2)
+
+
+@register("q191_semantic_dedup", _q191_sql())
+def q191_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.cluster import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, k=4, iters=2)

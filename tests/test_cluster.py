@@ -85,3 +85,29 @@ def test_kmeans_separates_planted_clusters(spark):
     lo = {got[v] for v in got if v % 2 == 0}
     hi = {got[v] for v in got if v % 2 == 1}
     assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Duplicate directions collapse to the min id, orthogonal vectors
+    all survive, and a near-duplicate below the threshold survives."""
+    from dbms_spark.llm.cluster import semantic_dedup
+
+    def unit(i, dims=8):
+        v = [0.0] * dims
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (1, unit(0)),            # kept: representative of the e0 family
+        (2, unit(0)),            # exact dup of 1 -> dropped
+        (3, [0.999, 0.04] + [0.0] * 6),  # cos ~0.999 vs e0 -> dropped
+        (4, unit(1)),            # orthogonal -> kept
+        (5, unit(2)),            # orthogonal -> kept
+        (6, [0.7, 0.714] + [0.0] * 6),   # cos ~0.7 vs e0: below 0.95 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=1: one cluster, so the pair scope is the whole set — isolates
+    # the similarity/grouping semantics from the quantizer
+    out = semantic_dedup(df, threshold=0.95, k=1, iters=1, dims=8)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [1, 4, 5, 6]

@@ -92,6 +92,12 @@ def main() -> None:
         if only and name not in only:
             return
         small_t = big_t = None
+        # untimed warm pass at small scale: without it, the FIRST op's
+        # small run absorbs JVM/Arrow/python-worker cold-start while
+        # its big run (and every later op) measures warm — inflating
+        # that op's baseline and flattering its ratio
+        fn(False).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         for scale, frame in (("sf0.1", None), (f"x{k}", "big")):
             t0 = time.perf_counter()
             fn(frame is not None).write.format("noop").mode("overwrite").save()
@@ -202,6 +208,23 @@ def main() -> None:
                         ).alias("text"))
         return strip_duplicated_lines(corpus)
 
+    def semantic_dedup_op(big):
+        from dbms_spark.llm.cluster import semantic_dedup
+
+        src = emb if big else load_table(spark, SF_DIR, "embeddings")
+        # the operator's scale knob: clusters grow WITH the corpus so
+        # per-cluster pair counts stay bounded (SemDeDup trains k
+        # proportional to n; with k fixed, within-cluster pairs grow
+        # quadratically in the replication factor)
+        kk = 4 * (k if big else 1)
+        return semantic_dedup(src, threshold=0.3, k=kk, iters=2)
+
+    def semantic_dedup_fixed_k(big):
+        from dbms_spark.llm.cluster import semantic_dedup
+
+        src = emb if big else load_table(spark, SF_DIR, "embeddings")
+        return semantic_dedup(src, threshold=0.3, k=4, iters=2)
+
     def dedup_pipeline(big):
         from dbms_spark.engine import DbmsEngine
 
@@ -213,6 +236,8 @@ def main() -> None:
 
     bench("pricing_agg", pricing)
     bench("dedup_pipeline", dedup_pipeline)
+    bench("semantic_dedup", semantic_dedup_op)
+    bench("semantic_dedup_fixed_k", semantic_dedup_fixed_k)
     bench("boilerplate_line_strip", line_strip)
     bench("table_checksum", checksum)
     bench("hashed_multiset_diff", hashed_diff)

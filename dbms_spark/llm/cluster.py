@@ -104,6 +104,15 @@ def kmeans_assign(
     qv = ensure_parallelism(
         df.select(F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("q"))
     ).persist()
+    # Rounds stay a lazy relational chain: each round's assign+update
+    # subtree feeds the next round's broadcast, so plan depth grows
+    # linearly in ``iters`` (planning cost only — the point cache is
+    # persisted and every pass reads it).  A driver-collected-centroid
+    # variant (MLlib's shape, O(k*dims) rows per round) was measured
+    # SLOWER at bounded iters: the per-round collect serializes rounds
+    # into blocking jobs whose scheduling latency exceeds the
+    # nested-broadcast planning cost.  Prefer collection only when
+    # iters grows large enough for plan depth to dominate (~10+).
     cent = (
         qv.orderBy("vec_id").limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cvec"))

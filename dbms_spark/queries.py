@@ -2931,7 +2931,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM g WHERE doc_id <> group_id)
 def q100_dedup_pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.engine import DbmsEngine
 
-    corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
+    # derived corpus feeds the signature pipeline AND the keep-side
+    # anti-join — persist so the union is derived once (see q146)
+    corpus = _duped_docs(load_table(spark, sf_dir, "documents")).persist()
     eng = DbmsEngine(spark)
     return eng.dedup_pipeline(corpus, min_sim=0.7).select("doc_id")
 
@@ -4344,7 +4346,11 @@ def q140_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.dedup import dedup_groups, lsh_candidate_pairs, minhash_signatures
     from dbms_spark.llm.text import quality_score_expr, token_stats_prepared
 
-    corpus = _near_duped_docs(load_table(spark, sf_dir, "documents"))
+    # the derived corpus (union + clone transform, not a plain parquet
+    # scan) feeds both the signature pipeline and the quality branch —
+    # persist it so neither branch re-derives it (bench clearCache()
+    # between queries reclaims the entry)
+    corpus = _near_duped_docs(load_table(spark, sf_dir, "documents")).persist()
     groups = dedup_groups(lsh_candidate_pairs(minhash_signatures(corpus)))
     quality = token_stats_prepared(corpus).select(
         "doc_id", quality_score_expr().alias("quality"))
@@ -4652,7 +4658,11 @@ def q146_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.engine import DbmsEngine
     from dbms_spark.llm.text import tokens_expr
 
-    corpus = _duped_docs(load_table(spark, sf_dir, "documents"))
+    # persist the derived corpus: it feeds the signature pipeline, the
+    # pipeline's keep-side anti-join, AND the token branch — three
+    # re-derivations of the union otherwise (measured 26 s -> 3.5 s at
+    # sf0.1; bench clearCache() between queries reclaims the entry)
+    corpus = _duped_docs(load_table(spark, sf_dir, "documents")).persist()
     kept = DbmsEngine(spark).dedup_pipeline(corpus, min_sim=0.7) \
         .select("doc_id", F.lit(1).alias("__k"))
     tok = corpus.withColumn("toks", tokens_expr("text")).select(

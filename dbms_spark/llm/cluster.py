@@ -232,7 +232,11 @@ def semantic_dedup(
     v = df.select(F.col(id_col).alias("vec_id"),
                   quantize_expr(vec_col).alias("v"))
     v = v.withColumn("nrm", F.expr(_NORM_SPARK.format(a="v")))
-    m = assign.join(v, "vec_id")
+    # (vec_id, cid, v, nrm) feeds BOTH pair legs and the survivor
+    # select — persist it or the full k-means chain upstream re-runs
+    # per use (SemDeDup materializes the cluster assignment anyway;
+    # MEMORY_AND_DISK spills at corpus scale)
+    m = assign.join(v, "vec_id").persist()
     a = m.select(F.col("cid"), F.col("vec_id").alias("a_id"),
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = m.select(F.col("cid"), F.col("vec_id").alias("b_id"),

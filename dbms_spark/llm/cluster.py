@@ -223,7 +223,13 @@ def semantic_dedup(
     of a reasonable quantizer), the pair sim is the same integer-exact
     quantized cosine as the ANN family, and the keep-one policy reuses
     :func:`dbms_spark.llm.dedup.dedup_groups`.  Every shuffle keys on
-    cid or a vec id — AQE-coalesced/skew-split."""
+    cid or a vec id — AQE-coalesced/skew-split.
+
+    Caching note: the assignment-vector relation is persisted (it
+    feeds both pair legs and the survivor select) and NOT unpersisted
+    — the entry lives until the session drops it.  Long-lived sessions
+    calling this per shard should ``spark.catalog.clearCache()`` (or
+    unpersist via the plan cache) between shards."""
     from dbms_spark.llm.dedup import dedup_groups
     from dbms_spark.llm.similarity import _DOT_SPARK, _NORM_SPARK
 

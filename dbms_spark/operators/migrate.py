@@ -345,6 +345,13 @@ def compact_small_files(spark: SparkSession, path: str,
     import glob
     import uuid
 
+    # finish a crashed predecessor first: files the manifest lists as
+    # pending-delete already have their rows inside part-compacted-*
+    # replacements — compacting them AGAIN would duplicate data
+    for leftover in _manifest_sets(path)[1]:
+        p = os.path.join(path, leftover)
+        if os.path.isfile(p):
+            os.remove(p)
     files = [p for p in glob.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
     small = [p for p in files if os.path.getsize(p) < small_threshold_bytes]
     if len(small) < 2:
@@ -360,9 +367,16 @@ def compact_small_files(spark: SparkSession, path: str,
         dst = os.path.join(path, f"part-compacted-{uuid.uuid4().hex[:8]}-{i}.parquet")
         os.rename(f, dst)
         moved.append(dst)
-    # commit point for manifest readers: live set flips old->new in one rename
-    keep = [p for p in files if p not in set(small)]
-    _write_live_manifest(path, keep + moved)
+    # commit point for manifest readers: live set flips old->new in one
+    # rename.  Re-glob HERE so sink files appended while the merge ran
+    # are named live (they'd otherwise be invisible to readers until
+    # the next compaction), and name the merged sources as
+    # pending-delete so readers exclude them without mtime heuristics.
+    small_set = set(small)
+    moved_set = set(moved)
+    keep = [p for p in glob.glob(os.path.join(path, "part-*"))
+            if os.path.isfile(p) and p not in small_set and p not in moved_set]
+    _write_live_manifest(path, keep + moved, removed_files=small)
     for p in small:
         os.remove(p)
     shutil.rmtree(stage, ignore_errors=True)
@@ -370,19 +384,37 @@ def compact_small_files(spark: SparkSession, path: str,
             "files_after": len(files) - len(small) + len(moved)}
 
 
-def _write_live_manifest(path: str, live_files: list[str]) -> None:
+def _write_live_manifest(path: str, live_files: list[str],
+                         removed_files: list[str] | tuple = ()) -> None:
     """Atomically (write+fsync, then rename) record the live file set —
     the commit point concurrent readers key off (see
-    compact_small_files).  The fsync closes the crash window where the
-    rename survives a power loss but the content doesn't (a zero-length
-    manifest would otherwise wedge every reader)."""
+    compact_small_files).  ``removed_files`` (merged sources awaiting
+    deletion) are recorded as ``!name`` lines so readers exclude them
+    by NAME, not by mtime heuristics.  The fsync closes the crash
+    window where the rename survives a power loss but the content
+    doesn't (a zero-length manifest would otherwise wedge every
+    reader)."""
     manifest = os.path.join(path, "_LIVE_MANIFEST")
     tmp = manifest + ".tmp"
+    lines = sorted(os.path.basename(p) for p in live_files)
+    lines += sorted("!" + os.path.basename(p) for p in removed_files)
     with open(tmp, "w") as f:
-        f.write("\n".join(sorted(os.path.basename(p) for p in live_files)))
+        f.write("\n".join(lines))
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, manifest)
+
+
+def _manifest_sets(path: str) -> tuple[set, set]:
+    """(live, pending-delete) basenames from ``_LIVE_MANIFEST``;
+    empty sets when no manifest exists."""
+    manifest = os.path.join(path, "_LIVE_MANIFEST")
+    if not os.path.exists(manifest):
+        return set(), set()
+    with open(manifest) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    return ({ln for ln in lines if not ln.startswith("!")},
+            {ln[1:] for ln in lines if ln.startswith("!")})
 
 
 def read_live_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -390,28 +422,26 @@ def read_live_manifest(spark: SparkSession, path: str) -> DataFrame:
     immune to the compaction swap window (falls back to the plain
     directory read when no manifest exists yet).
 
-    Append-aware: a part file on disk but NOT in the manifest is one of
-    (a) a merged source awaiting deletion (modified BEFORE the
-    manifest) — excluded, its rows live in the compacted replacements;
-    (b) a sink file appended AFTER the last compaction — included, so
-    a streaming tail keeps landing between compactions without readers
-    going stale on the frozen snapshot; (c) a ``part-compacted-*``
-    replacement of an IN-FLIGHT compaction whose manifest hasn't
-    committed yet — excluded (its rows are still covered by the
-    currently-named sources; it joins the live set when its own
-    manifest rename lands)."""
+    Append-aware, by NAME: a part file on disk but NOT named by the
+    manifest is one of (a) a merged source awaiting deletion — listed
+    as ``!name``, excluded, its rows live in the compacted
+    replacements; (b) a sink file appended after the manifest committed
+    — included, so a streaming tail keeps landing between compactions
+    without readers going stale on the frozen snapshot; (c) a
+    ``part-compacted-*`` replacement of an IN-FLIGHT compaction whose
+    manifest hasn't committed yet — excluded by prefix (its rows are
+    still covered by the currently-named sources; it joins the live
+    set when its own manifest rename lands)."""
     import glob
 
     manifest = os.path.join(path, "_LIVE_MANIFEST")
     if not os.path.exists(manifest):
         return spark.read.parquet(path)
-    m_time = os.path.getmtime(manifest)
-    with open(manifest) as f:
-        named = {ln for ln in f.read().splitlines() if ln}
+    named, removed = _manifest_sets(path)
     files = []
     for p in glob.glob(os.path.join(path, "part-*")):
         base = os.path.basename(p)
-        appended = (os.path.getmtime(p) >= m_time
+        appended = (base not in removed
                     and not base.startswith("part-compacted-"))
         if base in named or appended:
             files.append(p)

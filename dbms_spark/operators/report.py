@@ -133,9 +133,13 @@ def render_assess_report_structured(
       (report_compatible/check/related).
     """
     anchors = [_anchor(n) for n in sections]
-    if len(set(anchors)) != len(anchors):
-        raise ValueError(f"section names collide after anchor "
-                         f"normalization: {sorted(anchors)}")
+    reserved = {"top", "report_overview", "report_summary", "report_detail"}
+    clash = reserved.intersection(anchors)
+    if len(set(anchors)) != len(anchors) or clash:
+        raise ValueError(
+            f"section names collide after anchor normalization"
+            f"{' (with built-in anchors ' + str(sorted(clash)) + ')' if clash else ''}: "
+            f"{sorted(anchors)}")
     parts = [
         "<!DOCTYPE html><html><head><meta charset='utf-8'>",
         f"<title>{html.escape(title)}</title>",

@@ -626,67 +626,112 @@ def apply_cdc_batch(store: ParquetTableStore, batch: DataFrame, checkpoint_ts: i
             store.execute_ddl(ddl["ddl_query"])
 
 
+def _split_type_specs(spec: str) -> list[str]:
+    """Split a ``createTableColumnTypes`` spec on the commas BETWEEN
+    column entries, not the ones inside parenthesized type arguments
+    ('ID DECIMAL(20,0), NAME VARCHAR(64)' is two entries)."""
+    out, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [e.strip() for e in out if e.strip()]
+
+
 def apply_cdc_batch_jdbc(batch: DataFrame, url: str, table: str,
                          key_cols: list[str], row_types: dict[str, str],
                          staging_prefix: str | None = None,
-                         properties: dict[str, str] | None = None) -> dict:
-    """C4 idempotent apply against a LIVE JDBC target: dedup to the
-    terminal event per key (key-moving updates pre-split into
-    delete+insert), then TWO set-based statements — a staged
-    MERGE...DELETE for the delete keys and a staged MERGE upsert for
-    the survivors (the reference's batched delete-by-PK + REPLACE
-    INTO, consumer.go:670-807 / stmt_migrate_row.go:206-304, collapsed
-    into one statement each).  Idempotent under foreachBatch
-    redelivery: re-running the same batch re-deletes absent keys
-    (no-op) and re-sets matched rows to identical values.
+                         properties: dict[str, str] | None = None,
+                         source_table: str | None = None,
+                         ddl_rules: dict[str, str] | None = None) -> dict:
+    """C4 idempotent apply against a LIVE JDBC target: route the
+    feed's events for ONE source table (``source_table``, defaulting
+    to the unqualified tail of ``table`` — a multi-table feed must
+    not cross-apply into a single target), honor DDL barriers the way
+    the parquet twin does (each [dml_segment, ddl] slice applies the
+    DMLs then executes the ``ddl_rules``-rewritten DDL through the
+    same JDBC executor, C3/C7), and per segment dedup to the terminal
+    event per key (key-moving updates pre-split into delete+insert),
+    then TWO set-based statements — a staged MERGE...DELETE for the
+    delete keys and a staged MERGE upsert for the survivors (the
+    reference's batched delete-by-PK + REPLACE INTO,
+    consumer.go:670-807 / stmt_migrate_row.go:206-304, collapsed into
+    one statement each).  Idempotent under foreachBatch redelivery:
+    re-running the same batch re-deletes absent keys (no-op) and
+    re-sets matched rows to identical values.  (DDL re-execution on
+    redelivery is the same residual the reference carries — its DDL
+    apply is also not transactional with the DML watermark.)
 
-    Returns {"deletes": n, "upserts": n} (target-reported counts).
-    Scale shape: both data legs are executor-side JDBC writes of SLIM
-    frames (keys / rows); the apply legs are O(1) statements whose
-    join the target engine plans."""
+    Returns {"deletes": n, "upserts": n, "ddls": n} (target-reported
+    counts).  Scale shape: both data legs are executor-side JDBC
+    writes of SLIM frames (keys / rows); the apply legs are O(1)
+    statements whose join the target engine plans; DDLs are O(1) rows
+    collected for barrier coordination."""
     from dbms_spark.operators.migrate import write_jdbc
     from dbms_spark.sources.jdbc import gen_merge_delete, gen_merge_from_staging
     from dbms_spark.sources.jdbc_exec import execute
 
     spark = batch.sparkSession
     staging_prefix = staging_prefix or f"{table}_STG"
-    ev = split_key_updates(batch.filter(~F.col("is_ddl")), key_cols)
-    last = dedup_last_per_key(ev, ["key_json"])
+    routed = batch.filter(
+        F.col("table_name") == (source_table or table.split(".")[-1]))
 
     def parse(df: DataFrame, col: str, types: dict[str, str]) -> DataFrame:
         as_strings = ", ".join(f"{name} string" for name in types)
         return df.select(F.from_json(F.col(col), as_strings).alias("r")).select(
             *[F.col(f"r.{name}").cast(t).alias(name) for name, t in types.items()])
 
-    key_types = {k: row_types[k] for k in key_cols}
-    dels = parse(last.filter(F.col("query_type") == "DELETE"), "key_json", key_types)
-    ups = parse(last.filter(F.col("query_type") != "DELETE"), "new_json", row_types)
-
     def scoped(props: dict[str, str] | None, cols: list[str]):
         """createTableColumnTypes trimmed to the frame's columns (the
-        delete staging carries keys only)."""
+        delete staging carries keys only); paren-aware split so
+        DECIMAL(20,0)-style args survive."""
         if not props or "createTableColumnTypes" not in props:
             return props
-        keep = [e for e in props["createTableColumnTypes"].split(",")
-                if e.strip().split()[0] in cols]
+        keep = [e for e in _split_type_specs(props["createTableColumnTypes"])
+                if e.split()[0] in cols]
         out = {k: v for k, v in props.items() if k != "createTableColumnTypes"}
         if keep:
-            out["createTableColumnTypes"] = ", ".join(e.strip() for e in keep)
+            out["createTableColumnTypes"] = ", ".join(keep)
         return out
 
+    key_types = {k: row_types[k] for k in key_cols}
     stg_d, stg_u = f"{staging_prefix}_D", f"{staging_prefix}_U"
-    write_jdbc(dels, url, stg_d, mode="overwrite",
-               properties=scoped(properties, key_cols))
-    n_del = execute(spark, url, [
-        gen_merge_delete(table, stg_d, key_cols),
-        f"DROP TABLE {stg_d}",
-    ])[0]
-    write_jdbc(ups, url, stg_u, mode="overwrite", properties=properties)
-    n_up = execute(spark, url, [
-        gen_merge_from_staging(table, stg_u, key_cols, list(row_types)),
-        f"DROP TABLE {stg_u}",
-    ])[0]
-    return {"deletes": n_del, "upserts": n_up}
+    totals = {"deletes": 0, "upserts": 0, "ddls": 0}
+    segments = split_batch_at_ddls(routed)
+    for segment, ddl in segments:
+        # with DDL barriers present, segments can be empty slices —
+        # skip their four statements (the emptiness probe is one tiny
+        # job on an already-filtered frame and only runs in the rare
+        # DDL-carrying batch)
+        if len(segments) == 1 or not segment.isEmpty():
+            ev = split_key_updates(segment, key_cols)
+            last = dedup_last_per_key(ev, ["key_json"])
+            dels = parse(last.filter(F.col("query_type") == "DELETE"),
+                         "key_json", key_types)
+            ups = parse(last.filter(F.col("query_type") != "DELETE"),
+                        "new_json", row_types)
+            write_jdbc(dels, url, stg_d, mode="overwrite",
+                       properties=scoped(properties, key_cols))
+            totals["deletes"] += execute(spark, url, [
+                gen_merge_delete(table, stg_d, key_cols),
+                f"DROP TABLE {stg_d}",
+            ])[0]
+            write_jdbc(ups, url, stg_u, mode="overwrite", properties=properties)
+            totals["upserts"] += execute(spark, url, [
+                gen_merge_from_staging(table, stg_u, key_cols, list(row_types)),
+                f"DROP TABLE {stg_u}",
+            ])[0]
+        if ddl is not None:
+            execute(spark, url, [rewrite_ddl(ddl["ddl_query"], ddl_rules or {})])
+            totals["ddls"] += 1
+    return totals
 
 
 def consume_cdc_stream_jdbc(
@@ -697,6 +742,8 @@ def consume_cdc_stream_jdbc(
     row_types: dict[str, str],
     checkpoint_dir: str,
     properties: dict[str, str] | None = None,
+    source_table: str | None = None,
+    ddl_rules: dict[str, str] | None = None,
 ):
     """The reference's consumer loop with a REAL database as the
     target: parsed CDC stream -> foreachBatch -> set-based
@@ -707,7 +754,8 @@ def consume_cdc_stream_jdbc(
         events.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(lambda batch, _epoch: apply_cdc_batch_jdbc(
-            batch, url, table, key_cols, row_types, properties=properties))
+            batch, url, table, key_cols, row_types, properties=properties,
+            source_table=source_table, ddl_rules=ddl_rules))
         .trigger(availableNow=True)
         .start()
     )

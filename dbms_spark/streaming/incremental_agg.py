@@ -79,6 +79,17 @@ def merge_delta(store: DataFrame, delta: DataFrame, keys: list[str],
     return merged.filter(F.col("n_rows") > 0)
 
 
+def _merge_dir(src_dir: str, dst_dir: str) -> None:
+    """Move every file of ``src_dir`` into ``dst_dir`` (created if
+    absent) and remove ``src_dir``.  Each rename is atomic and a file
+    exists in exactly one of the two dirs at any instant, so the merge
+    is idempotent across crashes — re-running it finishes the job."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        os.rename(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+    os.rmdir(src_dir)
+
+
 class AggStore:
     """Parquet-backed maintained aggregate with crash-safe versioned
     snapshots.  The rollup has one row per group — tiny next to the
@@ -115,32 +126,59 @@ class AggStore:
         written by the pre-pointer layout (parquet files directly under
         ``path`` + a ``path + '.applied_batch'`` marker) into snapshot
         v_000000 — without this, opening an old store would silently
-        read empty state and re-apply committed batches onto it."""
+        read empty state and re-apply committed batches onto it.
+
+        The migration itself is crash-safe: files move into
+        ``v_000000.migrating`` (a name apply_batch never creates, so
+        its presence unambiguously marks an interrupted migration),
+        the pointer commits, and ONE atomic dir rename puts the
+        snapshot in place.  A crash at any step either leaves the
+        legacy layout intact, leaves the ``.migrating`` dir to resume
+        from, or leaves a committed pointer whose dir rename is
+        re-done here on the next open."""
+        snap_dir = os.path.join(self.path, "v_000000")
+        mig_dir = snap_dir + ".migrating"
         try:
             with open(os.path.join(self.path, self._POINTER)) as f:
                 snap, bid = f.read().split()
-                return snap, int(bid)
+            # repair: migration crashed after the pointer committed but
+            # before the staged dir moved into place
+            pointed = os.path.join(self.path, snap)
+            staged_dir = pointed + ".migrating"
+            if os.path.isdir(staged_dir):
+                _merge_dir(staged_dir, pointed)
+            return snap, int(bid)
         except (FileNotFoundError, ValueError):
             pass
         legacy = [f for f in (os.listdir(self.path) if os.path.isdir(self.path) else [])
                   if f.endswith(".parquet") or f == "_SUCCESS" or f.startswith("part-")]
-        if not legacy:
-            return None
-        snap_dir = os.path.join(self.path, "v_000000")
-        os.makedirs(snap_dir, exist_ok=True)
-        for f in legacy:
-            os.rename(os.path.join(self.path, f), os.path.join(snap_dir, f))
+        resumed = os.path.isdir(mig_dir)
+        if not legacy and not resumed:
+            # a v_000000 WITHOUT a pointer is normally an uncommitted
+            # first apply_batch (redelivery will rebuild it — correct
+            # to ignore); only when the legacy marker also survives is
+            # it an interrupted pre-pointer-era migration to resurrect
+            if os.path.isdir(snap_dir) and os.path.exists(self.path + ".applied_batch"):
+                legacy = []  # resurrect below with the marker's bid
+            else:
+                return None
         try:
             with open(self.path + ".applied_batch") as f:
                 bid = int(f.read().strip())
         except (FileNotFoundError, ValueError):
             bid = -1
+        if legacy or resumed:
+            os.makedirs(mig_dir, exist_ok=True)
+            for f in legacy:
+                os.rename(os.path.join(self.path, f), os.path.join(mig_dir, f))
         staged = os.path.join(self.path, self._POINTER + ".staging")
         with open(staged, "w") as f:
             f.write(f"v_000000 {bid}")
             f.flush()
             os.fsync(f.fileno())
         os.rename(staged, os.path.join(self.path, self._POINTER))
+        if os.path.isdir(mig_dir):
+            _merge_dir(mig_dir, snap_dir)
         return "v_000000", bid
 
     def read(self) -> DataFrame:

@@ -190,3 +190,79 @@ def test_update_without_old_image_contributes_nothing_negative(spark):
     d = IA.batch_delta(ev, ["region"], ["amount"], TYPES)
     rows = {r["region"]: (r["d_count"], r["d_amount"]) for r in d.collect()}
     assert rows == {"eu": (1, 10)}  # and no None key
+
+
+def test_agg_store_migration_crash_windows(spark, tmp_path):
+    """The legacy->pointer migration is crash-safe at every step:
+    (1) files staged into v_000000.migrating but no pointer yet,
+    (2) pointer committed but the staged dir not yet renamed,
+    (3) an OLD-code partial migration (files already in v_000000, no
+    pointer, marker surviving).  Each reopen must see the state and
+    batch id — never an empty store that re-applies history."""
+    import os as _os
+
+    def legacy_store(name, bid):
+        path = str(tmp_path / name)
+        spark.createDataFrame(
+            [("eu", 2, 25)], "region string, n_rows bigint, sum_amount bigint"
+        ).coalesce(1).write.parquet(path)
+        with open(path + ".applied_batch", "w") as f:
+            f.write(str(bid))
+        return path
+
+    def check(path):
+        store = IA.AggStore(spark, path, ["region"], ["amount"], TYPES)
+        assert store.last_batch_id() == 3
+        got = {r["region"]: (r["n_rows"], r["sum_amount"])
+               for r in store.read().collect()}
+        assert got == {"eu": (2, 25)}
+        assert _os.path.isdir(_os.path.join(path, "v_000000"))
+        assert not _os.path.isdir(_os.path.join(path, "v_000000.migrating"))
+
+    # (1) crash after staging moves, before the pointer write
+    p1 = legacy_store("mig1", 3)
+    mig = _os.path.join(p1, "v_000000.migrating")
+    _os.makedirs(mig)
+    for f in list(_os.listdir(p1)):
+        if f.startswith("part-") or f == "_SUCCESS":
+            _os.rename(_os.path.join(p1, f), _os.path.join(mig, f))
+    check(p1)
+
+    # (2) crash after the pointer committed, before the dir rename
+    p2 = legacy_store("mig2", 3)
+    mig = _os.path.join(p2, "v_000000.migrating")
+    _os.makedirs(mig)
+    for f in list(_os.listdir(p2)):
+        if f.startswith("part-") or f == "_SUCCESS":
+            _os.rename(_os.path.join(p2, f), _os.path.join(mig, f))
+    with open(_os.path.join(p2, "CURRENT"), "w") as f:
+        f.write("v_000000 3")
+    check(p2)
+
+    # (3) old-code crash: files already inside v_000000, no pointer,
+    # marker survives -> resurrected with the marker's batch id
+    p3 = legacy_store("mig3", 3)
+    snap = _os.path.join(p3, "v_000000")
+    _os.makedirs(snap)
+    for f in list(_os.listdir(p3)):
+        if f.startswith("part-") or f == "_SUCCESS":
+            _os.rename(_os.path.join(p3, f), _os.path.join(snap, f))
+    check(p3)
+
+
+def test_agg_store_uncommitted_first_batch_not_resurrected(spark, tmp_path):
+    """A v_000000 WITHOUT pointer or legacy marker is an uncommitted
+    first apply_batch (the redelivery window) — it must open as EMPTY
+    so the redelivered batch rebuilds it, not double-applies."""
+    path = str(tmp_path / "fresh1")
+    snap = str(tmp_path / "fresh1" / "v_000000")
+    spark.createDataFrame(
+        [("eu", 1, 10)], "region string, n_rows bigint, sum_amount bigint"
+    ).coalesce(1).write.parquet(snap)
+    store = IA.AggStore(spark, path, ["region"], ["amount"], TYPES)
+    assert store.last_batch_id() == -1
+    b0 = _ev(spark, [("INSERT", 1, 1, {"id": 1, "region": "eu", "amount": 10})])
+    store.apply_batch(b0, batch_id=0)   # the redelivery
+    got = {r["region"]: (r["n_rows"], r["sum_amount"])
+           for r in store.read().collect()}
+    assert got == {"eu": (1, 10)}

@@ -247,7 +247,11 @@ def test_compact_small_files_leaves_big_ones(spark, tmp_path):
     # consistent snapshot even mid-swap (commit is the manifest rename)
     assert M.read_live_manifest(spark, out).count() == 1000 + 60
     with open(os.path.join(out, "_LIVE_MANIFEST")) as f:
-        assert len([ln for ln in f.read().splitlines() if ln]) == 2
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert len([ln for ln in lines if not ln.startswith("!")]) == 2
+    # merged sources are named as pending-delete so readers exclude
+    # them BY NAME (no mtime heuristics)
+    assert len([ln for ln in lines if ln.startswith("!")]) == 6
 
     # append-aware: sink files landing AFTER the compaction are part of
     # the live set even though the manifest predates them...
@@ -263,3 +267,75 @@ def test_compact_small_files_leaves_big_ones(spark, tmp_path):
     shutil.copy(src_file, os.path.join(out, "part-compacted-inflight-0.parquet"))
     assert M.read_live_manifest(spark, out).count() == 1000 + 60 + 20
 
+
+
+def test_compaction_crash_leftovers_not_recompacted(spark, tmp_path):
+    """A merged source surviving a crash between manifest commit and
+    deletion (a ``!name`` manifest entry still on disk) is (a) excluded
+    by readers regardless of its mtime, and (b) deleted — not merged
+    AGAIN into duplicates — by the next compaction."""
+    import glob
+    import shutil
+
+    out = str(tmp_path / "tbl2")
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(out)
+    M.compact_small_files(spark, out, small_threshold_bytes=1 << 30,
+                          target_file_bytes=1 << 30)
+    # simulate the crash: resurrect one merged source under its
+    # manifest-named (!) name, mtime equal to the manifest's
+    with open(os.path.join(out, "_LIVE_MANIFEST")) as f:
+        removed = [ln[1:] for ln in f.read().splitlines() if ln.startswith("!")]
+    assert len(removed) == 4
+    donor = glob.glob(out + "/part-compacted-*")[0]
+    ghost = os.path.join(out, removed[0])
+    shutil.copy(donor, ghost)
+    m_time = os.path.getmtime(os.path.join(out, "_LIVE_MANIFEST"))
+    os.utime(ghost, (m_time, m_time))
+
+    # (a) readers exclude the ghost by name — no double rows
+    assert M.read_live_manifest(spark, out).count() == 40
+    # (b) the next compaction finishes the crashed deletion instead of
+    # re-merging the ghost's rows into a duplicate replacement
+    M.compact_small_files(spark, out, small_threshold_bytes=1 << 30,
+                          target_file_bytes=1 << 30)
+    assert not os.path.exists(ghost)
+    assert M.read_live_manifest(spark, out).count() == 40
+    assert spark.read.parquet(out).count() == 40
+
+
+def test_compaction_names_files_appended_during_merge(spark, tmp_path):
+    """The commit re-glob: a sink file landing while the merge runs is
+    NAMED live by the manifest (not just tolerated by the appended
+    heuristic)."""
+    import glob
+
+    out = str(tmp_path / "tbl3")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(out)
+
+    # inject the concurrent append between the candidate glob and the
+    # manifest commit: the first replacement-file rename is inside that
+    # window, so appending from there simulates a racing sink
+    orig_rename = os.rename
+    state = {"done": False}
+
+    def sneaky(a, b):
+        if not state["done"] and "part-compacted-" in str(b):
+            state["done"] = True
+            spark.range(900, 910).coalesce(1).write.mode("append").parquet(out)
+        return orig_rename(a, b)
+
+    os.rename = sneaky
+    try:
+        M.compact_small_files(spark, out, small_threshold_bytes=1 << 30,
+                              target_file_bytes=1 << 30)
+    finally:
+        os.rename = orig_rename
+    assert state["done"]
+    with open(os.path.join(out, "_LIVE_MANIFEST")) as f:
+        live = [ln for ln in f.read().splitlines() if ln and not ln.startswith("!")]
+    # replacement + the appended tail file are both NAMED
+    assert M.read_live_manifest(spark, out).count() == 40
+    assert spark.read.parquet(out).count() == 40
+    assert len(live) == 2

@@ -87,3 +87,15 @@ def test_gates_md_in_sync():
                    check=True, capture_output=True)
     after = open(os.path.join(repo, "docs", "GATES.md")).read()
     assert before == after, "docs/GATES.md is stale — run tools/gen_gates_md.py"
+
+
+def test_assess_report_reserved_anchor_collision(spark, sf_dir, tmp_path):
+    """A section whose normalized anchor collides with a built-in
+    (report_overview/report_summary/report_detail/top) must be
+    rejected — duplicate HTML ids would hijack the nav links."""
+    import pytest
+
+    with pytest.raises(ValueError, match="built-in"):
+        R.render_assess_report_structured(
+            {"k": "v"}, {"assess_total": 0},
+            {"Report Summary": ("boom", table_overview(spark, sf_dir))})

@@ -90,3 +90,119 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, rank_e6 FROM r{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Connected components without a diameter bound: alternating
+# large-star / small-star (Kiveris et al. 2014, "Connected Components
+# in MapReduce and Beyond").  Complements dedup_groups: label
+# propagation needs `diameter` rounds (right for the near-clique
+# groups LSH banding emits), star contraction converges in O(log n)
+# rounds on ANY topology — the long chains/filament clusters a
+# similarity graph can contain at web scale.
+# ---------------------------------------------------------------------------
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both directions of the canonical (u > v) edge list."""
+    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) + {u}).  Emitted edges
+    keep the (bigger, smaller) canonical orientation."""
+    n = _sym(e)
+    m = (n.groupBy("u").agg(F.min("v").alias("mn"))
+         .select("u", F.least("mn", "u").alias("m")))
+    return (
+        n.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its strictly-smaller neighbors to the
+    smallest of them."""
+    n = _sym(e).filter(F.col("v") < F.col("u"))
+    m = n.groupBy("u").agg(F.min("v").alias("m"))
+    links = (
+        n.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(m.select("u", F.col("m").alias("v")))
+    )
+    return links.distinct()
+
+
+def connected_components(pairs: DataFrame, id_a: str = "a_id",
+                         id_b: str = "b_id",
+                         max_rounds: int = 30) -> DataFrame:
+    """(doc_id, group_id) for every node in ``pairs``, where group_id
+    is the minimum node id of its connected component — the same
+    contract as :func:`dbms_spark.llm.dedup.dedup_groups`, but with NO
+    diameter assumption: alternating large-star/small-star contraction
+    converges in O(log n) rounds on arbitrary graphs (chains,
+    filaments, anything), where fixed-round label propagation would
+    silently mislabel nodes farther than ``iters`` hops from their
+    component minimum.
+
+    Scale shape per round: two neighborhood groupBys + the join back
+    (all keyed on a node id — AQE-coalesced/skew-split; a hub star is
+    exactly the fixed point, so hot keys shrink round over round, not
+    grow).  Each round's edge set is ``localCheckpoint``-ed — for a
+    DATA-DEPENDENT loop, persist() is not enough: the logical plan
+    still nests every previous round (~5 references each), so Catalyst
+    analysis grows exponentially and stalls the driver around round 7;
+    checkpointing truncates the lineage so round r+1 plans against a
+    materialized relation.  (On a cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss resilience; localCheckpoint trades that for speed.)
+    The convergence probe is one count + one one-sided EXCEPT (sets of
+    canonical distinct edges with equal counts and empty difference
+    are equal).  Rounds are data-dependent but bounded: raises after
+    ``max_rounds`` (2^30 nodes would converge well within 30) rather
+    than returning a wrong labeling."""
+    e = (
+        pairs.filter(F.col(id_a) != F.col(id_b))
+        .select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        ns = _small_star(_large_star(e)).localCheckpoint()
+        converged = ns.count() == e.count() and ns.exceptAll(e).isEmpty()
+        e = ns
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+    roots = e.select(F.col("v").alias("doc_id")).distinct() \
+             .withColumn("group_id", F.col("doc_id"))
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+        .unionAll(roots)
+        .distinct()
+    )
+
+
+def connected_components_sql(pairs_sql: str, id_a: str = "a_id",
+                             id_b: str = "b_id") -> str:
+    """DuckDB twin via recursive transitive closure: every node's label
+    is the minimum id it can reach (closure is O(n * component) pairs —
+    an ORACLE formulation for test corpora, not a scale path; the
+    Spark side is the scale path)."""
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT {id_a} AS u, {id_b} AS v FROM ({pairs_sql}) WHERE {id_a} <> {id_b}
+  UNION
+  SELECT {id_b}, {id_a} FROM ({pairs_sql}) WHERE {id_a} <> {id_b}
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, least(u, MIN(v)) AS group_id FROM reach GROUP BY u
+"""

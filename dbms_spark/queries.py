@@ -6538,3 +6538,41 @@ def q191_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.3, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# q192 — connected components WITHOUT a diameter bound: alternating
+# large-star/small-star contraction (Kiveris et al. 2014) over a
+# chain-heavy similarity graph — consecutive doc ids linked into
+# 50-node chains (diameter 49), the topology where fixed-round label
+# propagation (dedup_groups) would mislabel and star contraction's
+# O(log n) rounds shine.  Oracle: recursive transitive closure
+# (min reachable id) — a different algorithm computing the same
+# labeling, so agreement pins correctness, not implementation.
+# ---------------------------------------------------------------------------
+
+_CHAIN_PAIRS_SQL = """
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 50 <> 49
+"""
+
+
+def _q192_sql() -> str:
+    from dbms_spark.operators.graph import connected_components_sql
+
+    return connected_components_sql(_CHAIN_PAIRS_SQL)
+
+
+@register("q192_star_connected_components", _q192_sql())
+def q192_star_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = docs.select((F.col("doc_id") - 1).alias("a_id"),
+                      F.col("doc_id").alias("b_id"))
+    pairs = (
+        docs.select(F.col("doc_id").alias("a_id")).join(nxt, "a_id")
+        .filter(F.col("a_id") % 50 != 49)
+    )
+    return connected_components(pairs)

@@ -234,7 +234,23 @@ def main() -> None:
         src = docs if big else load_table(spark, SF_DIR, "documents")
         return DbmsEngine(spark).dedup_pipeline(src.select("doc_id", "text"))
 
+    def star_cc(big):
+        from dbms_spark.operators.graph import connected_components
+
+        # chain-heavy graph (50-node chains, diameter 49): replicated
+        # doc ids stay contiguous (orig*k + i tiles [0, n*k)), so the
+        # chain LENGTH is fixed while the chain COUNT grows k-fold —
+        # rounds must stay ~log(chain), work must scale with edges
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        ids = src.select("doc_id")
+        nxt = ids.select((F.col("doc_id") - 1).alias("a_id"),
+                         F.col("doc_id").alias("b_id"))
+        pairs = (ids.select(F.col("doc_id").alias("a_id")).join(nxt, "a_id")
+                 .filter(F.col("a_id") % 50 != 49))
+        return connected_components(pairs)
+
     bench("pricing_agg", pricing)
+    bench("star_connected_components", star_cc)
     bench("dedup_pipeline", dedup_pipeline)
     bench("semantic_dedup", semantic_dedup_op)
     bench("semantic_dedup_fixed_k", semantic_dedup_fixed_k)

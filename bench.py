@@ -72,28 +72,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
-    line = json.dumps({
-        "metric": "total_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }) + "\n"
-    # The driver parses the final JSON line out of a ~3.9 KB tail
-    # capture; past that the line truncates and the round records
-    # parsed=null (bit us in round 2 at 77 long keys).  Short q-prefix
-    # keys keep ~190 queries near 2.9 KB; if the registry grows past
-    # the window, drop to the slowest-N map rather than truncating.
-    if len(line) > 3500:
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:150])
-        line = json.dumps({
-            "metric": "total_query_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "queries_omitted": len(timings) - len(slowest),
-            "sf": sf,
-        }) + "\n"
+
+    # The driver captures only a ~3.9 KB TAIL of this process's output and
+    # parses the final JSON line out of it (round 3: the line's FRONT was
+    # clipped, losing the headline total).  Two defenses: (1) key order puts
+    # "queries" first and metric/value last, so a front-clipped tail still
+    # carries the totals; (2) if the line would crowd the window, keep only
+    # the slowest-N per-query entries rather than letting the capture clip
+    # arbitrarily.
+    def render(qmap: dict[str, float], omitted: int) -> str:
+        payload: dict = {"queries": qmap}
+        if omitted:
+            payload["queries_omitted"] = omitted
+        payload.update({"sf": sf, "unit": "sec",
+                        "metric": "total_query_wall_seconds", "value": total})
+        return json.dumps(payload) + "\n"
+
+    line = render(timings, 0)
+    if len(line) > 3000:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:120])
+        line = render(slowest, len(timings) - len(slowest))
         print(f"bench: JSON line exceeded tail window, kept slowest "
               f"{len(slowest)} of {len(timings)} queries", file=sys.stderr)
     os.write(real_stdout, line.encode())

@@ -6576,3 +6576,612 @@ def q192_star_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("a_id") % 50 != 49)
     )
     return connected_components(pairs)
+
+
+# ===========================================================================
+# TPC-H shape completion (q193-q206): the remaining canonical decision-
+# support shapes not yet in the registry (Q2/Q6/Q9-Q15/Q17/Q18/Q20-Q22),
+# adapted to the testdata's trimmed columns (no partsupp, commitdate,
+# receiptdate, or phone) while preserving each query's PLAN shape —
+# correlated scalar aggregates, group-HAVING vs global scalars, left-join
+# distributions, EXISTS/NOT-EXISTS chains, min-equality (argmin) joins.
+# Numeric discipline follows the q01 conventions: DECIMAL-cast before
+# aggregation, DECIMAL outputs stringified, doubles only where computed
+# from bit-identical operands on both engines.
+# ===========================================================================
+
+_Q193_SQL = _stringify_sql("""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""", ["revenue", "n_lines"], {"revenue"})
+
+
+@register("q193_forecast_revenue", _Q193_SQL)
+def q193_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered aggregate.  Every predicate
+    is parquet-pushdown-able (shipdate/discount/quantity are all leaf
+    comparisons), so at 100 TB this reads only matching row groups and
+    aggregates map-side — the cheapest possible plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    out = (
+        li.filter(
+            F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(d2("l_extendedprice") * d2("l_discount"))
+            .cast(T.DecimalType(38, 4)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return _stringify(out, {"revenue"})
+
+
+_Q194_SQL = _stringify_sql("""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_profit
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""", ["nation", "o_year", "sum_profit"], {"sum_profit"})
+
+
+@register("q194_product_profit", _Q194_SQL)
+def q194_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (p_retailprice stands in for the absent
+    ps_supplycost).  Plan: the p_name LIKE filter prunes part BEFORE the
+    join, supplier/nation/part broadcast, and the only big-big shuffle
+    is lineitem JOIN orders on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    profit = (d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+              - d2("p_retailprice") * d2("l_quantity"))
+    out = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).cast(T.DecimalType(38, 4)).alias("sum_profit"))
+    )
+    return _stringify(out, {"sum_profit"})
+
+
+_Q195_SQL = _stringify_sql("""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""", ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"], {"revenue"})
+
+
+@register("q195_returned_items", _Q195_SQL)
+def q195_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking.  The quarter
+    filter lands on orders before its join; the returnflag filter lands
+    on the lineitem scan; nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-07-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1996-10-01 00:00:00'"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+             .cast(T.DecimalType(38, 4)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return _stringify(out, {"revenue"})
+
+
+_Q196_SQL = _stringify_sql("""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total_value
+  FROM lineitem
+)
+SELECT l_partkey, part_value FROM v, t
+WHERE part_value * 2000 > total_value
+""", ["l_partkey", "part_value"], {"part_value"})
+
+
+@register("q196_important_parts", _Q196_SQL)
+def q196_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-aggregate HAVING against a global scalar
+    aggregate of the SAME relation (parts holding more than 1/2000 of
+    total shipped value).  The one-row total broadcasts; the comparison
+    stays DECIMAL end-to-end (value*2000 is exact integer-scaled
+    arithmetic, never a float fraction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    val = F.sum(d2("l_extendedprice") * d2("l_quantity")).cast(T.DecimalType(38, 4))
+    v = li.groupBy("l_partkey").agg(val.alias("part_value"))
+    t = li.agg(val.alias("total_value"))
+    out = (
+        v.join(F.broadcast(t))
+        .filter(F.col("part_value") * F.lit(2000) > F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+    return _stringify(out, {"part_value"})
+
+
+_Q197_SQL = """
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("q197_priority_class", _Q197_SQL)
+def q197_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_returnflag stands in for the absent
+    l_shipmode): conditional-count split of joined rows per class."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q198_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@register("q198_customer_distribution", _Q198_SQL)
+def q198_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT JOIN with a join-time filter (never a
+    WHERE — that would drop the zero-order customers), two stacked
+    aggregations.  The second groupBy keys on a tiny domain (order
+    counts), so its shuffle is trivially coalesced by AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+_Q199_SQL = _stringify_sql("""
+WITH s AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE 0 END) AS DECIMAL(38,4)) AS promo_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       CAST(floor(CAST(promo_revenue AS DOUBLE) * 1000000 / CAST(total_revenue AS DOUBLE)) AS BIGINT) AS promo_ppm
+FROM s
+""", ["promo_revenue", "total_revenue", "promo_ppm"], {"promo_revenue", "total_revenue"})
+
+
+@register("q199_promo_revenue", _Q199_SQL)
+def q199_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio.  The ratio is
+    reported in integer ppm from identical IEEE operands (the two
+    DECIMAL sums cast to DOUBLE) so both engines floor the same value."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-03-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'"))
+    part = load_table(spark, sf_dir, "part")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    disc = d2("l_extendedprice") * (F.lit(1) - d2("l_discount"))
+    s = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+            .cast(T.DecimalType(38, 4)).alias("promo_revenue"),
+            F.sum(disc).cast(T.DecimalType(38, 4)).alias("total_revenue"),
+        )
+    )
+    out = s.select(
+        "promo_revenue", "total_revenue",
+        F.floor(F.col("promo_revenue").cast("double") * 1000000
+                / F.col("total_revenue").cast("double")).cast("bigint").alias("promo_ppm"),
+    )
+    return _stringify(out, {"promo_revenue", "total_revenue"})
+
+
+_Q200_SQL = _stringify_sql("""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""", ["s_suppkey", "s_name", "total_rev"], {"total_rev"})
+
+
+@register("q200_top_supplier", _Q200_SQL)
+def q200_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-max-equality (the classic
+    revenue view + scalar subquery).  The per-supplier aggregate is
+    computed ONCE and reused for both the max and the equality filter;
+    the one-row max broadcasts.  DECIMAL equality is exact — no
+    epsilon needed, unlike a double-summed variant."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+    sup = load_table(spark, sf_dir, "supplier")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(d2("l_extendedprice") * (F.lit(1) - d2("l_discount")))
+             .cast(T.DecimalType(38, 4)).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    out = (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["__mx"])
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+    return _stringify(out, {"total_rev"})
+
+
+_Q201_SQL = _stringify_sql("""
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq   ON pk = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+""", ["total_price", "n_lines", "avg_yearly"], {"total_price"})
+
+
+@register("q201_small_quantity_loss", _Q201_SQL)
+def q201_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average (qty < 0.2 * avg)
+    expressed as exact integer-scaled math — ``5 * qty * cnt < sum_qty``
+    avoids the avg's division entirely, so no engine rounding can flip a
+    boundary row.  The per-part aggregate joins back on the part key
+    (the standard decorrelation Catalyst itself would emit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(d2("l_quantity")).cast(T.DecimalType(38, 2)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    out = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pk") == F.col("l_partkey"))
+        .filter(d2("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum(d2("l_extendedprice")).cast(T.DecimalType(38, 2)).alias("total_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "total_price", "n_lines",
+            (F.col("total_price").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+    return _stringify(out, {"total_price"})
+
+
+_Q202_SQL = _stringify_sql("""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""", ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"],
+    {"sum_qty"})
+
+
+@register("q202_large_orders", _Q202_SQL)
+def q202_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING feeding a join back to the fact's
+    parents.  The HAVING prunes the order set to a sliver BEFORE the
+    customer join, so the join's build side is tiny at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(d2("l_quantity")).cast(T.DecimalType(38, 2)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    out = (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    return _stringify(out, {"sum_qty"})
+
+
+_Q203_SQL = _stringify_sql("""
+WITH q AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS promo_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+)
+SELECT s_suppkey, s_name, promo_qty
+FROM supplier
+JOIN q      ON l_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+""", ["s_suppkey", "s_name", "promo_qty"], {"promo_qty"})
+
+
+@register("q203_excess_shippers", _Q203_SQL)
+def q203_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: an aggregated IN-subquery (suppliers who moved
+    more than a threshold of a part class) gating a dimension lookup.
+    The part filter broadcasts into the fact scan; the HAVING output is
+    supplier-cardinality (small) so the final joins broadcast too."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    q = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(d2("l_quantity")).cast(T.DecimalType(38, 2)).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 120)
+    )
+    out = (
+        sup.join(F.broadcast(q), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "promo_qty")
+    )
+    return _stringify(out, {"promo_qty"})
+
+
+_Q204_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS failed
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supps, SUM(failed) AS n_failed
+  FROM base GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM base
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE failed = 1 AND n_supps > 1 AND n_failed = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+@register("q204_waiting_suppliers", _Q204_SQL)
+def q204_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_linestatus='F' stands in for the absent
+    receipt-after-commit lateness): the EXISTS (another supplier on the
+    order) and NOT-EXISTS (no OTHER supplier also failed) pair is
+    decorrelated into one per-order aggregate joined back — two
+    shuffles on the order key instead of three correlated scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load_table(spark, sf_dir, "supplier")
+    base = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("failed"))
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("failed").alias("n_failed"))
+    return (
+        base.join(per_order, F.col("ok") == F.col("l_orderkey"))
+        .filter((F.col("failed") == 1) & (F.col("n_supps") > 1) & (F.col("n_failed") == 1))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+_Q205_SQL = _stringify_sql("""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+  SELECT substr(c_name, length(c_name) - 1, 2) AS code, c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer, avg_bal
+  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > ab
+)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal) AS DECIMAL(38,2)) AS total_bal
+FROM eligible e
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = e.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY code
+""", ["code", "n_cust", "total_bal"], {"total_bal"})
+
+
+@register("q205_global_outlook", _Q205_SQL)
+def q205_global_outlook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (the last-2 name digits stand in for the absent
+    phone country code): scalar-average subquery + NOT EXISTS anti-join
+    + final rollup.  The average is computed per q01's convention (sum
+    DECIMAL, divide as DOUBLE) so the eligibility boundary is the same
+    IEEE comparison on both engines; "lapsed" means no order since
+    1999 (a bare no-orders-ever is vacuous on this data — every
+    above-average customer has ordered); the anti-join needs only the
+    filtered orders' custkey column at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+    d2 = lambda c: F.col(c).cast(T.DecimalType(18, 2))  # noqa: E731
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(d2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
+    eligible = (
+        cust.join(F.broadcast(ab))
+        .filter(d2("c_acctbal").cast("double") > F.col("ab"))
+        .select(F.substring("c_name", -2, 2).alias("code"), "c_custkey",
+                d2("c_acctbal").alias("bal"))
+    )
+    out = (
+        eligible.join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                      "c_custkey", "left_anti")
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+             F.sum("bal").cast(T.DecimalType(38, 2)).alias("total_bal"))
+    )
+    return _stringify(out, {"total_bal"})
+
+
+_Q206_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, s_suppkey,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) + 10000000 AS cost_cents
+  FROM ps
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA' AND p_size < 15
+)
+SELECT p_partkey,
+       arg_min(s_suppkey, lpad(CAST(cost_cents AS VARCHAR), 12, '0')
+                          || lpad(CAST(s_suppkey AS VARCHAR), 10, '0')) AS best_suppkey,
+       CAST(MIN(cost_cents) AS BIGINT) AS min_cost_cents
+FROM cand GROUP BY p_partkey
+"""
+
+
+@register("q206_min_cost_supplier", _Q206_SQL)
+def q206_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier within a region
+    (the observed ship graph stands in for the absent partsupp; s_acctbal
+    for supplycost).  The correlated MIN is one argmin aggregate — no
+    per-part subquery — with integer-cent cost and a zero-padded
+    cost||suppkey key making the tie-break deterministic on both
+    engines.  All dimension joins broadcast; the only fact-sized step
+    is the DISTINCT over the (part, supplier) ship pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "p_partkey", "s_suppkey",
+            (F.expr("cast(floor(s_acctbal * 100 + 0.5) as bigint)")
+             + F.lit(10000000)).alias("cost_cents"),
+        )
+    )
+    key = F.concat(
+        F.lpad(F.col("cost_cents").cast("string"), 12, "0"),
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0"),
+    )
+    return (
+        cand.withColumn("__key", key)
+        .groupBy("p_partkey")
+        .agg(
+            F.expr("min_by(s_suppkey, __key)").alias("best_suppkey"),
+            F.min("cost_cents").cast("bigint").alias("min_cost_cents"),
+        )
+    )

@@ -904,3 +904,258 @@ SELECT {id_col},
 FROM lines LEFT JOIN docfreq USING (lk)
 GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-passage mining (cross-doc repeated n-token windows)
+#
+# The window form of exact-substring dedup (Lee et al. 2022 use suffix
+# arrays on one machine; the distributed re-expression is fixed-width
+# token windows, whose hashes shuffle like any other key): every
+# n-token sliding window is hashed, a window is DUPLICATED when its
+# hash occurs in >= 2 distinct docs, and the strip operator removes
+# every token covered by a duplicated window.  Complements the line-
+# level operators (duplicate_line_stats): passages that repeat across
+# docs WITHOUT line boundaries — license blurbs re-wrapped, quoted
+# paragraphs, templated sentences — are invisible to line dedup.
+#
+# Scale shape: the window relation is O(total tokens) rows of
+# (doc_id, pos, 32-byte hash) — hashes shuffle, never window text; the
+# duplicated set is the group-filtered slim side and joins back
+# semi/inner on the hash.  Cover expansion is O(dup windows x n).
+# ---------------------------------------------------------------------------
+
+
+def _windows_spark(n: int) -> str:
+    """``toks`` -> array<struct<pos,wh>>: 0-based window start + md5 of
+    the space-joined n-token window.  The filter (not a CASE) keeps the
+    branch typed when the doc is shorter than ``n``."""
+    return (
+        f"filter(transform(sequence(0, greatest(size(toks) - {n}, 0)), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {n}))) AS wh)), "
+        f"s -> s.pos <= size(toks) - {n})"
+    )
+
+
+def _windows_duck(n: int) -> str:
+    """DuckDB twin of :func:`_windows_spark` (range() end-exclusive)."""
+    return (
+        f"[struct_pack(pos := i, wh := md5(array_to_string(toks[i+1:i+{n}], ' '))) "
+        f"for i in range(0, greatest(len(toks) - {n} + 1, 0))]"
+    )
+
+
+def _window_rel(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, pos, wh) exploded window relation."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .select(F.col(id_col), F.explode(F.expr(_windows_spark(n))).alias("w"))
+        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    )
+
+
+def _window_rel_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    return f"""
+SELECT {id_col}, w.pos AS pos, w.wh AS wh
+FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}) t,
+     LATERAL (SELECT unnest({_windows_duck(n)}, recursive := true)) AS w(pos, wh)
+"""
+
+
+def duplicate_passage_stats(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-doc duplicated-passage exposure: total windows, windows whose
+    hash appears in >= 2 distinct docs, and their ppm share.  Every
+    input doc emits a row (docs shorter than ``n`` tokens report
+    0/0/0)."""
+    w = _window_rel(df, id_col, text_col, n)
+    dup = (
+        w.select("wh", F.col(id_col)).distinct()
+        .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        w.join(dup, "wh", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_w"))
+    )
+    tot = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_w"))
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(tot, id_col, "left").join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_w", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("dup_w", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.when(F.coalesce("n_w", F.lit(0)) > 0,
+                   F.floor(F.coalesce("dup_w", F.lit(0)) * 1000000
+                           / F.col("n_w"))).otherwise(0)
+            .cast("bigint").alias("dup_window_ppm"),
+        )
+    )
+
+
+def duplicate_passage_stats_sql(table: str, id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 5) -> str:
+    return f"""
+WITH w AS ({_window_rel_sql(table, id_col, text_col, n)}),
+dup AS (
+  SELECT wh FROM (SELECT DISTINCT wh, {id_col} FROM w)
+  GROUP BY wh HAVING COUNT(*) >= 2
+),
+tot AS (SELECT {id_col}, COUNT(*) AS n_w FROM w GROUP BY {id_col}),
+per_doc AS (
+  SELECT {id_col}, COUNT(*) AS dup_w FROM w SEMI JOIN dup USING (wh)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       CAST(COALESCE(n_w, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(dup_w, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN COALESCE(n_w, 0) > 0
+                 THEN floor(COALESCE(dup_w, 0) * 1000000 / n_w)
+                 ELSE 0 END AS BIGINT) AS dup_window_ppm
+FROM (SELECT DISTINCT {id_col} FROM {table}) b
+LEFT JOIN tot USING ({id_col}) LEFT JOIN per_doc USING ({id_col})
+"""
+
+
+def top_duplicate_passages(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 5,
+                           k: int = 20) -> DataFrame:
+    """The ``k`` most-repeated cross-doc passages WITH their text:
+    (wh, n_docs, n_occurrences, passage).  Passage text is re-derived
+    for the top-k ONLY — the mining shuffle carries hashes and an
+    exemplar (min doc, pos) key, then the k-row result broadcasts back
+    against the corpus to slice the actual tokens, so full window text
+    never rides a shuffle.  Deterministic order: occurrences desc, wh."""
+    w = _window_rel(df, id_col, text_col, n)
+    ekey = F.concat(F.lpad(F.col(id_col).cast("string"), 12, "0"),
+                    F.lpad(F.col("pos").cast("string"), 8, "0"))
+    top = (
+        w.withColumn("__ek", ekey)
+        .groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.expr(f"count(distinct {id_col})").alias("n_docs"),
+            F.expr(f"min_by({id_col}, __ek)").alias("__edoc"),
+            F.expr("min_by(pos, __ek)").alias("__epos"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("wh"))
+        .limit(k)
+    )
+    toks = df.select(F.col(id_col).alias("__edoc"), tokens_expr(text_col).alias("toks"))
+    return (
+        F.broadcast(top).join(toks, "__edoc")
+        .select(
+            "wh",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.expr(f"concat_ws(' ', slice(toks, __epos + 1, {n}))").alias("passage"),
+        )
+    )
+
+
+def top_duplicate_passages_sql(table: str, id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 5,
+                               k: int = 20) -> str:
+    return f"""
+WITH w AS ({_window_rel_sql(table, id_col, text_col, n)}),
+top AS (
+  SELECT wh, COUNT(*) AS n_occurrences, COUNT(DISTINCT {id_col}) AS n_docs,
+         arg_min({id_col}, lpad(CAST({id_col} AS VARCHAR), 12, '0')
+                           || lpad(CAST(pos AS VARCHAR), 8, '0')) AS edoc,
+         arg_min(pos, lpad(CAST({id_col} AS VARCHAR), 12, '0')
+                      || lpad(CAST(pos AS VARCHAR), 8, '0')) AS epos
+  FROM w GROUP BY wh HAVING COUNT(DISTINCT {id_col}) >= 2
+  ORDER BY n_occurrences DESC, wh LIMIT {k}
+)
+SELECT wh, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       array_to_string(toks[epos+1:epos+{n}], ' ') AS passage
+FROM top JOIN (SELECT {id_col} AS edoc, {tokens_sql(text_col)} AS toks
+               FROM {table}) USING (edoc)
+"""
+
+
+def strip_duplicated_passages(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 5) -> DataFrame:
+    """Rebuild each doc WITHOUT tokens covered by any cross-doc
+    duplicated window: (id, clean_text, n_kept_tokens).  Every input
+    doc emits a row — one whose every token is covered comes back with
+    ``clean_text = ''`` and ``n_kept_tokens = 0`` (mirrors the
+    strip_duplicated_lines contract).
+
+    Cover expansion is the slim side: duplicated (doc, window-start)
+    rows explode to at most ``n`` covered positions each and anti-join
+    the posexploded token relation on (doc, pos); the rebuild is one
+    per-doc sort of surviving (pos, token) structs."""
+    w = _window_rel(df, id_col, text_col, n)
+    dup = (
+        w.select("wh", F.col(id_col)).distinct()
+        .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2).select("wh")
+    )
+    covered = (
+        w.join(dup, "wh", "left_semi")
+        .select(F.col(id_col),
+                F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("tpos"))
+        .distinct()
+    )
+    toks = (
+        df.withColumn("toks", tokens_expr(text_col))
+        .select(F.col(id_col), F.posexplode("toks").alias("tpos", "tok"))
+    )
+    kept = (
+        toks.join(covered, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.expr("array_sort(collect_list(struct(tpos, tok)))").alias("ps"))
+        .select(
+            F.col(id_col),
+            F.expr("concat_ws(' ', transform(ps, p -> p.tok))").alias("clean_text"),
+            F.expr("size(ps)").cast("bigint").alias("n_kept_tokens"),
+        )
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+        )
+    )
+
+
+def strip_duplicated_passages_sql(table: str, id_col: str = "doc_id",
+                                  text_col: str = "text", n: int = 5) -> str:
+    return f"""
+WITH w AS ({_window_rel_sql(table, id_col, text_col, n)}),
+dup AS (
+  SELECT wh FROM (SELECT DISTINCT wh, {id_col} FROM w)
+  GROUP BY wh HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT {id_col}, pos + s.i AS tpos
+  FROM w SEMI JOIN dup USING (wh),
+       LATERAL (SELECT unnest(range(0, {n})) AS i) s
+),
+toks AS (
+  SELECT {id_col}, t.tpos - 1 AS tpos, t.tok
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS tk FROM {table}),
+       LATERAL (SELECT unnest(tk) AS tok, generate_subscripts(tk, 1) AS tpos) t
+),
+kept AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM toks ANTI JOIN covered USING ({id_col}, tpos)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col}, COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept_tokens
+FROM (SELECT DISTINCT {id_col} FROM {table}) b
+LEFT JOIN kept USING ({id_col})
+"""

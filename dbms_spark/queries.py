@@ -7185,3 +7185,50 @@ def q206_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cost_cents").cast("bigint").alias("min_cost_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q207-q209 — exact duplicate-passage dedup (cross-doc repeated n-token
+# windows): the window form of exact-substring dedup (Lee et al. 2022),
+# complementing line-level dedup (q78/q188) with passages that repeat
+# across documents without respecting line boundaries.  n=5 finds the
+# corpus's natural cross-doc 5-gram repetitions.
+# ---------------------------------------------------------------------------
+
+def _q207_sql() -> str:
+    from dbms_spark.llm.dedup import duplicate_passage_stats_sql
+
+    return duplicate_passage_stats_sql("documents")
+
+
+@register("q207_duplicate_passage_stats", _q207_sql())
+def q207_duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import duplicate_passage_stats
+
+    return duplicate_passage_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q208_sql() -> str:
+    from dbms_spark.llm.dedup import top_duplicate_passages_sql
+
+    return top_duplicate_passages_sql("documents")
+
+
+@register("q208_top_duplicate_passages", _q208_sql())
+def q208_top_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import top_duplicate_passages
+
+    return top_duplicate_passages(load_table(spark, sf_dir, "documents"))
+
+
+def _q209_sql() -> str:
+    from dbms_spark.llm.dedup import strip_duplicated_passages_sql
+
+    return strip_duplicated_passages_sql("documents")
+
+
+@register("q209_strip_duplicated_passages", _q209_sql())
+def q209_strip_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import strip_duplicated_passages
+
+    return strip_duplicated_passages(load_table(spark, sf_dir, "documents"))

@@ -603,3 +603,53 @@ def test_strip_duplicated_lines(spark):
     assert out2[1]["clean_text"] == "def f():\n    return 1\n\nprint(f())"
     assert out2[1]["n_kept_lines"] == 3      # blank line kept but not counted
     assert out2[2]["clean_text"] == "other body"
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-passage operators (cross-doc n-token windows)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def passage_docs(spark):
+    rows = [
+        (1, "a b c d e"),    # windows: [a b c, b c d, c d e]
+        (2, "x a b c y"),    # shares 'a b c' at pos 1
+        (3, "q r s"),        # unique single window
+        (4, "a b c"),        # shares 'a b c'; fully covered after strip
+        (5, "z z"),          # shorter than n=3: zero windows
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_passage_stats_hand_computed(passage_docs):
+    got = {r["doc_id"]: r for r in
+           D.duplicate_passage_stats(passage_docs, n=3).collect()}
+    assert len(got) == 5  # every input doc, including the too-short one
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (3, 1)
+    assert got[1]["dup_window_ppm"] == 333333
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 1)
+    assert (got[3]["n_windows"], got[3]["n_dup_windows"]) == (1, 0)
+    assert (got[4]["n_windows"], got[4]["n_dup_windows"]) == (1, 1)
+    assert got[4]["dup_window_ppm"] == 1000000
+    assert (got[5]["n_windows"], got[5]["n_dup_windows"], got[5]["dup_window_ppm"]) == (0, 0, 0)
+
+
+def test_top_duplicate_passages_hand_computed(passage_docs):
+    rows = D.top_duplicate_passages(passage_docs, n=3).collect()
+    assert len(rows) == 1  # only 'a b c' crosses docs
+    r = rows[0]
+    assert r["passage"] == "a b c"
+    assert r["n_docs"] == 3 and r["n_occurrences"] == 3
+
+
+def test_strip_duplicated_passages_hand_computed(passage_docs):
+    got = {r["doc_id"]: r for r in
+           D.strip_duplicated_passages(passage_docs, n=3).collect()}
+    assert got[1]["clean_text"] == "d e" and got[1]["n_kept_tokens"] == 2
+    assert got[2]["clean_text"] == "x y" and got[2]["n_kept_tokens"] == 2
+    assert got[3]["clean_text"] == "q r s" and got[3]["n_kept_tokens"] == 3
+    # fully-covered doc survives with empty text, not a dropped row
+    assert got[4]["clean_text"] == "" and got[4]["n_kept_tokens"] == 0
+    # too-short doc keeps everything
+    assert got[5]["clean_text"] == "z z" and got[5]["n_kept_tokens"] == 2

@@ -249,7 +249,19 @@ def main() -> None:
                  .filter(F.col("a_id") % 50 != 49))
         return connected_components(pairs)
 
+    def passage_strip(big):
+        from dbms_spark.llm.dedup import strip_duplicated_passages
+
+        # replication clones each doc k times verbatim, so every window
+        # becomes cross-doc-duplicated and the covered set approaches
+        # ALL token positions — the worst-case dup mass, still linear
+        # in k (windows, dup groups, and cover rows all scale with the
+        # corpus; group fan-in grows k-fold but aggregation is partial)
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return strip_duplicated_passages(src)
+
     bench("pricing_agg", pricing)
+    bench("duplicate_passage_strip", passage_strip)
     bench("star_connected_components", star_cc)
     bench("dedup_pipeline", dedup_pipeline)
     bench("semantic_dedup", semantic_dedup_op)

@@ -6590,6 +6590,11 @@ def q192_star_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
 # from bit-identical operands on both engines.
 # ===========================================================================
 
+# ---------------------------------------------------------------------------
+# q193 — TPC-H Q6 shape: forecast-revenue-change single-scan filtered
+# aggregate; every predicate parquet-pushdown-able.
+# ---------------------------------------------------------------------------
+
 _Q193_SQL = _stringify_sql("""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
@@ -6623,6 +6628,11 @@ def q193_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"revenue"})
 
+
+# ---------------------------------------------------------------------------
+# q194 — TPC-H Q9 shape: product-profit rollup by nation and year
+# (p_retailprice as cost proxy); one big-big shuffle (lineitem x orders).
+# ---------------------------------------------------------------------------
 
 _Q194_SQL = _stringify_sql("""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -6663,6 +6673,10 @@ def q194_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"sum_profit"})
 
+
+# ---------------------------------------------------------------------------
+# q195 — TPC-H Q10 shape: returned-item revenue top-20 per customer.
+# ---------------------------------------------------------------------------
 
 _Q195_SQL = _stringify_sql("""
 SELECT c_custkey, c_name,
@@ -6707,6 +6721,11 @@ def q195_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify(out, {"revenue"})
 
 
+# ---------------------------------------------------------------------------
+# q196 — TPC-H Q11 shape: per-part value HAVING against a global scalar
+# aggregate of the same relation, DECIMAL-exact cross-multiplied.
+# ---------------------------------------------------------------------------
+
 _Q196_SQL = _stringify_sql("""
 WITH v AS (
   SELECT l_partkey,
@@ -6742,6 +6761,11 @@ def q196_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify(out, {"part_value"})
 
 
+# ---------------------------------------------------------------------------
+# q197 — TPC-H Q12 shape: conditional priority-class counts per
+# lineitem class (returnflag standing in for shipmode).
+# ---------------------------------------------------------------------------
+
 _Q197_SQL = """
 SELECT l_returnflag AS ship_class,
        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -6772,6 +6796,11 @@ def q197_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q198 — TPC-H Q13 shape: customer order-count distribution via
+# filtered LEFT JOIN (zero-order bucket preserved) + stacked aggs.
+# ---------------------------------------------------------------------------
+
 _Q198_SQL = """
 WITH c_orders AS (
   SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
@@ -6800,6 +6829,11 @@ def q198_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
     )
 
+
+# ---------------------------------------------------------------------------
+# q199 — TPC-H Q14 shape: promo revenue share, integer-ppm ratio from
+# identical IEEE operands.
+# ---------------------------------------------------------------------------
 
 _Q199_SQL = _stringify_sql("""
 WITH s AS (
@@ -6844,6 +6878,11 @@ def q199_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify(out, {"promo_revenue", "total_revenue"})
 
 
+# ---------------------------------------------------------------------------
+# q200 — TPC-H Q15 shape: top supplier by quarter revenue —
+# aggregate-then-max-equality with exact DECIMAL equality.
+# ---------------------------------------------------------------------------
+
 _Q200_SQL = _stringify_sql("""
 WITH rev AS (
   SELECT l_suppkey,
@@ -6884,6 +6923,11 @@ def q200_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"total_rev"})
 
+
+# ---------------------------------------------------------------------------
+# q201 — TPC-H Q17 shape: small-quantity revenue loss; the correlated
+# per-part average decorrelated and cross-multiplied (5*qty*cnt < sum).
+# ---------------------------------------------------------------------------
 
 _Q201_SQL = _stringify_sql("""
 WITH pq AS (
@@ -6933,6 +6977,11 @@ def q201_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify(out, {"total_price"})
 
 
+# ---------------------------------------------------------------------------
+# q202 — TPC-H Q18 shape: large-volume orders via group-HAVING
+# join-back to order/customer parents.
+# ---------------------------------------------------------------------------
+
 _Q202_SQL = _stringify_sql("""
 WITH big AS (
   SELECT l_orderkey,
@@ -6973,6 +7022,11 @@ def q202_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"sum_qty"})
 
+
+# ---------------------------------------------------------------------------
+# q203 — TPC-H Q20 shape: suppliers over a shipped-quantity threshold
+# of a part class, gating a region-filtered dimension lookup.
+# ---------------------------------------------------------------------------
 
 _Q203_SQL = _stringify_sql("""
 WITH q AS (
@@ -7022,6 +7076,11 @@ def q203_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"promo_qty"})
 
+
+# ---------------------------------------------------------------------------
+# q204 — TPC-H Q21 shape: suppliers who failed multi-supplier orders
+# alone — EXISTS/NOT-EXISTS decorrelated to per-order aggregates.
+# ---------------------------------------------------------------------------
 
 _Q204_SQL = """
 WITH base AS (
@@ -7073,6 +7132,11 @@ def q204_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
 
+
+# ---------------------------------------------------------------------------
+# q205 — TPC-H Q22 shape: lapsed above-average-balance customers by
+# name-code — scalar-avg subquery + NOT EXISTS anti-join rollup.
+# ---------------------------------------------------------------------------
 
 _Q205_SQL = _stringify_sql("""
 WITH avg_bal AS (
@@ -7126,6 +7190,11 @@ def q205_global_outlook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _stringify(out, {"total_bal"})
 
+
+# ---------------------------------------------------------------------------
+# q206 — TPC-H Q2 shape: per-part minimum-cost supplier in a region,
+# argmin with zero-padded deterministic tie-break.
+# ---------------------------------------------------------------------------
 
 _Q206_SQL = """
 WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -1159,3 +1159,62 @@ SELECT b.{id_col}, COALESCE(clean_text, '') AS clean_text,
 FROM (SELECT DISTINCT {id_col} FROM {table}) b
 LEFT JOIN kept USING ({id_col})
 """
+
+
+def duplicate_passages_between(new_df: DataFrame, corpus_df: DataFrame,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               n: int = 5) -> DataFrame:
+    """Incremental passage dedup: per NEW-batch doc, how many of its
+    n-token windows already exist in the CORPUS — (id, n_windows,
+    n_corpus_dup_windows, dup_window_ppm), every batch doc emitting a
+    row.
+
+    The production intake shape (mirrors
+    :func:`lsh_candidate_pairs_between`): the corpus's window-hash
+    relation is mined once and persisted by the caller; each batch
+    hashes only itself — O(batch tokens) map work — and semi-joins the
+    corpus hashes, so intake cost never re-reads the corpus text.
+    Within-batch duplication stays :func:`duplicate_passage_stats` on
+    the batch alone."""
+    bw = _window_rel(new_df, id_col, text_col, n)
+    cw = _window_rel(corpus_df, id_col, text_col, n).select("wh").distinct()
+    per_doc = (
+        bw.join(cw, "wh", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_w"))
+    )
+    tot = bw.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_w"))
+    base = new_df.select(F.col(id_col)).distinct()
+    return (
+        base.join(tot, id_col, "left").join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_w", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("dup_w", F.lit(0)).cast("bigint").alias("n_corpus_dup_windows"),
+            F.when(F.coalesce("n_w", F.lit(0)) > 0,
+                   F.floor(F.coalesce("dup_w", F.lit(0)) * 1000000
+                           / F.col("n_w"))).otherwise(0)
+            .cast("bigint").alias("dup_window_ppm"),
+        )
+    )
+
+
+def duplicate_passages_between_sql(new_sql: str, corpus_sql: str,
+                                   id_col: str = "doc_id", text_col: str = "text",
+                                   n: int = 5) -> str:
+    return f"""
+WITH bw AS ({_window_rel_sql(f"({new_sql})", id_col, text_col, n)}),
+cw AS (SELECT DISTINCT wh FROM ({_window_rel_sql(f"({corpus_sql})", id_col, text_col, n)})),
+tot AS (SELECT {id_col}, COUNT(*) AS n_w FROM bw GROUP BY {id_col}),
+per_doc AS (
+  SELECT {id_col}, COUNT(*) AS dup_w FROM bw SEMI JOIN cw USING (wh)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       CAST(COALESCE(n_w, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(dup_w, 0) AS BIGINT) AS n_corpus_dup_windows,
+       CAST(CASE WHEN COALESCE(n_w, 0) > 0
+                 THEN floor(COALESCE(dup_w, 0) * 1000000 / n_w)
+                 ELSE 0 END AS BIGINT) AS dup_window_ppm
+FROM (SELECT DISTINCT {id_col} FROM ({new_sql}) b0) b
+LEFT JOIN tot USING ({id_col}) LEFT JOIN per_doc USING ({id_col})
+"""

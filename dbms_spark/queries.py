@@ -7301,3 +7301,31 @@ def q209_strip_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFram
     from dbms_spark.llm.dedup import strip_duplicated_passages
 
     return strip_duplicated_passages(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q210 — incremental passage dedup: the intake shape — a "new batch"
+# (docs with doc_id % 10 = 7) checked against the established corpus
+# (the rest) for already-seen n-token windows; O(batch) map work +
+# a semi-join against the corpus's persisted window hashes.
+# ---------------------------------------------------------------------------
+
+_Q210_NEW_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7"
+_Q210_CORPUS_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7"
+
+
+def _q210_sql() -> str:
+    from dbms_spark.llm.dedup import duplicate_passages_between_sql
+
+    return duplicate_passages_between_sql(_Q210_NEW_SQL, _Q210_CORPUS_SQL)
+
+
+@register("q210_incremental_passage_dedup", _q210_sql())
+def q210_incremental_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import duplicate_passages_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_passages_between(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+    )

@@ -653,3 +653,20 @@ def test_strip_duplicated_passages_hand_computed(passage_docs):
     assert got[4]["clean_text"] == "" and got[4]["n_kept_tokens"] == 0
     # too-short doc keeps everything
     assert got[5]["clean_text"] == "z z" and got[5]["n_kept_tokens"] == 2
+
+
+def test_duplicate_passages_between_hand_computed(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "z a b c z"),   # 'a b c' known to corpus -> 1 of 3 windows
+         (11, "m n o"),      # nothing shared
+         (12, "x y")],       # too short: zero windows
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           D.duplicate_passages_between(batch, corpus, n=3).collect()}
+    assert (got[10]["n_windows"], got[10]["n_corpus_dup_windows"]) == (3, 1)
+    assert got[10]["dup_window_ppm"] == 333333
+    assert (got[11]["n_windows"], got[11]["n_corpus_dup_windows"]) == (1, 0)
+    assert (got[12]["n_windows"], got[12]["n_corpus_dup_windows"],
+            got[12]["dup_window_ppm"]) == (0, 0, 0)

@@ -227,11 +227,21 @@ class DbmsEngine:
     def curate(self, docs: DataFrame, bench: DataFrame | None = None,
                id_col: str = "doc_id", text_col: str = "text",
                min_tokens: int = 30, min_quality: float = 0.5,
-               min_sim: float = 0.7) -> DataFrame:
+               min_sim: float = 0.7,
+               strip_passages_n: int | None = None) -> DataFrame:
         """The whole training-data curation pass as ONE verb:
         quality filter (drop short / low-quality / repetitive docs) →
-        near-dup removal (LSH → exact Jaccard → grouped keep-one) →
-        benchmark decontamination (when ``bench`` is given).
+        [optional] cross-doc duplicate-passage strip → near-dup removal
+        (LSH → exact Jaccard → grouped keep-one) → benchmark
+        decontamination (when ``bench`` is given).
+
+        ``strip_passages_n`` enables the exact-substring stage: tokens
+        covered by any ``n``-token window repeated across docs are
+        removed BEFORE near-dup mining (stripping shared boilerplate
+        first makes the minhash signatures reflect each doc's unique
+        content, the order real pipelines use).  Docs stripped to
+        empty text are then dropped by construction — they were pure
+        cross-doc boilerplate.
 
         Stage order matters at scale: the quality filter is a
         shuffle-free scan that shrinks the corpus BEFORE the dedup
@@ -245,6 +255,15 @@ class DbmsEngine:
             docs, id_col, text_col, min_tokens=min_tokens, min_quality=min_quality)
         kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
         kept = docs.join(kept_ids, id_col, "left_semi")
+        if strip_passages_n is not None:
+            from dbms_spark.llm.dedup import strip_duplicated_passages
+
+            stripped = strip_duplicated_passages(kept, id_col, text_col,
+                                                 n=strip_passages_n)
+            kept = (
+                stripped.filter(F.col("n_kept_tokens") > 0)
+                .select(F.col(id_col), F.col("clean_text").alias(text_col))
+            )
         deduped = self.dedup_pipeline(kept, id_col, text_col, min_sim=min_sim)
         if bench is None:
             return deduped

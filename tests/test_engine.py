@@ -318,3 +318,28 @@ def test_cli_struct_verb(spark, tmp_path, capsys):
     assert "DEFAULT NOW()" in out["tables"]["orders"]       # dialect-translated
     assert out["sequences"][0].startswith(
         "CREATE SEQUENCE IF NOT EXISTS DWH.seq_orders START 1100 ")
+
+
+def test_engine_curate_with_passage_strip(spark):
+    """curate(strip_passages_n=3): cross-doc boilerplate windows are
+    removed before near-dup mining, and docs that were PURE boilerplate
+    drop out entirely."""
+    from dbms_spark.engine import DbmsEngine
+
+    eng = DbmsEngine(spark)
+    boiler = "all rights reserved contact us today"
+    rows = [
+        (1, f"unique alpha words one {boiler}"),
+        (2, f"unique beta tokens two {boiler}"),
+        (3, boiler),                              # pure boilerplate
+        (4, "entirely original content with no shared passages at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = eng.curate(docs, min_tokens=1, min_quality=0.0, min_sim=0.99,
+                     strip_passages_n=3)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 3 not in got                           # stripped to empty -> dropped
+    assert set(got) == {1, 2, 4}
+    for t in got.values():
+        assert "rights reserved" not in t         # boilerplate gone
+    assert got[4] == "entirely original content with no shared passages at all"

@@ -976,16 +976,21 @@ def duplicate_passage_stats(df: DataFrame, id_col: str = "doc_id",
         w.select("wh", F.col(id_col)).distinct()
         .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("wh")
+        .select("wh", F.lit(1).alias("__dup"))
     )
+    # ONE per-doc aggregate carries both counters: a left join tags
+    # each window with the dup flag, so total and duplicated windows
+    # fall out of the same groupBy — a semi-join + second groupBy +
+    # second base join would re-shuffle the window relation twice more
     per_doc = (
-        w.join(dup, "wh", "left_semi")
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_w"))
+        w.join(dup, "wh", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_w"),
+             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_w"))
     )
-    tot = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_w"))
     base = df.select(F.col(id_col)).distinct()
     return (
-        base.join(tot, id_col, "left").join(per_doc, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_w", F.lit(0)).cast("bigint").alias("n_windows"),
@@ -1003,12 +1008,12 @@ def duplicate_passage_stats_sql(table: str, id_col: str = "doc_id",
     return f"""
 WITH w AS ({_window_rel_sql(table, id_col, text_col, n)}),
 dup AS (
-  SELECT wh FROM (SELECT DISTINCT wh, {id_col} FROM w)
+  SELECT wh, 1 AS isdup FROM (SELECT DISTINCT wh, {id_col} FROM w)
   GROUP BY wh HAVING COUNT(*) >= 2
 ),
-tot AS (SELECT {id_col}, COUNT(*) AS n_w FROM w GROUP BY {id_col}),
 per_doc AS (
-  SELECT {id_col}, COUNT(*) AS dup_w FROM w SEMI JOIN dup USING (wh)
+  SELECT {id_col}, COUNT(*) AS n_w, SUM(COALESCE(isdup, 0)) AS dup_w
+  FROM w LEFT JOIN dup USING (wh)
   GROUP BY {id_col}
 )
 SELECT b.{id_col},
@@ -1018,7 +1023,7 @@ SELECT b.{id_col},
                  THEN floor(COALESCE(dup_w, 0) * 1000000 / n_w)
                  ELSE 0 END AS BIGINT) AS dup_window_ppm
 FROM (SELECT DISTINCT {id_col} FROM {table}) b
-LEFT JOIN tot USING ({id_col}) LEFT JOIN per_doc USING ({id_col})
+LEFT JOIN per_doc USING ({id_col})
 """
 
 
@@ -1177,15 +1182,20 @@ def duplicate_passages_between(new_df: DataFrame, corpus_df: DataFrame,
     Within-batch duplication stays :func:`duplicate_passage_stats` on
     the batch alone."""
     bw = _window_rel(new_df, id_col, text_col, n)
-    cw = _window_rel(corpus_df, id_col, text_col, n).select("wh").distinct()
+    cw = (_window_rel(corpus_df, id_col, text_col, n)
+          .select("wh").distinct().withColumn("__dup", F.lit(1)))
+    # one per-doc aggregate carries both counters (see
+    # duplicate_passage_stats): left-join flag instead of semi-join +
+    # second groupBy + second base join
     per_doc = (
-        bw.join(cw, "wh", "left_semi")
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_w"))
+        bw.join(cw, "wh", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_w"),
+             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_w"))
     )
-    tot = bw.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_w"))
     base = new_df.select(F.col(id_col)).distinct()
     return (
-        base.join(tot, id_col, "left").join(per_doc, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_w", F.lit(0)).cast("bigint").alias("n_windows"),
@@ -1203,10 +1213,11 @@ def duplicate_passages_between_sql(new_sql: str, corpus_sql: str,
                                    n: int = 5) -> str:
     return f"""
 WITH bw AS ({_window_rel_sql(f"({new_sql})", id_col, text_col, n)}),
-cw AS (SELECT DISTINCT wh FROM ({_window_rel_sql(f"({corpus_sql})", id_col, text_col, n)})),
-tot AS (SELECT {id_col}, COUNT(*) AS n_w FROM bw GROUP BY {id_col}),
+cw AS (SELECT DISTINCT wh, 1 AS isdup
+       FROM ({_window_rel_sql(f"({corpus_sql})", id_col, text_col, n)})),
 per_doc AS (
-  SELECT {id_col}, COUNT(*) AS dup_w FROM bw SEMI JOIN cw USING (wh)
+  SELECT {id_col}, COUNT(*) AS n_w, SUM(COALESCE(isdup, 0)) AS dup_w
+  FROM bw LEFT JOIN cw USING (wh)
   GROUP BY {id_col}
 )
 SELECT b.{id_col},
@@ -1216,5 +1227,5 @@ SELECT b.{id_col},
                  THEN floor(COALESCE(dup_w, 0) * 1000000 / n_w)
                  ELSE 0 END AS BIGINT) AS dup_window_ppm
 FROM (SELECT DISTINCT {id_col} FROM ({new_sql}) b0) b
-LEFT JOIN tot USING ({id_col}) LEFT JOIN per_doc USING ({id_col})
+LEFT JOIN per_doc USING ({id_col})
 """

@@ -31,6 +31,20 @@ SHUFFLE_BUDGET = {
     "q162_trend_slope": 1,         # one moment-sum groupBy
     "q164_volume_anomaly": 3,      # day rollup + moments + broadcast back
     "q166_zorder_keys": 0,         # pure map-side interleave arithmetic
+    # TPC-H completion block (round 4)
+    "q193_forecast_revenue": 1,    # TPC-H Q6: single filtered agg
+    "q194_product_profit": 1,      # Q9: dims broadcast; orders side also broadcast at test SF
+    "q196_important_parts": 2,     # Q11: per-part agg + global scalar agg
+    "q198_customer_distribution": 2,  # Q13: per-cust count + distribution
+    "q202_large_orders": 1,        # Q18: HAVING slice, parents broadcast at test SF
+    "q204_waiting_suppliers": 5,   # Q21: 2 order-key aggs + join + name agg + top-k sort
+    "q206_min_cost_supplier": 2,   # Q2: ship-pair distinct + argmin agg
+    # duplicate-passage family: window relation aggregated once per
+    # role (dup-flag left join folds total+dup counters into ONE
+    # per-doc groupBy — the semi-join form costs 2 more)
+    "q207_duplicate_passage_stats": 6,
+    "q210_incremental_passage_dedup": 5,
+    "q209_strip_duplicated_passages": 7,
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -1229,3 +1229,149 @@ SELECT b.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM ({new_sql}) b0) b
 LEFT JOIN per_doc USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowed passage fingerprints (Schleimer et al. 2003, SIGMOD —
+# "Winnowing: Local Algorithms for Document Fingerprinting")
+#
+# The scale path for passage mining: instead of shuffling EVERY n-token
+# window hash (O(total tokens) rows), select per position-window of w
+# consecutive hashes the MINIMUM — the winnowing guarantee is that any
+# substring shared between two docs of length >= n + w - 1 tokens
+# contributes at least one IDENTICAL selected fingerprint in both, while
+# the expected density of selected fingerprints is 2/(w+1) of positions.
+# Mining then shuffles only the distinct selected fingerprints.
+#
+# Naive stride-s sampling has NO such guarantee (cross-doc copies align
+# at different offsets mod s and are missed); winnowing's selection is
+# content-defined, so alignment is irrelevant.
+# ---------------------------------------------------------------------------
+
+
+def _winnow_hashes_spark(n: int) -> str:
+    """``toks`` -> bigint array of per-position window hashes (first 12
+    md5 hex digits = 48 bits as an integer — value-identical to the
+    DuckDB twin; 48 bits keeps fingerprint collisions negligible to
+    ~10^7 windows, far past any per-partition corpus slice)."""
+    return (
+        f"transform(filter(sequence(0, greatest(size(toks) - {n}, 0)), "
+        f"i -> i <= size(toks) - {n}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 12), 16, 10) as bigint))"
+    )
+
+
+def _winnow_hashes_duck(n: int) -> str:
+    return (
+        f"[('0x' || substr(md5(array_to_string(toks[i+1:i+{n}], ' ')), 1, 12))::BIGINT "
+        f"for i in range(0, greatest(len(toks) - {n} + 1, 0))]"
+    )
+
+
+def winnowed_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5,
+                          w: int = 4) -> DataFrame:
+    """Per-doc DISTINCT winnowed fingerprints (id, fp): the minimum of
+    each ``w``-long run of consecutive n-token window hashes.  Shared
+    substrings of >= ``n + w - 1`` tokens are guaranteed to share a
+    fingerprint; expected selected density is 2/(w+1).  All map-side
+    array math (per-doc dedup via array_distinct before the explode) —
+    this function itself shuffles nothing beyond the parallelism
+    guard."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    # Short-doc rule (standard winnowing): with 1 <= |hs| < w hashes the
+    # whole doc is one selection window -> emit min(hs), so every doc of
+    # >= n tokens yields at least one fingerprint.
+    sel = (
+        f"case when size(hs) >= {w} then "
+        f"array_distinct(transform(filter(sequence(0, greatest(size(hs) - {w}, 0)), "
+        f"i -> i <= size(hs) - {w}), "
+        f"i -> array_min(slice(hs, i + 1, {w})))) "
+        f"when size(hs) >= 1 then array(array_min(hs)) "
+        f"else cast(array() as array<bigint>) end"
+    )
+    return (
+        ensure_parallelism(df)
+        .withColumn("toks", tokens_expr(text_col))
+        .withColumn("hs", F.expr(_winnow_hashes_spark(n)))
+        .select(F.col(id_col), F.explode(F.expr(sel)).alias("fp"))
+    )
+
+
+def winnowed_fingerprints_sql(table: str, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 5,
+                              w: int = 4) -> str:
+    sel = (
+        f"CASE WHEN len(hs) >= {w} THEN "
+        f"list_distinct([list_min(hs[i+1:i+{w}]) "
+        f"for i in range(0, greatest(len(hs) - {w} + 1, 0))]) "
+        f"WHEN len(hs) >= 1 THEN [list_min(hs)] "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    return f"""
+SELECT {id_col}, f.fp AS fp
+FROM (SELECT {id_col}, {sel} AS fps
+      FROM (SELECT {id_col}, {_winnow_hashes_duck(n)} AS hs
+            FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}))),
+     LATERAL (SELECT unnest(fps) AS fp) f
+"""
+
+
+def winnowed_duplicate_stats(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 5,
+                             w: int = 4) -> DataFrame:
+    """Per-doc winnowed-fingerprint dup exposure: (id, n_fps, n_dup_fps,
+    dup_fp_ppm) — the 2/(w+1)-density form of
+    :func:`duplicate_passage_stats` for corpora where shuffling every
+    window is too much.  A fingerprint is duplicated when it appears in
+    >= 2 distinct docs.  Every input doc emits a row."""
+    fps = winnowed_fingerprints(df, id_col, text_col, n, w)
+    dup = (
+        fps.groupBy("fp").agg(F.expr(f"count(distinct {id_col})").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("__dup"))
+    )
+    per_doc = (
+        fps.join(dup, "fp", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_f"),
+             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_f"))
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_f", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("dup_f", F.lit(0)).cast("bigint").alias("n_dup_fps"),
+            F.when(F.coalesce("n_f", F.lit(0)) > 0,
+                   F.floor(F.coalesce("dup_f", F.lit(0)) * 1000000
+                           / F.col("n_f"))).otherwise(0)
+            .cast("bigint").alias("dup_fp_ppm"),
+        )
+    )
+
+
+def winnowed_duplicate_stats_sql(table: str, id_col: str = "doc_id",
+                                 text_col: str = "text", n: int = 5,
+                                 w: int = 4) -> str:
+    return f"""
+WITH fps AS ({winnowed_fingerprints_sql(table, id_col, text_col, n, w)}),
+dup AS (
+  SELECT fp, 1 AS isdup FROM fps GROUP BY fp HAVING COUNT(DISTINCT {id_col}) >= 2
+),
+per_doc AS (
+  SELECT {id_col}, COUNT(*) AS n_f, SUM(COALESCE(isdup, 0)) AS dup_f
+  FROM fps LEFT JOIN dup USING (fp)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       CAST(COALESCE(n_f, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(dup_f, 0) AS BIGINT) AS n_dup_fps,
+       CAST(CASE WHEN COALESCE(n_f, 0) > 0
+                 THEN floor(COALESCE(dup_f, 0) * 1000000 / n_f)
+                 ELSE 0 END AS BIGINT) AS dup_fp_ppm
+FROM (SELECT DISTINCT {id_col} FROM {table}) b
+LEFT JOIN per_doc USING ({id_col})
+"""

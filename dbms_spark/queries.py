@@ -7329,3 +7329,23 @@ def q210_incremental_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         docs.filter(F.col("doc_id") % 10 == 7),
         docs.filter(F.col("doc_id") % 10 != 7),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — winnowed fingerprint dup exposure (Schleimer et al. 2003):
+# the 2/(w+1)-density scale path for passage mining — content-defined
+# minimum selection guarantees shared substrings >= n+w-1 tokens share
+# a fingerprint, while only the selected minima shuffle.
+# ---------------------------------------------------------------------------
+
+def _q211_sql() -> str:
+    from dbms_spark.llm.dedup import winnowed_duplicate_stats_sql
+
+    return winnowed_duplicate_stats_sql("documents")
+
+
+@register("q211_winnowed_dup_stats", _q211_sql())
+def q211_winnowed_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import winnowed_duplicate_stats
+
+    return winnowed_duplicate_stats(load_table(spark, sf_dir, "documents"))

@@ -670,3 +670,51 @@ def test_duplicate_passages_between_hand_computed(spark):
     assert (got[11]["n_windows"], got[11]["n_corpus_dup_windows"]) == (1, 0)
     assert (got[12]["n_windows"], got[12]["n_corpus_dup_windows"],
             got[12]["dup_window_ppm"]) == (0, 0, 0)
+
+
+def test_winnowed_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a passage of >= n + w - 1
+    tokens share at least one selected fingerprint, regardless of the
+    passage's alignment offset in each doc."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = n+w-1 (n=5, w=4)
+    rows = [
+        (1, f"one two {shared} tail piece here"),
+        (2, f"{shared} completely different ending words"),          # offset 0
+        (3, f"pre1 pre2 pre3 pre4 pre5 {shared}"),                   # offset 5
+        (4, "totally unrelated content with zero overlap anywhere"),
+        (5, "too short"),                                            # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnowed_fingerprints(docs, n=5, w=4)
+    by_doc = {i: {r["fp"] for r in g} for i, g in
+              __import__("itertools").groupby(
+                  sorted(fps.collect(), key=lambda r: r["doc_id"]),
+                  key=lambda r: r["doc_id"])}
+    assert by_doc[1] & by_doc[2], "offset-0 copy must share a fingerprint"
+    assert by_doc[1] & by_doc[3], "offset-5 copy must share a fingerprint"
+    assert by_doc[2] & by_doc[3]
+    assert not (by_doc[4] & (by_doc[1] | by_doc[2] | by_doc[3]))
+    assert 5 not in by_doc                        # too short -> no fingerprints
+
+    stats = {r["doc_id"]: r for r in
+             D.winnowed_duplicate_stats(docs, n=5, w=4).collect()}
+    assert len(stats) == 5                        # every doc emits a row
+    for i in (1, 2, 3):
+        assert stats[i]["n_dup_fps"] >= 1
+    assert stats[4]["n_dup_fps"] == 0 and stats[4]["n_fps"] >= 1
+    assert (stats[5]["n_fps"], stats[5]["dup_fp_ppm"]) == (0, 0)
+
+
+def test_winnowed_density(spark):
+    """Selected fingerprints are a small fraction of all windows —
+    the 2/(w+1) density that makes winnowing the scale path."""
+    import random
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(4000)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    n_fps = D.winnowed_fingerprints(docs, n=5, w=4).count()
+    n_windows = 4000 - 5 + 1
+    # expected density 2/(w+1) = 0.4 of positions, minus per-doc
+    # array_distinct collapsing repeated selections
+    assert n_fps < 0.55 * n_windows
+    assert n_fps > 0.1 * n_windows

@@ -104,21 +104,22 @@ def kmeans_assign(
     qv = ensure_parallelism(
         df.select(F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("q"))
     ).persist()
-    # Rounds stay a lazy relational chain: each round's assign+update
-    # subtree feeds the next round's broadcast, so plan depth grows
-    # linearly in ``iters`` (planning cost only — the point cache is
-    # persisted and every pass reads it).  A driver-collected-centroid
-    # variant (MLlib's shape, O(k*dims) rows per round) was measured
-    # SLOWER at bounded iters: the per-round collect serializes rounds
-    # into blocking jobs whose scheduling latency exceeds the
-    # nested-broadcast planning cost.  Prefer collection only when
-    # iters grows large enough for plan depth to dominate (~10+).
+    # Each round's k-row centroid relation is localCheckpoint'ed: the
+    # checkpoint truncates the nested assign+update lineage to a k-row
+    # leaf, so round i+1's Catalyst analysis and codegen see a tiny
+    # plan instead of i nested rounds (cold first pass at sf0.1
+    # measured 7.0 s lazy-chain vs 3.6 s checkpointed; warm passes are
+    # within noise — the win is entirely plan-analysis/codegen, which
+    # a single-pass caller always pays).  A driver-collected-centroid
+    # variant (MLlib's shape, O(k*dims) literal rows per round) was
+    # measured slower still: the collect serializes rounds into
+    # blocking jobs whose scheduling latency exceeds the checkpoint's.
     cent = (
         qv.orderBy("vec_id").limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cvec"))
     )
     for _ in range(iters):
-        cent = _update(_assign(qv, cent), qv, dims)
+        cent = _update(_assign(qv, cent), qv, dims).localCheckpoint()
     return _assign(qv, cent).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cid").cast("bigint").alias("cid"),

@@ -583,11 +583,15 @@ def dedup_groups(pairs: DataFrame, id_a: str = "a_id", id_b: str = "b_id",
     verified row matches (multiset diff buckets), re-expressed as a
     bounded iterative DataFrame computation.
     """
-    # persist the SLIM pair list first: fwd/rev/nodes/edges and the
-    # label frontier all re-derive it (6+ evaluations of the upstream
-    # LSH pipeline otherwise — the cache turns those into re-reads of
-    # a two-column in-memory table)
-    pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    # localCheckpoint the SLIM pair list first: fwd/rev/nodes/edges and
+    # the label frontier all re-derive it (6+ evaluations of the
+    # upstream LSH pipeline otherwise), and — unlike persist, which
+    # keeps the full LOGICAL plan — the checkpoint truncates lineage to
+    # a leaf, so each propagation round's Catalyst analysis sees a
+    # two-column table instead of the whole mining pipeline nested
+    # round-times over (measured on the semantic-dedup gate at sf0.1:
+    # rounds 15.1 s -> 1.8 s, survivor select 13.7 s -> 1.1 s).
+    pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint()
     fwd = pairs
     rev = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     nodes = fwd.unionAll(rev).select("src").distinct()

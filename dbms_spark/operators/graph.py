@@ -170,10 +170,14 @@ def connected_components(pairs: DataFrame, id_a: str = "a_id",
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     for _ in range(max_rounds):
         ns = _small_star(_large_star(e)).localCheckpoint()
-        converged = ns.count() == e.count() and ns.exceptAll(e).isEmpty()
-        e = ns
+        # carry the count across rounds: this round's |ns| is next
+        # round's |e|, so each round pays one count job, not two
+        n_ns = ns.count()
+        converged = n_ns == n_e and ns.exceptAll(e).isEmpty()
+        e, n_e = ns, n_ns
         if converged:
             break
     else:

@@ -332,17 +332,27 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     classification assessments (assess_migrate.go NUMBER blocks,
     GetDatabaseSchemaColumnTypeCounts neighborhood).
 
-    Plan shape: unpivot the profiled columns to (col_name, v), one
-    window sort partitioned by col_name, then order statistics by rank.
-    Exact interpolated quantiles via ``percentile()`` would build a
-    value->count hashmap per aggregate buffer and merge+sort it in one
-    reducer — memory O(distinct values), serial at the end, an OOM at
-    scale.  The sort formulation is the distributed-exact shape: one
-    shuffle of the narrow stacked frame, per-column parallel sorts,
-    O(1) state after ranking.  min/max ride the same pass as ranks 0
-    and n-1.  Interpolation is ``lo + (pos - floor(pos)) * (hi - lo)``
-    with ``pos = p * (n - 1)`` — bit-identical to both Spark's
-    ``percentile`` and DuckDB's ``quantile_cont``."""
+    Plan shape: unpivot the profiled columns to (cid, v), RANGE-
+    partition the stacked frame on (cid, v) so every shuffle partition
+    holds a bounded contiguous slice (a slice of one column, or the
+    tail of one and the head of the next), compute global ranks as
+    per-partition row_number + a cumulative offset derived from the
+    tiny per-(partition, cid) count relation, then take order
+    statistics by rank.  Exact interpolated quantiles via
+    ``percentile()`` would build a value->count hashmap per aggregate
+    buffer and merge+sort it in one reducer — memory O(distinct
+    values), serial at the end, an OOM at scale.  A window partitioned
+    by cid alone would be worse still: ALL of one column's values sort
+    in ONE task, so a single hot column caps at executor memory.  The
+    range-partitioned form bounds every task at ~|stacked| / shuffle
+    partitions regardless of how values skew across columns — the
+    shape that survives a 100x scale-up.  min/max ride the same final
+    pass as ranks 0 and n-1.  Interpolation is
+    ``lo + (pos - floor(pos)) * (hi - lo)`` with ``pos = p * (n - 1)``
+    — bit-identical to both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` (equal values may straddle a partition boundary,
+    but rank positions of equal values are interchangeable, so the
+    rank->value mapping is unaffected)."""
     from pyspark.sql import Window
 
     ps = [0.25, 0.5, 0.95]
@@ -360,10 +370,35 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     # buffer each full column partition before emitting, while
     # row_number alone streams through the sort
     counts = stacked.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("cid").orderBy("v")
-    ranked = stacked.select(
-        "cid", "v", (F.row_number().over(w) - 1).alias("rn"),
-    ).join(F.broadcast(counts), "cid")
+    # bounded-partition global ranks: range-partition on (cid, v),
+    # stamp the partition id, and turn per-(pid, cid) row_numbers into
+    # global per-cid ranks by adding the cumulative count of earlier
+    # partitions — the offset relation is O(partitions x columns) rows,
+    # so its cumsum window and the broadcast join are free
+    nparts = stacked.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        stacked.repartitionByRange(nparts, "cid", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    per_part = rp.groupBy("pid", "cid").agg(F.count(F.lit(1)).alias("pc"))
+    w_off = (
+        Window.partitionBy("cid").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_part.select(
+        "pid", "cid",
+        F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
+    )
+    w = Window.partitionBy("pid", "cid").orderBy("v")
+    ranked = (
+        rp.join(F.broadcast(offsets), ["pid", "cid"])
+        .select(
+            "cid", "v",
+            (F.row_number().over(w) - 1 + F.col("off")).alias("rn"),
+        )
+        .join(F.broadcast(counts), "cid")
+    )
     pos = {p: F.lit(p) * (F.col("n") - 1).cast("double") for p in ps}
     aggs = [F.min("v").alias("min_v"), F.max("v").alias("max_v")]
     for i, p in enumerate(ps):

@@ -76,15 +76,20 @@ def salted_join(
 
 def top_keys(df: DataFrame, col: str, n: int = 10) -> DataFrame:
     """Skew diagnosis: heaviest keys with counts and share — run this
-    before choosing salting vs broadcast vs AQE-only."""
-    from pyspark.sql import Window
+    before choosing salting vs broadcast vs AQE-only.
 
+    The denominator is a broadcast one-row scalar, NOT a global
+    window: ``Window.partitionBy()`` funnels the whole per-key count
+    relation into ONE task, and the high-cardinality skewed inputs
+    this diagnostic exists for are exactly where that relation is
+    huge."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = Window.partitionBy()
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(total))
+        .select(
             col, "cnt",
-            (F.col("cnt").cast("double") / F.sum("cnt").over(total)).alias("share"),
+            (F.col("cnt").cast("double") / F.col("__total")).alias("share"),
         )
         .orderBy(F.desc("cnt"))
         .limit(n)

@@ -5244,6 +5244,11 @@ SELECT cid, vec_id, rk FROM (
 
 @register("q161_cluster_balanced_sample", _q161_sql())
 def q161_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n balanced sample per cluster.  The rank<=25 filter on a
+    row_number window compiles to Partial+Final WindowGroupLimit
+    (verified in the executed plan), so each map task ships only its
+    own top-25 per cid — the per-cluster sort never concentrates a
+    full cluster in one task at scale."""
     from dbms_spark.llm.cluster import kmeans_assign
 
     a = kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)

@@ -119,3 +119,113 @@ SELECT {key_col}, CAST(MAX(exact_cnt) AS BIGINT) AS exact_cnt,
 FROM probes JOIN cells USING (j, cell)
 GROUP BY {key_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with deterministic md5 register
+# math — the mergeable-NDV sketch, differentially testable.
+#
+# Spark's approx_count_distinct is the production HLL++, but its
+# registers are engine-internal, so the assessment gate for it can only
+# be error-bounded (tests/test_round3_ops.py).  This form pins the
+# SKETCH ITSELF cross-engine: bucket/rho come from md5 bits, registers
+# are a 64-row groupBy-MAX, and the raw estimate is pure BIGINT
+# arithmetic — bit-identical on Spark and DuckDB.  Merge = elementwise
+# MAX of register tables (unit-tested), which is what makes HLL the
+# at-scale NDV shape: per-partition sketches combine losslessly, so
+# 100 TB costs one partial-aggregated shuffle of 64 rows per column.
+#
+# Layout (m = 64 buckets, p = 6):
+#   bucket = 12 md5 bits mod 64 (exact uniformity: 4096 / 64)
+#   w      = independent 36 md5 bits; rho = leading zeros in w + 1
+#            (w = 0 -> rho = 37)
+#   raw estimate = floor(709 * m^2 * 2^37 / (1000 * S')) with
+#   S' = sum over all m buckets of 2^(37 - M_j) — the classic
+#   alpha_m * m^2 / sum(2^-M_j) scaled integer-exact (alpha_64 = 0.709
+#   as the rational 709/1000; numerator 709 * 2^49 < 2^63).
+#   Bias corrections (linear counting below 2.5m, the large-range
+#   branch) involve ln() — libm-dependent, so NOT applied here; the
+#   gate pins the raw estimator, and production use at <2.5m
+#   cardinalities should prefer approx_ndv_profile anyway.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_WBITS = 36
+
+
+def _hll_parts_expr(key: Column) -> tuple[Column, Column]:
+    md = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(md, 10, 3), 16, 10).cast("bigint") % _HLL_M
+    w = F.conv(F.substring(md, 1, 9), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .cast("bigint")
+    )
+    return bucket, rho
+
+
+def _hll_parts_sql(key: str) -> tuple[str, str]:
+    md = f"md5(CAST({key} AS VARCHAR))"
+    bucket = f"(('0x' || substr({md}, 10, 3))::BIGINT % {_HLL_M})"
+    w = f"('0x' || substr({md}, 1, 9))::BIGINT"
+    rho = (f"CAST(CASE WHEN {w} = 0 THEN {_HLL_WBITS + 1} "
+           f"ELSE {_HLL_WBITS + 1} - length(bin({w})) END AS BIGINT)")
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """The sketch: (bucket, register) for every bucket in [0, m) —
+    register = max rho observed in the bucket, 0 for empty buckets.
+    One partial-aggregated 64-key shuffle; merging two corpora's
+    sketches is an elementwise MAX."""
+    bucket, rho = _hll_parts_expr(F.col(key_col))
+    got = (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("register"))
+    )
+    spark = df.sparkSession
+    all_b = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    return (
+        all_b.join(got, "bucket", "left")
+        .select("bucket",
+                F.coalesce("register", F.lit(0)).cast("bigint").alias("register"))
+    )
+
+
+def hll_registers_sql(table_sql: str, key_col: str) -> str:
+    bucket, rho = _hll_parts_sql(key_col)
+    return f"""
+WITH src AS ({table_sql}),
+got AS (SELECT {bucket} AS bucket, MAX({rho}) AS register FROM src GROUP BY 1),
+all_b AS (SELECT unnest(range({_HLL_M})) AS bucket)
+SELECT all_b.bucket, CAST(COALESCE(register, 0) AS BIGINT) AS register
+FROM all_b LEFT JOIN got USING (bucket)
+"""
+
+
+def hll_estimate(df: DataFrame, key_col: str) -> DataFrame:
+    """One row (hll_est, n_empty_buckets): the raw HLL estimator from
+    the register table, all-BIGINT (see module banner for the scaled
+    form).  n_empty_buckets is reported so a caller can see when the
+    linear-counting regime applies."""
+    regs = hll_registers(df, key_col)
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    return regs.agg(
+        F.expr(f"CAST({num} DIV (1000 * SUM(CAST(POW(2, {_HLL_WBITS + 1} - register) "
+               f"AS BIGINT))) AS BIGINT)").alias("hll_est"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_empty_buckets"),
+    )
+
+
+def hll_estimate_sql(table_sql: str, key_col: str) -> str:
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    return f"""
+WITH regs AS ({hll_registers_sql(table_sql, key_col)})
+SELECT CAST({num} // (1000 * SUM(CAST(2 ** ({_HLL_WBITS + 1} - register) AS BIGINT))) AS BIGINT) AS hll_est,
+       CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_buckets
+FROM regs
+"""

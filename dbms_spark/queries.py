@@ -7354,3 +7354,40 @@ def q211_winnowed_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.dedup import winnowed_duplicate_stats
 
     return winnowed_duplicate_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q212/q213 — deterministic HyperLogLog: md5-register NDV sketch whose
+# registers AND raw estimate are bit-identical cross-engine (BIGINT
+# arithmetic end-to-end).  The mergeable at-scale NDV shape next to
+# the error-bounded Spark-native HLL++ (assess.approx_ndv_profile):
+# per-partition sketches combine by elementwise register MAX, so a
+# 100 TB column costs one partial-aggregated 64-row shuffle.
+# ---------------------------------------------------------------------------
+
+def _q212_sql() -> str:
+    from dbms_spark.operators.sketch import hll_registers_sql
+
+    return hll_registers_sql("SELECT o_custkey FROM orders", "o_custkey")
+
+
+@register("q212_hll_registers", _q212_sql())
+def q212_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hll_registers
+
+    return hll_registers(
+        load_table(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
+
+
+def _q213_sql() -> str:
+    from dbms_spark.operators.sketch import hll_estimate_sql
+
+    return hll_estimate_sql("SELECT o_custkey FROM orders", "o_custkey")
+
+
+@register("q213_hll_estimate", _q213_sql())
+def q213_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hll_estimate
+
+    return hll_estimate(
+        load_table(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")

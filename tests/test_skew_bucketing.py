@@ -123,3 +123,41 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_hll_registers_merge_and_accuracy(spark, sf_dir):
+    """The HLL sketch property that makes it the at-scale NDV shape:
+    registers of a union are the elementwise MAX of the parts'
+    registers; and the raw estimate lands near exact NDV (m=64 ->
+    theoretical rsd ~13%)."""
+    from dbms_spark.operators.sketch import hll_estimate, hll_registers
+    from dbms_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    half_a = orders.filter("o_custkey % 2 = 0")
+    half_b = orders.filter("o_custkey % 2 = 1")
+
+    whole = {r["bucket"]: r["register"] for r in hll_registers(orders, "o_custkey").collect()}
+    ra = {r["bucket"]: r["register"] for r in hll_registers(half_a, "o_custkey").collect()}
+    rb = {r["bucket"]: r["register"] for r in hll_registers(half_b, "o_custkey").collect()}
+    assert set(whole) == set(range(64))
+    for b in range(64):
+        assert whole[b] == max(ra[b], rb[b]), b   # merge = elementwise MAX
+
+    est = hll_estimate(orders, "o_custkey").first()
+    exact = orders.distinct().count()
+    assert est["n_empty_buckets"] == sum(1 for v in whole.values() if v == 0)
+    # raw estimator (no bias corrections): allow 3 sigma at rsd ~ 1.04/8
+    assert abs(est["hll_est"] - exact) <= 0.4 * exact, (est["hll_est"], exact)
+
+
+def test_hll_empty_bucket_and_tiny_input(spark):
+    """Empty buckets contribute 2^37 to the denominator (register 0),
+    so the estimator never divides by zero, even on a 1-row input."""
+    from dbms_spark.operators.sketch import hll_estimate, hll_registers
+
+    one = spark.createDataFrame([(42,)], "k long")
+    regs = {r["bucket"]: r["register"] for r in hll_registers(one, "k").collect()}
+    assert len(regs) == 64 and sum(1 for v in regs.values() if v > 0) == 1
+    est = hll_estimate(one, "k").first()
+    assert est["n_empty_buckets"] == 63 and est["hll_est"] >= 1

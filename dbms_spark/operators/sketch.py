@@ -229,3 +229,22 @@ SELECT CAST({num} // (1000 * SUM(CAST(2 ** ({_HLL_WBITS + 1} - register) AS BIGI
        CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_buckets
 FROM regs
 """
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL sketches: elementwise register MAX across any number
+    of (bucket, register) tables — the lossless combine that lets
+    per-shard / per-day sketches roll up without touching raw data.
+    The result is EXACTLY the sketch of the unioned inputs (max is
+    associative/commutative/idempotent), so rollups can be re-merged
+    freely — registered alongside cms_cells as the repo's mergeable
+    summaries."""
+    if not register_tables:
+        raise ValueError("hll_merge needs at least one register table")
+    u = register_tables[0]
+    for t in register_tables[1:]:
+        u = u.unionByName(t)
+    return (
+        u.groupBy("bucket")
+        .agg(F.max("register").cast("bigint").alias("register"))
+    )

@@ -718,3 +718,50 @@ def test_winnowed_density(spark):
     # array_distinct collapsing repeated selections
     assert n_fps < 0.55 * n_windows
     assert n_fps > 0.1 * n_windows
+
+
+def test_winnowing_guarantee_property(spark):
+    """Property form of the winnowing guarantee (Schleimer 2003): for
+    ANY two docs sharing a contiguous passage of >= n + w - 1 tokens,
+    at whatever alignment, at least one selected fingerprint is
+    common.  Randomized passages/paddings with a fixed seed — 30
+    deterministic cases in one Spark job."""
+    import random
+    rng = random.Random(20260815)
+    n, w = 5, 4
+    rows, expect_pairs = [], []
+    did = 0
+    for case in range(30):
+        plen = rng.randrange(n + w - 1, n + w + 6)     # >= guarantee length
+        passage = [f"p{case}_{i}" for i in range(plen)]
+        pre_a = [f"a{case}_{i}" for i in range(rng.randrange(0, 7))]
+        suf_a = [f"sa{case}_{i}" for i in range(rng.randrange(0, 7))]
+        pre_b = [f"b{case}_{i}" for i in range(rng.randrange(0, 7))]
+        suf_b = [f"sb{case}_{i}" for i in range(rng.randrange(0, 7))]
+        a, b = did, did + 1
+        did += 2
+        rows.append((a, " ".join(pre_a + passage + suf_a)))
+        rows.append((b, " ".join(pre_b + passage + suf_b)))
+        expect_pairs.append((a, b))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnowed_fingerprints(docs, n=n, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in expect_pairs:
+        assert by_doc[a] & by_doc[b], (a, b)
+
+
+def test_hll_merge_operator(spark, sf_dir):
+    """hll_merge(parts...) equals the whole-corpus sketch for any
+    3-way split — the lossless rollup that makes the sketch useful."""
+    from dbms_spark.operators.sketch import hll_merge, hll_registers
+    from dbms_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    parts = [hll_registers(orders.filter(f"o_custkey % 3 = {i}"), "o_custkey")
+             for i in range(3)]
+    merged = {r["bucket"]: r["register"] for r in hll_merge(*parts).collect()}
+    whole = {r["bucket"]: r["register"]
+             for r in hll_registers(orders, "o_custkey").collect()}
+    assert merged == whole

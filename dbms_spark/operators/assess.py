@@ -365,11 +365,6 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .selectExpr(f"stack({len(cols)}, {stacked_expr}) AS (cid, v)")
         .filter(F.col("v").isNotNull())
     )
-    # per-column n via a tiny broadcast-joined aggregate, NOT a
-    # count-over-partition window: an unbounded-frame window would
-    # buffer each full column partition before emitting, while
-    # row_number alone streams through the sort
-    counts = stacked.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     # bounded-partition global ranks: range-partition on (cid, v),
     # stamp the partition id, and turn per-(pid, cid) row_numbers into
     # global per-cid ranks by adding the cumulative count of earlier
@@ -390,6 +385,10 @@ def numeric_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         "pid", "cid",
         F.coalesce(F.sum("pc").over(w_off), F.lit(0)).alias("off"),
     )
+    # per-column n folds out of the SAME per-(pid, cid) count relation
+    # — deriving it from `stacked` directly would re-run the unpivot
+    # scan a second time over the full input
+    counts = per_part.groupBy("cid").agg(F.sum("pc").alias("n"))
     w = Window.partitionBy("pid", "cid").orderBy("v")
     ranked = (
         rp.join(F.broadcast(offsets), ["pid", "cid"])

@@ -1379,3 +1379,68 @@ SELECT b.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM {table}) b
 LEFT JOIN per_doc USING ({id_col})
 """
+
+
+def winnowed_duplicates_between(new_df: DataFrame, corpus_df: DataFrame,
+                                id_col: str = "doc_id", text_col: str = "text",
+                                n: int = 5, w: int = 4) -> DataFrame:
+    """Incremental winnowed intake: per NEW-batch doc, how many of its
+    selected fingerprints already exist in the CORPUS's fingerprint
+    set — (id, n_fps, n_corpus_dup_fps, dup_fp_ppm), every batch doc
+    emitting a row.
+
+    The winnowing guarantee carries over to the two-corpus case: both
+    sides select with the same content-defined rule, so a batch doc
+    sharing a passage of >= n + w - 1 tokens with ANY corpus doc
+    shares at least one selected fingerprint with it — at 2/(w+1) of
+    the shuffle volume :func:`duplicate_passages_between` pays.  The
+    corpus fingerprint relation is mined once and persisted by the
+    caller; intake is O(batch tokens) map work plus a left join
+    against it (one per-doc aggregate carries both counters, as in
+    duplicate_passage_stats)."""
+    bf = winnowed_fingerprints(new_df, id_col, text_col, n, w)
+    cf = (winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
+          .select("fp").distinct().withColumn("__dup", F.lit(1)))
+    per_doc = (
+        bf.join(cf, "fp", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_f"),
+             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_f"))
+    )
+    base = new_df.select(F.col(id_col)).distinct()
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_f", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("dup_f", F.lit(0)).cast("bigint").alias("n_corpus_dup_fps"),
+            F.when(F.coalesce("n_f", F.lit(0)) > 0,
+                   F.floor(F.coalesce("dup_f", F.lit(0)) * 1000000
+                           / F.col("n_f"))).otherwise(0)
+            .cast("bigint").alias("dup_fp_ppm"),
+        )
+    )
+
+
+def winnowed_duplicates_between_sql(new_sql: str, corpus_sql: str,
+                                    id_col: str = "doc_id", text_col: str = "text",
+                                    n: int = 5, w: int = 4) -> str:
+    bf = winnowed_fingerprints_sql(f"({new_sql})", id_col, text_col, n, w)
+    cf = winnowed_fingerprints_sql(f"({corpus_sql})", id_col, text_col, n, w)
+    return f"""
+WITH bf AS ({bf}),
+cf AS (SELECT DISTINCT fp, 1 AS isdup FROM ({cf})),
+per_doc AS (
+  SELECT {id_col}, COUNT(*) AS n_f, SUM(COALESCE(isdup, 0)) AS dup_f
+  FROM bf LEFT JOIN cf USING (fp)
+  GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       CAST(COALESCE(n_f, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(dup_f, 0) AS BIGINT) AS n_corpus_dup_fps,
+       CAST(CASE WHEN COALESCE(n_f, 0) > 0
+                 THEN floor(COALESCE(dup_f, 0) * 1000000 / n_f)
+                 ELSE 0 END AS BIGINT) AS dup_fp_ppm
+FROM (SELECT DISTINCT {id_col} FROM ({new_sql})) b
+LEFT JOIN per_doc USING ({id_col})
+"""

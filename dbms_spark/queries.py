@@ -7391,3 +7391,30 @@ def q213_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hll_estimate(
         load_table(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q214 — incremental winnowed intake: the q210 batch-vs-corpus shape
+# at winnowing density (2/(w+1) of the window shuffle volume, with the
+# cross-corpus guarantee that a shared passage >= n+w-1 tokens always
+# collides on a selected fingerprint).
+# ---------------------------------------------------------------------------
+
+def _q214_sql() -> str:
+    from dbms_spark.llm.dedup import winnowed_duplicates_between_sql
+
+    return winnowed_duplicates_between_sql(
+        "SELECT * FROM documents WHERE doc_id % 10 = 7",
+        "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+    )
+
+
+@register("q214_incremental_winnowed", _q214_sql())
+def q214_incremental_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import winnowed_duplicates_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_duplicates_between(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+    )

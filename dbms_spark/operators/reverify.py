@@ -9,14 +9,24 @@ path).  Re-expressed Spark-first:
 - the LEDGER is a parquet table of per-chunk checksum sums from the
   last verified run (``chunk_id, cnt, h0..h3``)
 - a re-verify recomputes SOURCE sums (one scan), anti-joins the ledger
-  to find changed/new/vanished chunks — O(chunks) rows
-- only the changed chunks' key ranges are read on the TARGET side: the
-  chunk predicates (``chunker.chunk_predicate``) go into ``filter``,
-  so parquet/JDBC scans prune untouched ranges instead of rescanning
-  the table
+  to find changed/new/vanished chunks — O(chunks) rows, kept as a
+  DISTRIBUTED relation end to end (the sums are never collected; only
+  chunk *ids* ever reach the driver, for the report and the pushdown
+  text)
+- only the changed chunks' key ranges are read on the TARGET side:
+  contiguous changed chunks coalesce into range predicates
+  (``chunker.chunk_range_predicate``), and the predicate text is
+  CAPPED at ``max_ranges`` ranges — beyond that the smallest gaps
+  between runs are swallowed (a slightly-superset read) and exactness
+  is restored by a semi-join of the target sums against the changed
+  set.  So the pushdown reaches the parquet/JDBC scan
+  (PushedFilters), its text is O(max_ranges) regardless of churn, and
+  the result is identical to the per-chunk form.
 
 At 100 TB this turns a nightly full compare into an incremental one
-proportional to churn.
+proportional to churn, with driver memory O(changed chunk ids) and
+plan size O(max_ranges) even at reference-style 500-row chunks
+(millions of chunks, high churn).
 """
 
 from __future__ import annotations
@@ -27,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbms_spark.operators.compare import chunked_checksum
-from dbms_spark.plans.chunker import ChunkPlan, assign_chunk_id, chunk_predicate
+from dbms_spark.plans.chunker import (
+    ChunkPlan,
+    assign_chunk_id,
+    chunk_range_predicate,
+)
 
 _SUM_COLS = ["cnt", "h0", "h1", "h2", "h3"]
 
@@ -58,6 +72,56 @@ def changed_chunks(src_sums: DataFrame, ledger: DataFrame | None) -> DataFrame:
     return j.filter(~same).select("chunk_id")
 
 
+def _runs(ids: list[int]) -> list[tuple[int, int]]:
+    """Sorted chunk ids -> maximal contiguous runs ``[(lo, hi), ...]``."""
+    runs: list[tuple[int, int]] = []
+    for i in ids:
+        if runs and i == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], i)
+        else:
+            runs.append((i, i))
+    return runs
+
+
+def _cap_runs(runs: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:
+    """Merge runs down to at most ``max_ranges`` by swallowing the
+    SMALLEST gaps first — the superset read grows by the fewest extra
+    chunks possible.  Keeping a gap == keeping a separator, so the
+    optimal cap keeps the ``max_ranges - 1`` largest gaps."""
+    if len(runs) <= max_ranges:
+        return runs
+    gaps = sorted(
+        range(len(runs) - 1),
+        key=lambda i: (runs[i + 1][0] - runs[i][1], i),
+        reverse=True,
+    )
+    keep = sorted(gaps[: max_ranges - 1])
+    merged: list[tuple[int, int]] = []
+    start = 0
+    for g in keep + [len(runs) - 1]:
+        merged.append((runs[start][0], runs[g][1]))
+        start = g + 1
+    return merged
+
+
+def target_predicate(plan: ChunkPlan, ids: list[int],
+                     max_ranges: int = 256, dialect: str = "spark") -> str:
+    """Bounded pushdown text for the target-side read of the changed
+    chunks: contiguous ids coalesce into range predicates, capped at
+    ``max_ranges`` OR-terms (beyond that, a superset covering read).
+    Callers MUST still restrict the compared chunk ids exactly (the
+    semi-join in :func:`reverify`) — the predicate is an I/O-pruning
+    optimization, not the correctness boundary."""
+    if not ids:
+        return "FALSE"
+    runs = _cap_runs(_runs(sorted(ids)), max_ranges)
+    if len(runs) == 1 and runs[0] == (0, plan.n_chunks - 1):
+        return "1 = 1"
+    return " OR ".join(
+        f"({chunk_range_predicate(plan, lo, hi, dialect)})" for lo, hi in runs
+    )
+
+
 @dataclass(frozen=True)
 class ReverifyReport:
     checked_chunks: list[int]      # chunks recompared this run
@@ -72,6 +136,7 @@ def reverify(
     ledger: DataFrame | None,
     cols: list[str] | None = None,
     oracle_empty_is_null: bool = False,
+    max_ranges: int = 256,
 ) -> tuple[DataFrame, ReverifyReport]:
     """One incremental verify round.  Returns ``(new_ledger_sums,
     report)`` — persist the sums with :func:`save_ledger` after acting
@@ -80,25 +145,36 @@ def reverify(
     Contract: a chunk is recompared iff its SOURCE checksum moved
     (new, vanished, or changed).  Chunks whose source is untouched are
     trusted from the prior verified run and the target is NOT re-read
-    for them — that skip is the point."""
+    for them — that skip is the point.
+
+    Scale shape: the chunk sums stay a distributed relation (persisted,
+    never collected — only ids reach the driver); the target pushdown
+    is O(``max_ranges``) text with a semi-join guaranteeing exactness
+    when the cap forces a superset read."""
     cols = cols or src.columns
-    spark = src.sparkSession
     n_chunks = len(plan.bounds) + 1
-    # chunk sums are O(chunks): materialize once, reuse driver-side
-    live = chunked_checksum(src, assign_chunk_id(plan, src), cols, oracle_empty_is_null)
-    src_sums = spark.createDataFrame(live.collect(), live.schema)
-    to_check = sorted(r["chunk_id"] for r in changed_chunks(src_sums, ledger).collect())
+    # chunk sums are O(chunks) ROWS but stay distributed: persist for
+    # reuse (changed-set, compare join, returned ledger) — never
+    # collected to the driver
+    src_sums = chunked_checksum(
+        src, assign_chunk_id(plan, src), cols, oracle_empty_is_null
+    ).persist()
+    to_check_df = changed_chunks(src_sums, ledger)
+    # ids only (no sum columns) cross to the driver — for the report
+    # and the bounded pushdown text
+    to_check = sorted(r["chunk_id"] for r in to_check_df.collect())
     if not to_check:
         return src_sums, ReverifyReport([], [], n_chunks)
-    # target side reads ONLY the changed chunks' key ranges: the
-    # predicate reaches the scan (PushedFilters) instead of a
-    # post-scan chunk_id filter over the whole table
-    pred = " OR ".join(f"({chunk_predicate(plan, i)})" for i in to_check)
+    # target side reads ONLY the changed chunks' key ranges: the capped
+    # range predicate reaches the scan (PushedFilters); the semi-joins
+    # below pin the compared chunk set exactly even if the cap widened
+    # the read
+    pred = target_predicate(plan, to_check, max_ranges)
     dst_sub = dst.filter(F.expr(pred))
     dst_sums = chunked_checksum(
         dst_sub, assign_chunk_id(plan, dst_sub), cols, oracle_empty_is_null
-    )
-    a = src_sums.filter(F.col("chunk_id").isin(to_check)).select(
+    ).join(to_check_df, "chunk_id", "left_semi")
+    a = src_sums.join(to_check_df, "chunk_id", "left_semi").select(
         "chunk_id", *[F.col(c).alias(f"a_{c}") for c in _SUM_COLS]
     )
     b = dst_sums.select("chunk_id", *[F.col(c).alias(f"b_{c}") for c in _SUM_COLS])

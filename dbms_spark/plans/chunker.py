@@ -244,15 +244,29 @@ def chunk_predicate(plan: ChunkPlan, i: int, dialect: str = "spark") -> str:
     literals, and — when the plan carries a collation — NLSSORT-wrapped
     comparisons on both sides, the reference's boundary form for
     linguistic-collation sources (utils/structure/chunk.go:80-95)."""
+    return chunk_range_predicate(plan, i, i, dialect)
+
+
+def chunk_range_predicate(plan: ChunkPlan, lo: int, hi: int,
+                          dialect: str = "spark") -> str:
+    """WHERE-clause text covering the contiguous chunk run ``lo..hi``
+    (inclusive) — same boundary form as :func:`chunk_predicate` but one
+    O(1)-size predicate for the whole run instead of an OR-chain of
+    per-chunk predicates.  ``chunk_predicate(plan, i)`` ≡
+    ``chunk_range_predicate(plan, i, i)``.  The incremental re-verify
+    path uses this to keep its target-side pushdown text bounded when
+    many chunks changed (reference resume path
+    database/processor/data_compare_task.go:353-378 re-reads per-chunk;
+    at millions of 500-row chunks that text would be unbounded)."""
     cols = plan.key_cols
     if plan.n_chunks == 1:
         return "1 = 1"  # whole-table fallback, reference's WHERE 1=1
     parts = []
-    if i > 0:
-        parts.append(_gt_tuple(cols, plan.bounds[i - 1], strict=True,
+    if lo > 0:
+        parts.append(_gt_tuple(cols, plan.bounds[lo - 1], strict=True,
                                collation=plan.collation, dialect=dialect))
-    if i < len(plan.bounds):
-        parts.append(_le_tuple(cols, plan.bounds[i],
+    if hi < len(plan.bounds):
+        parts.append(_le_tuple(cols, plan.bounds[hi],
                                collation=plan.collation, dialect=dialect))
     return " AND ".join(parts) if parts else "1 = 1"
 

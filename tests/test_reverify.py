@@ -75,3 +75,81 @@ def test_matching_change_on_both_sides_is_clean(orders, plan, spark, tmp_path):
     )
     _, rep = R.reverify(both, both, plan, ledger=ledger)
     assert rep.checked_chunks != [] and rep.mismatched_chunks == []
+
+
+def test_runs_and_cap():
+    """Run coalescing + gap-merge cap: smallest gaps swallowed first,
+    output always sorted, disjoint, covering the input ids."""
+    assert R._runs([1, 2, 3, 7, 9, 10]) == [(1, 3), (7, 7), (9, 10)]
+    runs = [(0, 0), (2, 2), (10, 10), (11, 12), (40, 41)]
+    # cap 2 keeps the single largest gap (12->40); the 0-2 and 2-10
+    # gaps are swallowed into one covering run
+    assert R._cap_runs(runs, 2) == [(0, 12), (40, 41)]
+    assert R._cap_runs(runs, 99) == runs
+
+
+def test_target_predicate_bounded_at_high_churn():
+    """~10^4 chunks with 50% churn in the worst (alternating) pattern:
+    the rendered pushdown text is O(max_ranges), not O(churn)."""
+    n = 10_000
+    plan = chunker.ChunkPlan(("k",), tuple((i,) for i in range(1, n)))
+    changed = list(range(0, n, 2))               # 5,000 isolated runs
+    pred = R.target_predicate(plan, changed, max_ranges=64)
+    assert pred.count(" OR ") <= 63 + 2 * 64     # runs + per-range parts
+    assert len(pred) < 64 * 200                  # bounded text, ~? per range
+    # un-capped per-chunk form would be ~5,000 OR-terms; sanity that the
+    # cap actually engaged
+    assert len(R._cap_runs(R._runs(changed), 64)) == 64
+    # full-churn degenerates to the whole-table read, constant text
+    assert R.target_predicate(plan, list(range(n))) == "1 = 1"
+    assert R.target_predicate(plan, []) == "FALSE"
+
+
+def test_reverify_never_collects_sums(orders, plan, spark, tmp_path, monkeypatch):
+    """Driver-memory contract: only chunk-ID relations cross to the
+    driver — no collected DataFrame carries the checksum sum columns."""
+    try:  # Spark 4: the concrete class overrides the abstract base
+        from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+    except ImportError:
+        from pyspark.sql import DataFrame as SparkDF
+    collected_schemas = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        collected_schemas.append(set(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    sums, _ = R.reverify(orders, orders, plan, ledger=None)
+    R.save_ledger(sums, str(tmp_path / "ledger"))
+    ledger = R.load_ledger(spark, str(tmp_path / "ledger"))
+    src2 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 501 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    R.reverify(src2, orders, plan, ledger=ledger)
+    assert collected_schemas, "spy did not engage"
+    for cols in collected_schemas:
+        assert not (cols & {"cnt", "h0", "h1", "h2", "h3"}), \
+            f"sums collected to driver: {cols}"
+
+
+def test_capped_read_still_exact(orders, spark, tmp_path):
+    """With max_ranges=1 the target read widens to a covering range
+    (superset I/O) but the compared chunk set — and the verdict — are
+    identical to the uncapped run: the semi-join is the correctness
+    boundary, the predicate only prunes I/O."""
+    plan50 = chunker.plan_chunks(orders, ["o_orderkey"], 50)
+    sums, _ = R.reverify(orders, orders, plan50, ledger=None)
+    ledger = spark.createDataFrame(sums.collect(), sums.schema)
+    src2 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 211 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    _, uncapped = R.reverify(src2, orders, plan50, ledger=ledger)
+    _, capped = R.reverify(src2, orders, plan50, ledger=ledger, max_ranges=1)
+    assert capped.checked_chunks == uncapped.checked_chunks
+    assert capped.mismatched_chunks == uncapped.mismatched_chunks
+    assert len(uncapped.checked_chunks) > 1      # the cap actually bit

@@ -680,6 +680,125 @@ T2O_DATATYPE_RULES: list[tuple[str, str]] = list(M2O_DATATYPE_RULES)
 
 
 # ---------------------------------------------------------------------------
+# MySQL/TiDB -> Postgres datatype rules.  The reference routes
+# MYSQL@POSTGRES / TIDB@POSTGRES task flows (utils/constant/task.go:62,66;
+# flow switches database/processor/data_compare_row.go:1529-1577) and
+# ships the forward P2M map (buildin_postgres_rule.go:78-117 family);
+# the reverse struct-migrate direction is the inverse of that map with
+# MySQL's wider type vocabulary folded in (the text/blob size ladder
+# collapses — Postgres TEXT/BYTEA are unbounded — and UNSIGNED integer
+# declarations widen one rung so the value range always fits).
+# ---------------------------------------------------------------------------
+
+M2P_DATATYPE_RULES: list[tuple[str, str]] = [
+    # exact integers (signed)
+    ("TINYINT", "SMALLINT"), ("SMALLINT", "SMALLINT"),
+    ("MEDIUMINT", "INTEGER"), ("INT", "INTEGER"), ("INTEGER", "INTEGER"),
+    ("BIGINT", "BIGINT"), ("YEAR", "SMALLINT"),
+    # UNSIGNED widens one rung (Postgres has no unsigned types)
+    ("TINYINT UNSIGNED", "SMALLINT"), ("SMALLINT UNSIGNED", "INTEGER"),
+    ("MEDIUMINT UNSIGNED", "INTEGER"), ("INT UNSIGNED", "BIGINT"),
+    ("INTEGER UNSIGNED", "BIGINT"), ("BIGINT UNSIGNED", "NUMERIC(20,0)"),
+    # exact / approximate numerics
+    ("DECIMAL", "NUMERIC"), ("NUMERIC", "NUMERIC"), ("BIT", "BIT"),
+    ("BOOLEAN", "BOOLEAN"), ("FLOAT", "REAL"),
+    ("DOUBLE", "DOUBLE PRECISION"), ("DOUBLE PRECISION", "DOUBLE PRECISION"),
+    ("REAL", "DOUBLE PRECISION"),  # MySQL REAL is DOUBLE unless REAL_AS_FLOAT
+    # datetime
+    ("DATE", "DATE"), ("DATETIME", "TIMESTAMP WITHOUT TIME ZONE"),
+    ("TIMESTAMP", "TIMESTAMP WITHOUT TIME ZONE"),
+    ("TIME", "TIME WITHOUT TIME ZONE"),
+    # character: the MySQL size ladder collapses (PG TEXT is unbounded)
+    ("CHAR", "CHARACTER"), ("VARCHAR", "CHARACTER VARYING"),
+    ("TINYTEXT", "TEXT"), ("TEXT", "TEXT"), ("MEDIUMTEXT", "TEXT"),
+    ("LONGTEXT", "TEXT"), ("ENUM", "CHARACTER VARYING"),
+    ("SET", "CHARACTER VARYING"),
+    # binary: all sizes -> BYTEA
+    ("BINARY", "BYTEA"), ("VARBINARY", "BYTEA"), ("TINYBLOB", "BYTEA"),
+    ("BLOB", "BYTEA"), ("MEDIUMBLOB", "BYTEA"), ("LONGBLOB", "BYTEA"),
+    # structured / spatial (inverse of the P2M geometry folds)
+    ("JSON", "JSON"), ("POINT", "POINT"), ("LINESTRING", "PATH"),
+    ("POLYGON", "POLYGON"), ("GEOMETRY", "POLYGON"),
+]
+
+#: TiDB -> Postgres: TiDB shares MySQL's type vocabulary, so the map is
+#: reused verbatim — same pattern as T2O above.
+T2P_DATATYPE_RULES: list[tuple[str, str]] = list(M2P_DATATYPE_RULES)
+
+#: Postgres types whose declared length/precision survives migration —
+#: everything else in the map is either fixed-width or unbounded.
+_PG_PARAM_TYPES = ("CHARACTER", "CHARACTER VARYING", "BIT", "NUMERIC")
+
+
+def map_m2p_render_sql(pg_col: str, len_col: str) -> str:
+    """Length/precision re-attachment as ONE shared SQL expression
+    (valid in Spark SQL and DuckDB): parameterizable Postgres types
+    keep the source's declared length, the rest render bare."""
+    t, p = pg_col, len_col
+    params = ", ".join(f"'{x}'" for x in _PG_PARAM_TYPES)
+    return (f"CASE WHEN {t} IN ({params}) AND {p} IS NOT NULL "
+            f"THEN {t} || '(' || CAST({p} AS STRING) || ')' ELSE {t} END")
+
+
+def m2p_datatype_rule_join(cat: DataFrame, spark,
+                           rules: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Map a MySQL/TiDB-vocabulary column catalog (table_name, col_name,
+    base_type, char_len) to Postgres target types: scalar names via one
+    broadcast join, declared lengths re-attached by the shared render
+    expression; unmapped types surface as NULL target (flagged for
+    manual review, not guessed — same posture as the P2M join)."""
+    r = spark.createDataFrame(rules or M2P_DATATYPE_RULES,
+                              "my_type string, pg_type string")
+    render = F.expr(map_m2p_render_sql("pg_type", "char_len"))
+    return (
+        cat.join(F.broadcast(r), cat["base_type"] == r["my_type"], "left")
+        .select("table_name", "col_name", "base_type",
+                render.alias("target_type"))
+    )
+
+
+#: MySQL/TiDB -> Postgres default-expression rewrites
+M2P_DEFAULTVAL_RULES: dict[str, str] = {
+    "CURRENT_TIMESTAMP": "CURRENT_TIMESTAMP",
+    "NOW()": "CURRENT_TIMESTAMP",
+    "UUID()": "gen_random_uuid()",
+    "NULL": "NULL",
+}
+
+_M2P_MAP = dict(M2P_DATATYPE_RULES)
+
+
+def map_pg_type(spec: ColumnSpec) -> str:
+    """MySQL/TiDB column declaration -> Postgres DDL type text."""
+    name = spec.type_name.upper().strip()
+    pg = _M2P_MAP.get(name)
+    if pg is None:
+        return "TEXT /* unmapped source type: " + name + " */"
+    if pg == "NUMERIC" and spec.precision is not None:
+        s = spec.scale or 0
+        return f"NUMERIC({spec.precision},{s})"
+    if pg in _PG_PARAM_TYPES and spec.length:
+        return f"{pg}({spec.length})"
+    return pg
+
+
+def pg_render_create_table(table: str, specs: list[ColumnSpec]) -> str:
+    """Postgres CREATE TABLE from MySQL/TiDB source declarations:
+    double-quoted identifiers, M2P type map, defaults translated via
+    :data:`M2P_DEFAULTVAL_RULES` (literals pass through verbatim)."""
+    cols = []
+    for s in specs:
+        ddl = map_pg_type(s)
+        null_sql = "" if s.nullable else " NOT NULL"
+        dflt = s.default
+        if dflt is not None:
+            dflt = M2P_DEFAULTVAL_RULES.get(dflt.strip(), dflt)
+        default_sql = f" DEFAULT {dflt}" if dflt is not None else ""
+        cols.append(f'  "{s.name}" {ddl}{null_sql}{default_sql}')
+    return f'CREATE TABLE "{table}" (\n' + ",\n".join(cols) + "\n);"
+
+
+# ---------------------------------------------------------------------------
 # Default-value translation rules (buildin_rule_defaultval.go:22-101,
 # buildin_oracle_rule.go:84-104) — applied when rendering target DDL
 # ---------------------------------------------------------------------------

@@ -7418,3 +7418,62 @@ def q214_incremental_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 7),
         docs.filter(F.col("doc_id") % 10 != 7),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — MySQL/TiDB -> Postgres datatype mapping: the reference routes
+# MYSQL@POSTGRES / TIDB@POSTGRES task flows (utils/constant/task.go:62,
+# database/processor/data_compare_row.go:1529-1577) but only ships the
+# forward P2M map; the reverse struct-migrate direction is the inverse
+# table with UNSIGNED widening and the collapsed text/blob ladder
+# (structm.M2P_DATATYPE_RULES, m2p_datatype_rule_join) — same
+# rules-as-data broadcast-join shape as q176.
+# ---------------------------------------------------------------------------
+
+_Q215_CAT = """
+  SELECT 'accounts' AS table_name, c_name AS col_name,
+         CASE c_custkey % 10
+           WHEN 0 THEN 'INT UNSIGNED' WHEN 1 THEN 'VARCHAR'
+           WHEN 2 THEN 'DATETIME' WHEN 3 THEN 'LONGTEXT'
+           WHEN 4 THEN 'DECIMAL' WHEN 5 THEN 'MEDIUMBLOB'
+           WHEN 6 THEN 'CHAR' WHEN 7 THEN 'BIGINT UNSIGNED'
+           WHEN 8 THEN 'ENUM' ELSE 'GEOGRAPHY' END AS base_type,
+         CAST(CASE c_custkey % 4 WHEN 0 THEN 36 WHEN 1 THEN 255
+              WHEN 2 THEN 4000 ELSE NULL END AS BIGINT) AS char_len
+  FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+def _q215_sql() -> str:
+    from dbms_spark.operators.structm import M2P_DATATYPE_RULES, map_m2p_render_sql
+
+    rules = ",\n".join(f"  ('{a}', '{b}')" for a, b in M2P_DATATYPE_RULES)
+    render = map_m2p_render_sql("r.pg_type", "c.char_len")
+    return f"""
+WITH cat AS ({_Q215_CAT}),
+rules(my_type, pg_type) AS (VALUES
+{rules})
+SELECT c.table_name, c.col_name, c.base_type,
+       {render} AS target_type
+FROM cat c LEFT JOIN rules r ON c.base_type = r.my_type
+"""
+
+
+@register("q215_m2p_datatype_rules", _q215_sql())
+def q215_m2p_datatype_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.structm import m2p_datatype_rule_join
+
+    cust = load_table(spark, sf_dir, "customer").filter("c_custkey % 7 = 0")
+    cat = cust.select(
+        F.lit("accounts").alias("table_name"),
+        F.col("c_name").alias("col_name"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ["INT UNSIGNED", "VARCHAR", "DATETIME", "LONGTEXT",
+                       "DECIMAL", "MEDIUMBLOB", "CHAR", "BIGINT UNSIGNED",
+                       "ENUM", "GEOGRAPHY"]]),
+            (F.col("c_custkey") % 10 + 1).cast("int")).alias("base_type"),
+        F.element_at(
+            F.array(F.lit(36), F.lit(255), F.lit(4000), F.lit(None)),
+            (F.col("c_custkey") % 4 + 1).cast("int")).cast("bigint").alias("char_len"))
+    return m2p_datatype_rule_join(cat, spark)

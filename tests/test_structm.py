@@ -352,3 +352,46 @@ def test_sequence_migrate_invariants(spark):
         assert ("NOCACHE" in r["ddl"]) == (s.cache_size == 0)
         assert r["ddl"].endswith("CYCLE;") and \
             (" NOCYCLE;" in r["ddl"]) == (not s.cycle)
+
+
+def test_m2p_rules_and_pg_render(spark):
+    """MySQL/TiDB -> Postgres direction: UNSIGNED widens one rung, the
+    text/blob ladder collapses, lengths re-attach only on
+    parameterizable PG types, and the DDL renders double-quoted with
+    translated defaults (reference task flows MYSQL@POSTGRES /
+    TIDB@POSTGRES, utils/constant/task.go:62)."""
+    m2p = dict(S.M2P_DATATYPE_RULES)
+    assert m2p["INT UNSIGNED"] == "BIGINT"            # widened
+    assert m2p["BIGINT UNSIGNED"] == "NUMERIC(20,0)"  # no wider integer
+    assert m2p["LONGTEXT"] == m2p["TINYTEXT"] == "TEXT"   # ladder collapses
+    assert m2p["LONGBLOB"] == m2p["VARBINARY"] == "BYTEA"
+    assert S.T2P_DATATYPE_RULES == S.M2P_DATATYPE_RULES   # TiDB reuses MySQL
+
+    specs = [
+        S.ColumnSpec("id", "BIGINT UNSIGNED", nullable=False),
+        S.ColumnSpec("name", "VARCHAR", length=120, nullable=False),
+        S.ColumnSpec("bal", "DECIMAL", precision=12, scale=2, default="0"),
+        S.ColumnSpec("ts", "DATETIME", default="CURRENT_TIMESTAMP"),
+        S.ColumnSpec("uid", "CHAR", length=36, default="UUID()"),
+        S.ColumnSpec("blob", "LONGBLOB"),
+        S.ColumnSpec("geo", "GEOGRAPHY"),              # unmapped -> flagged
+    ]
+    ddl = S.pg_render_create_table("accounts", specs)
+    assert '"id" NUMERIC(20,0) NOT NULL' in ddl
+    assert '"name" CHARACTER VARYING(120) NOT NULL' in ddl
+    assert '"bal" NUMERIC(12,2) DEFAULT 0' in ddl     # literal passes through
+    assert '"ts" TIMESTAMP WITHOUT TIME ZONE DEFAULT CURRENT_TIMESTAMP' in ddl
+    assert '"uid" CHARACTER(36) DEFAULT gen_random_uuid()' in ddl
+    assert '"blob" BYTEA' in ddl
+    assert 'unmapped source type: GEOGRAPHY' in ddl
+    assert ddl.startswith('CREATE TABLE "accounts" (')
+
+    # rule-join: unmapped types surface as NULL target, lengths attach
+    cat = spark.createDataFrame(
+        [("t", "a", "VARCHAR", 50), ("t", "b", "TEXT", None),
+         ("t", "c", "GEOGRAPHY", None), ("t", "d", "INT UNSIGNED", None)],
+        "table_name string, col_name string, base_type string, char_len bigint")
+    got = {r["col_name"]: r["target_type"]
+           for r in S.m2p_datatype_rule_join(cat, spark).collect()}
+    assert got == {"a": "CHARACTER VARYING(50)", "b": "TEXT",
+                   "c": None, "d": "BIGINT"}

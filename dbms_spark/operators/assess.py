@@ -627,50 +627,64 @@ def approx_percentile_profile(df: DataFrame, cols: list[str],
 # ---------------------------------------------------------------------------
 
 #: (category, object_name, is_compatible, is_convertible)
-O2M_COMPATIBLE_RULES: list[tuple[str, str, bool, bool]] = [
-    ("charset", "AL32UTF8", True, True),
-    ("charset", "ZHS16GBK", True, True),
-    ("table_type", "HEAP", True, True),
-    ("table_type", "CLUSTERED", False, True),
-    ("table_type", "TEMPORARY", True, True),
-    ("table_type", "PARTITIONED", True, True),
-    ("constraint_type", "P", True, True),
-    ("constraint_type", "U", True, True),
-    ("constraint_type", "C", False, True),
-    ("constraint_type", "F", False, True),
-    ("index_type", "NORMAL", True, True),
-    ("index_type", "FUNCTION-BASED NORMAL", False, True),
-    ("index_type", "BITMAP", False, False),
-    ("index_type", "FUNCTION-BASED BITMAP", False, False),
-    ("index_type", "DOMAIN", False, False),
-    ("object_type", "VIEW", True, True),
-    ("object_type", "MATERIALIZED VIEW", False, False),
-    ("object_type", "CLUSTER", False, False),
-    ("object_type", "FUNCTION", False, False),
-    ("object_type", "JOB", False, False),
-    ("object_type", "LOB", True, False),
-    ("object_type", "PACKAGE", False, False),
-    ("object_type", "PACKAGE BODY", False, False),
-    ("object_type", "PROCEDURE", False, False),
-    ("object_type", "SEQUENCE", False, False),
-    ("object_type", "TRIGGER", False, False),
-    ("object_type", "TYPE", False, False),
-    ("object_type", "SYNONYM", False, False),
-    ("object_type", "DATABASE LINK", False, False),
-    ("partition_type", "RANGE", True, False),
-    ("partition_type", "LIST", True, False),
-    ("partition_type", "HASH", True, False),
-    ("partition_type", "SYSTEM", False, False),
-    ("partition_type", "REFERENCE", False, False),
-    ("partition_type", "COMPOSITE", False, False),
-    ("partition_type", "INTERVAL", False, False),
-    ("partition_type", "RANGE-HASH", False, False),
-    ("partition_type", "RANGE-LIST", False, False),
-    ("partition_type", "LIST-HASH", False, False),
-    ("partition_type", "LIST-LIST", False, False),
-    ("temp_table_type", "SYS$SESSION", False, False),
-    ("temp_table_type", "SYS$TRANSACTION", False, False),
-]
+def _o2m_compatible_rules() -> list[tuple[str, str, bool, bool]]:
+    """The reference's FULL built-in classification set (73 unique
+    entries, model/buildin/buildin_rule_compatible.go InitO2M/O2T —
+    the two targets carry identical verdicts, so one table serves
+    both).  Expressed compactly: every code-type object is no/no
+    except LOB (compatible-but-not-convertible), so the 42-name code
+    family is generated rather than written out row by row."""
+    rules: list[tuple[str, str, bool, bool]] = [
+        ("charset", "AL32UTF8", True, True),
+        ("charset", "ZHS16GBK", True, True),
+        ("table_type", "HEAP", True, True),
+        ("table_type", "CLUSTERED", False, True),
+        ("table_type", "TEMPORARY", True, True),
+        ("table_type", "PARTITIONED", True, True),
+        ("constraint_type", "P", True, True),
+        ("constraint_type", "U", True, True),
+        ("constraint_type", "C", False, True),
+        ("constraint_type", "F", False, True),
+        ("index_type", "NORMAL", True, True),
+        ("index_type", "FUNCTION-BASED NORMAL", False, True),
+        ("index_type", "BITMAP", False, False),
+        ("index_type", "FUNCTION-BASED BITMAP", False, False),
+        ("index_type", "DOMAIN", False, False),
+        ("object_type", "VIEW", True, True),
+        # LOB segments migrate as column data but have no standalone
+        # object to convert (reference CodeTypeLob yes/no)
+        ("object_type", "LOB", True, False),
+    ]
+    code_types = [
+        "MATERIALIZED VIEW", "CLUSTER", "CONSUMER GROUP", "CONTEXT",
+        "DESTINATION", "DIRECTORY", "EDITION", "EVALUATION CONTEXT",
+        "FUNCTION", "INDEX PARTITION", "INDEXTYPE", "JAVA CLASS",
+        "JAVA DATA", "JAVA RESOURCE", "JAVA SOURCE", "JOB", "JOB CLASS",
+        "LIBRARY", "LOB PARTITION", "LOCKDOWN PROFILE", "OPERATOR",
+        "PACKAGE", "PACKAGE BODY", "PROCEDURE", "PROGRAM", "QUEUE",
+        "RESOURCE PLAN", "RULE", "RULE SET", "SCHEDULE",
+        "SCHEDULER GROUP", "SEQUENCE", "SYNONYM", "TRIGGER", "TYPE",
+        "TYPE BODY", "UNDEFINED", "UNIFIED AUDIT POLICY", "WINDOW",
+        "XML SCHEMA", "DATABASE LINK",
+    ]
+    rules += [("object_type", n, False, False) for n in code_types]
+    # single-level partitions migrate (not natively compatible past
+    # RANGE/LIST/HASH); composite and exotic schemes do not
+    for p in ("RANGE", "LIST", "HASH"):
+        rules.append(("partition_type", p, True, False))
+    for p in ("SYSTEM", "REFERENCE", "COMPOSITE", "INTERVAL",
+              "RANGE-HASH", "RANGE-LIST", "RANGE-RANGE",
+              "LIST-HASH", "LIST-LIST", "LIST-RANGE"):
+        rules.append(("partition_type", p, False, False))
+    rules += [
+        ("temp_table_type", "SYS$SESSION", False, False),
+        ("temp_table_type", "SYS$TRANSACTION", False, False),
+    ]
+    return rules
+
+
+#: category, object_name, is_compatible, is_convertible — 73 rows
+O2M_COMPATIBLE_RULES: list[tuple[str, str, bool, bool]] = _o2m_compatible_rules()
 
 
 def compatibility_report(objects: DataFrame) -> DataFrame:

@@ -5923,12 +5923,16 @@ def _q177_sql() -> str:
         for c, n, a, b in O2M_COMPATIBLE_RULES)
     return f"""
 WITH inv AS (
-  SELECT CASE o_orderkey % 4
+  SELECT CASE o_orderkey % 6
            WHEN 0 THEN 'index_type' WHEN 1 THEN 'object_type'
-           WHEN 2 THEN 'partition_type' ELSE 'constraint_type' END AS category,
-         CASE o_orderkey % 7
+           WHEN 2 THEN 'partition_type' WHEN 3 THEN 'constraint_type'
+           WHEN 4 THEN 'charset' ELSE 'temp_table_type' END AS category,
+         CASE o_orderkey % 13
            WHEN 0 THEN 'NORMAL' WHEN 1 THEN 'BITMAP' WHEN 2 THEN 'VIEW'
            WHEN 3 THEN 'SEQUENCE' WHEN 4 THEN 'RANGE' WHEN 5 THEN 'P'
+           WHEN 6 THEN 'MATERIALIZED VIEW' WHEN 7 THEN 'JAVA CLASS'
+           WHEN 8 THEN 'RANGE-RANGE' WHEN 9 THEN 'SYS$SESSION'
+           WHEN 10 THEN 'AL32UTF8' WHEN 11 THEN 'LOB'
            ELSE 'JSON INDEX' END AS object_name,
          CAST(COUNT(*) AS BIGINT) AS n_objects
   FROM orders WHERE o_orderkey % 6 = 0
@@ -5949,13 +5953,15 @@ def q177_compatibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 6 = 0")
     cat = F.element_at(
         F.array(*[F.lit(x) for x in
-                  ["index_type", "object_type", "partition_type", "constraint_type"]]),
-        (F.col("o_orderkey") % 4 + 1).cast("int"))
+                  ["index_type", "object_type", "partition_type",
+                   "constraint_type", "charset", "temp_table_type"]]),
+        (F.col("o_orderkey") % 6 + 1).cast("int"))
     name = F.element_at(
         F.array(*[F.lit(x) for x in
                   ["NORMAL", "BITMAP", "VIEW", "SEQUENCE", "RANGE", "P",
-                   "JSON INDEX"]]),
-        (F.col("o_orderkey") % 7 + 1).cast("int"))
+                   "MATERIALIZED VIEW", "JAVA CLASS", "RANGE-RANGE",
+                   "SYS$SESSION", "AL32UTF8", "LOB", "JSON INDEX"]]),
+        (F.col("o_orderkey") % 13 + 1).cast("int"))
     inv = (o.select(cat.alias("category"), name.alias("object_name"))
            .groupBy("category", "object_name")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_objects")))

@@ -209,6 +209,26 @@ def clean_text_sql(text_expr: str = "text") -> str:
     return f"regexp_replace(trim({stripped}), '\\s+', ' ', 'g')"
 
 
+def ingest_utf8_expr(bin_col: str = "raw",
+                     garbled_replace: str = "�") -> Column:
+    """Raw-bytes ingest canonicalization: binary column -> valid UTF-8
+    string.  Invalid byte sequences become U+FFFD (one replacement per
+    maximal invalid sequence — WHATWG/Java REPLACE semantics, Spark's
+    ``make_valid_utf8``), then U+FFFD is substituted with the
+    configured garble character.  This is the Spark-native counterpart
+    of the reference's two-hop source→UTF8→target conversion with a
+    garbled-replace knob (utils/stringutil/string.go CharsetConvert /
+    CharsetConvertReplace; applied per string column in
+    database/oracle/data_compare.go:616-625) — Spark is UTF-8 native,
+    so only the validate+replace half has observable effect, and it
+    runs JVM-side inside codegen (no Python, no shuffle).  Compose
+    with :func:`clean_text_expr` for full dirty-ingest hygiene."""
+    s = F.expr(f"make_valid_utf8(cast({bin_col} as string))")
+    if garbled_replace == "�":
+        return s
+    return F.regexp_replace(s, "�", garbled_replace)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

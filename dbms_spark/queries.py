@@ -7483,3 +7483,46 @@ def q215_m2p_datatype_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(36), F.lit(255), F.lit(4000), F.lit(None)),
             (F.col("c_custkey") % 4 + 1).cast("int")).cast("bigint").alias("char_len"))
     return m2p_datatype_rule_join(cat, spark)
+
+
+# ---------------------------------------------------------------------------
+# q216 — raw-bytes ingest canonicalization: binary payloads with
+# injected invalid UTF-8 (a stray 0xFF mid-document, a truncated
+# multi-byte lead at the tail) pass through ingest_utf8_expr —
+# make_valid_utf8 REPLACE semantics + configurable garble char, the
+# reference's CharsetConvert/CharsetConvertReplace ingest hygiene
+# (utils/stringutil/string.go:715-805).  The Spark side exercises the
+# real binary path; the DuckDB oracle states the ground truth from the
+# same construction (one replacement per maximal invalid sequence).
+# ---------------------------------------------------------------------------
+
+_Q216_SQL = """
+WITH halves AS (
+  SELECT doc_id, substring(text, 1, 40) AS h1,
+         substring(text, 41, 40) AS h2
+  FROM documents WHERE doc_id % 5 < 3
+)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN h1 || h2
+         WHEN 1 THEN h1 || '?' || h2
+         ELSE h1 || h2 || '?' END AS text_utf8
+FROM halves
+"""
+
+
+@register("q216_ingest_utf8", _Q216_SQL)
+def q216_ingest_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import ingest_utf8_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 5 < 3")
+    raw = F.expr("""
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN encode(substring(text, 1, 40) || substring(text, 41, 40), 'UTF-8')
+        WHEN 1 THEN concat(encode(substring(text, 1, 40), 'UTF-8'), X'FF',
+                           encode(substring(text, 41, 40), 'UTF-8'))
+        ELSE concat(encode(substring(text, 1, 40), 'UTF-8'),
+                    encode(substring(text, 41, 40), 'UTF-8'), X'C3')
+      END""")
+    return (docs.select("doc_id", raw.alias("raw"))
+            .select("doc_id", ingest_utf8_expr("raw", "?").alias("text_utf8")))

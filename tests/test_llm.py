@@ -857,3 +857,25 @@ def test_ann_training_bounded_read(sf_dir):
         S._sample_vectors = orig
     assert calls == [4096, 4096]       # both trainers use the bounded path
     assert len(cents) == 8 and len(books) == 8
+
+
+def test_ingest_utf8(spark):
+    """Binary ingest canonicalization: one U+FFFD per MAXIMAL invalid
+    sequence (a truncated 3-byte lead collapses to one replacement,
+    two standalone bad bytes give two), valid text bit-unchanged,
+    garble char configurable — reference CharsetConvertReplace
+    semantics (utils/stringutil/string.go:776-805)."""
+    from dbms_spark.llm.text import ingest_utf8_expr
+
+    df = spark.createDataFrame(
+        [(1, b"he\xffllo"), (2, b"ok"), (3, b"tr\xc3"),
+         (4, "héllo✓".encode()), (5, b"a\xe4\xb8b"), (6, b"\xff\xfe"),
+         (7, b"")],
+        "id int, raw binary")
+    got = {r["id"]: r["t"] for r in
+           df.select("id", ingest_utf8_expr("raw", "?").alias("t")).collect()}
+    assert got == {1: "he?llo", 2: "ok", 3: "tr?", 4: "héllo✓",
+                   5: "a?b", 6: "??", 7: ""}
+    kept = {r["id"]: r["t"] for r in
+            df.select("id", ingest_utf8_expr("raw").alias("t")).collect()}
+    assert kept[1] == "he�llo" and kept[4] == "héllo✓"  # default keeps U+FFFD

@@ -163,16 +163,45 @@ def parse_oms_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_reader_options(brokers: str, topic: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None,
+                         fail_on_data_loss: bool | None = None,
+                         extra: dict[str, str] | None = None) -> dict[str, str]:
+    """The Kafka reader's option map as a pure function — the part of
+    S7/S8 wiring that IS testable without a broker.  ``extra`` passes
+    through any ``kafka.*`` client option verbatim (compression,
+    security config — C8's transparent passthrough); explicit
+    arguments win over ``extra`` duplicates.  ``max_offsets_per_trigger``
+    is the per-micro-batch intake throttle — at 100 TB-scale topics an
+    unthrottled first batch after downtime reads the whole backlog into
+    one trigger."""
+    opts: dict[str, str] = dict(extra or {})
+    opts["kafka.bootstrap.servers"] = brokers
+    opts["subscribe"] = topic
+    opts["startingOffsets"] = starting_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = str(fail_on_data_loss).lower()
+    return opts
+
+
 def kafka_cdc_stream(spark: SparkSession, brokers: str, topic: str,
-                     starting_offsets: str = "earliest") -> DataFrame:
+                     starting_offsets: str = "earliest",
+                     max_offsets_per_trigger: int | None = None,
+                     fail_on_data_loss: bool | None = None,
+                     extra: dict[str, str] | None = None) -> DataFrame:
     """S7/S8 Kafka CDC source -> parsed event stream.  Requires the
     spark-sql-kafka package on the classpath (not in this container;
-    the downstream pipeline is identical for any source)."""
+    the downstream pipeline is identical for any source — the contract
+    test drives it through ``rate`` with a kafka-shaped value column,
+    so only the socket itself is untested here)."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_reader_options(
+            brokers, topic, starting_offsets,
+            max_offsets_per_trigger, fail_on_data_loss, extra))
         .load()
     )
     return parse_cdc_json(raw, "value")

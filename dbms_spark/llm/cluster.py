@@ -202,14 +202,25 @@ def kmeans_sizes_sql(
 # embedding near-dup removal
 # ---------------------------------------------------------------------------
 
+def derive_k(n_rows: int, target_cell: int = 4096, k_min: int = 4) -> int:
+    """Scaled-k rule as a function: pick the cluster count that keeps
+    the AVERAGE cell at ``target_cell`` rows, so the within-cell
+    quadratic term sum(c_i^2) ≈ n * target_cell stays LINEAR in corpus
+    size.  SCALE.md measured the difference: 10x data at fixed k was
+    9.1x wall (cells grow, pairs grow quadratically); 10x data with
+    scaled k was 1.4x."""
+    return max(k_min, -(-n_rows // target_cell))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,
-    k: int = 4,
+    k: int | None = 4,
     iters: int = 2,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means partitions the embedding
     space, exact fixed-point cosine runs ONLY within each cluster, and
@@ -230,10 +241,18 @@ def semantic_dedup(
     feeds both pair legs and the survivor select) and NOT unpersisted
     — the entry lives until the session drops it.  Long-lived sessions
     calling this per shard should ``spark.catalog.clearCache()`` (or
-    unpersist via the plan cache) between shards."""
+    unpersist via the plan cache) between shards.
+
+    ``k=None`` derives the cluster count from the corpus size via
+    :func:`derive_k` (one ``count()`` over the input) — the fixed-k
+    blowup guard for callers that don't know their scale up front;
+    explicit ``k`` keeps deterministic cross-engine parity (the
+    registry gate pins it)."""
     from dbms_spark.llm.dedup import dedup_groups
     from dbms_spark.llm.similarity import _DOT_SPARK, _NORM_SPARK
 
+    if k is None:
+        k = derive_k(df.count(), target_cell)
     assign = kmeans_assign(df, k=k, iters=iters, dims=dims,
                            id_col=id_col, vec_col=vec_col)
     v = df.select(F.col(id_col).alias("vec_id"),

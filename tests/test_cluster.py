@@ -111,3 +111,24 @@ def test_semantic_dedup_hand_computed(spark):
     out = semantic_dedup(df, threshold=0.95, k=1, iters=1, dims=8)
     kept = sorted(r["vec_id"] for r in out.collect())
     assert kept == [1, 4, 5, 6]
+
+
+def test_derive_k_scaled_rule(spark):
+    """k=None derives the cluster count keeping avg cell ~ target_cell
+    (sum(c_i^2) linear in n — the SCALE.md scaled-k rule); explicit k
+    still wins for gate determinism."""
+    from dbms_spark.llm.cluster import derive_k, semantic_dedup
+
+    assert derive_k(100, target_cell=4096) == 4          # floor
+    assert derive_k(4096 * 10, target_cell=4096) == 10   # exact
+    assert derive_k(4096 * 10 + 1, target_cell=4096) == 11  # ceil
+    assert derive_k(10**9, target_cell=4096) == 244141   # 100TB-ish shape
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = semantic_dedup(df, threshold=0.999, k=None, iters=1, dims=8,
+                          target_cell=10)
+    # survivors form a valid (vec_id, cid) relation over <= ceil(40/10) cells
+    got = auto.select("cid").distinct().count()
+    assert 1 <= got <= 4
+    assert auto.count() <= 40

@@ -99,3 +99,35 @@ def test_assess_report_reserved_anchor_collision(spark, sf_dir, tmp_path):
         R.render_assess_report_structured(
             {"k": "v"}, {"assess_total": 0},
             {"Report Summary": ("boom", table_overview(spark, sf_dir))})
+
+
+def test_compatibility_families_render_in_report(spark, tmp_path):
+    """The broadened 73-entry matrix flows through the HTML report: an
+    inventory hitting the new families (code types, composite
+    partitions, charset, temp tables) renders with its verdicts."""
+    from dbms_spark.operators.assess import (
+        O2M_COMPATIBLE_RULES, compatibility_report)
+
+    assert len(O2M_COMPATIBLE_RULES) == 73
+    inv = spark.createDataFrame(
+        [("object_type", "JAVA CLASS", 3), ("object_type", "LOB", 9),
+         ("partition_type", "RANGE-RANGE", 2), ("charset", "AL32UTF8", 1),
+         ("temp_table_type", "SYS$SESSION", 4),
+         ("object_type", "NOT A THING", 1)],
+        "category string, object_name string, n_objects long")
+    rep = compatibility_report(inv)
+    rows = {(r["category"], r["object_name"]):
+            (r["is_compatible"], r["is_convertible"]) for r in rep.collect()}
+    assert rows[("object_type", "JAVA CLASS")] == (False, False)
+    assert rows[("object_type", "LOB")] == (True, False)
+    assert rows[("partition_type", "RANGE-RANGE")] == (False, False)
+    assert rows[("charset", "AL32UTF8")] == (True, True)
+    assert rows[("object_type", "NOT A THING")] == (None, None)  # manual review
+
+    path = R.write_assess_report_structured(
+        {"report name": "compat"}, {"assess_total": 6},
+        {"object compatible": ("Built-in compatibility verdicts.", rep)},
+        str(tmp_path / "c.html"))
+    out = open(path).read()
+    assert "JAVA CLASS" in out and "RANGE-RANGE" in out \
+        and "SYS$SESSION" in out and "OBJECT COMPATIBLE" in out

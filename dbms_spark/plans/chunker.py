@@ -275,25 +275,88 @@ def predicates(plan: ChunkPlan, dialect: str = "spark") -> list[str]:
     return [chunk_predicate(plan, i, dialect) for i in range(plan.n_chunks)]
 
 
+#: bound count above which assignment switches from the additive
+#: when-chain (nests O(n) deep — the Catalyst converter StackOverflows
+#: around ~1,000 bounds) to the unrolled binary search (flat plan,
+#: O(log n) comparisons per row).  Below it the chain is kept: it's
+#: what every existing pinned plan prints, and at single-digit chunk
+#: counts it codegens marginally tighter.
+_BINARY_SEARCH_THRESHOLD = 128
+
+
 def assign_chunk_id(plan: ChunkPlan, df: DataFrame) -> Column:
     """Map-side chunk id expression: count of boundaries strictly below
-    the row's key tuple (lexicographic struct comparison, no shuffle)."""
+    the row's key tuple (lexicographic struct comparison, no shuffle).
+
+    Two equivalent forms by bound count: an additive when-chain for
+    small plans, and — past :data:`_BINARY_SEARCH_THRESHOLD` — a
+    lower-bound binary search unrolled via ``aggregate`` over a
+    ceil(log2(n+1))-step sequence against ONE flat array-of-structs
+    literal.  The chain nests an expression per bound and overflows
+    the converter stack near 1,000 bounds; the search keeps the plan
+    flat (one n-child array constructor) and does O(log n) struct
+    comparisons per row, so reference-style 500-row chunks at scale
+    (10^4-10^6 bounds) assign without plan blowup.  NULL keys land in
+    chunk 0 in both forms (a NULL comparison coalesces to
+    'not greater')."""
     if plan.n_chunks == 1:
         return F.lit(0)
     fields = {f.name: f.dataType for f in df.schema.fields}
     key = F.struct(*[
         _collated(F.col(c), fields[c], plan.collation) for c in plan.key_cols
     ])
-    cid: Column = F.lit(0)
-    for b in plan.bounds:
+
+    def blit(b: tuple) -> Column:
         # literals must match the column types exactly (TIMESTAMP_NTZ vs
         # TIMESTAMP, INT vs BIGINT) or struct comparison fails analysis
-        lit = F.struct(*[
+        return F.struct(*[
             _collated(F.lit(v).cast(fields[c]), fields[c], plan.collation)
             for c, v in zip(plan.key_cols, b)
         ])
-        cid = cid + F.when(key > lit, 1).otherwise(0)
-    return cid
+
+    n = len(plan.bounds)
+    if n <= _BINARY_SEARCH_THRESHOLD:
+        cid: Column = F.lit(0)
+        for b in plan.bounds:
+            cid = cid + F.when(key > blit(b), 1).otherwise(0)
+        return cid
+
+    import math
+
+    from pyspark.sql import types as T
+
+    # ONE parsed SQL expression for the whole boundary array: building
+    # n struct Columns through py4j costs a JVM round trip per bound
+    # (~35 s at 10^4 bounds); rendering the literal text and parsing
+    # once is ~constant.  CASTs pin each field to the column's exact
+    # type so the struct comparison analyzes, same as blit().
+    def _elem(b: tuple) -> str:
+        parts = []
+        for c, v in zip(plan.key_cols, b):
+            e = f"CAST({sql_literal(v, 'spark')} AS {fields[c].simpleString()})"
+            if plan.collation and isinstance(fields[c], T.StringType):
+                e = f"collate({e}, '{plan.collation}')"
+            parts.append(f"'{c}', {e}")
+        return "named_struct(" + ", ".join(parts) + ")"
+
+    bounds = F.expr("array(" + ", ".join(_elem(b) for b in plan.bounds) + ")")
+    depth = math.ceil(math.log2(n + 1))
+    init = F.struct(F.lit(0).alias("lo"), F.lit(n).alias("hi"))
+
+    def step(acc: Column, _: Column) -> Column:
+        lo, hi = acc["lo"], acc["hi"]
+        mid = F.floor((lo + hi) / 2).cast("int")
+        # strictly-greater, NULL -> false: matches the chain's
+        # when(key > lit, 1).otherwise(0) per-bound semantics
+        gt = F.coalesce(key > F.element_at(bounds, mid + 1), F.lit(False))
+        return F.when(
+            lo < hi,
+            F.when(gt, F.struct((mid + 1).alias("lo"), hi.alias("hi")))
+            .otherwise(F.struct(lo.alias("lo"), mid.alias("hi"))),
+        ).otherwise(acc)
+
+    found = F.aggregate(F.sequence(F.lit(1), F.lit(depth)), init, step)
+    return found["lo"]
 
 
 def rebalance_chunks(df: DataFrame, plan: ChunkPlan, max_rows_per_chunk: int,

@@ -143,3 +143,78 @@ def test_rebalance_chunks_resplits_oversize(spark, sf_dir):
     assert max(counts) <= 2 * cap
     # a plan already under the cap is returned unchanged
     assert rebalance_chunks(src, refined, total) is refined
+
+
+def test_assign_chunk_id_binary_search_equivalence(spark, monkeypatch):
+    """The two assignment forms — additive when-chain and unrolled
+    binary search — agree on EVERY row, across composite keys, NULLs,
+    string keys (incl. a collated plan), duplicate boundary values and
+    keys exactly on boundaries.  (The chain StackOverflows near 1,000
+    bounds; the search is the at-scale form, so divergence here would
+    silently mis-bucket chunks.)"""
+    import random
+
+    from dbms_spark.plans import chunker as C
+
+    rng = random.Random(20260815)
+    rows = [(rng.randrange(0, 500) if rng.random() > 0.05 else None,
+             rng.choice(["aa", "Ab", "b", "zz", None]),
+             i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k1 int, k2 string, rid long")
+
+    def both(plan):
+        monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 10**9)
+        chain = {r["rid"]: r["cid"] for r in
+                 df.select("rid", C.assign_chunk_id(plan, df).alias("cid")).collect()}
+        monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 0)
+        bs = {r["rid"]: r["cid"] for r in
+              df.select("rid", C.assign_chunk_id(plan, df).alias("cid")).collect()}
+        assert chain == bs, "chain vs binary-search assignment diverged"
+        return chain
+
+    # composite numeric+string keys, boundaries sampled from the data
+    # (so keys land EXACTLY on bounds), duplicates kept
+    samples = sorted((r[0], r[1]) for r in rows[:400] if r[0] is not None
+                     and r[1] is not None)
+    bounds = tuple(samples[i] for i in range(0, len(samples), 3))
+    got = both(C.ChunkPlan(("k1", "k2"), bounds))
+    assert len(set(got.values())) > 10          # spread over many chunks
+
+    # single string key under a collation — bounds must be sorted by
+    # the PLAN's comparator (ChunkPlan documents sorted bounds;
+    # plan_chunks sorts under the collation), so case-insensitive order
+    # here: aa < Ab < b
+    sbounds = tuple((s,) for s in sorted(["Ab", "aa", "b"], key=str.lower))
+    both(C.ChunkPlan(("k2",), sbounds, collation="UTF8_LCASE"))
+
+    # NULL-field bounds (an all-NULL ntile emits one): struct ordering
+    # treats NULL fields as smallest on BOTH forms, so they stay
+    # equivalent with the NULL bound sorted first
+    nb = tuple([(None, None)] + samples[50:60])
+    both(C.ChunkPlan(("k1", "k2"), nb))
+
+    # all-NULL-key rows land in chunk 0 in both forms
+    nulls = spark.createDataFrame([(None, None, 1)], "k1 int, k2 string, rid long")
+    monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 0)
+    plan = C.ChunkPlan(("k1", "k2"), bounds)
+    assert nulls.select(C.assign_chunk_id(plan, nulls).alias("cid")) \
+        .collect()[0]["cid"] == 0
+
+
+def test_assign_chunk_id_survives_many_bounds(spark):
+    """10^4 boundaries: the when-chain form StackOverflowed here; the
+    binary-search form assigns correctly with a flat plan."""
+    from dbms_spark.plans import chunker as C
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    plan = C.ChunkPlan(("k",), tuple((i * 10,) for i in range(1, n)))
+    df = spark.range(0, 100_000, 7).select(F.col("id").alias("k"))
+    out = df.select("k", C.assign_chunk_id(plan, df).alias("cid"))
+    # bounds are 10,20,...,99990; cid = #bounds strictly below k
+    # = max(0, floor((k-1)/10)), capped at the last chunk id
+    expect = F.least(
+        F.greatest(F.lit(0), F.floor((F.col("k") - 1) / 10)), F.lit(n - 1)
+    ).cast("int")
+    bad = out.filter(F.col("cid") != expect).count()
+    assert bad == 0

@@ -45,6 +45,9 @@ SHUFFLE_BUDGET = {
     "q207_duplicate_passage_stats": 6,
     "q210_incremental_passage_dedup": 5,
     "q209_strip_duplicated_passages": 7,
+    # round-5 additions: pure map-side lookups/transforms
+    "q215_m2p_datatype_rules": 0,  # broadcast rule join only
+    "q216_ingest_utf8": 0,         # codegen-only binary->utf8 canon
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -260,6 +260,47 @@ def main() -> None:
         src = docs if big else load_table(spark, SF_DIR, "documents")
         return strip_duplicated_passages(src)
 
+    def bench_reverify():
+        """Custom-shaped smoke (reverify runs its own actions, so the
+        generic noop-write harness would double-count): at each scale,
+        time a FULL verify round (no ledger) vs an INCREMENTAL round
+        with ~0.2% key churn.  Chunk count scales with the data (500
+        rows/chunk-ish) so the x-scale run exercises the binary-search
+        chunk assignment and the capped range-predicate pushdown."""
+        if only and "incremental_reverify" not in only:
+            return
+        from dbms_spark.operators.reverify import reverify
+        from dbms_spark.plans.chunker import plan_chunks
+
+        out = {"op": "incremental_reverify", "k": k}
+        for tag, big in (("sf0.1", False), (f"x{k}", True)):
+            src = li if big else load_table(spark, SF_DIR, "lineitem")
+            n_chunks = 200 * (k if big else 1)
+            plan = plan_chunks(src, ["l_orderkey"], n_chunks)
+            t0 = time.perf_counter()
+            sums, _ = reverify(src, src, plan, ledger=None)
+            full_t = round(time.perf_counter() - t0, 2)
+            # LOCALIZED churn (the realistic shape: recent keys mutate)
+            # — the top ~1% of the keyspace, so ~1% of chunks move;
+            # uniform churn would touch every chunk and measure nothing
+            # but a second full pass
+            hi = src.agg(F.max("l_orderkey")).collect()[0][0]
+            churned = src.withColumn(
+                "l_quantity",
+                F.when(F.col("l_orderkey") > int(hi * 0.99),
+                       F.col("l_quantity") + 1).otherwise(F.col("l_quantity")))
+            t0 = time.perf_counter()
+            _, rep = reverify(churned, src, plan, ledger=sums)
+            incr_t = round(time.perf_counter() - t0, 2)
+            sums.unpersist()
+            out[f"{tag}_full_s"] = full_t
+            out[f"{tag}_incr_s"] = incr_t
+            out[f"{tag}_checked"] = len(rep.checked_chunks)
+            out[f"{tag}_chunks"] = rep.total_chunks
+            spark.catalog.clearCache()
+        print(json.dumps(out), flush=True)
+
+    bench_reverify()
     bench("pricing_agg", pricing)
     bench("duplicate_passage_strip", passage_strip)
     bench("star_connected_components", star_cc)

@@ -315,10 +315,10 @@ class DbmsEngine:
         if method in ("ivf", "ivfpq"):
             if not train_path:
                 raise ValueError(f"method {method!r} requires train_path")
-            cents = sim.train_ivf_centroids(train_path)
+            cents = sim.train_ivf_centroids(train_path, spark=self.spark)
             if method == "ivf":
                 return sim.ivf_topk(corpus, queries, cents, k, id_col=id_col, vec_col=vec_col)
-            books = sim.train_pq_codebooks(train_path)
+            books = sim.train_pq_codebooks(train_path, spark=self.spark)
             return sim.ivf_pq_topk(corpus, queries, cents, books, k,
                                    id_col=id_col, vec_col=vec_col)
         raise ValueError(f"unknown similarity method {method!r}")

@@ -260,19 +260,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
 _SAMPLE_BATCH = 8192
 
 
-def _sample_vectors(parquet_path: str, sample: int, vec_col: str):
+def _sample_vectors(parquet_path: str, sample: int, vec_col: str,
+                    spark=None):
     """Bounded training-sample read: the ``sample`` rows with the
     smallest ``vec_id``, as a float64 ndarray in ascending vec_id order.
 
-    Streams the parquet dataset batch-by-batch and keeps a running
-    smallest-``sample`` set, so driver memory is O(sample + batch) rows
-    — never the whole column.  (The previous shape,
-    ``pq.read_table(...)`` then argsort, materialized the entire
-    embedding column driver-side; at 100 TB of embeddings that OOMs the
-    driver before the sample is even taken.)  The selected rows — and
-    therefore every centroid/codebook bit — are identical to the old
-    whole-column read: both pick the ``sample`` smallest vec_ids."""
+    Two paths, both selecting the identical rows (so every
+    centroid/codebook bit is the same):
+
+    - ``spark`` given: distributed ``orderBy(vec_id).limit(sample)`` —
+      TakeOrderedAndProject, i.e. per-partition top-k on the executors
+      with only k rows merged at the driver.  Both memory AND I/O are
+      executor-parallel; this is the 100 TB path.
+    - no ``spark``: stream the parquet dataset batch-by-batch keeping a
+      running smallest-``sample`` set — driver memory O(sample+batch)
+      rows, but the driver reads every batch (bounded memory, full
+      column I/O).  Fine for local/offline training.
+
+    (The pre-round-5 shape, ``pq.read_table(...)`` then argsort,
+    materialized the entire embedding column driver-side; at 100 TB
+    that OOMs before the sample is even taken.)"""
     import numpy as np
+
+    if spark is not None:
+        rows = (
+            spark.read.parquet(parquet_path).select("vec_id", vec_col)
+            .orderBy("vec_id").limit(sample).collect()
+        )
+        return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
     import pyarrow.dataset as pads
 
     dset = pads.dataset(parquet_path)
@@ -291,8 +307,8 @@ def _sample_vectors(parquet_path: str, sample: int, vec_col: str):
 
 
 def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
-                        sample: int = 4096, vec_col: str = "embedding"
-                        ) -> list[tuple[list[int], float]]:
+                        sample: int = 4096, vec_col: str = "embedding",
+                        spark=None) -> list[tuple[list[int], float]]:
     """Deterministic spherical Lloyd k-means over a bounded sample —
     the IVF coarse quantizer, trained ONCE driver-side and shipped as
     literals into both dialects (same rules-as-data pattern as the LSH
@@ -305,7 +321,7 @@ def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
     ``[(components_int, norm_float), ...]``."""
     import numpy as np
 
-    X = _sample_vectors(parquet_path, sample, vec_col)
+    X = _sample_vectors(parquet_path, sample, vec_col, spark)
     X = np.round(X * _SCALE)                      # same quantization as queries
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
@@ -514,7 +530,8 @@ FROM e GROUP BY 1, 2
 
 def train_pq_codebooks(parquet_path: str, m: int = 8, ksub: int = 16,
                        iters: int = 5, sample: int = 4096,
-                       vec_col: str = "embedding") -> list[list[list[int]]]:
+                       vec_col: str = "embedding",
+                       spark=None) -> list[list[list[int]]]:
     """Deterministic per-subspace Lloyd k-means (plain L2, not
     spherical) over a bounded sample — ``m`` codebooks of ``ksub``
     centroids each, trained ONCE driver-side and shipped as literals
@@ -524,7 +541,7 @@ def train_pq_codebooks(parquet_path: str, m: int = 8, ksub: int = 16,
     cross-engine.  Returns ``books[j][c] = component list``."""
     import numpy as np
 
-    X = _sample_vectors(parquet_path, sample, vec_col)
+    X = _sample_vectors(parquet_path, sample, vec_col, spark)
     X = np.round(X * _SCALE)
     dims = X.shape[1]
     if dims % m:

@@ -834,6 +834,31 @@ def test_sample_vectors_bounded_and_exact(tmp_path, monkeypatch):
     assert np.array_equal(one, want[:1])
 
 
+def test_sample_vectors_distributed_matches_streaming(tmp_path, spark):
+    """The spark path (orderBy+limit = executor-side top-k, the 100 TB
+    shape: I/O parallel, only k rows at the driver) selects the exact
+    same rows as the driver-streaming path, so trained literals are
+    identical whichever path a deployment uses."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from dbms_spark.llm import similarity as S
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(500).astype("int64")
+    vecs = rng.normal(size=(500, 8)).astype("float32")
+    path = str(tmp_path / "emb.parquet")
+    pq_.write_table(pa.table(
+        {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}),
+        path, row_group_size=64)
+    a = S._sample_vectors(path, 100, "embedding")
+    b = S._sample_vectors(path, 100, "embedding", spark=spark)
+    assert np.array_equal(a, b)
+    cents_stream = S.train_ivf_centroids(path, k=4, sample=100)
+    cents_spark = S.train_ivf_centroids(path, k=4, sample=100, spark=spark)
+    assert cents_stream == cents_spark
+
+
 def test_ann_training_bounded_read(sf_dir):
     """train_ivf_centroids / train_pq_codebooks go through the bounded
     sampler (no whole-column pq.read_table) and still produce the same
@@ -844,9 +869,9 @@ def test_ann_training_bounded_read(sf_dir):
     calls = []
     orig = S._sample_vectors
 
-    def spy(path, sample, vec_col):
+    def spy(path, sample, vec_col, spark=None):
         calls.append(sample)
-        return orig(path, sample, vec_col)
+        return orig(path, sample, vec_col, spark)
 
     S._sample_vectors = spy
     try:

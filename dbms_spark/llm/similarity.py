@@ -158,10 +158,22 @@ FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
 """
 
 
+def derive_n_planes(n_rows: int, target_occupancy: int = 256,
+                    floor: int = 4) -> int:
+    """The plane-count SCALE RULE as a function: bucket count is
+    2^n_planes, so planes grow log2(n) to keep average occupancy at
+    ``target_occupancy`` and bucket-local pair work LINEAR in corpus
+    size (measured: fixed planes at 10x data = 17x wall; scaled = ~1x,
+    docs/SCALE.md)."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(1, n_rows / target_occupancy))))
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.25,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -176,7 +188,12 @@ def near_dup_pairs(
     corpus and bucket-local pairs QUADRATICALLY (measured 17x wall at
     10x data with the default; +3 planes restored ~1x, see
     docs/SCALE.md).  Size it so n / 2^n_planes stays near the sf0.1
-    default occupancy (~100-500 vectors per bucket)."""
+    default occupancy (~100-500 vectors per bucket), or pass
+    ``n_planes=None`` to derive it from a ``count()`` via
+    :func:`derive_n_planes` (explicit values keep gates deterministic
+    without the extra job)."""
+    if n_planes is None:
+        n_planes = derive_n_planes(df.count())
     b = lsh_buckets(df, n_planes, dims, id_col, vec_col)
     v = df.select(
         F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v")

@@ -904,3 +904,24 @@ def test_ingest_utf8(spark):
     kept = {r["id"]: r["t"] for r in
             df.select("id", ingest_utf8_expr("raw").alias("t")).collect()}
     assert kept[1] == "he�llo" and kept[4] == "héllo✓"  # default keeps U+FFFD
+
+
+def test_derive_n_planes_and_auto(spark):
+    """Plane count scales log2(n/occupancy); n_planes=None derives it
+    and still mines real near-dup pairs."""
+    from dbms_spark.llm.similarity import derive_n_planes, near_dup_pairs
+
+    assert derive_n_planes(1000) == 4                   # floor
+    assert derive_n_planes(256 * 16) == 4
+    assert derive_n_planes(256 * 1024) == 10
+    assert derive_n_planes(10**9) == 22                 # 100TB-ish corpus
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8))
+    rows = [(i, [float(x) for x in base[i % 30] + (0.001 if i >= 30 else 0)])
+            for i in range(60)]                          # 30 near-dup pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = near_dup_pairs(df, threshold=0.99, n_planes=None, dims=8)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert len(got & {(i, i + 30) for i in range(30)}) >= 20  # LSH recall

@@ -248,3 +248,143 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
         u.groupBy("bucket")
         .agg(F.max("register").cast("bigint").alias("register"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter: membership summaries for incremental
+# intake.  Probing an incoming batch against a persisted corpus-key
+# filter answers "definitely new" without re-reading the corpus —
+# the pre-join pruning pattern for 100 TB incremental pipelines
+# (exact dedup / decontamination fast path; false positives fall
+# through to the exact join, false negatives are impossible).
+#
+# Layout: m bits as m/32 32-bit words in a (word, bits) relation —
+# the build is ONE partial-aggregated groupBy over n*k hash rows, the
+# merge is elementwise bit_or (associative/idempotent, like
+# hll_merge), and probes broadcast the word table.  32-bit words keep
+# every shift inside positive BIGINT range in both engines, so the
+# relation (and the gate) is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536        # bits (2^16) -> 2048 words
+_BLOOM_K = 4            # hash functions
+
+
+def _bloom_pos_expr(key: Column, j: int, m_bits: int) -> Column:
+    """Bit position of hash ``j``: md5-derived 60-bit int mod m."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(f"bf{j}"), key.cast("string"))), 1, 15), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(m_bits))
+
+
+def _bloom_pos_sql(key: str, j: int, m_bits: int) -> str:
+    return (f"(('0x' || substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {m_bits})")
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = _BLOOM_M,
+                k: int = _BLOOM_K) -> DataFrame:
+    """Build the (word, bits) filter relation over a key column.  Empty
+    words are materialized at 0 so the relation always has m/32 rows
+    (stable shape for storage, merge, and the differential gate)."""
+    positions = None
+    for j in range(k):
+        p = df.select(_bloom_pos_expr(F.col(key_col), j, m_bits).alias("pos"))
+        positions = p if positions is None else positions.unionAll(p)
+    got = (
+        positions
+        .select((F.col("pos") / 32).cast("bigint").alias("word"),
+                F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+             .alias("bits"))
+    )
+    spark = df.sparkSession
+    all_w = spark.range(m_bits // 32).select(F.col("id").alias("word"))
+    return (
+        all_w.join(got, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).cast("bigint").alias("bits"))
+    )
+
+
+def bloom_build_sql(table_sql: str, key_col: str, m_bits: int = _BLOOM_M,
+                    k: int = _BLOOM_K) -> str:
+    pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(key_col, j, m_bits)} AS pos FROM src"
+        for j in range(k))
+    return f"""
+WITH src AS ({table_sql}),
+pos AS ({pos}),
+got AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+all_w AS (SELECT unnest(range({m_bits // 32})) AS word)
+SELECT all_w.word, CAST(COALESCE(bits, 0) AS BIGINT) AS bits
+FROM all_w LEFT JOIN got USING (word)
+"""
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m, k): elementwise bit_or —
+    per-shard/per-day filters roll up losslessly (the result is
+    EXACTLY the filter of the unioned key sets)."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    u = filters[0]
+    for t in filters[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("word").agg(
+        F.bit_or("bits").cast("bigint").alias("bits"))
+
+
+def bloom_probe(batch: DataFrame, key_col: str, bloom: DataFrame,
+                id_col: str, m_bits: int = _BLOOM_M,
+                k: int = _BLOOM_K) -> DataFrame:
+    """Probe a batch against a filter: (id, maybe_present).  False ->
+    DEFINITELY not in the corpus (skip the exact join); true -> maybe
+    (fall through to exact verification).  The k probe rows per key
+    broadcast-join the 2 KB-per-8Kbit word table — no shuffle of the
+    batch."""
+    probes = None
+    for j in range(k):
+        p = batch.select(
+            F.col(id_col).alias("__id"),
+            _bloom_pos_expr(F.col(key_col), j, m_bits).alias("pos"))
+        probes = p if probes is None else probes.unionAll(p)
+    probed = (
+        probes
+        .select("__id", (F.col("pos") / 32).cast("bigint").alias("word"),
+                F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select("__id",
+                F.expr("shiftright(COALESCE(bits, CAST(0 AS BIGINT)), bit) & 1")
+                .alias("hit"))
+    )
+    return (
+        probed.groupBy("__id")
+        .agg((F.min("hit") == 1).alias("maybe_present"))
+        .select(F.col("__id").alias(id_col), "maybe_present")
+    )
+
+
+def bloom_probe_sql(batch_sql: str, key_col: str, bloom_sql: str,
+                    id_col: str, m_bits: int = _BLOOM_M,
+                    k: int = _BLOOM_K) -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT {id_col} AS __id, {_bloom_pos_sql(key_col, j, m_bits)} AS pos "
+        f"FROM batch" for j in range(k))
+    return f"""
+WITH batch AS ({batch_sql}),
+bloom AS ({bloom_sql}),
+probes AS ({probes}),
+hits AS (
+  SELECT __id,
+         ((COALESCE(bits, 0) >> CAST(pos % 32 AS INT)) & 1) AS hit
+  FROM (SELECT __id, CAST(pos // 32 AS BIGINT) AS word, pos FROM probes)
+  LEFT JOIN bloom USING (word)
+)
+SELECT __id AS {id_col}, MIN(hit) = 1 AS maybe_present
+FROM hits GROUP BY 1
+"""

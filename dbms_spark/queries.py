@@ -7526,3 +7526,48 @@ def q216_ingest_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
       END""")
     return (docs.select("doc_id", raw.alias("raw"))
             .select("doc_id", ingest_utf8_expr("raw", "?").alias("text_utf8")))
+
+
+# ---------------------------------------------------------------------------
+# q217/q218 — deterministic Bloom filter: the incremental-intake
+# membership summary (probe a batch against a persisted corpus-key
+# filter; false = definitely new, skip the exact join).  q217 gates
+# the built (word, bits) relation, q218 the end-to-end probe verdicts
+# — both bit-identical cross-engine (md5 positions, 32-bit words,
+# bit_or merge like the HLL registers).
+# ---------------------------------------------------------------------------
+
+def _q217_sql() -> str:
+    from dbms_spark.operators.sketch import bloom_build_sql
+
+    return bloom_build_sql(
+        "SELECT md5(text) AS key FROM documents WHERE doc_id % 10 <> 7", "key")
+
+
+@register("q217_bloom_registers", _q217_sql())
+def q217_bloom_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 10 <> 7")
+    return bloom_build(docs.select(F.md5("text").alias("key")), "key")
+
+
+def _q218_sql() -> str:
+    from dbms_spark.operators.sketch import bloom_build_sql, bloom_probe_sql
+
+    bloom = bloom_build_sql(
+        "SELECT md5(text) AS key FROM documents WHERE doc_id % 10 <> 7", "key")
+    return bloom_probe_sql(
+        "SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 10 = 7",
+        "key", bloom.strip(), "doc_id")
+
+
+@register("q218_bloom_probe", _q218_sql())
+def q218_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 <> 7").select(F.md5("text").alias("key"))
+    batch = docs.filter("doc_id % 10 = 7").select(
+        "doc_id", F.md5("text").alias("key"))
+    return bloom_probe(batch, "key", bloom_build(corpus, "key"), "doc_id")

@@ -509,21 +509,37 @@ def drilldown_chunks(
     plan: ChunkPlan,
     chunk_ids: list[int],
     cols: list[str] | None = None,
+    max_ranges: int = 256,
 ) -> DataFrame:
     """Row-level diff restricted to the given chunks — the reference's
     seek stage after a checksum mismatch (data_compare_seek.go: only
-    unequal chunks re-read rows).  The chunk predicates go into
-    ``filter`` BEFORE the diff, so both sides' scans prune to the
-    mismatched key ranges (JDBC: one range query per chunk; parquet:
-    min/max row-group skip) instead of re-reading the tables.  Output
-    matches :func:`multiset_diff` plus the chunk_id."""
-    from dbms_spark.plans.chunker import chunk_predicate
+    unequal chunks re-read rows).  Scan pruning comes from a BOUNDED
+    range predicate (contiguous mismatched chunks coalesce; capped at
+    ``max_ranges`` OR-terms — the same shape as reverify's pushdown,
+    so mass corruption at millions of chunks can't blow up the plan
+    text), and exactness from a per-side semi-join against the
+    requested chunk ids — rows of gap chunks swallowed by the cap
+    never enter the diff.  Output matches :func:`multiset_diff` plus
+    the chunk_id."""
+    from dbms_spark.plans.chunker import ranges_predicate
 
     if not chunk_ids:
         empty = multiset_diff(src, dst, cols)
         return empty.filter(F.lit(False)).withColumn("chunk_id", F.lit(0))
-    pred = " OR ".join(f"({chunk_predicate(plan, i)})" for i in sorted(set(chunk_ids)))
-    diff = multiset_diff(src.filter(F.expr(pred)), dst.filter(F.expr(pred)), cols)
+    ids = sorted(set(chunk_ids))
+    pred = ranges_predicate(plan, ids, max_ranges)
+    spark = src.sparkSession
+    ids_df = spark.createDataFrame([(i,) for i in ids], "__cid int")
+
+    def side(df: DataFrame) -> DataFrame:
+        sub = df.filter(F.expr(pred))
+        return (
+            sub.withColumn("__cid", assign_chunk_id(plan, sub).cast("int"))
+            .join(F.broadcast(ids_df), "__cid", "left_semi")
+            .drop("__cid")
+        )
+
+    diff = multiset_diff(side(src), side(dst), cols)
     if all(k in diff.columns for k in plan.key_cols):
         return diff.withColumn("chunk_id", assign_chunk_id(plan, diff))
     return diff.withColumn("chunk_id", F.lit(None).cast("int"))

@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 from dbms_spark.operators.compare import chunked_checksum
 from dbms_spark.plans.chunker import (
     ChunkPlan,
+    _cap_runs,
+    _runs,
     assign_chunk_id,
-    chunk_range_predicate,
+    ranges_predicate,
 )
 
 _SUM_COLS = ["cnt", "h0", "h1", "h2", "h3"]
@@ -72,54 +74,15 @@ def changed_chunks(src_sums: DataFrame, ledger: DataFrame | None) -> DataFrame:
     return j.filter(~same).select("chunk_id")
 
 
-def _runs(ids: list[int]) -> list[tuple[int, int]]:
-    """Sorted chunk ids -> maximal contiguous runs ``[(lo, hi), ...]``."""
-    runs: list[tuple[int, int]] = []
-    for i in ids:
-        if runs and i == runs[-1][1] + 1:
-            runs[-1] = (runs[-1][0], i)
-        else:
-            runs.append((i, i))
-    return runs
-
-
-def _cap_runs(runs: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:
-    """Merge runs down to at most ``max_ranges`` by swallowing the
-    SMALLEST gaps first — the superset read grows by the fewest extra
-    chunks possible.  Keeping a gap == keeping a separator, so the
-    optimal cap keeps the ``max_ranges - 1`` largest gaps."""
-    if len(runs) <= max_ranges:
-        return runs
-    gaps = sorted(
-        range(len(runs) - 1),
-        key=lambda i: (runs[i + 1][0] - runs[i][1], i),
-        reverse=True,
-    )
-    keep = sorted(gaps[: max_ranges - 1])
-    merged: list[tuple[int, int]] = []
-    start = 0
-    for g in keep + [len(runs) - 1]:
-        merged.append((runs[start][0], runs[g][1]))
-        start = g + 1
-    return merged
-
-
 def target_predicate(plan: ChunkPlan, ids: list[int],
                      max_ranges: int = 256, dialect: str = "spark") -> str:
     """Bounded pushdown text for the target-side read of the changed
-    chunks: contiguous ids coalesce into range predicates, capped at
-    ``max_ranges`` OR-terms (beyond that, a superset covering read).
-    Callers MUST still restrict the compared chunk ids exactly (the
-    semi-join in :func:`reverify`) — the predicate is an I/O-pruning
-    optimization, not the correctness boundary."""
-    if not ids:
-        return "FALSE"
-    runs = _cap_runs(_runs(sorted(ids)), max_ranges)
-    if len(runs) == 1 and runs[0] == (0, plan.n_chunks - 1):
-        return "1 = 1"
-    return " OR ".join(
-        f"({chunk_range_predicate(plan, lo, hi, dialect)})" for lo, hi in runs
-    )
+    chunks — delegated to :func:`chunker.ranges_predicate` (shared
+    with compare.drilldown_chunks).  Callers MUST still restrict the
+    compared chunk ids exactly (the semi-join in :func:`reverify`) —
+    the predicate is an I/O-pruning optimization, not the correctness
+    boundary."""
+    return ranges_predicate(plan, ids, max_ranges, dialect)
 
 
 @dataclass(frozen=True)

@@ -275,6 +275,56 @@ def predicates(plan: ChunkPlan, dialect: str = "spark") -> list[str]:
     return [chunk_predicate(plan, i, dialect) for i in range(plan.n_chunks)]
 
 
+def _runs(ids: list[int]) -> list[tuple[int, int]]:
+    """Sorted chunk ids -> maximal contiguous runs ``[(lo, hi), ...]``."""
+    runs: list[tuple[int, int]] = []
+    for i in ids:
+        if runs and i == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], i)
+        else:
+            runs.append((i, i))
+    return runs
+
+
+def _cap_runs(runs: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:
+    """Merge runs down to at most ``max_ranges`` by swallowing the
+    SMALLEST gaps first — the superset read grows by the fewest extra
+    chunks possible.  Keeping a gap == keeping a separator, so the
+    optimal cap keeps the ``max_ranges - 1`` largest gaps."""
+    if len(runs) <= max_ranges:
+        return runs
+    gaps = sorted(
+        range(len(runs) - 1),
+        key=lambda i: (runs[i + 1][0] - runs[i][1], i),
+        reverse=True,
+    )
+    keep = sorted(gaps[: max_ranges - 1])
+    merged: list[tuple[int, int]] = []
+    start = 0
+    for g in keep + [len(runs) - 1]:
+        merged.append((runs[start][0], runs[g][1]))
+        start = g + 1
+    return merged
+
+
+def ranges_predicate(plan: ChunkPlan, ids: list[int],
+                     max_ranges: int = 256, dialect: str = "spark") -> str:
+    """Bounded pushdown text covering a chunk-id set: contiguous ids
+    coalesce into range predicates, capped at ``max_ranges`` OR-terms
+    (beyond that, a minimally-superset covering read).  Callers that
+    need the EXACT chunk set must still restrict by chunk id (a
+    semi-join against the id relation) — the predicate is an
+    I/O-pruning optimization, not the correctness boundary."""
+    if not ids:
+        return "FALSE"
+    runs = _cap_runs(_runs(sorted(ids)), max_ranges)
+    if len(runs) == 1 and runs[0] == (0, plan.n_chunks - 1):
+        return "1 = 1"
+    return " OR ".join(
+        f"({chunk_range_predicate(plan, lo, hi, dialect)})" for lo, hi in runs
+    )
+
+
 #: bound count above which assignment switches from the additive
 #: when-chain (nests O(n) deep — the Catalyst converter StackOverflows
 #: around ~1,000 bounds) to the unrolled binary search (flat plan,

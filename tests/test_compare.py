@@ -298,3 +298,35 @@ def test_snapshot_diff_classifies_iud(spark):
 
     out = {r["id"]: r["change_type"] for r in snapshot_diff(src, dst, ["id"]).collect()}
     assert out == {2: "INSERT", 3: "UPDATE", 9: "DELETE"}
+
+
+def test_drilldown_capped_ranges_exact(orders, mutated, spark):
+    """With max_ranges=1 the scan predicate widens to one covering
+    range (superset I/O) but the semi-join keeps gap-chunk rows out of
+    the diff — identical output to the uncapped form even when rows in
+    the swallowed gap differ between the sides."""
+    from dbms_spark.plans import chunker
+
+    plan = chunker.plan_chunks(orders, ["o_orderkey"], 20)
+    # mutate EXTRA rows in a middle chunk that is NOT requested: under
+    # the capped covering read those rows are scanned, and must still
+    # not appear in the diff
+    gap_key = orders.filter("o_orderkey % 97 = 5").limit(1).collect()[0]["o_orderkey"]
+    dst = mutated.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == gap_key, F.col("o_totalprice") + 9)
+        .otherwise(F.col("o_totalprice")))
+    bad = sorted(r["chunk_id"] for r in
+                 X.compare_chunked(orders, mutated,
+                                   chunker.assign_chunk_id(plan, orders),
+                                   chunker.assign_chunk_id(plan, mutated),
+                                   orders.columns).collect())
+    assert bad, "fixture must produce mismatched chunks"
+    want = {tuple(r) for r in X.drilldown_chunks(orders, dst, plan, bad).collect()}
+    got = {tuple(r) for r in
+           X.drilldown_chunks(orders, dst, plan, bad, max_ranges=1).collect()}
+    assert got == want
+    gap_cid = orders.filter(F.col("o_orderkey") == gap_key).select(
+        chunker.assign_chunk_id(plan, orders).alias("cid")).collect()[0]["cid"]
+    if gap_cid not in bad:   # the crafted gap chunk is outside the request
+        assert all(r[-1] != gap_cid for r in got)

@@ -48,6 +48,8 @@ SHUFFLE_BUDGET = {
     # round-5 additions: pure map-side lookups/transforms
     "q215_m2p_datatype_rules": 0,  # broadcast rule join only
     "q216_ingest_utf8": 0,         # codegen-only binary->utf8 canon
+    "q217_bloom_registers": 1,     # one partial-aggregated word groupBy
+    "q218_bloom_probe": 2,         # build's word agg + per-id verdict agg
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

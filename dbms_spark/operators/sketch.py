@@ -264,6 +264,13 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
 # hll_merge), and probes broadcast the word table.  32-bit words keep
 # every shift inside positive BIGINT range in both engines, so the
 # relation (and the gate) is bit-identical cross-engine.
+#
+# Relationship to llm/text.bloom_contamination_check: that one builds
+# the filter INSIDE one query over a small benchmark set (positions as
+# expression literals); this one materializes the filter AS A RELATION
+# — persistable to parquet, mergeable across shards/days, probed by
+# later jobs without re-reading the corpus.  Same math, different
+# lifecycle.
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 65536        # bits (2^16) -> 2048 words

@@ -294,12 +294,12 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = _BLOOM_M,
     """Build the (word, bits) filter relation over a key column.  Empty
     words are materialized at 0 so the relation always has m/32 rows
     (stable shape for storage, merge, and the differential gate)."""
-    positions = None
-    for j in range(k):
-        p = df.select(_bloom_pos_expr(F.col(key_col), j, m_bits).alias("pos"))
-        positions = p if positions is None else positions.unionAll(p)
+    # all k positions in ONE projection + explode: one corpus scan,
+    # not k (a unionAll of per-j selects re-reads the input per hash)
+    pos_arr = F.array(*[
+        _bloom_pos_expr(F.col(key_col), j, m_bits) for j in range(k)])
     got = (
-        positions
+        df.select(F.explode(pos_arr).alias("pos"))
         .select((F.col("pos") / 32).cast("bigint").alias("word"),
                 F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"))
         .groupBy("word")
@@ -354,14 +354,11 @@ def bloom_probe(batch: DataFrame, key_col: str, bloom: DataFrame,
     (fall through to exact verification).  The k probe rows per key
     broadcast-join the 2 KB-per-8Kbit word table — no shuffle of the
     batch."""
-    probes = None
-    for j in range(k):
-        p = batch.select(
-            F.col(id_col).alias("__id"),
-            _bloom_pos_expr(F.col(key_col), j, m_bits).alias("pos"))
-        probes = p if probes is None else probes.unionAll(p)
+    # one batch scan: k positions per row via explode (see bloom_build)
+    pos_arr = F.array(*[
+        _bloom_pos_expr(F.col(key_col), j, m_bits) for j in range(k)])
     probed = (
-        probes
+        batch.select(F.col(id_col).alias("__id"), F.explode(pos_arr).alias("pos"))
         .select("__id", (F.col("pos") / 32).cast("bigint").alias("word"),
                 F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"))
         .join(F.broadcast(bloom), "word", "left")

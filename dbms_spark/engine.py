@@ -330,6 +330,29 @@ class DbmsEngine:
 
         return heavy_hitters_with_cms(df, key_col, n)
 
+    def build_membership_filter(self, df: DataFrame, key_col: str,
+                                path: str | None = None) -> DataFrame:
+        """Corpus-key Bloom filter as a (word, bits) relation —
+        persist it (``path``) and later batches probe it instead of
+        re-reading the corpus.  Per-shard filters roll up with
+        ``sketch.bloom_merge``."""
+        from dbms_spark.operators.sketch import bloom_build
+
+        bloom = bloom_build(df, key_col)
+        if path:
+            bloom.write.mode("overwrite").parquet(path)
+            bloom = self.spark.read.parquet(path)
+        return bloom
+
+    def probe_membership_filter(self, batch: DataFrame, key_col: str,
+                                bloom: DataFrame, id_col: str) -> DataFrame:
+        """(id, maybe_present) per batch row: False = definitely new
+        (skip the exact join), True = verify exactly.  No false
+        negatives; no batch shuffle (the word table broadcasts)."""
+        from dbms_spark.operators.sketch import bloom_probe
+
+        return bloom_probe(batch, key_col, bloom, id_col)
+
     def filter_quality(self, docs: DataFrame, id_col: str = "doc_id",
                        **thresholds) -> DataFrame:
         """Keep only docs the composed quality pass marks 'kept'."""

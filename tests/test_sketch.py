@@ -31,3 +31,21 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = SK.bloom_merge(SK.bloom_build(a, "key"), SK.bloom_build(b, "key"))
     whole = {r["word"]: r["bits"] for r in bloom.collect()}
     assert {r["word"]: r["bits"] for r in merged.collect()} == whole
+
+
+def test_engine_membership_filter_roundtrip(spark, tmp_path):
+    """Facade lifecycle: build -> persist -> reload -> probe; the
+    persisted filter answers identically to the in-memory one."""
+    from dbms_spark.engine import DbmsEngine
+
+    eng = DbmsEngine(spark)
+    corpus = spark.range(300).select(F.concat(F.lit("c"), "id").alias("key"))
+    path = str(tmp_path / "bloom")
+    bloom = eng.build_membership_filter(corpus, "key", path=path)
+    batch = spark.range(250, 600).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("c"), "id").alias("key"))
+    got = {r["doc_id"]: r["maybe_present"] for r in
+           eng.probe_membership_filter(batch, "key", bloom, "doc_id").collect()}
+    assert all(got[i] for i in range(250, 300))          # members always hit
+    new = [i for i in range(300, 600) if not got[i]]
+    assert len(new) > 280                                 # most new keys pruned

@@ -229,6 +229,46 @@ def ingest_utf8_expr(bin_col: str = "raw",
     return F.regexp_replace(s, "�", garbled_replace)
 
 
+def ingest_charset(df: DataFrame, bin_col: str = "raw",
+                   charset: str = "GBK",
+                   garbled_replace: str = "�") -> DataFrame:
+    """Legacy-charset ingest: decode a binary column from GBK /
+    GB18030 / BIG5 (any Python codec) to UTF-8 text, invalid source
+    sequences becoming U+FFFD then the configured garble char — the
+    reference's full source→UTF8 hop with replace semantics
+    (utils/stringutil/string.go:745-805: Go x/text decoders substitute
+    RuneError on invalid input rather than failing).  Output: the
+    input columns with ``bin_col`` replaced by a ``text`` string
+    column.
+
+    Path choice: Spark's ``decode(bin, 'GBK')`` is STRICT in Spark 4
+    (MALFORMED_CHARACTER_CODING on any bad byte), so replace semantics
+    need the codec — Arrow-batched ``mapInPandas`` (the multimodal
+    decode pattern), NOT a row-at-a-time UDF.  UTF-8 sources should
+    use :func:`ingest_utf8_expr` instead: pure codegen, no Python.
+    One-time ingest cost; everything downstream is JVM-side."""
+    from pyspark.sql import types as T
+
+    others = [c for c in df.columns if c != bin_col]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != bin_col]
+        + [T.StructField("text", T.StringType())])
+    codec, rep = charset, garbled_replace
+
+    def decode(batches):
+        for pdf in batches:
+            raw = pdf[bin_col]
+            out = pdf[others].copy()
+            out["text"] = [
+                None if b is None else
+                bytes(b).decode(codec, errors="replace").replace("�", rep)
+                for b in raw
+            ]
+            yield out
+
+    return df.mapInPandas(decode, schema)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

@@ -7571,3 +7571,44 @@ def q218_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter("doc_id % 10 = 7").select(
         "doc_id", F.md5("text").alias("key"))
     return bloom_probe(batch, "key", bloom_build(corpus, "key"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q219 — legacy-charset ingest (GBK): the reference's full
+# source→UTF8 decode hop with Go-x/text replace semantics
+# (utils/stringutil/string.go:745-805) via ingest_charset's
+# Arrow-batched decode.  Test vectors are GBK byte literals computed
+# at query-build time (incl. one with an injected invalid byte →
+# U+FFFD); the DuckDB oracle states the known ground-truth text.
+# ---------------------------------------------------------------------------
+
+#: (gbk_hex, expected_utf8) — the last row carries a lone 0xFF that
+#: GBK cannot start a sequence with, decoding to one U+FFFD
+_Q219_VECTORS = [
+    ("B4F3CAFDBEDDC7A8D2C6D0A3D1E9", "大数据迁移校验"),
+    ("B1E0C2EBD7AABBBBB2E2CAD4", "编码转换测试"),
+    ("BBECBACF20415343494920BACDD6D0CEC4", "混合 ASCII 和中文"),
+    ("D0A3D1E9BACDB2BBC6A5C5E4", "校验和不匹配"),
+    ("BBB5D7D6BDDAFFBAF3D7BA", "坏字节�后缀"),
+]
+
+
+def _q219_sql() -> str:
+    arms = ", ".join(f"'{t}'" for _, t in _Q219_VECTORS)
+    return f"""
+SELECT doc_id,
+       ([{arms}])[CAST(doc_id % {len(_Q219_VECTORS)} AS INT) + 1] AS text
+FROM documents WHERE doc_id % 7 < 2
+"""
+
+
+@register("q219_ingest_gbk", _q219_sql())
+def q219_ingest_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import ingest_charset
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 7 < 2")
+    raw = F.element_at(
+        F.array(*[F.expr(f"X'{h}'") for h, _ in _Q219_VECTORS]),
+        (F.col("doc_id") % len(_Q219_VECTORS) + 1).cast("int"))
+    return ingest_charset(
+        docs.select("doc_id", raw.alias("raw")), "raw", "gbk")

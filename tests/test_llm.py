@@ -925,3 +925,27 @@ def test_derive_n_planes_and_auto(spark):
     pairs = near_dup_pairs(df, threshold=0.99, n_planes=None, dims=8)
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert len(got & {(i, i + 30) for i in range(30)}) >= 20  # LSH recall
+
+
+def test_ingest_charset_gbk_big5(spark):
+    """Legacy-charset decode parity with Python codecs: GBK and BIG5
+    round-trips, invalid bytes -> U+FFFD -> configurable garble char,
+    NULL payloads pass through, non-binary columns survive."""
+    from dbms_spark.llm.text import ingest_charset
+
+    gbk = "数据校验".encode("gbk")
+    big5 = "資料驗證".encode("big5")
+    bad = "坏".encode("gbk") + b"\xff" + "好".encode("gbk")
+    df = spark.createDataFrame(
+        [(1, "a", gbk), (2, "b", bad), (3, "c", None)],
+        "id int, tag string, raw binary")
+    got = {r["id"]: (r["tag"], r["text"]) for r in
+           ingest_charset(df, "raw", "gbk").collect()}
+    assert got[1] == ("a", "数据校验")
+    assert got[2] == ("b", "坏�好")
+    assert got[3] == ("c", None)
+    q = {r["id"]: r["text"] for r in
+         ingest_charset(df, "raw", "gbk", garbled_replace="?").collect()}
+    assert q[2] == "坏?好"
+    b5 = spark.createDataFrame([(1, big5)], "id int, raw binary")
+    assert ingest_charset(b5, "raw", "big5").collect()[0]["text"] == "資料驗證"

@@ -269,6 +269,37 @@ def ingest_charset(df: DataFrame, bin_col: str = "raw",
     return df.mapInPandas(decode, schema)
 
 
+def encode_charset(df: DataFrame, text_col: str = "text",
+                   charset: str = "GBK") -> DataFrame:
+    """The write-side hop: UTF-8 text -> legacy-charset bytes,
+    characters the target charset cannot represent becoming its
+    replacement byte (``errors='replace'`` — the reference's
+    ``encoding.ReplaceUnsupported`` wrap on the UTF8→GBK/BIG5
+    encoders, utils/stringutil/string.go:719-740).  Output: input
+    columns with ``text_col`` replaced by a ``raw`` binary column.
+    For CSV targets prefer the sink's own ``charset`` option
+    (JVM-side); this is for binary-addressed sinks (JDBC byte params,
+    Kafka values)."""
+    from pyspark.sql import types as T
+
+    others = [c for c in df.columns if c != text_col]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != text_col]
+        + [T.StructField("raw", T.BinaryType())])
+    codec = charset
+
+    def encode(batches):
+        for pdf in batches:
+            out = pdf[others].copy()
+            out["raw"] = [
+                None if t is None else t.encode(codec, errors="replace")
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.mapInPandas(encode, schema)
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------

@@ -949,3 +949,22 @@ def test_ingest_charset_gbk_big5(spark):
     assert q[2] == "坏?好"
     b5 = spark.createDataFrame([(1, big5)], "id int, raw binary")
     assert ingest_charset(b5, "raw", "big5").collect()[0]["text"] == "資料驗證"
+
+
+def test_encode_charset_roundtrip_and_replace(spark):
+    """Write-side hop: UTF-8 -> GBK bytes round-trips through
+    ingest_charset; characters GBK can't represent become the
+    encoder's replacement ('?'), mirroring ReplaceUnsupported."""
+    from dbms_spark.llm.text import encode_charset, ingest_charset
+
+    df = spark.createDataFrame(
+        [(1, "数据校验"), (2, "emoji ☃ breaks gbk"), (3, None)],
+        "id int, text string")
+    enc = encode_charset(df, "text", "gbk")
+    got = {r["id"]: r["raw"] for r in enc.collect()}
+    assert bytes(got[1]) == "数据校验".encode("gbk")
+    assert bytes(got[2]) == b"emoji ? breaks gbk"   # unsupported -> '?'
+    assert got[3] is None
+    back = {r["id"]: r["text"] for r in
+            ingest_charset(enc, "raw", "gbk").collect()}
+    assert back[1] == "数据校验" and back[3] is None

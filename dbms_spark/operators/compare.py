@@ -545,6 +545,39 @@ def drilldown_chunks(
     return diff.withColumn("chunk_id", F.lit(None).cast("int"))
 
 
+def apply_diff(dst: DataFrame, diff: DataFrame,
+               cols: list[str] | None = None) -> DataFrame:
+    """Lake-target repair: fold a :func:`multiset_diff` result back
+    into ``dst`` so the output is multiset-equal to the source — the
+    parquet/lake counterpart of :func:`gen_fix_sql` (which repairs
+    JDBC targets statement-by-statement; a lake target rewrites
+    partitions instead, reference fix-SQL flow
+    data_compare_file.go:66-215 re-expressed as set algebra).
+
+    For every differing row the target's multiplicity moves to
+    ``src_cnt``: remove ALL ``dst_cnt`` copies (EXCEPT ALL against the
+    diff rows replicated ``dst_cnt`` times), then add back ``src_cnt``
+    copies.  Untouched rows pass through.  Both replications explode a
+    per-row sequence — no driver materialization, no per-statement
+    loop, and the result is exactly reconstructable regardless of
+    duplicate multiplicities on either side."""
+    cols = cols or [c for c in diff.columns if c not in ("src_cnt", "dst_cnt")]
+
+    def replicate(cnt_col: str) -> DataFrame:
+        return (
+            diff.filter(F.col(cnt_col) > 0)
+            .select(*cols,
+                    F.explode(F.sequence(F.lit(1), F.col(cnt_col))).alias("__i"))
+            .drop("__i")
+        )
+
+    return (
+        dst.select(*cols)
+        .exceptAll(replicate("dst_cnt"))
+        .unionAll(replicate("src_cnt"))
+    )
+
+
 #: identifier quote per dialect (MySQL-compatible backticks vs ANSI)
 _IDENT_QUOTE = {"mysql": "`", "tidb": "`", "oracle": '"', "postgres": '"'}
 

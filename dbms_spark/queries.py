@@ -7612,3 +7612,35 @@ def q219_ingest_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % len(_Q219_VECTORS) + 1).cast("int"))
     return ingest_charset(
         docs.select("doc_id", raw.alias("raw")), "raw", "gbk")
+
+
+# ---------------------------------------------------------------------------
+# q220 — lake-target repair apply: corrupt a copy of customer (lost
+# rows, mutated values, injected duplicate copies), diff it against
+# the source, fold the diff back in with apply_diff, and checksum the
+# repaired table.  The oracle checksums the SOURCE directly — the gate
+# states the repair's whole contract: repaired ≡ source as multisets,
+# bit-for-bit through the canonical checksum.
+# ---------------------------------------------------------------------------
+
+def _q220_sql() -> str:
+    return _q05_sql()   # checksum of the pristine source table
+
+
+@register("q220_repair_apply", _q220_sql())
+def q220_repair_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.compare import apply_diff, multiset_diff
+
+    src = load_table(spark, sf_dir, "customer")
+    # three corruption modes at once: lost rows, mutated values,
+    # surplus duplicate copies
+    dst = (
+        src.filter("c_custkey % 13 != 0")
+        .withColumn("c_acctbal",
+                    F.when(F.col("c_custkey") % 7 == 0,
+                           F.col("c_acctbal") + 1.0)
+                    .otherwise(F.col("c_acctbal")))
+        .unionAll(src.filter("c_custkey % 11 = 0"))   # duplicates
+    )
+    repaired = apply_diff(dst, multiset_diff(src, dst))
+    return _stringify(C.table_checksum(repaired), _HCOLS)

@@ -330,3 +330,20 @@ def test_drilldown_capped_ranges_exact(orders, mutated, spark):
         chunker.assign_chunk_id(plan, orders).alias("cid")).collect()[0]["cid"]
     if gap_cid not in bad:   # the crafted gap chunk is outside the request
         assert all(r[-1] != gap_cid for r in got)
+
+
+def test_apply_diff_multiplicities(spark):
+    """Repair handles every multiplicity direction: 3-copies-vs-1,
+    0-vs-2 (lost), 2-vs-0 (surplus), and untouched rows; the repaired
+    multiset equals the source exactly."""
+    src = spark.createDataFrame(
+        [(1, "a")] * 1 + [(2, "b")] * 2 + [(3, "c")] * 1 + [(4, "d")] * 2,
+        "k int, v string")
+    dst = spark.createDataFrame(
+        [(1, "a")] * 3 + [(3, "c")] * 1 + [(5, "x")] * 2,
+        "k int, v string")
+    repaired = X.apply_diff(dst, X.multiset_diff(src, dst))
+    assert X.multiset_diff(src, repaired).count() == 0
+    got = sorted(tuple(r) for r in repaired.collect())
+    assert got == sorted([(1, "a"), (2, "b"), (2, "b"), (3, "c"),
+                          (4, "d"), (4, "d")])

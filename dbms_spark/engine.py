@@ -103,6 +103,16 @@ class DbmsEngine:
             diff, table, cols, dialect=dialect, safe_mode=safe_mode, sql_hint=sql_hint
         )
 
+    def repair_lake_target(self, src: DataFrame, dst: DataFrame,
+                           cols: list[str] | None = None) -> DataFrame:
+        """Lake-target repair in one verb: diff then fold the diff back
+        (``compare.apply_diff``) — returns a relation multiset-equal to
+        ``src``, ready to overwrite the target's files.  The parquet
+        counterpart of ``gen_fix_sql`` (which emits per-row statements
+        for JDBC targets)."""
+        diff = compare_ops.multiset_diff(src, dst, cols)
+        return compare_ops.apply_diff(dst, diff, cols)
+
     def data_verify(self, src: DataFrame, dst: DataFrame, table: str,
                     plan=None, cols: list[str] | None = None,
                     method: str = "MD5_SLICES", dialect: str = "mysql",

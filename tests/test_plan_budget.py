@@ -50,6 +50,10 @@ SHUFFLE_BUDGET = {
     "q216_ingest_utf8": 0,         # codegen-only binary->utf8 canon
     "q217_bloom_registers": 1,     # one partial-aggregated word groupBy
     "q218_bloom_probe": 2,         # build's word agg + per-id verdict agg
+    "q219_ingest_gbk": 0,          # map-side Arrow decode only
+    # diff (2 groupBys + full-outer) + EXCEPT ALL (2 sides) + the
+    # replication arms feeding it + final 1-row checksum agg
+    "q220_repair_apply": 7,
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -1381,9 +1381,10 @@ LEFT JOIN per_doc USING ({id_col})
 """
 
 
-def winnowed_duplicates_between(new_df: DataFrame, corpus_df: DataFrame,
+def winnowed_duplicates_between(new_df: DataFrame, corpus_df: DataFrame | None,
                                 id_col: str = "doc_id", text_col: str = "text",
-                                n: int = 5, w: int = 4) -> DataFrame:
+                                n: int = 5, w: int = 4,
+                                corpus_fps: DataFrame | None = None) -> DataFrame:
     """Incremental winnowed intake: per NEW-batch doc, how many of its
     selected fingerprints already exist in the CORPUS's fingerprint
     set — (id, n_fps, n_corpus_dup_fps, dup_fp_ppm), every batch doc
@@ -1397,10 +1398,18 @@ def winnowed_duplicates_between(new_df: DataFrame, corpus_df: DataFrame,
     corpus fingerprint relation is mined once and persisted by the
     caller; intake is O(batch tokens) map work plus a left join
     against it (one per-doc aggregate carries both counters, as in
-    duplicate_passage_stats)."""
+    duplicate_passage_stats).
+
+    Pass ``corpus_fps`` (any relation with an ``fp`` column — e.g. the
+    persisted output of :func:`winnowed_fingerprints`) to skip mining
+    the corpus entirely: the nightly-intake form where the raw corpus
+    is never re-read (``corpus_df`` may then be None)."""
     bf = winnowed_fingerprints(new_df, id_col, text_col, n, w)
-    cf = (winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
-          .select("fp").distinct().withColumn("__dup", F.lit(1)))
+    if corpus_fps is not None:
+        cf = corpus_fps.select("fp").distinct().withColumn("__dup", F.lit(1))
+    else:
+        cf = (winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
+              .select("fp").distinct().withColumn("__dup", F.lit(1)))
     per_doc = (
         bf.join(cf, "fp", "left")
         .groupBy(id_col)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Incremental corpus intake: the at-scale shape where a nightly batch
+joins a 100 TB corpus WITHOUT re-reading the corpus —
+
+    day 0: corpus -> persisted Bloom filter of content keys
+                  -> persisted winnowed fingerprint set
+    day N: batch  -> Bloom probe        (exact-dup candidates only;
+                                         False = definitely new)
+           batch  -> exact verify       (only the maybe_present rows
+                                         join the corpus keys)
+           batch  -> winnowed cross-check (near/passage dups vs the
+                                         corpus's fingerprint set at
+                                         2/(w+1) shuffle density)
+           survivors append; summaries merge (bit_or / fingerprint
+           union) so day N+1 probes the UPDATED corpus
+
+Every corpus-sized artifact here is a SUMMARY (2048-word Bloom
+relation, fingerprint set keyed on 64-bit hashes) — the raw corpus is
+read once, on day 0.  Run:
+
+    python examples/incremental_intake.py [sf_dir] [work_dir]
+
+Prints one JSON line per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbms_spark import get_spark  # noqa: E402
+from dbms_spark.engine import DbmsEngine  # noqa: E402
+from dbms_spark.llm.dedup import winnowed_duplicates_between, winnowed_fingerprints  # noqa: E402
+from dbms_spark.operators.sketch import bloom_build, bloom_merge  # noqa: E402
+from dbms_spark.sources.catalog import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="intake_")
+    spark = get_spark("incremental_intake")
+    eng = DbmsEngine(spark)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 <> 7").select("doc_id", "text")
+    batch = docs.filter("doc_id % 10 = 7").select("doc_id", "text")
+
+    # ---- day 0: one corpus read -> two persisted summaries ----------
+    keyed = corpus.select("doc_id", F.md5("text").alias("key"))
+    bloom_path = os.path.join(work, "bloom")
+    bloom = eng.build_membership_filter(keyed, "key", path=bloom_path)
+    fp_path = os.path.join(work, "fingerprints")
+    winnowed_fingerprints(corpus).select("fp").distinct() \
+        .write.mode("overwrite").parquet(fp_path)
+    print(json.dumps({"stage": "day0_summaries",
+                      "bloom_words": bloom.count(),
+                      "corpus_fps": spark.read.parquet(fp_path).count()}))
+
+    # ---- day N: probe, verify, cross-check — corpus never re-read ---
+    bkeys = batch.select("doc_id", F.md5("text").alias("key"))
+    probed = eng.probe_membership_filter(bkeys, "key", bloom, "doc_id")
+    maybe = probed.filter("maybe_present")
+    # exact verify ONLY the maybe side (the Bloom contract: the False
+    # side is definitely new — no join for it)
+    exact_dups = (bkeys.join(maybe.select("doc_id"), "doc_id", "left_semi")
+                  .join(keyed.select("key").distinct(), "key", "left_semi"))
+    n_exact = exact_dups.count()
+    print(json.dumps({"stage": "bloom_probe",
+                      "batch": batch.count(),
+                      "maybe_present": maybe.count(),
+                      "exact_dups": n_exact}))
+
+    # near/passage dups vs the PERSISTED fingerprint set — the raw
+    # corpus is not touched (corpus_df=None)
+    stats = winnowed_duplicates_between(
+        batch, None, corpus_fps=spark.read.parquet(fp_path))
+    flagged = stats.filter("dup_fp_ppm > 500000")  # >50% shared passages
+    print(json.dumps({"stage": "winnowed_crosscheck",
+                      "flagged_passage_dups": flagged.count()}))
+
+    # ---- append survivors + roll the summaries forward --------------
+    drop = (exact_dups.select("doc_id")
+            .unionByName(flagged.select("doc_id")).distinct())
+    survivors = batch.join(drop, "doc_id", "left_anti")
+    new_bloom = bloom_merge(
+        bloom, bloom_build(survivors.select(F.md5("text").alias("key")), "key"))
+    new_bloom.write.mode("overwrite").parquet(bloom_path + "_next")
+    (spark.read.parquet(fp_path)
+     .unionByName(winnowed_fingerprints(survivors).select("fp"))
+     .distinct().write.mode("overwrite").parquet(fp_path + "_next"))
+    print(json.dumps({"stage": "rollforward",
+                      "survivors_appended": survivors.count(),
+                      "next_bloom_words": spark.read.parquet(bloom_path + "_next").count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -968,3 +968,19 @@ def test_encode_charset_roundtrip_and_replace(spark):
     back = {r["id"]: r["text"] for r in
             ingest_charset(enc, "raw", "gbk").collect()}
     assert back[1] == "数据校验" and back[3] is None
+
+
+def test_winnowed_between_persisted_fps(spark):
+    """corpus_fps short-circuit: passing the persisted fingerprint
+    relation gives identical per-doc stats to mining the corpus live —
+    the nightly-intake form that never re-reads the raw corpus."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch, corpus = df.filter("doc_id <= 2"), df.filter("doc_id > 2")
+    live = {tuple(r) for r in
+            D.winnowed_duplicates_between(batch, corpus).collect()}
+    fps = D.winnowed_fingerprints(corpus).select("fp")
+    persisted = {tuple(r) for r in
+                 D.winnowed_duplicates_between(batch, None, corpus_fps=fps).collect()}
+    assert live == persisted and live

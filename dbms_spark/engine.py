@@ -341,27 +341,70 @@ class DbmsEngine:
         return heavy_hitters_with_cms(df, key_col, n)
 
     def build_membership_filter(self, df: DataFrame, key_col: str,
-                                path: str | None = None) -> DataFrame:
-        """Corpus-key Bloom filter as a (word, bits) relation —
-        persist it (``path``) and later batches probe it instead of
-        re-reading the corpus.  Per-shard filters roll up with
-        ``sketch.bloom_merge``."""
-        from dbms_spark.operators.sketch import bloom_build
+                                path: str | None = None,
+                                m_bits: int | None = None,
+                                k: int | None = None,
+                                bits_per_key: int = 10,
+                                expected_keys: int | None = None):
+        """Corpus-key Bloom filter, SIZED TO THE CORPUS: unless
+        ``m_bits`` is given, the filter size derives from the corpus
+        NDV (one HLL pass, or ``expected_keys`` if the caller already
+        knows it) at ``bits_per_key`` bits per key with the matched
+        hash count — ~1% FPR at any corpus size, instead of a fixed
+        64 Kbit filter that saturates (FPR -> 1, pruning degenerates to
+        the full exact join) past ~10^4 keys.  Returns a
+        :class:`~dbms_spark.operators.sketch.MembershipFilter`
+        carrying (words, m_bits, k); with ``path`` the words persist
+        to parquet plus a one-row meta sidecar at ``path + "_meta"``
+        so a later session probes with the RIGHT parameters
+        (:meth:`load_membership_filter`).  Per-shard filters roll up
+        with ``sketch.bloom_merge`` — pass explicit ``m_bits``/``k``
+        (or the same ``expected_keys``) across shards so shapes match."""
+        from dbms_spark.operators.sketch import (
+            _BLOOM_K, MembershipFilter, bloom_build, bloom_write,
+            derive_bloom_k, derive_bloom_size, hll_estimate)
 
-        bloom = bloom_build(df, key_col)
+        n_est = expected_keys
+        if m_bits is None:
+            if n_est is None:
+                n_est = int(hll_estimate(df, key_col).first()["hll_est"])
+            m_bits = derive_bloom_size(n_est, bits_per_key)
+            if k is None:
+                k = derive_bloom_k(m_bits, n_est)
+        if k is None:
+            k = _BLOOM_K
+        words = bloom_build(df, key_col, m_bits, k)
         if path:
-            bloom.write.mode("overwrite").parquet(path)
-            bloom = self.spark.read.parquet(path)
-        return bloom
+            bloom_write(words, path, m_bits, k, n_est)
+            words = self.spark.read.parquet(path)
+        return MembershipFilter(words, m_bits, k, n_est)
+
+    def load_membership_filter(self, path: str):
+        """Reload a persisted filter (words + meta sidecar) as a
+        MembershipFilter — probe parameters come from the sidecar,
+        never guessed."""
+        from dbms_spark.operators.sketch import MembershipFilter, bloom_read
+
+        words, m_bits, k = bloom_read(self.spark, path)
+        return MembershipFilter(words, m_bits, k)
 
     def probe_membership_filter(self, batch: DataFrame, key_col: str,
-                                bloom: DataFrame, id_col: str) -> DataFrame:
+                                bloom, id_col: str) -> DataFrame:
         """(id, maybe_present) per batch row: False = definitely new
         (skip the exact join), True = verify exactly.  No false
-        negatives; no batch shuffle (the word table broadcasts)."""
-        from dbms_spark.operators.sketch import bloom_probe
+        negatives.  Small filters broadcast (no batch shuffle); filters
+        past the 32 MB broadcast threshold shuffle-join on ``word``
+        instead.  Accepts a MembershipFilter (parameters travel with
+        the words) or a bare (word, bits) relation built with the
+        DEFAULT parameters — the bare path runs a one-count shape
+        validation so a mismatched filter raises instead of silently
+        returning false negatives."""
+        from dbms_spark.operators.sketch import MembershipFilter, bloom_probe
 
-        return bloom_probe(batch, key_col, bloom, id_col)
+        if isinstance(bloom, MembershipFilter):
+            return bloom_probe(batch, key_col, bloom.words, id_col,
+                               bloom.m_bits, bloom.k)
+        return bloom_probe(batch, key_col, bloom, id_col, validate=True)
 
     def filter_quality(self, docs: DataFrame, id_col: str = "doc_id",
                        **thresholds) -> DataFrame:

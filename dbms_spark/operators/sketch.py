@@ -16,8 +16,24 @@ bit-identical DuckDB twin for the differential gate.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass
+class MembershipFilter:
+    """A Bloom filter whose parameters TRAVEL WITH the word relation —
+    probing with mismatched (m_bits, k) silently breaks the
+    no-false-negative contract, so the engine facade only ever hands
+    out this bundle (and persists the parameters in a meta sidecar,
+    see :func:`bloom_write`)."""
+
+    words: DataFrame
+    m_bits: int
+    k: int
+    n_keys_est: int | None = None
 
 
 def _cell_expr(key: Column, j: int, width: int) -> Column:
@@ -273,8 +289,42 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
 # lifecycle.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 65536        # bits (2^16) -> 2048 words
-_BLOOM_K = 4            # hash functions
+_BLOOM_M = 65536        # bits (2^16) -> 2048 words (floor size)
+_BLOOM_K = 4            # hash functions (default when not derived)
+
+# Probe-side join strategy threshold: a (word BIGINT, bits BIGINT)
+# relation is ~16 B/row, so 2^21 words = 32 MB — comfortably inside a
+# Spark broadcast but above it a multi-GB broadcast per probe would be
+# the bottleneck.  Larger filters fall back to a plain shuffle join on
+# `word` (the probe side is k rows/key keyed by word — a fine,
+# uniformly-hashed shuffle key).
+_BLOOM_BROADCAST_MAX_WORDS = 1 << 21
+
+
+def derive_bloom_size(n_keys: int, bits_per_key: int = 10,
+                      floor_bits: int = _BLOOM_M) -> int:
+    """m_bits for an expected key count: next power of two >=
+    n_keys * bits_per_key (floor 65,536).  10 bits/key with the
+    matched k (see :func:`derive_bloom_k`) gives ~1% FPR — the same
+    derive-the-knob-from-the-data recipe as similarity.derive_n_planes
+    and cluster auto-k.  Power-of-two sizing keeps sizes predictable
+    across shards (filters only merge when m matches)."""
+    if n_keys < 0:
+        raise ValueError(f"n_keys must be >= 0, got {n_keys}")
+    need = max(int(n_keys) * bits_per_key, floor_bits)
+    m = floor_bits
+    while m < need:
+        m <<= 1
+    return m
+
+
+def derive_bloom_k(m_bits: int, n_keys: int) -> int:
+    """Optimal hash count k = ln2 * m/n, clamped to [1, 8] (beyond 8
+    the extra corpus-scan hash rows cost more than the FPR gain)."""
+    if n_keys <= 0:
+        return _BLOOM_K
+    k = round(0.6931 * m_bits / n_keys)
+    return max(1, min(8, k))
 
 
 def _bloom_pos_expr(key: Column, j: int, m_bits: int) -> Column:
@@ -348,12 +398,36 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 
 def bloom_probe(batch: DataFrame, key_col: str, bloom: DataFrame,
                 id_col: str, m_bits: int = _BLOOM_M,
-                k: int = _BLOOM_K) -> DataFrame:
+                k: int = _BLOOM_K, *, validate: bool = False,
+                broadcast_max_words: int = _BLOOM_BROADCAST_MAX_WORDS,
+                ) -> DataFrame:
     """Probe a batch against a filter: (id, maybe_present).  False ->
     DEFINITELY not in the corpus (skip the exact join); true -> maybe
-    (fall through to exact verification).  The k probe rows per key
-    broadcast-join the 2 KB-per-8Kbit word table — no shuffle of the
-    batch."""
+    (fall through to exact verification).
+
+    Join strategy is size-thresholded on ``m_bits``: filters up to
+    ``broadcast_max_words`` words (default 2^21 = 32 MB) broadcast —
+    no shuffle of the batch; larger filters (a 10^10-key corpus at
+    10 bits/key is ~3 G words) shuffle-join on ``word`` instead, so
+    the probe never attempts a multi-GB broadcast.
+
+    ``validate=True`` runs one cheap count over the word relation and
+    raises if it doesn't equal ``m_bits // 32`` — the guard against
+    probing a persisted filter with mismatched parameters, which would
+    otherwise silently break the no-false-negative contract.  The
+    engine facade validates via the persisted meta sidecar instead
+    (zero extra jobs); pass True here when probing a bare relation of
+    uncertain provenance."""
+    if validate:
+        n_words = bloom.count()
+        if n_words != m_bits // 32:
+            raise ValueError(
+                f"bloom filter shape mismatch: relation has {n_words} words "
+                f"but m_bits={m_bits} implies {m_bits // 32} — the filter "
+                f"was built with different parameters; probing it would "
+                f"return wrong verdicts (including false negatives)")
+    side = (F.broadcast(bloom) if m_bits // 32 <= broadcast_max_words
+            else bloom)
     # one batch scan: k positions per row via explode (see bloom_build)
     pos_arr = F.array(*[
         _bloom_pos_expr(F.col(key_col), j, m_bits) for j in range(k)])
@@ -361,7 +435,7 @@ def bloom_probe(batch: DataFrame, key_col: str, bloom: DataFrame,
         batch.select(F.col(id_col).alias("__id"), F.explode(pos_arr).alias("pos"))
         .select("__id", (F.col("pos") / 32).cast("bigint").alias("word"),
                 F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"))
-        .join(F.broadcast(bloom), "word", "left")
+        .join(side, "word", "left")
         .select("__id",
                 F.expr("shiftright(COALESCE(bits, CAST(0 AS BIGINT)), bit) & 1")
                 .alias("hit"))
@@ -371,6 +445,38 @@ def bloom_probe(batch: DataFrame, key_col: str, bloom: DataFrame,
         .agg((F.min("hit") == 1).alias("maybe_present"))
         .select(F.col("__id").alias(id_col), "maybe_present")
     )
+
+
+def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int,
+                n_keys_est: int | None = None) -> None:
+    """Persist a filter WITH its parameters: the word relation at
+    ``path``, a one-row meta sidecar at ``path + "_meta"`` (m_bits, k,
+    and the NDV estimate it was sized for).  Probing a reloaded filter
+    through the sidecar makes parameter mismatch impossible — a bare
+    (word, bits) parquet says nothing about the m/k it was built with,
+    and a mismatched probe silently breaks the no-false-negative
+    contract."""
+    spark = bloom.sparkSession
+    bloom.write.mode("overwrite").parquet(path)
+    meta = spark.createDataFrame(
+        [(int(m_bits), int(k),
+          int(n_keys_est) if n_keys_est is not None else None)],
+        "m_bits BIGINT, k INT, n_keys_est BIGINT")
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+
+
+def bloom_read(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Reload a persisted filter as (words, m_bits, k).  Raises if the
+    meta sidecar is missing — probe parameters must never be guessed."""
+    words = spark.read.parquet(path)
+    try:
+        meta = spark.read.parquet(path + "_meta").first()
+    except Exception as exc:  # AnalysisException: path not found
+        raise ValueError(
+            f"no bloom meta sidecar at {path}_meta — this filter was "
+            f"persisted without parameters; rebuild it via "
+            f"engine.build_membership_filter or sketch.bloom_write") from exc
+    return words, int(meta["m_bits"]), int(meta["k"])
 
 
 def bloom_probe_sql(batch_sql: str, key_col: str, bloom_sql: str,

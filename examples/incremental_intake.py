@@ -14,9 +14,9 @@ joins a 100 TB corpus WITHOUT re-reading the corpus —
            survivors append; summaries merge (bit_or / fingerprint
            union) so day N+1 probes the UPDATED corpus
 
-Every corpus-sized artifact here is a SUMMARY (2048-word Bloom
-relation, fingerprint set keyed on 64-bit hashes) — the raw corpus is
-read once, on day 0.  Run:
+Every corpus-sized artifact here is a SUMMARY (a Bloom word relation
+SIZED FROM THE CORPUS NDV at ~10 bits/key, fingerprint set keyed on
+64-bit hashes) — the raw corpus is read once, on day 0.  Run:
 
     python examples/incremental_intake.py [sf_dir] [work_dir]
 
@@ -52,6 +52,10 @@ def main() -> None:
     batch = docs.filter("doc_id % 10 = 7").select("doc_id", "text")
 
     # ---- day 0: one corpus read -> two persisted summaries ----------
+    # the filter SIZE derives from the corpus NDV (HLL pass) at
+    # ~10 bits/key, and the parameters persist in a meta sidecar —
+    # at 100 TB this is the difference between ~1% FPR and a
+    # saturated fixed-size filter whose "pruning" prunes nothing
     keyed = corpus.select("doc_id", F.md5("text").alias("key"))
     bloom_path = os.path.join(work, "bloom")
     bloom = eng.build_membership_filter(keyed, "key", path=bloom_path)
@@ -59,7 +63,8 @@ def main() -> None:
     winnowed_fingerprints(corpus).select("fp").distinct() \
         .write.mode("overwrite").parquet(fp_path)
     print(json.dumps({"stage": "day0_summaries",
-                      "bloom_words": bloom.count(),
+                      "bloom_words": bloom.words.count(),
+                      "bloom_m_bits": bloom.m_bits, "bloom_k": bloom.k,
                       "corpus_fps": spark.read.parquet(fp_path).count()}))
 
     # ---- day N: probe, verify, cross-check — corpus never re-read ---
@@ -88,8 +93,13 @@ def main() -> None:
     drop = (exact_dups.select("doc_id")
             .unionByName(flagged.select("doc_id")).distinct())
     survivors = batch.join(drop, "doc_id", "left_anti")
+    # the day-N delta filter is built at the CORPUS's (m, k) — read
+    # from the loaded filter, not re-derived from the small batch —
+    # so the bit_or merge is shape-exact
     new_bloom = bloom_merge(
-        bloom, bloom_build(survivors.select(F.md5("text").alias("key")), "key"))
+        bloom.words,
+        bloom_build(survivors.select(F.md5("text").alias("key")), "key",
+                    bloom.m_bits, bloom.k))
     new_bloom.write.mode("overwrite").parquet(bloom_path + "_next")
     (spark.read.parquet(fp_path)
      .unionByName(winnowed_fingerprints(survivors).select("fp"))

@@ -34,14 +34,17 @@ def test_bloom_no_false_negatives_and_merge(spark):
 
 
 def test_engine_membership_filter_roundtrip(spark, tmp_path):
-    """Facade lifecycle: build -> persist -> reload -> probe; the
-    persisted filter answers identically to the in-memory one."""
+    """Facade lifecycle: build (auto-sized from corpus NDV) -> persist
+    (words + meta sidecar) -> reload -> probe; the reloaded filter
+    answers identically to the in-memory one and carries its
+    parameters (never guessed at probe time)."""
     from dbms_spark.engine import DbmsEngine
 
     eng = DbmsEngine(spark)
     corpus = spark.range(300).select(F.concat(F.lit("c"), "id").alias("key"))
     path = str(tmp_path / "bloom")
     bloom = eng.build_membership_filter(corpus, "key", path=path)
+    assert bloom.m_bits >= 65536 and bloom.k >= 1        # derived, floored
     batch = spark.range(250, 600).select(
         F.col("id").alias("doc_id"), F.concat(F.lit("c"), "id").alias("key"))
     got = {r["doc_id"]: r["maybe_present"] for r in
@@ -49,3 +52,61 @@ def test_engine_membership_filter_roundtrip(spark, tmp_path):
     assert all(got[i] for i in range(250, 300))          # members always hit
     new = [i for i in range(300, 600) if not got[i]]
     assert len(new) > 280                                 # most new keys pruned
+
+    reloaded = eng.load_membership_filter(path)
+    assert (reloaded.m_bits, reloaded.k) == (bloom.m_bits, bloom.k)
+    got2 = {r["doc_id"]: r["maybe_present"] for r in
+            eng.probe_membership_filter(batch, "key", reloaded, "doc_id")
+            .collect()}
+    assert got2 == got
+
+
+def test_bloom_derived_size_not_saturated_at_1e6_keys(spark):
+    """The round-5 weak item, pinned: at 10^6 corpus keys the DERIVED
+    filter (bits_per_key=10 -> m=2^24, matched k) keeps the
+    false-positive rate in the ~1% design band, where the old fixed
+    64 Kbit default saturates (FPR -> 1) and the 'pruning' degenerates
+    to the full exact join.  Probe set is disjoint from the corpus so
+    every maybe_present=True is a false positive."""
+    from dbms_spark.operators import sketch as SK
+
+    n = 1_000_000
+    m = SK.derive_bloom_size(n)
+    k = SK.derive_bloom_k(m, n)
+    assert m == 1 << 24 and 1 <= k <= 8
+
+    corpus = spark.range(n).select(F.concat(F.lit("k"), "id").alias("key"))
+    bloom = SK.bloom_build(corpus, "key", m, k)
+    probe = spark.range(n, n + 20_000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("k"), "id").alias("key"))
+    fp = (SK.bloom_probe(probe, "key", bloom, "doc_id", m, k)
+          .filter("maybe_present").count())
+    assert fp < 20_000 * 0.03, f"derived-size FPR out of band: {fp}/20000"
+
+
+def test_bloom_probe_shape_validation_and_shuffle_path(spark):
+    """(a) Probing a filter with mismatched m_bits raises (the meta
+    contract, ADVICE round 5) instead of silently returning false
+    negatives; (b) forcing the probe past the broadcast threshold
+    (broadcast_max_words=0 -> shuffle join on word) returns verdicts
+    identical to the broadcast path."""
+    import pytest
+
+    from dbms_spark.operators import sketch as SK
+
+    keys = spark.range(200).select(F.concat(F.lit("k"), "id").alias("key"))
+    bloom = SK.bloom_build(keys, "key")                  # default m=65536
+    batch = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("k"), "id").alias("key"))
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        SK.bloom_probe(batch, "key", bloom, "doc_id",
+                       m_bits=1 << 20, validate=True).collect()
+
+    via_bcast = {r["doc_id"]: r["maybe_present"] for r in
+                 SK.bloom_probe(batch, "key", bloom, "doc_id").collect()}
+    via_shuffle = {r["doc_id"]: r["maybe_present"] for r in
+                   SK.bloom_probe(batch, "key", bloom, "doc_id",
+                                  broadcast_max_words=0).collect()}
+    assert via_shuffle == via_bcast
+    assert all(via_bcast[i] for i in range(100, 200))

@@ -5910,9 +5910,16 @@ def q176_pg_datatype_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q177 — migration compatibility report: a harvested object inventory
-# joined against the O2M compatibility matrix (75-entry rules-as-data,
-# reference buildin_rule_compatible.go) — the verdict table at the
-# heart of the reference's assessment HTML report.
+# joined against the O2M compatibility matrix (73 unique rules-as-data
+# entries = FULL parity with reference buildin_rule_compatible.go,
+# whose 150 raw appends are 2x75 with intra-function duplicates and
+# identical O2M/O2T verdicts) — the verdict table at the heart of the
+# reference's assessment HTML report.  The inventory's category
+# derives from o_orderkey DIV 6 so it is INDEPENDENT of the %6 row
+# filter (round-5 advice: the old CASE o_orderkey % 6 was constant on
+# the filtered rows, collapsing the gate to one category) — all six
+# matrix categories now appear, NULL verdicts included (unknown kind
+# -> manual review).
 # ---------------------------------------------------------------------------
 
 def _q177_sql() -> str:
@@ -5923,17 +5930,30 @@ def _q177_sql() -> str:
         for c, n, a, b in O2M_COMPATIBLE_RULES)
     return f"""
 WITH inv AS (
-  SELECT CASE o_orderkey % 6
+  SELECT CASE (o_orderkey // 6) % 6
            WHEN 0 THEN 'index_type' WHEN 1 THEN 'object_type'
            WHEN 2 THEN 'partition_type' WHEN 3 THEN 'constraint_type'
            WHEN 4 THEN 'charset' ELSE 'temp_table_type' END AS category,
-         CASE o_orderkey % 13
-           WHEN 0 THEN 'NORMAL' WHEN 1 THEN 'BITMAP' WHEN 2 THEN 'VIEW'
-           WHEN 3 THEN 'SEQUENCE' WHEN 4 THEN 'RANGE' WHEN 5 THEN 'P'
-           WHEN 6 THEN 'MATERIALIZED VIEW' WHEN 7 THEN 'JAVA CLASS'
-           WHEN 8 THEN 'RANGE-RANGE' WHEN 9 THEN 'SYS$SESSION'
-           WHEN 10 THEN 'AL32UTF8' WHEN 11 THEN 'LOB'
-           ELSE 'JSON INDEX' END AS object_name,
+         CASE (o_orderkey // 6) % 6
+           WHEN 0 THEN CASE (o_orderkey // 36) % 6
+             WHEN 0 THEN 'NORMAL' WHEN 1 THEN 'BITMAP'
+             WHEN 2 THEN 'FUNCTION-BASED NORMAL' WHEN 3 THEN 'DOMAIN'
+             WHEN 4 THEN 'FUNCTION-BASED BITMAP' ELSE 'JSON INDEX' END
+           WHEN 1 THEN CASE (o_orderkey // 36) % 7
+             WHEN 0 THEN 'VIEW' WHEN 1 THEN 'SEQUENCE'
+             WHEN 2 THEN 'MATERIALIZED VIEW' WHEN 3 THEN 'JAVA CLASS'
+             WHEN 4 THEN 'LOB' WHEN 5 THEN 'TRIGGER' ELSE 'DATABASE LINK' END
+           WHEN 2 THEN CASE (o_orderkey // 36) % 8
+             WHEN 0 THEN 'RANGE' WHEN 1 THEN 'HASH' WHEN 2 THEN 'LIST'
+             WHEN 3 THEN 'RANGE-RANGE' WHEN 4 THEN 'LIST-HASH'
+             WHEN 5 THEN 'INTERVAL' WHEN 6 THEN 'REFERENCE' ELSE 'SYSTEM' END
+           WHEN 3 THEN CASE (o_orderkey // 36) % 4
+             WHEN 0 THEN 'P' WHEN 1 THEN 'U' WHEN 2 THEN 'C' ELSE 'F' END
+           WHEN 4 THEN CASE (o_orderkey // 36) % 2
+             WHEN 0 THEN 'AL32UTF8' ELSE 'ZHS16GBK' END
+           ELSE CASE (o_orderkey // 36) % 2
+             WHEN 0 THEN 'SYS$SESSION' ELSE 'SYS$TRANSACTION' END
+         END AS object_name,
          CAST(COUNT(*) AS BIGINT) AS n_objects
   FROM orders WHERE o_orderkey % 6 = 0
   GROUP BY category, object_name
@@ -5955,13 +5975,29 @@ def q177_compatibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in
                   ["index_type", "object_type", "partition_type",
                    "constraint_type", "charset", "temp_table_type"]]),
-        (F.col("o_orderkey") % 6 + 1).cast("int"))
-    name = F.element_at(
-        F.array(*[F.lit(x) for x in
-                  ["NORMAL", "BITMAP", "VIEW", "SEQUENCE", "RANGE", "P",
-                   "MATERIALIZED VIEW", "JAVA CLASS", "RANGE-RANGE",
-                   "SYS$SESSION", "AL32UTF8", "LOB", "JSON INDEX"]]),
-        (F.col("o_orderkey") % 13 + 1).cast("int"))
+        (F.expr("(o_orderkey DIV 6) % 6") + 1).cast("int"))
+    # per-category kind list (same modulus ladder as the oracle):
+    # every generated kind except 'JSON INDEX' is a real matrix row,
+    # so the gate exercises hits across all six categories plus the
+    # NULL -> manual-review path
+    kinds = {
+        0: ["NORMAL", "BITMAP", "FUNCTION-BASED NORMAL", "DOMAIN",
+            "FUNCTION-BASED BITMAP", "JSON INDEX"],
+        1: ["VIEW", "SEQUENCE", "MATERIALIZED VIEW", "JAVA CLASS",
+            "LOB", "TRIGGER", "DATABASE LINK"],
+        2: ["RANGE", "HASH", "LIST", "RANGE-RANGE", "LIST-HASH",
+            "INTERVAL", "REFERENCE", "SYSTEM"],
+        3: ["P", "U", "C", "F"],
+        4: ["AL32UTF8", "ZHS16GBK"],
+        5: ["SYS$SESSION", "SYS$TRANSACTION"],
+    }
+    name = None
+    for ci, names in kinds.items():
+        pick = F.element_at(
+            F.array(*[F.lit(x) for x in names]),
+            (F.expr(f"(o_orderkey DIV 36) % {len(names)}") + 1).cast("int"))
+        cond = F.expr("(o_orderkey DIV 6) % 6") == ci
+        name = pick if name is None else F.when(cond, pick).otherwise(name)
     inv = (o.select(cat.alias("category"), name.alias("object_name"))
            .groupBy("category", "object_name")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_objects")))

@@ -10,6 +10,11 @@ Each query is materialized through the `noop` sink — full computation,
 no collect/driver transfer, so the number measures the plan, not the
 result shuttle.  A bare count() would let Catalyst prune the very
 expressions under test.
+
+Per-query numbers are the MEDIAN of three runs (run 1 doubles as
+warm-up); BENCH_FULL.json additionally carries a per-query "spread"
+map (|run2 - run3|, steady-state repeatability) so
+tools/bench_compare.py can flag only above-noise drifts.
 """
 
 from __future__ import annotations
@@ -43,11 +48,16 @@ def main() -> None:
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    # two runs per query, report the min: the first run pays one-off
-    # codegen/python-worker spawn, the second is the steady-state cost of
-    # the plan itself.  (Three runs would filter GC noise slightly better,
-    # but at 150+ registered queries the extra pass adds ~5 min of wall
-    # clock for no change in the plan being measured.)
+    # three runs per query, report the MEDIAN plus the steady-state
+    # SPREAD (round-5 judge ask: the ±12% box band drowned real
+    # per-query deltas, so round-over-round compares need a per-query
+    # noise floor).  Run 1 doubles as the warm-up (one-off
+    # codegen/python-worker spawn) — the median of three picks the
+    # middle value, which lands on the steady state whenever run 1 is
+    # the outlier; spread = |run2 - run3| measures steady-state
+    # repeatability, deliberately excluding the warm-up run so it
+    # gates regressions, not codegen cost.  tools/bench_compare.py
+    # flags only drifts above old_spread + new_spread.
     # The driver captures only the TAIL of this process's output and parses
     # the final JSON line out of it.  With 150+ registered queries the full
     # "q41_avg_row_length_top"-style keys push the line past the capture
@@ -55,14 +65,19 @@ def main() -> None:
     # Report under the short "q41" prefix instead — the long name's numeric
     # prefix is unique by construction in the registry.
     timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(sorted(Q.queries().items())):
-        best = float("inf")
-        for _ in range(2):
+    spreads: dict[str, float] = {}
+    only = os.environ.get("SPARK_GRAFT_BENCH_FILTER")  # "q01,q217" dev aid
+    sel = [(n, f) for n, f in sorted(Q.queries().items())
+           if not only or n.split("_", 1)[0] in only.split(",")]
+    for i, (name, fn) in enumerate(sel):
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
         short = name.split("_", 1)[0]
-        timings[short] = round(best, 3)
+        timings[short] = round(sorted(runs)[1], 3)
+        spreads[short] = round(abs(runs[1] - runs[2]), 3)
         # drop accumulated broadcast/plan state so a long run doesn't bill
         # later queries for earlier queries' GC pressure; a full System.gc()
         # on this heap costs real wall clock, so only every 10th query
@@ -76,7 +91,7 @@ def main() -> None:
     # Full per-query record to a file next to this script: the stdout
     # line is tail-window-truncated to the slowest ~120 entries, so the
     # judge/driver can diff EVERY query round-over-round from here.
-    full = {"queries": timings, "sf": sf, "unit": "sec",
+    full = {"queries": timings, "spread": spreads, "sf": sf, "unit": "sec",
             "metric": "total_query_wall_seconds", "value": total,
             "n_queries": len(timings)}
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -153,3 +153,62 @@ def test_capped_read_still_exact(orders, spark, tmp_path):
     assert capped.checked_chunks == uncapped.checked_chunks
     assert capped.mismatched_chunks == uncapped.mismatched_chunks
     assert len(uncapped.checked_chunks) > 1      # the cap actually bit
+
+
+def test_changed_ranges_distributed_matches_driver_cap(spark):
+    """_changed_ranges (anti-join islands + gap-rank cap) returns
+    EXACTLY what the driver-side _cap_runs(_runs(ids)) would — on an
+    adversarial mix of isolated ids, long runs, and uneven gaps, at
+    several cap levels including cap=1 and cap >= n_runs (no-op)."""
+    ids = sorted(set(
+        list(range(0, 40, 2)) + list(range(100, 140)) +
+        [200, 205, 206, 207, 300] + list(range(1000, 1003))))
+    df = spark.createDataFrame([(i,) for i in ids], "chunk_id BIGINT")
+    for cap in (1, 2, 5, 16, 99):
+        want = R._cap_runs(R._runs(ids), cap)
+        got = R._changed_ranges(df, cap)
+        assert got == want, f"cap={cap}: {got} != {want}"
+
+
+def test_reverify_driver_transfer_bounded_at_50pct_churn(spark, monkeypatch):
+    """The round-5 watch item, closed: at 10^5 chunks with 50% churn in
+    the WORST (alternating) pattern — 50,000 isolated runs — the only
+    per-chunk rows that cross to the driver are the <= max_ranges
+    coalesced ranges.  A collect spy sums every collected row count;
+    no call returns more than max_ranges rows and none carries ids or
+    sums."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+    except ImportError:
+        from pyspark.sql import DataFrame as SparkDF
+    collected = []
+    orig = SparkDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append((set(self.columns), len(rows)))
+        return rows
+
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    max_ranges = 64
+    changed = spark.range(0, 100_000, 2).select(
+        F.col("id").alias("chunk_id"))           # 50,000 isolated runs
+    ranges = R._changed_ranges(changed, max_ranges)
+    assert len(ranges) <= max_ranges
+    assert ranges[0][0] == 0 and ranges[-1][1] == 99_998
+    assert sum(hi - lo + 1 for lo, hi in ranges) >= 50_000  # covers all
+    assert collected, "spy did not engage"
+    for cols, n in collected:
+        assert n <= max_ranges, f"{n} rows collected to driver ({cols})"
+        assert not (cols & {"chunk_id", "cnt", "h0", "h1", "h2", "h3"})
+
+
+def test_save_ledger_unpersists(orders, plan, tmp_path):
+    """save_ledger ends the persisted-sums lifecycle: after the write
+    the returned relation is no longer cached (nightly loops must not
+    accumulate cached chunk-sum relations)."""
+    sums, _ = R.reverify(orders, orders, plan, ledger=None)
+    assert sums.storageLevel.useMemory or sums.storageLevel.useDisk
+    R.save_ledger(sums, str(tmp_path / "ledger"))
+    lvl = sums.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)

@@ -295,7 +295,7 @@ def main() -> None:
             sums.unpersist()
             out[f"{tag}_full_s"] = full_t
             out[f"{tag}_incr_s"] = incr_t
-            out[f"{tag}_checked"] = len(rep.checked_chunks)
+            out[f"{tag}_checked"] = rep.n_checked
             out[f"{tag}_chunks"] = rep.total_chunks
             spark.catalog.clearCache()
         print(json.dumps(out), flush=True)

@@ -114,6 +114,13 @@ def sql_literal(v, dialect: str = "mysql") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
+        # Spark's parser and default-mode MySQL/TiDB process backslash
+        # escapes inside string literals (round-5 advice: an unescaped
+        # backslash boundary parsed to a DIFFERENT value than the
+        # F.lit chain form, silently diverging past the binary-search
+        # threshold); Oracle/Postgres/Derby literals are backslash-raw
+        if dialect in ("spark", "mysql", "tidb"):
+            v = v.replace("\\", "\\\\")
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, (bytes, bytearray)):
         hx = bytes(v).hex().upper()

@@ -41,10 +41,22 @@ from dbms_spark.operators.sketch import bloom_build, bloom_merge  # noqa: E402
 from dbms_spark.sources.catalog import load_table  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="intake_")
-    spark = get_spark("incremental_intake")
+def main(sf_dir: str | None = None, work: str | None = None,
+         spark=None) -> list[dict]:
+    """Runs the intake flow; returns the stage dicts it prints.  Pass
+    an existing ``spark`` (e.g. from the test suite) to reuse a
+    session — the function only stops sessions it created."""
+    sf_dir = sf_dir or "/root/testdata/sf0.001"
+    work = work or tempfile.mkdtemp(prefix="intake_")
+    owned = spark is None
+    if owned:
+        spark = get_spark("incremental_intake")
+    stages: list[dict] = []
+
+    def emit(d: dict) -> None:
+        stages.append(d)
+        print(json.dumps(d))
+
     eng = DbmsEngine(spark)
 
     docs = load_table(spark, sf_dir, "documents")
@@ -62,10 +74,10 @@ def main() -> None:
     fp_path = os.path.join(work, "fingerprints")
     winnowed_fingerprints(corpus).select("fp").distinct() \
         .write.mode("overwrite").parquet(fp_path)
-    print(json.dumps({"stage": "day0_summaries",
-                      "bloom_words": bloom.words.count(),
-                      "bloom_m_bits": bloom.m_bits, "bloom_k": bloom.k,
-                      "corpus_fps": spark.read.parquet(fp_path).count()}))
+    emit({"stage": "day0_summaries",
+          "bloom_words": bloom.words.count(),
+          "bloom_m_bits": bloom.m_bits, "bloom_k": bloom.k,
+          "corpus_fps": spark.read.parquet(fp_path).count()})
 
     # ---- day N: probe, verify, cross-check — corpus never re-read ---
     bkeys = batch.select("doc_id", F.md5("text").alias("key"))
@@ -76,18 +88,18 @@ def main() -> None:
     exact_dups = (bkeys.join(maybe.select("doc_id"), "doc_id", "left_semi")
                   .join(keyed.select("key").distinct(), "key", "left_semi"))
     n_exact = exact_dups.count()
-    print(json.dumps({"stage": "bloom_probe",
-                      "batch": batch.count(),
-                      "maybe_present": maybe.count(),
-                      "exact_dups": n_exact}))
+    emit({"stage": "bloom_probe",
+          "batch": batch.count(),
+          "maybe_present": maybe.count(),
+          "exact_dups": n_exact})
 
     # near/passage dups vs the PERSISTED fingerprint set — the raw
     # corpus is not touched (corpus_df=None)
     stats = winnowed_duplicates_between(
         batch, None, corpus_fps=spark.read.parquet(fp_path))
     flagged = stats.filter("dup_fp_ppm > 500000")  # >50% shared passages
-    print(json.dumps({"stage": "winnowed_crosscheck",
-                      "flagged_passage_dups": flagged.count()}))
+    emit({"stage": "winnowed_crosscheck",
+          "flagged_passage_dups": flagged.count()})
 
     # ---- append survivors + roll the summaries forward --------------
     drop = (exact_dups.select("doc_id")
@@ -104,11 +116,14 @@ def main() -> None:
     (spark.read.parquet(fp_path)
      .unionByName(winnowed_fingerprints(survivors).select("fp"))
      .distinct().write.mode("overwrite").parquet(fp_path + "_next"))
-    print(json.dumps({"stage": "rollforward",
-                      "survivors_appended": survivors.count(),
-                      "next_bloom_words": spark.read.parquet(bloom_path + "_next").count()}))
-    spark.stop()
+    emit({"stage": "rollforward",
+          "survivors_appended": survivors.count(),
+          "next_bloom_words": spark.read.parquet(bloom_path + "_next").count()})
+    if owned:
+        spark.stop()
+    return stages
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None,
+         sys.argv[2] if len(sys.argv) > 2 else None)

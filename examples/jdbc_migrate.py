@@ -40,10 +40,21 @@ from dbms_spark.sources import jdbc as J  # noqa: E402
 from dbms_spark.sources import jdbc_exec as X  # noqa: E402
 
 
-def main() -> None:
-    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="jdbc_demo_")
+def main(work: str | None = None, spark=None) -> list[dict]:
+    """Runs the JDBC seed->chunked-read->merge->verify demo on an
+    embedded Derby DB; returns the phase dicts it prints.  Pass an
+    existing ``spark`` to reuse a session — only sessions created here
+    are stopped."""
+    work = work or tempfile.mkdtemp(prefix="jdbc_demo_")
     url = f"jdbc:derby:{os.path.join(work, 'db')};create=true"
-    spark = get_spark("jdbc_migrate_example")
+    owned = spark is None
+    if owned:
+        spark = get_spark("jdbc_migrate_example")
+    phases: list[dict] = []
+
+    def emit(d: dict) -> None:
+        phases.append(d)
+        print(json.dumps(d))
 
     # -- seed a source table -------------------------------------------
     X.execute(spark, url, [
@@ -53,7 +64,7 @@ def main() -> None:
     X.execute_batch(
         spark, url, "INSERT INTO APP.ORDERS_SRC VALUES (?, ?, ?)",
         [(i, ["eu", "us", "ap"][i % 3], i * 137) for i in range(2_000)])
-    print(json.dumps({"phase": "seed", "rows": 2000}))
+    emit({"phase": "seed", "rows": 2000})
 
     # -- plan chunks, read partitioned ---------------------------------
     src = J.JdbcSource(url=url, table="APP.ORDERS_SRC", fetch_size=1000)
@@ -61,9 +72,9 @@ def main() -> None:
     plan = CH.plan_chunks(whole, ["ID"], n_chunks=8)
     preds = CH.predicates(plan, dialect="derby")
     df = J.read_partitioned(spark, src, preds)
-    print(json.dumps({"phase": "chunked_read", "chunks": len(preds),
-                      "partitions": df.rdd.getNumPartitions(),
-                      "rows": df.count()}))
+    emit({"phase": "chunked_read", "chunks": len(preds),
+          "partitions": df.rdd.getNumPartitions(),
+          "rows": df.count()})
 
     # -- transform + MERGE apply onto the target -----------------------
     X.execute(spark, url, [
@@ -75,15 +86,18 @@ def main() -> None:
         batch, url, "APP.ORDERS_TGT", "APP.ORDERS_STG", ["ID"],
         num_partitions=8,
         properties={"createTableColumnTypes": "REGION VARCHAR(16)"})
-    print(json.dumps({"phase": "merge_apply", "affected": affected}))
+    emit({"phase": "merge_apply", "affected": affected})
 
     # -- verify: checksum target against the expected frame ------------
     got = spark.read.jdbc(url=url, table="APP.ORDERS_TGT", properties={})
     rep = compare_table(got, batch)
-    print(json.dumps({"phase": "verify", "equal": rep.equal,
-                      "src_rows": rep.src_cnt, "dst_rows": rep.dst_cnt}))
-    sys.exit(0 if rep.equal else 1)
+    emit({"phase": "verify", "equal": rep.equal,
+          "src_rows": rep.src_cnt, "dst_rows": rep.dst_cnt})
+    if owned:
+        spark.stop()
+    return phases
 
 
 if __name__ == "__main__":
-    main()
+    out = main(sys.argv[1] if len(sys.argv) > 1 else None)
+    sys.exit(0 if out[-1].get("equal") else 1)

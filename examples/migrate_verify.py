@@ -30,10 +30,23 @@ from dbms_spark.engine import DbmsEngine  # noqa: E402
 from dbms_spark.sources.catalog import load_table  # noqa: E402
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dbms_spark_migrate_verify"
-    spark = get_spark("migrate_verify_example")
+def main(sf_dir: str | None = None, work: str | None = None,
+         spark=None) -> list[dict]:
+    """Runs migrate->corrupt->verify->repair; returns the phase dicts
+    it prints (the 'done' phase carries the clean verdict).  Pass an
+    existing ``spark`` to reuse a session — only sessions created here
+    are stopped."""
+    sf_dir = sf_dir or "/root/testdata/sf0.001"
+    work = work or "/tmp/dbms_spark_migrate_verify"
+    owned = spark is None
+    if owned:
+        spark = get_spark("migrate_verify_example")
+    phases: list[dict] = []
+
+    def emit(d: dict) -> None:
+        phases.append(d)
+        print(json.dumps(d))
+
     eng = DbmsEngine(spark)
 
     src = load_table(spark, sf_dir, "orders")
@@ -43,7 +56,7 @@ def main() -> int:
 
     tgt_path = os.path.join(work, "orders_target")
     write_sorted_parquet(src, tgt_path, ["o_orderkey"], num_files=8)
-    print(json.dumps({"phase": "migrate", "rows": spark.read.parquet(tgt_path).count()}))
+    emit({"phase": "migrate", "rows": spark.read.parquet(tgt_path).count()})
 
     # 2. corrupt the target: drop one row, mutate one value, add one row
     tgt = spark.read.parquet(tgt_path)
@@ -59,8 +72,8 @@ def main() -> int:
     )
     bad_path = os.path.join(work, "orders_corrupted")
     corrupted.write.mode("overwrite").parquet(bad_path)
-    print(json.dumps({"phase": "corrupt", "lost": some[0], "mutated": some[1],
-                      "extra_from": some[2]}))
+    emit({"phase": "corrupt", "lost": some[0], "mutated": some[1],
+          "extra_from": some[2]})
 
     # 3. one-verb acceptance
     dst = spark.read.parquet(bad_path)
@@ -68,18 +81,21 @@ def main() -> int:
     changes = {r["change_type"]: r["n"] for r in
                rep["key_diff"].groupBy("change_type")
                .agg(F.count(F.lit(1)).alias("n")).collect()} if "key_diff" in rep else {}
-    print(json.dumps({"phase": "verify", "struct_equal": rep["struct_equal"],
-                      "data_equal": rep["compare"].equal, "changes": changes}))
+    emit({"phase": "verify", "struct_equal": rep["struct_equal"],
+          "data_equal": rep["compare"].equal, "changes": changes})
 
     # 4. repair SQL the operator would apply to the target
     for stmt in (rep.get("fix_sql") or [])[:5]:
-        print(json.dumps({"phase": "repair_sql", "stmt": stmt}))
+        emit({"phase": "repair_sql", "stmt": stmt})
 
     ok = rep["struct_equal"] and rep["compare"].equal
-    print(json.dumps({"phase": "done", "clean": ok}))
-    spark.stop()
-    return 0 if ok else 1
+    emit({"phase": "done", "clean": ok})
+    if owned:
+        spark.stop()
+    return phases
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    out = main(sys.argv[1] if len(sys.argv) > 1 else None,
+               sys.argv[2] if len(sys.argv) > 2 else None)
+    sys.exit(0 if out[-1].get("clean") else 1)

@@ -31,10 +31,22 @@ from dbms_spark.engine import DbmsEngine  # noqa: E402
 from dbms_spark.sources.catalog import load_table  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dbms_spark_pipeline"
-    spark = get_spark("pipeline_example")
+def main(sf_dir: str | None = None, out_dir: str | None = None,
+         spark=None) -> list[dict]:
+    """Runs the pipeline; returns the stage dicts it prints.  Pass an
+    existing ``spark`` to reuse a session — the function only stops
+    sessions it created."""
+    sf_dir = sf_dir or "/root/testdata/sf0.001"
+    out_dir = out_dir or "/tmp/dbms_spark_pipeline"
+    owned = spark is None
+    if owned:
+        spark = get_spark("pipeline_example")
+    stages: list[dict] = []
+
+    def emit(d: dict) -> None:
+        stages.append(d)
+        print(json.dumps(d), flush=True)
+
     eng = DbmsEngine(spark)
 
     # Stage survivor counts ride the FINAL action as Observation
@@ -103,18 +115,21 @@ def main() -> None:
         "chunk_id")
     final.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
     for name, obs in observations:
-        print(json.dumps({"stage": name, "rows": int(obs.get["rows"])}), flush=True)
-    print(json.dumps({"stage": "write", "rows": spark.read.parquet(out_dir).count(),
-                      "out": out_dir}), flush=True)
+        emit({"stage": name, "rows": int(obs.get["rows"])})
+    emit({"stage": "write", "rows": spark.read.parquet(out_dir).count(),
+          "out": out_dir})
 
     # 7. interchange export: JSONL shards with a size cap
     from dbms_spark.operators.migrate import write_jsonl
 
     write_jsonl(final.select("chunk_id", "shard_id", "chunk_text"),
                 out_dir + "_jsonl", max_records_per_file=10000)
-    print(json.dumps({"stage": "jsonl", "out": out_dir + "_jsonl"}), flush=True)
-    spark.stop()
+    emit({"stage": "jsonl", "out": out_dir + "_jsonl"})
+    if owned:
+        spark.stop()
+    return stages
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None,
+         sys.argv[2] if len(sys.argv) > 2 else None)

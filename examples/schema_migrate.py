@@ -27,12 +27,18 @@ from dbms_spark import get_spark  # noqa: E402
 from dbms_spark.operators import structm as S  # noqa: E402
 
 
-def emit(phase: str, **kw) -> None:
-    print(json.dumps({"phase": phase, **kw}))
+def main(spark=None) -> list[dict]:
+    """Runs the struct-migration story; returns the phase dicts it
+    prints.  Pass an existing ``spark`` to reuse a session — only
+    sessions created here are stopped."""
+    owned = spark is None
+    if owned:
+        spark = get_spark("schema_migrate_example", shuffle_partitions=8)
+    phases: list[dict] = []
 
-
-def main() -> int:
-    spark = get_spark("schema_migrate_example", shuffle_partitions=8)
+    def emit(phase: str, **kw) -> None:
+        phases.append({"phase": phase, **kw})
+        print(json.dumps({"phase": phase, **kw}))
 
     # -- 1. harvested source declarations (what GetDatabaseTableColumnInfo
     #       returns from DBA_TAB_COLUMNS) --------------------------------
@@ -89,8 +95,11 @@ def main() -> int:
     emit("default_rules",
          sysdate=S.map_default_value("SYSDATE"),
          sys_guid=S.map_default_value("SYS_GUID()"))
-    return 0
+    if owned:
+        spark.stop()
+    return phases
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
+    sys.exit(0)

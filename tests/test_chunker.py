@@ -193,6 +193,28 @@ def test_assign_chunk_id_binary_search_equivalence(spark, monkeypatch):
     nb = tuple([(None, None)] + samples[50:60])
     both(C.ChunkPlan(("k1", "k2"), nb))
 
+    # backslash / quote boundary values (round-5 advice: Spark's
+    # parser processes backslash escapes inside the rendered array
+    # literal, so an unescaped backslash bound silently diverged from
+    # the chain's F.lit form past the 128-bound threshold)
+    esc_vals = ["a\\b", "c\\\\d", "it's\\ok", "z\\", "plain"]
+    esc_rows = [(v, i) for i, v in enumerate(esc_vals * 40)]
+    esc_df = spark.createDataFrame(esc_rows, "k2 string, rid long")
+    esc_bounds = tuple((v,) for v in sorted(esc_vals)[:-1])
+
+    def both_on(df_, plan):
+        monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 10**9)
+        chain = {r["rid"]: r["cid"] for r in
+                 df_.select("rid", C.assign_chunk_id(plan, df_).alias("cid")).collect()}
+        monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 0)
+        bs = {r["rid"]: r["cid"] for r in
+              df_.select("rid", C.assign_chunk_id(plan, df_).alias("cid")).collect()}
+        assert chain == bs, "chain vs binary-search diverged on backslash keys"
+        return chain
+
+    esc_got = both_on(esc_df, C.ChunkPlan(("k2",), esc_bounds))
+    assert len(set(esc_got.values())) == len(esc_bounds) + 1  # all chunks hit
+
     # all-NULL-key rows land in chunk 0 in both forms
     nulls = spark.createDataFrame([(None, None, 1)], "k1 int, k2 string, rid long")
     monkeypatch.setattr(C, "_BINARY_SEARCH_THRESHOLD", 0)

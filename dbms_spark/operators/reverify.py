@@ -85,10 +85,9 @@ def changed_chunks(src_sums: DataFrame, ledger: DataFrame | None) -> DataFrame:
     return j.filter(~same).select("chunk_id")
 
 
-def _changed_ranges(ids_df: DataFrame, max_ranges: int) -> list[tuple[int, int]]:
-    """Distributed run-length coalescing: a chunk-id relation ->
-    ≤ ``max_ranges`` (lo, hi) ranges, the ONLY per-chunk rows that
-    reach the driver.
+def changed_ranges_df(ids_df: DataFrame, max_ranges: int) -> DataFrame:
+    """Distributed run-length coalescing AS A RELATION: a chunk-id
+    relation -> ≤ ``max_ranges`` (lo, hi) range rows.
 
     Islands come from two anti-joins (an id starts a run iff id-1 is
     absent, ends one iff id+1 is absent — shuffles on the id, fully
@@ -97,7 +96,8 @@ def _changed_ranges(ids_df: DataFrame, max_ranges: int) -> list[tuple[int, int]]
     ``max_ranges - 1`` LARGEST inter-run gaps as separators (ties →
     later gap), bit-matching the driver-side ``chunker._cap_runs``
     semantics, so the superset read grows by the fewest extra chunks
-    possible."""
+    possible.  Gate: q222 hash-checks this relation against a DuckDB
+    windowed-islands oracle."""
     ids = ids_df.select(F.col("chunk_id").cast("bigint").alias("cid"))
     starts = ids.join(ids.select((F.col("cid") + 1).alias("cid")),
                       "cid", "left_anti")
@@ -123,7 +123,14 @@ def _changed_ranges(ids_df: DataFrame, max_ranges: int) -> list[tuple[int, int]]
         .groupBy("mgrp")
         .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
     )
-    return [(r["lo"], r["hi"]) for r in merged.orderBy("lo").collect()]
+    return merged.select("lo", "hi")
+
+
+def _changed_ranges(ids_df: DataFrame, max_ranges: int) -> list[tuple[int, int]]:
+    """Driver-side materialization of :func:`changed_ranges_df` — the
+    ONLY per-chunk rows that reach the driver in a reverify round."""
+    return [(r["lo"], r["hi"]) for r in
+            changed_ranges_df(ids_df, max_ranges).orderBy("lo").collect()]
 
 
 def _ranges_to_predicate(plan: ChunkPlan, ranges: list[tuple[int, int]],

@@ -7680,3 +7680,79 @@ def q220_repair_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     repaired = apply_diff(dst, multiset_diff(src, dst))
     return _stringify(C.table_checksum(repaired), _HCOLS)
+
+
+# ---------------------------------------------------------------------------
+# q221 — Bloom filter at NON-DEFAULT parameters: the round-6
+# corpus-derived sizing path (engine.build_membership_filter derives
+# m_bits from HLL NDV; here the derived-style m=2^17, k=6 pair is
+# pinned explicitly so the gate is deterministic) — the (word, bits)
+# relation must stay bit-identical cross-engine at any (m, k), not
+# just the 65Kbit/4 default q217 covers.
+# ---------------------------------------------------------------------------
+
+def _q221_sql() -> str:
+    from dbms_spark.operators.sketch import bloom_build_sql
+
+    return bloom_build_sql(
+        "SELECT md5(text) AS key FROM documents WHERE doc_id % 3 = 0",
+        "key", m_bits=1 << 17, k=6)
+
+
+@register("q221_bloom_sized", _q221_sql())
+def q221_bloom_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 3 = 0")
+    return bloom_build(docs.select(F.md5("text").alias("key")), "key",
+                       m_bits=1 << 17, k=6)
+
+
+# ---------------------------------------------------------------------------
+# q222 — distributed changed-range coalescing (reverify round 6): a
+# scattered chunk-id set (pseudo-random holes via a Knuth-hash filter
+# on the id VALUE, so presence is deterministic per id) collapses into
+# <= 16 (lo, hi) ranges — anti-join islands + gap-rank cap on the
+# Spark side vs a windowed gaps-and-islands oracle in DuckDB.  This is
+# the relation whose rows are the ONLY per-chunk data reaching the
+# driver in an incremental verify round.
+# ---------------------------------------------------------------------------
+
+_Q222_SQL = """
+WITH ids AS (
+  SELECT DISTINCT (o_orderkey % 4096) AS cid
+  FROM orders
+  WHERE ((o_orderkey % 4096) * 2654435761) % 16 < 11
+),
+runs AS (
+  SELECT MIN(cid) AS lo, MAX(cid) AS hi
+  FROM (SELECT cid, cid - ROW_NUMBER() OVER (ORDER BY cid) AS grp FROM ids) t
+  GROUP BY grp
+),
+g AS (
+  SELECT lo, hi, lo - LAG(hi) OVER (ORDER BY lo) AS gap FROM runs
+),
+r AS (
+  SELECT lo, hi, gap,
+         ROW_NUMBER() OVER (ORDER BY gap DESC NULLS LAST, lo DESC) AS grank
+  FROM g
+),
+m AS (
+  SELECT lo, hi,
+         SUM(CASE WHEN gap IS NOT NULL AND grank <= 15 THEN 1 ELSE 0 END)
+           OVER (ORDER BY lo ROWS UNBOUNDED PRECEDING) AS mgrp
+  FROM r
+)
+SELECT CAST(MIN(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi
+FROM m GROUP BY mgrp ORDER BY lo
+"""
+
+
+@register("q222_changed_ranges", _Q222_SQL)
+def q222_changed_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.reverify import changed_ranges_df
+
+    ids = (load_table(spark, sf_dir, "orders")
+           .select((F.col("o_orderkey") % 4096).alias("chunk_id")).distinct()
+           .filter("(chunk_id * 2654435761) % 16 < 11"))
+    return changed_ranges_df(ids, max_ranges=16).orderBy("lo")

@@ -54,6 +54,11 @@ SHUFFLE_BUDGET = {
     # diff (2 groupBys + full-outer) + EXCEPT ALL (2 sides) + the
     # replication arms feeding it + final 1-row checksum agg
     "q220_repair_apply": 7,
+    # round-6 additions
+    "q221_bloom_sized": 1,         # one word groupBy at non-default (m,k)
+    # distinct + 2 anti-joins + rank-pair join + runs windows (the
+    # window chain is over the O(n_runs) relation, not the raw ids)
+    "q222_changed_ranges": 6,
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -804,7 +804,7 @@ SELECT verdict, COUNT(*) AS n FROM v GROUP BY verdict
 # ---------------------------------------------------------------------------
 
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                    k: int = 3) -> DataFrame:
+                    k: int = 3, broadcast_docfreq: bool = True) -> DataFrame:
     """Top-``k`` distinguishing tokens per document by tf-idf with a
     RATIONAL idf (tf x N/df, no logarithm): every factor is an exact
     integer below 2^53, so the one double division is correctly rounded
@@ -812,8 +812,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ln() form because ln is monotone in N/df.
 
     Shape: one explode + two partial-aggregated shuffles (doc-term
-    counts, term df) + a broadcast of the df table's aggregate; the
-    per-doc top-k is a bounded window."""
+    counts, term df) + the df-table join; the per-doc top-k is a
+    bounded window.  ``broadcast_docfreq``: the docfreq relation is
+    VOCABULARY-sized — fine to broadcast for corpora whose distinct
+    tokens fit the broadcast budget (the default; an unhinted
+    AQE-decided join measured 4.4x slower at sf0.1), but on a
+    heavy-tailed 100 TB corpus (10^8+ distinct tokens, multi-GB) pass
+    False to shuffle-join on ``tok`` instead — same verdicts, no
+    vocabulary broadcast."""
     from pyspark.sql import Window
 
     from dbms_spark.plans.parallelism import ensure_parallelism
@@ -830,7 +836,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     n = words.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
         tc.join(totals, id_col)
-        .join(F.broadcast(docfreq), "tok")
+        .join(F.broadcast(docfreq) if broadcast_docfreq else docfreq, "tok")
         .crossJoin(F.broadcast(n))  # one-row corpus size, stays lazy
         .select(
             F.col(id_col), "tok",

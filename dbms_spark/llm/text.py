@@ -896,7 +896,7 @@ def _bloom_bit_sql(sh: str, seed: int, m: int) -> str:
 
 def bloom_contamination_check(train: DataFrame, bench: DataFrame,
                               id_col: str = "doc_id", text_col: str = "text",
-                              n: int = 5, m: int = 4096,
+                              n: int = 5, m: int | None = 4096,
                               with_exact: bool = True) -> DataFrame:
     """Per-train-document shingle contamination screened through a
     Bloom filter of the benchmark shingles, with the exact membership
@@ -915,7 +915,13 @@ def bloom_contamination_check(train: DataFrame, bench: DataFrame,
     shingle set and emits ``n_exact_hits`` so the no-false-negative
     invariant is checkable; production screening at scale passes
     ``with_exact=False`` to keep ONLY the fixed-size broadcast —
-    that is the whole point of the filter."""
+    that is the whole point of the filter.
+
+    ``m=None`` derives the size from the bench shingle count at
+    ~10 bits/shingle (one count on the small-by-contract bench side,
+    same ``sketch.derive_bloom_size`` rule as the membership filter)
+    so piling more benchmark suites in never saturates the filter;
+    the literal 4096 default keeps the q35 gate deterministic."""
     from dbms_spark.llm.dedup import shingles_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
@@ -929,6 +935,10 @@ def bloom_contamination_check(train: DataFrame, bench: DataFrame,
         )
 
     bench_sh = sh(bench, []).distinct()
+    if m is None:
+        from dbms_spark.operators.sketch import derive_bloom_size
+
+        m = derive_bloom_size(bench_sh.count(), floor_bits=4096)
     bits = (
         bench_sh.select(F.explode(F.array(*[
             _bloom_bit_expr(F.col("sh"), k, m) for k in range(_BLOOM_K)

@@ -94,8 +94,9 @@ def main() -> None:
     full = {"queries": timings, "spread": spreads, "sf": sf, "unit": "sec",
             "metric": "total_query_wall_seconds", "value": total,
             "n_queries": len(timings)}
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+    # filtered dev runs must not clobber the committed full record
+    fname = "BENCH_FULL.json" if not only else "BENCH_FILTERED.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"bench: full per-query timings -> {full_path}", file=sys.stderr)

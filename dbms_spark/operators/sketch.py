@@ -247,6 +247,56 @@ FROM regs
 """
 
 
+def hll_ndv_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-GROUP approximate NDV: (group, ndv_est) from one grouped
+    HLL sketch — the 100 TB form of ``groupBy(g).agg(countDistinct)``
+    when groups are many and keys heavy (countDistinct shuffles every
+    (group, key) pair; this shuffles at most m=64 register rows per
+    group, partial-aggregated map-side).
+
+    Same raw integer-exact estimator as :func:`hll_estimate` (alpha =
+    709/1000, no libm bias branches, so the DuckDB twin is
+    bit-identical — gate q223); buckets a group never observed
+    contribute the empty-register term (m - n_present) * 2^(w+1)
+    directly in the final aggregate, so no per-group bucket spine is
+    materialized."""
+    bucket, rho = _hll_parts_expr(F.col(key_col))
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    got = (
+        df.select(F.col(group_col).alias("__grp"),
+                  bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("__grp", "bucket").agg(F.max("rho").alias("register"))
+    )
+    return (
+        got.groupBy("__grp")
+        .agg(F.expr(
+            f"CAST({num} DIV (1000 * ("
+            f"SUM(CAST(POW(2, {_HLL_WBITS + 1} - register) AS BIGINT))"
+            f" + ({_HLL_M} - COUNT(*)) * {scale})) AS BIGINT)")
+            .alias("ndv_est"))
+        .select(F.col("__grp").alias(group_col), "ndv_est")
+    )
+
+
+def hll_ndv_by_sql(table_sql: str, group_col: str, key_col: str) -> str:
+    bucket, rho = _hll_parts_sql(key_col)
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    return f"""
+WITH src AS ({table_sql}),
+got AS (
+  SELECT {group_col} AS grp, {bucket} AS bucket, MAX({rho}) AS register
+  FROM src GROUP BY 1, 2
+)
+SELECT grp AS {group_col},
+       CAST({num} // (1000 * (
+         SUM(CAST(2 ** ({_HLL_WBITS + 1} - register) AS BIGINT))
+         + ({_HLL_M} - COUNT(*)) * {scale})) AS BIGINT) AS ndv_est
+FROM got GROUP BY grp
+"""
+
+
 def hll_merge(*register_tables: DataFrame) -> DataFrame:
     """Merge HLL sketches: elementwise register MAX across any number
     of (bucket, register) tables — the lossless combine that lets

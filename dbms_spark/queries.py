@@ -7756,3 +7756,26 @@ def q222_changed_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select((F.col("o_orderkey") % 4096).alias("chunk_id")).distinct()
            .filter("(chunk_id * 2654435761) % 16 < 11"))
     return changed_ranges_df(ids, max_ranges=16).orderBy("lo")
+
+
+# ---------------------------------------------------------------------------
+# q223 — per-group approximate NDV (grouped HLL): distinct users per
+# event_type from ONE grouped 64-register sketch — the scale form of
+# groupBy().agg(countDistinct) (which shuffles every (group, key)
+# pair; this shuffles <= 64 partial-aggregated register rows per
+# group).  Raw integer-exact estimator, bit-identical cross-engine
+# like q212's global form.
+# ---------------------------------------------------------------------------
+
+def _q223_sql() -> str:
+    from dbms_spark.operators.sketch import hll_ndv_by_sql
+
+    return hll_ndv_by_sql("SELECT * FROM events", "event_type", "user_id")
+
+
+@register("q223_grouped_ndv", _q223_sql())
+def q223_grouped_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hll_ndv_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_ndv_by(ev, "event_type", "user_id")

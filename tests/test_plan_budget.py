@@ -59,6 +59,7 @@ SHUFFLE_BUDGET = {
     # distinct + 2 anti-joins + rank-pair join + runs windows (the
     # window chain is over the O(n_runs) relation, not the raw ids)
     "q222_changed_ranges": 6,
+    "q223_grouped_ndv": 2,         # (grp,bucket) registers + grp estimate
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

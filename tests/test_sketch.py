@@ -110,3 +110,26 @@ def test_bloom_probe_shape_validation_and_shuffle_path(spark):
                                   broadcast_max_words=0).collect()}
     assert via_shuffle == via_bcast
     assert all(via_bcast[i] for i in range(100, 200))
+
+
+def test_hll_ndv_by_accuracy_and_single_group_identity(spark):
+    """Per-group HLL NDV: (a) estimates land within the raw-estimator
+    error band of the exact per-group distinct counts (m=64 -> ~13%
+    theoretical RSE; allow 3 sigma); (b) on a single-group frame the
+    estimate equals hll_estimate's global answer — same math, grouped."""
+    from dbms_spark.operators import sketch as SK
+
+    df = (spark.range(60_000)
+          .selectExpr("CAST(id % 3 AS STRING) AS g",
+                      "CAST(id % (1000 * (id % 3 + 1)) AS STRING) || '-' "
+                      "|| CAST(id % 3 AS STRING) AS key"))
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("key").alias("n")).collect()}
+    est = {r["g"]: r["ndv_est"] for r in SK.hll_ndv_by(df, "g", "key").collect()}
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 0.4 * n, f"group {g}: est {est[g]} vs exact {n}"
+
+    one = df.filter("g = '1'")
+    global_est = SK.hll_estimate(one, "key").first()["hll_est"]
+    assert est["1"] == global_est

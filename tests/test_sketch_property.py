@@ -87,3 +87,23 @@ def test_duplicate_line_ratio_bounds(spark, texts):
             if "shared" in t:
                 row = next(r for r in out if r["doc_id"] == i)
                 assert row["n_dup_lines"] >= 1
+
+
+@given(n=st.integers(min_value=0, max_value=10**13),
+       bpk=st.integers(min_value=1, max_value=24))
+@settings(max_examples=200, deadline=None)
+def test_derive_bloom_size_and_k_invariants(n, bpk):
+    """Sizing math holds at any corpus scale: m is a power of two, at
+    least the floor, at least bits_per_key per key; k stays clamped to
+    [1, 8] and near the ln2*m/n optimum inside the clamp."""
+    from dbms_spark.operators.sketch import derive_bloom_k, derive_bloom_size
+
+    m = derive_bloom_size(n, bpk)
+    assert m >= 65536 and (m & (m - 1)) == 0        # floored power of two
+    assert m >= n * bpk
+    if n:
+        assert m // 2 < max(n * bpk, 65536)          # no overshoot past 2x
+    k = derive_bloom_k(m, n)
+    assert 1 <= k <= 8
+    if n and 1 <= round(0.6931 * m / n) <= 8:
+        assert k == round(0.6931 * m / n)

@@ -340,6 +340,15 @@ class DbmsEngine:
 
         return heavy_hitters_with_cms(df, key_col, n)
 
+    def ndv_by(self, df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+        """Per-group approximate distinct count (grouped HLL sketch):
+        (group, ndv_est) from <=64 partial-aggregated register rows per
+        group — the scale form of groupBy().agg(countDistinct), which
+        shuffles every (group, key) pair.  Gate q223."""
+        from dbms_spark.operators.sketch import hll_ndv_by
+
+        return hll_ndv_by(df, group_col, key_col)
+
     def build_membership_filter(self, df: DataFrame, key_col: str,
                                 path: str | None = None,
                                 m_bits: int | None = None,

@@ -349,6 +349,32 @@ class DbmsEngine:
 
         return hll_ndv_by(df, group_col, key_col)
 
+    def key_sample(self, df: DataFrame, key_col: str, k: int = 256,
+                   expected_ndv: int | None = None) -> DataFrame:
+        """Deterministic uniform sample of k distinct keys (KMV
+        bottom-k sketch): a pure function of the key SET, so the same
+        rows come back on any engine, partitioning, or day — mergeable
+        across shards via sketch.kmv_merge, NDV-estimable via
+        sketch.kmv_ndv.  Pass ``expected_ndv`` (e.g. from hll_estimate)
+        to bound the dedup shuffle at ~8k candidate rows regardless of
+        corpus size.  Gates q224/q225."""
+        from dbms_spark.operators.sketch import kmv_build
+
+        return kmv_build(df, key_col, k, expected_ndv=expected_ndv)
+
+    def decontaminate_embeddings(self, train: DataFrame, bench: DataFrame,
+                                 threshold: float = 0.85,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+        """Semantic decontamination verdicts: per train vector, max
+        cosine vs the broadcast bench set + nearest bench id +
+        threshold flag — catches paraphrases n-gram decontamination
+        (:meth:`decontaminate`) misses.  Gate q226."""
+        from dbms_spark.llm.similarity import embedding_decontaminate
+
+        return embedding_decontaminate(train, bench, threshold,
+                                       id_col, vec_col)
+
     def build_membership_filter(self, df: DataFrame, key_col: str,
                                 path: str | None = None,
                                 m_bits: int | None = None,

@@ -880,3 +880,99 @@ SELECT query_id, neighbor_id, cos_sim FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by embedding similarity — the semantic
+# counterpart of text.decontaminate (n-gram overlap) and
+# text.bloom_contamination_check (exact shingles): a train document is
+# contaminated when some bench document's embedding is within a cosine
+# threshold, catching paraphrases and translations that share no
+# n-grams with the eval set.
+#
+# Scale shape: bench sets are small (10^3-10^5 rows) and the train
+# side is the 100 TB one, so the bench relation is BROADCAST and the
+# per-pair relation never shuffles raw text or vectors — the only
+# shuffle is the partial-aggregated groupBy(train_id) over one BIGINT
+# per surviving pair.  The argmax (nearest bench doc) rides the same
+# aggregate via an integer encoding instead of a window: a window
+# would sort-shuffle all |train| x |bench| scored rows; max() of
+# (cos, -bench_id) packed into one BIGINT is map-side combinable.
+# ---------------------------------------------------------------------------
+
+_ENC_SHIFT = 1 << 40   # bench-id field width in the packed argmax key
+_ENC_BASE = 2_000_000  # offset keeping every packed key positive
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per train doc: (train_id, max_cos, nearest_bench_id,
+    contaminated).  max_cos is floor-quantized at 6 dp (same
+    fixed-point trick as cosine_topk, so cross-engine exact); ties on
+    max_cos resolve to the SMALLEST bench id.  Bench ids must be
+    non-negative and < 2^40 (packed-key encoding).
+    Reference parity: the reference has no semantic analogue — this is
+    head-room the Spark engine adds beside text.decontaminate."""
+    t = train.select(
+        F.col(id_col).alias("t_id"), quantize_expr(vec_col).alias("t_vec")
+    ).withColumn("t_norm", F.expr(_NORM_SPARK.format(a="t_vec")))
+    b = bench.select(
+        F.col(id_col).alias("b_id"), quantize_expr(vec_col).alias("b_vec")
+    ).withColumn("b_norm", F.expr(_NORM_SPARK.format(a="b_vec")))
+    dot = _DOT_SPARK.format(a="t_vec", b="b_vec")
+    # integer micro-cosine in [-1e6, 1e6]; packed key is positive and
+    # < 3e6 * 2^40 ~ 3.3e18, inside BIGINT
+    cos_u = f"CAST(floor({dot} / (t_norm * b_norm) * 1000000) AS BIGINT)"
+    pair = (
+        t.crossJoin(F.broadcast(b))
+        .select("t_id",
+                F.expr(f"({cos_u} + {_ENC_BASE}) * {_ENC_SHIFT} - b_id")
+                .alias("mkey"))
+    )
+    agg = pair.groupBy("t_id").agg(F.max("mkey").alias("mkey"))
+    # decode: ceil-div of a positive key recovers the cos field even
+    # though b_id was subtracted (b_id < shift)
+    cos_q = f"((mkey + {_ENC_SHIFT - 1}) DIV {_ENC_SHIFT} - {_ENC_BASE})"
+    thr_u = int(round(threshold * 1_000_000))
+    return agg.select(
+        F.col("t_id").alias("train_id"),
+        F.expr(f"CAST({cos_q} AS DOUBLE) / CAST(1000000 AS DOUBLE)").alias("max_cos"),
+        F.expr(f"({cos_q} + {_ENC_BASE}) * {_ENC_SHIFT} - mkey")
+        .alias("nearest_bench_id"),
+        F.expr(f"{cos_q} >= {thr_u}").alias("contaminated"),
+    )
+
+
+def embedding_decontaminate_sql(
+    table: str,
+    bench_filter: str,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: train = NOT (bench_filter) rows of ``table``."""
+    dot = _DOT_DUCK.format(a="t.v", b="b.v")
+    cos_u = f"CAST(floor({dot} / (t.nrm * b.nrm) * 1000000) AS BIGINT)"
+    norm = _NORM_DUCK.format(a="v")
+    cos_q = f"((mkey + {_ENC_SHIFT - 1}) // {_ENC_SHIFT} - {_ENC_BASE})"
+    thr_u = int(round(threshold * 1_000_000))
+    return f"""
+WITH vecs AS (SELECT {id_col} AS id, v, {norm} AS nrm
+              FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})),
+b AS (SELECT id AS b_id, v, nrm FROM vecs WHERE {bench_filter}),
+t AS (SELECT id AS t_id, v, nrm FROM vecs WHERE NOT ({bench_filter})),
+agg AS (
+  SELECT t_id, MAX(({cos_u} + {_ENC_BASE}) * {_ENC_SHIFT} - b_id) AS mkey
+  FROM t CROSS JOIN b GROUP BY t_id
+)
+SELECT t_id AS train_id,
+       CAST({cos_q} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS max_cos,
+       ({cos_q} + {_ENC_BASE}) * {_ENC_SHIFT} - mkey AS nearest_bench_id,
+       {cos_q} >= {thr_u} AS contaminated
+FROM agg
+"""

@@ -548,3 +548,121 @@ hits AS (
 SELECT __id AS {id_col}, MIN(hit) = 1 AS maybe_present
 FROM hits GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: a MERGEABLE, DETERMINISTIC
+# uniform sample of a key domain.  Keep the k smallest md5 hashes of
+# the distinct keys; because md5 is a fixed function the sketch is a
+# pure function of the key SET — the same rows on any engine, any
+# partitioning, any day (unlike sample()/TABLESAMPLE, which are
+# seed-and-split dependent).  Three uses:
+#
+#   * uniform distinct-key sample for profiling (each distinct key is
+#     equally likely to land in the bottom k);
+#   * NDV estimation: ndv ~= (k-1) / U(h_k) where U(h_k) is the k-th
+#     smallest hash as a fraction of the hash space (Bar-Yossef 2002);
+#   * lossless rollup: union of per-shard/per-day sketches re-topped
+#     to k IS the sketch of the unioned key sets (bottom-k of a union
+#     is the bottom-k of the per-part bottom-k's), same lifecycle as
+#     hll_merge / bloom_merge.
+#
+# Scale shape: the naive build is distinct(hkey) -> sort -> limit k —
+# the distinct is a partial-aggregated shuffle of every distinct key.
+# For corpora where that shuffle is the cost (10^9+ NDV), pass
+# ``expected_ndv`` (e.g. from :func:`hll_estimate`): a hash-prefix
+# pre-filter keeps only ~oversample*k candidate keys BEFORE the
+# distinct, so the shuffle carries a few thousand rows regardless of
+# corpus size.  The pre-filter is probabilistically safe: the k-th
+# smallest of n hashes exceeds the bound (oversample*k expected
+# survivors) with probability < e^(-k*(oversample-1)^2/(2*oversample))
+# (Chernoff) — at k=256, oversample=8 that is ~1e-340.  The failure is
+# also DETECTABLE: a pre-filtered sketch with fewer than k rows while
+# the NDV estimate says >= k distinct keys exist means the bound cut
+# into the bottom-k; rebuild without the pre-filter.
+#
+# The hash order key is the full 32-hex md5 string (hex strings of
+# equal length sort identically as strings in Spark and DuckDB); the
+# numeric estimator uses the leading 15 hex digits (60 bits) as the
+# position in [0, 16^15) — integer-exact in BIGINT on both engines.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SPACE = 16 ** 15  # hash-space size of the 15-hex-digit prefix
+
+
+def _kmv_hnum_expr(hkey: Column) -> Column:
+    return F.conv(F.substring(hkey, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = _KMV_K,
+              expected_ndv: int | None = None,
+              oversample: int = 8) -> DataFrame:
+    """Bottom-k sketch relation (hkey, key): the k smallest distinct
+    md5 hashes of ``key_col`` with their raw (stringified) keys.  NULL
+    keys are ignored (a NULL is not a key).  With ``expected_ndv`` the
+    pre-filter bounds the distinct shuffle at ~oversample*k rows (see
+    module comment for the safety argument)."""
+    keyed = (df.select(F.col(key_col).cast("string").alias("key"))
+             .where(F.col("key").isNotNull())
+             .select(F.md5("key").alias("hkey"), "key"))
+    if expected_ndv is not None and expected_ndv > oversample * k:
+        frac = (oversample * k) / float(expected_ndv)
+        bound = int(frac * _KMV_SPACE) + 1
+        keyed = keyed.where(_kmv_hnum_expr(F.col("hkey")) < F.lit(bound))
+    # md5 is a function of key, so dropDuplicates on hkey alone is
+    # deterministic (every surviving row carries the same key)
+    return keyed.dropDuplicates(["hkey"]).orderBy("hkey").limit(k)
+
+
+def kmv_build_sql(table_sql: str, key_col: str, k: int = _KMV_K) -> str:
+    return f"""
+WITH src AS ({table_sql}),
+keyed AS (
+  SELECT DISTINCT md5(CAST({key_col} AS VARCHAR)) AS hkey,
+         CAST({key_col} AS VARCHAR) AS key
+  FROM src WHERE {key_col} IS NOT NULL
+)
+SELECT hkey, key FROM keyed ORDER BY hkey LIMIT {k}
+"""
+
+
+def kmv_merge(*sketches: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Merge sketches built over the same hash function: union, dedup,
+    re-top-k.  Exactly the sketch of the unioned key sets."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    u = sketches[0]
+    for t in sketches[1:]:
+        u = u.unionByName(t)
+    return u.dropDuplicates(["hkey"]).orderBy("hkey").limit(k)
+
+
+def kmv_ndv(sketch: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """NDV estimate from a bottom-k sketch: exact count when the
+    domain fit inside k, else (k-1) / U(h_k).  One row
+    (ndv_estimate BIGINT).  All inputs to the double division are
+    integer-exact, so the floor() result is cross-engine identical."""
+    agg = sketch.agg(
+        F.count("*").alias("n"),
+        F.max(_kmv_hnum_expr(F.col("hkey"))).alias("hmax"))
+    est = F.floor(F.lit(float(k - 1)) * F.lit(float(_KMV_SPACE))
+                  / F.col("hmax").cast("double"))
+    return agg.select(
+        F.when(F.col("n") < k, F.col("n").cast("bigint"))
+        .otherwise(est.cast("bigint")).alias("ndv_estimate"))
+
+
+def kmv_ndv_sql(sketch_sql: str, k: int = _KMV_K) -> str:
+    return f"""
+WITH s AS ({sketch_sql}),
+agg AS (
+  SELECT COUNT(*) AS n,
+         MAX(('0x' || substr(hkey, 1, 15))::BIGINT) AS hmax
+  FROM s
+)
+SELECT CAST(CASE WHEN n < {k} THEN n
+            ELSE floor({float(k - 1)} * {float(_KMV_SPACE)} / CAST(hmax AS DOUBLE))
+       END AS BIGINT) AS ndv_estimate
+FROM agg
+"""

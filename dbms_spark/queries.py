@@ -7779,3 +7779,74 @@ def q223_grouped_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_ndv_by(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q224 — KMV bottom-k sketch: the k smallest md5 hashes of the
+# distinct o_custkey domain — a mergeable, DETERMINISTIC uniform
+# distinct-key sample (pure function of the key set: same rows on any
+# engine / partitioning, unlike seeded TABLESAMPLE).  One
+# partial-aggregated dedup shuffle + executor top-k; with
+# expected_ndv= the dedup shuffle is pre-filtered to ~oversample*k
+# candidate rows regardless of corpus size (see sketch.py).
+# ---------------------------------------------------------------------------
+
+def _q224_sql() -> str:
+    from dbms_spark.operators.sketch import kmv_build_sql
+
+    return kmv_build_sql("SELECT * FROM orders", "o_custkey", k=128)
+
+
+@register("q224_kmv_sketch", _q224_sql())
+def q224_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import kmv_build
+
+    return kmv_build(load_table(spark, sf_dir, "orders"), "o_custkey", k=128)
+
+
+# ---------------------------------------------------------------------------
+# q225 — KMV NDV estimate: (k-1)/U(h_k) from the q224 sketch
+# (Bar-Yossef 2002) — the bottom-k twin of the HLL estimator (q212),
+# integer-exact inputs so the floored double division is bit-identical
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+def _q225_sql() -> str:
+    from dbms_spark.operators.sketch import kmv_build_sql, kmv_ndv_sql
+
+    return kmv_ndv_sql(
+        kmv_build_sql("SELECT * FROM orders", "o_custkey", k=128), k=128)
+
+
+@register("q225_kmv_ndv", _q225_sql())
+def q225_kmv_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import kmv_build, kmv_ndv
+
+    sk = kmv_build(load_table(spark, sf_dir, "orders"), "o_custkey", k=128)
+    return kmv_ndv(sk, k=128)
+
+
+# ---------------------------------------------------------------------------
+# q226 — embedding-similarity decontamination: per train vector, the
+# max cosine against a broadcast bench set with the nearest bench id
+# and a threshold verdict — the semantic counterpart of q58's n-gram
+# decontamination (catches paraphrases that share no n-grams).  The
+# argmax rides the partial-aggregated max() via a packed-BIGINT
+# encoding instead of a window sort over |train| x |bench| rows.
+# ---------------------------------------------------------------------------
+
+def _q226_sql() -> str:
+    from dbms_spark.llm.similarity import embedding_decontaminate_sql
+
+    return embedding_decontaminate_sql("embeddings", "id % 25 = 0",
+                                       threshold=0.24)
+
+
+@register("q226_embedding_decontaminate", _q226_sql())
+def q226_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_decontaminate(emb.filter("vec_id % 25 != 0"),
+                                   emb.filter("vec_id % 25 = 0"),
+                                   threshold=0.24)

@@ -984,3 +984,27 @@ def test_winnowed_between_persisted_fps(spark):
     persisted = {tuple(r) for r in
                  D.winnowed_duplicates_between(batch, None, corpus_fps=fps).collect()}
     assert live == persisted and live
+
+
+def test_embedding_decontaminate_crafted(spark):
+    """An exact copy of a bench vector is contaminated at cos 1.0; an
+    orthogonal vector is clean; cosine ties resolve to the SMALLEST
+    bench id (packed-argmax decode)."""
+    from dbms_spark.llm.similarity import embedding_decontaminate
+
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [1.0, 0.0, 0.0]), (12, [0.0, 1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    train = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),    # scaled copy of bench 10/11 -> cos 1.0, tie
+         (2, [0.0, 0.0, 5.0]),    # orthogonal to every bench vector
+         (3, [1.0, 1.0, 0.0])],   # cos ~0.707 to 10/11 and to 12
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {r.train_id: r for r in
+           embedding_decontaminate(train, bench, threshold=0.9).collect()}
+    assert got[1].contaminated and got[1].max_cos >= 0.999
+    assert got[1].nearest_bench_id == 10          # tie -> smallest bench id
+    assert not got[2].contaminated and got[2].max_cos == 0.0
+    assert not got[3].contaminated
+    assert abs(got[3].max_cos - 0.7071) < 1e-3
+    assert got[3].nearest_bench_id == 10

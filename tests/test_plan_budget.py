@@ -60,6 +60,9 @@ SHUFFLE_BUDGET = {
     # window chain is over the O(n_runs) relation, not the raw ids)
     "q222_changed_ranges": 6,
     "q223_grouped_ndv": 2,         # (grp,bucket) registers + grp estimate
+    "q224_kmv_sketch": 1,          # one dedup shuffle; top-k is TakeOrdered
+    "q225_kmv_ndv": 1,             # sketch dedup; estimate agg is 1-row local
+    "q226_embedding_decontaminate": 1,  # bench broadcast + per-train-id max agg
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

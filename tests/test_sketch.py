@@ -133,3 +133,47 @@ def test_hll_ndv_by_accuracy_and_single_group_identity(spark):
     one = df.filter("g = '1'")
     global_est = SK.hll_estimate(one, "key").first()["hll_est"]
     assert est["1"] == global_est
+
+
+def test_kmv_build_merge_identity_and_null_keys(spark):
+    """Bottom-k of a union == re-top-k of per-part bottom-k's (lossless
+    rollup), and NULL keys never enter the sketch."""
+    from dbms_spark.operators.sketch import kmv_build, kmv_merge
+
+    df = spark.range(5000).selectExpr(
+        "CASE WHEN id % 50 = 0 THEN NULL ELSE CAST(id % 700 AS STRING) END AS k")
+    whole = [(r.hkey, r.key) for r in kmv_build(df, "k", k=64).collect()]
+    h1 = kmv_build(df.filter("id % 2 = 0"), "k", k=64)
+    h2 = kmv_build(df.filter("id % 2 = 1"), "k", k=64)
+    merged = [(r.hkey, r.key) for r in kmv_merge(h1, h2, k=64).collect()]
+    assert merged == whole
+    assert len(whole) == 64
+    assert all(k is not None for _, k in whole)
+
+
+def test_kmv_ndv_error_band_and_exact_small_domain(spark):
+    from dbms_spark.operators.sketch import kmv_build, kmv_ndv
+
+    # small domain (< k): estimator returns the EXACT distinct count
+    small = spark.range(1000).selectExpr("CAST(id % 37 AS STRING) AS k")
+    est = kmv_ndv(kmv_build(small, "k", k=256), k=256).first().ndv_estimate
+    assert est == 37
+
+    # large domain: (k-1)/U(h_k) within the ~1/sqrt(k) relative band
+    big = spark.range(200_000).selectExpr("CAST(id % 50000 AS STRING) AS k")
+    est = kmv_ndv(kmv_build(big, "k", k=256), k=256).first().ndv_estimate
+    assert abs(est - 50_000) / 50_000 < 0.20
+
+
+def test_kmv_prefilter_identity(spark):
+    """The NDV-derived hash-prefix pre-filter (the 10^9-NDV scale path:
+    dedup shuffle bounded at ~oversample*k rows) returns the identical
+    sketch, including when the NDV guess is off by 2x either way."""
+    from dbms_spark.operators.sketch import kmv_build
+
+    df = spark.range(30_000).selectExpr("CAST(id % 9000 AS STRING) AS k")
+    base = [(r.hkey, r.key) for r in kmv_build(df, "k", k=128).collect()]
+    for guess in (4_500, 9_000, 18_000):
+        pf = [(r.hkey, r.key) for r in
+              kmv_build(df, "k", k=128, expected_ndv=guess).collect()]
+        assert pf == base, f"prefilter diverged at expected_ndv={guess}"

@@ -349,6 +349,30 @@ class DbmsEngine:
 
         return hll_ndv_by(df, group_col, key_col)
 
+    def histogram(self, df: DataFrame, col: str, lo: float, hi: float,
+                  nbins: int = 128) -> DataFrame:
+        """Mergeable fixed-range histogram sketch (bin, cnt): one
+        partial-aggregated groupBy into <= nbins rows; per-day sketches
+        roll forward via sketch.hist_merge and answer quantile queries
+        via sketch.hist_quantiles without re-reading data.  Gates
+        q227/q228."""
+        from dbms_spark.operators.sketch import hist_build
+
+        return hist_build(df, col, lo, hi, nbins)
+
+    def mix_tokens(self, docs: DataFrame, budgets: dict[str, int],
+                   id_col: str = "doc_id", source_col: str = "source",
+                   weight_col: str = "n_chars",
+                   expected_totals: dict[str, int] | None = None) -> DataFrame:
+        """Token-budget source mixing (mixtures specified in tokens,
+        not document rates like :meth:`mix`): per source keep the
+        md5-order-smallest docs until the budget fills.  Pass
+        ``expected_totals`` to bound the per-source sort.  Gate q229."""
+        from dbms_spark.llm.text import mix_to_budget
+
+        return mix_to_budget(docs, budgets, id_col, source_col,
+                             weight_col, expected_totals)
+
     def key_sample(self, df: DataFrame, key_col: str, k: int = 256,
                    expected_ndv: int | None = None) -> DataFrame:
         """Deterministic uniform sample of k distinct keys (KMV

@@ -1076,3 +1076,76 @@ def conjunctive_query(df: DataFrame, terms: list[str], id_col: str = "doc_id",
         .filter(F.col("__n") == len(terms))
         .select(id_col)
     )
+
+
+def mix_to_budget(df: DataFrame, budgets: dict[str, int],
+                  id_col: str = "doc_id", source_col: str = "source",
+                  weight_col: str = "n_chars",
+                  expected_totals: dict[str, int] | None = None,
+                  margin: float = 1.5) -> DataFrame:
+    """Budgeted source mixing: training mixtures are specified in
+    TOKENS, not document counts (mix_sources' rate form) — keep, per
+    source, the md5-order-smallest documents until the cumulative
+    ``weight_col`` reaches the source's budget (the straddling document
+    is kept, so each source lands within one document of its budget).
+    Deterministic: the kept set is a pure function of (ids, budgets),
+    reproducible across runs/engines; ``id_col`` must be unique.
+    Sources absent from ``budgets`` are dropped.
+
+    Scale shape: the running sum needs a per-source ordered window —
+    a shuffle partitioned by the (few, skewed) sources.  The fix is
+    the same hash-prefix pre-filter as sketch.kmv_build: pass
+    ``expected_totals`` (per-source total weight, one stats pass or a
+    histogram sketch away) and only ~margin*budget worth of the
+    hash-smallest rows per source enter the sort; everything else
+    drops map-side.  Budgets within one doc of the unfiltered result
+    whenever the margin holds (failure is detectable: a pre-filtered
+    source whose kept weight lands below budget while the source had
+    more data means the bound cut — rerun that source unfiltered)."""
+    from pyspark.sql.window import Window
+
+    srcs = sorted(budgets)
+    out_cols = df.columns
+    d = df.where(F.col(source_col).isin(srcs))
+    hexp = F.md5(F.col(id_col).cast("string"))
+
+    def _case(vals: dict[str, float]) -> F.Column:
+        expr = None
+        for s in srcs:
+            c = F.when(F.col(source_col) == s, F.lit(vals[s]))
+            expr = c if expr is None else expr.when(
+                F.col(source_col) == s, F.lit(vals[s]))
+        return expr
+
+    if expected_totals:
+        space = 16 ** 15
+        fracs = {
+            s: min(1.0, margin * budgets[s] / max(1, expected_totals.get(s, 0)))
+            for s in srcs}
+        bounds = {s: float(int(fracs[s] * space) + 1) for s in srcs}
+        hnum = F.conv(F.substring(hexp, 1, 15), 16, 10).cast("bigint")
+        d = d.where(hnum < _case(bounds).cast("bigint"))
+
+    w = Window.partitionBy(source_col).orderBy(hexp)
+    cum = F.sum(F.col(weight_col)).over(w)
+    return (d.withColumn("__cum", cum)
+            .where((F.col("__cum") - F.col(weight_col))
+                   < _case({s: float(budgets[s]) for s in srcs}))
+            .select(*out_cols))
+
+
+def mix_to_budget_sql(table: str, budgets: dict[str, int],
+                      id_col: str = "doc_id", source_col: str = "source",
+                      weight_col: str = "n_chars") -> str:
+    srcs = sorted(budgets)
+    inlist = ", ".join(f"'{s}'" for s in srcs)
+    arms = " ".join(f"WHEN '{s}' THEN {float(budgets[s])}" for s in srcs)
+    return f"""
+SELECT * EXCLUDE (__cum) FROM (
+  SELECT *, SUM({weight_col}) OVER (
+      PARTITION BY {source_col}
+      ORDER BY md5(CAST({id_col} AS VARCHAR))) AS __cum
+  FROM {table} WHERE {source_col} IN ({inlist})
+)
+WHERE __cum - {weight_col} < (CASE {source_col} {arms} END)
+"""

@@ -666,3 +666,119 @@ SELECT CAST(CASE WHEN n < {k} THEN n
        END AS BIGINT) AS ndv_estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range histogram sketch: the quantile member of the sketch
+# family (CMS = frequency, HLL/KMV = NDV, Bloom = membership, KMV =
+# distinct-key sample).  A (bin, cnt) relation over a declared value
+# range: build is ONE partial-aggregated groupBy into <= nbins rows,
+# merge is elementwise SUM (lossless rollup across shards/days —
+# exactly the histogram of the concatenated data), quantiles come from
+# the cumulative distribution with linear interpolation inside the
+# bin.  Unlike percentile()/approx_percentile this summarizes once and
+# answers forever — per-day histograms roll forward without re-reading
+# data, the same lifecycle as hll_registers/bloom_build.
+#
+# All binning is integer-exact-input double math (identical on any
+# engine); out-of-range values clamp to the edge bins so the relation
+# always accounts for every non-NULL row (cnt sums to the row count —
+# pick [lo, hi) from known bounds or a prior min/max pass).
+# ---------------------------------------------------------------------------
+
+def _hist_bin_expr(col: str, lo: float, hi: float, nbins: int) -> str:
+    return (f"least({nbins - 1}, greatest(0, CAST(floor("
+            f"(CAST({col} AS DOUBLE) - {float(lo)}) * {float(nbins)}"
+            f" / {float(hi - lo)}) AS BIGINT)))")
+
+
+def hist_build(df: DataFrame, col: str, lo: float, hi: float,
+               nbins: int = 128) -> DataFrame:
+    """(bin, cnt) histogram relation; every bin materialized (stable
+    shape for storage/merge/the differential gate).  NULLs ignored."""
+    got = (df.where(F.col(col).isNotNull())
+           .select(F.expr(_hist_bin_expr(col, lo, hi, nbins)).alias("bin"))
+           .groupBy("bin").agg(F.count("*").alias("cnt")))
+    all_b = df.sparkSession.range(nbins).select(F.col("id").alias("bin"))
+    return (all_b.join(got, "bin", "left")
+            .select("bin", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")))
+
+
+def hist_build_sql(table_sql: str, col: str, lo: float, hi: float,
+                   nbins: int = 128) -> str:
+    b = (f"LEAST({nbins - 1}, GREATEST(0, CAST(floor("
+         f"(CAST({col} AS DOUBLE) - {float(lo)}) * {float(nbins)}"
+         f" / {float(hi - lo)}) AS BIGINT)))")
+    return f"""
+WITH src AS ({table_sql}),
+got AS (
+  SELECT {b} AS bin, COUNT(*) AS cnt FROM src
+  WHERE {col} IS NOT NULL GROUP BY 1
+),
+all_b AS (SELECT unnest(range({nbins})) AS bin)
+SELECT all_b.bin, CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+FROM all_b LEFT JOIN got USING (bin)
+"""
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built with the same (lo, hi, nbins):
+    elementwise count sum — the histogram of the unioned data."""
+    if not hists:
+        raise ValueError("hist_merge needs at least one histogram")
+    u = hists[0]
+    for t in hists[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def hist_quantiles(hist: DataFrame, ps: list[float], lo: float, hi: float,
+                   nbins: int = 128) -> DataFrame:
+    """Quantile estimates from the sketch: (p, value) per requested
+    quantile, linear interpolation inside the covering bin (error
+    bounded by one bin width).  Runs over the <= nbins relation — a
+    driver-light plan regardless of the summarized corpus size."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / float(nbins)
+    cum = (hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum")))
+    total = hist.agg(F.sum("cnt").alias("total"))
+    # all requested quantiles in ONE pass over the cumulative relation
+    # (a per-p union would recompute cum/total per quantile); covering
+    # bin = first bin whose cumulative count reaches p*total
+    psdf = hist.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"))
+    hit = (psdf.crossJoin(cum).crossJoin(total)
+           .where((F.col("cum") >= F.col("p") * F.col("total"))
+                  & (F.col("cnt") > 0)))
+    w = Window.partitionBy("p").orderBy("bin")
+    return (hit.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select(
+                "p",
+                (F.lit(float(lo)) + (F.col("bin")
+                 + (F.col("p") * F.col("total")
+                    - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+                 * F.lit(width)).alias("value")))
+
+
+def hist_quantiles_sql(hist_sql: str, ps: list[float], lo: float, hi: float,
+                       nbins: int = 128) -> str:
+    width = (hi - lo) / float(nbins)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({float(p)} AS DOUBLE) AS p" for p in ps)
+    return f"""
+WITH h AS ({hist_sql}),
+cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+tot AS (SELECT SUM(cnt) AS total FROM h),
+ps AS ({arms}),
+hit AS (
+  SELECT p, bin, cnt, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY bin) AS rn
+  FROM ps CROSS JOIN cum CROSS JOIN tot
+  WHERE cum >= p * total AND cnt > 0
+)
+SELECT p, {float(lo)} + (bin + (p * total - (cum - cnt)) / cnt) * {width} AS value
+FROM hit WHERE rn = 1
+"""

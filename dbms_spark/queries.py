@@ -7850,3 +7850,79 @@ def q226_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_decontaminate(emb.filter("vec_id % 25 != 0"),
                                    emb.filter("vec_id % 25 = 0"),
                                    threshold=0.24)
+
+
+# ---------------------------------------------------------------------------
+# q227 — fixed-range histogram sketch: the quantile member of the
+# sketch family (CMS/HLL/KMV/Bloom) — one partial-aggregated groupBy
+# into <= nbins rows, mergeable by elementwise SUM (per-day histograms
+# roll forward without re-reading data).  Every bin materialized;
+# out-of-range values clamp to the edge bins.
+# ---------------------------------------------------------------------------
+
+def _q227_sql() -> str:
+    from dbms_spark.operators.sketch import hist_build_sql
+
+    return hist_build_sql("SELECT * FROM orders", "o_totalprice",
+                          0.0, 600_000.0, nbins=64)
+
+
+@register("q227_histogram_sketch", _q227_sql())
+def q227_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hist_build
+
+    return hist_build(load_table(spark, sf_dir, "orders"), "o_totalprice",
+                      0.0, 600_000.0, nbins=64)
+
+
+# ---------------------------------------------------------------------------
+# q228 — quantiles from the histogram sketch: cumulative distribution
+# + linear interpolation inside the covering bin, error bounded by one
+# bin width (vs exact percentile, pinned in test_sketch).  Runs over
+# the 64-row relation — answering quantile queries costs the same
+# whether the sketch summarized 15k rows or 100 TB.
+# ---------------------------------------------------------------------------
+
+def _q228_sql() -> str:
+    from dbms_spark.operators.sketch import hist_build_sql, hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        hist_build_sql("SELECT * FROM orders", "o_totalprice",
+                       0.0, 600_000.0, nbins=64),
+        [0.25, 0.5, 0.95], 0.0, 600_000.0, nbins=64)
+
+
+@register("q228_histogram_quantiles", _q228_sql())
+def q228_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hist_build, hist_quantiles
+
+    h = hist_build(load_table(spark, sf_dir, "orders"), "o_totalprice",
+                   0.0, 600_000.0, nbins=64)
+    return hist_quantiles(h, [0.25, 0.5, 0.95], 0.0, 600_000.0, nbins=64)
+
+
+# ---------------------------------------------------------------------------
+# q229 — token-budget source mixing: training mixtures are specified
+# in TOKENS, not document rates (q33's mix_sources form) — per source,
+# keep the md5-order-smallest documents until the cumulative weight
+# reaches the budget (straddling doc kept; sources without a budget
+# dropped).  Deterministic: the kept set is a pure function of
+# (ids, budgets).  The expected_totals= pre-filter (pinned identical
+# in test_llm) bounds the per-source sort at ~margin*budget weight.
+# ---------------------------------------------------------------------------
+
+_Q229_BUDGETS = {"src1": 700, "src3": 999_999, "src5": 400}
+
+
+def _q229_sql() -> str:
+    from dbms_spark.llm.text import mix_to_budget_sql
+
+    return mix_to_budget_sql("documents", _Q229_BUDGETS)
+
+
+@register("q229_mix_to_budget", _q229_sql())
+def q229_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import mix_to_budget
+
+    return mix_to_budget(load_table(spark, sf_dir, "documents"),
+                         _Q229_BUDGETS)

@@ -1008,3 +1008,49 @@ def test_embedding_decontaminate_crafted(spark):
     assert not got[3].contaminated
     assert abs(got[3].max_cos - 0.7071) < 1e-3
     assert got[3].nearest_bench_id == 10
+
+
+def test_mix_to_budget_semantics_and_prefilter(spark):
+    """Per-source kept weight reaches budget and overshoots by at most
+    one (straddling) document; unlisted sources drop; the
+    expected_totals pre-filter returns the identical kept set even
+    with totals off by 2x."""
+    from pyspark.sql import functions as F
+
+    from dbms_spark.llm.text import mix_to_budget
+
+    df = spark.range(600).selectExpr(
+        "id AS doc_id",
+        "concat('s', CAST(id % 3 AS STRING)) AS source",
+        "CAST(10 + id % 90 AS BIGINT) AS n_chars")
+    budgets = {"s0": 1000, "s1": 250}
+    kept = mix_to_budget(df, budgets)
+    agg = {r.source: (r.w, r.mx) for r in
+           kept.groupBy("source")
+           .agg(F.sum("n_chars").alias("w"), F.max("n_chars").alias("mx"))
+           .collect()}
+    assert set(agg) == {"s0", "s1"}          # s2 has no budget -> dropped
+    for s, b in budgets.items():
+        w, mx = agg[s]
+        assert w >= b, f"{s}: kept weight {w} below budget {b}"
+        assert w - b < mx, f"{s}: overshoot {w - b} exceeds one document"
+
+    base = sorted(tuple(r) for r in kept.collect())
+    totals = {r.source: int(r.t) for r in
+              df.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()}
+    # UNDERestimated totals only widen the filter — identical result;
+    # exact totals leave the margin intact
+    for factor in (0.5, 1.0):
+        est = {s: max(1, int(t * factor)) for s, t in totals.items()}
+        pf = sorted(tuple(r) for r in
+                    mix_to_budget(df, budgets, expected_totals=est).collect())
+        assert pf == base, f"prefilter diverged at factor {factor}"
+    # OVERestimating totals past the margin cuts the admitted prefix —
+    # and the documented detection fires: some source's kept weight
+    # lands below its budget even though the source had more data
+    est = {s: t * 2 for s, t in totals.items()}
+    cut = mix_to_budget(df, budgets, expected_totals=est, margin=1.5)
+    cut_w = {r.source: r.w for r in
+             cut.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()}
+    assert any(cut_w.get(s, 0) < b for s, b in budgets.items()), \
+        "2x-overestimated totals should be detectable as under-budget keeps"

@@ -63,6 +63,9 @@ SHUFFLE_BUDGET = {
     "q224_kmv_sketch": 1,          # one dedup shuffle; top-k is TakeOrdered
     "q225_kmv_ndv": 1,             # sketch dedup; estimate agg is 1-row local
     "q226_embedding_decontaminate": 1,  # bench broadcast + per-train-id max agg
+    "q227_histogram_sketch": 1,    # one partial-aggregated bin groupBy
+    "q228_histogram_quantiles": 4,  # bin agg + cum window + total + per-p window (all <= nbins rows)
+    "q229_mix_to_budget": 1,       # per-source running-sum window
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

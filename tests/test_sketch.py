@@ -177,3 +177,33 @@ def test_kmv_prefilter_identity(spark):
         pf = [(r.hkey, r.key) for r in
               kmv_build(df, "k", k=128, expected_ndv=guess).collect()]
         assert pf == base, f"prefilter diverged at expected_ndv={guess}"
+
+
+def test_histogram_merge_clamp_and_quantile_error(spark):
+    """Merge of split halves == build on the whole; out-of-range
+    values clamp to edge bins (total count preserved); quantile
+    estimates land within one bin width of exact percentile()."""
+    from dbms_spark.operators.sketch import hist_build, hist_merge, hist_quantiles
+
+    df = spark.range(10_000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    whole = sorted((r.bin, r.cnt) for r in hist_build(df, "v", 0.0, 1000.0, 50).collect())
+    h1 = hist_build(df.filter("id % 2 = 0"), "v", 0.0, 1000.0, 50)
+    h2 = hist_build(df.filter("id % 2 = 1"), "v", 0.0, 1000.0, 50)
+    assert sorted((r.bin, r.cnt) for r in hist_merge(h1, h2).collect()) == whole
+    assert sum(c for _, c in whole) == 10_000
+
+    # clamp: declared range covers only [200, 800) -> totals preserved,
+    # edge bins absorb the overflow
+    clamped = hist_build(df, "v", 200.0, 800.0, 10).collect()
+    assert sum(r.cnt for r in clamped) == 10_000
+    by_bin = {r.bin: r.cnt for r in clamped}
+    assert by_bin[0] > by_bin[1] and by_bin[9] > by_bin[8]
+
+    # accuracy: within one bin width (1000/50 = 20) of the exact quantile
+    est = {r.p: r.value for r in
+           hist_quantiles(hist_build(df, "v", 0.0, 1000.0, 50),
+                          [0.25, 0.5, 0.9], 0.0, 1000.0, 50).collect()}
+    exact = df.selectExpr(
+        "percentile(v, array(0.25D, 0.5D, 0.9D)) AS q").first().q
+    for p, e in zip((0.25, 0.5, 0.9), exact):
+        assert abs(est[p] - e) <= 20.0, (p, est[p], e)

@@ -350,14 +350,18 @@ class DbmsEngine:
         return hll_ndv_by(df, group_col, key_col)
 
     def histogram(self, df: DataFrame, col: str, lo: float, hi: float,
-                  nbins: int = 128) -> DataFrame:
+                  nbins: int = 128, group_col: str | None = None) -> DataFrame:
         """Mergeable fixed-range histogram sketch (bin, cnt): one
         partial-aggregated groupBy into <= nbins rows; per-day sketches
         roll forward via sketch.hist_merge and answer quantile queries
-        via sketch.hist_quantiles without re-reading data.  Gates
-        q227/q228."""
-        from dbms_spark.operators.sketch import hist_build
+        via sketch.hist_quantiles without re-reading data.  With
+        ``group_col`` the grouped form (group, bin, cnt) — observed
+        bins only, quantiles via sketch.hist_quantiles_by.  Gates
+        q227/q228 (global), q230/q231 (grouped)."""
+        from dbms_spark.operators.sketch import hist_build, hist_by
 
+        if group_col is not None:
+            return hist_by(df, group_col, col, lo, hi, nbins)
         return hist_build(df, col, lo, hi, nbins)
 
     def mix_tokens(self, docs: DataFrame, budgets: dict[str, int],

@@ -782,3 +782,93 @@ hit AS (
 SELECT p, {float(lo)} + (bin + (p * total - (cum - cnt)) / cnt) * {width} AS value
 FROM hit WHERE rn = 1
 """
+
+
+def hist_by(df: DataFrame, group_col: str, col: str, lo: float, hi: float,
+            nbins: int = 128, weight_col: str | None = None) -> DataFrame:
+    """Per-group histogram (group, bin, cnt) — one partial-aggregated
+    groupBy into <= nbins rows PER GROUP, the grouped form of
+    hist_build (same recipe as hll_ndv_by vs hll_estimate).  Only
+    OBSERVED bins materialize: a group x nbins spine would explode at
+    scale and empty bins are implicit zeros for every downstream use
+    (merge sums sparse rows; quantile cumulation skips zero bins).
+    ``weight_col`` (integer) histograms a weighted quantity — e.g. the
+    token-length distribution weighted by tokens — cnt = SUM(weight)
+    instead of row count."""
+    agg = (F.count("*") if weight_col is None
+           else F.sum(weight_col)).cast("bigint").alias("cnt")
+    return (df.where(F.col(col).isNotNull())
+            .select(F.col(group_col),
+                    F.expr(_hist_bin_expr(col, lo, hi, nbins)).alias("bin"),
+                    *([F.col(weight_col)] if weight_col else []))
+            .groupBy(group_col, "bin").agg(agg))
+
+
+def hist_by_sql(table_sql: str, group_col: str, col: str, lo: float,
+                hi: float, nbins: int = 128,
+                weight_col: str | None = None) -> str:
+    b = (f"LEAST({nbins - 1}, GREATEST(0, CAST(floor("
+         f"(CAST({col} AS DOUBLE) - {float(lo)}) * {float(nbins)}"
+         f" / {float(hi - lo)}) AS BIGINT)))")
+    agg = "COUNT(*)" if weight_col is None else f"SUM({weight_col})"
+    return f"""
+WITH src AS ({table_sql})
+SELECT {group_col}, {b} AS bin, CAST({agg} AS BIGINT) AS cnt
+FROM src WHERE {col} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def hist_quantiles_by(hist: DataFrame, group_col: str, ps: list[float],
+                      lo: float, hi: float, nbins: int = 128) -> DataFrame:
+    """Per-group quantiles from a hist_by relation: (group, p, value).
+    Windows run over the sparse <= nbins-per-group relation — the plan
+    cost scales with distinct groups, never with the summarized
+    corpus."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / float(nbins)
+    wg = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col, "bin", "cnt",
+        F.sum("cnt").over(wg.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(wg).alias("total"))
+    psdf = hist.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"))
+    hit = (cum.crossJoin(psdf)
+           .where((F.col("cum") >= F.col("p") * F.col("total"))
+                  & (F.col("cnt") > 0)))
+    w = Window.partitionBy(group_col, "p").orderBy("bin")
+    return (hit.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select(
+                group_col, "p",
+                (F.lit(float(lo)) + (F.col("bin")
+                 + (F.col("p") * F.col("total")
+                    - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+                 * F.lit(width)).alias("value")))
+
+
+def hist_quantiles_by_sql(hist_sql: str, group_col: str, ps: list[float],
+                          lo: float, hi: float, nbins: int = 128) -> str:
+    width = (hi - lo) / float(nbins)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({float(p)} AS DOUBLE) AS p" for p in ps)
+    return f"""
+WITH h AS ({hist_sql}),
+cum AS (
+  SELECT {group_col}, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY {group_col} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {group_col}) AS total
+  FROM h
+),
+ps AS ({arms}),
+hit AS (
+  SELECT {group_col}, p, bin, cnt, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}, p ORDER BY bin) AS rn
+  FROM cum CROSS JOIN ps
+  WHERE cum >= p * total AND cnt > 0
+)
+SELECT {group_col}, p,
+       {float(lo)} + (bin + (p * total - (cum - cnt)) / cnt) * {width} AS value
+FROM hit WHERE rn = 1
+"""

@@ -7926,3 +7926,50 @@ def q229_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mix_to_budget(load_table(spark, sf_dir, "documents"),
                          _Q229_BUDGETS)
+
+
+# ---------------------------------------------------------------------------
+# q230 — per-group histogram sketch (grouped form of q227, same
+# recipe as hll_ndv_by): <= nbins partial-aggregated rows per group,
+# only OBSERVED bins materialized — no group x nbins spine.
+# ---------------------------------------------------------------------------
+
+def _q230_sql() -> str:
+    from dbms_spark.operators.sketch import hist_by_sql
+
+    return hist_by_sql("SELECT * FROM orders", "o_orderpriority",
+                       "o_totalprice", 0.0, 600_000.0, nbins=64)
+
+
+@register("q230_histogram_by", _q230_sql())
+def q230_histogram_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hist_by
+
+    return hist_by(load_table(spark, sf_dir, "orders"), "o_orderpriority",
+                   "o_totalprice", 0.0, 600_000.0, nbins=64)
+
+
+# ---------------------------------------------------------------------------
+# q231 — per-group quantiles from the grouped sketch: median + p95
+# order value per priority from the q230 relation — the at-scale form
+# of q119's exact per-group percentile (windows run over <= nbins rows
+# per group, never the raw data; per-day sketches merge first).
+# ---------------------------------------------------------------------------
+
+def _q231_sql() -> str:
+    from dbms_spark.operators.sketch import hist_by_sql, hist_quantiles_by_sql
+
+    return hist_quantiles_by_sql(
+        hist_by_sql("SELECT * FROM orders", "o_orderpriority",
+                    "o_totalprice", 0.0, 600_000.0, nbins=64),
+        "o_orderpriority", [0.5, 0.95], 0.0, 600_000.0, nbins=64)
+
+
+@register("q231_histogram_quantiles_by", _q231_sql())
+def q231_histogram_quantiles_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hist_by, hist_quantiles_by
+
+    h = hist_by(load_table(spark, sf_dir, "orders"), "o_orderpriority",
+                "o_totalprice", 0.0, 600_000.0, nbins=64)
+    return hist_quantiles_by(h, "o_orderpriority", [0.5, 0.95],
+                             0.0, 600_000.0, nbins=64)

@@ -66,6 +66,8 @@ SHUFFLE_BUDGET = {
     "q227_histogram_sketch": 1,    # one partial-aggregated bin groupBy
     "q228_histogram_quantiles": 4,  # bin agg + cum window + total + per-p window (all <= nbins rows)
     "q229_mix_to_budget": 1,       # per-source running-sum window
+    "q230_histogram_by": 1,        # one (group, bin) partial agg, no spine
+    "q231_histogram_quantiles_by": 2,  # bin agg + grouped cum/total windows
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

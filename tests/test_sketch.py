@@ -207,3 +207,39 @@ def test_histogram_merge_clamp_and_quantile_error(spark):
         "percentile(v, array(0.25D, 0.5D, 0.9D)) AS q").first().q
     for p, e in zip((0.25, 0.5, 0.9), exact):
         assert abs(est[p] - e) <= 20.0, (p, est[p], e)
+
+
+def test_hist_by_weighted_and_grouped_quantiles(spark):
+    """Grouped histogram: per-group slices equal per-group hist_build
+    counts on observed bins; integer weights behave exactly like row
+    replication; grouped quantiles land within one bin width of the
+    per-group exact percentile."""
+    from dbms_spark.operators.sketch import (hist_build, hist_by,
+                                             hist_quantiles_by)
+
+    df = spark.range(6000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g",
+        "CAST((id * 37) % 1000 AS DOUBLE) AS v",
+        "CAST(1 + id % 4 AS BIGINT) AS wt")
+    grouped = {(r.g, r.bin): r.cnt
+               for r in hist_by(df, "g", "v", 0.0, 1000.0, 40).collect()}
+    for g in ("0", "1", "2"):
+        solo = {r.bin: r.cnt
+                for r in hist_build(df.filter(f"g = '{g}'"),
+                                    "v", 0.0, 1000.0, 40).collect()}
+        assert {b: c for (gg, b), c in grouped.items() if gg == g} == \
+               {b: c for b, c in solo.items() if c > 0}
+
+    # weighted == replicated
+    from pyspark.sql import functions as F
+    w = hist_by(df, "g", "v", 0.0, 1000.0, 40, weight_col="wt")
+    rep = hist_by(df.withColumn("i", F.expr("explode(sequence(1, CAST(wt AS INT)))")),
+                  "g", "v", 0.0, 1000.0, 40)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, rep.collect()))
+
+    # per-group quantile accuracy: one bin width = 25
+    h = hist_by(df, "g", "v", 0.0, 1000.0, 40)
+    est = {(r.g, r.p): r.value
+           for r in hist_quantiles_by(h, "g", [0.5], 0.0, 1000.0, 40).collect()}
+    for r in df.groupBy("g").agg(F.expr("percentile(v, 0.5D)").alias("m")).collect():
+        assert abs(est[(r.g, 0.5)] - r.m) <= 25.0

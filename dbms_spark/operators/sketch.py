@@ -721,15 +721,18 @@ FROM all_b LEFT JOIN got USING (bin)
 """
 
 
-def hist_merge(*hists: DataFrame) -> DataFrame:
+def hist_merge(*hists: DataFrame, group_col: str | None = None) -> DataFrame:
     """Merge histograms built with the same (lo, hi, nbins):
-    elementwise count sum — the histogram of the unioned data."""
+    elementwise count sum — the histogram of the unioned data.  Pass
+    ``group_col`` for hist_by relations (sparse rows sum per
+    (group, bin); bins absent everywhere stay implicit)."""
     if not hists:
         raise ValueError("hist_merge needs at least one histogram")
     u = hists[0]
     for t in hists[1:]:
         u = u.unionByName(t)
-    return u.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    keys = ["bin"] if group_col is None else [group_col, "bin"]
+    return u.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
 
 def hist_quantiles(hist: DataFrame, ps: list[float], lo: float, hi: float,

@@ -90,3 +90,21 @@ def test_examples_share_session_untouched(spark):
     session is still alive (examples must not stop a session they did
     not create)."""
     assert spark.range(3).count() == 3
+
+
+def test_daily_profile_stages(spark, sf_dir, tmp_path):
+    stages = _load("daily_profile").main(sf_dir, str(tmp_path), spark=spark)
+    by = {d["stage"]: d for d in stages}
+    assert list(by) == ["day0_summaries", "rollforward", "drift_report"]
+    day0, roll, drift = (by[s] for s in by)
+    assert day0["hist_rows"] == 50          # every bin materialized
+    assert day0["hist_src_rows"] > 0        # sparse: observed bins only
+    # merged histogram accounts for every corpus + batch row
+    assert roll["merged_hist_total"] > roll["batch_rows"]
+    # register-MAX merge == direct sketch of the union (lossless)
+    assert drift["merge_lossless"] is True
+    assert drift["ndv_merged"] >= drift["ndv_day0"]
+    # quantiles answered from both ledgers; drift small for a 10% batch
+    for p in ("p50", "p95"):
+        assert abs(drift["day1_quantiles"][p] - drift["day0_quantiles"][p]) \
+            <= (2000.0 / 50) * 2

@@ -204,6 +204,13 @@ class AggStore:
             return
         delta = batch_delta(events, self.keys, self.sum_cols, self.col_types)
         new = merge_delta(self.read(), delta, self.keys, self.sum_cols)
+        self._commit(new, ptr, batch_id if batch_id is not None else last_bid)
+
+    def _commit(self, new: DataFrame, ptr: tuple[str, int] | None,
+                bid: int) -> None:
+        """Materialize ``new`` as the next snapshot and move the
+        pointer — ONE atomic rename carries state switch + batch
+        marker (see class docstring)."""
         os.makedirs(self.path, exist_ok=True)
         version = 0 if ptr is None else int(ptr[0].split("_")[1]) + 1
         snap = f"v_{version:06d}"
@@ -212,7 +219,7 @@ class AggStore:
         new.write.mode("overwrite").parquet(os.path.join(self.path, snap))
         staged = os.path.join(self.path, self._POINTER + ".staging")
         with open(staged, "w") as f:
-            f.write(f"{snap} {batch_id if batch_id is not None else last_bid}")
+            f.write(f"{snap} {bid}")
             f.flush()
             os.fsync(f.fileno())
         os.rename(staged, os.path.join(self.path, self._POINTER))  # atomic commit
@@ -221,3 +228,36 @@ class AggStore:
         for d in os.listdir(self.path):
             if d.startswith("v_") and d != snap:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+class SketchStore(AggStore):
+    """Crash-safe maintained SKETCH ledger: the AggStore snapshot +
+    pointer-commit machinery (exactly-once across foreachBatch
+    redeliveries, crash-safe POSIX-rename commits), but the maintained
+    state is any MERGEABLE sketch relation — histogram (hist_build /
+    hist_merge), HLL registers (register MAX), Bloom words (bit_or),
+    KMV bottom-k (union + re-top-k).  This is the streaming form of
+    examples/daily_profile.py: a corpus profile that stays current
+    under a live stream, with every query answered from the <= few
+    hundred summary rows.
+
+    ``build_fn(batch_df) -> sketch`` sketches one micro-batch;
+    ``merge_fn(cur, delta) -> merged`` folds it into the ledger (must
+    be the sketch's lossless merge so the stored state is EXACTLY the
+    sketch of everything applied)."""
+
+    def __init__(self, spark, path: str, build_fn, merge_fn, schema: str):
+        self.spark, self.path = spark, path
+        self._build, self._merge, self._schema_str = build_fn, merge_fn, schema
+
+    def _schema(self) -> str:
+        return self._schema_str
+
+    def apply_batch(self, events: DataFrame, batch_id: int | None = None) -> None:
+        ptr = self._pointer()
+        last_bid = -1 if ptr is None else ptr[1]
+        if batch_id is not None and batch_id <= last_bid:
+            return  # redelivered batch: exactly-once no-op
+        delta = self._build(events)
+        new = delta if ptr is None else self._merge(self.read(), delta)
+        self._commit(new, ptr, batch_id if batch_id is not None else last_bid)

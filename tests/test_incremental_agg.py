@@ -266,3 +266,58 @@ def test_agg_store_uncommitted_first_batch_not_resurrected(spark, tmp_path):
     got = {r["region"]: (r["n_rows"], r["sum_amount"])
            for r in store.read().collect()}
     assert got == {"eu": (1, 10)}
+
+
+def test_sketch_store_hist_ledger_and_redelivery(spark, tmp_path):
+    """SketchStore folds histogram batches forward losslessly (ledger
+    == direct sketch of everything applied), and a redelivered
+    batch_id is an exactly-once no-op."""
+    from dbms_spark.operators.sketch import hist_build, hist_merge
+    from dbms_spark.streaming.incremental_agg import SketchStore
+
+    store = SketchStore(
+        spark, str(tmp_path / "hist_ledger"),
+        build_fn=lambda b: hist_build(b, "v", 0.0, 100.0, 20),
+        merge_fn=lambda cur, d: hist_merge(cur, d),
+        schema="bin bigint, cnt bigint")
+    full = spark.range(3000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    for i in range(3):
+        store.apply_batch(full.filter(f"id % 3 = {i}"), batch_id=i)
+    ledger = sorted((r.bin, r.cnt) for r in store.read().collect())
+    direct = sorted((r.bin, r.cnt)
+                    for r in hist_build(full, "v", 0.0, 100.0, 20).collect())
+    assert ledger == direct
+    assert store.last_batch_id() == 2
+
+    # redelivery (foreachBatch crash-replay): same id -> no double count
+    store.apply_batch(full.filter("id % 3 = 2"), batch_id=2)
+    assert sorted((r.bin, r.cnt) for r in store.read().collect()) == direct
+
+
+def test_sketch_store_hll_and_kmv_ledgers(spark, tmp_path):
+    """The same store machinery carries register-MAX (HLL) and
+    re-top-k (KMV) merges — ledger state identical to a one-shot
+    sketch of the union."""
+    from dbms_spark.operators.sketch import (hll_merge, hll_registers,
+                                             kmv_build, kmv_merge)
+    from dbms_spark.streaming.incremental_agg import SketchStore
+
+    full = spark.range(5000).selectExpr("CAST(id % 900 AS STRING) AS k")
+    hll = SketchStore(
+        spark, str(tmp_path / "hll"),
+        build_fn=lambda b: hll_registers(b, "k"),
+        merge_fn=lambda cur, d: hll_merge(cur, d),
+        schema="bucket bigint, register bigint")
+    kmv = SketchStore(
+        spark, str(tmp_path / "kmv"),
+        build_fn=lambda b: kmv_build(b, "k", k=64),
+        merge_fn=lambda cur, d: kmv_merge(cur, d, k=64),
+        schema="hkey string, key string")
+    for i in range(2):
+        part = full.filter(f"id % 2 = {i}")
+        hll.apply_batch(part, batch_id=i)
+        kmv.apply_batch(part, batch_id=i)
+    assert sorted(map(tuple, hll.read().collect())) == \
+        sorted(map(tuple, hll_registers(full, "k").collect()))
+    assert sorted(map(tuple, kmv.read().collect())) == \
+        sorted(map(tuple, kmv_build(full, "k", k=64).collect()))

@@ -875,3 +875,42 @@ SELECT {group_col}, p,
        {float(lo)} + (bin + (p * total - (cum - cnt)) / cnt) * {width} AS value
 FROM hit WHERE rn = 1
 """
+
+
+def kmv_by(df: DataFrame, group_col: str, key_col: str,
+           k: int = 64) -> DataFrame:
+    """Per-group bottom-k sketch (group, hkey, key): the k smallest
+    distinct key hashes WITHIN each group — a deterministic uniform
+    distinct-key sample per group (per-source document samples, per-day
+    spot-check sets), the grouped form of kmv_build.  Merge = union +
+    kmv_by again on the union of sketch rows (bottom-k per group of a
+    union is the bottom-k of per-part bottom-k's).  Two shuffles: the
+    (group, hash) dedup partial-agg and the per-group top-k window —
+    both carry hashes, never payloads."""
+    from pyspark.sql.window import Window
+
+    keyed = (df.select(F.col(group_col),
+                       F.col(key_col).cast("string").alias("key"))
+             .where(F.col("key").isNotNull())
+             .select(group_col, F.md5("key").alias("hkey"), "key")
+             .dropDuplicates([group_col, "hkey"]))
+    w = Window.partitionBy(group_col).orderBy("hkey")
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+def kmv_by_sql(table_sql: str, group_col: str, key_col: str,
+               k: int = 64) -> str:
+    return f"""
+WITH src AS ({table_sql}),
+keyed AS (
+  SELECT DISTINCT {group_col}, md5(CAST({key_col} AS VARCHAR)) AS hkey,
+         CAST({key_col} AS VARCHAR) AS key
+  FROM src WHERE {key_col} IS NOT NULL
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY hkey) AS rn
+  FROM keyed
+)
+SELECT {group_col}, hkey, key FROM rk WHERE rn <= {k}
+"""

@@ -7973,3 +7973,24 @@ def q231_histogram_quantiles_by(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_totalprice", 0.0, 600_000.0, nbins=64)
     return hist_quantiles_by(h, "o_orderpriority", [0.5, 0.95],
                              0.0, 600_000.0, nbins=64)
+
+
+# ---------------------------------------------------------------------------
+# q232 — per-group KMV sample: the k smallest distinct key hashes
+# WITHIN each group (grouped form of q224) — a deterministic
+# per-source spot-check sample; both shuffles carry hashes, never
+# payloads, and merge is re-top-k per group.
+# ---------------------------------------------------------------------------
+
+def _q232_sql() -> str:
+    from dbms_spark.operators.sketch import kmv_by_sql
+
+    return kmv_by_sql("SELECT * FROM documents", "source", "doc_id", k=8)
+
+
+@register("q232_kmv_by", _q232_sql())
+def q232_kmv_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import kmv_by
+
+    return kmv_by(load_table(spark, sf_dir, "documents"),
+                  "source", "doc_id", k=8)

@@ -68,6 +68,7 @@ SHUFFLE_BUDGET = {
     "q229_mix_to_budget": 1,       # per-source running-sum window
     "q230_histogram_by": 1,        # one (group, bin) partial agg, no spine
     "q231_histogram_quantiles_by": 2,  # bin agg + grouped cum/total windows
+    "q232_kmv_by": 2,              # (group,hash) dedup + per-group top-k window
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

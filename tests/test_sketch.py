@@ -243,3 +243,25 @@ def test_hist_by_weighted_and_grouped_quantiles(spark):
            for r in hist_quantiles_by(h, "g", [0.5], 0.0, 1000.0, 40).collect()}
     for r in df.groupBy("g").agg(F.expr("percentile(v, 0.5D)").alias("m")).collect():
         assert abs(est[(r.g, 0.5)] - r.m) <= 25.0
+
+
+def test_kmv_by_matches_per_group_builds_and_merges(spark):
+    """Per-group slices of kmv_by equal kmv_build run on each group
+    alone, and re-running kmv_by over unioned sketch rows is a
+    lossless per-group merge."""
+    from dbms_spark.operators.sketch import kmv_build, kmv_by
+
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", "CAST(id % 500 AS STRING) AS k")
+    grouped = kmv_by(df, "g", "k", k=32)
+    rows = sorted(map(tuple, grouped.collect()))
+    per_group = []
+    for g in ("0", "1", "2", "3"):
+        per_group += [(g, r.hkey, r.key) for r in
+                      kmv_build(df.filter(f"g = '{g}'"), "k", k=32).collect()]
+    assert rows == sorted(per_group)
+
+    h1 = kmv_by(df.filter("id % 2 = 0"), "g", "k", k=32)
+    h2 = kmv_by(df.filter("id % 2 = 1"), "g", "k", k=32)
+    merged = kmv_by(h1.unionByName(h2), "g", "key", k=32)
+    assert sorted(map(tuple, merged.collect())) == rows

@@ -378,16 +378,20 @@ class DbmsEngine:
                              weight_col, expected_totals)
 
     def key_sample(self, df: DataFrame, key_col: str, k: int = 256,
-                   expected_ndv: int | None = None) -> DataFrame:
+                   expected_ndv: int | None = None,
+                   group_col: str | None = None) -> DataFrame:
         """Deterministic uniform sample of k distinct keys (KMV
         bottom-k sketch): a pure function of the key SET, so the same
         rows come back on any engine, partitioning, or day — mergeable
         across shards via sketch.kmv_merge, NDV-estimable via
         sketch.kmv_ndv.  Pass ``expected_ndv`` (e.g. from hll_estimate)
         to bound the dedup shuffle at ~8k candidate rows regardless of
-        corpus size.  Gates q224/q225."""
-        from dbms_spark.operators.sketch import kmv_build
+        corpus size; pass ``group_col`` for a per-group sample
+        (sketch.kmv_by).  Gates q224/q225 (global), q232 (grouped)."""
+        from dbms_spark.operators.sketch import kmv_build, kmv_by
 
+        if group_col is not None:
+            return kmv_by(df, group_col, key_col, k)
         return kmv_build(df, key_col, k, expected_ndv=expected_ndv)
 
     def decontaminate_embeddings(self, train: DataFrame, bench: DataFrame,

@@ -107,3 +107,45 @@ def test_derive_bloom_size_and_k_invariants(n, bpk):
     assert 1 <= k <= 8
     if n and 1 <= round(0.6931 * m / n) <= 8:
         assert k == round(0.6931 * m / n)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ks=key_lists, k=st.sampled_from([4, 16, 64]))
+def test_kmv_is_bottom_k_of_the_md5_set(spark, ks, k):
+    """For ANY key multiset: the sketch is EXACTLY the k smallest
+    distinct md5 hex strings (Python model equivalence) — the property
+    every downstream use (uniform sample, NDV, lossless merge) rests
+    on."""
+    import hashlib
+
+    from dbms_spark.operators.sketch import kmv_build
+
+    df = spark.createDataFrame([(x,) for x in ks], "k bigint")
+    got = [(r.hkey, r.key) for r in kmv_build(df, "k", k=k).collect()]
+    model = sorted({(hashlib.md5(str(x).encode()).hexdigest(), str(x))
+                    for x in ks})[:k]
+    assert got == model
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vs=st.lists(st.floats(min_value=-50.0, max_value=150.0,
+                             allow_nan=False), min_size=1, max_size=150),
+       nbins=st.sampled_from([1, 7, 32]))
+def test_hist_matches_python_binning_and_preserves_mass(spark, vs, nbins):
+    """For ANY value list (including out-of-range values): the sketch
+    equals Python clamp-binning exactly and total count equals the
+    input size — no row is ever lost to range edges."""
+    from dbms_spark.operators.sketch import hist_build
+
+    lo, hi = 0.0, 100.0
+    df = spark.createDataFrame([(v,) for v in vs], "v double")
+    got = {r.bin: r.cnt for r in hist_build(df, "v", lo, hi, nbins).collect()}
+    model = {b: 0 for b in range(nbins)}
+    import math
+    for v in vs:
+        b = min(nbins - 1, max(0, int(math.floor((v - lo) * nbins / (hi - lo)))))
+        model[b] += 1
+    assert got == model
+    assert sum(got.values()) == len(vs)

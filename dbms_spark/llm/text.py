@@ -1090,7 +1090,10 @@ def mix_to_budget(df: DataFrame, budgets: dict[str, int],
     is kept, so each source lands within one document of its budget).
     Deterministic: the kept set is a pure function of (ids, budgets),
     reproducible across runs/engines; ``id_col`` must be unique.
-    Sources absent from ``budgets`` are dropped.
+    Sources absent from ``budgets`` are dropped.  Budgets travel as a
+    BROADCAST rules relation, not a CASE chain — expression depth is
+    constant whether 3 sources or 10^5 (the assign_chunk_id lesson:
+    nested when-chains StackOverflow near 1k arms).
 
     Scale shape: the running sum needs a per-source ordered window —
     a shuffle partitioned by the (few, skewed) sources.  The fix is
@@ -1098,39 +1101,34 @@ def mix_to_budget(df: DataFrame, budgets: dict[str, int],
     ``expected_totals`` (per-source total weight, one stats pass or a
     histogram sketch away) and only ~margin*budget worth of the
     hash-smallest rows per source enter the sort; everything else
-    drops map-side.  Budgets within one doc of the unfiltered result
-    whenever the margin holds (failure is detectable: a pre-filtered
-    source whose kept weight lands below budget while the source had
-    more data means the bound cut — rerun that source unfiltered)."""
+    drops map-side.  Identical to the unfiltered result whenever
+    ``margin`` exceeds any OVERestimation factor of
+    ``expected_totals`` (underestimates only widen the filter);
+    failure is detectable: a pre-filtered source whose kept weight
+    lands below budget while the source had more data means the bound
+    cut — rerun that source unfiltered (both pinned in test_llm)."""
     from pyspark.sql.window import Window
 
-    srcs = sorted(budgets)
+    space = 16 ** 15
     out_cols = df.columns
-    d = df.where(F.col(source_col).isin(srcs))
+    rows = []
+    for src in sorted(budgets):
+        if expected_totals:
+            frac = min(1.0, margin * budgets[src]
+                       / max(1, expected_totals.get(src, 0)))
+            bound = int(frac * space) + 1
+        else:
+            bound = space + 1   # no pre-filter: every hash qualifies
+        rows.append((src, float(budgets[src]), bound))
+    rules = df.sparkSession.createDataFrame(
+        rows, f"{source_col} string, __budget double, __hbound bigint")
     hexp = F.md5(F.col(id_col).cast("string"))
-
-    def _case(vals: dict[str, float]) -> F.Column:
-        expr = None
-        for s in srcs:
-            c = F.when(F.col(source_col) == s, F.lit(vals[s]))
-            expr = c if expr is None else expr.when(
-                F.col(source_col) == s, F.lit(vals[s]))
-        return expr
-
-    if expected_totals:
-        space = 16 ** 15
-        fracs = {
-            s: min(1.0, margin * budgets[s] / max(1, expected_totals.get(s, 0)))
-            for s in srcs}
-        bounds = {s: float(int(fracs[s] * space) + 1) for s in srcs}
-        hnum = F.conv(F.substring(hexp, 1, 15), 16, 10).cast("bigint")
-        d = d.where(hnum < _case(bounds).cast("bigint"))
-
+    hnum = F.conv(F.substring(hexp, 1, 15), 16, 10).cast("bigint")
+    d = (df.join(F.broadcast(rules), source_col)  # inner: unlisted sources drop
+         .where(hnum < F.col("__hbound")))
     w = Window.partitionBy(source_col).orderBy(hexp)
-    cum = F.sum(F.col(weight_col)).over(w)
-    return (d.withColumn("__cum", cum)
-            .where((F.col("__cum") - F.col(weight_col))
-                   < _case({s: float(budgets[s]) for s in srcs}))
+    return (d.withColumn("__cum", F.sum(F.col(weight_col)).over(w))
+            .where((F.col("__cum") - F.col(weight_col)) < F.col("__budget"))
             .select(*out_cols))
 
 

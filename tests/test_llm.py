@@ -1054,3 +1054,18 @@ def test_mix_to_budget_semantics_and_prefilter(spark):
              cut.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()}
     assert any(cut_w.get(s, 0) < b for s, b in budgets.items()), \
         "2x-overestimated totals should be detectable as under-budget keeps"
+
+
+def test_mix_to_budget_many_sources_constant_depth(spark):
+    """Budgets travel as a broadcast rules relation — a 2,000-source
+    dict must plan and run (a nested CASE chain StackOverflows near
+    1k arms, the assign_chunk_id lesson)."""
+    from dbms_spark.llm.text import mix_to_budget
+
+    df = spark.range(20_000).selectExpr(
+        "id AS doc_id",
+        "concat('s', CAST(id % 2000 AS STRING)) AS source",
+        "CAST(10 + id % 90 AS BIGINT) AS n_chars")
+    budgets = {f"s{i}": 60 for i in range(2000)}
+    kept = mix_to_budget(df, budgets)
+    assert kept.count() >= 2000  # every source keeps at least one doc

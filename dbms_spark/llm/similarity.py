@@ -915,7 +915,10 @@ def embedding_decontaminate(
     contaminated).  max_cos is floor-quantized at 6 dp (same
     fixed-point trick as cosine_topk, so cross-engine exact); ties on
     max_cos resolve to the SMALLEST bench id.  Bench ids must be
-    non-negative and < 2^40 (packed-key encoding).
+    non-negative and < 2^40 (packed-key encoding).  The bench side is
+    broadcast by design (eval sets are 10^3-10^5 rows); for a bench
+    set past broadcast size, bucket BOTH sides with lsh_buckets and
+    run this per bucket (the near_dup_pairs shape) instead.
     Reference parity: the reference has no semantic analogue — this is
     head-room the Spark engine adds beside text.decontaminate."""
     t = train.select(

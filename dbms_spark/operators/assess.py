@@ -850,3 +850,102 @@ def dictionary_overview(synonyms_df: DataFrame, mviews_df: DataFrame,
           .select(F.lit("SUBPARTITION").alias("section"), "item", "counts"))
     return (syn.unionAll(mv).unionAll(ix).unionAll(sp)
             .select("section", "item", F.col("counts").cast("bigint").alias("counts")))
+
+
+def approx_numeric_profile(df: DataFrame, ranges: dict[str, tuple[float, float]],
+                           nbins: int = 64,
+                           ps: list[float] | None = None) -> DataFrame:
+    """Sketch-based multi-column quantile profile: (col_name, p, value)
+    for every numeric column in ``ranges`` — the at-scale form of
+    :func:`numeric_profile` (exact ranks, one range-partitioned sort
+    PER COLUMN) for tables where even one sort pass is too much.  ONE
+    pass over the table: each row explodes into (col, bin) pairs
+    (map-side arithmetic), a single partial-aggregated groupBy builds
+    every per-column histogram at once, and ONE grouped window pass
+    interpolates all quantiles, decoding each column's value scale
+    from a broadcast (col_name, lo, width) relation (error <= one bin
+    width of that column's declared range)."""
+    from pyspark.sql.window import Window
+
+    from dbms_spark.operators.sketch import _hist_bin_expr
+
+    ps = ps or [0.25, 0.5, 0.95]
+    arms = [
+        f"named_struct('col_name', '{c}', 'bin', "
+        f"CASE WHEN {c} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE {_hist_bin_expr(c, lo, hi, nbins)} END)"
+        for c, (lo, hi) in sorted(ranges.items())]
+    pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cb"))
+             .select(F.col("cb.col_name").alias("col_name"),
+                     F.col("cb.bin").alias("bin"))
+             .where(F.col("bin").isNotNull()))
+    hist = pairs.groupBy("col_name", "bin").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    scales = df.sparkSession.createDataFrame(
+        [(c, float(lo), (float(hi) - float(lo)) / float(nbins))
+         for c, (lo, hi) in sorted(ranges.items())],
+        "col_name string, lo double, width double")
+    wg = Window.partitionBy("col_name")
+    cum = hist.select(
+        "col_name", "bin", "cnt",
+        F.sum("cnt").over(wg.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(wg).alias("total"))
+    psdf = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"))
+    hit = (cum.crossJoin(psdf)
+           .where((F.col("cum") >= F.col("p") * F.col("total"))
+                  & (F.col("cnt") > 0)))
+    w = Window.partitionBy("col_name", "p").orderBy("bin")
+    return (hit.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .join(F.broadcast(scales), "col_name")
+            .select(
+                "col_name", "p",
+                (F.col("lo") + (F.col("bin")
+                 + (F.col("p") * F.col("total")
+                    - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+                 * F.col("width")).alias("value")))
+
+
+def approx_numeric_profile_sql(table: str, ranges: dict[str, tuple[float, float]],
+                               nbins: int = 64,
+                               ps: list[float] | None = None) -> str:
+    ps = ps or [0.25, 0.5, 0.95]
+
+    def _bin(c, lo, hi):
+        return (f"LEAST({nbins - 1}, GREATEST(0, CAST(floor("
+                f"(CAST({c} AS DOUBLE) - {float(lo)}) * {float(nbins)}"
+                f" / {float(hi - lo)}) AS BIGINT)))")
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {_bin(c, lo, hi)} AS bin FROM {table} "
+        f"WHERE {c} IS NOT NULL"
+        for c, (lo, hi) in sorted(ranges.items()))
+    scales = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({float(lo)} AS DOUBLE) AS lo, "
+        f"CAST({(float(hi) - float(lo)) / float(nbins)} AS DOUBLE) AS width"
+        for c, (lo, hi) in sorted(ranges.items()))
+    parms = " UNION ALL ".join(
+        f"SELECT CAST({float(p)} AS DOUBLE) AS p" for p in ps)
+    return f"""
+WITH h AS (
+  SELECT col_name, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({arms}) GROUP BY 1, 2
+),
+cum AS (
+  SELECT col_name, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY col_name ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY col_name) AS total
+  FROM h
+),
+ps AS ({parms}),
+scales AS ({scales}),
+hit AS (
+  SELECT col_name, p, bin, cnt, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY col_name, p ORDER BY bin) AS rn
+  FROM cum CROSS JOIN ps
+  WHERE cum >= p * total AND cnt > 0
+)
+SELECT col_name, p,
+       lo + (bin + (p * total - (cum - cnt)) / cnt) * width AS value
+FROM hit JOIN scales USING (col_name) WHERE rn = 1
+"""

@@ -7994,3 +7994,66 @@ def q232_kmv_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmv_by(load_table(spark, sf_dir, "documents"),
                   "source", "doc_id", k=8)
+
+
+# ---------------------------------------------------------------------------
+# q233 — streaming sketch ledger: three batch folds through
+# SketchStore's crash-safe pointer-committed snapshots reproduce the
+# whole-table histogram BIT-IDENTICALLY (the merge is lossless, so the
+# ledger state after N days equals a one-shot sketch of everything —
+# the invariant the daily-profile pattern rests on).  The oracle is
+# the plain whole-table histogram; the Spark side never sees the
+# table in one piece.
+# ---------------------------------------------------------------------------
+
+def _q233_sql() -> str:
+    from dbms_spark.operators.sketch import hist_build_sql
+
+    return hist_build_sql("SELECT * FROM documents", "n_chars",
+                          0.0, 2000.0, nbins=50)
+
+
+@register("q233_sketch_ledger", _q233_sql())
+def q233_sketch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.operators.sketch import hist_build, hist_merge
+    from dbms_spark.streaming.incremental_agg import SketchStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = SketchStore(
+        spark, tempfile.mkdtemp(prefix="q233_") + "/ledger",
+        build_fn=lambda b: hist_build(b, "n_chars", 0.0, 2000.0, 50),
+        merge_fn=lambda cur, d: hist_merge(cur, d),
+        schema="bin bigint, cnt bigint")
+    for i in range(3):
+        store.apply_batch(docs.filter(f"doc_id % 3 = {i}"), batch_id=i)
+    return store.read()
+
+
+# ---------------------------------------------------------------------------
+# q234 — sketch-based multi-column quantile profile: every column's
+# histogram from ONE table pass (rows explode to (col, bin) pairs
+# map-side; a single partial-aggregated groupBy builds all histograms
+# at once), quantiles interpolated per column over the <= ncols*nbins
+# sketch rows.  The at-scale form of q108's exact numeric_profile —
+# that one pays a range-partitioned sort PER COLUMN.
+# ---------------------------------------------------------------------------
+
+_Q234_RANGES = {"l_quantity": (0.0, 60.0),
+                "l_extendedprice": (0.0, 120_000.0),
+                "l_discount": (0.0, 0.2)}
+
+
+def _q234_sql() -> str:
+    from dbms_spark.operators.assess import approx_numeric_profile_sql
+
+    return approx_numeric_profile_sql("lineitem", _Q234_RANGES, nbins=32)
+
+
+@register("q234_approx_numeric_profile", _q234_sql())
+def q234_approx_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import approx_numeric_profile
+
+    return approx_numeric_profile(load_table(spark, sf_dir, "lineitem"),
+                                  _Q234_RANGES, nbins=32)

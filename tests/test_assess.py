@@ -64,3 +64,21 @@ def test_index_length_and_table_types(spark):
         "table_name string, table_type string")
     counts = {r["table_type"]: r["counts"] for r in table_type_counts(tt).collect()}
     assert counts == {"HEAP": 2, "EXTERNAL": 1}
+
+
+def test_approx_numeric_profile_accuracy(spark, sf_dir):
+    """Every column's quantile estimate lands within one bin width of
+    the exact percentile, from ONE table pass."""
+    from dbms_spark.operators.assess import approx_numeric_profile
+    from dbms_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranges = {"l_quantity": (0.0, 60.0), "l_extendedprice": (0.0, 120_000.0)}
+    est = {(r.col_name, r.p): r.value
+           for r in approx_numeric_profile(li, ranges, nbins=40).collect()}
+    for c, (lo, hi) in ranges.items():
+        width = (hi - lo) / 40
+        exact = li.selectExpr(
+            f"percentile({c}, array(0.25D, 0.5D, 0.95D)) AS q").first().q
+        for p, e in zip((0.25, 0.5, 0.95), exact):
+            assert abs(est[(c, p)] - float(e)) <= width, (c, p, est[(c, p)], e)

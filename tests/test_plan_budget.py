@@ -69,6 +69,8 @@ SHUFFLE_BUDGET = {
     "q230_histogram_by": 1,        # one (group, bin) partial agg, no spine
     "q231_histogram_quantiles_by": 2,  # bin agg + grouped cum/total windows
     "q232_kmv_by": 2,              # (group,hash) dedup + per-group top-k window
+    "q233_sketch_ledger": 0,       # returned plan reads the committed snapshot
+    "q234_approx_numeric_profile": 2,  # one (col,bin) agg + grouped windows, all columns one pass
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -852,7 +852,29 @@ def dictionary_overview(synonyms_df: DataFrame, mviews_df: DataFrame,
             .select("section", "item", F.col("counts").cast("bigint").alias("counts")))
 
 
-def approx_numeric_profile(df: DataFrame, ranges: dict[str, tuple[float, float]],
+def derive_profile_ranges(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """(lo, hi) per column from ONE min/max aggregation pass — the
+    derive-the-knob companion for approx_numeric_profile when declared
+    ranges aren't known (hi widened by one part-per-thousand so the
+    true max doesn't clamp into the last bin's edge)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).cast("double").alias(f"__lo_{c}"),
+                 F.max(c).cast("double").alias(f"__hi_{c}")]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None:          # all-NULL column: any non-empty range
+            lo, hi = 0.0, 1.0
+        if hi <= lo:
+            hi = lo + 1.0       # constant column: one-bin histogram
+        out[c] = (float(lo), float(hi) + (float(hi) - float(lo)) * 1e-3)
+    return out
+
+
+def approx_numeric_profile(df: DataFrame,
+                           ranges: dict[str, tuple[float, float]] | list[str],
                            nbins: int = 64,
                            ps: list[float] | None = None) -> DataFrame:
     """Sketch-based multi-column quantile profile: (col_name, p, value)
@@ -864,11 +886,16 @@ def approx_numeric_profile(df: DataFrame, ranges: dict[str, tuple[float, float]]
     every per-column histogram at once, and ONE grouped window pass
     interpolates all quantiles, decoding each column's value scale
     from a broadcast (col_name, lo, width) relation (error <= one bin
-    width of that column's declared range)."""
+    width of that column's declared range).  Pass a plain column LIST
+    to auto-derive ranges from one min/max pass
+    (:func:`derive_profile_ranges`) — two table passes total, still no
+    per-column sorts."""
     from pyspark.sql.window import Window
 
     from dbms_spark.operators.sketch import _hist_bin_expr
 
+    if isinstance(ranges, list):    # column names only: derive ranges
+        ranges = derive_profile_ranges(df, ranges)
     ps = ps or [0.25, 0.5, 0.95]
     arms = [
         f"named_struct('col_name', '{c}', 'bin', "

@@ -82,3 +82,26 @@ def test_approx_numeric_profile_accuracy(spark, sf_dir):
             f"percentile({c}, array(0.25D, 0.5D, 0.95D)) AS q").first().q
         for p, e in zip((0.25, 0.5, 0.95), exact):
             assert abs(est[(c, p)] - float(e)) <= width, (c, p, est[(c, p)], e)
+
+
+def test_approx_numeric_profile_derived_ranges(spark, sf_dir):
+    """Column-list form derives (lo, hi) from one min/max pass; the
+    true max must not clamp away (p95 of a constant-free column sits
+    strictly inside the derived range), and constant / all-NULL
+    columns must not divide by zero."""
+    from dbms_spark.operators.assess import approx_numeric_profile
+    from dbms_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    est = {(r.col_name, r.p): r.value
+           for r in approx_numeric_profile(
+               li, ["l_quantity", "l_extendedprice"], nbins=40).collect()}
+    exact = li.selectExpr("percentile(l_quantity, 0.5D) m").first().m
+    assert abs(est[("l_quantity", 0.5)] - float(exact)) <= 60.0 / 40 * 2
+
+    edge = spark.range(100).selectExpr(
+        "CAST(7 AS DOUBLE) AS const_col", "CAST(NULL AS DOUBLE) AS null_col")
+    prof = approx_numeric_profile(edge, ["const_col", "null_col"], nbins=8)
+    vals = {(r.col_name, r.p): r.value for r in prof.collect()}
+    assert abs(vals[("const_col", 0.5)] - 7.0) <= 1.0 / 8 * 2
+    assert not any(c == "null_col" for c, _ in vals)  # nothing to profile

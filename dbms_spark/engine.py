@@ -377,6 +377,15 @@ class DbmsEngine:
         return mix_to_budget(docs, budgets, id_col, source_col,
                              weight_col, expected_totals)
 
+    def split(self, docs: DataFrame, weights: dict[str, float],
+              id_col: str = "doc_id") -> DataFrame:
+        """Deterministic train/val/test split column: membership is a
+        pure function of the id, stable under corpus growth.  Gate
+        q235."""
+        from dbms_spark.llm.text import split_assign
+
+        return split_assign(docs, weights, id_col)
+
     def key_sample(self, df: DataFrame, key_col: str, k: int = 256,
                    expected_ndv: int | None = None,
                    group_col: str | None = None) -> DataFrame:

@@ -1147,3 +1147,48 @@ SELECT * EXCLUDE (__cum) FROM (
 )
 WHERE __cum - {weight_col} < (CASE {source_col} {arms} END)
 """
+
+
+def split_assign(df: DataFrame, weights: dict[str, float],
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test splitting: append a ``split``
+    column assigning each document to a named split with the given
+    weights (fractions summing to ~1; the last split absorbs
+    remainder).  Assignment is the md5 of the id against cumulative
+    thresholds over a 60-bit hash space — a pure function of the id,
+    so membership is stable across runs, engines, and corpus growth
+    (a document never migrates between splits when other documents
+    arrive, the property seeded randomSplit cannot give).  Map-side
+    only: no shuffle, no RNG state."""
+    space = 16 ** 15
+    names = sorted(weights)
+    acc, cuts = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        cuts.append((name, int(acc * space)))
+    hnum = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                  16, 10).cast("bigint")
+    expr = None
+    for name, cut in cuts:
+        c = hnum < F.lit(cut)
+        expr = F.when(c, F.lit(name)) if expr is None else expr.when(c, F.lit(name))
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def split_assign_sql(table: str, weights: dict[str, float],
+                     id_col: str = "doc_id") -> str:
+    space = 16 ** 15
+    names = sorted(weights)
+    acc, arms = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        arms.append(f"WHEN h < {int(acc * space)} THEN '{name}'")
+    case = (f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+            if arms else f"'{names[-1]}'")
+    return f"""
+SELECT * EXCLUDE (h) FROM (
+  SELECT *, ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table}
+) t, LATERAL (SELECT {case} AS split) s
+"""

@@ -8057,3 +8057,27 @@ def q234_approx_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return approx_numeric_profile(load_table(spark, sf_dir, "lineitem"),
                                   _Q234_RANGES, nbins=32)
+
+
+# ---------------------------------------------------------------------------
+# q235 — deterministic corpus splitting: train/val/test membership as
+# a pure function of the document id (md5 against cumulative
+# thresholds over a 60-bit space) — stable across runs, engines, and
+# corpus growth (documents never migrate splits as others arrive,
+# which seeded randomSplit cannot promise).  Map-side only.
+# ---------------------------------------------------------------------------
+
+_Q235_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q235_sql() -> str:
+    from dbms_spark.llm.text import split_assign_sql
+
+    return split_assign_sql("documents", _Q235_WEIGHTS)
+
+
+@register("q235_split_assign", _q235_sql())
+def q235_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import split_assign
+
+    return split_assign(load_table(spark, sf_dir, "documents"), _Q235_WEIGHTS)

@@ -1069,3 +1069,22 @@ def test_mix_to_budget_many_sources_constant_depth(spark):
     budgets = {f"s{i}": 60 for i in range(2000)}
     kept = mix_to_budget(df, budgets)
     assert kept.count() >= 2000  # every source keeps at least one doc
+
+
+def test_split_assign_stability_and_proportions(spark):
+    """Split membership is a pure function of the id: unchanged when
+    the corpus doubles; proportions converge to the weights; every
+    listed split name appears and nothing else."""
+    from dbms_spark.llm.text import split_assign
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    big = spark.range(20_000).selectExpr("id AS doc_id")
+    full = {r.doc_id: r.split for r in split_assign(big, w).collect()}
+    half = {r.doc_id: r.split for r in
+            split_assign(big.filter("doc_id < 10000"), w).collect()}
+    assert all(full[k] == v for k, v in half.items())
+    import collections
+    c = collections.Counter(full.values())
+    assert set(c) == set(w)
+    for name, frac in w.items():
+        assert abs(c[name] / 20_000 - frac) < 0.02, (name, c[name])

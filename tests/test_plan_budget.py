@@ -71,6 +71,7 @@ SHUFFLE_BUDGET = {
     "q232_kmv_by": 2,              # (group,hash) dedup + per-group top-k window
     "q233_sketch_ledger": 0,       # returned plan reads the committed snapshot
     "q234_approx_numeric_profile": 2,  # one (col,bin) agg + grouped windows, all columns one pass
+    "q235_split_assign": 0,        # pure map-side hash-threshold assignment
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

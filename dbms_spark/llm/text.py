@@ -1192,3 +1192,67 @@ SELECT * EXCLUDE (h) FROM (
   FROM {table}
 ) t, LATERAL (SELECT {case} AS split) s
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative quality scoring (the CCNet idea without an external
+# LM: docs whose tokens are RARE in the reference corpus score low)
+# ---------------------------------------------------------------------------
+
+def token_frequency_model(ref: DataFrame, text_col: str = "text",
+                          min_count: int = 1) -> DataFrame:
+    """Unigram model relation (tok, cnt) from a reference corpus —
+    one explode + partial-aggregated groupBy; persist it and score
+    any number of batches without re-reading the reference (the same
+    summarize-once lifecycle as the sketches)."""
+    return (ref.select(F.explode(tokens_expr(text_col)).alias("tok"))
+            .groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+            .where(F.col("cnt") >= min_count))
+
+
+def token_frequency_model_sql(table: str, text_col: str = "text",
+                              min_count: int = 1) -> str:
+    return f"""
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({tokens_sql(text_col)}) AS tok FROM {table})
+GROUP BY tok HAVING COUNT(*) >= {min_count}
+"""
+
+
+def corpus_frequency_score(docs: DataFrame, model: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           broadcast_model: bool = True) -> DataFrame:
+    """Corpus-relative quality: per doc, the mean reference-corpus
+    count of its tokens (out-of-vocabulary tokens count 0) — the
+    integer-exact stand-in for CCNet's LM-perplexity filter: fluent
+    text made of common words scores high, OCR noise / boilerplate /
+    wrong-language text scores low.  Returns (id, n_tokens,
+    mean_tok_freq_x1000 BIGINT).  Token rows left-join the model
+    (broadcast by default — vocabularies of 10^8+ distinct tokens
+    should pass broadcast_model=False for a shuffle join on tok, the
+    tfidf_top_terms recipe) and fold into ONE per-doc partial
+    aggregation; the x1000 fixed-point mean keeps the gate
+    bit-identical cross-engine."""
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens_expr(text_col)).alias("tok"))
+    m = F.broadcast(model) if broadcast_model else model
+    joined = toks.join(m, "tok", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.expr("(SUM(COALESCE(cnt, 0)) * 1000) DIV COUNT(*)")
+                 .cast("bigint").alias("mean_tok_freq_x1000")))
+
+
+def corpus_frequency_score_sql(docs_table: str, model_sql: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    return f"""
+WITH m AS ({model_sql}),
+toks AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {docs_table}
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST((SUM(COALESCE(cnt, 0)) * 1000) // COUNT(*) AS BIGINT) AS mean_tok_freq_x1000
+FROM toks LEFT JOIN m USING (tok)
+GROUP BY {id_col}
+"""

@@ -8081,3 +8081,31 @@ def q235_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.llm.text import split_assign
 
     return split_assign(load_table(spark, sf_dir, "documents"), _Q235_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# q236 — corpus-relative quality score: the CCNet LM-filter idea,
+# integer-exact — per doc, the mean reference-corpus frequency of its
+# tokens (OOV = 0), so fluent common-word text scores high and OCR
+# noise / wrong-language text scores low.  The unigram model relation
+# persists and scores any number of batches (summarize-once, like the
+# sketches); vocabulary-scale models shuffle-join via
+# broadcast_model=False (identity pinned in test_llm).
+# ---------------------------------------------------------------------------
+
+def _q236_sql() -> str:
+    from dbms_spark.llm.text import (corpus_frequency_score_sql,
+                                     token_frequency_model_sql)
+
+    return corpus_frequency_score_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        token_frequency_model_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0)"))
+
+
+@register("q236_corpus_frequency_score", _q236_sql())
+def q236_corpus_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import corpus_frequency_score, token_frequency_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = token_frequency_model(docs.filter("doc_id % 2 = 0"))
+    return corpus_frequency_score(docs.filter("doc_id % 2 = 1"), model)

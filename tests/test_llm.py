@@ -1088,3 +1088,27 @@ def test_split_assign_stability_and_proportions(spark):
     assert set(c) == set(w)
     for name, frac in w.items():
         assert abs(c[name] / 20_000 - frac) < 0.02, (name, c[name])
+
+
+def test_corpus_frequency_score_semantics(spark):
+    """Common-word docs outscore rare/OOV docs; OOV-only docs score 0;
+    the shuffle-join model path is identical to broadcast."""
+    from dbms_spark.llm.text import corpus_frequency_score, token_frequency_model
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)]
+        + [(100, "zyzzyva qwyjibo")],
+        "doc_id long, text string")
+    model = token_frequency_model(ref)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"),            # all high-frequency tokens
+         (2, "zyzzyva qwyjibo"),        # rare tokens (cnt 1 each)
+         (3, "xxxx yyyy zzzz")],        # fully OOV
+        "doc_id long, text string")
+    got = {r.doc_id: r.mean_tok_freq_x1000
+           for r in corpus_frequency_score(docs, model).collect()}
+    assert got[1] > got[2] > got[3] == 0
+    shuf = {r.doc_id: r.mean_tok_freq_x1000
+            for r in corpus_frequency_score(docs, model,
+                                            broadcast_model=False).collect()}
+    assert shuf == got

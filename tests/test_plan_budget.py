@@ -72,6 +72,7 @@ SHUFFLE_BUDGET = {
     "q233_sketch_ledger": 0,       # returned plan reads the committed snapshot
     "q234_approx_numeric_profile": 2,  # one (col,bin) agg + grouped windows, all columns one pass
     "q235_split_assign": 0,        # pure map-side hash-threshold assignment
+    "q236_corpus_frequency_score": 2,  # model token agg + per-doc score agg (model broadcast)
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

@@ -98,3 +98,82 @@ SELECT shard_id, {id_col}, {tokens_col},
        CAST(start % {capacity} AS BIGINT) AS bin_offset
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards — the export format streaming data
+# loaders consume (one tar per shard, one file per sample).
+# ---------------------------------------------------------------------------
+
+def tar_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Serialize each md5-assigned shard into ONE deterministic tar
+    payload: (shard_id, n_docs, payload_bytes, tar_bytes) with a
+    ``<id>.txt`` member per document.  Members are sorted by id and
+    headers pinned (mtime 0, uid/gid 0) so the tar bytes are a pure
+    function of the shard's content — re-exports are byte-identical
+    and diffable by hash.  Built with applyInPandas grouped on the
+    shard id: each shard's docs stream through ONE executor task as
+    Arrow batches and the only shuffle is the groupBy(shard_id); no
+    tar ever exists driver-side.  Shard tars must fit an executor
+    task's memory — size n_shards so payload/shard is O(100 MB-1 GB),
+    exactly how WebDataset shards are sized in practice.  The
+    countable fields are oracle-gated (q237); the tar bytes carry
+    determinism + read-back unit tests (a tarball is not expressible
+    in SQL)."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    assigned = shard_assign(df, n_shards, id_col).select(
+        "shard_id", F.col(id_col).cast("string").alias("__id"),
+        F.col(text_col).alias("__text"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        total = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in pdf.sort_values("__id").iterrows():
+                payload = (row["__text"] or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{row['__id']}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(payload))
+                total += len(payload)
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "n_docs": [len(pdf)],
+            "payload_bytes": [total],
+            "tar_bytes": [buf.getvalue()],
+        })
+
+    return assigned.groupBy("shard_id").applyInPandas(
+        _pack,
+        "shard_id bigint, n_docs bigint, payload_bytes bigint, tar_bytes binary")
+
+
+def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int,
+                     id_col: str = "doc_id", text_col: str = "text") -> int:
+    """Land each shard as ``shard-NNNNN.tar`` under ``out_dir``.
+    Files are written from executor tasks via foreachPartition —
+    assumes a shared filesystem (the compact_small_files assumption;
+    on a real cluster point out_dir at the mounted lake path).
+    Returns the shard count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = tar_shards(df, n_shards, id_col, text_col)
+
+    def _land(rows) -> None:
+        for r in rows:
+            path = os.path.join(out_dir, f"shard-{r['shard_id']:05d}.tar")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["tar_bytes"]))
+            os.replace(tmp, path)
+
+    shards.foreachPartition(_land)
+    return len(os.listdir(out_dir))

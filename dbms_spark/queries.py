@@ -8109,3 +8109,30 @@ def q236_corpus_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = token_frequency_model(docs.filter("doc_id % 2 = 0"))
     return corpus_frequency_score(docs.filter("doc_id % 2 = 1"), model)
+
+
+# ---------------------------------------------------------------------------
+# q237 — tar-shard export accounting: the countable face of the
+# WebDataset sink (shard doc counts + payload byte totals, which the
+# oracle reproduces from the same md5 shard assignment + utf-8
+# lengths); the tar bytes themselves are determinism- and
+# read-back-tested in test_cluster (not expressible in SQL).
+# ---------------------------------------------------------------------------
+
+def _q237_sql() -> str:
+    from dbms_spark.llm.shard import shard_assign_sql
+
+    return f"""
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT) AS payload_bytes
+FROM (SELECT {shard_assign_sql('doc_id', 8)} AS shard_id, text FROM documents)
+GROUP BY shard_id
+"""
+
+
+@register("q237_tar_shard_accounting", _q237_sql())
+def q237_tar_shard_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.shard import tar_shards
+
+    return tar_shards(load_table(spark, sf_dir, "documents"), 8) \
+        .select("shard_id", "n_docs", "payload_bytes")

@@ -132,3 +132,37 @@ def test_derive_k_scaled_rule(spark):
     got = auto.select("cid").distinct().count()
     assert 1 <= got <= 4
     assert auto.count() <= 40
+
+
+def test_tar_shards_deterministic_and_readback(spark, tmp_path):
+    """Tar shard bytes are a pure function of shard content
+    (re-export byte-identical); every member round-trips its document
+    text; write_tar_shards lands one tar per shard."""
+    import io
+    import os
+    import tarfile
+
+    from dbms_spark.llm.shard import tar_shards, write_tar_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with text") for i in range(40)]
+        + [(99, None)],                       # NULL text -> empty member
+        "doc_id long, text string")
+    a = {r.shard_id: bytes(r.tar_bytes) for r in tar_shards(docs, 3).collect()}
+    b = {r.shard_id: bytes(r.tar_bytes) for r in tar_shards(docs, 3).collect()}
+    assert a == b and len(a) == 3
+    seen = {}
+    for blob in a.values():
+        with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+            for m in t.getmembers():
+                assert m.mtime == 0 and m.uid == 0
+                seen[m.name] = t.extractfile(m).read().decode()
+    src = {f"{r.doc_id}.txt": (r.text or "") for r in docs.collect()}
+    assert seen == src                       # every doc in exactly one shard
+
+    out = str(tmp_path / "shards")
+    assert write_tar_shards(docs, out, 3) == 3
+    files = sorted(os.listdir(out))
+    assert files == ["shard-00000.tar", "shard-00001.tar", "shard-00002.tar"]
+    with tarfile.open(os.path.join(out, files[0])) as t:
+        assert t.getnames()

@@ -377,6 +377,25 @@ class DbmsEngine:
         return mix_to_budget(docs, budgets, id_col, source_col,
                              weight_col, expected_totals)
 
+    def score_against_corpus(self, docs: DataFrame, model: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+        """Corpus-relative quality scores from a persisted unigram
+        model (text.token_frequency_model) — the CCNet-style LM
+        filter, integer-exact.  Gate q236."""
+        from dbms_spark.llm.text import corpus_frequency_score
+
+        return corpus_frequency_score(docs, model, id_col, text_col)
+
+    def export_tar_shards(self, docs: DataFrame, out_dir: str,
+                          n_shards: int, id_col: str = "doc_id",
+                          text_col: str = "text") -> int:
+        """WebDataset-style export: one deterministic tar per shard.
+        Gate q237 (accounting)."""
+        from dbms_spark.llm.shard import write_tar_shards
+
+        return write_tar_shards(docs, out_dir, n_shards, id_col, text_col)
+
     def split(self, docs: DataFrame, weights: dict[str, float],
               id_col: str = "doc_id") -> DataFrame:
         """Deterministic train/val/test split column: membership is a

@@ -125,6 +125,15 @@ def main(sf_dir: str | None = None, out_dir: str | None = None,
     write_jsonl(final.select("chunk_id", "shard_id", "chunk_text"),
                 out_dir + "_jsonl", max_records_per_file=10000)
     emit({"stage": "jsonl", "out": out_dir + "_jsonl"})
+
+    # 8. loader-ready export: one deterministic tar per shard
+    # (WebDataset layout — the bytes are a pure function of content)
+    from dbms_spark.llm.shard import write_tar_shards
+
+    n_tars = write_tar_shards(
+        final.select(F.col("chunk_id").alias("doc_id"), F.col("chunk_text").alias("text")),
+        out_dir + "_tars", n_shards=8, id_col="doc_id", text_col="text")
+    emit({"stage": "tar", "shards": n_tars, "out": out_dir + "_tars"})
     if owned:
         spark.stop()
     return stages

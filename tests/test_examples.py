@@ -44,13 +44,16 @@ def test_pipeline_stages(spark, sf_dir, tmp_path):
     names = [d["stage"] for d in stages]
     assert names == ["ingest", "quality_filter", "dedup", "decontaminate",
                      "mix", "cluster_balance", "chunk", "pack", "write",
-                     "jsonl"]
+                     "jsonl", "tar"]
     rows = {d["stage"]: d.get("rows") for d in stages}
     # monotone survivor funnel through the doc-level stages
     assert (rows["ingest"] >= rows["quality_filter"] >= rows["dedup"]
             >= rows["decontaminate"] >= rows["mix"] >= rows["cluster_balance"])
     assert rows["cluster_balance"] > 0 and rows["write"] > 0
     assert os.path.isdir(str(tmp_path / "out") + "_jsonl")
+    tar_stage = [d for d in stages if d["stage"] == "tar"][0]
+    assert tar_stage["shards"] == 8
+    assert len(os.listdir(str(tmp_path / "out") + "_tars")) == 8
 
 
 def test_migrate_verify_phases(spark, sf_dir, tmp_path):

@@ -8136,3 +8136,27 @@ def q237_tar_shard_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tar_shards(load_table(spark, sf_dir, "documents"), 8) \
         .select("shard_id", "n_docs", "payload_bytes")
+
+
+# ---------------------------------------------------------------------------
+# q238 — WEIGHTED grouped histogram: the token-mass distribution
+# (cnt = SUM(weight), exact row-replication semantics) — e.g. "how
+# many TOKENS live in docs of each length band per priority", the
+# distribution mixing decisions weigh, not the doc-count one.
+# ---------------------------------------------------------------------------
+
+def _q238_sql() -> str:
+    from dbms_spark.operators.sketch import hist_by_sql
+
+    return hist_by_sql("SELECT * FROM lineitem", "l_returnflag",
+                       "l_extendedprice", 0.0, 120_000.0, nbins=32,
+                       weight_col="l_quantity")
+
+
+@register("q238_weighted_histogram", _q238_sql())
+def q238_weighted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import hist_by
+
+    return hist_by(load_table(spark, sf_dir, "lineitem"), "l_returnflag",
+                   "l_extendedprice", 0.0, 120_000.0, nbins=32,
+                   weight_col="l_quantity")

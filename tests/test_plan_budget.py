@@ -74,6 +74,7 @@ SHUFFLE_BUDGET = {
     "q235_split_assign": 0,        # pure map-side hash-threshold assignment
     "q236_corpus_frequency_score": 2,  # model token agg + per-doc score agg (model broadcast)
     "q237_tar_shard_accounting": 1,  # one groupBy(shard_id) into applyInPandas
+    "q238_weighted_histogram": 1,  # one (group, bin) SUM(weight) partial agg
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

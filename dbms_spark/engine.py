@@ -522,6 +522,7 @@ class DbmsEngine:
 
         from dbms_spark.llm import dedup
         from dbms_spark.llm import text as tx
+        from dbms_spark.operators import sketch
 
         stats = tx.token_stats_prepared(docs, id_col, text_col)
         quality = stats.select(
@@ -540,6 +541,12 @@ class DbmsEngine:
             .agg(F.avg("dup_line_ratio").alias("avg_dup_line_ratio"),
                  F.sum("n_dup_lines").alias("total_dup_lines")),
             "exact_dup_groups": dedup.exact_dedup(docs, id_col, text_col),
+            # round 6: sketch-backed additions — a persisted-ledger
+            # dashboard recomputes neither of these from raw text
+            "length_quantiles": sketch.hist_quantiles(
+                sketch.hist_build(stats, "n_tokens", 0.0, 4096.0, 128),
+                [0.25, 0.5, 0.95], 0.0, 4096.0, 128),
+            "doc_ndv": sketch.hll_estimate(docs, id_col),
         }
 
     # -- cdc -------------------------------------------------------------

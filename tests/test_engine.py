@@ -160,7 +160,11 @@ def test_engine_corpus_report(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rep = eng.corpus_report(docs)
     assert set(rep) == {"languages", "quality_bands", "token_totals",
-                        "dup_line_pressure", "exact_dup_groups"}
+                        "dup_line_pressure", "exact_dup_groups",
+                        "length_quantiles", "doc_ndv"}
+    q = {r.p: r.value for r in rep["length_quantiles"].collect()}
+    assert q[0.25] <= q[0.5] <= q[0.95]
+    assert rep["doc_ndv"].first().hll_est > 0
     langs = {r["pred_lang"]: r["n_docs"] for r in rep["languages"].collect()}
     assert sum(langs.values()) == docs.count()
     tot = rep["token_totals"].first()

@@ -120,15 +120,18 @@ def tar_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     exactly how WebDataset shards are sized in practice.  The
     countable fields are oracle-gated (q237); the tar bytes carry
     determinism + read-back unit tests (a tarball is not expressible
-    in SQL)."""
+    in SQL).  ``id_col`` must be non-NULL and unique — member names
+    derive from it, and NULL/duplicate ids would collide inside a
+    shard (NULL-id rows are dropped with the same
+    a-NULL-is-not-a-key rule as the sketches)."""
     import io
     import tarfile
 
     import pandas as pd
 
-    assigned = shard_assign(df, n_shards, id_col).select(
-        "shard_id", F.col(id_col).cast("string").alias("__id"),
-        F.col(text_col).alias("__text"))
+    assigned = (shard_assign(df.where(F.col(id_col).isNotNull()), n_shards, id_col)
+                .select("shard_id", F.col(id_col).cast("string").alias("__id"),
+                        F.col(text_col).alias("__text")))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         buf = io.BytesIO()

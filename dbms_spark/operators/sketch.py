@@ -687,6 +687,10 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 def _hist_bin_expr(col: str, lo: float, hi: float, nbins: int) -> str:
+    if not hi > lo:
+        raise ValueError(f"histogram range must satisfy hi > lo, got [{lo}, {hi})")
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
     return (f"least({nbins - 1}, greatest(0, CAST(floor("
             f"(CAST({col} AS DOUBLE) - {float(lo)}) * {float(nbins)}"
             f" / {float(hi - lo)}) AS BIGINT)))")

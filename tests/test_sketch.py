@@ -265,3 +265,17 @@ def test_kmv_by_matches_per_group_builds_and_merges(spark):
     h2 = kmv_by(df.filter("id % 2 = 1"), "g", "k", k=32)
     merged = kmv_by(h1.unionByName(h2), "g", "key", k=32)
     assert sorted(map(tuple, merged.collect())) == rows
+
+
+def test_hist_degenerate_range_raises(spark):
+    """A degenerate range must raise, not silently drop every row to
+    NULL bins (division by a zero width)."""
+    import pytest
+
+    from dbms_spark.operators.sketch import hist_build
+
+    df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError):
+        hist_build(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        hist_build(df, "v", 0.0, 10.0, 0)

@@ -1256,3 +1256,40 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM toks LEFT JOIN m USING (tok)
 GROUP BY {id_col}
 """
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6) -> DataFrame:
+    """Gopher's compression-quality signal: zlib-compressed size over
+    raw utf-8 size per document — boilerplate/repetitive junk
+    compresses far below fluent prose, so a low ratio flags low-value
+    text the word-level heuristics (repetition_signals) can miss.
+    (id, n_bytes, compressed_bytes, compression_ratio); empty/NULL
+    text reports ratio 1.0 (nothing to judge).  Arrow-batched
+    mapInPandas like the charset hops — zlib is not expressible in
+    either SQL dialect, so this op is unit-tested rather than
+    oracle-gated (the one such exception among the text ops; zlib's
+    DEFLATE output at a fixed level is platform-stable in CPython, so
+    the numbers are still deterministic)."""
+    import pandas as pd
+
+    out_schema = (f"{id_col} bigint, n_bytes bigint, compressed_bytes bigint, "
+                  f"compression_ratio double")
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+
+    def _score(batches):
+        import zlib
+        for pdf in batches:
+            texts = pdf["__text"].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": n,
+                "compressed_bytes": comp,
+                "compression_ratio": [
+                    (c / b) if b else 1.0 for c, b in zip(comp, n)],
+            })
+
+    return src.mapInPandas(_score, out_schema)

@@ -1112,3 +1112,23 @@ def test_corpus_frequency_score_semantics(spark):
             for r in corpus_frequency_score(docs, model,
                                             broadcast_model=False).collect()}
     assert shuf == got
+
+
+def test_compression_ratio_orders_junk_below_prose(spark):
+    """Repetitive junk compresses far below varied prose; empty text
+    reports ratio 1.0; determinism across calls."""
+    from dbms_spark.llm.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaa " * 60),                              # degenerate
+         (2, "the quick brown fox jumps over the lazy dog " * 12),  # repetitive
+         (3, "Across the harbour, fishermen hauled nets while gulls "
+             "argued over scraps; a ferry horn rolled through the fog "
+             "and the market stalls opened one by one."),       # varied prose
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].compression_ratio < got[2].compression_ratio < got[3].compression_ratio
+    assert got[4].compression_ratio == 1.0 and got[5].compression_ratio == 1.0
+    again = {r.doc_id: r.compressed_bytes for r in compression_ratio(docs).collect()}
+    assert again == {k: v.compressed_bytes for k, v in got.items()}

@@ -1293,3 +1293,57 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
             })
 
     return src.mapInPandas(_score, out_schema)
+
+
+def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_line_words: int = 3) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2), the
+    rule-set the canonical web-corpus pipeline applies BEFORE the
+    document-level heuristics: keep only lines that end in terminal
+    punctuation and have at least ``min_line_words`` words, drop any
+    document containing '{' (leaked code/markup) or the phrase
+    'lorem ipsum', and drop documents left empty by the line pass.
+    Returns (id, text, n_lines_kept, n_lines_dropped) with the
+    reassembled text.  Pure array expressions — one map-side pass,
+    codegen'd, no Python."""
+    lines = f"split({text_col}, '\\n')"
+    keep = (f"filter(transform({lines}, x -> trim(x)), x -> "
+            f"size(filter(split(x, '\\\\s+'), w -> w != '')) >= {min_line_words} "
+            f"AND x rlike '[.!?\"]$')")
+    kept = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__orig"),
+        F.expr(keep).alias("__kept"),
+        F.expr(f"size(split({text_col}, '\\n'))").alias("__n_lines"))
+    return (kept
+            .where(~F.lower("__orig").contains("lorem ipsum"))
+            .where(~F.col("__orig").contains("{"))
+            .where(F.expr("size(__kept) > 0"))
+            .select(
+                id_col,
+                F.array_join("__kept", "\n").alias(text_col),
+                F.expr("CAST(size(__kept) AS BIGINT)").alias("n_lines_kept"),
+                F.expr("CAST(__n_lines - size(__kept) AS BIGINT)")
+                .alias("n_lines_dropped")))
+
+
+def c4_line_filter_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text", min_line_words: int = 3) -> str:
+    lines = f"string_split({text_col}, chr(10))"
+    keep = (f"list_filter(list_transform({lines}, x -> trim(x)), x -> "
+            f"len(list_filter(string_split_regex(x, '\\s+'), w -> w != '')) >= {min_line_words} "
+            f"AND regexp_matches(x, '[.!?\"]$'))")
+    return f"""
+SELECT {id_col},
+       array_to_string(kept, chr(10)) AS {text_col},
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped
+FROM (
+  SELECT {id_col}, {text_col} AS orig, {keep} AS kept,
+         len({lines}) AS n_lines
+  FROM {table}
+)
+WHERE NOT contains(lower(orig), 'lorem ipsum')
+  AND NOT contains(orig, '{{')
+  AND len(kept) > 0
+"""

@@ -8160,3 +8160,47 @@ def q238_weighted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_by(load_table(spark, sf_dir, "lineitem"), "l_returnflag",
                    "l_extendedprice", 0.0, 120_000.0, nbins=32,
                    weight_col="l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# q239 — C4 line-level cleaning (Raffel 2020 §2.2): keep lines ending
+# in terminal punctuation with >= 3 words, drop lorem-ipsum / brace
+# documents, reassemble.  The gate constructs multi-line docs from
+# the documents table (the synthetic corpus is single-line without
+# terminal punctuation) so every rule arm fires: punctuated keepers,
+# short/unpunctuated droppers, brace docs, lorem docs.
+# ---------------------------------------------------------------------------
+
+def _q239_sql() -> str:
+    from dbms_spark.llm.text import c4_line_filter_sql
+
+    built = """
+SELECT doc_id,
+       substr(text, 1, 40) || '.' || chr(10) ||
+       'too short' || chr(10) ||
+       CASE WHEN doc_id % 3 = 0 THEN 'Another full sentence appears right here!'
+            WHEN doc_id % 7 = 0 THEN 'unpunctuated trailing line with many words'
+            ELSE 'Tail line, properly terminated.' END ||
+       CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+       CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'code { leaked }' ELSE '' END
+       AS text
+FROM documents
+"""
+    return c4_line_filter_sql(f"({built})")
+
+
+@register("q239_c4_line_filter", _q239_sql())
+def q239_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(substr(text, 1, 40), '.', char(10), "
+        " 'too short', char(10), "
+        " CASE WHEN doc_id % 3 = 0 THEN 'Another full sentence appears right here!' "
+        "      WHEN doc_id % 7 = 0 THEN 'unpunctuated trailing line with many words' "
+        "      ELSE 'Tail line, properly terminated.' END, "
+        " CASE WHEN doc_id % 11 = 0 THEN concat(char(10), 'lorem ipsum dolor sit.') ELSE '' END, "
+        " CASE WHEN doc_id % 13 = 0 THEN concat(char(10), 'code { leaked }') ELSE '' END"
+        ") AS text")
+    return c4_line_filter(docs)

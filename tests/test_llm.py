@@ -1132,3 +1132,23 @@ def test_compression_ratio_orders_junk_below_prose(spark):
     assert got[4].compression_ratio == 1.0 and got[5].compression_ratio == 1.0
     again = {r.doc_id: r.compressed_bytes for r in compression_ratio(docs).collect()}
     assert again == {k: v.compressed_bytes for k, v in got.items()}
+
+
+def test_c4_line_filter_rule_arms(spark):
+    """Each C4 rule fires: short/unpunctuated lines drop, punctuated
+    lines reassemble in order, lorem-ipsum and brace docs drop whole,
+    fully-filtered docs disappear."""
+    from dbms_spark.llm.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "This is a good line.\nshort\nAnother proper sentence here!\nno punct line at all"),
+         (2, "lorem ipsum dolor sit amet. Otherwise fine."),
+         (3, "function f() { return 1; } This has braces."),
+         (4, "only\nshort\nlines"),
+         (5, 'He said "stop".\nA second fine line ends here?')],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert set(got) == {1, 5}
+    assert got[1].text == "This is a good line.\nAnother proper sentence here!"
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 2
+    assert got[5].n_lines_dropped == 0

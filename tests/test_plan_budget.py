@@ -75,6 +75,7 @@ SHUFFLE_BUDGET = {
     "q236_corpus_frequency_score": 2,  # model token agg + per-doc score agg (model broadcast)
     "q237_tar_shard_accounting": 1,  # one groupBy(shard_id) into applyInPandas
     "q238_weighted_histogram": 1,  # one (group, bin) SUM(weight) partial agg
+    "q239_c4_line_filter": 0,      # pure map-side array expressions
     # iterative queries: cached relations re-print their child plans in
     # toString, so these counts OVERSTATE runtime shuffles (InMemory
     # reuse collapses them) — still pinned, as a canary against a round

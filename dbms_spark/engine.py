@@ -422,6 +422,19 @@ class DbmsEngine:
             return kmv_by(df, group_col, key_col, k)
         return kmv_build(df, key_col, k, expected_ndv=expected_ndv)
 
+    def source_overlap(self, df: DataFrame, group_col: str, key_col: str,
+                       k: int = 64) -> DataFrame:
+        """Pairwise key-overlap matrix between groups (sources, days,
+        shards) estimated from per-group KMV sketches — builds the
+        sketch with kmv_by then runs sketch.kmv_overlap_matrix, never
+        expanding beyond G^2*k sketch rows regardless of corpus size.
+        To reuse a persisted sketch ledger, call kmv_overlap_matrix on
+        it directly.  Gate q240."""
+        from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+
+        return kmv_overlap_matrix(kmv_by(df, group_col, key_col, k),
+                                  group_col, k)
+
     def decontaminate_embeddings(self, train: DataFrame, bench: DataFrame,
                                  threshold: float = 0.85,
                                  id_col: str = "vec_id",

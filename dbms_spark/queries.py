@@ -8204,3 +8204,44 @@ def q239_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CASE WHEN doc_id % 13 = 0 THEN concat(char(10), 'code { leaked }') ELSE '' END"
         ") AS text")
     return c4_line_filter(docs)
+
+
+# ---------------------------------------------------------------------------
+# q240 — cross-source overlap matrix from KMV sketches: per-source
+# bottom-k text sketches (kmv_by), then the Beyer 2007 pairwise
+# Jaccard estimate over every source pair — the "how much do my
+# sources share?" dashboard a mixing decision reads before weighting
+# corpora.  Boilerplate is injected on doc_id % 7 (doc ids are
+# CONTIGUOUS per source in the test corpus, so % 7 spreads shared
+# text across every source; a % that matches the per-source block
+# size would degenerate to whole-source overlap).  Integer-exact:
+# sketches are md5-ordered, jaccard_ppm is floor integer math.
+# ---------------------------------------------------------------------------
+
+_Q240_CORPUS = """
+SELECT source,
+       CASE WHEN doc_id % 7 = 0 THEN 'shared mirrored boilerplate page'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def _q240_sql() -> str:
+    from dbms_spark.operators.sketch import kmv_by_sql, kmv_overlap_matrix_sql
+
+    return kmv_overlap_matrix_sql(
+        kmv_by_sql(_Q240_CORPUS, "source", "text", k=16), "source", k=16)
+
+
+@register("q240_source_overlap_matrix", _q240_sql())
+def q240_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("shared mirrored boilerplate page"))
+        .otherwise(F.col("text")).alias("text"))
+    return kmv_overlap_matrix(kmv_by(corpus, "source", "text", k=16),
+                              "source", k=16)

@@ -279,3 +279,40 @@ def test_hist_degenerate_range_raises(spark):
         hist_build(df, "v", 5.0, 5.0, 10)
     with pytest.raises(ValueError):
         hist_build(df, "v", 0.0, 10.0, 0)
+
+
+def test_kmv_overlap_matrix_estimates(spark):
+    """Overlap matrix: disjoint groups -> 0; identical key sets ->
+    1.0; half-shared sets land near 0.5; and the estimate is a pure
+    function of the sketches (rebuilding from a reshuffled frame is
+    identical)."""
+    from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+
+    df = spark.range(3000).selectExpr(
+        "CASE WHEN id < 1000 THEN 'a' WHEN id < 2000 THEN 'b' ELSE 'c' END AS g",
+        # a: keys 0..499; b: keys 250..749 (half-shared with a);
+        # c: keys 10000+ (disjoint from both)
+        "CAST(CASE WHEN id < 1000 THEN id % 500 "
+        "     WHEN id < 2000 THEN 250 + id % 500 "
+        "     ELSE 10000 + id END AS STRING) AS k")
+    sk = kmv_by(df, "g", "k", k=64)
+    m = {(r.g_a, r.g_b): r for r in kmv_overlap_matrix(sk, "g", k=64).collect()}
+    assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert m[("a", "c")].n_common == 0 and m[("a", "c")].jaccard_ppm == 0
+    assert m[("b", "c")].n_common == 0
+    # true Jaccard(a, b) = 250 / 750 = 1/3; k=64 estimate is within a
+    # wide but non-vacuous band
+    jab = m[("a", "b")].jaccard_ppm / 1e6
+    assert 0.15 < jab < 0.55
+    assert m[("a", "b")].k_used == 64
+
+    ident = kmv_by(df.filter("g = 'a'").unionByName(
+        df.filter("g = 'a'").selectExpr("'z' AS g", "k")), "g", "k", k=64)
+    mi = kmv_overlap_matrix(ident, "g", k=64).collect()
+    assert len(mi) == 1 and mi[0].jaccard_ppm == 1000000
+
+    resh = kmv_by(df.repartition(13), "g", "k", k=64)
+    m2 = {(r.g_a, r.g_b): tuple(r)
+          for r in kmv_overlap_matrix(resh, "g", k=64).collect()}
+    assert m2 == {(r.g_a, r.g_b): tuple(r)
+                  for r in kmv_overlap_matrix(sk, "g", k=64).collect()}

@@ -415,6 +415,86 @@ FROM votes GROUP BY {id_col}
 """
 
 
+def simhash_hamming_pairs(sigs: DataFrame, max_hamming: int = 3,
+                          id_col: str = "doc_id",
+                          band_cap: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    Manku/Jain/Sarma 2007 web-dedup shape: split the 64-bit signature
+    into 4 16-bit bands; by pigeonhole, two signatures within Hamming
+    distance ``max_hamming`` <= 3 MUST agree exactly on at least one
+    band, so candidates come from four band-value equi-joins (one
+    shuffle on the band key, never all-pairs), then the exact distance
+    ``bit_count(xor)`` verifies.  Output (a_id, b_id, hamming) with
+    a_id < b_id.
+
+    This is a different LSH family from the banded-minhash pipeline:
+    minhash banding targets set-Jaccard over shingles, SimHash Hamming
+    targets weighted-token cosine — the two catch different near-dup
+    geometries and real pipelines run both.
+
+    Scale shape: shuffle key is (band_idx, band_val) — 2^16 values per
+    band spread uniformly by construction (md5-derived bit votes).  A
+    band value shared by B docs emits B^2 candidate rows; boilerplate
+    corpora concentrate mass in few signatures, so ``band_cap`` drops
+    buckets wider than the cap before the join (same occupancy-control
+    recipe as lsh_candidate_pairs_capped; dropped buckets mean those
+    docs are ALREADY exact-band duplicates of many others — route them
+    through exact dedup instead).  ``max_hamming`` must be <= 3: four
+    bands only pigeonhole three bit flips.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4-band pigeonhole supports max_hamming in [0, 3]")
+    bands = F.array(*[
+        F.expr(e) for e in (
+            "shiftright(simhash_hi, 16) & 65535", "simhash_hi & 65535",
+            "shiftright(simhash_lo, 16) & 65535", "simhash_lo & 65535")])
+    ex = (sigs.select(F.col(id_col).alias("id"), "simhash_hi", "simhash_lo",
+                      F.posexplode(bands).alias("band_idx", "band_val")))
+    if band_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_val")
+        ex = (ex.withColumn("bsz", F.count(F.lit(1)).over(w))
+              .where(F.col("bsz") <= band_cap).drop("bsz"))
+    a = ex.select(F.col("id").alias("a_id"), F.col("simhash_hi").alias("hi_a"),
+                  F.col("simhash_lo").alias("lo_a"), "band_idx", "band_val")
+    b = ex.select(F.col("id").alias("b_id"), F.col("simhash_hi").alias("hi_b"),
+                  F.col("simhash_lo").alias("lo_b"), "band_idx", "band_val")
+    ham = F.expr(
+        "cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) as bigint)")
+    return (a.join(b, ["band_idx", "band_val"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def simhash_hamming_pairs_sql(table: str, max_hamming: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of ``simhash_hamming_pairs(simhash(df))`` (uncapped).
+    DuckDB's ``^`` is exponentiation — bitwise XOR is ``xor()``."""
+    return f"""
+WITH sigs AS ({simhash_sql(table, id_col, text_col)}),
+ex AS (
+  SELECT {id_col} AS id, simhash_hi, simhash_lo, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN (simhash_hi >> 16) & 65535
+           WHEN 1 THEN simhash_hi & 65535
+           WHEN 2 THEN (simhash_lo >> 16) & 65535
+           ELSE simhash_lo & 65535 END AS band_val
+  FROM sigs, (SELECT unnest(range(4)) AS band_idx) b
+)
+SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
+FROM ex a JOIN ex b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------

@@ -8245,3 +8245,44 @@ def q240_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
     return kmv_overlap_matrix(kmv_by(corpus, "source", "text", k=16),
                               "source", k=16)
+
+
+# ---------------------------------------------------------------------------
+# q241 — SimHash Hamming-ball near-dup pairs (Manku 2007): 4x16-bit
+# pigeonhole bands propose, exact bit_count(xor) disposes (<= 3 bit
+# flips).  The corpus injects exact clones (hamming 0, guaranteed
+# hits) and one-token-appended perturbations (small but usually
+# nonzero distance) so both the band join and the distance filter do
+# real work.  A DIFFERENT LSH family from the banded-minhash gates:
+# this one targets weighted-token cosine geometry.
+# ---------------------------------------------------------------------------
+
+_Q241_CORPUS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text || ' tail tweak' AS text
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def _q241_sql() -> str:
+    from dbms_spark.llm.dedup import simhash_hamming_pairs_sql
+
+    return simhash_hamming_pairs_sql(f"({_Q241_CORPUS})", max_hamming=3)
+
+
+@register("q241_simhash_hamming_pairs", _q241_sql())
+def q241_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import simhash, simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 11 = 0")
+        .selectExpr("doc_id + 1000000 AS doc_id", "text")
+    ).unionByName(
+        docs.filter("doc_id % 9 = 0")
+        .selectExpr("doc_id + 2000000 AS doc_id",
+                    "text || ' tail tweak' AS text"))
+    return simhash_hamming_pairs(simhash(corpus), max_hamming=3)

@@ -1152,3 +1152,39 @@ def test_c4_line_filter_rule_arms(spark):
     assert got[1].text == "This is a good line.\nAnother proper sentence here!"
     assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 2
     assert got[5].n_lines_dropped == 0
+
+
+def test_simhash_hamming_pairs_semantics(spark, docs):
+    """Pigeonhole recall + exact-distance verification: exact clones
+    (hamming 0) are always found; the returned hamming equals the
+    Python-computed popcount distance; pairs past max_hamming never
+    appear; band_cap drops mega-bucket pairs; max_hamming > 3 raises."""
+    import pytest as _pytest
+
+    sigs = D.simhash(docs)
+    sh = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+          for r in sigs.collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    out = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in D.simhash_hamming_pairs(sigs, max_hamming=3).collect()}
+    assert out[(1, 2)] == 0                      # exact clone always recalled
+    for (a, b), h in out.items():
+        assert h == hamming(sh[a], sh[b]) and h <= 3
+    # ground truth: EVERY pair within distance 3 must be found (the
+    # pigeonhole guarantee is exact recall, not best-effort)
+    ids = sorted(sh)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if hamming(sh[a], sh[b]) <= 3}
+    assert set(out) == truth
+
+    # cap=1: every band bucket holding the two clones exceeds the cap,
+    # so the clone pair disappears
+    capped = {(r["a_id"], r["b_id"]) for r in
+              D.simhash_hamming_pairs(sigs, max_hamming=3, band_cap=1).collect()}
+    assert (1, 2) not in capped
+
+    with _pytest.raises(ValueError):
+        D.simhash_hamming_pairs(sigs, max_hamming=4)

@@ -1533,3 +1533,93 @@ SELECT b.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM ({new_sql})) b
 LEFT JOIN per_doc USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment (near-subset) duplication
+# ---------------------------------------------------------------------------
+
+#: floor-quantized 6-dp containment of side X's shingles in the pair's
+#: intersection — ratio of identical ints, cross-engine identical.
+_CONTAIN = ("floor(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) "
+            "/ size(sh_{side}) * 1000000) / 1000000")
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5, w: int = 4,
+                      min_containment: float = 0.5,
+                      fp_cap: int | None = None) -> DataFrame:
+    """Asymmetric near-SUBSET duplicate pairs: containment
+    C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    quote-inclusion / page-embedded-in-aggregator geometry that
+    symmetric Jaccard structurally misses (doc A fully quoted inside a
+    10x larger B has J ~= |A|/|B| -> 0 but C(A in B) = 1; Broder 1997
+    defined both measures for exactly this reason).  Output
+    (a_id, b_id, c_a_in_b, c_b_in_a) with a_id < b_id, keeping pairs
+    where EITHER direction >= ``min_containment``; containments are
+    floor-quantized at 6 dp (integer ratios -> cross-engine identical).
+
+    Candidates come from shared WINNOWED fingerprints (density
+    2/(w+1)): any shared token run of >= n + w - 1 tokens guarantees a
+    shared fingerprint (Schleimer 2003), so a contained doc of >= that
+    length can never be missed.  The verify step re-joins the n-token
+    shingle arrays by id and evaluates both directions map-side —
+    exactly the propose/verify shape of jaccard_on_pairs.
+
+    Scale: the fingerprint self-join shuffles fingerprint ints only;
+    ``fp_cap`` drops fingerprints shared by more than ``cap`` docs
+    (boilerplate mega-buckets — same occupancy control as the capped
+    LSH; a fingerprint in 10^5 docs proposes 10^10 pairs and says
+    nothing about subset structure).
+    """
+    from dbms_spark.llm.text import tokens_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    fps = winnowed_fingerprints(df, id_col, text_col, n, w)
+    if fp_cap is not None:
+        from pyspark.sql.window import Window
+
+        wdw = Window.partitionBy("fp")
+        fps = (fps.withColumn("ndocs", F.count(F.lit(1)).over(wdw))
+               .where(F.col("ndocs") <= fp_cap).drop("ndocs"))
+    cands = (fps.select(F.col(id_col).alias("a_id"), "fp")
+             .join(fps.select(F.col(id_col).alias("b_id"), "fp"), "fp")
+             .where(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id").distinct())
+    sh = (ensure_parallelism(df)
+          .withColumn("toks", tokens_expr(text_col))
+          .select(F.col(id_col), shingles_expr(n).alias("sh")))
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"))
+    c_ab = F.expr(_CONTAIN.format(side="a"))
+    c_ba = F.expr(_CONTAIN.format(side="b"))
+    return (cands.join(a, "a_id").join(b, "b_id")
+            .select("a_id", "b_id", c_ab.alias("c_a_in_b"),
+                    c_ba.alias("c_b_in_a"))
+            .where(F.greatest("c_a_in_b", "c_b_in_a") >= min_containment))
+
+
+def containment_pairs_sql(table: str, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5, w: int = 4,
+                          min_containment: float = 0.5) -> str:
+    """DuckDB twin of :func:`containment_pairs` (uncapped)."""
+    fps = winnowed_fingerprints_sql(table, id_col, text_col, n, w)
+    duck_c = ("floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+              "/ len({side}.sh) * 1000000) / 1000000")
+    c_ab, c_ba = duck_c.format(side="a"), duck_c.format(side="b")
+    return f"""
+WITH fps AS ({fps}),
+cands AS (
+  SELECT DISTINCT x.{id_col} AS a_id, y.{id_col} AS b_id
+  FROM fps x JOIN fps y ON x.fp = y.fp AND x.{id_col} < y.{id_col}
+),
+sh AS (
+  SELECT {id_col}, {shingles_sql(n)} AS sh
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+)
+SELECT c.a_id, c.b_id, {c_ab} AS c_a_in_b, {c_ba} AS c_b_in_a
+FROM cands c
+JOIN sh a ON a.{id_col} = c.a_id
+JOIN sh b ON b.{id_col} = c.b_id
+WHERE greatest({c_ab}, {c_ba}) >= {min_containment}
+"""

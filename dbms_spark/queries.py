@@ -8286,3 +8286,42 @@ def q241_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id + 2000000 AS doc_id",
                     "text || ' tail tweak' AS text"))
     return simhash_hamming_pairs(simhash(corpus), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# q242 — containment (near-subset) duplicate pairs: winnowed
+# fingerprints propose, exact asymmetric containment
+# |sh_a ∩ sh_b| / |sh_a| disposes — the quote-inclusion geometry
+# Jaccard misses (a doc fully embedded in a larger aggregator page
+# has J ~ |A|/|B| but containment 1.0; Broder 1997).  The corpus
+# injects aggregator pages (original text + a long constant tail) so
+# true subset pairs exist with containment 1.0 in one direction only.
+# ---------------------------------------------------------------------------
+
+_Q242_CORPUS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       text || ' aggregator page padding with many extra words so the host document is strictly larger than the embedded one' AS text
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _q242_sql() -> str:
+    from dbms_spark.llm.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(f"({_Q242_CORPUS})", min_containment=0.8)
+
+
+@register("q242_containment_pairs", _q242_sql())
+def q242_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 13 = 0")
+        .selectExpr("doc_id + 3000000 AS doc_id",
+                    "text || ' aggregator page padding with many extra words"
+                    " so the host document is strictly larger than the"
+                    " embedded one' AS text"))
+    return containment_pairs(corpus, min_containment=0.8)

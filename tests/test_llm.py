@@ -1188,3 +1188,30 @@ def test_simhash_hamming_pairs_semantics(spark, docs):
 
     with _pytest.raises(ValueError):
         D.simhash_hamming_pairs(sigs, max_hamming=4)
+
+
+def test_containment_pairs_semantics(spark):
+    """A doc fully embedded in a larger host: containment 1.0 in one
+    direction with a hand-computed reverse value; unrelated docs never
+    pair; fp_cap drops boilerplate buckets; min_containment filters."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    host = base + " kilo lima mike november oscar papa quebec romeo sierra tango"
+    rows = [(1, base), (2, host),
+            (3, "one two three four five six seven eight nine ten")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.a_id, r.b_id): (r.c_a_in_b, r.c_b_in_a)
+           for r in D.containment_pairs(df, min_containment=0.5).collect()}
+    assert set(out) == {(1, 2)}
+    # base: 10 tokens -> 6 5-shingles, all inside host (20 tokens, 16
+    # shingles): c(1 in 2) = 1.0, c(2 in 1) = 6/16 = 0.375
+    assert out[(1, 2)] == (1.0, 0.375)
+
+    # threshold above both directions -> no pairs
+    assert D.containment_pairs(df, min_containment=0.9,
+                               fp_cap=None).where("a_id = 1").count() == 1
+    hi = D.containment_pairs(df, min_containment=1.1)
+    assert hi.count() == 0
+
+    # fp_cap=1: every shared fingerprint bucket (the 1-2 overlap) is
+    # wider than the cap, so the pair disappears
+    assert D.containment_pairs(df, fp_cap=1).count() == 0

@@ -16,6 +16,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbms_spark.sources.catalog import TABLES, load_table, table_path
 
@@ -975,4 +976,157 @@ hit AS (
 SELECT col_name, p,
        lo + (bin + (p * total - (cum - cnt)) / cnt) * width AS value
 FROM hit JOIN scales USING (col_name) WHERE rn = 1
+"""
+
+
+def categorical_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column categorical concentration profile in ONE table pass:
+    (col_name, n_rows, ndv, top_share_ppm, simpson_ppm).
+
+    ``simpson_ppm`` is the Simpson/Herfindahl index Σ(cnt_i/n)² —
+    the probability two random rows share a value — and
+    ``top_share_ppm`` the modal share; together with exact ``ndv``
+    they grade how skewed each dimension is (the number a mixing or
+    partitioning decision reads: a 0.99-Simpson column is a terrible
+    shuffle key, a near-uniform one is fine).  Chosen over Shannon
+    entropy deliberately: entropy needs ln() whose last-ulp behavior
+    differs across libm implementations, while every quantity here is
+    pure integer arithmetic until one final double division of
+    integer-exact DECIMAL values — bit-identical cross-engine.
+
+    Scale shape: like :func:`approx_numeric_profile`, each row
+    explodes map-side into (col, value) pairs, ONE partial-aggregated
+    groupBy builds every per-column value-count relation at once, and
+    a second ≤(Σ ndv)-row aggregation folds the profile.  NULLs are
+    excluded (a NULL is not a category).  cnt² sums accumulate in
+    DECIMAL(38,0) — exact past 2^63 — before the final division.
+    """
+    arms = [
+        f"named_struct('col_name', '{c}', 'val', CAST({c} AS STRING))"
+        for c in sorted(cols)]
+    pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
+             .select(F.col("cv.col_name").alias("col_name"),
+                     F.col("cv.val").alias("val"))
+             .where(F.col("val").isNotNull()))
+    vc = pairs.groupBy("col_name", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    return (vc.groupBy("col_name")
+            .agg(F.sum("cnt").cast("bigint").alias("n_rows"),
+                 F.count("*").cast("bigint").alias("ndv"),
+                 F.max("cnt").alias("top_cnt"),
+                 F.sum(F.col("cnt").cast(T.DecimalType(38, 0))
+                       * F.col("cnt")).alias("s2"))
+            .select(
+                "col_name", "n_rows", "ndv",
+                F.floor(F.col("top_cnt").cast("double") * 1000000
+                        / F.col("n_rows")).cast("bigint").alias("top_share_ppm"),
+                F.floor(F.col("s2").cast("double") * 1000000
+                        / (F.col("n_rows").cast("double")
+                           * F.col("n_rows").cast("double")))
+                .cast("bigint").alias("simpson_ppm")))
+
+
+def categorical_concentration_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`categorical_concentration`."""
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM {table} "
+        f"WHERE {c} IS NOT NULL"
+        for c in sorted(cols))
+    return f"""
+WITH vc AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({arms}) GROUP BY 1, 2
+)
+SELECT col_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS ndv,
+       CAST(floor(CAST(MAX(cnt) AS DOUBLE) * 1000000 / SUM(cnt)) AS BIGINT)
+         AS top_share_ppm,
+       CAST(floor(CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DOUBLE) * 1000000
+                  / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
+            AS BIGINT) AS simpson_ppm
+FROM vc GROUP BY col_name
+"""
+
+
+def mad_outlier_profile(df: DataFrame, cols: list[str],
+                        k: float = 3.0) -> DataFrame:
+    """Robust per-column outlier report: (col_name, median_v, mad,
+    n_outliers, outlier_ppm) where MAD = median(|x - median|) and a
+    row is an outlier iff |x - median| > k * MAD — the
+    median/MAD-based fence that, unlike mean/stddev z-scores, is not
+    dragged by the very outliers it is hunting (a handful of 10^9
+    values shifts a mean fence past everything; the median fence
+    doesn't move).  The data-quality screen a migration acceptance
+    runs per numeric column.
+
+    Shape: rows explode map-side into (col, val) pairs, then three
+    grouped aggregations over that relation (median, MAD, fence
+    count) — scans are O(3) regardless of column count, aggregation
+    state is one percentile buffer per column, and nothing is
+    collected.  MAD = 0 (majority-constant column) makes every
+    off-median value an outlier — that is the textbook behavior and
+    usually the interesting signal.  Exact interpolated percentiles
+    (Spark percentile() / DuckDB quantile_cont agree bit-for-bit on
+    the same doubles — gate q119 pins the pair).
+    """
+    arms = [
+        f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
+        for c in sorted(cols)]
+    pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
+             .select(F.col("cv.col_name").alias("col_name"),
+                     F.col("cv.val").alias("val"))
+             .where(F.col("val").isNotNull()))
+    med = pairs.groupBy("col_name").agg(
+        F.expr("percentile(val, 0.5D)").alias("median_v"))
+    # percentile over an expression referencing the joined median:
+    # compute the deviation column first, then aggregate
+    dev = (pairs.join(F.broadcast(med), "col_name")
+           .select("col_name", "median_v",
+                   F.abs(F.col("val") - F.col("median_v")).alias("adev")))
+    mad = dev.groupBy("col_name").agg(
+        F.first("median_v").alias("median_v"),
+        F.expr("percentile(adev, 0.5D)").alias("mad"))
+    fenced = (pairs.join(F.broadcast(mad), "col_name")
+              .groupBy("col_name")
+              .agg(F.first("median_v").alias("median_v"),
+                   F.first("mad").alias("mad"),
+                   F.count("*").alias("n"),
+                   F.sum(F.when(F.abs(F.col("val") - F.col("median_v"))
+                                > F.lit(float(k)) * F.col("mad"), 1)
+                         .otherwise(0)).alias("n_outliers")))
+    return fenced.select(
+        "col_name", "median_v", "mad",
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        F.floor(F.col("n_outliers").cast("double") * 1000000 / F.col("n"))
+        .cast("bigint").alias("outlier_ppm"))
+
+
+def mad_outlier_profile_sql(table: str, cols: list[str],
+                            k: float = 3.0) -> str:
+    """DuckDB twin of :func:`mad_outlier_profile`."""
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM {table} "
+        f"WHERE {c} IS NOT NULL"
+        for c in sorted(cols))
+    return f"""
+WITH pairs AS ({arms}),
+med AS (
+  SELECT col_name, quantile_cont(val, 0.5) AS median_v
+  FROM pairs GROUP BY col_name
+),
+mad AS (
+  SELECT p.col_name, ANY_VALUE(m.median_v) AS median_v,
+         quantile_cont(abs(p.val - m.median_v), 0.5) AS mad
+  FROM pairs p JOIN med m USING (col_name) GROUP BY p.col_name
+)
+SELECT p.col_name, ANY_VALUE(m.median_v) AS median_v,
+       ANY_VALUE(m.mad) AS mad,
+       CAST(SUM(CASE WHEN abs(p.val - m.median_v) > {float(k)} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(floor(SUM(CASE WHEN abs(p.val - m.median_v) > {float(k)} * m.mad
+                           THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
+         AS outlier_ppm
+FROM pairs p JOIN mad m USING (col_name)
+GROUP BY p.col_name
 """

@@ -8325,3 +8325,73 @@ def q242_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " so the host document is strictly larger than the"
                     " embedded one' AS text"))
     return containment_pairs(corpus, min_containment=0.8)
+
+
+# ---------------------------------------------------------------------------
+# q243 — categorical concentration profile: exact NDV + modal share +
+# Simpson/Herfindahl index per column in ONE table pass (map-side
+# (col,value) explode -> one partial-aggregated groupBy) — the skew
+# report a partitioning or mixing decision reads before choosing a
+# shuffle key.  Integer arithmetic end-to-end (DECIMAL(38,0) cnt²
+# sums) with one final double division — Simpson chosen over Shannon
+# entropy precisely because it needs no ln() (libm last-ulp hazard).
+# ---------------------------------------------------------------------------
+
+_Q243_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _q243_sql() -> str:
+    from dbms_spark.operators.assess import categorical_concentration_sql
+
+    return categorical_concentration_sql("orders", _Q243_COLS)
+
+
+@register("q243_categorical_concentration", _q243_sql())
+def q243_categorical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import categorical_concentration
+
+    return categorical_concentration(
+        load_table(spark, sf_dir, "orders"), _Q243_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q244 — MAD robust outlier profile: per-column median, MAD =
+# median(|x - median|), and |x - med| > 3*MAD fence counts — the
+# robust data-quality screen whose fence, unlike mean/stddev
+# z-scores, is not dragged by the very outliers it hunts.  Spikes are
+# injected (x500 price, +40 quantity on 1-in-997 rows) so the fence
+# has real work; uniform TPC-H columns alone fence nothing.
+# ---------------------------------------------------------------------------
+
+_Q244_CORPUS = """
+SELECT CASE WHEN l_orderkey % 997 = 0
+            THEN CAST(l_extendedprice AS DOUBLE) * 500
+            ELSE CAST(l_extendedprice AS DOUBLE) END AS price,
+       CASE WHEN l_orderkey % 997 = 0
+            THEN CAST(l_quantity AS DOUBLE) + 40
+            ELSE CAST(l_quantity AS DOUBLE) END AS qty,
+       CAST(l_discount AS DOUBLE) AS disc
+FROM lineitem
+"""
+
+
+def _q244_sql() -> str:
+    from dbms_spark.operators.assess import mad_outlier_profile_sql
+
+    return mad_outlier_profile_sql(f"({_Q244_CORPUS})",
+                                   ["price", "qty", "disc"], k=3.0)
+
+
+@register("q244_mad_outlier_profile", _q244_sql())
+def q244_mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import mad_outlier_profile
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CASE WHEN l_orderkey % 997 = 0"
+        " THEN CAST(l_extendedprice AS DOUBLE) * 500"
+        " ELSE CAST(l_extendedprice AS DOUBLE) END AS price",
+        "CASE WHEN l_orderkey % 997 = 0"
+        " THEN CAST(l_quantity AS DOUBLE) + 40"
+        " ELSE CAST(l_quantity AS DOUBLE) END AS qty",
+        "CAST(l_discount AS DOUBLE) AS disc")
+    return mad_outlier_profile(li, ["price", "qty", "disc"], k=3.0)

@@ -105,3 +105,47 @@ def test_approx_numeric_profile_derived_ranges(spark, sf_dir):
     vals = {(r.col_name, r.p): r.value for r in prof.collect()}
     assert abs(vals[("const_col", 0.5)] - 7.0) <= 1.0 / 8 * 2
     assert not any(c == "null_col" for c, _ in vals)  # nothing to profile
+
+
+def test_categorical_concentration_hand_values(spark):
+    """Hand-computed Simpson + modal share; NULLs are not categories;
+    a constant column scores 1.0 on both measures."""
+    from dbms_spark.operators.assess import categorical_concentration
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", None),
+            ("b", "x"), ("c", "x")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.col_name: r for r in
+           categorical_concentration(df, ["g", "v"]).collect()}
+    g = out["g"]   # counts a=3, b=2, c=1 over n=6
+    assert (g.n_rows, g.ndv) == (6, 3)
+    assert g.top_share_ppm == 500000                      # 3/6
+    assert g.simpson_ppm == int((9 + 4 + 1) * 1e6 / 36)   # 388888
+    v = out["v"]   # NULL dropped: x=4, y=1 over n=5
+    assert (v.n_rows, v.ndv) == (5, 2)
+    assert v.top_share_ppm == 800000
+    assert v.simpson_ppm == int((16 + 1) * 1e6 / 25)      # 680000
+
+    const = spark.createDataFrame([("k",)] * 4, "c string")
+    r = categorical_concentration(const, ["c"]).collect()[0]
+    assert r.top_share_ppm == 1000000 and r.simpson_ppm == 1000000
+
+
+def test_mad_outlier_profile_hand_values(spark):
+    """Hand-computed median/MAD/fence on a crafted column; a
+    majority-constant column (MAD 0) fences every off-median value."""
+    from dbms_spark.operators.assess import mad_outlier_profile
+
+    # v: 1..9 plus one spike 1000 -> median 5.5, adevs
+    # {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> MAD 2.5,
+    # fence 7.5: outliers are 1000 only? |1-5.5|=4.5 < 7.5 ... just 1000
+    rows = [(float(x),) for x in range(1, 10)] + [(1000.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    r = mad_outlier_profile(df, ["v"], k=3.0).collect()[0]
+    assert (r.median_v, r.mad, r.n_outliers) == (5.5, 2.5, 1)
+    assert r.outlier_ppm == 100000
+
+    const = spark.createDataFrame(
+        [(1.0,)] * 9 + [(2.0,)], "c double")
+    rc = mad_outlier_profile(const, ["c"]).collect()[0]
+    assert (rc.median_v, rc.mad, rc.n_outliers) == (1.0, 0.0, 1)

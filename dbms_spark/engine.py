@@ -234,6 +234,23 @@ class DbmsEngine:
         )
         return docs.join(drop, id_col, "left_anti")
 
+    def drop_contained(self, docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_containment: float = 0.9,
+                       fp_cap: int | None = None) -> DataFrame:
+        """Containment canonicalization verb: remove docs whose
+        shingles are >= ``min_containment`` contained in another doc
+        (quote-inclusion / aggregator-embedding — the asymmetric
+        geometry the Jaccard pipeline misses), keeping hosts;
+        near-identical mutual pairs keep the smaller id.  Candidates
+        from winnowed fingerprints; ``fp_cap`` is the boilerplate
+        occupancy control.  Gates q242 (pairs), q245 (kept set)."""
+        from dbms_spark.llm.dedup import drop_contained
+
+        return drop_contained(docs, id_col, text_col,
+                              min_containment=min_containment,
+                              fp_cap=fp_cap)
+
     def curate(self, docs: DataFrame, bench: DataFrame | None = None,
                id_col: str = "doc_id", text_col: str = "text",
                min_tokens: int = 30, min_quality: float = 0.5,

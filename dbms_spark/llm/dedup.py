@@ -1623,3 +1623,55 @@ JOIN sh a ON a.{id_col} = c.a_id
 JOIN sh b ON b.{id_col} = c.b_id
 WHERE greatest({c_ab}, {c_ba}) >= {min_containment}
 """
+
+
+def drop_contained(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 5, w: int = 4,
+                   min_containment: float = 0.9,
+                   fp_cap: int | None = None) -> DataFrame:
+    """The actionable form of :func:`containment_pairs`: remove docs
+    whose shingles are >= ``min_containment`` contained in ANOTHER doc
+    (the embedded copy adds no content the host lacks), keeping the
+    host.  Mutually-contained pairs (near-identical docs) keep the
+    smaller id, matching every other canonical-selection policy in
+    this module.  Greedy pairwise policy: a doc is dropped if any pair
+    says so, even if its host is itself dropped by a third doc —
+    content is still covered at ~threshold² containment by the
+    transitive host; document-exact retention needs the full group
+    structure (dedup_groups) and is rarely worth it.  Returns the
+    kept rows of ``df`` unchanged.
+    """
+    pairs = containment_pairs(df, id_col, text_col, n, w,
+                              min_containment=0.0, fp_cap=fp_cap)
+    thr = float(min_containment)
+    both = (F.col("c_a_in_b") >= thr) & (F.col("c_b_in_a") >= thr)
+    drops = (pairs.select(
+        F.when(both, F.greatest("a_id", "b_id"))
+        .when(F.col("c_a_in_b") >= thr, F.col("a_id"))
+        .when(F.col("c_b_in_a") >= thr, F.col("b_id"))
+        .alias("drop_id"))
+        .where(F.col("drop_id").isNotNull()).distinct())
+    return df.join(drops.withColumnRenamed("drop_id", id_col),
+                   id_col, "left_anti")
+
+
+def drop_contained_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 5, w: int = 4,
+                       min_containment: float = 0.9) -> str:
+    """DuckDB twin of :func:`drop_contained` (uncapped)."""
+    thr = float(min_containment)
+    pairs = containment_pairs_sql(table, id_col, text_col, n, w,
+                                  min_containment=0.0)
+    return f"""
+WITH pairs AS ({pairs}),
+drops AS (
+  SELECT DISTINCT CASE
+    WHEN c_a_in_b >= {thr} AND c_b_in_a >= {thr} THEN greatest(a_id, b_id)
+    WHEN c_a_in_b >= {thr} THEN a_id
+    WHEN c_b_in_a >= {thr} THEN b_id END AS drop_id
+  FROM pairs
+  WHERE c_a_in_b >= {thr} OR c_b_in_a >= {thr}
+)
+SELECT t.* FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT drop_id FROM drops)
+"""

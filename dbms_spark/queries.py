@@ -8395,3 +8395,47 @@ def q244_mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(l_quantity AS DOUBLE) END AS qty",
         "CAST(l_discount AS DOUBLE) AS disc")
     return mad_outlier_profile(li, ["price", "qty", "disc"], k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# q245 — containment-driven canonicalization: drop docs >= 90%
+# contained in another doc (the embedded copy adds nothing the host
+# lacks), keep hosts; mutually-contained near-identical pairs keep
+# the smaller id.  Corpus: aggregator hosts (doc + constant tail,
+# original must drop) and exact clones (mutual containment, clone
+# must drop) over the base documents.
+# ---------------------------------------------------------------------------
+
+_Q245_CORPUS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       text || ' aggregator page padding with many extra words so the host document is strictly larger than the embedded one' AS text
+FROM documents WHERE doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+"""
+
+
+def _q245_sql() -> str:
+    from dbms_spark.llm.dedup import drop_contained_sql
+
+    inner = drop_contained_sql(f"({_Q245_CORPUS})", min_containment=0.9)
+    return f"SELECT doc_id FROM ({inner})"
+
+
+@register("q245_drop_contained", _q245_sql())
+def q245_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import drop_contained
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 13 = 0")
+        .selectExpr("doc_id + 3000000 AS doc_id",
+                    "text || ' aggregator page padding with many extra words"
+                    " so the host document is strictly larger than the"
+                    " embedded one' AS text")
+    ).unionByName(
+        docs.filter("doc_id % 17 = 0")
+        .selectExpr("doc_id + 4000000 AS doc_id", "text"))
+    return drop_contained(corpus, min_containment=0.9).select("doc_id")

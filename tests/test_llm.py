@@ -1215,3 +1215,17 @@ def test_containment_pairs_semantics(spark):
     # fp_cap=1: every shared fingerprint bucket (the 1-2 overlap) is
     # wider than the cap, so the pair disappears
     assert D.containment_pairs(df, fp_cap=1).count() == 0
+
+
+def test_drop_contained_policy(spark):
+    """Embedded doc drops, host stays; mutual containment keeps the
+    smaller id; unrelated docs untouched."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    host = base + " kilo lima mike november oscar papa quebec romeo sierra tango"
+    rows = [(1, base), (2, host), (3, base),
+            (4, "one two three four five six seven eight nine ten")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in D.drop_contained(df, min_containment=0.9).collect()}
+    # 1 and 3 are mutually contained (keep 1, drop 3); 1 is contained
+    # in host 2 (drop 1, keep 2); 4 unrelated
+    assert kept == {2, 4}

@@ -300,7 +300,41 @@ def main() -> None:
             spark.catalog.clearCache()
         print(json.dumps(out), flush=True)
 
+    def hamming_pairs(big):
+        from dbms_spark.llm.dedup import simhash, simhash_hamming_pairs
+
+        # replication clones each text k times VERBATIM, so every
+        # signature sits in a k-sized identical-band bucket: uncapped
+        # pair output would grow k^2 (workload, not operator) — the
+        # cap is the at-scale configuration, same story as the capped
+        # LSH smoke
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return simhash_hamming_pairs(
+            simhash(src.select("doc_id", "text")), band_cap=16 if big else None)
+
+    def containment(big):
+        from dbms_spark.llm.dedup import containment_pairs
+
+        # same verbatim-clone caveat: fp_cap bounds the per-fingerprint
+        # bucket exactly like band_cap above
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return containment_pairs(src.select("doc_id", "text"),
+                                 fp_cap=16 if big else None)
+
+    def kmv_overlap(big):
+        from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+
+        # 256 groups at BOTH scales: the matrix cost is a function of
+        # (G, k) only — 10x the corpus should change the sketch-build
+        # scan time, never the G^2*k pair expansion
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        g = src.select((F.col("doc_id") % 256).alias("g"), "text")
+        return kmv_overlap_matrix(kmv_by(g, "g", "text", k=64), "g", k=64)
+
     bench_reverify()
+    bench("simhash_hamming_pairs", hamming_pairs)
+    bench("containment_pairs", containment)
+    bench("kmv_overlap_matrix", kmv_overlap)
     bench("pricing_agg", pricing)
     bench("duplicate_passage_strip", passage_strip)
     bench("star_connected_components", star_cc)

@@ -469,13 +469,14 @@ def simhash_hamming_pairs(sigs: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
-def simhash_hamming_pairs_sql(table: str, max_hamming: int = 3,
-                              id_col: str = "doc_id",
-                              text_col: str = "text") -> str:
-    """DuckDB twin of ``simhash_hamming_pairs(simhash(df))`` (uncapped).
-    DuckDB's ``^`` is exponentiation — bitwise XOR is ``xor()``."""
+def hamming_pairs_over_sql(sigs_sql: str, max_hamming: int = 3,
+                           id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``simhash_hamming_pairs`` over ANY
+    (id, simhash_hi, simhash_lo) relation — text SimHash and image
+    dHash share the banding/verify implementation.  DuckDB's ``^`` is
+    exponentiation — bitwise XOR is ``xor()``."""
     return f"""
-WITH sigs AS ({simhash_sql(table, id_col, text_col)}),
+WITH sigs AS ({sigs_sql}),
 ex AS (
   SELECT {id_col} AS id, simhash_hi, simhash_lo, b.band_idx,
          CASE b.band_idx
@@ -493,6 +494,14 @@ FROM ex a JOIN ex b
 WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
       + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {max_hamming}
 """
+
+
+def simhash_hamming_pairs_sql(table: str, max_hamming: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of ``simhash_hamming_pairs(simhash(df))`` (uncapped)."""
+    return hamming_pairs_over_sql(simhash_sql(table, id_col, text_col),
+                                  max_hamming, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -8439,3 +8439,69 @@ def q245_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("doc_id % 17 = 0")
         .selectExpr("doc_id + 4000000 AS doc_id", "text"))
     return drop_contained(corpus, min_containment=0.9).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q246/q247 — perceptual-hash image dedup plumbing.  q246: 64-bit
+# dHash per asset (8x9 sample grid, bit = s[i][j] > s[i][j+1]) as a
+# pure map-side codegen expression over the binary payload — STUB
+# pixel source (fixed-offset payload bytes; production swaps in a
+# decoded grayscale thumbnail, expressions unchanged), REAL plumbing.
+# q247: image near-dup pairs — the dHash relation fed through the
+# SAME Hamming-ball banding as text SimHash (one implementation, two
+# modalities); corpus injects one-byte-perturbed clones (measured: a
+# single changed byte flips exactly 1 bit).
+# ---------------------------------------------------------------------------
+
+_Q246_ASSETS = """
+SELECT doc_id AS asset_id, encode(text) AS payload FROM documents
+"""
+
+
+def _q246_sql() -> str:
+    from dbms_spark.llm.multimodal import dhash_stub_sql
+
+    return dhash_stub_sql(_Q246_ASSETS)
+
+
+@register("q246_dhash_values", _q246_sql())
+def q246_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import dhash_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(F.col("doc_id").alias("asset_id"),
+                         F.encode("text", "UTF-8").alias("payload"))
+    return dhash_stub(assets)
+
+
+_Q247_ASSETS = """
+SELECT doc_id AS asset_id, encode(text) AS payload FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS asset_id,
+       encode('X' || substr(text, 2)) AS payload
+FROM documents WHERE doc_id % 7 = 0 AND length(text) > 1
+"""
+
+
+def _q247_sql() -> str:
+    from dbms_spark.llm.dedup import hamming_pairs_over_sql
+    from dbms_spark.llm.multimodal import dhash_stub_sql
+
+    return hamming_pairs_over_sql(dhash_stub_sql(_Q247_ASSETS),
+                                  max_hamming=3, id_col="asset_id")
+
+
+@register("q247_dhash_near_dup_pairs", _q247_sql())
+def q247_dhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import simhash_hamming_pairs
+    from dbms_spark.llm.multimodal import dhash_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("asset_id"),
+                       F.encode("text", "UTF-8").alias("payload"))
+    pert = (docs.filter("doc_id % 7 = 0 AND length(text) > 1")
+            .select((F.col("doc_id") + 1000000).alias("asset_id"),
+                    F.encode(F.expr("'X' || substr(text, 2)"), "UTF-8")
+                    .alias("payload")))
+    return simhash_hamming_pairs(dhash_stub(base.unionByName(pert)),
+                                 max_hamming=3, id_col="asset_id")

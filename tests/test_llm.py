@@ -1229,3 +1229,30 @@ def test_drop_contained_policy(spark):
     # 1 and 3 are mutually contained (keep 1, drop 3); 1 is contained
     # in host 2 (drop 1, keep 2); 4 unrelated
     assert kept == {2, 4}
+
+
+def test_dhash_stub_locality_and_pipeline(spark):
+    """dHash: identical payloads -> identical hash; a one-byte change
+    flips few bits; the hamming-pairs pipeline recalls the perturbed
+    clone; empty payloads are dropped."""
+    from dbms_spark.llm.multimodal import dhash_stub
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, t), (2, t), (3, "X" + t[1:]), (4, "")]
+    df = spark.createDataFrame(rows, "asset_id long, text string")
+    assets = df.selectExpr("asset_id", "encode(text, 'UTF-8') AS payload")
+    h = {r.asset_id: (r.simhash_hi, r.simhash_lo)
+         for r in dhash_stub(assets).collect()}
+    assert set(h) == {1, 2, 3}          # empty payload dropped
+    assert h[1] == h[2]
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert 1 <= ham(h[1], h[3]) <= 3    # one byte -> few bits
+
+    sigs = dhash_stub(assets)
+    pairs = {(r.a_id, r.b_id): r.hamming for r in
+             D.simhash_hamming_pairs(sigs, max_hamming=3,
+                                     id_col="asset_id").collect()}
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs

@@ -234,6 +234,19 @@ class DbmsEngine:
         )
         return docs.join(drop, id_col, "left_anti")
 
+    def dedup_keep_best(self, docs: DataFrame, score_col: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_sim: float = 0.7,
+                        bucket_cap: int | None = None) -> DataFrame:
+        """dedup_pipeline with a quality-aware keep policy: the
+        highest-``score_col`` member of each duplicate group survives
+        (ties to the smaller id) — keep the BEST copy, not the
+        first-crawled one.  Gate q248."""
+        from dbms_spark.llm.dedup import dedup_keep_best
+
+        return dedup_keep_best(docs, score_col, id_col, text_col,
+                               min_sim=min_sim, bucket_cap=bucket_cap)
+
     def drop_contained(self, docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        min_containment: float = 0.9,

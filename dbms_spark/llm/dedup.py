@@ -1684,3 +1684,64 @@ drops AS (
 SELECT t.* FROM {table} t
 WHERE t.{id_col} NOT IN (SELECT drop_id FROM drops)
 """
+
+
+def dedup_keep_best(df: DataFrame, score_col: str, id_col: str = "doc_id",
+                    text_col: str = "text", min_sim: float = 0.7,
+                    bucket_cap: int | None = None) -> DataFrame:
+    """Quality-aware canonical selection: the dedup pipeline (LSH
+    proposes, exact Jaccard verifies, label propagation groups) with
+    the keep policy "highest ``score_col`` wins, ties to the smaller
+    id" instead of min-id — when near-duplicates differ (one crawl
+    captured the full article, the mirror truncated it), min-id keeps
+    whichever arrived first; a curation pipeline wants the BEST copy
+    (longest, highest quality score, newest), and the winner choice
+    is one window over the grouped members, nothing else changes.
+
+    Scale shape identical to ``engine.dedup_pipeline`` (every stage
+    bucketed/bounded); the extra work is one join of the duplicate
+    MEMBERS (not the corpus) against their scores plus a per-group
+    window over near-clique-sized groups.
+    """
+    from pyspark.sql.window import Window
+
+    if bucket_cap is not None:
+        sigs = minhash_signatures(df, id_col, text_col)
+        pairs = lsh_candidate_pairs_capped(sigs, id_col, bucket_cap=bucket_cap)
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, keep_shingles=True)
+        pairs = lsh_candidate_pairs(sigs, id_col, carry=["sh"])
+    verified = jaccard_on_pairs(df, pairs, id_col, text_col, min_sim=min_sim)
+    groups = dedup_groups(verified)   # (doc_id, group_id)
+    scored = groups.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    drops = (scored.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") > 1)
+             .select(F.col("doc_id").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")
+
+
+def dedup_keep_best_sql(table: str, score_expr: str, id_col: str = "doc_id",
+                        text_col: str = "text", min_sim: float = 0.7) -> str:
+    """DuckDB twin of :func:`dedup_keep_best` (uncapped miner);
+    ``score_expr`` is evaluated against ``table``'s columns."""
+    verified = jaccard_on_lsh_sql(table, id_col, text_col, min_sim=min_sim)
+    groups = dedup_groups_sql(f"SELECT a_id, b_id FROM ({verified})")
+    return f"""
+WITH g AS ({groups}),
+scored AS (
+  SELECT g.doc_id, g.group_id, {score_expr} AS _s
+  FROM g JOIN {table} t ON t.{id_col} = g.doc_id
+),
+drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY group_id ORDER BY _s DESC, doc_id ASC) AS rn
+    FROM scored)
+  WHERE rn > 1
+)
+SELECT t.* FROM {table} t
+WHERE t.{id_col} NOT IN (SELECT doc_id FROM drops)
+"""

@@ -8505,3 +8505,44 @@ def q247_dhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("payload")))
     return simhash_hamming_pairs(dhash_stub(base.unionByName(pert)),
                                  max_hamming=3, id_col="asset_id")
+
+
+# ---------------------------------------------------------------------------
+# q248 — quality-aware dedup canonical selection: same mine/verify/
+# group pipeline as q100, but the keep policy is "highest score wins,
+# ties to smaller id" — the corpus injects IMPROVED clones (original
+# text + an informative tail, so the clone is longer) and the gate
+# proves the longer, HIGHER-id copy survives where min-id policy
+# would keep the truncated original.  Score = length(text).
+# ---------------------------------------------------------------------------
+
+_Q248_CORPUS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 5000000 AS doc_id,
+       text || ' with an informative closing paragraph restored' AS text
+FROM documents WHERE doc_id % 19 = 0
+"""
+
+
+def _q248_sql() -> str:
+    from dbms_spark.llm.dedup import dedup_keep_best_sql
+
+    inner = dedup_keep_best_sql(f"({_Q248_CORPUS})", "length(t.text)",
+                                min_sim=0.7)
+    return f"SELECT doc_id FROM ({inner})"
+
+
+@register("q248_dedup_keep_best", _q248_sql())
+def q248_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 19 = 0")
+        .selectExpr("doc_id + 5000000 AS doc_id",
+                    "text || ' with an informative closing paragraph"
+                    " restored' AS text"))
+    scored = corpus.withColumn("score", F.length("text").cast("bigint"))
+    return (dedup_keep_best(scored, "score", min_sim=0.7)
+            .select("doc_id"))

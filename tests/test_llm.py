@@ -1256,3 +1256,15 @@ def test_dhash_stub_locality_and_pipeline(spark):
              D.simhash_hamming_pairs(sigs, max_hamming=3,
                                      id_col="asset_id").collect()}
     assert pairs[(1, 2)] == 0 and (1, 3) in pairs
+
+
+def test_dedup_keep_best_policy(spark):
+    """Highest score wins within a duplicate group; ties go to the
+    smaller id; ungrouped docs untouched."""
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [(1, t, 10), (2, t, 99), (3, t, 99),
+            (4, "unrelated content entirely different tokens here now ok", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    kept = {r.doc_id for r in D.dedup_keep_best(df, "score").collect()}
+    # group {1,2,3}: scores 10,99,99 -> 2 wins (99, smaller id); 4 alone
+    assert kept == {2, 4}

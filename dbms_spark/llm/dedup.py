@@ -1584,7 +1584,12 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
-    fps = winnowed_fingerprints(df, id_col, text_col, n, w)
+    # fps feeds both self-join legs and sh feeds both verify legs —
+    # persisted so the corpus is tokenized once per relation instead
+    # of once per leg (4 scans -> 2 on the gate plan; a long-lived
+    # session batching many corpora should clearCache() between runs,
+    # same lifecycle note as semantic_dedup)
+    fps = winnowed_fingerprints(df, id_col, text_col, n, w).persist()
     if fp_cap is not None:
         from pyspark.sql.window import Window
 
@@ -1597,7 +1602,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("a_id", "b_id").distinct())
     sh = (ensure_parallelism(df)
           .withColumn("toks", tokens_expr(text_col))
-          .select(F.col(id_col), shingles_expr(n).alias("sh")))
+          .select(F.col(id_col), shingles_expr(n).alias("sh"))
+          .persist())
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"))
     c_ab = F.expr(_CONTAIN.format(side="a"))

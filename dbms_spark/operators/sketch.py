@@ -946,6 +946,12 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
     """
     from pyspark.sql.window import Window
 
+    # the sketch feeds FOUR legs (two group lists, two hash sides);
+    # without truncation each leg re-runs the sketch build — at scale
+    # that is four corpus scans for a G*k-row relation.  localCheckpoint
+    # materializes the tiny sketch once and every leg reads the leaf
+    # (measured: 6 parquet scans -> 1 on the q240 gate plan).
+    sketch = sketch.localCheckpoint()
     a = sketch.select(F.col(group_col).alias("g_a"), "hkey")
     b = sketch.select(F.col(group_col).alias("g_b"), "hkey")
     ga = a.select("g_a").distinct()

@@ -82,6 +82,19 @@ SHUFFLE_BUDGET = {
     # gaining a genuine extra exchange
     "q159_kmeans_assign": 11,      # 3 assigns + 2 explode-free updates
     "q165_pagerank": 62,           # 3 rounds over cached fused edges
+    # round-6 continuation additions
+    "q240_source_overlap_matrix": 4,   # checkpointed sketch leaf: pair-union agg + window + final agg
+    "q241_simhash_hamming_pairs": 3,   # band self-join + distinct (signatures map-side)
+    "q243_categorical_concentration": 2,  # (col,value) partial agg + per-col fold
+    "q244_mad_outlier_profile": 3,     # median agg + MAD agg + fence agg (medians broadcast back)
+    "q246_dhash_values": 0,            # pure map-side codegen over binary
+    "q247_dhash_near_dup_pairs": 1,    # band self-join (dHash map-side)
+    # persisted-relation queries: InMemoryRelation subtrees re-print
+    # their child plans, overstating runtime shuffles — pinned as
+    # canaries like q159/q165
+    "q242_containment_pairs": 5,
+    "q245_drop_contained": 21,
+    "q248_dedup_keep_best": 32,
 }
 
 _SHUFFLE_RE = re.compile(

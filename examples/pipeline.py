@@ -71,10 +71,15 @@ def main(sf_dir: str | None = None, out_dir: str | None = None,
     #    keep one representative per group)
     deduped = stage("dedup", eng.dedup_pipeline(kept))
 
+    # 2b. containment canonicalization: near-SUBSET copies (a doc
+    #     embedded in a larger aggregator page) survive the symmetric
+    #     Jaccard stage — drop them, keep the host
+    uncontained = stage("drop_contained", eng.drop_contained(deduped))
+
     # 3. benchmark decontamination (a held-out split stands in for the
     #    eval set; production passes the real benchmark corpus)
     bench = docs.filter("doc_id % 97 = 0").select("text")
-    clean = stage("decontaminate", eng.decontaminate(deduped, bench))
+    clean = stage("decontaminate", eng.decontaminate(uncontained, bench))
 
     # 4. deterministic source mixing (per-source sampling rates)
     rates = {r["source"]: 80.0 for r in clean.select("source").distinct().collect()}

@@ -42,13 +42,14 @@ def test_incremental_intake_stages(spark, sf_dir, tmp_path):
 def test_pipeline_stages(spark, sf_dir, tmp_path):
     stages = _load("pipeline").main(sf_dir, str(tmp_path / "out"), spark=spark)
     names = [d["stage"] for d in stages]
-    assert names == ["ingest", "quality_filter", "dedup", "decontaminate",
-                     "mix", "cluster_balance", "chunk", "pack", "write",
-                     "jsonl", "tar"]
+    assert names == ["ingest", "quality_filter", "dedup", "drop_contained",
+                     "decontaminate", "mix", "cluster_balance", "chunk",
+                     "pack", "write", "jsonl", "tar"]
     rows = {d["stage"]: d.get("rows") for d in stages}
     # monotone survivor funnel through the doc-level stages
     assert (rows["ingest"] >= rows["quality_filter"] >= rows["dedup"]
-            >= rows["decontaminate"] >= rows["mix"] >= rows["cluster_balance"])
+            >= rows["drop_contained"] >= rows["decontaminate"]
+            >= rows["mix"] >= rows["cluster_balance"])
     assert rows["cluster_balance"] > 0 and rows["write"] > 0
     assert os.path.isdir(str(tmp_path / "out") + "_jsonl")
     tar_stage = [d for d in stages if d["stage"] == "tar"][0]

@@ -50,6 +50,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--docs", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--min-sim", type=float, default=0.7)
+    sp.add_argument("--keep-best", default=None, metavar="SCORE_COL",
+                    help="keep the highest-SCORE_COL member of each "
+                         "duplicate group instead of the min id")
+    sp.add_argument("--drop-contained", action="store_true",
+                    help="also drop docs >= 90%% shingle-contained in "
+                         "another doc (quote-inclusion geometry)")
+
+    sp = sub.add_parser("overlap")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--key-col", default="text")
+    sp.add_argument("--k", type=int, default=64)
 
     sp = sub.add_parser("chunk")
     sp.add_argument("--docs", required=True)
@@ -294,10 +306,25 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.docs)
     if args.verb == "dedup":
-        kept = eng.dedup_pipeline(docs, min_sim=args.min_sim)
+        if args.keep_best:
+            kept = eng.dedup_keep_best(docs, args.keep_best,
+                                       min_sim=args.min_sim)
+        else:
+            kept = eng.dedup_pipeline(docs, min_sim=args.min_sim)
+        if args.drop_contained:
+            kept = eng.drop_contained(kept)
         kept.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"verb": "dedup", "in": docs.count(), "kept": n}))
+        return 0
+    if args.verb == "overlap":
+        from pyspark.sql import functions as F
+
+        m = eng.source_overlap(docs, args.group_col, args.key_col, k=args.k)
+        rows = [r.asDict() for r in
+                m.orderBy(F.desc("jaccard_ppm"), "g_a", "g_b").collect()]
+        print(json.dumps({"verb": "overlap", "groups_pairs": len(rows),
+                          "top": rows[:20]}))
         return 0
     if args.verb == "chunk":
         ch = eng.chunk(docs, window=args.window, stride=args.stride)

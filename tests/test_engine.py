@@ -347,3 +347,34 @@ def test_engine_curate_with_passage_strip(spark):
     for t in got.values():
         assert "rights reserved" not in t         # boilerplate gone
     assert got[4] == "entirely original content with no shared passages at all"
+
+
+def test_cli_dedup_policies_and_overlap(spark, tmp_path, capsys):
+    """CLI: dedup --keep-best/--drop-contained and the overlap verb."""
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    host = t + " kilo lima mike november oscar papa quebec romeo sierra tango"
+    docs = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(1, t, "s0", 10), (2, t, "s0", 99), (3, host, "s1", 5),
+         (4, "unrelated words entirely different tokens here now yes", "s1", 1)],
+        "doc_id long, text string, source string, score long"
+    ).write.parquet(docs)
+
+    rc = main(["dedup", "--docs", docs, "--out", str(tmp_path / "kb"),
+               "--keep-best", "score", "--drop-contained"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["in"] == 4
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kb")).collect()}
+    # keep-best keeps 2 (score 99) over 1; drop-contained then drops 2
+    # (contained in host 3); 3 and 4 survive
+    assert kept == {3, 4}
+
+    rc = main(["overlap", "--docs", docs, "--group-col", "source",
+               "--key-col", "text", "--k", "8"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["groups_pairs"] == 1
+    assert out["top"][0]["g_a"] == "s0" and out["top"][0]["n_common"] == 0

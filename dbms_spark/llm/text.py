@@ -1347,3 +1347,97 @@ WHERE NOT contains(lower(orig), 'lorem ipsum')
   AND NOT contains(orig, '{{')
   AND len(kept) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus text canonicalization: HTML stripping + Unicode NFC
+# ---------------------------------------------------------------------------
+
+#: entity -> replacement, applied AFTER tag removal (order matters:
+#: &amp; last so '&amp;lt;' becomes '&lt;' literally, not '<')
+_HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_html(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """HTML-to-text pre-pass (the step before any quality/dedup stage
+    on crawled pages): drop <script>/<style> blocks with their
+    contents, remove all remaining tags, decode the six ubiquitous
+    entities, collapse whitespace runs.  Pure regexp_replace chain —
+    whole-stage codegen, zero shuffle, no Python (a full HTML5 parser
+    is deliberately out of scope: corpus pipelines use exactly this
+    tag-strip + entity-decode form because parser-grade fidelity
+    costs 100x for boilerplate that later stages drop anyway)."""
+    e = F.col(text_col)
+    # two explicit block patterns (not a backreference): the DuckDB
+    # twin runs on RE2, which has no backreferences — keep the
+    # pattern language identical on both engines
+    e = F.regexp_replace(e, r"(?is)<script\b.*?</script\s*>", " ")
+    e = F.regexp_replace(e, r"(?is)<style\b.*?</style\s*>", " ")
+    e = F.regexp_replace(e, r"(?s)<!--.*?-->", " ")
+    e = F.regexp_replace(e, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        e = F.regexp_replace(e, ent, rep)
+    e = F.trim(F.regexp_replace(e, r"\s+", " "))
+    return df.select(F.col(id_col), e.alias(text_col))
+
+
+def strip_html_sql(table: str, id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB twin of :func:`strip_html` (global-flag regexp_replace)."""
+    e = text_col
+    e = f"regexp_replace({e}, '(?is)<script\\b.*?</script\\s*>', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?is)<style\\b.*?</style\\s*>', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep = rep.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{rep}')"
+    e = f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+    return f"SELECT {id_col}, {e} AS {text_col} FROM {table}"
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode canonicalization for dedup keys: NFC composition →
+    lowercase → whitespace collapse.  Visually-identical strings that
+    differ only in combining-mark encoding ('é' as U+00E9 vs
+    e+U+0301) hash to DIFFERENT md5s and silently defeat every exact/
+    minhash/fingerprint dedup stage — this is the fix, run once at
+    ingest.
+
+    NFC needs the Unicode composition tables, which Spark SQL does not
+    expose — Arrow-batched ``mapInPandas`` over Python's unicodedata
+    (the ingest_charset pattern; both it and DuckDB's nfc_normalize
+    implement the same Unicode standard, so the twin is exact).
+    Lower/collapse run in the same batch to keep it one Python hop."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    others = [c for c in df.columns if c != text_col]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != text_col]
+        + [T.StructField(text_col, T.StringType())])
+
+    def norm(batches):
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            out = pdf[others].copy()
+            out[text_col] = pdf[text_col].map(
+                lambda s: ws.sub(" ", unicodedata.normalize("NFC", s)
+                                 .lower()).strip()
+                if s is not None else None)
+            yield out[[*others, text_col]]
+
+    return df.mapInPandas(norm, schema).select(id_col, text_col)
+
+
+def normalize_text_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_text`."""
+    return (f"SELECT {id_col}, trim(regexp_replace(lower(nfc_normalize("
+            f"{text_col})), '\\s+', ' ', 'g')) AS {text_col} FROM {table}")

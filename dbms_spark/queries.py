@@ -8546,3 +8546,75 @@ def q248_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.withColumn("score", F.length("text").cast("bigint"))
     return (dedup_keep_best(scored, "score", min_sim=0.7)
             .select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q249/q250 — web-corpus text canonicalization.  q249: HTML-to-text
+# pre-pass (script/style blocks with contents, comments, tags, the
+# six ubiquitous entities, whitespace collapse) as a pure codegen
+# regexp chain — the gate wraps every doc in markup so each rule arm
+# fires.  q250: Unicode NFC + lowercase + whitespace collapse — the
+# dedup-key fix for combining-mark encodings ('é' as U+00E9 vs
+# e+U+0301 hash differently and defeat every hash-based dedup stage);
+# Spark side is Arrow-batched unicodedata, oracle is DuckDB's
+# nfc_normalize — two independent implementations of the same
+# Unicode standard.  The gate corpus appends a DECOMPOSED accent +
+# mixed case + space runs (built from hex bytes so both engines
+# construct identical input).
+# ---------------------------------------------------------------------------
+
+_Q249_CORPUS_DUCK = """
+SELECT doc_id,
+       '<html><head><style>p {color: red}</style><!-- hidden --></head>'
+       || '<body><p class="x">' || text || '</p>'
+       || '<script type="text/javascript">var a = 1 < 2;</script>'
+       || 'Tom &amp; Jerry&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>'
+       AS text
+FROM documents
+"""
+
+
+def _q249_sql() -> str:
+    from dbms_spark.llm.text import strip_html_sql
+
+    return strip_html_sql(f"({_Q249_CORPUS_DUCK})")
+
+
+@register("q249_strip_html", _q249_sql())
+def q249_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('<html><head><style>p {color: red}</style><!-- hidden --></head>',"
+        " '<body><p class=\"x\">', text, '</p>',"
+        " '<script type=\"text/javascript\">var a = 1 < 2;</script>',"
+        " 'Tom &amp; Jerry&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>'"
+        ") AS text")
+    return strip_html(docs)
+
+
+# e + COMBINING ACUTE (0x65 0xCC 0x81) — decomposed 'é' from raw bytes
+_Q250_CORPUS_DUCK = """
+SELECT doc_id,
+       text || '   CAF' || decode(unhex('65CC81')) || '  Mixed CASE  runs'
+       AS text
+FROM documents
+"""
+
+
+def _q250_sql() -> str:
+    from dbms_spark.llm.text import normalize_text_sql
+
+    return normalize_text_sql(f"({_Q250_CORPUS_DUCK})")
+
+
+@register("q250_normalize_text", _q250_sql())
+def q250_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, '   CAF', decode(unhex('65CC81'), 'UTF-8'),"
+        " '  Mixed CASE  runs') AS text")
+    return normalize_text(docs)

@@ -1268,3 +1268,29 @@ def test_dedup_keep_best_policy(spark):
     kept = {r.doc_id for r in D.dedup_keep_best(df, "score").collect()}
     # group {1,2,3}: scores 10,99,99 -> 2 wins (99, smaller id); 4 alone
     assert kept == {2, 4}
+
+
+def test_strip_html_hand_values(spark):
+    """Every rule arm hand-checked: block elements with contents,
+    comments, tags, entities (&amp; decoded LAST), whitespace."""
+    h = ('<html><style>p {c}</style><!-- no --><body>'
+         '<p>Hello   <b>world</b></p><script>var x = "<p>";</script>'
+         'A &amp;lt; B &nbsp;&quot;ok&quot;</body></html>')
+    df = spark.createDataFrame([(1, h)], "doc_id long, text string")
+    out = TX.strip_html(df).collect()[0].text
+    # &amp;lt; -> literal '&lt;' (entity decode is not recursive)
+    assert out == 'Hello world A &lt; B "ok"'
+
+
+def test_normalize_text_hand_values(spark):
+    """NFC composes the combining mark; case folds; runs collapse; the
+    composed and decomposed spellings become hash-identical."""
+    decomposed = "CAFÉ   Deluxe"      # E + COMBINING ACUTE
+    assert len(decomposed.split()[0]) == 5   # really decomposed
+    composed = "café deluxe"           # precomposed, already canonical
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in TX.normalize_text(df).collect()}
+    assert out[1] == out[2] == "café deluxe"
+    assert out[3] is None

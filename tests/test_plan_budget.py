@@ -95,6 +95,8 @@ SHUFFLE_BUDGET = {
     "q242_containment_pairs": 5,
     "q245_drop_contained": 21,
     "q248_dedup_keep_best": 32,
+    "q249_strip_html": 0,              # pure codegen regexp chain
+    "q250_normalize_text": 0,          # map-side Arrow NFC hop, no shuffle
 }
 
 _SHUFFLE_RE = re.compile(

@@ -444,6 +444,14 @@ def simhash_hamming_pairs(sigs: DataFrame, max_hamming: int = 3,
     """
     if not 0 <= max_hamming <= 3:
         raise ValueError("4-band pigeonhole supports max_hamming in [0, 3]")
+    # materialize the 3-column signature relation ONCE: it feeds the
+    # band explode and BOTH join legs, and after Catalyst collapses the
+    # projections the signature expressions would otherwise re-evaluate
+    # through the join — for expression-heavy signatures (dHash's
+    # 72-sample transform) that measured 367 s vs 3.9 s at sf0.1.  The
+    # relation is id + two bigints, trivially materializable at any
+    # corpus size, and the corpus scan behind it runs once, not twice.
+    sigs = sigs.select(F.col(id_col), "simhash_hi", "simhash_lo").localCheckpoint()
     bands = F.array(*[
         F.expr(e) for e in (
             "shiftright(simhash_hi, 16) & 65535", "simhash_hi & 65535",

@@ -1073,10 +1073,16 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
     arms = [
         f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
         for c in sorted(cols)]
+    # the pair relation feeds three aggregation passes (median, MAD,
+    # fence) — persist so the source scan + explode run once, not
+    # three times (sf0.1 gate: 8.0 -> ~5 s; at 100 TB the saved work
+    # is two full table scans).  Narrow (col, double) rows; spills
+    # cleanly if the corpus outgrows storage memory.
     pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
              .select(F.col("cv.col_name").alias("col_name"),
                      F.col("cv.val").alias("val"))
-             .where(F.col("val").isNotNull()))
+             .where(F.col("val").isNotNull())
+             .persist())
     med = pairs.groupBy("col_name").agg(
         F.expr("percentile(val, 0.5D)").alias("median_v"))
     # percentile over an expression referencing the joined median:

@@ -1441,3 +1441,67 @@ def normalize_text_sql(table: str, id_col: str = "doc_id",
     """DuckDB twin of :func:`normalize_text`."""
     return (f"SELECT {id_col}, trim(regexp_replace(lower(nfc_normalize("
             f"{text_col})), '\\s+', ' ', 'g')) AS {text_col} FROM {table}")
+
+
+def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           lo_p: float = 0.01, hi_p: float = 0.99,
+                           max_tokens: float = 2048.0,
+                           nbins: int = 256) -> DataFrame:
+    """Self-calibrating token-length band: keep docs whose token count
+    lies within the corpus's own [lo_p, hi_p] quantile band — fixed
+    length cutoffs tuned on one corpus (C4's min-words, Gopher's
+    bands) misfire on the next (code vs prose vs chat); the
+    percentile band adapts per corpus and per refresh.
+
+    Bounds come from the HISTOGRAM SKETCH (one partial-aggregated
+    ≤nbins-row pass, error ≤ one bin width of [0, max_tokens]), never
+    a sort — then one broadcast of the 2-value bound relation and a
+    map-side filter: two table passes total at any corpus size.
+    Token counts above ``max_tokens`` clamp into the last bin (the
+    hist contract), so hi_p near 1.0 keeps them; the documented use
+    is trimming BOTH tails.  Returns the surviving rows of ``df``
+    unchanged.
+    """
+    from dbms_spark.operators.sketch import hist_build, hist_quantiles
+
+    toks = df.withColumn(
+        "_n_toks", F.size(tokens_expr(text_col)).cast("double"))
+    h = hist_build(toks, "_n_toks", 0.0, float(max_tokens), nbins)
+    qs = hist_quantiles(h, [lo_p, hi_p], 0.0, float(max_tokens), nbins)
+    # bin-align the bounds OUTWARD: the sketch's quantile interpolates
+    # INSIDE the covering bin, so a length atom sitting exactly on a
+    # mass bin's edge (every doc 50 tokens -> p05 estimate 50.05)
+    # would fall outside a raw [p05, p95] band and the filter would
+    # drop the entire body of the corpus.  Snapping lo down / hi up to
+    # bin edges keeps every bin the quantile band touches.
+    width = float(max_tokens) / float(nbins)
+    bounds = qs.agg(
+        (F.floor(F.min("value") / width) * width).alias("_lo_v"),
+        (F.floor(F.max("value") / width) * width + width).alias("_hi_v"))
+    return (toks.crossJoin(F.broadcast(bounds))
+            .where(F.col("_n_toks").between(F.col("_lo_v"), F.col("_hi_v")))
+            .drop("_n_toks", "_lo_v", "_hi_v"))
+
+
+def adaptive_length_filter_sql(table: str, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               lo_p: float = 0.01, hi_p: float = 0.99,
+                               max_tokens: float = 2048.0,
+                               nbins: int = 256) -> str:
+    """DuckDB twin of :func:`adaptive_length_filter`."""
+    from dbms_spark.operators.sketch import hist_build_sql, hist_quantiles_sql
+
+    toks = (f"SELECT *, CAST(len({tokens_sql(text_col)}) AS DOUBLE) AS _n_toks "
+            f"FROM {table}")
+    h = hist_build_sql(f"({toks})", "_n_toks", 0.0, float(max_tokens), nbins)
+    qs = hist_quantiles_sql(f"({h})", [lo_p, hi_p], 0.0, float(max_tokens), nbins)
+    width = float(max_tokens) / float(nbins)
+    return f"""
+WITH toks AS ({toks}),
+bounds AS (SELECT floor(MIN(value) / {width}) * {width} AS _lo_v,
+                  floor(MAX(value) / {width}) * {width} + {width} AS _hi_v
+           FROM ({qs}))
+SELECT toks.* EXCLUDE (_n_toks) FROM toks, bounds
+WHERE _n_toks BETWEEN _lo_v AND _hi_v
+"""

@@ -1050,7 +1050,9 @@ FROM vc GROUP BY col_name
 
 
 def mad_outlier_profile(df: DataFrame, cols: list[str],
-                        k: float = 3.0) -> DataFrame:
+                        k: float = 3.0,
+                        group_col: str | None = None,
+                        broadcast_medians: bool = True) -> DataFrame:
     """Robust per-column outlier report: (col_name, median_v, mad,
     n_outliers, outlier_ppm) where MAD = median(|x - median|) and a
     row is an outlier iff |x - median| > k * MAD — the
@@ -1058,7 +1060,13 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
     dragged by the very outliers it is hunting (a handful of 10^9
     values shifts a mean fence past everything; the median fence
     doesn't move).  The data-quality screen a migration acceptance
-    runs per numeric column.
+    runs per numeric column.  With ``group_col`` the whole profile is
+    computed PER GROUP (per-source / per-day numeric quality screens)
+    from the same three passes — every aggregation just gains the
+    group key.  The median/MAD relations are group_count x col_count
+    rows; they broadcast back by default, or shuffle-join on the
+    (col, group) key with ``broadcast_medians=False`` when groups run
+    to the millions (the tfidf broadcast_docfreq pattern).
 
     Shape: rows explode map-side into (col, val) pairs, then three
     grouped aggregations over that relation (median, MAD, fence
@@ -1070,6 +1078,7 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
     (Spark percentile() / DuckDB quantile_cont agree bit-for-bit on
     the same doubles — gate q119 pins the pair).
     """
+    g = [group_col] if group_col else []
     arms = [
         f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
         for c in sorted(cols)]
@@ -1078,23 +1087,26 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
     # three times (sf0.1 gate: 8.0 -> ~5 s; at 100 TB the saved work
     # is two full table scans).  Narrow (col, double) rows; spills
     # cleanly if the corpus outgrows storage memory.
-    pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
-             .select(F.col("cv.col_name").alias("col_name"),
+    pairs = (df.select(*g,
+                       F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
+             .select(*g, F.col("cv.col_name").alias("col_name"),
                      F.col("cv.val").alias("val"))
              .where(F.col("val").isNotNull())
              .persist())
-    med = pairs.groupBy("col_name").agg(
+    keys = ["col_name", *g]
+    bx = F.broadcast if broadcast_medians else (lambda d: d)
+    med = pairs.groupBy(*keys).agg(
         F.expr("percentile(val, 0.5D)").alias("median_v"))
     # percentile over an expression referencing the joined median:
     # compute the deviation column first, then aggregate
-    dev = (pairs.join(F.broadcast(med), "col_name")
-           .select("col_name", "median_v",
+    dev = (pairs.join(bx(med), keys)
+           .select(*keys, "median_v",
                    F.abs(F.col("val") - F.col("median_v")).alias("adev")))
-    mad = dev.groupBy("col_name").agg(
+    mad = dev.groupBy(*keys).agg(
         F.first("median_v").alias("median_v"),
         F.expr("percentile(adev, 0.5D)").alias("mad"))
-    fenced = (pairs.join(F.broadcast(mad), "col_name")
-              .groupBy("col_name")
+    fenced = (pairs.join(bx(mad), keys)
+              .groupBy(*keys)
               .agg(F.first("median_v").alias("median_v"),
                    F.first("mad").alias("mad"),
                    F.count("*").alias("n"),
@@ -1102,37 +1114,42 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
                                 > F.lit(float(k)) * F.col("mad"), 1)
                          .otherwise(0)).alias("n_outliers")))
     return fenced.select(
-        "col_name", "median_v", "mad",
+        *keys, "median_v", "mad",
         F.col("n_outliers").cast("bigint").alias("n_outliers"),
         F.floor(F.col("n_outliers").cast("double") * 1000000 / F.col("n"))
         .cast("bigint").alias("outlier_ppm"))
 
 
 def mad_outlier_profile_sql(table: str, cols: list[str],
-                            k: float = 3.0) -> str:
-    """DuckDB twin of :func:`mad_outlier_profile`."""
+                            k: float = 3.0,
+                            group_col: str | None = None) -> str:
+    """DuckDB twin of :func:`mad_outlier_profile` (grouped form with
+    ``group_col``)."""
+    g = f", {group_col}" if group_col else ""
+    gsel = f"{group_col}, " if group_col else ""
+    keys = f"col_name{g}"
     arms = " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM {table} "
-        f"WHERE {c} IS NOT NULL"
+        f"SELECT {gsel}'{c}' AS col_name, CAST({c} AS DOUBLE) AS val "
+        f"FROM {table} WHERE {c} IS NOT NULL"
         for c in sorted(cols))
     return f"""
 WITH pairs AS ({arms}),
 med AS (
-  SELECT col_name, quantile_cont(val, 0.5) AS median_v
-  FROM pairs GROUP BY col_name
+  SELECT {keys}, quantile_cont(val, 0.5) AS median_v
+  FROM pairs GROUP BY {keys}
 ),
 mad AS (
-  SELECT p.col_name, ANY_VALUE(m.median_v) AS median_v,
+  SELECT {keys}, ANY_VALUE(m.median_v) AS median_v,
          quantile_cont(abs(p.val - m.median_v), 0.5) AS mad
-  FROM pairs p JOIN med m USING (col_name) GROUP BY p.col_name
+  FROM pairs p JOIN med m USING ({keys}) GROUP BY {keys}
 )
-SELECT p.col_name, ANY_VALUE(m.median_v) AS median_v,
+SELECT {keys}, ANY_VALUE(m.median_v) AS median_v,
        ANY_VALUE(m.mad) AS mad,
        CAST(SUM(CASE WHEN abs(p.val - m.median_v) > {float(k)} * m.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        CAST(floor(SUM(CASE WHEN abs(p.val - m.median_v) > {float(k)} * m.mad
                            THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
          AS outlier_ppm
-FROM pairs p JOIN mad m USING (col_name)
-GROUP BY p.col_name
+FROM pairs p JOIN mad m USING ({keys})
+GROUP BY {keys}
 """

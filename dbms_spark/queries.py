@@ -8618,3 +8618,68 @@ def q250_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(text, '   CAF', decode(unhex('65CC81'), 'UTF-8'),"
         " '  Mixed CASE  runs') AS text")
     return normalize_text(docs)
+
+
+# ---------------------------------------------------------------------------
+# q251 — grouped MAD outlier profile: the q244 robust fence computed
+# PER GROUP (per-status here; per-source/per-day in a pipeline), same
+# three aggregation passes with the group key added.  Spikes are
+# injected into ONE group only (x200 price on 1-in-499 'O' orders) so
+# the gate proves fences are group-local: the spiked group fences
+# rows, the clean groups fence none.
+# ---------------------------------------------------------------------------
+
+_Q251_CORPUS = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderstatus = 'O' AND o_orderkey % 499 = 0
+            THEN CAST(o_totalprice AS DOUBLE) * 200
+            ELSE CAST(o_totalprice AS DOUBLE) END AS price
+FROM orders
+"""
+
+
+def _q251_sql() -> str:
+    from dbms_spark.operators.assess import mad_outlier_profile_sql
+
+    return mad_outlier_profile_sql(f"({_Q251_CORPUS})", ["price"], k=3.0,
+                                   group_col="o_orderstatus")
+
+
+@register("q251_grouped_mad_profile", _q251_sql())
+def q251_grouped_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import mad_outlier_profile
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus",
+        "CASE WHEN o_orderstatus = 'O' AND o_orderkey % 499 = 0"
+        " THEN CAST(o_totalprice AS DOUBLE) * 200"
+        " ELSE CAST(o_totalprice AS DOUBLE) END AS price")
+    return mad_outlier_profile(o, ["price"], k=3.0,
+                               group_col="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q252 — adaptive token-length band: keep docs inside the corpus's
+# OWN [p05, p95] token-count band, bounds from the histogram sketch
+# (error <= one bin width), broadcast back as a 2-value relation —
+# the self-calibrating form of fixed length cutoffs (C4 min-words /
+# Gopher bands), which misfire when the corpus shifts from prose to
+# code to chat.  Two table passes at any corpus size, zero sorts.
+# ---------------------------------------------------------------------------
+
+
+def _q252_sql() -> str:
+    from dbms_spark.llm.text import adaptive_length_filter_sql
+
+    inner = adaptive_length_filter_sql("documents", lo_p=0.05, hi_p=0.95,
+                                       max_tokens=512.0, nbins=128)
+    return f"SELECT doc_id FROM ({inner})"
+
+
+@register("q252_adaptive_length_filter", _q252_sql())
+def q252_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import adaptive_length_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adaptive_length_filter(docs, lo_p=0.05, hi_p=0.95,
+                                  max_tokens=512.0, nbins=128).select("doc_id")

@@ -149,3 +149,23 @@ def test_mad_outlier_profile_hand_values(spark):
         [(1.0,)] * 9 + [(2.0,)], "c double")
     rc = mad_outlier_profile(const, ["c"]).collect()[0]
     assert (rc.median_v, rc.mad, rc.n_outliers) == (1.0, 0.0, 1)
+
+
+def test_mad_outlier_profile_grouped(spark):
+    """Grouped fences are group-local; the shuffle-join path is
+    verdict-identical to the broadcast path."""
+    from dbms_spark.operators.assess import mad_outlier_profile
+
+    rows = ([("a", float(x)) for x in range(1, 10)] + [("a", 1000.0)]
+            + [("b", float(x)) for x in range(1, 11)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in
+           mad_outlier_profile(df, ["v"], group_col="g").collect()}
+    assert (out["a"].median_v, out["a"].mad, out["a"].n_outliers) == (5.5, 2.5, 1)
+    assert out["b"].n_outliers == 0 and out["b"].median_v == 5.5
+
+    shuffled = {r.g: tuple(r) for r in
+                mad_outlier_profile(df, ["v"], group_col="g",
+                                    broadcast_medians=False).collect()}
+    assert shuffled == {r.g: tuple(r) for r in
+                        mad_outlier_profile(df, ["v"], group_col="g").collect()}

@@ -1294,3 +1294,21 @@ def test_normalize_text_hand_values(spark):
     out = {r.doc_id: r.text for r in TX.normalize_text(df).collect()}
     assert out[1] == out[2] == "café deluxe"
     assert out[3] is None
+
+
+def test_adaptive_length_filter_band(spark):
+    """The band is corpus-relative: uniform lengths keep ~everything;
+    planting extreme tails trims exactly the tails."""
+    mk = lambda i, n: (i, " ".join(f"w{j}" for j in range(n)))  # noqa: E731
+    body = [mk(i, 50) for i in range(100)]
+    tails = [mk(1000 + i, 1) for i in range(3)] + [mk(2000 + i, 400) for i in range(3)]
+    df = spark.createDataFrame(body + tails, "doc_id long, text string")
+    kept = {r.doc_id for r in
+            TX.adaptive_length_filter(df, lo_p=0.05, hi_p=0.95,
+                                      max_tokens=512.0).collect()}
+    assert all(i in kept for i in range(100))           # the body survives
+    assert all(1000 + i not in kept for i in range(3))  # short tail trimmed
+    assert all(2000 + i not in kept for i in range(3))  # long tail trimmed
+    # columns come back unchanged
+    cols = TX.adaptive_length_filter(df).columns
+    assert cols == ["doc_id", "text"]

@@ -97,6 +97,8 @@ SHUFFLE_BUDGET = {
     "q248_dedup_keep_best": 32,
     "q249_strip_html": 0,              # pure codegen regexp chain
     "q250_normalize_text": 0,          # map-side Arrow NFC hop, no shuffle
+    "q251_grouped_mad_profile": 3,     # three grouped agg passes (medians broadcast back)
+    "q252_adaptive_length_filter": 4,  # hist bin agg + <=nbins quantile windows + 1-row bounds
 }
 
 _SHUFFLE_RE = re.compile(

@@ -605,6 +605,23 @@ class DbmsEngine:
                 sketch.hist_build(stats, "n_tokens", 0.0, 4096.0, 128),
                 [0.25, 0.5, 0.95], 0.0, 4096.0, 128),
             "doc_ndv": sketch.hll_estimate(docs, id_col),
+            # round-6 continuation: cross-source overlap (KMV) and
+            # source-skew concentration — the two numbers a mixing
+            # decision reads next
+            "source_overlap": (
+                sketch.kmv_overlap_matrix(
+                    sketch.kmv_by(docs, "source", text_col, k=64),
+                    "source", k=64)
+                if "source" in docs.columns else
+                docs.sparkSession.createDataFrame(
+                    [], "g_a string, g_b string, k_used long, "
+                        "n_common long, jaccard_ppm long")),
+            "source_concentration": (
+                assess_ops.categorical_concentration(docs, ["source"])
+                if "source" in docs.columns else
+                docs.sparkSession.createDataFrame(
+                    [], "col_name string, n_rows long, ndv long, "
+                        "top_share_ppm long, simpson_ppm long")),
         }
 
     # -- cdc -------------------------------------------------------------

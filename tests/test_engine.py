@@ -161,7 +161,12 @@ def test_engine_corpus_report(spark, sf_dir):
     rep = eng.corpus_report(docs)
     assert set(rep) == {"languages", "quality_bands", "token_totals",
                         "dup_line_pressure", "exact_dup_groups",
-                        "length_quantiles", "doc_ndv"}
+                        "length_quantiles", "doc_ndv",
+                        "source_overlap", "source_concentration"}
+    conc = rep["source_concentration"].collect()
+    assert len(conc) == 1 and conc[0].ndv > 0
+    ov = rep["source_overlap"].collect()
+    assert all(0 <= r.jaccard_ppm <= 1000000 for r in ov)
     q = {r.p: r.value for r in rep["length_quantiles"].collect()}
     assert q[0.25] <= q[0.5] <= q[0.95]
     assert rep["doc_ndv"].first().hll_est > 0

@@ -979,7 +979,8 @@ FROM hit JOIN scales USING (col_name) WHERE rn = 1
 """
 
 
-def categorical_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
+def categorical_concentration(df: DataFrame, cols: list[str],
+                              group_col: str | None = None) -> DataFrame:
     """Per-column categorical concentration profile in ONE table pass:
     (col_name, n_rows, ndv, top_share_ppm, simpson_ppm).
 
@@ -1000,24 +1001,28 @@ def categorical_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
     a second ≤(Σ ndv)-row aggregation folds the profile.  NULLs are
     excluded (a NULL is not a category).  cnt² sums accumulate in
     DECIMAL(38,0) — exact past 2^63 — before the final division.
+    With ``group_col`` the profile is computed per group (per-source
+    skew reports) — both aggregations just gain the group key.
     """
+    g = [group_col] if group_col else []
     arms = [
         f"named_struct('col_name', '{c}', 'val', CAST({c} AS STRING))"
         for c in sorted(cols)]
-    pairs = (df.select(F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
-             .select(F.col("cv.col_name").alias("col_name"),
+    pairs = (df.select(*g,
+                       F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
+             .select(*g, F.col("cv.col_name").alias("col_name"),
                      F.col("cv.val").alias("val"))
              .where(F.col("val").isNotNull()))
-    vc = pairs.groupBy("col_name", "val").agg(
+    vc = pairs.groupBy("col_name", *g, "val").agg(
         F.count("*").cast("bigint").alias("cnt"))
-    return (vc.groupBy("col_name")
+    return (vc.groupBy("col_name", *g)
             .agg(F.sum("cnt").cast("bigint").alias("n_rows"),
                  F.count("*").cast("bigint").alias("ndv"),
                  F.max("cnt").alias("top_cnt"),
                  F.sum(F.col("cnt").cast(T.DecimalType(38, 0))
                        * F.col("cnt")).alias("s2"))
             .select(
-                "col_name", "n_rows", "ndv",
+                "col_name", *g, "n_rows", "ndv",
                 F.floor(F.col("top_cnt").cast("double") * 1000000
                         / F.col("n_rows")).cast("bigint").alias("top_share_ppm"),
                 F.floor(F.col("s2").cast("double") * 1000000
@@ -1026,18 +1031,22 @@ def categorical_concentration(df: DataFrame, cols: list[str]) -> DataFrame:
                 .cast("bigint").alias("simpson_ppm")))
 
 
-def categorical_concentration_sql(table: str, cols: list[str]) -> str:
-    """DuckDB twin of :func:`categorical_concentration`."""
+def categorical_concentration_sql(table: str, cols: list[str],
+                                  group_col: str | None = None) -> str:
+    """DuckDB twin of :func:`categorical_concentration` (grouped form
+    with ``group_col``)."""
+    gsel = f"{group_col}, " if group_col else ""
+    gkeys = f", {group_col}" if group_col else ""
     arms = " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM {table} "
-        f"WHERE {c} IS NOT NULL"
+        f"SELECT {gsel}'{c}' AS col_name, CAST({c} AS VARCHAR) AS val "
+        f"FROM {table} WHERE {c} IS NOT NULL"
         for c in sorted(cols))
     return f"""
 WITH vc AS (
-  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM ({arms}) GROUP BY 1, 2
+  SELECT col_name{gkeys}, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({arms}) GROUP BY ALL
 )
-SELECT col_name,
+SELECT col_name{gkeys},
        CAST(SUM(cnt) AS BIGINT) AS n_rows,
        CAST(COUNT(*) AS BIGINT) AS ndv,
        CAST(floor(CAST(MAX(cnt) AS DOUBLE) * 1000000 / SUM(cnt)) AS BIGINT)
@@ -1045,7 +1054,7 @@ SELECT col_name,
        CAST(floor(CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DOUBLE) * 1000000
                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
             AS BIGINT) AS simpson_ppm
-FROM vc GROUP BY col_name
+FROM vc GROUP BY col_name{gkeys}
 """
 
 

@@ -8683,3 +8683,38 @@ def q252_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return adaptive_length_filter(docs, lo_p=0.05, hi_p=0.95,
                                   max_tokens=512.0, nbins=128).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q253 — grouped categorical concentration: per-(source, column) skew
+# report (the q243 profile with a group key) — how concentrated each
+# source's language/length-class mix is, the per-source diversity
+# number a mixing decision weighs next to the overlap matrix.
+# ---------------------------------------------------------------------------
+
+_Q253_CORPUS = """
+SELECT source, lang,
+       CASE WHEN n_chars < 200 THEN 'short'
+            WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS len_class
+FROM documents
+"""
+
+
+def _q253_sql() -> str:
+    from dbms_spark.operators.assess import categorical_concentration_sql
+
+    return categorical_concentration_sql(f"({_Q253_CORPUS})",
+                                         ["lang", "len_class"],
+                                         group_col="source")
+
+
+@register("q253_grouped_concentration", _q253_sql())
+def q253_grouped_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import categorical_concentration
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source", "lang",
+        "CASE WHEN n_chars < 200 THEN 'short'"
+        " WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS len_class")
+    return categorical_concentration(docs, ["lang", "len_class"],
+                                     group_col="source")

@@ -169,3 +169,20 @@ def test_mad_outlier_profile_grouped(spark):
                                     broadcast_medians=False).collect()}
     assert shuffled == {r.g: tuple(r) for r in
                         mad_outlier_profile(df, ["v"], group_col="g").collect()}
+
+
+def test_categorical_concentration_grouped(spark):
+    """Grouped profile slices equal per-group runs of the ungrouped
+    profile."""
+    from dbms_spark.operators.assess import categorical_concentration
+
+    rows = [("s1", "x"), ("s1", "x"), ("s1", "y"),
+            ("s2", "x"), ("s2", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r.g, r.col_name): (r.n_rows, r.ndv, r.top_share_ppm, r.simpson_ppm)
+           for r in categorical_concentration(df, ["v"], group_col="g").collect()}
+    for gname in ("s1", "s2"):
+        solo = categorical_concentration(
+            df.filter(f"g = '{gname}'"), ["v"]).collect()[0]
+        assert out[(gname, "v")] == (solo.n_rows, solo.ndv,
+                                     solo.top_share_ppm, solo.simpson_ppm)

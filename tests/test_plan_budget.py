@@ -99,6 +99,7 @@ SHUFFLE_BUDGET = {
     "q250_normalize_text": 0,          # map-side Arrow NFC hop, no shuffle
     "q251_grouped_mad_profile": 3,     # three grouped agg passes (medians broadcast back)
     "q252_adaptive_length_filter": 4,  # hist bin agg + <=nbins quantile windows + 1-row bounds
+    "q253_grouped_concentration": 2,   # (col,group,value) partial agg + per-(col,group) fold
 }
 
 _SHUFFLE_RE = re.compile(

@@ -558,17 +558,20 @@ class DbmsEngine:
     def filter_length_band(self, docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", lo_p: float = 0.01,
                            hi_p: float = 0.99,
-                           max_tokens: float = 2048.0) -> DataFrame:
+                           max_tokens: float = 2048.0,
+                           group_col: str | None = None) -> DataFrame:
         """Self-calibrating token-length band: keep docs inside the
         corpus's OWN [lo_p, hi_p] token-count quantiles, bounds from
         the histogram sketch (two table passes, zero sorts, bounds
         bin-aligned outward).  The adaptive form of fixed length
-        cutoffs.  Gate q252."""
+        cutoffs; pass ``group_col`` for per-source bands.  Gates q252
+        (global), q254 (grouped)."""
         from dbms_spark.llm.text import adaptive_length_filter
 
         return adaptive_length_filter(docs, id_col, text_col,
                                       lo_p=lo_p, hi_p=hi_p,
-                                      max_tokens=max_tokens)
+                                      max_tokens=max_tokens,
+                                      group_col=group_col)
 
     def corpus_report(self, docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> dict[str, DataFrame]:

@@ -1447,7 +1447,8 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            lo_p: float = 0.01, hi_p: float = 0.99,
                            max_tokens: float = 2048.0,
-                           nbins: int = 256) -> DataFrame:
+                           nbins: int = 256,
+                           group_col: str | None = None) -> DataFrame:
     """Self-calibrating token-length band: keep docs whose token count
     lies within the corpus's own [lo_p, hi_p] quantile band — fixed
     length cutoffs tuned on one corpus (C4's min-words, Gopher's
@@ -1461,12 +1462,29 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
     Token counts above ``max_tokens`` clamp into the last bin (the
     hist contract), so hi_p near 1.0 keeps them; the documented use
     is trimming BOTH tails.  Returns the surviving rows of ``df``
-    unchanged.
+    unchanged.  With ``group_col`` the band is computed PER GROUP
+    (sources differ wildly in length distribution — one global band
+    over-trims the short-form source and under-trims the long-form
+    one); the bounds relation is one row per group, broadcast back.
     """
-    from dbms_spark.operators.sketch import hist_build, hist_quantiles
+    from dbms_spark.operators.sketch import (hist_build, hist_by,
+                                             hist_quantiles,
+                                             hist_quantiles_by)
 
     toks = df.withColumn(
         "_n_toks", F.size(tokens_expr(text_col)).cast("double"))
+    if group_col is not None:
+        h = hist_by(toks, group_col, "_n_toks", 0.0, float(max_tokens), nbins)
+        qs = hist_quantiles_by(h, group_col, [lo_p, hi_p],
+                               0.0, float(max_tokens), nbins)
+        width = float(max_tokens) / float(nbins)
+        bounds = qs.groupBy(group_col).agg(
+            (F.floor(F.min("value") / width) * width).alias("_lo_v"),
+            (F.floor(F.max("value") / width) * width + width).alias("_hi_v"))
+        return (toks.join(F.broadcast(bounds), group_col)
+                .where(F.col("_n_toks").between(F.col("_lo_v"),
+                                                F.col("_hi_v")))
+                .drop("_n_toks", "_lo_v", "_hi_v"))
     h = hist_build(toks, "_n_toks", 0.0, float(max_tokens), nbins)
     qs = hist_quantiles(h, [lo_p, hi_p], 0.0, float(max_tokens), nbins)
     # bin-align the bounds OUTWARD: the sketch's quantile interpolates
@@ -1488,15 +1506,34 @@ def adaptive_length_filter_sql(table: str, id_col: str = "doc_id",
                                text_col: str = "text",
                                lo_p: float = 0.01, hi_p: float = 0.99,
                                max_tokens: float = 2048.0,
-                               nbins: int = 256) -> str:
-    """DuckDB twin of :func:`adaptive_length_filter`."""
-    from dbms_spark.operators.sketch import hist_build_sql, hist_quantiles_sql
+                               nbins: int = 256,
+                               group_col: str | None = None) -> str:
+    """DuckDB twin of :func:`adaptive_length_filter` (grouped form
+    with ``group_col``)."""
+    from dbms_spark.operators.sketch import (hist_build_sql, hist_by_sql,
+                                             hist_quantiles_by_sql,
+                                             hist_quantiles_sql)
 
     toks = (f"SELECT *, CAST(len({tokens_sql(text_col)}) AS DOUBLE) AS _n_toks "
             f"FROM {table}")
+    width = float(max_tokens) / float(nbins)
+    if group_col is not None:
+        h = hist_by_sql(f"({toks})", group_col, "_n_toks",
+                        0.0, float(max_tokens), nbins)
+        qs = hist_quantiles_by_sql(f"({h})", group_col, [lo_p, hi_p],
+                                   0.0, float(max_tokens), nbins)
+        return f"""
+WITH toks AS ({toks}),
+bounds AS (SELECT {group_col},
+                  floor(MIN(value) / {width}) * {width} AS _lo_v,
+                  floor(MAX(value) / {width}) * {width} + {width} AS _hi_v
+           FROM ({qs}) GROUP BY {group_col})
+SELECT toks.* EXCLUDE (_n_toks)
+FROM toks JOIN bounds USING ({group_col})
+WHERE _n_toks BETWEEN _lo_v AND _hi_v
+"""
     h = hist_build_sql(f"({toks})", "_n_toks", 0.0, float(max_tokens), nbins)
     qs = hist_quantiles_sql(f"({h})", [lo_p, hi_p], 0.0, float(max_tokens), nbins)
-    width = float(max_tokens) / float(nbins)
     return f"""
 WITH toks AS ({toks}),
 bounds AS (SELECT floor(MIN(value) / {width}) * {width} AS _lo_v,

@@ -8718,3 +8718,31 @@ def q253_grouped_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS len_class")
     return categorical_concentration(docs, ["lang", "len_class"],
                                      group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# q254 — per-source adaptive length bands: q252's self-calibrating
+# token band computed PER SOURCE (one global band over-trims the
+# short-form source and under-trims the long-form one) — grouped
+# histogram sketch + per-group quantile windows + one broadcast
+# bounds-per-group join back.
+# ---------------------------------------------------------------------------
+
+
+def _q254_sql() -> str:
+    from dbms_spark.llm.text import adaptive_length_filter_sql
+
+    inner = adaptive_length_filter_sql(
+        "documents", lo_p=0.1, hi_p=0.9, max_tokens=512.0, nbins=64,
+        group_col="source")
+    return f"SELECT doc_id, source FROM ({inner})"
+
+
+@register("q254_grouped_length_band", _q254_sql())
+def q254_grouped_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import adaptive_length_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adaptive_length_filter(
+        docs, lo_p=0.1, hi_p=0.9, max_tokens=512.0, nbins=64,
+        group_col="source").select("doc_id", "source")

@@ -1312,3 +1312,19 @@ def test_adaptive_length_filter_band(spark):
     # columns come back unchanged
     cols = TX.adaptive_length_filter(df).columns
     assert cols == ["doc_id", "text"]
+
+
+def test_adaptive_length_filter_grouped(spark):
+    """Per-group bands are group-local: a length normal for source A
+    but extreme for source B survives in A and is trimmed in B."""
+    mk = lambda i, g, n: (i, g, " ".join(f"w{j}" for j in range(n)))  # noqa: E731
+    rows = ([mk(i, "long", 200) for i in range(50)]
+            + [mk(100 + i, "short", 10) for i in range(50)]
+            + [mk(900, "short", 200), mk(901, "long", 10)])
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    kept = {r.doc_id for r in TX.adaptive_length_filter(
+        df, lo_p=0.05, hi_p=0.95, max_tokens=512.0, nbins=64,
+        group_col="g").collect()}
+    assert all(i in kept for i in range(50))
+    assert all(100 + i in kept for i in range(50))
+    assert 900 not in kept and 901 not in kept   # extreme within-group

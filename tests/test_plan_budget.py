@@ -100,6 +100,7 @@ SHUFFLE_BUDGET = {
     "q251_grouped_mad_profile": 3,     # three grouped agg passes (medians broadcast back)
     "q252_adaptive_length_filter": 4,  # hist bin agg + <=nbins quantile windows + 1-row bounds
     "q253_grouped_concentration": 2,   # (col,group,value) partial agg + per-(col,group) fold
+    "q254_grouped_length_band": 2,     # grouped bin agg + per-group quantile windows (bounds broadcast back)
 }
 
 _SHUFFLE_RE = re.compile(

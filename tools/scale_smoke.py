@@ -331,7 +331,26 @@ def main() -> None:
         g = src.select((F.col("doc_id") % 256).alias("g"), "text")
         return kmv_overlap_matrix(kmv_by(g, "g", "text", k=64), "g", k=64)
 
+    def grouped_concentration(big):
+        from dbms_spark.operators.assess import categorical_concentration
+
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        g = src.selectExpr("l_orderkey % 4096 AS g", "l_returnflag",
+                           "l_linestatus", "l_linenumber")
+        return categorical_concentration(
+            g, ["l_returnflag", "l_linestatus", "l_linenumber"], group_col="g")
+
+    def grouped_mad(big):
+        from dbms_spark.operators.assess import mad_outlier_profile
+
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        g = src.selectExpr("l_orderkey % 4096 AS g",
+                           "CAST(l_extendedprice AS DOUBLE) AS price")
+        return mad_outlier_profile(g, ["price"], group_col="g")
+
     bench_reverify()
+    bench("grouped_concentration", grouped_concentration)
+    bench("grouped_mad", grouped_mad)
     bench("simhash_hamming_pairs", hamming_pairs)
     bench("containment_pairs", containment)
     bench("kmv_overlap_matrix", kmv_overlap)

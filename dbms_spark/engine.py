@@ -463,7 +463,7 @@ class DbmsEngine:
         from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
 
         return kmv_overlap_matrix(kmv_by(df, group_col, key_col, k),
-                                  group_col, k)
+                                  group_col, k, built_k=k)
 
     def decontaminate_embeddings(self, train: DataFrame, bench: DataFrame,
                                  threshold: float = 0.85,
@@ -614,7 +614,7 @@ class DbmsEngine:
             "source_overlap": (
                 sketch.kmv_overlap_matrix(
                     sketch.kmv_by(docs, "source", text_col, k=64),
-                    "source", k=64)
+                    "source", k=64, built_k=64)
                 if "source" in docs.columns else
                 docs.sparkSession.createDataFrame(
                     [], "g_a string, g_b string, k_used long, "

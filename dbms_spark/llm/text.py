@@ -1411,36 +1411,43 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id",
     expose — Arrow-batched ``mapInPandas`` over Python's unicodedata
     (the ingest_charset pattern; both it and DuckDB's nfc_normalize
     implement the same Unicode standard, so the twin is exact).
-    Lower/collapse run in the same batch to keep it one Python hop."""
+    Lower/collapse run in the same batch to keep it one Python hop.
+
+    Returns ALL input columns in the input order with ``text_col``
+    replaced in place — a run-once-at-ingest canonicalizer must not
+    strip source/lang/timestamp metadata (an earlier form selected
+    (id, text) only, silently dropping the rest while still paying
+    the Arrow transfer for them).  Project before calling if only the
+    (id, text) pair should cross the Python hop."""
     import unicodedata
 
     from pyspark.sql import types as T
 
-    others = [c for c in df.columns if c != text_col]
     schema = T.StructType(
-        [f for f in df.schema.fields if f.name != text_col]
-        + [T.StructField(text_col, T.StringType())])
+        [f if f.name != text_col else T.StructField(text_col, T.StringType())
+         for f in df.schema.fields])
 
     def norm(batches):
         import re as _re
 
         ws = _re.compile(r"\s+")
         for pdf in batches:
-            out = pdf[others].copy()
+            out = pdf.copy()
             out[text_col] = pdf[text_col].map(
                 lambda s: ws.sub(" ", unicodedata.normalize("NFC", s)
                                  .lower()).strip()
                 if s is not None else None)
-            yield out[[*others, text_col]]
+            yield out[[f.name for f in schema.fields]]
 
-    return df.mapInPandas(norm, schema).select(id_col, text_col)
+    return df.mapInPandas(norm, schema)
 
 
 def normalize_text_sql(table: str, id_col: str = "doc_id",
                        text_col: str = "text") -> str:
-    """DuckDB twin of :func:`normalize_text`."""
-    return (f"SELECT {id_col}, trim(regexp_replace(lower(nfc_normalize("
-            f"{text_col})), '\\s+', ' ', 'g')) AS {text_col} FROM {table}")
+    """DuckDB twin of :func:`normalize_text` (all columns pass
+    through, ``text_col`` replaced in place)."""
+    return (f"SELECT * REPLACE (trim(regexp_replace(lower(nfc_normalize("
+            f"{text_col})), '\\s+', ' ', 'g')) AS {text_col}) FROM {table}")
 
 
 def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
@@ -1460,12 +1467,20 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
     a sort — then one broadcast of the 2-value bound relation and a
     map-side filter: two table passes total at any corpus size.
     Token counts above ``max_tokens`` clamp into the last bin (the
-    hist contract), so hi_p near 1.0 keeps them; the documented use
-    is trimming BOTH tails.  Returns the surviving rows of ``df``
-    unchanged.  With ``group_col`` the band is computed PER GROUP
-    (sources differ wildly in length distribution — one global band
-    over-trims the short-form source and under-trims the long-form
-    one); the bounds relation is one row per group, broadcast back.
+    hist contract) and the FILTER comparison clamps the same way
+    (least(n_toks, max_tokens)), so hi_p near 1.0 keeps over-long
+    docs — max_tokens is the sketch's resolution ceiling, NOT a hard
+    length cutoff (an unclamped comparison would silently drop every
+    doc past max_tokens regardless of hi_p, and the differential gate
+    could never see it because the twin clamps identically).  The
+    documented use is trimming BOTH tails.  Returns the surviving
+    rows of ``df`` unchanged, in the input column order.  With
+    ``group_col`` the band is computed PER GROUP (sources differ
+    wildly in length distribution — one global band over-trims the
+    short-form source and under-trims the long-form one); the bounds
+    relation is one row per group, broadcast back null-safely, so
+    rows with a NULL group form their own band instead of being
+    silently dropped by the equi-join.
     """
     from dbms_spark.operators.sketch import (hist_build, hist_by,
                                              hist_quantiles,
@@ -1473,6 +1488,10 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
 
     toks = df.withColumn(
         "_n_toks", F.size(tokens_expr(text_col)).cast("double"))
+    # the histogram clamps counts above max_tokens into the last bin;
+    # the filter must compare the SAME clamped value or over-long docs
+    # fall outside every band
+    clamped = F.least(F.col("_n_toks"), F.lit(float(max_tokens)))
     if group_col is not None:
         h = hist_by(toks, group_col, "_n_toks", 0.0, float(max_tokens), nbins)
         qs = hist_quantiles_by(h, group_col, [lo_p, hi_p],
@@ -1481,10 +1500,11 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
         bounds = qs.groupBy(group_col).agg(
             (F.floor(F.min("value") / width) * width).alias("_lo_v"),
             (F.floor(F.max("value") / width) * width + width).alias("_hi_v"))
-        return (toks.join(F.broadcast(bounds), group_col)
-                .where(F.col("_n_toks").between(F.col("_lo_v"),
-                                                F.col("_hi_v")))
-                .drop("_n_toks", "_lo_v", "_hi_v"))
+        bounds = bounds.withColumnRenamed(group_col, "_g")
+        return (toks.join(F.broadcast(bounds),
+                          F.col(group_col).eqNullSafe(F.col("_g")))
+                .where(clamped.between(F.col("_lo_v"), F.col("_hi_v")))
+                .select(*df.columns))
     h = hist_build(toks, "_n_toks", 0.0, float(max_tokens), nbins)
     qs = hist_quantiles(h, [lo_p, hi_p], 0.0, float(max_tokens), nbins)
     # bin-align the bounds OUTWARD: the sketch's quantile interpolates
@@ -1498,8 +1518,8 @@ def adaptive_length_filter(df: DataFrame, id_col: str = "doc_id",
         (F.floor(F.min("value") / width) * width).alias("_lo_v"),
         (F.floor(F.max("value") / width) * width + width).alias("_hi_v"))
     return (toks.crossJoin(F.broadcast(bounds))
-            .where(F.col("_n_toks").between(F.col("_lo_v"), F.col("_hi_v")))
-            .drop("_n_toks", "_lo_v", "_hi_v"))
+            .where(clamped.between(F.col("_lo_v"), F.col("_hi_v")))
+            .select(*df.columns))
 
 
 def adaptive_length_filter_sql(table: str, id_col: str = "doc_id",
@@ -1517,6 +1537,7 @@ def adaptive_length_filter_sql(table: str, id_col: str = "doc_id",
     toks = (f"SELECT *, CAST(len({tokens_sql(text_col)}) AS DOUBLE) AS _n_toks "
             f"FROM {table}")
     width = float(max_tokens) / float(nbins)
+    clamped = f"least(_n_toks, {float(max_tokens)})"
     if group_col is not None:
         h = hist_by_sql(f"({toks})", group_col, "_n_toks",
                         0.0, float(max_tokens), nbins)
@@ -1524,13 +1545,13 @@ def adaptive_length_filter_sql(table: str, id_col: str = "doc_id",
                                    0.0, float(max_tokens), nbins)
         return f"""
 WITH toks AS ({toks}),
-bounds AS (SELECT {group_col},
+bounds AS (SELECT {group_col} AS _g,
                   floor(MIN(value) / {width}) * {width} AS _lo_v,
                   floor(MAX(value) / {width}) * {width} + {width} AS _hi_v
            FROM ({qs}) GROUP BY {group_col})
 SELECT toks.* EXCLUDE (_n_toks)
-FROM toks JOIN bounds USING ({group_col})
-WHERE _n_toks BETWEEN _lo_v AND _hi_v
+FROM toks JOIN bounds ON toks.{group_col} IS NOT DISTINCT FROM bounds._g
+WHERE {clamped} BETWEEN _lo_v AND _hi_v
 """
     h = hist_build_sql(f"({toks})", "_n_toks", 0.0, float(max_tokens), nbins)
     qs = hist_quantiles_sql(f"({h})", [lo_p, hi_p], 0.0, float(max_tokens), nbins)
@@ -1540,5 +1561,5 @@ bounds AS (SELECT floor(MIN(value) / {width}) * {width} AS _lo_v,
                   floor(MAX(value) / {width}) * {width} + {width} AS _hi_v
            FROM ({qs}))
 SELECT toks.* EXCLUDE (_n_toks) FROM toks, bounds
-WHERE _n_toks BETWEEN _lo_v AND _hi_v
+WHERE {clamped} BETWEEN _lo_v AND _hi_v
 """

@@ -921,7 +921,7 @@ SELECT {group_col}, hkey, key FROM rk WHERE rn <= {k}
 
 
 def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
-                       k: int = 64) -> DataFrame:
+                       k: int = 64, built_k: int | None = None) -> DataFrame:
     """Pairwise key-overlap estimates between groups from their KMV
     sketches — the "how much do my sources share?" dashboard matrix a
     mixing decision reads before weighting corpora (cross-source
@@ -943,6 +943,18 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
     size (G=10^3 sources at k=64 is ~32M tiny rows, one shuffle).  The
     group list is derived from the sketch itself and broadcast; no
     corpus read, no driver collect.
+
+    ``k`` must not exceed the k the sketch was BUILT with: union
+    bottom-k is only covered by each side's bottom-k' when k <= k'
+    (hashes past a truncated side's coverage would get in_x = 0 and
+    silently deflate n_common — the same mismatched-parameter hazard
+    bloom_probe guards with its meta sidecar).  Pass ``built_k`` to
+    assert the build parameter; without it a one-agg runtime check
+    over the (already materialized, G*k-row) sketch raises when ``k``
+    exceeds the widest per-group sketch — conservative for corpora
+    whose sketches are all unsaturated (every group's full distinct
+    set fits under its build k, where any ``k`` would in fact be
+    exact), so callers that KNOW the build k should pass it.
     """
     from pyspark.sql.window import Window
 
@@ -952,6 +964,21 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
     # materializes the tiny sketch once and every leg reads the leaf
     # (measured: 6 parquet scans -> 1 on the q240 gate plan).
     sketch = sketch.localCheckpoint()
+    if built_k is not None:
+        if k > built_k:
+            raise ValueError(
+                f"kmv_overlap_matrix k={k} exceeds the sketch's build "
+                f"k={built_k}: union bottom-{k} is not covered by "
+                f"bottom-{built_k} sides and n_common would deflate")
+    else:
+        widest = (sketch.groupBy(group_col).count()
+                  .agg(F.max("count")).first()[0]) or 0
+        if k > widest:
+            raise ValueError(
+                f"kmv_overlap_matrix k={k} exceeds the widest per-group "
+                f"sketch ({widest} rows): the sketch may have been built "
+                f"with a smaller k, which would deflate n_common — pass "
+                f"built_k=<the kmv_by k> to assert coverage")
     a = sketch.select(F.col(group_col).alias("g_a"), "hkey")
     b = sketch.select(F.col(group_col).alias("g_b"), "hkey")
     ga = a.select("g_a").distinct()

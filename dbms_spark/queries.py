@@ -8244,7 +8244,7 @@ def q240_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit("shared mirrored boilerplate page"))
         .otherwise(F.col("text")).alias("text"))
     return kmv_overlap_matrix(kmv_by(corpus, "source", "text", k=16),
-                              "source", k=16)
+                              "source", k=16, built_k=16)
 
 
 # ---------------------------------------------------------------------------

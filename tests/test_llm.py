@@ -1296,6 +1296,20 @@ def test_normalize_text_hand_values(spark):
     assert out[3] is None
 
 
+def test_normalize_text_keeps_metadata_columns(spark):
+    """Run-once-at-ingest contract: every non-text column passes
+    through unchanged, in the input column order (an earlier form
+    selected (id, text) only and silently dropped source/lang)."""
+    df = spark.createDataFrame(
+        [(1, "web", "  CAFÉ  Runs ", "en")],
+        "doc_id long, source string, text string, lang string")
+    out = TX.normalize_text(df)
+    assert out.columns == ["doc_id", "source", "text", "lang"]
+    r = out.collect()[0]
+    assert (r.source, r.lang) == ("web", "en")
+    assert r.text == "café runs"
+
+
 def test_adaptive_length_filter_band(spark):
     """The band is corpus-relative: uniform lengths keep ~everything;
     planting extreme tails trims exactly the tails."""
@@ -1328,3 +1342,43 @@ def test_adaptive_length_filter_grouped(spark):
     assert all(i in kept for i in range(50))
     assert all(100 + i in kept for i in range(50))
     assert 900 not in kept and 901 not in kept   # extreme within-group
+
+
+def test_adaptive_length_filter_over_max_tokens_kept(spark):
+    """max_tokens is the sketch's RESOLUTION ceiling, not a hard
+    cutoff: counts past it clamp into the last bin on BOTH the
+    histogram and the filter comparison, so hi_p near 1.0 keeps
+    over-long docs (an unclamped comparison would always drop them)."""
+    mk = lambda i, n: (i, " ".join(f"w{j}" for j in range(n)))  # noqa: E731
+    rows = [mk(i, 50) for i in range(100)] + [mk(1000 + i, 300) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in TX.adaptive_length_filter(
+        df, lo_p=0.01, hi_p=0.99, max_tokens=128.0, nbins=64).collect()}
+    # 300-token docs exceed max_tokens=128 but sit inside the p99 band
+    # of the CLAMPED distribution -> kept
+    assert all(1000 + i in kept for i in range(5))
+    assert all(i in kept for i in range(100))
+    # tightening hi_p below their mass share trims them: the band
+    # still works above the ceiling
+    kept_tight = {r.doc_id for r in TX.adaptive_length_filter(
+        df, lo_p=0.01, hi_p=0.90, max_tokens=128.0, nbins=64).collect()}
+    assert all(1000 + i not in kept_tight for i in range(5))
+    assert all(i in kept_tight for i in range(100))
+
+
+def test_adaptive_length_filter_null_group(spark):
+    """Rows with a NULL group form their OWN band (null-safe join)
+    instead of being silently dropped, and the grouped form preserves
+    the input column order."""
+    mk = lambda i, g, n: (i, g, " ".join(f"w{j}" for j in range(n)))  # noqa: E731
+    rows = ([mk(i, "a", 50) for i in range(40)]
+            + [mk(100 + i, None, 10) for i in range(40)]
+            + [mk(900, None, 200)])          # extreme within the NULL group
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = TX.adaptive_length_filter(df, lo_p=0.05, hi_p=0.95,
+                                    max_tokens=512.0, nbins=64, group_col="g")
+    assert out.columns == ["doc_id", "g", "text"]   # input order kept
+    kept = {r.doc_id for r in out.collect()}
+    assert all(i in kept for i in range(40))
+    assert all(100 + i in kept for i in range(40))  # NULL group survives
+    assert 900 not in kept                          # banded group-locally

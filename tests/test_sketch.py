@@ -316,3 +316,25 @@ def test_kmv_overlap_matrix_estimates(spark):
           for r in kmv_overlap_matrix(resh, "g", k=64).collect()}
     assert m2 == {(r.g_a, r.g_b): tuple(r)
                   for r in kmv_overlap_matrix(sk, "g", k=64).collect()}
+
+
+def test_kmv_overlap_matrix_k_mismatch_raises(spark):
+    """k larger than the sketch's build k silently deflates n_common
+    (hashes past a truncated side's coverage read as absent) — both
+    the built_k assertion and the runtime widest-sketch check raise
+    instead."""
+    import pytest
+
+    from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+
+    df = spark.range(400).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id AS STRING) AS k")
+    sk = kmv_by(df, "g", "k", k=8)
+    with pytest.raises(ValueError, match="build"):
+        kmv_overlap_matrix(sk, "g", k=64, built_k=8)
+    with pytest.raises(ValueError, match="widest"):
+        kmv_overlap_matrix(sk, "g", k=64)          # runtime check
+    # matched parameters work both ways
+    assert kmv_overlap_matrix(sk, "g", k=8, built_k=8).count() == 1
+    assert kmv_overlap_matrix(sk, "g", k=8).count() == 1

@@ -329,7 +329,8 @@ def main() -> None:
         # scan time, never the G^2*k pair expansion
         src = docs if big else load_table(spark, SF_DIR, "documents")
         g = src.select((F.col("doc_id") % 256).alias("g"), "text")
-        return kmv_overlap_matrix(kmv_by(g, "g", "text", k=64), "g", k=64)
+        return kmv_overlap_matrix(kmv_by(g, "g", "text", k=64), "g", k=64,
+                                  built_k=64)
 
     def grouped_concentration(big):
         from dbms_spark.operators.assess import categorical_concentration

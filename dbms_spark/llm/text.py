@@ -1046,18 +1046,101 @@ GROUP BY domain
 # ---------------------------------------------------------------------------
 
 def inverted_index(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   max_df: int | None = None,
+                   segment_size: int | None = None) -> DataFrame:
     """Posting lists: (token, doc_ids sorted, df_count).  One explode +
     one groupBy keyed on the token — the shuffle moves (token, id)
-    pairs, never text.  At scale the token key is Zipf-skewed: cap or
-    drop head terms (they carry no selectivity) before materializing,
-    or let AQE skew-split the build."""
+    pairs, never text.
+
+    The token key is Zipf-skewed, and a stop-word-grade token's
+    posting list is O(corpus) doc ids IN ONE ARRAY CELL — a multi-GB
+    aggregation buffer no AQE skew-split can divide (skew-split
+    splits groups across tasks, not one group's value).  Two
+    occupancy controls, both OFF by default (the uncapped form is the
+    exact index for bounded corpora):
+
+    - ``max_df`` drops tokens whose document frequency exceeds it
+      BEFORE any list materializes (the band_cap/fp_cap recipe —
+      head terms carry no selectivity; a query term present in most
+      docs prunes nothing).  The dropped-head relation is tiny by
+      construction — at most total_pairs/max_df distinct tokens can
+      each exceed max_df — so it broadcast-anti-joins against the
+      pair stream with no extra shuffle of the pairs.
+    - ``segment_size`` splits each retained posting list into
+      (token, segment, doc_ids, seg_count, df_count) rows of at most
+      ``segment_size`` ids, segments numbered in sorted-doc-id order
+      — every array cell is bounded whatever the residual skew, and
+      consumers stream a long list segment-by-segment.  The per-token
+      window sort spills to disk; an in-buffer collect_list cannot.
+
+    A production web-corpus index sets both; ``conjunctive_query`` /
+    ``disjunctive_query`` / ``phrase_query`` never materialize lists
+    and are unaffected.  Query terms dropped by ``max_df`` are absent
+    from the index — callers treating absence as "matches nothing"
+    must keep query vocabularies below the cap (the standard
+    stop-word contract)."""
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"))
-    return toks.groupBy("token").agg(
-        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        F.count(F.lit(1)).cast("bigint").alias("df_count"),
-    )
+    if max_df is not None:
+        head = (toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > int(max_df)).select("token"))
+        toks = toks.join(F.broadcast(head), "token", "left_anti")
+    if segment_size is None:
+        return toks.groupBy("token").agg(
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("df_count"),
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token")
+    rk = toks.select(
+        "token", F.col(id_col),
+        (F.row_number().over(w.orderBy(id_col)) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_df"))
+    return (rk.withColumn("segment",
+                          F.expr(f"_rn div {int(segment_size)}").cast("bigint"))
+            .groupBy("token", "segment")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                 F.count(F.lit(1)).cast("bigint").alias("seg_count"),
+                 F.max("_df").alias("df_count")))
+
+
+def inverted_index_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_df: int | None = None,
+                       segment_size: int | None = None) -> str:
+    """DuckDB twin of :func:`inverted_index` (all parameter forms)."""
+    toks = (f"SELECT {id_col}, unnest(list_distinct({tokens_sql(text_col)}))"
+            f" AS token FROM {table}")
+    kept = "toks"
+    head_cte = ""
+    if max_df is not None:
+        head_cte = (f", head AS (SELECT token FROM toks GROUP BY token"
+                    f" HAVING COUNT(*) > {int(max_df)})")
+        kept = "(SELECT t.* FROM toks t ANTI JOIN head h USING (token))"
+    if segment_size is None:
+        return f"""
+WITH toks AS ({toks}){head_cte}
+SELECT token, list_sort(list({id_col})) AS doc_ids,
+       CAST(COUNT(*) AS BIGINT) AS df_count
+FROM {kept} GROUP BY token
+"""
+    return f"""
+WITH toks AS ({toks}){head_cte},
+rk AS (
+  SELECT token, {id_col},
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY {id_col}) - 1 AS _rn,
+         CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS _df
+  FROM {kept}
+)
+SELECT token, CAST(_rn // {int(segment_size)} AS BIGINT) AS segment,
+       list_sort(list({id_col})) AS doc_ids,
+       CAST(COUNT(*) AS BIGINT) AS seg_count,
+       MAX(_df) AS df_count
+FROM rk GROUP BY token, _rn // {int(segment_size)}
+"""
 
 
 def conjunctive_query(df: DataFrame, terms: list[str], id_col: str = "doc_id",
@@ -1076,6 +1159,96 @@ def conjunctive_query(df: DataFrame, terms: list[str], id_col: str = "doc_id",
         .filter(F.col("__n") == len(terms))
         .select(id_col)
     )
+
+
+def disjunctive_query(df: DataFrame, terms: list[str],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Docs containing ANY of ``terms``, with the number of DISTINCT
+    query terms present — (id, n_hits), the OR-query with a
+    ranking-ready hit count (n_hits is the coordination score a
+    boolean retriever sorts by before any tf-idf refinement).  Same
+    pushed-down IN over the distinct-token explode as
+    :func:`conjunctive_query`: one shuffle keyed on the doc id, never
+    a posting-list materialization — a stop-word-grade query term
+    costs its (token, id) pair volume but no giant array."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"))
+    return (toks.filter(F.col("token").isin(terms))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+
+
+def disjunctive_query_sql(table: str, terms: list[str],
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin of :func:`disjunctive_query`."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_distinct({tokens_sql(text_col)})) AS token
+  FROM {table}
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks WHERE token IN ({in_list})
+GROUP BY {id_col}
+"""
+
+
+def phrase_query(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Docs containing the EXACT consecutive token sequence ``phrase``
+    — the positional-index query conjunctive retrieval cannot answer
+    (AND says the terms co-occur somewhere; phrase says they are
+    adjacent in order).
+
+    Anchor trick instead of an n-way self-join: every occurrence of
+    phrase term i at position p votes for anchor p - i; an anchor
+    collecting all len(phrase) DISTINCT term indices is a true start
+    position.  One posexplode (positions this time, not distinct
+    tokens), a broadcast join against the len(phrase)-row (term, idx)
+    relation, one (id, anchor) groupBy — shuffle volume is the
+    matched-term pair count, never positions^n, and repeated terms in
+    the phrase ("buffalo buffalo") fall out naturally because each
+    occurrence votes once per index the term holds."""
+    spark = df.sparkSession
+    ti = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "token string, idx int")
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("pos", "token"))
+    votes = (pos.join(F.broadcast(ti), "token")
+             .select(F.col(id_col), (F.col("pos") - F.col("idx")).alias("anchor"),
+                     "idx"))
+    return (votes.where(F.col("anchor") >= 0)
+            .groupBy(id_col, "anchor")
+            .agg(F.count_distinct("idx").alias("__n"))
+            .where(F.col("__n") == len(phrase))
+            .select(id_col).distinct())
+
+
+def phrase_query_sql(table: str, phrase: list[str], id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of :func:`phrase_query` (0-based lockstep unnest
+    mirrors posexplode)."""
+    arms = " UNION ALL ".join(
+        "SELECT '" + t.replace("'", "''") + f"' AS token, {i} AS idx"
+        for i, t in enumerate(phrase))
+    return f"""
+WITH pos AS (
+  SELECT {id_col}, unnest(toks) AS token,
+         unnest(range(len(toks))) AS pos
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+),
+ti AS ({arms}),
+votes AS (
+  SELECT {id_col}, pos - idx AS anchor, idx
+  FROM pos JOIN ti USING (token)
+  WHERE pos - idx >= 0
+)
+SELECT DISTINCT {id_col} FROM votes
+GROUP BY {id_col}, anchor
+HAVING COUNT(DISTINCT idx) = {len(phrase)}
+"""
 
 
 def mix_to_budget(df: DataFrame, budgets: dict[str, int],

@@ -8746,3 +8746,95 @@ def q254_grouped_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive_length_filter(
         docs, lo_p=0.1, hi_p=0.9, max_tokens=512.0, nbins=64,
         group_col="source").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q255 — capped + segmented inverted index: the q169 posting lists
+# with BOTH occupancy controls on.  ' zzstop' is appended to EVERY
+# doc (a stop-word-grade token whose uncapped posting list would be
+# one O(corpus) array cell — the executor-OOM shape no AQE skew-split
+# can divide); max_df drops it before any list materializes, and
+# segment_size=7 bounds every retained array.  The zz% filter arm
+# proves the head token is really gone (not merely unselected).
+# ---------------------------------------------------------------------------
+
+_Q255_CORPUS_DUCK = "SELECT doc_id, text || ' zzstop' AS text FROM documents"
+
+
+def _q255_sql() -> str:
+    from dbms_spark.llm.text import inverted_index_sql
+
+    inner = inverted_index_sql(f"({_Q255_CORPUS_DUCK})",
+                               max_df=400, segment_size=7)
+    return (f"SELECT * FROM ({inner}) "
+            f"WHERE token LIKE 's%' OR token LIKE 'zz%'")
+
+
+@register("q255_inverted_index_capped", _q255_sql())
+def q255_inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "concat(text, ' zzstop') AS text")
+    return (inverted_index(docs, max_df=400, segment_size=7)
+            .filter("token LIKE 's%' OR token LIKE 'zz%'"))
+
+
+# ---------------------------------------------------------------------------
+# q256 — disjunctive (OR) retrieval: docs containing ANY query term
+# with the distinct-hit count — the coordination score a boolean
+# retriever ranks by; one absent term included to pin that it
+# contributes nothing.
+# ---------------------------------------------------------------------------
+
+_Q256_TERMS = ["spark", "join", "window", "zzabsent"]
+
+
+def _q256_sql() -> str:
+    from dbms_spark.llm.text import disjunctive_query_sql
+
+    return disjunctive_query_sql("documents", _Q256_TERMS)
+
+
+@register("q256_disjunctive_query", _q256_sql())
+def q256_disjunctive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import disjunctive_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    return disjunctive_query(docs, _Q256_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# q257 — phrase retrieval: EXACT consecutive token sequence via the
+# anchor trick (term i at position p votes for anchor p - i; a full
+# distinct-index anchor is a true start).  Every doc gets all three
+# terms appended, but only doc_id % 17 gets them IN ORDER — a
+# conjunctive query would return the whole corpus, so the gate pins
+# exactly the adjacency semantics.
+# ---------------------------------------------------------------------------
+
+_Q257_PHRASE = ["alpha", "beta", "gamma"]
+
+_Q257_CORPUS_DUCK = """
+SELECT doc_id,
+       text || CASE WHEN doc_id % 17 = 0 THEN ' alpha beta gamma'
+                    ELSE ' beta alpha gamma' END AS text
+FROM documents
+"""
+
+
+def _q257_sql() -> str:
+    from dbms_spark.llm.text import phrase_query_sql
+
+    return phrase_query_sql(f"({_Q257_CORPUS_DUCK})", _Q257_PHRASE)
+
+
+@register("q257_phrase_query", _q257_sql())
+def q257_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import phrase_query
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 17 = 0 THEN ' alpha beta gamma'"
+        " ELSE ' beta alpha gamma' END) AS text")
+    return phrase_query(docs, _Q257_PHRASE)

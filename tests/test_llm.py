@@ -1344,6 +1344,59 @@ def test_adaptive_length_filter_grouped(spark):
     assert 900 not in kept and 901 not in kept   # extreme within-group
 
 
+def test_inverted_index_capped_and_segmented(spark):
+    """Occupancy controls on the posting lists: max_df drops the
+    stop-word-grade head token BEFORE any list materializes; every
+    segment array is bounded by segment_size; and the segments of a
+    retained token reassemble, in segment order, to exactly its
+    uncapped posting list."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"stopword w{i} tag{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = TX.inverted_index(df, max_df=20, segment_size=4)
+    assert seg.filter("token = 'stopword'").count() == 0     # head dropped
+    assert seg.agg(F.max(F.size("doc_ids"))).first()[0] <= 4  # bound holds
+    # tag0 appears in docs 0,3,6,...,27 (df=10) -> segments of 4,4,2
+    t0 = {r.segment: (r.doc_ids, r.seg_count, r.df_count)
+          for r in seg.filter("token = 'tag0'").collect()}
+    assert t0 == {0: ([0, 3, 6, 9], 4, 10),
+                  1: ([12, 15, 18, 21], 4, 10),
+                  2: ([24, 27], 2, 10)}
+    # cap-off identity: segments concatenate to the uncapped list
+    flat = [i for s in sorted(t0) for i in t0[s][0]]
+    plain = TX.inverted_index(df).filter("token = 'tag0'").first()
+    assert flat == plain.doc_ids and plain.df_count == 10
+
+
+def test_disjunctive_query_hand_values(spark):
+    """n_hits counts DISTINCT query terms present; absent terms and
+    repeated in-doc occurrences contribute nothing."""
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b"), (3, "x y"), (4, "c c c")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hits
+           for r in TX.disjunctive_query(df, ["a", "c", "zz"]).collect()}
+    assert got == {1: 2, 4: 1}    # doc 3 matches nothing -> no row
+
+
+def test_phrase_query_hand_values(spark):
+    """Adjacency AND order: co-occurrence without adjacency misses;
+    repeated-term phrases resolve per-index (the anchor trick votes
+    once per index a term holds)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "brown the quick fox"),
+         (3, "quick brown"), (4, "the quick lazy brown")],
+        "doc_id long, text string")
+    got = sorted(r.doc_id for r in
+                 TX.phrase_query(df, ["quick", "brown"]).collect())
+    assert got == [1, 3]          # 2 has order broken, 4 not adjacent
+    rep = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y x")], "doc_id long, text string")
+    got = sorted(r.doc_id for r in TX.phrase_query(rep, ["x", "x"]).collect())
+    assert got == [1]             # repeated terms need true adjacency
+
+
 def test_adaptive_length_filter_over_max_tokens_kept(spark):
     """max_tokens is the sketch's RESOLUTION ceiling, not a hard
     cutoff: counts past it clamp into the last bin on BOTH the

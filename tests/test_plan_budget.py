@@ -101,6 +101,10 @@ SHUFFLE_BUDGET = {
     "q252_adaptive_length_filter": 4,  # hist bin agg + <=nbins quantile windows + 1-row bounds
     "q253_grouped_concentration": 2,   # (col,group,value) partial agg + per-(col,group) fold
     "q254_grouped_length_band": 2,     # grouped bin agg + per-group quantile windows (bounds broadcast back)
+    # round-7 additions
+    "q255_inverted_index_capped": 2,   # df-count agg + segment window (head drop is a broadcast anti-join)
+    "q256_disjunctive_query": 1,       # pushed-down IN + one per-doc agg
+    "q257_phrase_query": 3,            # (id, anchor) agg with distinct-idx expand + final id distinct
 }
 
 _SHUFFLE_RE = re.compile(

@@ -349,7 +349,43 @@ def main() -> None:
                            "CAST(l_extendedprice AS DOUBLE) AS price")
         return mad_outlier_profile(g, ["price"], group_col="g")
 
+    def inverted_index_capped(big):
+        from dbms_spark.llm.text import inverted_index
+
+        # max_df is a corpus-RELATIVE knob (a stop word is a token in
+        # more than X% of docs) — the test corpus's 31-word vocabulary
+        # multiplies every df by k under replication, so an absolute
+        # cap would empty the x10 index instead of exercising it
+        src = docs if big else load_table(spark, SF_DIR, "documents")
+        return inverted_index(src, max_df=3500 * (k if big else 1),
+                              segment_size=128)
+
+    def inverted_index_max_cell():
+        """The OOM-shape evidence: the capped index's largest array
+        cell is FLAT across a 10x corpus (bounded by segment_size),
+        where the uncapped index's largest cell grows ~k-fold (every
+        near-universal token's posting list is one array)."""
+        if only and "inverted_index_capped" not in only:
+            return
+        from dbms_spark.llm.text import inverted_index
+
+        out = {}
+        for scale, src, cap in (
+                ("sf0.1", load_table(spark, SF_DIR, "documents"), 3500),
+                (f"x{k}", docs, 3500 * k)):
+            m = (inverted_index(src, max_df=cap, segment_size=128)
+                 .agg(F.max(F.size("doc_ids"))).first()[0])
+            u = (inverted_index(src, max_df=cap)
+                 .agg(F.max(F.size("doc_ids"))).first()[0])
+            out[scale] = m
+            out[scale + "_unsegmented"] = u
+            spark.catalog.clearCache()
+        print(json.dumps({"op": "inverted_index_max_cell",
+                          "segment_size": 128, **out}), flush=True)
+
     bench_reverify()
+    bench("inverted_index_capped", inverted_index_capped)
+    inverted_index_max_cell()
     bench("grouped_concentration", grouped_concentration)
     bench("grouped_mad", grouped_mad)
     bench("simhash_hamming_pairs", hamming_pairs)

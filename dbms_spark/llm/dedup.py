@@ -512,6 +512,113 @@ def simhash_hamming_pairs_sql(table: str, max_hamming: int = 3,
                                   max_hamming, id_col)
 
 
+def _hamming_bands(sigs: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """4x16-bit pigeonhole band explode of an (id, simhash_hi,
+    simhash_lo) relation — the shared propose leg of the full-corpus
+    and between-batch Hamming miners."""
+    bands = F.array(*[
+        F.expr(e) for e in (
+            "shiftright(simhash_hi, 16) & 65535", "simhash_hi & 65535",
+            "shiftright(simhash_lo, 16) & 65535", "simhash_lo & 65535")])
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.col("simhash_hi").alias(f"hi_{out_id}"),
+        F.col("simhash_lo").alias(f"lo_{out_id}"),
+        F.posexplode(bands).alias("band_idx", "band_val"))
+
+
+def hamming_pairs_between(new_sigs: DataFrame, corpus_sigs: DataFrame,
+                          max_hamming: int = 3, id_col: str = "doc_id",
+                          band_cap: int | None = None) -> DataFrame:
+    """Incremental SimHash-Hamming intake: near-dup pairs BETWEEN a
+    new batch's signatures and the persisted corpus signature relation
+    — (new_id, corpus_id, hamming), the O(batch) nightly form of
+    :func:`simhash_hamming_pairs` (which a daily pipeline would
+    otherwise have to re-run over the whole corpus to use at all).
+
+    Same pigeonhole guarantee: within ``max_hamming`` <= 3 of a 64-bit
+    signature, at least one 16-bit band matches exactly, so the
+    cross-pairs come from a band equi-join of batch bands against
+    corpus bands — shuffle volume is the batch's band rows plus the
+    matching corpus buckets, never the corpus self-join.  Corpus
+    signatures are 3 integer columns per doc, mined once and persisted
+    (the lsh_candidate_pairs_between / winnowed_duplicates_between
+    ledger pattern); within-batch pairs remain
+    :func:`simhash_hamming_pairs` on the new signatures alone, and
+    the union of the two calls equals the full-corpus run on
+    new ∪ corpus restricted to those sides (pinned in test_llm).
+
+    ``band_cap`` drops CORPUS band buckets wider than the cap (the
+    boilerplate mega-buckets; the batch side is assumed small).  Ids
+    must be disjoint across sides — the same ledger contract as every
+    other *_between miner here."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4-band pigeonhole supports max_hamming in [0, 3]")
+    # 3-column relations; checkpoint so expression-heavy signature
+    # sources (dHash) evaluate once, not per joined row (the q247
+    # lesson) — the batch side is small, the corpus side is usually a
+    # persisted parquet read already, but checkpointing is cheap
+    # insurance for both
+    n = _hamming_bands(
+        new_sigs.select(F.col(id_col), "simhash_hi", "simhash_lo")
+        .localCheckpoint(), id_col, "new_id")
+    c = _hamming_bands(
+        corpus_sigs.select(F.col(id_col), "simhash_hi", "simhash_lo")
+        .localCheckpoint(), id_col, "corpus_id")
+    if band_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_val")
+        c = (c.withColumn("bsz", F.count(F.lit(1)).over(w))
+             .where(F.col("bsz") <= band_cap).drop("bsz"))
+    ham = F.expr("cast(bit_count(hi_new_id ^ hi_corpus_id)"
+                 " + bit_count(lo_new_id ^ lo_corpus_id) as bigint)")
+    return (n.join(c, ["band_idx", "band_val"])
+            .select("new_id", "corpus_id", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def hamming_pairs_between_over_sql(new_sigs_sql: str, corpus_sigs_sql: str,
+                                   max_hamming: int = 3,
+                                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`hamming_pairs_between` over ANY pair of
+    (id, simhash_hi, simhash_lo) relations."""
+    band = """
+  SELECT {id} AS id, simhash_hi, simhash_lo, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN (simhash_hi >> 16) & 65535
+           WHEN 1 THEN simhash_hi & 65535
+           WHEN 2 THEN (simhash_lo >> 16) & 65535
+           ELSE simhash_lo & 65535 END AS band_val
+  FROM {src}, (SELECT unnest(range(4)) AS band_idx) b
+"""
+    return f"""
+WITH nsig AS ({new_sigs_sql}),
+csig AS ({corpus_sigs_sql}),
+nb AS ({band.format(id=id_col, src="nsig")}),
+cb AS ({band.format(id=id_col, src="csig")})
+SELECT DISTINCT nb.id AS new_id, cb.id AS corpus_id,
+       CAST(bit_count(xor(nb.simhash_hi, cb.simhash_hi))
+            + bit_count(xor(nb.simhash_lo, cb.simhash_lo)) AS BIGINT) AS hamming
+FROM nb JOIN cb
+  ON nb.band_idx = cb.band_idx AND nb.band_val = cb.band_val
+WHERE bit_count(xor(nb.simhash_hi, cb.simhash_hi))
+      + bit_count(xor(nb.simhash_lo, cb.simhash_lo)) <= {max_hamming}
+"""
+
+
+def hamming_pairs_between_sql(new_sql: str, corpus_sql: str,
+                              max_hamming: int = 3, id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of ``hamming_pairs_between(simhash(new),
+    simhash(corpus))``."""
+    return hamming_pairs_between_over_sql(
+        simhash_sql(f"({new_sql})", id_col, text_col),
+        simhash_sql(f"({corpus_sql})", id_col, text_col),
+        max_hamming, id_col)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
@@ -1645,6 +1752,111 @@ FROM cands c
 JOIN sh a ON a.{id_col} = c.a_id
 JOIN sh b ON b.{id_col} = c.b_id
 WHERE greatest({c_ab}, {c_ba}) >= {min_containment}
+"""
+
+
+def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              n: int = 5, w: int = 4,
+                              min_containment: float = 0.5,
+                              fp_cap: int | None = None,
+                              corpus_fps: DataFrame | None = None) -> DataFrame:
+    """Incremental containment intake: near-subset pairs BETWEEN a new
+    batch and the corpus — (new_id, corpus_id, c_new_in_corpus,
+    c_corpus_in_new), keeping pairs where EITHER direction >=
+    ``min_containment``; the O(batch) nightly form of
+    :func:`containment_pairs` (quote-inclusion / excerpt geometry
+    across the batch/corpus boundary: "is tonight's article already
+    embedded in something we have, or does it contain something we
+    have?").
+
+    Candidates come from shared winnowed fingerprints exactly as in
+    the full-corpus form (the >= n + w - 1-token guarantee carries
+    over since both sides select with the same content-defined rule),
+    but joined batch-fps x corpus-fps instead of self-joined.  Pass
+    ``corpus_fps`` (the persisted output of
+    :func:`winnowed_fingerprints` over the corpus) to skip re-mining
+    the corpus — the ledger pattern of winnowed_duplicates_between.
+    The verify stage then re-shingles ONLY the docs that appear in a
+    candidate pair (a semi-join pushes the shingle work to the
+    candidate subset — the full-corpus form must shingle everything,
+    the intake form shingles O(candidates)).
+
+    ``fp_cap`` drops fingerprints whose COMBINED doc count across the
+    two sides exceeds the cap — same occupancy control, counted over
+    the union so a fingerprint just under the cap on each side cannot
+    still propose cap² cross pairs.  Ids must be disjoint across
+    sides.  Both directions floor-quantized at 6 dp as in
+    :func:`containment_pairs`."""
+    from dbms_spark.llm.text import tokens_expr
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    bf = winnowed_fingerprints(new_df, id_col, text_col, n, w).persist()
+    cf = (corpus_fps if corpus_fps is not None
+          else winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
+          ).persist()
+    if fp_cap is not None:
+        occ = (bf.select("fp").unionByName(cf.select("fp"))
+               .groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
+               .where(F.col("_nd") > fp_cap).select("fp"))
+        bf = bf.join(F.broadcast(occ), "fp", "left_anti")
+        cf = cf.join(F.broadcast(occ), "fp", "left_anti")
+    cands = (bf.select(F.col(id_col).alias("new_id"), "fp")
+             .join(cf.select(F.col(id_col).alias("corpus_id"), "fp"), "fp")
+             .select("new_id", "corpus_id").distinct()
+             .persist())
+
+    def _sh(df: DataFrame, keep: DataFrame, out_id: str,
+            sh_col: str) -> DataFrame:
+        return (ensure_parallelism(df)
+                .join(keep.withColumnRenamed(out_id, id_col).distinct(),
+                      id_col, "left_semi")
+                .withColumn("toks", tokens_expr(text_col))
+                .select(F.col(id_col).alias(out_id),
+                        shingles_expr(n).alias(sh_col)))
+
+    a = _sh(new_df, cands.select("new_id"), "new_id", "sh_a")
+    b = _sh(corpus_df, cands.select("corpus_id"), "corpus_id", "sh_b")
+    c_nc = F.expr(_CONTAIN.format(side="a")).alias("c_new_in_corpus")
+    c_cn = F.expr(_CONTAIN.format(side="b")).alias("c_corpus_in_new")
+    return (cands.join(a, "new_id").join(b, "corpus_id")
+            .select("new_id", "corpus_id", c_nc, c_cn)
+            .where(F.greatest("c_new_in_corpus", "c_corpus_in_new")
+                   >= min_containment))
+
+
+def containment_pairs_between_sql(new_sql: str, corpus_sql: str,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  n: int = 5, w: int = 4,
+                                  min_containment: float = 0.5) -> str:
+    """DuckDB twin of :func:`containment_pairs_between` (uncapped)."""
+    bf = winnowed_fingerprints_sql(f"({new_sql})", id_col, text_col, n, w)
+    cf = winnowed_fingerprints_sql(f"({corpus_sql})", id_col, text_col, n, w)
+    duck_c = ("floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+              "/ len({side}.sh) * 1000000) / 1000000")
+    c_nc, c_cn = duck_c.format(side="a"), duck_c.format(side="b")
+    return f"""
+WITH bf AS ({bf}),
+cf AS ({cf}),
+cands AS (
+  SELECT DISTINCT bf.{id_col} AS new_id, cf.{id_col} AS corpus_id
+  FROM bf JOIN cf ON bf.fp = cf.fp
+),
+sh_new AS (
+  SELECT {id_col}, {shingles_sql(n)} AS sh
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM ({new_sql}))
+),
+sh_corpus AS (
+  SELECT {id_col}, {shingles_sql(n)} AS sh
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM ({corpus_sql}))
+)
+SELECT c.new_id, c.corpus_id,
+       {c_nc} AS c_new_in_corpus, {c_cn} AS c_corpus_in_new
+FROM cands c
+JOIN sh_new a ON a.{id_col} = c.new_id
+JOIN sh_corpus b ON b.{id_col} = c.corpus_id
+WHERE greatest({c_nc}, {c_cn}) >= {min_containment}
 """
 
 

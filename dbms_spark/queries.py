@@ -8838,3 +8838,71 @@ def q257_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(text, CASE WHEN doc_id % 17 = 0 THEN ' alpha beta gamma'"
         " ELSE ' beta alpha gamma' END) AS text")
     return phrase_query(docs, _Q257_PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# q258 — incremental SimHash-Hamming intake: near-dup pairs BETWEEN a
+# batch and the corpus from persisted 3-integer signatures — the
+# O(batch) nightly form (the full-corpus q241 would re-mine
+# everything daily to answer the same question).  The batch is exact
+# clones of every doc_id % 31 corpus doc under fresh ids, so hamming-0
+# recall across the boundary is guaranteed by the pigeonhole bands.
+# ---------------------------------------------------------------------------
+
+_Q258_BATCH_DUCK = ("SELECT doc_id + 1000000 AS doc_id, text "
+                    "FROM documents WHERE doc_id % 31 = 0")
+
+
+def _q258_sql() -> str:
+    from dbms_spark.llm.dedup import hamming_pairs_between_sql
+
+    return hamming_pairs_between_sql(_Q258_BATCH_DUCK, "SELECT * FROM documents")
+
+
+@register("q258_hamming_between", _q258_sql())
+def q258_hamming_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import hamming_pairs_between, simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (docs.filter("doc_id % 31 = 0")
+             .selectExpr("doc_id + 1000000 AS doc_id", "text"))
+    return hamming_pairs_between(simhash(batch), simhash(docs))
+
+
+# ---------------------------------------------------------------------------
+# q259 — incremental containment intake: near-subset pairs BETWEEN a
+# batch of excerpts and the corpus.  Each batch doc is the 12-token
+# prefix of a doc_id % 29 corpus doc — a contiguous token run >=
+# n + w - 1 = 8 tokens, so the winnowing guarantee proposes every
+# (excerpt, host) pair and the verify scores c_new_in_corpus = 1.0.
+# The verify stage re-shingles only candidate docs (semi-join), the
+# intake shape a nightly pipeline needs.
+# ---------------------------------------------------------------------------
+
+_Q259_BATCH_DUCK = """
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(toks[1:12], ' ') AS text
+FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS toks
+      FROM documents WHERE doc_id % 29 = 0)
+"""
+
+
+def _q259_sql() -> str:
+    from dbms_spark.llm.dedup import containment_pairs_between_sql
+
+    return containment_pairs_between_sql(
+        _Q259_BATCH_DUCK, "SELECT * FROM documents", min_containment=0.9)
+
+
+@register("q259_containment_between", _q259_sql())
+def q259_containment_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import containment_pairs_between
+    from dbms_spark.llm.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (docs.filter("doc_id % 29 = 0")
+             .select(F.col("doc_id"), tokens_expr("text").alias("toks"))
+             .selectExpr("doc_id + 1000000 AS doc_id",
+                         "array_join(slice(toks, 1, 12), ' ') AS text"))
+    return containment_pairs_between(batch, docs, min_containment=0.9)

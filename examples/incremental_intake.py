@@ -36,7 +36,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from dbms_spark import get_spark  # noqa: E402
 from dbms_spark.engine import DbmsEngine  # noqa: E402
-from dbms_spark.llm.dedup import winnowed_duplicates_between, winnowed_fingerprints  # noqa: E402
+from dbms_spark.llm.dedup import (containment_pairs_between,  # noqa: E402
+                                  hamming_pairs_between, simhash,
+                                  winnowed_duplicates_between,
+                                  winnowed_fingerprints)
 from dbms_spark.operators.sketch import bloom_build, bloom_merge  # noqa: E402
 from dbms_spark.sources.catalog import load_table  # noqa: E402
 
@@ -71,13 +74,22 @@ def main(sf_dir: str | None = None, work: str | None = None,
     keyed = corpus.select("doc_id", F.md5("text").alias("key"))
     bloom_path = os.path.join(work, "bloom")
     bloom = eng.build_membership_filter(keyed, "key", path=bloom_path)
+    # (doc_id, fp) ledger first; the distinct fp SET derives from it
+    # (one winnowing pass feeds both consumers)
+    fpid_path = os.path.join(work, "fingerprint_ids")
+    winnowed_fingerprints(corpus).write.mode("overwrite").parquet(fpid_path)
     fp_path = os.path.join(work, "fingerprints")
-    winnowed_fingerprints(corpus).select("fp").distinct() \
+    spark.read.parquet(fpid_path).select("fp").distinct() \
         .write.mode("overwrite").parquet(fp_path)
+    # 3-integer SimHash signatures: the near-dup ledger the nightly
+    # Hamming cross-check equi-joins against (round-7 between form)
+    sig_path = os.path.join(work, "simhash_sigs")
+    simhash(corpus).write.mode("overwrite").parquet(sig_path)
     emit({"stage": "day0_summaries",
           "bloom_words": bloom.words.count(),
           "bloom_m_bits": bloom.m_bits, "bloom_k": bloom.k,
-          "corpus_fps": spark.read.parquet(fp_path).count()})
+          "corpus_fps": spark.read.parquet(fp_path).count(),
+          "corpus_sigs": spark.read.parquet(sig_path).count()})
 
     # ---- day N: probe, verify, cross-check — corpus never re-read ---
     bkeys = batch.select("doc_id", F.md5("text").alias("key"))
@@ -101,9 +113,27 @@ def main(sf_dir: str | None = None, work: str | None = None,
     emit({"stage": "winnowed_crosscheck",
           "flagged_passage_dups": flagged.count()})
 
+    # near-dup + containment cross-checks against the persisted
+    # ledgers (round-7 between forms): the Hamming check joins batch
+    # bands against the 3-integer signature relation — O(batch) work,
+    # no corpus re-mine; the containment check proposes from the
+    # persisted (doc_id, fp) ledger and re-shingles ONLY candidate
+    # docs (the semi-joined verify)
+    near = hamming_pairs_between(simhash(batch),
+                                 spark.read.parquet(sig_path))
+    contained = containment_pairs_between(
+        batch, corpus, min_containment=0.9,
+        corpus_fps=spark.read.parquet(fpid_path))
+    emit({"stage": "signature_crosscheck",
+          "hamming_near_dups": near.select("new_id").distinct().count(),
+          "containment_hits": contained.select("new_id").distinct().count()})
+
     # ---- append survivors + roll the summaries forward --------------
     drop = (exact_dups.select("doc_id")
-            .unionByName(flagged.select("doc_id")).distinct())
+            .unionByName(flagged.select("doc_id"))
+            .unionByName(near.select(F.col("new_id").alias("doc_id")))
+            .unionByName(contained.select(F.col("new_id").alias("doc_id")))
+            .distinct())
     survivors = batch.join(drop, "doc_id", "left_anti")
     # the day-N delta filter is built at the CORPUS's (m, k) — read
     # from the loaded filter, not re-derived from the small batch —
@@ -116,9 +146,15 @@ def main(sf_dir: str | None = None, work: str | None = None,
     (spark.read.parquet(fp_path)
      .unionByName(winnowed_fingerprints(survivors).select("fp"))
      .distinct().write.mode("overwrite").parquet(fp_path + "_next"))
+    # the signature ledger rolls forward by plain append — signatures
+    # are per-doc rows, so union IS the merged ledger
+    (spark.read.parquet(sig_path)
+     .unionByName(simhash(survivors))
+     .write.mode("overwrite").parquet(sig_path + "_next"))
     emit({"stage": "rollforward",
           "survivors_appended": survivors.count(),
-          "next_bloom_words": spark.read.parquet(bloom_path + "_next").count()})
+          "next_bloom_words": spark.read.parquet(bloom_path + "_next").count(),
+          "next_sigs": spark.read.parquet(sig_path + "_next").count()})
     if owned:
         spark.stop()
     return stages

@@ -27,16 +27,22 @@ def test_incremental_intake_stages(spark, sf_dir, tmp_path):
     stages = _load("incremental_intake").main(sf_dir, str(tmp_path), spark=spark)
     by = {d["stage"]: d for d in stages}
     assert list(by) == ["day0_summaries", "bloom_probe",
-                        "winnowed_crosscheck", "rollforward"]
+                        "winnowed_crosscheck", "signature_crosscheck",
+                        "rollforward"]
     day0 = by["day0_summaries"]
     # derived filter shape: m_bits word-aligned, words relation matches
     assert day0["bloom_m_bits"] // 32 == day0["bloom_words"]
     assert day0["bloom_k"] >= 1 and day0["corpus_fps"] > 0
+    assert day0["corpus_sigs"] > 0
     probe = by["bloom_probe"]
     assert probe["exact_dups"] <= probe["maybe_present"] <= probe["batch"]
+    sig = by["signature_crosscheck"]
+    assert 0 <= sig["hamming_near_dups"] <= probe["batch"]
+    assert 0 <= sig["containment_hits"] <= probe["batch"]
     roll = by["rollforward"]
     assert roll["survivors_appended"] <= probe["batch"]
     assert roll["next_bloom_words"] == day0["bloom_words"]  # shape-exact merge
+    assert roll["next_sigs"] == day0["corpus_sigs"] + roll["survivors_appended"]
 
 
 def test_pipeline_stages(spark, sf_dir, tmp_path):

@@ -1217,6 +1217,69 @@ def test_containment_pairs_semantics(spark):
     assert D.containment_pairs(df, fp_cap=1).count() == 0
 
 
+def test_hamming_pairs_between_identity(spark):
+    """Incremental SimHash intake: exact clones across the
+    batch/corpus boundary are always recalled (hamming 0); the
+    between-run equals the full-corpus run on the union restricted to
+    cross pairs; band_cap drops corpus mega-buckets."""
+    corpus = [(i, f"unique doc number {i} with words w{i} x{i} y{i} z{i} q{i}")
+              for i in range(15)]
+    batch = ([(100 + i, corpus[i][1]) for i in range(4)]       # clones
+             + [(200, "entirely fresh content never seen before here")])
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    bs, cs = D.simhash(bdf), D.simhash(cdf)
+    out = {(r.new_id, r.corpus_id): r.hamming
+           for r in D.hamming_pairs_between(bs, cs).collect()}
+    for i in range(4):
+        assert out[(100 + i, i)] == 0          # boundary clones recalled
+    full = D.simhash_hamming_pairs(D.simhash(cdf.unionByName(bdf)))
+    cross = {(max(r.a_id, r.b_id), min(r.a_id, r.b_id)): r.hamming
+             for r in full.collect() if (r.a_id < 100) != (r.b_id < 100)}
+    assert out == cross                        # union identity
+    # cap=0 empties every corpus bucket -> no pairs at all
+    assert D.hamming_pairs_between(bs, cs, band_cap=0).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        D.hamming_pairs_between(bs, cs, max_hamming=4)
+
+
+def test_containment_pairs_between_identity(spark):
+    """Incremental containment intake: a batch excerpt of a corpus doc
+    is recalled with containment 1.0; the between-run equals the
+    full-corpus run on the union restricted to cross pairs; the
+    persisted-corpus-fps ledger path is identical to re-mining; the
+    fp_cap counts occupancy over the UNION of both sides."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    host = base + " kilo lima mike november oscar papa quebec romeo sierra"
+    corpus = [(1, host),
+              (2, "one two three four five six seven eight nine ten")]
+    batch = [(101, base)]                      # excerpt of corpus doc 1
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    out = {(r.new_id, r.corpus_id): (r.c_new_in_corpus, r.c_corpus_in_new)
+           for r in D.containment_pairs_between(
+               bdf, cdf, min_containment=0.5).collect()}
+    # base: 10 tokens -> 6 5-shingles, all inside host (19 tokens, 15
+    # shingles): c(new in corpus) = 1.0, reverse = 6/15 = 0.4
+    assert out == {(101, 1): (1.0, 0.4)}
+    full = D.containment_pairs(cdf.unionByName(bdf), min_containment=0.5)
+    cross = {(max(r.a_id, r.b_id), min(r.a_id, r.b_id)): (r.c_b_in_a, r.c_a_in_b)
+             for r in full.collect() if (r.a_id < 100) != (r.b_id < 100)}
+    assert out == cross                        # union identity
+    # ledger path: persisted corpus fingerprints -> identical output
+    fps = D.winnowed_fingerprints(cdf)
+    via_ledger = {(r.new_id, r.corpus_id): (r.c_new_in_corpus, r.c_corpus_in_new)
+                  for r in D.containment_pairs_between(
+                      bdf, cdf, min_containment=0.5,
+                      corpus_fps=fps).collect()}
+    assert via_ledger == out
+    # fp_cap=1: the shared fingerprint appears on BOTH sides (union
+    # occupancy 2 > 1), so the pair disappears even though each side
+    # alone is under the cap
+    assert D.containment_pairs_between(bdf, cdf, fp_cap=1).count() == 0
+
+
 def test_drop_contained_policy(spark):
     """Embedded doc drops, host stays; mutual containment keeps the
     smaller id; unrelated docs untouched."""

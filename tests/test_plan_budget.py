@@ -105,6 +105,11 @@ SHUFFLE_BUDGET = {
     "q255_inverted_index_capped": 2,   # df-count agg + segment window (head drop is a broadcast anti-join)
     "q256_disjunctive_query": 1,       # pushed-down IN + one per-doc agg
     "q257_phrase_query": 3,            # (id, anchor) agg with distinct-idx expand + final id distinct
+    "q258_hamming_between": 1,         # one band equi-join on checkpointed 3-int signatures
+    # candidate fp join + distinct + two candidate semi-joins + two
+    # shingle verify joins (the persisted legs expand in the printed
+    # pre-execution tree, as in q245)
+    "q259_containment_between": 15,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -1129,6 +1129,186 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
         .cast("bigint").alias("outlier_ppm"))
 
 
+def mad_outlier_profile_sketch(df: DataFrame,
+                               ranges: dict[str, tuple[float, float]] | list[str],
+                               k: float = 3.0, nbins: int = 256,
+                               group_col: str | None = None,
+                               broadcast_medians: bool = True) -> DataFrame:
+    """Histogram-sketch form of :func:`mad_outlier_profile` for
+    million-group corpora: the exact profile's percentile aggregation
+    buffers EVERY group's values in memory across three passes — at
+    extreme group counts (per-source-per-day screens) that state is
+    the corpus itself.  This form bounds state at <= nbins counters
+    per (col, group) and never sorts:
+
+    1. one pass bins (col, val) pairs into per-key histograms
+       (partial-aggregated groupBy);
+    2. median_v = interpolated 0.5-quantile of each key's histogram
+       (error <= one bin width of that column's declared range);
+    3. second pass histograms |val - median_v| (same width, origin 0)
+       — mad = its 0.5-quantile (error <= 2 bin widths: the adev
+       distribution itself was shifted by the median estimate);
+    4. n_outliers counts the adev-histogram mass in bins whose LOWER
+       edge exceeds k * mad — a deterministic undercount of at most
+       the fence's covering bin, never a scan of the raw values.
+
+    Two table passes total (the exact form takes three AND holds
+    per-group value buffers).  ``ranges`` as in
+    :func:`approx_numeric_profile`: a {col: (lo, hi)} dict, or a
+    plain column list to auto-derive from one min/max pass.  Output
+    schema matches the exact profile (col_name[, group], median_v,
+    mad, n_outliers, outlier_ppm) so consumers can swap forms; values
+    are approximations with the stated bounds (pinned in
+    test_assess).  Fences are data-quality screens — a fence off by a
+    bin width flags ~the same rows; columns the sketch flags can be
+    re-profiled exactly, one column at a time."""
+    from pyspark.sql.window import Window
+
+    if isinstance(ranges, list):
+        ranges = derive_profile_ranges(df, ranges)
+    g = [group_col] if group_col else []
+    keys = ["col_name", *g]
+    arms = [
+        f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
+        for c in sorted(ranges)]
+    scales = df.sparkSession.createDataFrame(
+        [(c, float(lo), (float(hi) - float(lo)) / float(nbins))
+         for c, (lo, hi) in sorted(ranges.items())],
+        "col_name string, lo double, width double")
+    pairs = (df.select(*g,
+                       F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
+             .select(*g, F.col("cv.col_name").alias("col_name"),
+                     F.col("cv.val").alias("val"))
+             .where(F.col("val").isNotNull())
+             .join(F.broadcast(scales), "col_name")
+             .persist())
+    bx = F.broadcast if broadcast_medians else (lambda d: d)
+
+    def _median(h, value_expr):
+        """Interpolated 0.5-quantile per key over a sparse keyed
+        histogram; ``value_expr`` decodes the covering bin."""
+        wg = Window.partitionBy(*keys)
+        cum = h.select(
+            *keys, "bin", "cnt", "lo", "width",
+            F.sum("cnt").over(wg.orderBy("bin")).alias("cum"),
+            F.sum("cnt").over(wg).alias("total"))
+        w = Window.partitionBy(*keys).orderBy("bin")
+        return (cum.where((F.col("cum") >= 0.5 * F.col("total"))
+                          & (F.col("cnt") > 0))
+                .withColumn("rn", F.row_number().over(w)).where("rn = 1")
+                .select(*keys, value_expr))
+
+    vbin = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("val") - F.col("lo"))
+                                     / F.col("width")))).cast("bigint")
+    h1 = (pairs.groupBy(*keys, vbin.alias("bin"))
+          .agg(F.count("*").cast("bigint").alias("cnt"),
+               F.first("lo").alias("lo"), F.first("width").alias("width")))
+    interp = (F.col("bin")
+              + (0.5 * F.col("total") - (F.col("cum") - F.col("cnt")))
+              / F.col("cnt"))
+    med = _median(h1, (F.col("lo") + interp * F.col("width"))
+                  .alias("median_v"))
+    dev = (pairs.join(bx(med), keys)
+           .select(*keys, "width", "median_v",
+                   F.abs(F.col("val") - F.col("median_v")).alias("adev")))
+    abin = F.least(F.lit(nbins - 1),
+                   F.floor(F.col("adev") / F.col("width"))).cast("bigint")
+    h2 = (dev.groupBy(*keys, abin.alias("bin"))
+          .agg(F.count("*").cast("bigint").alias("cnt"),
+               F.first("median_v").alias("median_v"),
+               F.lit(0.0).alias("lo"), F.first("width").alias("width")))
+    mad = _median(h2, (interp * F.col("width")).alias("mad"))
+    # fence from the SAME adev histogram: mass in bins whose lower
+    # edge clears k*mad (undercount <= the covering bin's mass)
+    fenced = (h2.join(bx(mad), keys)
+              .groupBy(*keys)
+              .agg(F.first("median_v").alias("median_v"),
+                   F.first("mad").alias("mad"),
+                   F.sum("cnt").alias("n"),
+                   F.sum(F.when(F.col("bin") * F.col("width")
+                                > F.lit(float(k)) * F.col("mad"),
+                                F.col("cnt")).otherwise(0)).alias("n_out")))
+    return fenced.select(
+        *keys, "median_v", "mad",
+        F.col("n_out").cast("bigint").alias("n_outliers"),
+        F.floor(F.col("n_out").cast("double") * 1000000 / F.col("n"))
+        .cast("bigint").alias("outlier_ppm"))
+
+
+def mad_outlier_profile_sketch_sql(table: str,
+                                   ranges: dict[str, tuple[float, float]],
+                                   k: float = 3.0, nbins: int = 256,
+                                   group_col: str | None = None) -> str:
+    """DuckDB twin of :func:`mad_outlier_profile_sketch` (declared
+    ranges only — derive them with one min/max query first)."""
+    g = f", {group_col}" if group_col else ""
+    gsel = f"{group_col}, " if group_col else ""
+    keys = f"col_name{g}"
+    arms = " UNION ALL ".join(
+        f"SELECT {gsel}'{c}' AS col_name, CAST({c} AS DOUBLE) AS val "
+        f"FROM {table} WHERE {c} IS NOT NULL"
+        for c in sorted(ranges))
+    scales = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({float(lo)} AS DOUBLE) AS lo, "
+        f"CAST({(float(hi) - float(lo)) / float(nbins)} AS DOUBLE) AS width"
+        for c, (lo, hi) in sorted(ranges.items()))
+    vbin = (f"LEAST({nbins - 1}, GREATEST(0, "
+            f"CAST(floor((val - lo) / width) AS BIGINT)))")
+    abin = f"LEAST({nbins - 1}, CAST(floor(adev / width) AS BIGINT))"
+    interp = "(bin + (0.5 * total - (cum - cnt)) / cnt)"
+    return f"""
+WITH pairs0 AS ({arms}),
+scales AS ({scales}),
+pairs AS (SELECT pairs0.*, lo, width FROM pairs0 JOIN scales USING (col_name)),
+h1 AS (
+  SELECT {keys}, {vbin} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ANY_VALUE(lo) AS lo, ANY_VALUE(width) AS width
+  FROM pairs GROUP BY ALL
+),
+cum1 AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY {keys} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {keys}) AS total
+  FROM h1
+),
+med AS (
+  SELECT {keys}, lo + {interp} * width AS median_v
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY bin) AS rn
+        FROM cum1 WHERE cum >= 0.5 * total AND cnt > 0)
+  WHERE rn = 1
+),
+dev AS (
+  SELECT {keys}, width, median_v, abs(val - median_v) AS adev
+  FROM pairs JOIN med USING ({keys})
+),
+h2 AS (
+  SELECT {keys}, {abin} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ANY_VALUE(median_v) AS median_v, ANY_VALUE(width) AS width
+  FROM dev GROUP BY ALL
+),
+cum2 AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY {keys} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {keys}) AS total
+  FROM h2
+),
+mad AS (
+  SELECT {keys}, {interp} * width AS mad
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY bin) AS rn
+        FROM cum2 WHERE cum >= 0.5 * total AND cnt > 0)
+  WHERE rn = 1
+)
+SELECT {keys}, ANY_VALUE(h2.median_v) AS median_v, ANY_VALUE(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN h2.bin * h2.width > {float(k)} * mad.mad
+                     THEN h2.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(floor(SUM(CASE WHEN h2.bin * h2.width > {float(k)} * mad.mad
+                           THEN h2.cnt ELSE 0 END) * 1000000.0 / SUM(h2.cnt))
+            AS BIGINT) AS outlier_ppm
+FROM h2 JOIN mad USING ({keys})
+GROUP BY {keys}
+"""
+
+
 def mad_outlier_profile_sql(table: str, cols: list[str],
                             k: float = 3.0,
                             group_col: str | None = None) -> str:

@@ -8906,3 +8906,39 @@ def q259_containment_between(spark: SparkSession, sf_dir: str) -> DataFrame:
              .selectExpr("doc_id + 1000000 AS doc_id",
                          "array_join(slice(toks, 1, 12), ' ') AS text"))
     return containment_pairs_between(batch, docs, min_containment=0.9)
+
+
+# ---------------------------------------------------------------------------
+# q260 — sketch-backed grouped MAD profile: the q251 robust fence for
+# MILLION-group corpora, where the exact form's percentile buffers
+# hold every group's values in memory.  Histogram sketch -> median
+# (error <= 1 bin width) -> adev histogram -> MAD (<= 2 widths) ->
+# lower-edge fence count, two table passes, state <= nbins per
+# (col, group).  Same spike injection as q251 (x200 price on 1-in-499
+# 'O' orders) so the fences stay group-local; ranges are declared
+# (the twin needs them statically).
+# ---------------------------------------------------------------------------
+
+_Q260_CORPUS = _Q251_CORPUS          # the q251 spiked-orders corpus
+_Q260_RANGES = {"price": (0.0, 120000.0)}
+
+
+def _q260_sql() -> str:
+    from dbms_spark.operators.assess import mad_outlier_profile_sketch_sql
+
+    return mad_outlier_profile_sketch_sql(
+        f"({_Q260_CORPUS})", _Q260_RANGES, k=3.0, nbins=256,
+        group_col="o_orderstatus")
+
+
+@register("q260_sketch_mad_profile", _q260_sql())
+def q260_sketch_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import mad_outlier_profile_sketch
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus",
+        "CASE WHEN o_orderstatus = 'O' AND o_orderkey % 499 = 0"
+        " THEN CAST(o_totalprice AS DOUBLE) * 200"
+        " ELSE CAST(o_totalprice AS DOUBLE) END AS price")
+    return mad_outlier_profile_sketch(o, _Q260_RANGES, k=3.0, nbins=256,
+                                      group_col="o_orderstatus")

@@ -186,3 +186,84 @@ def test_categorical_concentration_grouped(spark):
             df.filter(f"g = '{gname}'"), ["v"]).collect()[0]
         assert out[(gname, "v")] == (solo.n_rows, solo.ndv,
                                      solo.top_share_ppm, solo.simpson_ppm)
+
+
+def _py_mad_sketch(vals, lo, hi, nbins, k):
+    """Independent Python model of mad_outlier_profile_sketch for one
+    (col, group): hist -> interpolated median -> adev hist -> mad ->
+    lower-edge fence count.  Mirrors the algorithm, not the code."""
+    width = (hi - lo) / nbins
+
+    def hist(xs, origin):
+        h = {}
+        for x in xs:
+            b = min(nbins - 1, max(0, int((x - origin) // width)))
+            h[b] = h.get(b, 0) + 1
+        return h
+
+    def med(h, origin):
+        total = sum(h.values())
+        cum = 0
+        for b in sorted(h):
+            cum += h[b]
+            if cum >= 0.5 * total:
+                return origin + (b + (0.5 * total - (cum - h[b])) / h[b]) * width
+        raise AssertionError
+
+    m = med(hist(vals, lo), lo)
+    adevs = [abs(v - m) for v in vals]
+    h2 = hist(adevs, 0.0)
+    mad = med(h2, 0.0)
+    n_out = sum(c for b, c in h2.items() if b * width > k * mad)
+    return m, mad, n_out
+
+
+def test_mad_outlier_profile_sketch_model_and_bounds(spark):
+    """The sketch profile equals an independent Python model of the
+    same algorithm field-for-field (engine-symmetric-bug guard), its
+    median/MAD sit within the documented error bounds of the exact
+    profile (<= 1 and <= 2 bin widths), and far-from-fence spikes are
+    always flagged."""
+    from dbms_spark.operators.assess import (mad_outlier_profile,
+                                             mad_outlier_profile_sketch)
+
+    nbins, lo, hi, k = 512, 0.0, 512.0, 3.0
+    width = (hi - lo) / nbins
+    rows = ([("a", 100.0 + (i % 7)) for i in range(200)]
+            + [("a", 500.0)] * 5
+            + [("b", 50.0 + (i % 11)) for i in range(150)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = {r.g: r for r in mad_outlier_profile_sketch(
+        df, {"v": (lo, hi)}, k=k, nbins=nbins, group_col="g").collect()}
+    ex = {r.g: r for r in mad_outlier_profile(
+        df, ["v"], k=k, group_col="g").collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        m, mad, n_out = _py_mad_sketch(vals, lo, hi, nbins, k)
+        assert abs(sk[g].median_v - m) < 1e-9          # model identity
+        assert abs(sk[g].mad - mad) < 1e-9
+        assert sk[g].n_outliers == n_out
+        assert abs(sk[g].median_v - ex[g].median_v) <= width        # <= 1w
+        assert abs(sk[g].mad - ex[g].mad) <= 2 * width + 1e-9      # <= 2w
+    # the x5 spikes sit ~400 from the median — flagged by ANY fence
+    # within the error band; the clean group fences nothing
+    assert sk["a"].n_outliers >= 5
+    assert sk["b"].n_outliers == 0 == ex["b"].n_outliers
+
+
+def test_mad_outlier_profile_sketch_derived_ranges(spark):
+    """Column-list form derives ranges from one min/max pass; the
+    ungrouped form returns one row per column."""
+    from dbms_spark.operators.assess import mad_outlier_profile_sketch
+
+    df = spark.createDataFrame(
+        [(float(x), float(x * 2)) for x in range(1, 101)],
+        "u double, w double")
+    out = {r.col_name: r for r in
+           mad_outlier_profile_sketch(df, ["u", "w"], nbins=256).collect()}
+    assert set(out) == {"u", "w"}
+    # medians land within a bin width of the true 50.5 / 101.0
+    assert abs(out["u"].median_v - 50.5) <= 100.0 * 1.001 / 256 + 1e-9
+    assert abs(out["w"].median_v - 101.0) <= 200.0 * 1.001 / 256 + 1e-9

@@ -110,6 +110,9 @@ SHUFFLE_BUDGET = {
     # shingle verify joins (the persisted legs expand in the printed
     # pre-execution tree, as in q245)
     "q259_containment_between": 15,
+    # two hist partial-aggs + two per-key quantile windows + fence agg
+    # (persisted pair leg expands in the printed tree)
+    "q260_sketch_mad_profile": 8,
 }
 
 _SHUFFLE_RE = re.compile(

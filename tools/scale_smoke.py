@@ -349,6 +349,27 @@ def main() -> None:
                            "CAST(l_extendedprice AS DOUBLE) AS price")
         return mad_outlier_profile(g, ["price"], group_col="g")
 
+    def _mad_million(big, which):
+        src = li if big else load_table(spark, SF_DIR, "lineitem")
+        g = src.selectExpr("l_orderkey % 1000000 AS g",
+                           "CAST(l_extendedprice AS DOUBLE) AS price")
+        if which == "exact":
+            from dbms_spark.operators.assess import mad_outlier_profile
+
+            return mad_outlier_profile(g, ["price"], group_col="g",
+                                       broadcast_medians=False)
+        from dbms_spark.operators.assess import mad_outlier_profile_sketch
+
+        return mad_outlier_profile_sketch(
+            g, {"price": (0.0, 120000.0)}, nbins=256, group_col="g",
+            broadcast_medians=False)
+
+    def grouped_mad_1m_exact(big):
+        return _mad_million(big, "exact")
+
+    def grouped_mad_1m_sketch(big):
+        return _mad_million(big, "sketch")
+
     def inverted_index_capped(big):
         from dbms_spark.llm.text import inverted_index
 
@@ -388,6 +409,8 @@ def main() -> None:
     inverted_index_max_cell()
     bench("grouped_concentration", grouped_concentration)
     bench("grouped_mad", grouped_mad)
+    bench("grouped_mad_1m_exact", grouped_mad_1m_exact)
+    bench("grouped_mad_1m_sketch", grouped_mad_1m_sketch)
     bench("simhash_hamming_pairs", hamming_pairs)
     bench("containment_pairs", containment)
     bench("kmv_overlap_matrix", kmv_overlap)

@@ -315,6 +315,115 @@ def dhash_stub(assets: DataFrame, id_col: str = "asset_id",
                     F.expr(half.format(lo=32, hi=63)).alias("simhash_lo")))
 
 
+#: binary PGM (P5) header as HEX pairs: 'P5'=5035, '\n'=0A, digits
+#: 3[0-9], ' '=20 — "P5\n<width> <height>\n<maxval>\n".  The strict
+#: single-whitespace form every thumbnailer writes; comment lines
+#: (#...) are out of scope and such rows are dropped, not mis-parsed.
+_PGM_HDR_RE = r"^50350A((?:3[0-9])+)20((?:3[0-9])+)0A((?:3[0-9])+)0A"
+
+
+def dhash_pgm(assets: DataFrame, id_col: str = "asset_id",
+              payload_col: str = "payload") -> DataFrame:
+    """64-bit dHash over REAL DECODED PIXELS of a binary PGM (P5)
+    payload — the production form of :func:`dhash_stub`, with the
+    decode done in pure byte arithmetic (PGM is uncompressed grayscale
+    with an ASCII header: no codec, which is exactly why pre-
+    thumbnailing corpora to PGM is the standard trick for codec-less
+    compute clusters).  Same output contract (asset_id, simhash_hi,
+    simhash_lo) feeding the SAME Hamming banding as text SimHash.
+
+    Decode, all map-side codegen, zero Python:
+    - header parse: the first 24 payload bytes hex-encoded, one
+      anchored regex over ~48 chars — 'P5\\n{w} {h}\\n{maxval}\\n'
+      as hex pairs; digit pairs 3X collapse to digits via
+      regexp_replace('3(.)', '$1') and cast.
+    - 8x9 grid: cell (gy, gx) samples the pixel at row (gy*h) div 8,
+      col (gx*w) div 9 — nearest-pixel thumbnail (production dHash
+      often block-averages; sampling keeps the expression integer-
+      exact cross-engine and preserves the locality property: one
+      changed pixel lands in at most one cell, each cell feeds at
+      most 2 comparison bits, so a 1-px edit flips <= 2 bits —
+      pinned in test_llm).
+    - bit k = grid[gy][gx] > grid[gy][gx+1], folded into two 32-bit
+      halves exactly as the stub.
+
+    Rows whose payload is not strict P5 (wrong magic, comment lines,
+    maxval > 255, truncated pixels) are DROPPED — a mis-parse must
+    not hash garbage into the dedup index.  16-bit PGMs (maxval >
+    255) are rejected, not down-converted."""
+    pre = f"substring(hex(substring({payload_col}, 1, 24)), 1, 48)"
+    grp = f"regexp_extract({pre}, '{_PGM_HDR_RE}', {{g}})"
+    # try_cast: non-PGM rows regexp-extract to '' and the ANSI cast
+    # would error the whole stage instead of yielding a filterable NULL
+    num = f"try_cast(regexp_replace({grp}, '3(.)', '$1') as bigint)"
+    parsed = (assets
+              .where(F.expr(f"{payload_col} is not null"))
+              .select(F.col(id_col), F.col(payload_col),
+                      F.expr(num.format(g=1)).alias("w"),
+                      F.expr(num.format(g=2)).alias("h"),
+                      F.expr(num.format(g=3)).alias("mx"),
+                      F.expr(
+                          f"(length({grp.format(g=1)}) + length({grp.format(g=2)})"
+                          f" + length({grp.format(g=3)})) div 2 + 6")
+                      .alias("off"))
+              .where("w is not null and w > 0 and h is not null and h > 0"
+                     " and mx between 1 and 255"
+                     f" and length({payload_col}) >= off + w * h"))
+    samples = (
+        f"transform(sequence(0, 71), k -> cast(conv(substring("
+        f"hex({payload_col}), cast(2 * (off + (((k div 9) * h) div 8) * w"
+        f" + (((k % 9) * w) div 9) + 1) - 1 as int), 2), 16, 10) as bigint))")
+    bit = ("case when s[(b div 8) * 9 + b % 8] "
+           "> s[(b div 8) * 9 + b % 8 + 1] then 1L else 0L end")
+    half = (f"aggregate(sequence({{lo}}, {{hi}}), 0L, "
+            f"(acc, b) -> acc + shiftleft({bit}, b - {{lo}}))")
+    return (parsed.select(id_col, F.expr(samples).alias("s"))
+            .select(id_col,
+                    F.expr(half.format(lo=0, hi=31)).alias("simhash_hi"),
+                    F.expr(half.format(lo=32, hi=63)).alias("simhash_lo")))
+
+
+def dhash_pgm_sql(assets_sql: str, id_col: str = "asset_id",
+                  payload_col: str = "payload") -> str:
+    """DuckDB twin of :func:`dhash_pgm` (hex-string byte access —
+    DuckDB substring rejects BLOBs; RE2 backrefs spelled \\1)."""
+    pre = f"substring(hex({payload_col}), 1, 48)"
+    grp = f"regexp_extract({pre}, '{_PGM_HDR_RE}', {{g}})"
+    # TRY_CAST: non-PGM rows regexp-extract to '' and DuckDB's strict
+    # CAST would error where Spark's non-ANSI cast yields NULL
+    num = f"TRY_CAST(regexp_replace({grp}, '3(.)', '\\1', 'g') AS BIGINT)"
+    samples = (
+        f"[('0x' || substring(hex({payload_col}), "
+        f"CAST(2 * (off + (((k // 9) * h) // 8) * w"
+        f" + (((k % 9) * w) // 9) + 1) - 1 AS INT), 2))::BIGINT "
+        f"for k in range(0, 72)]")
+    bit = ("CASE WHEN s[(b // 8) * 9 + b % 8 + 1] "
+           "> s[(b // 8) * 9 + b % 8 + 2] THEN 1::BIGINT ELSE 0::BIGINT END")
+    half_hi = f"list_sum([({bit}) << b for b in range(0, 32)])"
+    half_lo = f"list_sum([({bit}) << (b - 32) for b in range(32, 64)])"
+    return f"""
+WITH src AS ({assets_sql}),
+parsed AS (
+  SELECT {id_col}, {payload_col},
+         {num.format(g=1)} AS w, {num.format(g=2)} AS h,
+         {num.format(g=3)} AS mx,
+         (length({grp.format(g=1)}) + length({grp.format(g=2)})
+          + length({grp.format(g=3)})) // 2 + 6 AS off
+  FROM src WHERE {payload_col} IS NOT NULL
+),
+smp AS (
+  SELECT {id_col}, {samples} AS s
+  FROM parsed
+  WHERE w IS NOT NULL AND w > 0 AND h IS NOT NULL AND h > 0
+    AND mx BETWEEN 1 AND 255
+    AND octet_length({payload_col}) >= off + w * h
+)
+SELECT {id_col}, CAST({half_hi} AS BIGINT) AS simhash_hi,
+       CAST({half_lo} AS BIGINT) AS simhash_lo
+FROM smp
+"""
+
+
 def dhash_stub_sql(assets_sql: str, id_col: str = "asset_id",
                    payload_col: str = "payload") -> str:
     """DuckDB twin of :func:`dhash_stub` (1-based list indexing like

@@ -8942,3 +8942,77 @@ def q260_sketch_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(o_totalprice AS DOUBLE) END AS price")
     return mad_outlier_profile_sketch(o, _Q260_RANGES, k=3.0, nbins=256,
                                       group_col="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q261/q262 — dHash over REAL DECODED PIXELS (binary PGM/P5): the
+# production form of q246's stub, decode done in pure byte arithmetic
+# (PGM is uncompressed grayscale with an ASCII header — the format
+# codec-less clusters pre-thumbnail to).  Payloads are synthesized
+# IN SQL from the documents table (header + 256 md5-derived pixel
+# bytes) so both engines hash identical 16x16 images.  q262 feeds the
+# signatures through the SAME Hamming banding as text SimHash with
+# first-pixel-perturbed clones injected (%11) — the first pixel IS a
+# sampled grid cell, so each clone flips <= 2 bits and must be
+# recalled.
+# ---------------------------------------------------------------------------
+
+_Q261_PGM_DUCK = (
+    "('P5' || chr(10) || '16 16' || chr(10) || '255' || chr(10))::BLOB"
+    " || unhex(substring(repeat(md5(text), 16), 1, 512))")
+_Q261_PGM_SPARK = (
+    "concat(encode(concat('P5', char(10), '16 16', char(10), '255',"
+    " char(10)), 'UTF-8'), unhex(substring(repeat(md5(text), 16), 1, 512)))")
+_Q262_PERT_DUCK = _Q261_PGM_DUCK.replace(
+    "unhex(substring(repeat(md5(text), 16), 1, 512))",
+    "unhex('ff' || substring(repeat(md5(text), 16), 3, 510))")
+_Q262_PERT_SPARK = _Q261_PGM_SPARK.replace(
+    "unhex(substring(repeat(md5(text), 16), 1, 512))",
+    "unhex(concat('ff', substring(repeat(md5(text), 16), 3, 510)))")
+
+
+def _q261_sql() -> str:
+    from dbms_spark.llm.multimodal import dhash_pgm_sql
+
+    return dhash_pgm_sql(
+        f"SELECT doc_id AS asset_id, {_Q261_PGM_DUCK} AS payload FROM documents")
+
+
+@register("q261_dhash_pgm_decode", _q261_sql())
+def q261_dhash_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.multimodal import dhash_pgm
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.selectExpr("doc_id AS asset_id",
+                             f"{_Q261_PGM_SPARK} AS payload")
+    return dhash_pgm(assets)
+
+
+_Q262_ASSETS_DUCK = f"""
+SELECT doc_id AS asset_id, {_Q261_PGM_DUCK} AS payload FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS asset_id, {_Q262_PERT_DUCK} AS payload
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _q262_sql() -> str:
+    from dbms_spark.llm.dedup import hamming_pairs_over_sql
+    from dbms_spark.llm.multimodal import dhash_pgm_sql
+
+    return hamming_pairs_over_sql(dhash_pgm_sql(_Q262_ASSETS_DUCK),
+                                  max_hamming=3, id_col="asset_id")
+
+
+@register("q262_dhash_pgm_near_dup", _q262_sql())
+def q262_dhash_pgm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.dedup import simhash_hamming_pairs
+    from dbms_spark.llm.multimodal import dhash_pgm
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.selectExpr(
+        "doc_id AS asset_id", f"{_Q261_PGM_SPARK} AS payload").unionByName(
+        docs.filter("doc_id % 11 = 0").selectExpr(
+            "doc_id + 1000000 AS asset_id", f"{_Q262_PERT_SPARK} AS payload"))
+    return simhash_hamming_pairs(dhash_pgm(assets), max_hamming=3,
+                                 id_col="asset_id")

@@ -1294,6 +1294,61 @@ def test_drop_contained_policy(spark):
     assert kept == {2, 4}
 
 
+def test_dhash_pgm_decode_locality_recall(spark):
+    """dHash over REAL decoded PGM pixels: a hand-computed 9x8 image
+    (grid == pixels) matches the Python dHash bit-for-bit; exact
+    clones hash identically; a 1-px change at a SAMPLED grid position
+    flips 1-2 bits and the Hamming banding recalls the perturbed
+    clone; junk / 16-bit / truncated payloads are dropped."""
+    import numpy as np
+
+    from dbms_spark.llm.multimodal import dhash_pgm
+
+    def pgm(w, h, px):
+        return bytearray(b"P5\n%d %d\n255\n" % (w, h) + bytes(px))
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (24, 32), dtype=np.uint8)   # h=24, w=32
+    pert = base.copy()
+    # grid cell (gy=1, gx=2) samples row (1*24)//8 = 3, col (2*32)//9
+    # = 7 — a pixel the 8x9 grid actually reads
+    pert[3, 7] ^= 0xFF
+    grid = rng.randint(0, 256, (8, 9), dtype=np.uint8)     # exact-grid
+    rows = [(1, pgm(32, 24, base.flatten().tolist())),
+            (2, pgm(32, 24, base.flatten().tolist())),     # exact clone
+            (3, pgm(32, 24, pert.flatten().tolist())),     # 1-px edit
+            (4, pgm(9, 8, grid.flatten().tolist())),
+            (5, bytearray(b"JUNK not a pgm")),             # dropped
+            (6, bytearray(b"P5\n9 8\n65535\n" + bytes(144))),  # 16-bit
+            (7, bytearray(b"P5\n9 8\n255\n" + bytes(10)))]     # truncated
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    sigs = dhash_pgm(df)
+    hs = {r.asset_id: (r.simhash_hi, r.simhash_lo) for r in sigs.collect()}
+    assert set(hs) == {1, 2, 3, 4}
+    assert hs[1] == hs[2]
+
+    def py_dhash(g):
+        hi = lo = 0
+        for k in range(64):
+            gy, gx = k // 8, k % 8
+            b = 1 if g[gy][gx] > g[gy][gx + 1] else 0
+            if k < 32:
+                hi |= b << k
+            else:
+                lo |= b << (k - 32)
+        return hi, lo
+
+    assert hs[4] == py_dhash(grid.tolist())                # bit-exact
+    flips = (bin(hs[1][0] ^ hs[3][0]).count("1")
+             + bin(hs[1][1] ^ hs[3][1]).count("1"))
+    assert 1 <= flips <= 2                                 # locality
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in D.simhash_hamming_pairs(
+                 sigs.withColumnRenamed("asset_id", "doc_id")).collect()}
+    assert pairs[(1, 2)] == 0                              # clone recalled
+    assert pairs[(1, 3)] == flips                          # perturbed too
+
+
 def test_dhash_stub_locality_and_pipeline(spark):
     """dHash: identical payloads -> identical hash; a one-byte change
     flips few bits; the hamming-pairs pipeline recalls the perturbed

@@ -113,6 +113,8 @@ SHUFFLE_BUDGET = {
     # two hist partial-aggs + two per-key quantile windows + fence agg
     # (persisted pair leg expands in the printed tree)
     "q260_sketch_mad_profile": 8,
+    "q261_dhash_pgm_decode": 0,        # PGM decode is pure map-side codegen
+    "q262_dhash_pgm_near_dup": 1,      # one band equi-join, as q241/q247
 }
 
 _SHUFFLE_RE = re.compile(

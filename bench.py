@@ -15,6 +15,20 @@ Per-query numbers are the MEDIAN of three runs (run 1 doubles as
 warm-up); BENCH_FULL.json additionally carries a per-query "spread"
 map (|run2 - run3|, steady-state repeatability) so
 tools/bench_compare.py can flag only above-noise drifts.
+
+AUTO-REPROBE (round-6 judge ask #5): a shared box can inflate a
+query's median through no fault of the plan — round 6 committed q40 at
+7.03 s when a standalone re-probe measured 1.16 s, and adjudicating
+that required a manual session.  So after the main sweep, any query
+whose median regressed vs the PREVIOUS committed BENCH_FULL.json past
+all three bench_compare bars (ratio > 1.5x, delta > 0.25 s, delta >
+old_spread + new_spread) is re-run standalone at the very end, and
+BENCH_FULL carries BOTH values: the original median under "queries"
+and the re-probe median under "reprobe" (+ "reprobe_spread").
+tools/bench_compare.py uses reprobe-when-present, so a
+contention-inflated median that re-probes clean never reads as a
+regression, while a REAL plan regression re-probes slow and still
+trips the gate.
 """
 
 from __future__ import annotations
@@ -29,6 +43,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dbms_spark import get_spark  # noqa: E402
 from dbms_spark import queries as Q  # noqa: E402
+
+
+def flag_regressions(prev: dict, timings: dict[str, float],
+                     spreads: dict[str, float]) -> list[str]:
+    """Queries whose new median clears ALL THREE bench_compare bars vs
+    the previous record (ratio > 1.5x, delta > 0.25 s, delta above the
+    summed spread band).  The previous record's own reprobe values are
+    its best estimate, so they substitute in before comparing."""
+    prev_q = {**prev.get("queries", {}), **prev.get("reprobe", {})}
+    prev_sp = {**prev.get("spread", {}), **prev.get("reprobe_spread", {})}
+    flagged = []
+    for q, t_new in timings.items():
+        t_old = prev_q.get(q)
+        if not t_old:
+            continue
+        delta = t_new - t_old
+        noise = prev_sp.get(q, 0.0) + spreads.get(q, 0.0)
+        if t_new > t_old * 1.5 and delta > 0.25 and delta > noise:
+            flagged.append(q)
+    return flagged
 
 
 def main() -> None:
@@ -85,7 +119,40 @@ def main() -> None:
         if i % 10 == 9:
             spark.sparkContext._jvm.System.gc()
 
+    # ---- auto-reprobe (see module docstring) -------------------------
+    # Compare against the previous committed record BEFORE we overwrite
+    # it; the previous record's own reprobe values are its best estimate,
+    # so compare against reprobe-when-present there too.
+    here = os.path.dirname(os.path.abspath(__file__))
+    reprobe: dict[str, float] = {}
+    reprobe_spread: dict[str, float] = {}
+    prev_path = os.path.join(here, "BENCH_FULL.json")
+    if not only and os.path.exists(prev_path):
+        try:
+            prev = json.load(open(prev_path))
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+        by_short = {n.split("_", 1)[0]: f for n, f in sel}
+        flagged = flag_regressions(prev, timings, spreads)
+        if flagged:
+            print(f"bench: re-probing {len(flagged)} flagged queries "
+                  f"standalone: {flagged}", file=sys.stderr)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        for q in flagged:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                by_short[q](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            reprobe[q] = round(sorted(runs)[1], 3)
+            reprobe_spread[q] = round(abs(runs[1] - runs[2]), 3)
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
+    total_reprobed = round(sum(reprobe.get(q, t) for q, t in
+                               timings.items()), 3)
     spark.stop()
 
     # Full per-query record to a file next to this script: the stdout
@@ -94,6 +161,10 @@ def main() -> None:
     full = {"queries": timings, "spread": spreads, "sf": sf, "unit": "sec",
             "metric": "total_query_wall_seconds", "value": total,
             "n_queries": len(timings)}
+    if reprobe:
+        full["reprobe"] = reprobe
+        full["reprobe_spread"] = reprobe_spread
+        full["value_reprobed"] = total_reprobed
     # filtered dev runs must not clobber the committed full record
     fname = "BENCH_FULL.json" if not only else "BENCH_FILTERED.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
@@ -112,6 +183,9 @@ def main() -> None:
         payload: dict = {"queries": qmap}
         if omitted:
             payload["queries_omitted"] = omitted
+        if reprobe:
+            payload["reprobed"] = len(reprobe)
+            payload["value_reprobed"] = total_reprobed
         payload.update({"sf": sf, "unit": "sec",
                         "metric": "total_query_wall_seconds", "value": total})
         return json.dumps(payload) + "\n"

@@ -1,0 +1,112 @@
+"""Auto-reprobe machinery (round-6 judge ask #5): bench.py flags
+queries that regressed past all three bench_compare bars vs the
+previous committed BENCH_FULL and re-measures them standalone;
+tools/bench_compare.py then compares reprobe-when-present, so a
+contention-inflated median that re-probes clean never reads as a
+regression while a real plan regression still trips the gate.
+
+No Spark here — the flag rule and the comparison substitution are pure
+functions; the live loop is exercised by every full bench run.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load("bench.py", "bench_mod")
+bench_compare = _load("tools/bench_compare.py", "bench_compare_mod")
+
+
+class TestFlagRegressions:
+    PREV = {
+        "queries": {"q10": 1.0, "q20": 2.0, "q30": 0.05, "q40": 7.03},
+        "spread": {"q10": 0.05, "q20": 0.10, "q30": 0.01, "q40": 5.27},
+        # q40's committed median was contention-inflated; its own
+        # reprobe (1.16) is the record's best estimate and must be the
+        # comparison base — else a new clean 1.2 s run looks FASTER.
+        "reprobe": {"q40": 1.16},
+        "reprobe_spread": {"q40": 0.08},
+    }
+
+    def test_all_three_bars_required(self):
+        timings = {
+            "q10": 3.5,    # 3.5x, +2.5 s, >> spread: flagged
+            "q20": 2.4,    # +0.4 s but only 1.2x: ratio bar fails
+            "q30": 0.20,   # 4x but +0.15 s: absolute bar fails
+        }
+        spreads = {"q10": 0.04, "q20": 0.05, "q30": 0.01}
+        assert bench.flag_regressions(self.PREV, timings, spreads) == ["q10"]
+
+    def test_spread_bar(self):
+        # 2x and +0.6 s, but the prev spread band (0.5) + new (0.2)
+        # covers the delta: noisy, not flagged
+        prev = {"queries": {"q50": 0.6}, "spread": {"q50": 0.5}}
+        assert bench.flag_regressions(prev, {"q50": 1.2}, {"q50": 0.2}) == []
+        # same delta with tight spreads: flagged
+        prev["spread"]["q50"] = 0.05
+        assert bench.flag_regressions(prev, {"q50": 1.2}, {"q50": 0.05}) \
+            == ["q50"]
+
+    def test_prev_reprobe_is_the_comparison_base(self):
+        # vs the inflated 7.03 median, 2.5 s looks fine; vs the
+        # record's own reprobe (1.16) it's a >2x real regression
+        flagged = bench.flag_regressions(self.PREV, {"q40": 2.5},
+                                         {"q40": 0.05})
+        assert flagged == ["q40"]
+
+    def test_new_query_never_flagged(self):
+        assert bench.flag_regressions(self.PREV, {"q99": 60.0}, {}) == []
+
+
+class TestEffective:
+    def test_reprobe_substitutes_value_and_spread(self):
+        doc = {"queries": {"a": 5.0, "b": 1.0}, "spread": {"a": 3.0,
+                                                           "b": 0.1},
+               "reprobe": {"a": 1.2}, "reprobe_spread": {"a": 0.05}}
+        q, sp = bench_compare.effective(doc)
+        assert q == {"a": 1.2, "b": 1.0}
+        assert sp == {"a": 0.05, "b": 0.1}
+
+    def test_no_reprobe_passthrough(self):
+        doc = {"queries": {"a": 5.0}}
+        q, sp = bench_compare.effective(doc)
+        assert q == {"a": 5.0} and sp == {}
+
+
+class TestCompareEndToEnd:
+    def test_reprobe_aware_verdicts(self, tmp_path):
+        old = {"queries": {"q40": 7.03, "q10": 1.0, "q20": 2.0},
+               "spread": {"q40": 5.27, "q10": 0.05, "q20": 0.1},
+               "reprobe": {"q40": 1.16}, "reprobe_spread": {"q40": 0.08}}
+        # q40: new clean run ~= old reprobe (no regression);
+        # q10: inflated median but re-probed clean (no regression);
+        # q20: re-probed STILL slow (confirmed regression).
+        new = {"queries": {"q40": 1.2, "q10": 3.5, "q20": 6.0},
+               "spread": {"q40": 0.1, "q10": 0.04, "q20": 0.2},
+               "reprobe": {"q10": 1.05, "q20": 5.8},
+               "reprobe_spread": {"q10": 0.03, "q20": 0.15}}
+        op, np_ = tmp_path / "old.json", tmp_path / "new.json"
+        op.write_text(json.dumps(old))
+        np_.write_text(json.dumps(new))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/bench_compare.py"),
+             str(op), str(np_)], capture_output=True, text=True)
+        assert out.returncode == 1
+        report = json.loads(out.stdout)
+        assert set(report["regressions"]) == {"q20"}
+        assert report["regressions"]["q20"]["confirmed_by_reprobe"] is True

@@ -1251,6 +1251,126 @@ HAVING COUNT(DISTINCT idx) = {len(phrase)}
 """
 
 
+def bm25_rank(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+              text_col: str = "text", k: int = 10) -> DataFrame:
+    """Top-``k`` docs for ``terms`` under BM25 with the standard
+    constants k1 = 1.2, b = 0.75 — the ranking completion of the
+    boolean retrieval family (conjunctive/disjunctive/phrase say WHICH
+    docs match; BM25 says in what ORDER to read them).
+
+    Integer-exact cross-engine scoring (the tfidf_top_terms recipe,
+    extended): with k1 = 6/5 and b = 3/4, the per-term saturation
+    weight clears its denominators exactly —
+
+        tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+          = 44*tf*T / (20*tf*T + 6*T + 18*dl*N)      (avgdl = T/N)
+
+    and the idf takes the RATIONAL Robertson form (N - df + 0.5) /
+    (df + 0.5) = (2N - 2df + 1)/(2df + 1), log-free and per-term
+    monotone in df exactly like the ln forms (Lucene's ln(1 + .)
+    included).  Each term contributes floor(1e6 * weight * idf)
+    computed in DECIMAL(38,0) / HUGEINT integer arithmetic — no
+    doubles, no libm, bit-identical across engines; the ppm
+    quantization is far finer than Lucene's own byte-quantized norms.
+    Documented variant: because the rational idf grows ~N/df instead
+    of ln(N/df), multi-term SUMS weight rare terms more sharply than
+    the ln form — same per-term orderings, not score-identical to
+    Lucene.
+
+    Shape: doc length and the (N, T) corpus stats never explode —
+    ``size(tokens)`` is a map-side projection, so they cost one narrow
+    scan (stats) plus a map-side relation (dl); only the pushed-down
+    IN scan for term frequencies explodes, and it keeps query-term
+    rows only.  docfreq is a <= len(terms)-row broadcast chained on
+    tf; corpus stats are a 1-row broadcast; the top-k is a
+    distributed TakeOrdered.  No posting list is ever materialized —
+    a stop-word query term costs its (token, id) pair volume, never a
+    giant array."""
+    from pyspark.sql import Window
+
+    with_toks = df.withColumn("__toks", tokens_expr(text_col))
+    # (n_docs, t_total) in ONE corpus pass, no explode
+    stats = with_toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("__toks")).cast("bigint").alias("t_total"))
+    # per-doc length: map-side only (no shuffle until the tf join)
+    dl = with_toks.select(F.col(id_col),
+                          F.size("__toks").cast("bigint").alias("dl"))
+    tf = (with_toks.select(F.col(id_col),
+                           F.explode("__toks").alias("token"))
+          .filter(F.col("token").isin(terms))
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    # (docs-with-hits x terms) rows — materialize once so the docfreq
+    # branch and the scoring join don't each re-run the corpus
+    # explode (the q247 shared-leg lesson)
+    tf = tf.localCheckpoint()
+    # one row per (doc, term) -> row count per term IS the doc frequency
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  F.col(id_col),
+                  F.expr(
+                      "(CAST(1000000 AS DECIMAL(38,0)) * 44 * tf * t_total"
+                      " * (2*n_docs - 2*df + 1))"
+                      " DIV ((CAST(20 AS DECIMAL(38,0)) * tf * t_total"
+                      "       + CAST(6 AS DECIMAL(38,0)) * t_total"
+                      "       + CAST(18 AS DECIMAL(38,0)) * dl * n_docs)"
+                      "      * (2*df + 1))").alias("s")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.sum("s").cast("bigint").alias("score_x1e6")))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # partial top-k, never the whole doc relation through one window
+    # partition), then ranks over the k survivors
+    topk = per_doc.orderBy(F.desc("score_x1e6"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_x1e6"), F.asc(id_col))
+    return topk.select(id_col, "score_x1e6",
+                       F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def bm25_rank_sql(table: str, terms: list[str], id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 10) -> str:
+    """DuckDB twin of :func:`bm25_rank` (HUGEINT stands in for
+    DECIMAL(38,0); `//` is floor division on positive integers exactly
+    like Spark's DIV)."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
+),
+dl AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_total FROM dl),
+tf AS (
+  SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({in_list}) GROUP BY 1, 2
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.{id_col},
+         (CAST(1000000 AS HUGEINT) * 44 * tf * t_total
+          * (2*n_docs - 2*df + 1))
+         // ((CAST(20 AS HUGEINT) * tf * t_total
+              + CAST(6 AS HUGEINT) * t_total
+              + CAST(18 AS HUGEINT) * dl * n_docs)
+             * (2*df + 1)) AS s
+  FROM tf JOIN dl USING ({id_col}) JOIN dfreq USING (token), n, t
+),
+per_doc AS (
+  SELECT {id_col}, CAST(SUM(s) AS BIGINT) AS score_x1e6
+  FROM scored GROUP BY 1
+)
+SELECT {id_col}, score_x1e6, rank FROM (
+  SELECT {id_col}, score_x1e6,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, {id_col})
+              AS BIGINT) AS rank
+  FROM per_doc
+) WHERE rank <= {k}
+"""
+
+
 def mix_to_budget(df: DataFrame, budgets: dict[str, int],
                   id_col: str = "doc_id", source_col: str = "source",
                   weight_col: str = "n_chars",

@@ -9016,3 +9016,38 @@ def q262_dhash_pgm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id + 1000000 AS asset_id", f"{_Q262_PERT_SPARK} AS payload"))
     return simhash_hamming_pairs(dhash_pgm(assets), max_hamming=3,
                                  id_col="asset_id")
+
+
+# ---------------------------------------------------------------------------
+# q263 — BM25 ranking: the ORDER the boolean family (q168/q256/q257)
+# cannot give.  Integer-exact rational BM25 (k1=1.2, b=0.75 cleared to
+# 44tfT / (20tfT + 6T + 18dlN), rational Robertson idf, ppm
+# fixed-point — no doubles, no libm) so the hash gate compares exact
+# BIGINT scores.  doc_id % 41 docs get the rare term 'zzrare'
+# appended: its tiny df gives a dominant idf, so the gate pins the
+# idf arm (spiked docs own the head ranks) while common-term tf and
+# the dl saturation decide the tail ordering.
+# ---------------------------------------------------------------------------
+
+_Q263_TERMS = ["spark", "join", "zzrare"]
+_Q263_SPIKE = " zzrare"
+_Q263_CORPUS_DUCK = (
+    "SELECT doc_id, text || CASE WHEN doc_id % 41 = 0 THEN "
+    f"'{_Q263_SPIKE}' ELSE '' END AS text FROM documents")
+
+
+def _q263_sql() -> str:
+    from dbms_spark.llm.text import bm25_rank_sql
+
+    return bm25_rank_sql(f"({_Q263_CORPUS_DUCK})", _Q263_TERMS, k=25)
+
+
+@register("q263_bm25_rank", _q263_sql())
+def q263_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 41 = 0 THEN "
+        f"'{_Q263_SPIKE}' ELSE '' END) AS text")
+    return bm25_rank(docs, _Q263_TERMS, k=25)

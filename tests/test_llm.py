@@ -1553,3 +1553,62 @@ def test_adaptive_length_filter_null_group(spark):
     assert all(i in kept for i in range(40))
     assert all(100 + i in kept for i in range(40))  # NULL group survives
     assert 900 not in kept                          # banded group-locally
+
+
+def _bm25_model(corpus: dict[int, str], terms: list[str], k: int):
+    """Independent Python-int model of the rational BM25 in
+    text.bm25_rank (engine-symmetric-bug guard: the differential gate
+    can't catch the same wrong formula on both engines)."""
+    from collections import Counter, defaultdict
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    t_total = sum(len(v) for v in toks.values())
+    tf = {(i, w): c for i, ts in toks.items()
+          for w, c in Counter(ts).items() if w in terms}
+    dfreq = Counter(w for (_, w) in tf)
+    scores: dict[int, int] = defaultdict(int)
+    for (i, w), f in tf.items():
+        dl, df = len(toks[i]), dfreq[w]
+        num = 1_000_000 * 44 * f * t_total * (2 * n - 2 * df + 1)
+        den = (20 * f * t_total + 6 * t_total + 18 * dl * n) * (2 * df + 1)
+        scores[i] += num // den
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+
+
+def test_bm25_rank_matches_python_model(spark):
+    """Field-for-field identity with the independent integer model,
+    plus the two orderings BM25 exists to produce: rare-term idf
+    dominance and length normalization."""
+    corpus = {
+        1: "a common words only here",
+        2: "rare a common common",           # rare term + 2x common
+        3: "common a b c d e f g h i j k l m n o p q r s t u v w",
+        4: "common common",                  # short doc, high tf density
+        5: "unrelated text entirely",
+    }
+    df = spark.createDataFrame(sorted(corpus.items()),
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.score_x1e6, r.rank)
+           for r in TX.bm25_rank(df, ["rare", "common"], k=5)
+           .orderBy("rank").collect()]
+    assert got == _bm25_model(corpus, ["rare", "common"], 5)
+    # rare-term holder wins outright; short dense doc beats the long
+    # doc whose single 'common' is buried in 24 tokens
+    order = [d for d, _, _ in got]
+    assert order[0] == 2
+    assert order.index(4) < order.index(3)
+    assert 5 not in order                    # no query term -> no row
+
+
+def test_bm25_rank_term_saturation(spark):
+    """k1 saturation: tf 1 -> 2 gains more than tf 5 -> 6 (diminishing
+    returns — the property distinguishing BM25 from raw tf scoring)."""
+    docs = {i: " ".join(["hit"] * i + ["pad"] * (10 - i))
+            for i in range(1, 7)}
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    s = {r.doc_id: r.score_x1e6
+         for r in TX.bm25_rank(df, ["hit"], k=6).collect()}
+    assert s[2] - s[1] > s[6] - s[5] > 0

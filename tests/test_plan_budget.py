@@ -115,6 +115,9 @@ SHUFFLE_BUDGET = {
     "q260_sketch_mad_profile": 8,
     "q261_dhash_pgm_decode": 0,        # PGM decode is pure map-side codegen
     "q262_dhash_pgm_near_dup": 1,      # one band equi-join, as q241/q247
+    # 1-row stats agg + checkpointed tf leg joined to the map-side dl
+    # relation + final per-doc agg; doc length never explodes
+    "q263_bm25_rank": 3,
 }
 
 _SHUFFLE_RE = re.compile(

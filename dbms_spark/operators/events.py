@@ -1,0 +1,209 @@
+"""Event-sequence analytics: funnels, retention cohorts, common paths.
+
+The reference engine has no event analytics of its own (SURVEY §2.3
+scopes its workload to migration/compare) — these are headroom
+operators a Spark-native analytics engine should provide over an
+event stream, built strictly from Catalyst primitives, and they
+compose with :func:`dbms_spark.operators.joins.sessionize` (batch) or
+the streaming session/window operators.
+
+Scale notes baked into each shape:
+
+- :func:`funnel` is len(steps) chained (filter -> join -> groupBy)
+  passes; every intermediate relation is bounded by the USER count of
+  the previous step (monotonically shrinking), never the event count,
+  and each pass's scan keeps only that step's events (pushed-down
+  type filter).  No per-user event arrays, no whole-history windows —
+  a hot user with 10^7 events costs their event rows in one shuffle,
+  not an array cell.
+- :func:`retention_cohorts` is two partial-aggregated passes (first
+  touch, distinct activity periods) joined on the user key.
+- :func:`top_event_paths` windows within (user, session) partitions —
+  bounded by the session gap, not the user's lifetime history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered-progression funnel: for each step i, the number of
+    distinct ``key`` values that performed ``steps[0..i]`` IN
+    TIMESTAMP ORDER (each step strictly after the previous one's
+    FIRST qualifying occurrence — the standard first-touch funnel;
+    simultaneous timestamps do not advance the funnel).
+
+    Returns (step BIGINT, event_type STRING, n_users BIGINT), one row
+    per step, n_users non-increasing.
+
+    Shape: step 0 is one filtered groupBy (earliest step-0 event per
+    key); step i joins step-i events to the survivors of step i-1 and
+    keeps the earliest qualifying timestamp.  Survivor relations are
+    key-bounded and shrink monotonically; each is materialized once
+    (localCheckpoint) because two consumers read it — the next step's
+    join and its own count — and a chained recompute would re-run
+    every earlier stage per step."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        ev_i = (events.filter(F.col(type_col) == step)
+                .select(F.col(key), F.col(ts_col).alias("__ts")))
+        if reached is None:
+            cur = ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (ev_i.join(reached.select(key, "__t"), key)
+                   .filter(F.col("__ts") > F.col("__t"))
+                   .groupBy(key).agg(F.min("__ts").alias("__t")))
+        reached = cur.localCheckpoint()
+        counts.append(reached.agg(
+            F.lit(i).cast("bigint").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def funnel_sql(table: str, steps: list[str], key: str = "user_id",
+               ts_col: str = "ts", type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel` (CTE chain; ts cast to
+    TIMESTAMP mirrors the nanosecond-parquet load path)."""
+    ctes, selects = [], []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {key}, MIN(CAST({ts_col} AS TIMESTAMP)) AS t"
+                f" FROM {table} WHERE {type_col} = {_q(step)} GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{key}, MIN(CAST(e.{ts_col} AS TIMESTAMP)) AS t"
+                f" FROM {table} e JOIN s{i - 1} USING ({key})"
+                f" WHERE e.{type_col} = {_q(step)}"
+                f" AND CAST(e.{ts_col} AS TIMESTAMP) > s{i - 1}.t GROUP BY 1)")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, {_q(step)} AS event_type,"
+            f" CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS n_users")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def retention_cohorts(events: DataFrame, key: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-touch week
+    (cohort), counted in each later week they were active.
+
+    Returns (cohort_week TIMESTAMP, week_offset BIGINT,
+    n_users BIGINT): of the users whose first event fell in
+    cohort_week, n_users were active week_offset weeks later
+    (offset 0 is the cohort size itself).
+
+    Shape: first-touch is one partial-aggregated groupBy (key-bounded
+    output); activity weeks are one distinct over (key, week); the
+    join back is keyed on ``key`` and the final count partial-
+    aggregates on (cohort, offset) — nothing is ever per-event wide.
+    Weeks are date_trunc ISO weeks (Monday) in both engines, so the
+    day difference is always an exact multiple of 7."""
+    ts = F.col(ts_col).cast("timestamp")
+    first = (events.groupBy(key)
+             .agg(F.date_trunc("week", F.min(ts)).alias("cohort_week")))
+    acts = (events.select(F.col(key), F.date_trunc("week", ts).alias("__w"))
+            .distinct())
+    return (acts.join(first, key)
+            .select("cohort_week",
+                    (F.datediff(F.col("__w"), F.col("cohort_week")) / 7)
+                    .cast("bigint").alias("week_offset"),
+                    F.col(key))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+def retention_cohorts_sql(table: str, key: str = "user_id",
+                          ts_col: str = "ts") -> str:
+    """DuckDB twin of :func:`retention_cohorts`."""
+    return f"""
+WITH first AS (
+  SELECT {key}, date_trunc('week', MIN(CAST({ts_col} AS TIMESTAMP))) AS cohort_week
+  FROM {table} GROUP BY 1
+),
+acts AS (
+  SELECT DISTINCT {key}, date_trunc('week', CAST({ts_col} AS TIMESTAMP)) AS w
+  FROM {table}
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, w) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM acts JOIN first USING ({key})
+GROUP BY 1, 2
+"""
+
+
+def top_event_paths(events: DataFrame, n: int = 3, k: int = 20,
+                    key: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    session_col: str | None = None,
+                    tiebreak: list[str] | None = None) -> DataFrame:
+    """The ``k`` most common ``n``-step event-type sequences
+    (consecutive within a user — or within a session when
+    ``session_col`` is given, keeping paths from bridging a session
+    gap).  Returns (path STRING '->'-joined, n_paths BIGINT,
+    rank BIGINT), ordered by count desc then path.
+
+    Shape: lead() windows over (key[, session]) partitions — state is
+    n-1 rows per partition, never a collected history array; the
+    count is one partial-aggregated groupBy on the path string and
+    the top-k a distributed TakeOrdered.  ``tiebreak`` columns make
+    the within-partition order total under duplicate timestamps
+    (determinism for differential testing)."""
+    parts = [key] + ([session_col] if session_col else [])
+    order = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    steps = [F.col(type_col)] + [F.lead(type_col, i).over(w)
+                                 for i in range(1, n)]
+    paths = (events
+             .select(F.concat_ws("->", *steps).alias("path"),
+                     steps[-1].isNotNull().alias("__full"))
+             .filter("__full")
+             .groupBy("path")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths")))
+    topk = paths.orderBy(F.desc("n_paths"), F.asc("path")).limit(k)
+    rw = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return topk.select("path", "n_paths",
+                       F.row_number().over(rw).cast("bigint").alias("rank"))
+
+
+def top_event_paths_sql(table: str, n: int = 3, k: int = 20,
+                        key: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        tiebreak: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`top_event_paths` (no session form — the
+    oracle covers the per-user path)."""
+    ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + list(tiebreak or []))
+    leads = [type_col] + [f"lead({type_col}, {i}) OVER w" for i in range(1, n)]
+    concat = " || '->' || ".join(leads)
+    last = f"lead({type_col}, {n - 1}) OVER w"
+    return f"""
+WITH stepped AS (
+  SELECT {concat} AS path, {last} IS NOT NULL AS is_complete
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+),
+counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM stepped WHERE is_complete GROUP BY 1
+)
+SELECT path, n_paths,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS BIGINT) AS rank
+FROM counted
+ORDER BY n_paths DESC, path
+LIMIT {k}
+"""

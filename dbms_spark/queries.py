@@ -9051,3 +9051,74 @@ def q263_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(text, CASE WHEN doc_id % 41 = 0 THEN "
         f"'{_Q263_SPIKE}' ELSE '' END) AS text")
     return bm25_rank(docs, _Q263_TERMS, k=25)
+
+
+# ---------------------------------------------------------------------------
+# q264 — ordered-progression funnel over the events stream: distinct
+# users completing view -> click -> purchase IN TIMESTAMP ORDER (each
+# step strictly after the previous step's first occurrence — users
+# holding all three types in the wrong order do not advance), plus a
+# deliberately absent fourth step pinning the zero row.  Every
+# intermediate relation is user-bounded and shrinking; no per-user
+# event arrays, no whole-history windows.
+# ---------------------------------------------------------------------------
+
+_Q264_STEPS = ["view", "click", "purchase", "zzabsent"]
+
+
+def _q264_sql() -> str:
+    from dbms_spark.operators.events import funnel_sql
+
+    return funnel_sql("events", _Q264_STEPS)
+
+
+@register("q264_funnel", _q264_sql())
+def q264_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), _Q264_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# q265 — weekly retention triangle: users bucketed by first-touch ISO
+# week, counted in each later week they were active (offset 0 = cohort
+# size).  Two partial-aggregated passes + one keyed join; Monday
+# alignment makes the day difference an exact multiple of 7 in both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def _q265_sql() -> str:
+    from dbms_spark.operators.events import retention_cohorts_sql
+
+    return retention_cohorts_sql("events")
+
+
+@register("q265_retention_cohorts", _q265_sql())
+def q265_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# q266 — top event paths: the 25 most common 3-step consecutive
+# event-type sequences per user (lead() windows — state is n-1 rows
+# per partition, never a collected history array; top-k is a
+# distributed TakeOrdered).  event_id tiebreak makes the order total
+# under duplicate timestamps.
+# ---------------------------------------------------------------------------
+
+
+def _q266_sql() -> str:
+    from dbms_spark.operators.events import top_event_paths_sql
+
+    return top_event_paths_sql("events", n=3, k=25, tiebreak=["event_id"])
+
+
+@register("q266_top_event_paths", _q266_sql())
+def q266_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import top_event_paths
+
+    return top_event_paths(load_table(spark, sf_dir, "events"),
+                           n=3, k=25, tiebreak=["event_id"])

@@ -1,0 +1,98 @@
+"""Event-sequence analytics semantics: funnel ordering, retention
+cohorts, common paths."""
+
+import datetime
+
+from dbms_spark.operators import events as E
+
+
+def ts(minute, day=1):
+    return datetime.datetime(2024, 1, day, 0, minute)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+
+
+def test_funnel_order_semantics(spark):
+    """Co-occurrence is not progression: steps must occur strictly
+    after the previous step's FIRST occurrence."""
+    ev = _ev(spark, [
+        # u1: view -> click -> purchase in order (full funnel)
+        (1, ts(1), "view", 1), (1, ts(2), "click", 2), (1, ts(3), "purchase", 3),
+        # u2: click BEFORE view — has both types but never advances past view
+        (2, ts(1), "click", 4), (2, ts(2), "view", 5),
+        # u3: view then click at the SAME timestamp — strictly-after fails
+        (3, ts(1), "view", 6), (3, ts(1), "click", 7),
+        # u4: view only
+        (4, ts(1), "view", 8),
+    ])
+    got = {r.step: (r.event_type, r.n_users)
+           for r in E.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {0: ("view", 4), 1: ("click", 1), 2: ("purchase", 1)}
+
+
+def test_funnel_first_touch_anchor(spark):
+    """Steps anchor on the FIRST qualifying occurrence: a later re-view
+    does not reopen the funnel, but a click after the first view counts
+    even with an earlier pre-view click."""
+    ev = _ev(spark, [
+        (1, ts(1), "click", 1),   # pre-view click: ignored
+        (1, ts(2), "view", 2),    # funnel anchor
+        (1, ts(3), "click", 3),   # qualifies (after first view)
+    ])
+    got = {r.step: r.n_users for r in E.funnel(ev, ["view", "click"]).collect()}
+    assert got == {0: 1, 1: 1}
+
+
+def test_funnel_absent_step_zero(spark):
+    ev = _ev(spark, [(1, ts(1), "view", 1)])
+    got = {r.step: r.n_users
+           for r in E.funnel(ev, ["view", "zzmissing"]).collect()}
+    assert got == {0: 1, 1: 0}
+
+
+def test_retention_cohorts_hand_values(spark):
+    """Two cohorts; u1 retained in weeks 0 and 1, u2 only week 0;
+    ISO weeks are Monday-aligned (2024-01-01 IS a Monday)."""
+    ev = _ev(spark, [
+        (1, ts(0, day=1), "view", 1),    # cohort wk of Jan 1
+        (1, ts(0, day=3), "view", 2),    # same week -> offset 0 (dedup)
+        (1, ts(0, day=9), "view", 3),    # next week -> offset 1
+        (2, ts(0, day=2), "view", 4),    # same cohort, week 0 only
+        (3, ts(0, day=10), "view", 5),   # second cohort, week 0
+    ])
+    got = {(r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+           for r in E.retention_cohorts(ev).collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
+
+
+def test_top_event_paths_hand_values(spark):
+    ev = _ev(spark, [
+        (1, ts(1), "a", 1), (1, ts(2), "b", 2), (1, ts(3), "c", 3),
+        (2, ts(1), "a", 4), (2, ts(2), "b", 5),
+        (3, ts(1), "a", 6), (3, ts(2), "b", 7), (3, ts(3), "c", 8),
+    ])
+    got = [(r.path, r.n_paths, r.rank)
+           for r in E.top_event_paths(ev, n=2, k=5, tiebreak=["event_id"])
+           .collect()]
+    # a->b appears for all 3 users; b->c for u1 and u3; nothing bridges users
+    assert got == [("a->b", 3, 1), ("b->c", 2, 2)]
+
+
+def test_top_event_paths_session_boundary(spark):
+    """With session_col, paths never bridge a session gap."""
+    ev = spark.createDataFrame(
+        [(1, ts(1), "a", 1, 1), (1, ts(2), "b", 2, 1),
+         (1, ts(40), "a", 3, 2), (1, ts(41), "b", 4, 2)],
+        "user_id long, ts timestamp, event_type string, event_id long,"
+        " session_id long")
+    with_sess = [(r.path, r.n_paths) for r in E.top_event_paths(
+        ev, n=2, k=5, session_col="session_id", tiebreak=["event_id"])
+        .collect()]
+    assert with_sess == [("a->b", 2)]   # no b->a bridging the gap
+    without = {r.path: r.n_paths for r in E.top_event_paths(
+        ev, n=2, k=5, tiebreak=["event_id"]).collect()}
+    assert without["b->a"] == 1          # the bridge the session form removes

@@ -118,6 +118,11 @@ SHUFFLE_BUDGET = {
     # 1-row stats agg + checkpointed tf leg joined to the map-side dl
     # relation + final per-doc agg; doc length never explodes
     "q263_bm25_rank": 3,
+    # survivor relations are eagerly checkpointed (user-bounded,
+    # shrinking), so the printed plan is the count-union tail
+    "q264_funnel": 4,
+    "q265_retention_cohorts": 3,       # first-touch agg + distinct + keyed join
+    "q266_top_event_paths": 2,         # per-user lead window + path agg
 }
 
 _SHUFFLE_RE = re.compile(

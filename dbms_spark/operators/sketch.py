@@ -1006,6 +1006,102 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str,
                             / F.col("k_used")).cast("bigint").alias("jaccard_ppm")))
 
 
+def kmv_overlap_pairs(sketch: DataFrame, group_col: str,
+                      k: int = 64, built_k: int | None = None) -> DataFrame:
+    """SPARSE form of :func:`kmv_overlap_matrix` for large group
+    counts: emits rows ONLY for group pairs whose sketches share at
+    least one hash (absent pair == estimated Jaccard 0), so the cost
+    scales with the OVERLAP structure instead of G².
+
+    The dense matrix expands (G²/2)·2k rows for every pair whether or
+    not they share anything — fine to G ≈ 10³ sources (the documented
+    watch item), impossible at G = 10⁶ (5·10¹¹ pairs before a single
+    estimate).  Here candidate pairs come from ONE equi-join of the
+    sketch against itself on the hash value (the inverted-index trick:
+    shuffle volume is Σ_h c_h² over per-hash group counts — zero for
+    disjoint sources, bounded by sharing, never G²), and the exact
+    union-bottom-k estimator then runs only for candidates.  Same
+    estimator, same integer jaccard_ppm, same validation; a candidate
+    whose shared hashes all fall beyond the union bottom-k keeps its
+    row with n_common = 0 (it was proposed, and estimated 0).
+
+    Identity contract (unit-tested): every dense-matrix row with
+    n_common > 0 appears here with identical values; every row here
+    equals its dense counterpart."""
+    sketch = sketch.localCheckpoint()
+    if built_k is not None:
+        if k > built_k:
+            raise ValueError(
+                f"kmv_overlap_pairs k={k} exceeds the sketch's build "
+                f"k={built_k}: union bottom-{k} is not covered by "
+                f"bottom-{built_k} sides and n_common would deflate")
+    else:
+        widest = (sketch.groupBy(group_col).count()
+                  .agg(F.max("count")).first()[0]) or 0
+        if k > widest:
+            raise ValueError(
+                f"kmv_overlap_pairs k={k} exceeds the widest per-group "
+                f"sketch ({widest} rows): the sketch may have been built "
+                f"with a smaller k, which would deflate n_common — pass "
+                f"built_k=<the kmv_by k> to assert coverage")
+    a = sketch.select(F.col(group_col).alias("g_a"), "hkey")
+    b = sketch.select(F.col(group_col).alias("g_b"), "hkey")
+    cand = (a.join(b, "hkey")
+            .where(F.col("g_a") < F.col("g_b"))
+            .select("g_a", "g_b").distinct())
+    ua = (cand.join(a, "g_a")
+          .select("g_a", "g_b", "hkey",
+                  F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    ub = (cand.join(b, "g_b")
+          .select("g_a", "g_b", "hkey",
+                  F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    from pyspark.sql.window import Window
+
+    u = (ua.unionByName(ub)
+         .groupBy("g_a", "g_b", "hkey")
+         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("g_a", "g_b").orderBy("hkey")
+    topk = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (topk.groupBy("g_a", "g_b")
+            .agg(F.count("*").cast("bigint").alias("k_used"),
+                 F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_common"))
+            .select("g_a", "g_b", "k_used", "n_common",
+                    F.floor(F.col("n_common") * F.lit(1000000)
+                            / F.col("k_used")).cast("bigint").alias("jaccard_ppm")))
+
+
+def kmv_overlap_pairs_sql(sketch_sql: str, group_col: str,
+                          k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_overlap_pairs`."""
+    return f"""
+WITH sk AS ({sketch_sql}),
+cand AS (
+  SELECT DISTINCT a.{group_col} AS g_a, b.{group_col} AS g_b
+  FROM sk a JOIN sk b ON a.hkey = b.hkey AND a.{group_col} < b.{group_col}
+),
+u AS (
+  SELECT g_a, g_b, hkey, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT c.g_a, c.g_b, s.hkey, 1 AS in_a, 0 AS in_b
+    FROM cand c JOIN sk s ON s.{group_col} = c.g_a
+    UNION ALL
+    SELECT c.g_a, c.g_b, s.hkey, 0 AS in_a, 1 AS in_b
+    FROM cand c JOIN sk s ON s.{group_col} = c.g_b
+  ) GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY hkey) AS rn
+  FROM u
+)
+SELECT g_a, g_b,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+       CAST(floor(SUM(in_a * in_b) * 1000000.0 / COUNT(*)) AS BIGINT) AS jaccard_ppm
+FROM topk WHERE rn <= {k}
+GROUP BY g_a, g_b
+"""
+
+
 def kmv_overlap_matrix_sql(sketch_sql: str, group_col: str,
                            k: int = 64) -> str:
     """DuckDB twin of :func:`kmv_overlap_matrix` over the same

@@ -9122,3 +9122,46 @@ def q266_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return top_event_paths(load_table(spark, sf_dir, "events"),
                            n=3, k=25, tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q267 — SPARSE overlap pairs: the q240 estimator emitting rows only
+# for source pairs whose sketches SHARE a hash (candidates from one
+# hkey equi-join — the inverted-index trick), the form that scales to
+# 10^6 sources where the dense matrix's G^2 expansion cannot.  An
+# injected 'zzisolated' source with globally unique texts proposes no
+# candidates: its absence from the output IS the sparsity contract
+# (dense q240 would carry its zero rows).
+# ---------------------------------------------------------------------------
+
+_Q267_CORPUS = f"""
+{_Q240_CORPUS.strip()}
+UNION ALL
+SELECT 'zzisolated' AS source,
+       text || ' zziso' || CAST(doc_id AS VARCHAR) AS text
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _q267_sql() -> str:
+    from dbms_spark.operators.sketch import kmv_by_sql, kmv_overlap_pairs_sql
+
+    return kmv_overlap_pairs_sql(
+        kmv_by_sql(_Q267_CORPUS, "source", "text", k=16), "source", k=16)
+
+
+@register("q267_sparse_overlap_pairs", _q267_sql())
+def q267_sparse_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.sketch import kmv_by, kmv_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("shared mirrored boilerplate page"))
+        .otherwise(F.col("text")).alias("text")).unionByName(
+        docs.filter("doc_id % 13 = 0").selectExpr(
+            "'zzisolated' AS source",
+            "concat(text, ' zziso', CAST(doc_id AS STRING)) AS text"))
+    return kmv_overlap_pairs(kmv_by(corpus, "source", "text", k=16),
+                             "source", k=16, built_k=16)

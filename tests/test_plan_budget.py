@@ -123,6 +123,9 @@ SHUFFLE_BUDGET = {
     "q264_funnel": 4,
     "q265_retention_cohorts": 3,       # first-touch agg + distinct + keyed join
     "q266_top_event_paths": 2,         # per-user lead window + path agg
+    # checkpointed sketch leaf; candidate hkey self-join + union agg +
+    # per-pair window fold into two exchanges under AQE broadcasts
+    "q267_sparse_overlap_pairs": 4,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -338,3 +338,56 @@ def test_kmv_overlap_matrix_k_mismatch_raises(spark):
     # matched parameters work both ways
     assert kmv_overlap_matrix(sk, "g", k=8, built_k=8).count() == 1
     assert kmv_overlap_matrix(sk, "g", k=8).count() == 1
+
+
+def test_kmv_overlap_pairs_identity_and_sparsity(spark):
+    """Sparse form contract: every dense row with n_common > 0 appears
+    with identical values; every sparse row equals its dense
+    counterpart; pairs sharing no hash are ABSENT (dense keeps them as
+    zero rows); a fully disjoint corpus yields an empty relation."""
+    from dbms_spark.operators.sketch import (kmv_by, kmv_overlap_matrix,
+                                             kmv_overlap_pairs)
+
+    rows = (
+        [("a", f"shared-{i}") for i in range(40)]
+        + [("a", f"a-only-{i}") for i in range(60)]
+        + [("b", f"shared-{i}") for i in range(40)]
+        + [("b", f"b-only-{i}") for i in range(60)]
+        + [("c", f"c-only-{i}") for i in range(100)]   # disjoint from all
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_by(df, "g", "key", k=32)
+    dense = {(r.g_a, r.g_b): (r.k_used, r.n_common, r.jaccard_ppm)
+             for r in kmv_overlap_matrix(sk, "g", k=32, built_k=32).collect()}
+    sparse = {(r.g_a, r.g_b): (r.k_used, r.n_common, r.jaccard_ppm)
+              for r in kmv_overlap_pairs(sk, "g", k=32, built_k=32).collect()}
+    assert ("a", "b") in sparse and sparse[("a", "b")][1] > 0
+    for pair, vals in sparse.items():
+        assert dense[pair] == vals
+    for pair, vals in dense.items():
+        if vals[1] > 0:
+            assert sparse[pair] == vals
+    # c shares nothing: its pairs exist ONLY in the dense form
+    assert ("a", "c") in dense and ("a", "c") not in sparse
+    assert ("b", "c") in dense and ("b", "c") not in sparse
+    # fully disjoint corpus -> empty sparse relation
+    dis = spark.createDataFrame(
+        [(g, f"{g}-{i}") for g in "xyz" for i in range(50)],
+        "g string, key string")
+    assert kmv_overlap_pairs(kmv_by(dis, "g", "key", k=16),
+                             "g", k=16, built_k=16).count() == 0
+
+
+def test_kmv_overlap_pairs_k_mismatch_raises(spark):
+    import pytest
+
+    from dbms_spark.operators.sketch import kmv_by, kmv_overlap_pairs
+
+    df = spark.createDataFrame(
+        [("a", f"s-{i}") for i in range(50)] +
+        [("b", f"s-{i}") for i in range(50)], "g string, key string")
+    sk = kmv_by(df, "g", "key", k=8)
+    with pytest.raises(ValueError, match="exceeds"):
+        kmv_overlap_pairs(sk, "g", k=64, built_k=8)
+    with pytest.raises(ValueError, match="widest"):
+        kmv_overlap_pairs(sk, "g", k=64)

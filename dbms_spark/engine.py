@@ -453,17 +453,61 @@ class DbmsEngine:
         return kmv_build(df, key_col, k, expected_ndv=expected_ndv)
 
     def source_overlap(self, df: DataFrame, group_col: str, key_col: str,
-                       k: int = 64) -> DataFrame:
-        """Pairwise key-overlap matrix between groups (sources, days,
-        shards) estimated from per-group KMV sketches — builds the
-        sketch with kmv_by then runs sketch.kmv_overlap_matrix, never
-        expanding beyond G^2*k sketch rows regardless of corpus size.
-        To reuse a persisted sketch ledger, call kmv_overlap_matrix on
-        it directly.  Gate q240."""
-        from dbms_spark.operators.sketch import kmv_by, kmv_overlap_matrix
+                       k: int = 64, sparse: bool = False) -> DataFrame:
+        """Pairwise key-overlap estimates between groups (sources,
+        days, shards) from per-group KMV sketches — builds the sketch
+        with kmv_by then runs the Beyer 2007 estimator.  Default is
+        the dense matrix (every pair, zero rows included — fine to
+        G ~ 10^3 groups); ``sparse=True`` emits only pairs whose
+        sketches share a hash (absent == estimated Jaccard 0), the
+        form that scales to per-domain group counts.  To reuse a
+        persisted sketch ledger, call kmv_overlap_matrix /
+        kmv_overlap_pairs on it directly.  Gates q240, q267."""
+        from dbms_spark.operators.sketch import (kmv_by, kmv_overlap_matrix,
+                                                 kmv_overlap_pairs)
 
-        return kmv_overlap_matrix(kmv_by(df, group_col, key_col, k),
-                                  group_col, k, built_k=k)
+        sk = kmv_by(df, group_col, key_col, k)
+        if sparse:
+            return kmv_overlap_pairs(sk, group_col, k, built_k=k)
+        return kmv_overlap_matrix(sk, group_col, k, built_k=k)
+
+    def rank_bm25(self, docs: DataFrame, terms: list[str], k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        """Top-k docs for a term query under integer-exact BM25
+        (k1=1.2, b=0.75) — the ranked completion of the boolean
+        retrieval verbs.  Gate q263."""
+        from dbms_spark.llm.text import bm25_rank
+
+        return bm25_rank(docs, terms, id_col, text_col, k)
+
+    def funnel(self, events: DataFrame, steps: list[str],
+               key: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type") -> DataFrame:
+        """Ordered-progression funnel counts over an event stream
+        (each step strictly after the previous step's first
+        occurrence).  Gate q264."""
+        from dbms_spark.operators.events import funnel
+
+        return funnel(events, steps, key, ts_col, type_col)
+
+    def retention(self, events: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+        """Weekly first-touch retention triangle.  Gate q265."""
+        from dbms_spark.operators.events import retention_cohorts
+
+        return retention_cohorts(events, key, ts_col)
+
+    def top_paths(self, events: DataFrame, n: int = 3, k: int = 20,
+                  key: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  session_col: str | None = None,
+                  tiebreak: list[str] | None = None) -> DataFrame:
+        """Most common n-step consecutive event-type sequences
+        (optionally session-bounded).  Gate q266."""
+        from dbms_spark.operators.events import top_event_paths
+
+        return top_event_paths(events, n, k, key, ts_col, type_col,
+                               session_col, tiebreak)
 
     def decontaminate_embeddings(self, train: DataFrame, bench: DataFrame,
                                  threshold: float = 0.85,

@@ -383,3 +383,30 @@ def test_cli_dedup_policies_and_overlap(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["groups_pairs"] == 1
     assert out["top"][0]["g_a"] == "s0" and out["top"][0]["n_common"] == 0
+
+
+def test_engine_retrieval_and_event_verbs(spark, sf_dir):
+    """rank_bm25 / funnel / retention / top_paths / sparse overlap —
+    thin façade checks (semantics are pinned in test_llm/test_events/
+    test_sketch; gates q263-q267 hash-verify values)."""
+    eng = DbmsEngine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = eng.rank_bm25(docs, ["spark", "join"], k=5).collect()
+    assert len(ranked) == 5 and [r.rank for r in ranked] != []
+    assert ranked[0].score_x1e6 >= ranked[-1].score_x1e6
+
+    ev = load_table(spark, sf_dir, "events")
+    fn = {r.step: r.n_users
+          for r in eng.funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert fn[0] >= fn[1] >= fn[2]          # funnel is monotone
+
+    ret = eng.retention(ev).collect()
+    assert all(r.week_offset >= 0 and r.n_users > 0 for r in ret)
+
+    paths = eng.top_paths(ev, n=2, k=5, tiebreak=["event_id"]).collect()
+    assert len(paths) == 5 and all("->" in r.path for r in paths)
+
+    sparse = eng.source_overlap(docs, "source", "text", k=16, sparse=True)
+    dense = eng.source_overlap(docs, "source", "text", k=16)
+    # unique texts -> sparse empty, dense keeps its zero rows
+    assert sparse.count() <= dense.count()

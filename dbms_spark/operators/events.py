@@ -147,6 +147,57 @@ GROUP BY 1, 2
 """
 
 
+def rolling_agg(events: DataFrame, key: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                days: int = 7, id_cols: list[str] | None = None) -> DataFrame:
+    """Trailing time-RANGE window per key: for every event, the count
+    of the key's events and the fixed-point sum of ``value_col`` over
+    the ``days`` ending at (and including) that event — the rolling
+    activity/spend feature block behind rate limits, churn features,
+    and anomaly baselines.
+
+    Returns the key, ``id_cols`` (pass the event id for a
+    deterministic per-row identity), the timestamp, n_events_win
+    BIGINT and sum_cents_win BIGINT (value summed as round(v*100)
+    BIGINT — integer addition is order-free, so the window sum is
+    bit-identical cross-engine where a double sum would depend on
+    accumulation order).
+
+    Shape: ONE sort-shuffle on (key, ts) and a linear range-frame scan
+    per partition — Spark's RangeFrame keeps a sliding bound, state is
+    the in-window rows, never the key's full history; a hot key costs
+    its rows in one partition's sort, not an array cell.  The frame is
+    epoch-second RANGE [now - days*86400 + 1, now]: a calendar-day
+    frame would need session-zone day boundaries (DST-dependent);
+    fixed seconds are engine- and zone-free."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = (Window.partitionBy(key).orderBy(epoch)
+         .rangeBetween(-(days * 86400 - 1), 0))
+    return events.select(
+        F.col(key), *[F.col(c) for c in (id_cols or [])], F.col(ts_col),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_win"),
+        F.sum(cents).over(w).cast("bigint").alias("sum_cents_win"))
+
+
+def rolling_agg_sql(table: str, key: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", days: int = 7,
+                    id_cols: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`rolling_agg` (numeric RANGE frame over
+    epoch seconds mirrors Spark's rangeBetween exactly)."""
+    ids = "".join(f"{c}, " for c in (id_cols or []))
+    return f"""
+SELECT {key}, {ids}CAST({ts_col} AS TIMESTAMP) AS {ts_col},
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_win,
+       CAST(SUM(CAST(round({value_col} * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_win
+FROM {table}
+WINDOW w AS (PARTITION BY {key}
+             ORDER BY epoch(CAST({ts_col} AS TIMESTAMP))
+             RANGE BETWEEN {days * 86400 - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 def top_event_paths(events: DataFrame, n: int = 3, k: int = 20,
                     key: str = "user_id", ts_col: str = "ts",
                     type_col: str = "event_type",

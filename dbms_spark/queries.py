@@ -9165,3 +9165,28 @@ def q267_sparse_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(text, ' zziso', CAST(doc_id AS STRING)) AS text"))
     return kmv_overlap_pairs(kmv_by(corpus, "source", "text", k=16),
                              "source", k=16, built_k=16)
+
+
+# ---------------------------------------------------------------------------
+# q268 — trailing 7-day RANGE window per user: rolling event count +
+# fixed-point value sum ending at each event — the activity/spend
+# feature block behind rate limits and anomaly baselines.  ONE
+# sort-shuffle on (user, ts); the RangeFrame keeps a sliding bound
+# (state = in-window rows, never a key's full history).  Cents-BIGINT
+# sum because integer addition is order-free — a double window sum
+# would depend on accumulation order and break the hash gate.
+# ---------------------------------------------------------------------------
+
+
+def _q268_sql() -> str:
+    from dbms_spark.operators.events import rolling_agg_sql
+
+    return rolling_agg_sql("events", days=7, id_cols=["event_id"])
+
+
+@register("q268_rolling_window", _q268_sql())
+def q268_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_agg
+
+    return rolling_agg(load_table(spark, sf_dir, "events"),
+                       days=7, id_cols=["event_id"])

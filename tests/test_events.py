@@ -96,3 +96,29 @@ def test_top_event_paths_session_boundary(spark):
     without = {r.path: r.n_paths for r in E.top_event_paths(
         ev, n=2, k=5, tiebreak=["event_id"]).collect()}
     assert without["b->a"] == 1          # the bridge the session form removes
+
+
+def test_rolling_agg_hand_values(spark):
+    """Trailing 7-day RANGE frame: an event exactly 7*86400-1 seconds
+    earlier is IN the window, one second earlier is OUT; counts and
+    cent-sums are per-key."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    week = 7 * 86400
+    rows = [
+        (1, base - dt.timedelta(seconds=week), 10.0, 1),      # out by 1 s
+        (1, base - dt.timedelta(seconds=week - 1), 20.0, 2),  # boundary: in
+        (1, base - dt.timedelta(days=1), 30.0, 3),
+        (1, base, 40.25, 4),
+        (2, base, 99.0, 5),                                    # other key
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long")
+    got = {r.event_id: (r.n_events_win, r.sum_cents_win)
+           for r in E.rolling_agg(ev, days=7, id_cols=["event_id"]).collect()}
+    assert got[1] == (1, 1000)
+    assert got[2] == (2, 3000)          # sees event 1 (within 7d of it)
+    assert got[3] == (3, 6000)          # events 1,2,3 within ITS window
+    assert got[4] == (3, 9025)          # event 1 out by 1 s; 2,3,4 in
+    assert got[5] == (1, 9900)          # key isolation

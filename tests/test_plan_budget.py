@@ -126,6 +126,7 @@ SHUFFLE_BUDGET = {
     # checkpointed sketch leaf; candidate hkey self-join + union agg +
     # per-pair window fold into two exchanges under AQE broadcasts
     "q267_sparse_overlap_pairs": 4,
+    "q268_rolling_window": 1,          # one (user, ts) sort-shuffle, range frame
 }
 
 _SHUFFLE_RE = re.compile(

@@ -490,6 +490,119 @@ FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {k}
 """
 
 
+def token_cooccurrence(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_df: int = 5,
+                       max_df: int | None = None, min_pair: int = 2,
+                       per_doc_cap: int | None = 256,
+                       k: int = 50) -> DataFrame:
+    """Top-``k`` token pairs by document-co-occurrence LIFT — the
+    collocation / topic-signal miner (PMI = log lift; log is monotone,
+    so lift ranks identically per pair count and stays integer-exact:
+    ``lift_ppm`` = floor(1e6 · n_pair · N / (df_a · df_b))).
+
+    Occupancy controls, because the within-doc pair expansion is
+    Σ_d r_d² for r_d retained tokens per doc:
+
+    - ``min_df`` drops hapax noise (rare pairs of rare tokens have
+      degenerate lift and dominate undamped PMI rankings — the reason
+      ``min_pair`` also gates the output);
+    - ``max_df`` drops stop-word-grade head terms BEFORE pairing
+      (the inverted_index recipe: they carry no collocation signal and
+      their pair volume is O(corpus·r_d));
+    - ``per_doc_cap`` bounds r_d: keep each doc's first ``cap``
+      retained tokens in md5-of-token order — deterministic and
+      engine-free (the kmv_by recipe), so a pathological 10⁶-distinct-
+      token doc contributes cap² pairs, not 10¹².
+
+    Shape: one distinct (id, token) explode; docfreq partial-agg;
+    retained tokens re-join the doc relation; per-doc cap is a
+    bounded window; the pair expansion is ONE equi-join on the doc id
+    (both sides the same capped relation); pair counts partial-agg on
+    the (a, b) key; top-k is a TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(tokens_expr(text_col)))
+                      .alias("token")))
+    dfreq = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    keep = dfreq.where(F.col("df") >= min_df)
+    if max_df is not None:
+        keep = keep.where(F.col("df") <= max_df)
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    kept = toks.join(keep, "token")
+    if per_doc_cap is not None:
+        w = Window.partitionBy(id_col).orderBy(F.md5("token"))
+        kept = (kept.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= per_doc_cap).drop("__rn"))
+    # the pair join reads this relation twice — materialize once
+    kept = kept.select(id_col, "token", "df").localCheckpoint()
+    a = kept.select(F.col(id_col), F.col("token").alias("tok_a"),
+                    F.col("df").alias("df_a"))
+    b = kept.select(F.col(id_col), F.col("token").alias("tok_b"),
+                    F.col("df").alias("df_b"))
+    pairs = (a.join(b, id_col)
+             .where(F.col("tok_a") < F.col("tok_b"))
+             .groupBy("tok_a", "tok_b", "df_a", "df_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+             .where(F.col("n_pair") >= min_pair)
+             .crossJoin(F.broadcast(n))
+             .select("tok_a", "tok_b", "n_pair", "df_a", "df_b",
+                     F.expr("(CAST(1000000 AS DECIMAL(38,0)) * n_pair"
+                            " * n_docs) DIV (CAST(df_a AS DECIMAL(38,0))"
+                            " * df_b)").alias("lift_ppm")))
+    topk = pairs.orderBy(F.desc("lift_ppm"), F.asc("tok_a"),
+                         F.asc("tok_b")).limit(k)
+    rw = Window.orderBy(F.desc("lift_ppm"), F.asc("tok_a"), F.asc("tok_b"))
+    return topk.select("tok_a", "tok_b", "n_pair", "df_a", "df_b",
+                       "lift_ppm",
+                       F.row_number().over(rw).cast("bigint").alias("rank"))
+
+
+def token_cooccurrence_sql(table: str, id_col: str = "doc_id",
+                           text_col: str = "text", min_df: int = 5,
+                           max_df: int | None = None, min_pair: int = 2,
+                           per_doc_cap: int | None = 256,
+                           k: int = 50) -> str:
+    """DuckDB twin of :func:`token_cooccurrence`."""
+    maxdf = f"AND df <= {max_df}" if max_df is not None else ""
+    cap = (f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} "
+           f"ORDER BY md5(token)) <= {per_doc_cap}"
+           if per_doc_cap is not None else "")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_distinct({tokens_sql(text_col)})) AS token
+  FROM {table}
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+kept AS (
+  SELECT {id_col}, token, df
+  FROM toks JOIN dfreq USING (token)
+  WHERE df >= {min_df} {maxdf}
+  {cap}
+),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair,
+         a.df AS df_a, b.df AS df_b
+  FROM kept a JOIN kept b ON a.{id_col} = b.{id_col} AND a.token < b.token
+  GROUP BY 1, 2, 4, 5
+  HAVING COUNT(*) >= {min_pair}
+)
+SELECT tok_a, tok_b, n_pair, df_a, df_b, lift_ppm, rank FROM (
+  SELECT tok_a, tok_b, n_pair, df_a, df_b,
+         CAST((CAST(1000000 AS HUGEINT) * n_pair * n.n_docs)
+              // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_ppm,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY (CAST(1000000 AS HUGEINT) * n_pair * n.n_docs)
+                    // (CAST(df_a AS HUGEINT) * df_b) DESC,
+                    tok_a, tok_b) AS BIGINT) AS rank
+  FROM pairs, n
+) WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------

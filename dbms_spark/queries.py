@@ -9190,3 +9190,42 @@ def q268_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rolling_agg(load_table(spark, sf_dir, "events"),
                        days=7, id_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q269 — token co-occurrence lift (the PMI family, log-free): top
+# collocation pairs with every occupancy control ON — min_df drops
+# hapax noise, max_df=400 drops an injected stop-word-grade token
+# (' zzcommon' on every doc — its pairs would be O(corpus·r_d)),
+# per_doc_cap bounds the within-doc pair expansion, min_pair gates
+# degenerate rare-pair lift.  ' zzpair%7' is injected on doc_id % 7
+# docs: a planted collocation the ranking must surface.  lift_ppm is
+# integer-exact (DECIMAL(38,0)/HUGEINT), so ranks hash-compare.
+# ---------------------------------------------------------------------------
+
+_Q269_CORPUS_DUCK = """
+SELECT doc_id,
+       text || ' zzcommon' ||
+       CASE WHEN doc_id % 7 = 0 THEN ' zzpairx zzpairy' ELSE '' END AS text
+FROM documents
+"""
+
+
+def _q269_sql() -> str:
+    from dbms_spark.llm.text import token_cooccurrence_sql
+
+    return token_cooccurrence_sql(f"({_Q269_CORPUS_DUCK})", min_df=5,
+                                  max_df=400, min_pair=2, per_doc_cap=64,
+                                  k=40)
+
+
+@register("q269_token_cooccurrence", _q269_sql())
+def q269_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import token_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' zzcommon', CASE WHEN doc_id % 7 = 0"
+        " THEN ' zzpairx zzpairy' ELSE '' END) AS text")
+    return token_cooccurrence(docs, min_df=5, max_df=400, min_pair=2,
+                              per_doc_cap=64, k=40)

@@ -1612,3 +1612,48 @@ def test_bm25_rank_term_saturation(spark):
     s = {r.doc_id: r.score_x1e6
          for r in TX.bm25_rank(df, ["hit"], k=6).collect()}
     assert s[2] - s[1] > s[6] - s[5] > 0
+
+
+def test_token_cooccurrence_hand_values(spark):
+    """Hand-computed lift on a crafted corpus: a perfect collocation
+    (always together) scores lift = N/df; min_df drops hapax noise;
+    min_pair gates singleton pairs."""
+    docs = {
+        1: "alpha beta filler1",
+        2: "alpha beta filler2",
+        3: "alpha beta filler3",
+        4: "alpha gamma filler4",
+        5: "gamma delta filler5",
+        6: "gamma delta filler6",
+    }
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    out = {(r.tok_a, r.tok_b): (r.n_pair, r.df_a, r.df_b, r.lift_ppm, r.rank)
+           for r in TX.token_cooccurrence(
+               df, min_df=2, min_pair=2, per_doc_cap=None, k=10).collect()}
+    # alpha(df=4) & beta(df=3): together 3x -> 1e6*3*6/(4*3) = 1,500,000
+    assert out[("alpha", "beta")][:4] == (3, 4, 3, 1_500_000)
+    # gamma(df=3) & delta(df=2): together 2x -> 1e6*2*6/(3*2) = 2,000,000
+    assert out[("delta", "gamma")][:4] == (2, 2, 3, 2_000_000)
+    # delta-gamma outranks alpha-beta (higher lift), deterministically
+    assert out[("delta", "gamma")][4] < out[("alpha", "beta")][4]
+    # fillers are hapax (df=1 < min_df): never paired
+    assert all("filler" not in a and "filler" not in b for a, b in out)
+    # alpha-gamma co-occur once only: min_pair=2 gates it
+    assert ("alpha", "gamma") not in out
+
+
+def test_token_cooccurrence_caps(spark):
+    """max_df drops head terms BEFORE pairing; per_doc_cap bounds the
+    per-doc expansion deterministically (md5 order, engine-free)."""
+    docs = [(i, f"stopword mid{i % 3} mid{(i + 1) % 3} uniq{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # stopword has df=12: max_df=10 removes every pair containing it
+    out = TX.token_cooccurrence(df, min_df=2, max_df=10, min_pair=2,
+                                per_doc_cap=None, k=50).collect()
+    assert out and all("stopword" not in (r.tok_a, r.tok_b) for r in out)
+    # per_doc_cap=1 leaves one retained token per doc: no pairs at all
+    capped = TX.token_cooccurrence(df, min_df=2, min_pair=1,
+                                   per_doc_cap=1, k=50).collect()
+    assert capped == []

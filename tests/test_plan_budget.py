@@ -127,6 +127,8 @@ SHUFFLE_BUDGET = {
     # per-pair window fold into two exchanges under AQE broadcasts
     "q267_sparse_overlap_pairs": 4,
     "q268_rolling_window": 1,          # one (user, ts) sort-shuffle, range frame
+    # checkpointed capped-token leaf; one doc-id pair equi-join + pair agg
+    "q269_token_cooccurrence": 3,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -9229,3 +9229,32 @@ def q269_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN ' zzpairx zzpairy' ELSE '' END) AS text")
     return token_cooccurrence(docs, min_df=5, max_df=400, min_pair=2,
                               per_doc_cap=64, k=40)
+
+
+# ---------------------------------------------------------------------------
+# q270 — weekly activity pivot: ISO week x event-type count matrix
+# (the dashboard crosstab) as ONE partial-aggregated shuffle of
+# conditional counts.  Deliberately NOT df.pivot: with an implicit
+# pivot Spark collects the distinct types to the driver to plan
+# columns (hidden corpus-dependent collect, data-dependent schema),
+# and even with an explicit value list it plans TWO exchanges — a
+# (week, type) count then a pivotfirst re-shuffle (measured on this
+# gate).  A known value list makes the crosstab a plain groupBy.
+# ---------------------------------------------------------------------------
+
+_Q270_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+_Q270_SQL = f"""
+SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+       {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in _Q270_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@register("q270_weekly_type_pivot", _Q270_SQL)
+def q270_weekly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("week", F.col("ts").cast("timestamp"))
+                       .alias("week"))
+            .agg(*[F.count(F.when(F.col("event_type") == t, 1))
+                   .cast("bigint").alias(t) for t in _Q270_TYPES]))

@@ -118,3 +118,17 @@ def test_daily_profile_stages(spark, sf_dir, tmp_path):
     for p in ("p50", "p95"):
         assert abs(drift["day1_quantiles"][p] - drift["day0_quantiles"][p]) \
             <= (2000.0 / 50) * 2
+
+
+def test_event_analytics_stages(spark, sf_dir):
+    stages = _load("event_analytics").main(sf_dir, spark=spark)
+    by = {d["stage"]: d for d in stages}
+    assert list(by) == ["sessionize", "funnel", "retention",
+                        "top_paths", "rolling"]
+    assert by["sessionize"]["n_sessions"] <= by["sessionize"]["n_events"]
+    fn = by["funnel"]
+    assert fn["view"] >= fn["click"] >= fn["purchase"]   # monotone funnel
+    assert by["retention"]["max_offset"] >= 0
+    assert len(by["top_paths"]["top"]) == 5
+    assert by["rolling"]["rows"] == by["sessionize"]["n_events"]
+    assert by["rolling"]["peak_7d_events"] >= 1

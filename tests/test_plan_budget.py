@@ -129,6 +129,7 @@ SHUFFLE_BUDGET = {
     "q268_rolling_window": 1,          # one (user, ts) sort-shuffle, range frame
     # checkpointed capped-token leaf; one doc-id pair equi-join + pair agg
     "q269_token_cooccurrence": 3,
+    "q270_weekly_type_pivot": 1,       # explicit-value pivot = one partial agg
 }
 
 _SHUFFLE_RE = re.compile(

@@ -1484,6 +1484,81 @@ SELECT {id_col}, score_x1e6, rank FROM (
 """
 
 
+def bm25_index(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               max_df: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Build-once relations for :func:`bm25_query` — the
+    index-then-query-many lifecycle (the sketch-ledger pattern: one
+    corpus pass at build time, every later query costs only its own
+    postings).  Returns ``(postings, doclens)``:
+
+    - ``postings``: (token, id, tf) — the tf-weighted posting
+      relation.  Persist it partitioned/sorted BY TOKEN (e.g.
+      ``.write.partitionBy()``/bucketing on token): a query's IN
+      filter then prunes to the query terms' row groups instead of
+      scanning the corpus index.  ``max_df`` drops stop-word-grade
+      head terms exactly as :func:`inverted_index` does — they carry
+      no ranking selectivity and their posting volume is O(corpus).
+    - ``doclens``: (id, dl) — per-doc token counts, map-side derived;
+      n_docs / total-token stats are one cheap aggregate over it at
+      query time, so no separate stats artifact can drift out of sync
+      with the doclens ledger.
+
+    :func:`bm25_query` over these relations is row-identical to
+    :func:`bm25_rank` on the same corpus (unit-pinned) when the
+    build and the one-shot form use the same ``max_df`` (default
+    None)."""
+    with_toks = df.withColumn("__toks", tokens_expr(text_col))
+    doclens = with_toks.select(F.col(id_col).alias("id"),
+                               F.size("__toks").cast("bigint").alias("dl"))
+    postings = (with_toks.select(F.col(id_col).alias("id"),
+                                 F.explode("__toks").alias("token"))
+                .groupBy("token", "id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    if max_df is not None:
+        dfreq = (postings.groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("__df")))
+        head = dfreq.where(F.col("__df") > max_df).select("token")
+        postings = postings.join(F.broadcast(head), "token", "left_anti")
+    return postings, doclens
+
+
+def bm25_query(postings: DataFrame, doclens: DataFrame, terms: list[str],
+               k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` BM25 ranking from persisted :func:`bm25_index`
+    relations — identical scoring to :func:`bm25_rank` (same integer
+    arithmetic, same output schema with ``id_col`` naming), but the
+    corpus is never re-tokenized: the query reads its terms' postings
+    (a pushed-down IN over the persisted relation — with the ledger
+    laid out by token, that's a pruned scan) plus one aggregate over
+    the doc-bounded doclens relation for (N, T)."""
+    from pyspark.sql import Window
+
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_total"))
+    tf = postings.filter(F.col("token").isin(terms)).localCheckpoint()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (tf.join(doclens, "id")
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  F.col("id"),
+                  F.expr(
+                      "(CAST(1000000 AS DECIMAL(38,0)) * 44 * tf * t_total"
+                      " * (2*n_docs - 2*df + 1))"
+                      " DIV ((CAST(20 AS DECIMAL(38,0)) * tf * t_total"
+                      "       + CAST(6 AS DECIMAL(38,0)) * t_total"
+                      "       + CAST(18 AS DECIMAL(38,0)) * dl * n_docs)"
+                      "      * (2*df + 1))").alias("s")))
+    per_doc = (scored.groupBy("id")
+               .agg(F.sum("s").cast("bigint").alias("score_x1e6")))
+    topk = per_doc.orderBy(F.desc("score_x1e6"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score_x1e6"), F.asc("id"))
+    return topk.select(F.col("id").alias(id_col), "score_x1e6",
+                       F.row_number().over(w).cast("bigint").alias("rank"))
+
+
 def mix_to_budget(df: DataFrame, budgets: dict[str, int],
                   id_col: str = "doc_id", source_col: str = "source",
                   weight_col: str = "n_chars",

@@ -9258,3 +9258,31 @@ def q270_weekly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("week"))
             .agg(*[F.count(F.when(F.col("event_type") == t, 1))
                    .cast("bigint").alias(t) for t in _Q270_TYPES]))
+
+
+# ---------------------------------------------------------------------------
+# q271 — BM25 through the index-then-query-many lifecycle: the q263
+# ranking produced from bm25_index's (postings, doclens) ledger
+# relations instead of re-tokenizing the corpus — the form a search
+# service runs (build once, persist partitioned by token, every query
+# reads only its terms' postings + one doc-bounded stats agg).  Same
+# oracle as q263: the factored pipeline must be row-identical.
+# ---------------------------------------------------------------------------
+
+
+def _q271_sql() -> str:
+    from dbms_spark.llm.text import bm25_rank_sql
+
+    return bm25_rank_sql(f"({_Q263_CORPUS_DUCK})", _Q263_TERMS, k=25)
+
+
+@register("q271_bm25_indexed", _q271_sql())
+def q271_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import bm25_index, bm25_query
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 41 = 0 THEN "
+        f"'{_Q263_SPIKE}' ELSE '' END) AS text")
+    postings, doclens = bm25_index(docs)
+    return bm25_query(postings, doclens, _Q263_TERMS, k=25)

@@ -1657,3 +1657,40 @@ def test_token_cooccurrence_caps(spark):
     capped = TX.token_cooccurrence(df, min_df=2, min_pair=1,
                                    per_doc_cap=1, k=50).collect()
     assert capped == []
+
+
+def test_bm25_index_query_identity_and_pruning(spark, tmp_path):
+    """bm25_query over persisted bm25_index relations is row-identical
+    to the one-shot bm25_rank; the postings IN filter reaches the
+    parquet scan (pushed filter — the pruned-read contract); max_df at
+    build time drops head terms from the ledger."""
+    docs = {i: f"common mid{i % 5} uniq{i} " + ("rare " if i % 7 == 0 else "")
+            for i in range(60)}
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    terms = ["rare", "common", "mid2"]
+    direct = [(r.doc_id, r.score_x1e6, r.rank)
+              for r in TX.bm25_rank(df, terms, k=12).collect()]
+
+    postings, doclens = TX.bm25_index(df)
+    pp, dp = str(tmp_path / "postings"), str(tmp_path / "doclens")
+    postings.write.parquet(pp)
+    doclens.write.parquet(dp)
+    p, d = spark.read.parquet(pp), spark.read.parquet(dp)
+    via_index = [(r.doc_id, r.score_x1e6, r.rank)
+                 for r in TX.bm25_query(p, d, terms, k=12).collect()]
+    assert via_index == direct
+
+    # the query's postings read is a pushed-down IN over the ledger
+    # (bm25_query checkpoints that relation, so inspect the scan the
+    # checkpoint job runs: the filtered postings plan itself)
+    from pyspark.sql import functions as F
+
+    scan_plan = (p.filter(F.col("token").isin(terms))
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(token" in scan_plan
+
+    # head-drop at build: 'common' (df=60) gone from the ledger, and a
+    # query for it scores only the surviving terms
+    postings_capped, _ = TX.bm25_index(df, max_df=50)
+    assert postings_capped.filter("token = 'common'").count() == 0

@@ -130,6 +130,9 @@ SHUFFLE_BUDGET = {
     # checkpointed capped-token leaf; one doc-id pair equi-join + pair agg
     "q269_token_cooccurrence": 3,
     "q270_weekly_type_pivot": 1,       # explicit-value pivot = one partial agg
+    # in-flight index build + query: postings agg, checkpointed tf leg,
+    # doclens join, per-doc agg (persisted-ledger runs prune to terms)
+    "q271_bm25_indexed": 3,
 }
 
 _SHUFFLE_RE = re.compile(

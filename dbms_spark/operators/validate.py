@@ -168,3 +168,68 @@ def windowed_constraint_counts(stream: DataFrame, rules: list[ConstraintRule],
         .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), *[
             F.col(name) for name, *_ in rules])
     )
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing ranges in an integer key sequence: (gap_lo, gap_hi,
+    n_missing) for every maximal run of absent ids strictly between
+    the observed min and max — the "did the migration drop a batch?"
+    screen a row-count compare can pass while whole id ranges are
+    missing from the middle.
+
+    Fully distributed islands (the reverify recipe,
+    ``changed_ranges_df``): an id STARTS a present-run iff id-1 is
+    absent and ENDS one iff id+1 is absent — two self-anti-joins
+    shuffling only ids; run pairing and the gap derivation then
+    window over the O(n_runs) runs relation, never the raw id set.
+    (A contiguous sequence is 1 run however many rows; a pathological
+    alternating sequence degrades n_runs toward n/2 — at that point
+    the GAP REPORT is O(n) because the answer is, and the window cost
+    matches the output's.)  Duplicates are tolerated (ids are
+    distinct-ed first); NULL ids are ignored."""
+    from pyspark.sql import Window
+
+    ids = (df.select(F.col(id_col).cast("bigint").alias("cid"))
+           .filter(F.col("cid").isNotNull()).distinct())
+    starts = ids.join(ids.select((F.col("cid") + 1).alias("cid")),
+                      "cid", "left_anti")
+    ends = ids.join(ids.select((F.col("cid") - 1).alias("cid")),
+                    "cid", "left_anti")
+    runs = (
+        starts.select(F.col("cid").alias("lo"))
+        .withColumn("k", F.row_number().over(Window.orderBy("lo")))
+        .join(ends.select(F.col("cid").alias("hi"))
+              .withColumn("k", F.row_number().over(Window.orderBy("hi"))), "k")
+        .select("lo", "hi")
+    )
+    w = Window.orderBy("lo")
+    return (runs
+            .withColumn("prev_hi", F.lag("hi").over(w))
+            .filter(F.col("prev_hi").isNotNull())
+            .select((F.col("prev_hi") + 1).alias("gap_lo"),
+                    (F.col("lo") - 1).alias("gap_hi"),
+                    (F.col("lo") - F.col("prev_hi") - 1)
+                    .cast("bigint").alias("n_missing")))
+
+
+def sequence_gaps_sql(table: str, id_col: str) -> str:
+    """DuckDB twin of :func:`sequence_gaps` (windowed gaps-and-islands
+    — an independent formulation: island id from id - DENSE_RANK)."""
+    return f"""
+WITH ids AS (
+  SELECT DISTINCT CAST({id_col} AS BIGINT) AS cid FROM {table}
+  WHERE {id_col} IS NOT NULL
+),
+isl AS (
+  SELECT cid, cid - DENSE_RANK() OVER (ORDER BY cid) AS grp FROM ids
+),
+runs AS (
+  SELECT MIN(cid) AS lo, MAX(cid) AS hi FROM isl GROUP BY grp
+),
+g AS (
+  SELECT lag(hi) OVER (ORDER BY lo) AS prev_hi, lo FROM runs
+)
+SELECT prev_hi + 1 AS gap_lo, lo - 1 AS gap_hi,
+       CAST(lo - prev_hi - 1 AS BIGINT) AS n_missing
+FROM g WHERE prev_hi IS NOT NULL
+"""

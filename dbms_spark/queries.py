@@ -9286,3 +9286,32 @@ def q271_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'{_Q263_SPIKE}' ELSE '' END) AS text")
     postings, doclens = bm25_index(docs)
     return bm25_query(postings, doclens, _Q263_TERMS, k=25)
+
+
+# ---------------------------------------------------------------------------
+# q272 — sequence gap detection: missing ranges in the o_orderkey
+# space.  The synthetic orders table assigns keys contiguously, so
+# the gate deletes every key with o_orderkey % 97 <= 3 first — a
+# 4-wide missing run every 97 keys, hundreds of real gaps whose
+# (lo, hi, n_missing) rows the hash compare pins exactly.
+# The screen a row-count compare passes while whole id batches are
+# missing from the middle.  Islands via two self-anti-joins shuffling
+# only ids; windows touch the runs relation, never the raw key set —
+# the reverify q222 recipe promoted to a validation rule.
+# ---------------------------------------------------------------------------
+
+
+def _q272_sql() -> str:
+    from dbms_spark.operators.validate import sequence_gaps_sql
+
+    return sequence_gaps_sql(
+        "(SELECT * FROM orders WHERE o_orderkey % 97 > 3)", "o_orderkey")
+
+
+@register("q272_sequence_gaps", _q272_sql())
+def q272_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import sequence_gaps
+
+    return sequence_gaps(
+        load_table(spark, sf_dir, "orders").filter("o_orderkey % 97 > 3"),
+        "o_orderkey")

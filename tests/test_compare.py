@@ -347,3 +347,19 @@ def test_apply_diff_multiplicities(spark):
     got = sorted(tuple(r) for r in repaired.collect())
     assert got == sorted([(1, "a"), (2, "b"), (2, "b"), (3, "c"),
                           (4, "d"), (4, "d")])
+
+
+def test_sequence_gaps_hand_values(spark):
+    """Gaps strictly between observed min/max; duplicates tolerated;
+    NULLs ignored; contiguous sequence -> empty."""
+    from dbms_spark.operators.validate import sequence_gaps
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (5,), (6,), (9,), (None,)], "id long")
+    got = sorted((r.gap_lo, r.gap_hi, r.n_missing)
+                 for r in sequence_gaps(df, "id").collect())
+    assert got == [(3, 4, 2), (7, 8, 2)]
+    solid = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    assert sequence_gaps(solid, "id").count() == 0
+    one = spark.createDataFrame([(42,)], "id long")
+    assert sequence_gaps(one, "id").count() == 0

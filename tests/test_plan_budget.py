@@ -133,6 +133,8 @@ SHUFFLE_BUDGET = {
     # in-flight index build + query: postings agg, checkpointed tf leg,
     # doclens join, per-doc agg (persisted-ledger runs prune to terms)
     "q271_bm25_indexed": 3,
+    # distinct + two anti-join islands + run pairing over O(n_runs)
+    "q272_sequence_gaps": 6,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -198,6 +198,89 @@ WINDOW w AS (PARTITION BY {key}
 """
 
 
+def rolling_anomaly(events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    days: int = 7, k_sigma: int = 3, min_n: int = 5,
+                    id_cols: list[str] | None = None) -> DataFrame:
+    """Flag events whose value deviates more than ``k_sigma`` standard
+    deviations from the key's OWN trailing baseline — the per-entity
+    anomaly screen (spend spikes, error bursts) a global threshold
+    cannot express.
+
+    The baseline window is the ``days`` ending one second BEFORE the
+    event (RANGE ... PRECEDING AND 1 PRECEDING): the candidate never
+    contaminates its own baseline, and a burst of simultaneous
+    anomalies cannot vouch for itself.  Events with fewer than
+    ``min_n`` baseline rows are not judged (is_anomaly false,
+    baseline_n reported — the caller sees why).
+
+    Integer-exact WITHOUT sqrt or doubles: with cents c, baseline
+    count n, sum s, sum-of-squares q,
+
+        |z| > k  <=>  (n·c − s)² > k² · (n·q − s²)
+
+    (both sides are n² times the squared-deviation comparison; n·q−s²
+    = n²·σ².)  Squares overflow BIGINT at realistic magnitudes, so
+    the comparison runs in DECIMAL(38,0) (HUGEINT on the oracle) —
+    exact integers end to end, so the flag is bit-identical
+    cross-engine, the same reason the MAD profile and BM25 avoid
+    libm.
+
+    Shape: identical to :func:`rolling_agg` — ONE (key, ts)
+    sort-shuffle, three range-frame aggregates sharing the window."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = (Window.partitionBy(key).orderBy(epoch)
+         .rangeBetween(-(days * 86400 - 1), -1))
+    base = (events
+            .withColumn("__c", cents)
+            .withColumn("__n", F.count(F.lit(1)).over(w).cast("bigint"))
+            .withColumn("__s", F.coalesce(F.sum("__c").over(w), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("__q", F.coalesce(
+                F.sum(F.col("__c") * F.col("__c")).over(w), F.lit(0))
+                .cast("bigint")))
+    dev = ("(CAST(__n AS DECIMAL(38,0)) * __c - __s)"
+           " * (CAST(__n AS DECIMAL(38,0)) * __c - __s)")
+    var = ("(CAST(__n AS DECIMAL(38,0)) * __q - CAST(__s AS DECIMAL(38,0))"
+           " * __s)")
+    return base.select(
+        F.col(key), *[F.col(c) for c in (id_cols or [])], F.col(ts_col),
+        F.col("__c").alias("cents"),
+        F.col("__n").alias("baseline_n"),
+        F.expr(f"__n >= {min_n} AND {dev} > {k_sigma * k_sigma} * {var}")
+        .alias("is_anomaly"))
+
+
+def rolling_anomaly_sql(table: str, key: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        days: int = 7, k_sigma: int = 3, min_n: int = 5,
+                        id_cols: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`rolling_anomaly`."""
+    ids = "".join(f"{c}, " for c in (id_cols or []))
+    dev = ("(CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)")
+    var = ("(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)")
+    return f"""
+WITH b AS (
+  SELECT {key}, {ids}CAST({ts_col} AS TIMESTAMP) AS {ts_col},
+         CAST(round({value_col} * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CAST(round({value_col} * 100) AS BIGINT)) OVER w,
+                       0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(CAST(round({value_col} * 100) AS BIGINT)
+                           * CAST(round({value_col} * 100) AS BIGINT))
+                       OVER w, 0) AS BIGINT) AS q
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key}
+               ORDER BY epoch(CAST({ts_col} AS TIMESTAMP))
+               RANGE BETWEEN {days * 86400 - 1} PRECEDING AND 1 PRECEDING)
+)
+SELECT {key}, {ids}{ts_col}, c AS cents, n AS baseline_n,
+       (n >= {min_n} AND {dev} > {k_sigma * k_sigma} * {var}) AS is_anomaly
+FROM b
+"""
+
+
 def top_event_paths(events: DataFrame, n: int = 3, k: int = 20,
                     key: str = "user_id", ts_col: str = "ts",
                     type_col: str = "event_type",

@@ -9315,3 +9315,29 @@ def q272_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_gaps(
         load_table(spark, sf_dir, "orders").filter("o_orderkey % 97 > 3"),
         "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q273 — rolling z-score anomaly flags: events > 3 sigma from their
+# key's OWN trailing-7-day baseline, the per-entity screen a global
+# threshold cannot express.  The baseline frame ends 1 s BEFORE the
+# event (a spike never vouches for itself); the sigma test is
+# integer-exact WITHOUT sqrt or doubles — (n·c − s)² > k²(n·q − s²)
+# in DECIMAL(38,0)/HUGEINT (both sides are n² times the squared-z
+# comparison) — so the boolean flag itself hash-compares.  Same
+# single sort-shuffle shape as q268.
+# ---------------------------------------------------------------------------
+
+
+def _q273_sql() -> str:
+    from dbms_spark.operators.events import rolling_anomaly_sql
+
+    return rolling_anomaly_sql("events", id_cols=["event_id"])
+
+
+@register("q273_rolling_anomaly", _q273_sql())
+def q273_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_anomaly
+
+    return rolling_anomaly(load_table(spark, sf_dir, "events"),
+                           id_cols=["event_id"])

@@ -122,3 +122,37 @@ def test_rolling_agg_hand_values(spark):
     assert got[3] == (3, 6000)          # events 1,2,3 within ITS window
     assert got[4] == (3, 9025)          # event 1 out by 1 s; 2,3,4 in
     assert got[5] == (1, 9900)          # key isolation
+
+
+def test_rolling_anomaly_hand_values(spark):
+    """Planted spike against a stable baseline flags; the spike never
+    contaminates its own baseline (frame ends 1 s before); min_n
+    withholds judgment on thin baselines."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10)
+    rows = []
+    # u1: 8 stable readings 10.00 +/- 0.02, then a 50.00 spike
+    for i in range(8):
+        rows.append((1, base + dt.timedelta(hours=i), 10.0 + 0.01 * (i % 3), i))
+    rows.append((1, base + dt.timedelta(hours=9), 50.0, 99))
+    # u2: only 2 readings then a spike: baseline too thin to judge
+    rows.append((2, base, 10.0, 201))
+    rows.append((2, base + dt.timedelta(hours=1), 10.0, 202))
+    rows.append((2, base + dt.timedelta(hours=2), 50.0, 203))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long")
+    got = {r.event_id: (r.baseline_n, r.is_anomaly)
+           for r in E.rolling_anomaly(ev, id_cols=["event_id"]).collect()}
+    assert got[99] == (8, True)          # the spike flags
+    assert got[0] == (0, False)          # first event: no baseline
+    assert all(not got[i][1] for i in range(8))   # stable run clean
+    assert got[203] == (2, False)        # thin baseline: withheld
+    # zero-variance baseline: ANY deviation flags (dev^2 > k^2 * 0)
+    flat = [(3, base + dt.timedelta(hours=i), 10.0, 300 + i)
+            for i in range(6)] + [(3, base + dt.timedelta(hours=7), 10.01, 399)]
+    got3 = {r.event_id: r.is_anomaly for r in E.rolling_anomaly(
+        spark.createDataFrame(flat,
+        "user_id long, ts timestamp, value double, event_id long"),
+        id_cols=["event_id"]).collect()}
+    assert got3[399] is True

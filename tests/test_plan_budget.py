@@ -135,6 +135,7 @@ SHUFFLE_BUDGET = {
     "q271_bm25_indexed": 3,
     # distinct + two anti-join islands + run pairing over O(n_runs)
     "q272_sequence_gaps": 6,
+    "q273_rolling_anomaly": 1,         # one (user, ts) sort-shuffle, as q268
 }
 
 _SHUFFLE_RE = re.compile(

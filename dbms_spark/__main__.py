@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-col", default="source")
     sp.add_argument("--key-col", default="text")
     sp.add_argument("--k", type=int, default=64)
+    sp.add_argument("--sparse", action="store_true",
+                    help="emit only pairs sharing a sketch hash "
+                         "(scales past ~10^3 groups)")
+
+    sp = sub.add_parser("search")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--terms", required=True, help="comma-separated query")
+    sp.add_argument("--k", type=int, default=10)
+
+    sp = sub.add_parser("events")
+    sp.add_argument("--events", required=True, help="events parquet path")
+    sp.add_argument("--funnel", default=None,
+                    help="comma-separated ordered step types")
+    sp.add_argument("--anomalies", action="store_true",
+                    help="rolling 3-sigma anomaly count")
 
     sp = sub.add_parser("chunk")
     sp.add_argument("--docs", required=True)
@@ -304,7 +319,30 @@ def main(argv: list[str] | None = None) -> int:
                           "results": spark.read.parquet(args.out).count()}))
         return 0
 
+    if args.verb == "events":
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(args.events)
+        out = {"verb": "events", "n_events": ev.count()}
+        if args.funnel:
+            out["funnel"] = {r.event_type: r.n_users for r in
+                             eng.funnel(ev, args.funnel.split(",")).collect()}
+        if args.anomalies:
+            from dbms_spark.operators.events import rolling_anomaly
+
+            out["anomalies"] = (rolling_anomaly(ev, id_cols=["event_id"])
+                                .filter("is_anomaly")
+                                .count())
+        print(json.dumps(out))
+        return 0
+
     docs = spark.read.parquet(args.docs)
+    if args.verb == "search":
+        ranked = eng.rank_bm25(docs, args.terms.split(","), k=args.k)
+        print(json.dumps({"verb": "search",
+                          "results": [r.asDict() for r in ranked.collect()]}))
+        return 0
+
     if args.verb == "dedup":
         if args.keep_best:
             kept = eng.dedup_keep_best(docs, args.keep_best,
@@ -320,7 +358,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "overlap":
         from pyspark.sql import functions as F
 
-        m = eng.source_overlap(docs, args.group_col, args.key_col, k=args.k)
+        m = eng.source_overlap(docs, args.group_col, args.key_col, k=args.k,
+                               sparse=args.sparse)
         rows = [r.asDict() for r in
                 m.orderBy(F.desc("jaccard_ppm"), "g_a", "g_b").collect()]
         print(json.dumps({"verb": "overlap", "groups_pairs": len(rows),

@@ -497,6 +497,34 @@ class DbmsEngine:
 
         return retention_cohorts(events, key, ts_col)
 
+    def anomaly_screen(self, events: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       days: int = 7, k_sigma: int = 3,
+                       id_cols: list[str] | None = None) -> DataFrame:
+        """Per-entity rolling z-score anomaly flags (integer-exact,
+        self-excluding baseline).  Gate q273."""
+        from dbms_spark.operators.events import rolling_anomaly
+
+        return rolling_anomaly(events, key, ts_col, value_col, days,
+                               k_sigma, id_cols=id_cols)
+
+    def sequence_check(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Missing ranges in an integer key sequence — the post-compare
+        'did the migration drop a batch?' validation.  Gate q272."""
+        from dbms_spark.operators.validate import sequence_gaps
+
+        return sequence_gaps(df, id_col)
+
+    def collocations(self, docs: DataFrame, k: int = 50,
+                     min_df: int = 5, max_df: int | None = None,
+                     per_doc_cap: int | None = 256) -> DataFrame:
+        """Top token pairs by document-co-occurrence lift (the
+        integer-exact PMI family, all occupancy caps on).  Gate q269."""
+        from dbms_spark.llm.text import token_cooccurrence
+
+        return token_cooccurrence(docs, min_df=min_df, max_df=max_df,
+                                  per_doc_cap=per_doc_cap, k=k)
+
     def top_paths(self, events: DataFrame, n: int = 3, k: int = 20,
                   key: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",

@@ -410,3 +410,40 @@ def test_engine_retrieval_and_event_verbs(spark, sf_dir):
     dense = eng.source_overlap(docs, "source", "text", k=16)
     # unique texts -> sparse empty, dense keeps its zero rows
     assert sparse.count() <= dense.count()
+
+
+def test_cli_search_and_events_verbs(spark, tmp_path, capsys):
+    """CLI: search (BM25 top-k), events (funnel + anomaly count),
+    overlap --sparse."""
+    import datetime as dt
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    docs = str(tmp_path / "docs3.parquet")
+    spark.createDataFrame(
+        [(i, ("needle " if i % 3 == 0 else "") + f"common text uniq{i}", "s0")
+         for i in range(9)],
+        "doc_id long, text string, source string").write.parquet(docs)
+    rc = main(["search", "--docs", docs, "--terms", "needle,common", "--k", "3"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and len(out["results"]) == 3
+    assert all(r["doc_id"] % 3 == 0 for r in out["results"])  # needle docs win
+
+    base = dt.datetime(2024, 1, 10)
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=i), t, 10.0, i)
+         for i, t in enumerate(["view", "click", "purchase", "view"])],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " event_id long").write.parquet(ev)
+    rc = main(["events", "--events", ev, "--funnel", "view,click,purchase",
+               "--anomalies"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["funnel"] == {"view": 1, "click": 1, "purchase": 1}
+    assert out["anomalies"] == 0
+
+    rc = main(["overlap", "--docs", docs, "--group-col", "source",
+               "--key-col", "text", "--k", "4", "--sparse"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["groups_pairs"] == 0   # one group: no pairs

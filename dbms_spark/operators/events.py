@@ -97,6 +97,67 @@ def funnel_sql(table: str, steps: list[str], key: str = "user_id",
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def funnel_lag(events: DataFrame, steps: list[str], key: str = "user_id",
+               ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Per-key conversion detail for completers of the full funnel:
+    (key, t_first, t_complete, lag_seconds) — the time-to-convert
+    relation behind "median hours from view to purchase", the number
+    the funnel's counts cannot give.  Semantics match :func:`funnel`
+    exactly (first-touch anchors, each step strictly after the
+    previous); only keys that completed EVERY step appear.
+
+    Same chained key-bounded shape as funnel plus one final join of
+    the last step's survivors back to the step-0 anchor times."""
+    if len(steps) < 2:
+        raise ValueError("funnel_lag needs at least two steps")
+    reached: DataFrame | None = None
+    first: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev_i = (events.filter(F.col(type_col) == step)
+                .select(F.col(key), F.col(ts_col).alias("__ts")))
+        if reached is None:
+            cur = ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
+            first = cur.localCheckpoint()
+            reached = first
+        else:
+            reached = (ev_i.join(reached.select(key, "__t"), key)
+                       .filter(F.col("__ts") > F.col("__t"))
+                       .groupBy(key).agg(F.min("__ts").alias("__t"))
+                       .localCheckpoint())
+    return (reached.select(key, F.col("__t").alias("t_complete"))
+            .join(first.select(key, F.col("__t").alias("t_first")), key)
+            .select(key,
+                    F.col("t_first").cast("timestamp").alias("t_first"),
+                    F.col("t_complete").cast("timestamp").alias("t_complete"),
+                    (F.col("t_complete").cast("timestamp").cast("long")
+                     - F.col("t_first").cast("timestamp").cast("long"))
+                    .cast("bigint").alias("lag_seconds")))
+
+
+def funnel_lag_sql(table: str, steps: list[str], key: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel_lag` (same CTE chain as
+    funnel_sql, selecting the completers' anchor times)."""
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {key}, MIN(CAST({ts_col} AS TIMESTAMP)) AS t"
+                f" FROM {table} WHERE {type_col} = {_q(step)} GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{key}, MIN(CAST(e.{ts_col} AS TIMESTAMP)) AS t"
+                f" FROM {table} e JOIN s{i - 1} USING ({key})"
+                f" WHERE e.{type_col} = {_q(step)}"
+                f" AND CAST(e.{ts_col} AS TIMESTAMP) > s{i - 1}.t GROUP BY 1)")
+    last = len(steps) - 1
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s0.{key}, s0.t AS t_first, s{last}.t AS t_complete,
+       CAST(date_diff('second', s0.t, s{last}.t) AS BIGINT) AS lag_seconds
+FROM s{last} JOIN s0 USING ({key})
+""")
+
+
 def retention_cohorts(events: DataFrame, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Weekly retention triangle: users bucketed by first-touch week

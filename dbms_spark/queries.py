@@ -9341,3 +9341,26 @@ def q273_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rolling_anomaly(load_table(spark, sf_dir, "events"),
                            id_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q274 — funnel conversion lag: per-user seconds from the first 'view'
+# to the ordered completion of view -> click -> purchase — the
+# time-to-convert relation behind "median hours to purchase", which
+# q264's counts cannot give.  Completers only; first-touch anchors;
+# same key-bounded chained shape as the funnel.
+# ---------------------------------------------------------------------------
+
+
+def _q274_sql() -> str:
+    from dbms_spark.operators.events import funnel_lag_sql
+
+    return funnel_lag_sql("events", ["view", "click", "purchase"])
+
+
+@register("q274_funnel_lag", _q274_sql())
+def q274_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import funnel_lag
+
+    return funnel_lag(load_table(spark, sf_dir, "events"),
+                      ["view", "click", "purchase"])

@@ -156,3 +156,18 @@ def test_rolling_anomaly_hand_values(spark):
         "user_id long, ts timestamp, value double, event_id long"),
         id_cols=["event_id"]).collect()}
     assert got3[399] is True
+
+
+def test_funnel_lag_hand_values(spark):
+    """Completers only; lag measured from the FIRST step-0 anchor to
+    the completion time; semantics identical to funnel."""
+    ev = _ev(spark, [
+        (1, ts(1), "view", 1), (1, ts(5), "click", 2), (1, ts(30), "purchase", 3),
+        (2, ts(1), "view", 4), (2, ts(2), "click", 5),   # never purchases
+        (3, ts(2), "purchase", 6), (3, ts(3), "view", 7),  # wrong order
+        (4, ts(0), "view", 8), (4, ts(10), "view", 9),     # re-view ignored
+        (4, ts(20), "click", 10), (4, ts(21), "purchase", 11),
+    ])
+    got = {r.user_id: r.lag_seconds for r in
+           E.funnel_lag(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 29 * 60, 4: 21 * 60}   # anchored at the FIRST view

@@ -136,6 +136,8 @@ SHUFFLE_BUDGET = {
     # distinct + two anti-join islands + run pairing over O(n_runs)
     "q272_sequence_gaps": 6,
     "q273_rolling_anomaly": 1,         # one (user, ts) sort-shuffle, as q268
+    # checkpointed survivor chain; printed plan is the final lag join
+    "q274_funnel_lag": 2,
 }
 
 _SHUFFLE_RE = re.compile(

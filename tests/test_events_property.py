@@ -96,3 +96,27 @@ def test_sequence_gaps_matches_model(spark, ids):
     # invariant: gap mass + present count spans exactly [min, max]
     assert sum(n for _, _, n in got) + len(present) == \
         present[-1] - present[0] + 1
+
+
+# --- BM25: same backstop for the retrieval scorer (lives here with
+# the other model-vs-engine property suites) ------------------------------
+
+words = st.sampled_from(["x", "y", "z", "rare", "common"])
+corpora = st.lists(st.lists(words, min_size=0, max_size=8),
+                   min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=corpora, terms=st.sampled_from(
+    [["rare"], ["rare", "common"], ["x", "y", "z"]]))
+def test_bm25_matches_model(spark, docs, terms):
+    from tests.test_llm import _bm25_model
+    from dbms_spark.llm.text import bm25_rank
+
+    corpus = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(sorted(corpus.items()),
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.score_x1e6, r.rank)
+           for r in bm25_rank(df, terms, k=20).orderBy("rank").collect()]
+    assert got == _bm25_model(corpus, terms, 20)

@@ -170,12 +170,17 @@ def windowed_constraint_counts(stream: DataFrame, rules: list[ConstraintRule],
     )
 
 
-def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+def sequence_gaps(df: DataFrame, id_col: str,
+                  group_col: str | None = None) -> DataFrame:
     """Missing ranges in an integer key sequence: (gap_lo, gap_hi,
     n_missing) for every maximal run of absent ids strictly between
     the observed min and max — the "did the migration drop a batch?"
     screen a row-count compare can pass while whole id ranges are
-    missing from the middle.
+    missing from the middle.  Pass ``group_col`` for per-group key
+    spaces (sharded auto-increment, line numbers within an order):
+    gaps are then detected WITHIN each group and reported with it —
+    and the run windows partition by the group, so the grouped form
+    is the more scalable one.
 
     Fully distributed islands (the reverify recipe,
     ``changed_ranges_df``): an id STARTS a present-run iff id-1 is
@@ -189,47 +194,54 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
     distinct-ed first); NULL ids are ignored."""
     from pyspark.sql import Window
 
-    ids = (df.select(F.col(id_col).cast("bigint").alias("cid"))
+    g = [group_col] if group_col else []
+    ids = (df.select(*g, F.col(id_col).cast("bigint").alias("cid"))
            .filter(F.col("cid").isNotNull()).distinct())
-    starts = ids.join(ids.select((F.col("cid") + 1).alias("cid")),
-                      "cid", "left_anti")
-    ends = ids.join(ids.select((F.col("cid") - 1).alias("cid")),
-                    "cid", "left_anti")
+    starts = ids.join(ids.select(*g, (F.col("cid") + 1).alias("cid")),
+                      g + ["cid"], "left_anti")
+    ends = ids.join(ids.select(*g, (F.col("cid") - 1).alias("cid")),
+                    g + ["cid"], "left_anti")
+    w_lo = Window.partitionBy(*g).orderBy("lo")
     runs = (
-        starts.select(F.col("cid").alias("lo"))
-        .withColumn("k", F.row_number().over(Window.orderBy("lo")))
-        .join(ends.select(F.col("cid").alias("hi"))
-              .withColumn("k", F.row_number().over(Window.orderBy("hi"))), "k")
-        .select("lo", "hi")
+        starts.select(*g, F.col("cid").alias("lo"))
+        .withColumn("k", F.row_number().over(w_lo))
+        .join(ends.select(*g, F.col("cid").alias("hi"))
+              .withColumn("k", F.row_number().over(
+                  Window.partitionBy(*g).orderBy("hi"))), g + ["k"])
+        .select(*g, "lo", "hi")
     )
-    w = Window.orderBy("lo")
     return (runs
-            .withColumn("prev_hi", F.lag("hi").over(w))
+            .withColumn("prev_hi", F.lag("hi").over(w_lo))
             .filter(F.col("prev_hi").isNotNull())
-            .select((F.col("prev_hi") + 1).alias("gap_lo"),
+            .select(*g, (F.col("prev_hi") + 1).alias("gap_lo"),
                     (F.col("lo") - 1).alias("gap_hi"),
                     (F.col("lo") - F.col("prev_hi") - 1)
                     .cast("bigint").alias("n_missing")))
 
 
-def sequence_gaps_sql(table: str, id_col: str) -> str:
+def sequence_gaps_sql(table: str, id_col: str,
+                      group_col: str | None = None) -> str:
     """DuckDB twin of :func:`sequence_gaps` (windowed gaps-and-islands
     — an independent formulation: island id from id - DENSE_RANK)."""
+    gsel = f"{group_col}, " if group_col else ""
+    gpart = f"PARTITION BY {group_col} " if group_col else ""
+    gby = f"{group_col}, " if group_col else ""
     return f"""
 WITH ids AS (
-  SELECT DISTINCT CAST({id_col} AS BIGINT) AS cid FROM {table}
+  SELECT DISTINCT {gsel}CAST({id_col} AS BIGINT) AS cid FROM {table}
   WHERE {id_col} IS NOT NULL
 ),
 isl AS (
-  SELECT cid, cid - DENSE_RANK() OVER (ORDER BY cid) AS grp FROM ids
+  SELECT {gsel}cid,
+         cid - DENSE_RANK() OVER ({gpart}ORDER BY cid) AS grp FROM ids
 ),
 runs AS (
-  SELECT MIN(cid) AS lo, MAX(cid) AS hi FROM isl GROUP BY grp
+  SELECT {gsel}MIN(cid) AS lo, MAX(cid) AS hi FROM isl GROUP BY {gby}grp
 ),
 g AS (
-  SELECT lag(hi) OVER (ORDER BY lo) AS prev_hi, lo FROM runs
+  SELECT {gsel}lag(hi) OVER ({gpart}ORDER BY lo) AS prev_hi, lo FROM runs
 )
-SELECT prev_hi + 1 AS gap_lo, lo - 1 AS gap_hi,
+SELECT {gsel}prev_hi + 1 AS gap_lo, lo - 1 AS gap_hi,
        CAST(lo - prev_hi - 1 AS BIGINT) AS n_missing
 FROM g WHERE prev_hi IS NOT NULL
 """

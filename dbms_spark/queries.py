@@ -9364,3 +9364,31 @@ def q274_funnel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return funnel_lag(load_table(spark, sf_dir, "events"),
                       ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# q275 — grouped sequence gaps: per-order line-number continuity —
+# the per-group auto-increment shape of sharded sources.  The
+# synthetic lineitem assigns line numbers with real within-order
+# holes AND duplicates (e.g. [1, 3, 4], [2, 4, 5, 5]), so the natural
+# data exercises every semantic at once: ~14k per-order gap rows,
+# duplicate tolerance, and group isolation (a line number missing in
+# one order but present in another still reports).  The run windows
+# partition by the group, so the grouped form is the MORE scalable
+# one.
+# ---------------------------------------------------------------------------
+
+
+def _q275_sql() -> str:
+    from dbms_spark.operators.validate import sequence_gaps_sql
+
+    return sequence_gaps_sql("lineitem", "l_linenumber",
+                             group_col="l_orderkey")
+
+
+@register("q275_grouped_sequence_gaps", _q275_sql())
+def q275_grouped_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import sequence_gaps
+
+    return sequence_gaps(load_table(spark, sf_dir, "lineitem"),
+                         "l_linenumber", group_col="l_orderkey")

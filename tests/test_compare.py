@@ -363,3 +363,16 @@ def test_sequence_gaps_hand_values(spark):
     assert sequence_gaps(solid, "id").count() == 0
     one = spark.createDataFrame([(42,)], "id long")
     assert sequence_gaps(one, "id").count() == 0
+
+
+def test_sequence_gaps_grouped(spark):
+    """Per-group key spaces: gaps detected within each group; a value
+    missing in one group but present in another still reports."""
+    from dbms_spark.operators.validate import sequence_gaps
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 5), ("b", 1), ("b", 3), ("b", 4)],
+        "g string, id long")
+    got = sorted((r.g, r.gap_lo, r.gap_hi, r.n_missing)
+                 for r in sequence_gaps(df, "id", group_col="g").collect())
+    assert got == [("a", 3, 4, 2), ("b", 2, 2, 1)]

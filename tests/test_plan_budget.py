@@ -138,6 +138,8 @@ SHUFFLE_BUDGET = {
     "q273_rolling_anomaly": 1,         # one (user, ts) sort-shuffle, as q268
     # checkpointed survivor chain; printed plan is the final lag join
     "q274_funnel_lag": 2,
+    # grouped islands: distinct + two anti-joins + per-group pairing
+    "q275_grouped_sequence_gaps": 6,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -110,3 +110,35 @@ class TestCompareEndToEnd:
         report = json.loads(out.stdout)
         assert set(report["regressions"]) == {"q20"}
         assert report["regressions"]["q20"]["confirmed_by_reprobe"] is True
+
+
+class TestMultiOldCompare:
+    def test_lucky_fast_record_does_not_flag(self, tmp_path):
+        """The round-7 q41 lesson: a query whose one lucky-fast record
+        would flag every later honest measurement is cleared when ANY
+        provided old record brackets the new value — a regression must
+        clear the bars against EVERY old record carrying the query."""
+        lucky = {"queries": {"q41": 1.8, "q9": 1.0}, "spread": {"q41": 0.1,
+                                                                "q9": 0.05}}
+        honest = {"queries": {"q41": 3.1, "q9": 1.0}, "spread": {"q41": 0.9,
+                                                                 "q9": 0.05}}
+        # q41 back at its honest level; q9 regressed vs BOTH records
+        new = {"queries": {"q41": 3.4, "q9": 2.5}, "spread": {"q41": 0.2,
+                                                              "q9": 0.05}}
+        paths = []
+        for name, doc in (("lucky", lucky), ("honest", honest),
+                          ("new", new)):
+            p = tmp_path / f"{name}.json"
+            p.write_text(json.dumps(doc))
+            paths.append(str(p))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/bench_compare.py"),
+             f"{paths[0]},{paths[1]}", paths[2]],
+            capture_output=True, text=True)
+        report = json.loads(out.stdout)
+        assert list(report["regressions"]) == ["q9"]
+        # single-old against the lucky record alone WOULD flag q41
+        out1 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/bench_compare.py"),
+             paths[0], paths[2]], capture_output=True, text=True)
+        assert set(json.loads(out1.stdout)["regressions"]) == {"q41", "q9"}

@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Diff two bench.py JSON reports and flag per-query regressions.
 
-    python tools/bench_compare.py OLD.json NEW.json [threshold]
+    python tools/bench_compare.py OLD.json[,OLD2.json...] NEW.json [threshold]
+
+OLD may be several comma-separated records (e.g. the previous round
+AND the one before): a drift only counts as a regression when it
+clears the bars against EVERY old record that carries the query — a
+noisy query whose one lucky-fast record would otherwise flag every
+later honest measurement (the round-7 q41 lesson: its mid-round
+median was the outlier, and the prior round's own record already
+bracketed the "regressed" value).
 
 Prints one JSON line: total delta, queries slower than ``threshold``x
 (default 1.5), queries that disappeared/appeared.  A drift only counts
@@ -43,20 +51,31 @@ def effective(doc: dict) -> tuple[dict, dict]:
 
 
 def main() -> int:
-    old_path, new_path = sys.argv[1], sys.argv[2]
+    old_paths, new_path = sys.argv[1].split(","), sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old_doc = json.load(open(old_path))
+    old_docs = [json.load(open(p)) for p in old_paths]
     new_doc = json.load(open(new_path))
-    old, old_sp = effective(old_doc)
+    olds = [effective(d) for d in old_docs]
+    old, old_sp = olds[0]     # headline totals/added/removed vs the first
     new, new_sp = effective(new_doc)
     regressions = {}
     for q, t_new in new.items():
-        t_old = old.get(q)
-        if not t_old:
+        if not old.get(q):
             continue
-        delta = t_new - t_old
-        noise = old_sp.get(q, 0.0) + new_sp.get(q, 0.0)
-        if (t_new > t_old * threshold and delta > 0.25 and delta > noise):
+        # regression only if it clears all three bars vs EVERY old
+        # record carrying the query
+        verdicts = []
+        for o, o_sp in olds:
+            t_old = o.get(q)
+            if not t_old:
+                continue
+            delta = t_new - t_old
+            noise = o_sp.get(q, 0.0) + new_sp.get(q, 0.0)
+            verdicts.append(t_new > t_old * threshold and delta > 0.25
+                            and delta > noise)
+        if verdicts and all(verdicts):
+            t_old = old[q]
+            noise = old_sp.get(q, 0.0) + new_sp.get(q, 0.0)
             regressions[q] = {"old": t_old, "new": t_new,
                               "ratio": round(t_new / t_old, 2),
                               "noise_band": round(noise, 3)}

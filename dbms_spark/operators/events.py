@@ -34,12 +34,17 @@ def _q(s: str) -> str:
 
 
 def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type",
+           max_gap_seconds: int | None = None) -> DataFrame:
     """Ordered-progression funnel: for each step i, the number of
     distinct ``key`` values that performed ``steps[0..i]`` IN
     TIMESTAMP ORDER (each step strictly after the previous one's
     FIRST qualifying occurrence — the standard first-touch funnel;
     simultaneous timestamps do not advance the funnel).
+    ``max_gap_seconds`` adds the CONVERSION WINDOW: each step must
+    also occur within that many seconds of the previous step's
+    anchor, the "counts only if they purchase within 48 h" semantic
+    — without it a click three years after the view still converts.
 
     Returns (step BIGINT, event_type STRING, n_users BIGINT), one row
     per step, n_users non-increasing.
@@ -61,8 +66,14 @@ def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
         if reached is None:
             cur = ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
         else:
+            qual = F.col("__ts") > F.col("__t")
+            if max_gap_seconds is not None:
+                qual = qual & (
+                    F.col("__ts").cast("timestamp").cast("long")
+                    <= F.col("__t").cast("timestamp").cast("long")
+                    + max_gap_seconds)
             cur = (ev_i.join(reached.select(key, "__t"), key)
-                   .filter(F.col("__ts") > F.col("__t"))
+                   .filter(qual)
                    .groupBy(key).agg(F.min("__ts").alias("__t")))
         reached = cur.localCheckpoint()
         counts.append(reached.agg(
@@ -76,11 +87,15 @@ def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
 
 
 def funnel_sql(table: str, steps: list[str], key: str = "user_id",
-               ts_col: str = "ts", type_col: str = "event_type") -> str:
+               ts_col: str = "ts", type_col: str = "event_type",
+               max_gap_seconds: int | None = None) -> str:
     """DuckDB twin of :func:`funnel` (CTE chain; ts cast to
     TIMESTAMP mirrors the nanosecond-parquet load path)."""
     ctes, selects = [], []
     for i, step in enumerate(steps):
+        gap = ("" if max_gap_seconds is None else
+               f" AND epoch(CAST(e.{ts_col} AS TIMESTAMP))"
+               f" <= epoch(s{i - 1}.t) + {max_gap_seconds}")
         if i == 0:
             ctes.append(
                 f"s0 AS (SELECT {key}, MIN(CAST({ts_col} AS TIMESTAMP)) AS t"
@@ -90,7 +105,7 @@ def funnel_sql(table: str, steps: list[str], key: str = "user_id",
                 f"s{i} AS (SELECT e.{key}, MIN(CAST(e.{ts_col} AS TIMESTAMP)) AS t"
                 f" FROM {table} e JOIN s{i - 1} USING ({key})"
                 f" WHERE e.{type_col} = {_q(step)}"
-                f" AND CAST(e.{ts_col} AS TIMESTAMP) > s{i - 1}.t GROUP BY 1)")
+                f" AND CAST(e.{ts_col} AS TIMESTAMP) > s{i - 1}.t{gap} GROUP BY 1)")
         selects.append(
             f"SELECT CAST({i} AS BIGINT) AS step, {_q(step)} AS event_type,"
             f" CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS n_users")

@@ -9392,3 +9392,59 @@ def q275_grouped_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sequence_gaps(load_table(spark, sf_dir, "lineitem"),
                          "l_linenumber", group_col="l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q276 — funnel with a CONVERSION WINDOW: q264's ordered progression
+# where each step must also land within 48 h of the previous step's
+# anchor — "counts only if they purchase within two days", the
+# semantic product funnels actually ship (without it a click three
+# years after the view still converts).  Counts are strictly <= the
+# unwindowed q264 per step.
+# ---------------------------------------------------------------------------
+
+
+def _q276_sql() -> str:
+    from dbms_spark.operators.events import funnel_sql
+
+    return funnel_sql("events", ["view", "click", "purchase"],
+                      max_gap_seconds=48 * 3600)
+
+
+@register("q276_funnel_window", _q276_sql())
+def q276_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"], max_gap_seconds=48 * 3600)
+
+
+# ---------------------------------------------------------------------------
+# q277 — CUBE: all four grouping sets over (returnflag, linestatus)
+# in ONE pass with GROUPING_ID disambiguating aggregate rows from
+# natural NULLs — q31's rollup completes to the full lattice (rollup
+# emits the prefix sets only; cube adds the (linestatus)-only slice a
+# dashboard filter needs).  Expand-based: one shuffle, map-side
+# partial aggregation on the expanded keys.
+# ---------------------------------------------------------------------------
+
+_Q277_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q277_cube", _Q277_SQL)
+def q277_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
+        .cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")

@@ -171,3 +171,19 @@ def test_funnel_lag_hand_values(spark):
     got = {r.user_id: r.lag_seconds for r in
            E.funnel_lag(ev, ["view", "click", "purchase"]).collect()}
     assert got == {1: 29 * 60, 4: 21 * 60}   # anchored at the FIRST view
+
+
+def test_funnel_conversion_window(spark):
+    """max_gap_seconds: a step past the deadline does not convert; at
+    exactly the deadline it does (inclusive)."""
+    ev = _ev(spark, [
+        (1, ts(0), "view", 1), (1, ts(10), "click", 2),     # within 10 min
+        (2, ts(0), "view", 3), (2, ts(11), "click", 4),     # 1 min late
+        (3, ts(0), "view", 5), (3, ts(10), "click", 6),
+    ])
+    got = {r.step: r.n_users for r in E.funnel(
+        ev, ["view", "click"], max_gap_seconds=600).collect()}
+    assert got == {0: 3, 1: 2}       # u2 misses the 10-minute window
+    unbounded = {r.step: r.n_users
+                 for r in E.funnel(ev, ["view", "click"]).collect()}
+    assert unbounded == {0: 3, 1: 3}

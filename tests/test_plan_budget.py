@@ -140,6 +140,8 @@ SHUFFLE_BUDGET = {
     "q274_funnel_lag": 2,
     # grouped islands: distinct + two anti-joins + per-group pairing
     "q275_grouped_sequence_gaps": 6,
+    "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
+    "q277_cube": 1,                    # Expand + one partial-agg shuffle
 }
 
 _SHUFFLE_RE = re.compile(

@@ -9448,3 +9448,36 @@ def q277_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
         .cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+
+
+# ---------------------------------------------------------------------------
+# q278 — FORWARD as-of join: the EARLIEST signup at-or-after each
+# event per user (q33 gates the backward direction only; forward is
+# the "next maintenance window / next price change" lookup).  Oracle
+# is DuckDB's native ASOF with the <= inequality — an independent
+# implementation of the forward semantics, the strongest kind of
+# differential check, against our union + descending-window
+# carry-forward.
+# ---------------------------------------------------------------------------
+
+_Q278_SQL = """
+SELECT e.event_id, e.user_id, e.ts, s.sts AS next_signup_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts
+                FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts <= s.sts
+"""
+
+
+@register("q278_asof_forward", _Q278_SQL)
+def q278_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = (ev.filter("event_type = 'signup'")
+             .select("user_id", F.col("ts").cast("timestamp").alias("sts")))
+    out = asof_join(left, right, by="user_id", left_ts="ts", right_ts="sts",
+                    value_cols=["sts"], direction="forward")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("asof_sts").alias("next_signup_ts"))

@@ -142,6 +142,7 @@ SHUFFLE_BUDGET = {
     "q275_grouped_sequence_gaps": 6,
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
     "q277_cube": 1,                    # Expand + one partial-agg shuffle
+    "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
 }
 
 _SHUFFLE_RE = re.compile(

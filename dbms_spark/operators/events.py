@@ -173,6 +173,64 @@ FROM s{last} JOIN s0 USING ({key})
 """)
 
 
+def rolling_active(events: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", days: int = 7) -> DataFrame:
+    """Rolling ``days``-day DISTINCT active keys per day (WAU for
+    days=7, MAU for 30): for every day in the observed range, how many
+    distinct keys had at least one event in the trailing window ending
+    that day.
+
+    Sliding DISTINCT cannot ride a window frame (distinct state is not
+    mergeable across frame slides), and per-key history arrays are the
+    anti-pattern; the scalable idiom is OFFSET EXPANSION: dedup to
+    (key, day) — one partial-aggregated shuffle whose volume is
+    activity-bounded — then explode each row into the ``days`` window
+    END days it contributes to (a bounded x-days fan-out of the SMALL
+    distinct relation, not the event stream) and count distinct keys
+    per covering day.  Days beyond the observed max are clipped, so
+    the tail day never reports a phantom window.
+
+    Returns (day TIMESTAMP, n_active BIGINT) for every day from the
+    first observed activity day to the last — days with no activity in
+    their whole trailing window are absent (no zero rows)."""
+    daily = (events.select(F.col(key),
+                           F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+                           .alias("__d"))
+             .distinct())
+    max_day = daily.agg(F.max("__d").alias("__max"))
+    covering = (daily.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("__o"),
+        F.col("__d"))
+        .select(F.col(key),
+                (F.col("__d") + F.make_interval(days=F.col("__o")))
+                .alias("day"))
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("__max")))
+    return (covering.groupBy("day")
+            .agg(F.count_distinct(key).cast("bigint").alias("n_active")))
+
+
+def rolling_active_sql(table: str, key: str = "user_id",
+                       ts_col: str = "ts", days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_active`."""
+    return f"""
+WITH daily AS (
+  SELECT DISTINCT {key},
+         date_trunc('day', CAST({ts_col} AS TIMESTAMP)) AS d
+  FROM {table}
+),
+mx AS (SELECT MAX(d) AS max_d FROM daily),
+covering AS (
+  SELECT {key}, d + to_days(CAST(o AS INTEGER)) AS day
+  FROM daily, range(0, {days}) r(o), mx
+  WHERE d + to_days(CAST(o AS INTEGER)) <= mx.max_d
+)
+SELECT day, CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_active
+FROM covering GROUP BY day
+"""
+
+
 def retention_cohorts(events: DataFrame, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Weekly retention triangle: users bucketed by first-touch week

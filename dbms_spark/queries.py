@@ -9481,3 +9481,29 @@ def q278_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     value_cols=["sts"], direction="forward")
     return out.select("event_id", "user_id", "ts",
                       F.col("asof_sts").alias("next_signup_ts"))
+
+
+# ---------------------------------------------------------------------------
+# q279 — rolling 7-day active users (WAU): distinct keys active in
+# the trailing week ending each day.  Sliding DISTINCT cannot ride a
+# window frame (distinct state is not mergeable across slides) and
+# per-key history arrays are the anti-pattern — the scalable idiom is
+# OFFSET EXPANSION: dedup to (user, day) first (activity-bounded
+# partial-agg), explode each row into the <= 7 window-end days it
+# contributes to (a bounded fan-out of the SMALL distinct relation,
+# never the event stream), count distinct per covering day.  The tail
+# is clipped at the observed max day — no phantom windows.
+# ---------------------------------------------------------------------------
+
+
+def _q279_sql() -> str:
+    from dbms_spark.operators.events import rolling_active_sql
+
+    return rolling_active_sql("events", days=7)
+
+
+@register("q279_rolling_active", _q279_sql())
+def q279_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_active
+
+    return rolling_active(load_table(spark, sf_dir, "events"), days=7)

@@ -187,3 +187,26 @@ def test_funnel_conversion_window(spark):
     unbounded = {r.step: r.n_users
                  for r in E.funnel(ev, ["view", "click"]).collect()}
     assert unbounded == {0: 3, 1: 3}
+
+
+def test_rolling_active_hand_values(spark):
+    """WAU semantics: a user active on day d counts toward days
+    d..d+6 (clipped at the observed max); multiple events one day
+    count once; window days beyond max never appear."""
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    ev = _ev(spark, [
+        (1, d0, "view", 1), (1, d0 + dt.timedelta(hours=2), "view", 2),
+        (2, d0 + dt.timedelta(days=3), "view", 3),
+        (1, d0 + dt.timedelta(days=8), "view", 4),
+    ])
+    got = {r.day.date().isoformat(): r.n_active
+           for r in E.rolling_active(ev, days=7).collect()}
+    assert got == {
+        "2024-01-01": 1, "2024-01-02": 1, "2024-01-03": 1,
+        "2024-01-04": 2, "2024-01-05": 2, "2024-01-06": 2,
+        "2024-01-07": 2,                       # u1's window ends Jan 7
+        "2024-01-08": 1,                       # only u2's Jan 4 remains
+        "2024-01-09": 2,                       # u2 (Jan 4..10) + u1's return
+    }

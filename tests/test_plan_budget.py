@@ -143,6 +143,8 @@ SHUFFLE_BUDGET = {
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
     "q277_cube": 1,                    # Expand + one partial-agg shuffle
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
+    # (user, day) dedup + 1-row max + offset-exploded distinct count
+    "q279_rolling_active": 4,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -9507,3 +9507,40 @@ def q279_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.events import rolling_active
 
     return rolling_active(load_table(spark, sf_dir, "events"), days=7)
+
+
+# ---------------------------------------------------------------------------
+# q280 — stickiness (DAU/WAU): per day, the fraction of the trailing
+# week's actives who were active THAT day — the engagement-depth
+# ratio product dashboards track next to raw actives.  Pure
+# composition of q279's offset-expansion relations (days=1 is plain
+# DAU) joined on the day; integer ppm so the ratio hash-compares.
+# DAU <= WAU by construction, so the join is total on DAU days.
+# ---------------------------------------------------------------------------
+
+
+def _q280_sql() -> str:
+    from dbms_spark.operators.events import rolling_active_sql
+
+    dau = rolling_active_sql("events", days=1)
+    wau = rolling_active_sql("events", days=7)
+    return f"""
+WITH dau AS ({dau}), wau AS ({wau})
+SELECT dau.day, dau.n_active AS dau, wau.n_active AS wau,
+       CAST((CAST(1000000 AS BIGINT) * dau.n_active) // wau.n_active
+            AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau USING (day)
+"""
+
+
+@register("q280_stickiness", _q280_sql())
+def q280_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_active
+
+    ev = load_table(spark, sf_dir, "events")
+    dau = rolling_active(ev, days=1).withColumnRenamed("n_active", "dau")
+    wau = rolling_active(ev, days=7).withColumnRenamed("n_active", "wau")
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.expr("(CAST(1000000 AS BIGINT) * dau) DIV wau")
+                    .alias("stickiness_ppm")))

@@ -145,6 +145,7 @@ SHUFFLE_BUDGET = {
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
     # (user, day) dedup + 1-row max + offset-exploded distinct count
     "q279_rolling_active": 4,
+    "q280_stickiness": 8,              # two q279 legs + day join
 }
 
 _SHUFFLE_RE = re.compile(

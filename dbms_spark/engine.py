@@ -497,6 +497,15 @@ class DbmsEngine:
 
         return retention_cohorts(events, key, ts_col)
 
+    def active_users(self, events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts", days: int = 7) -> DataFrame:
+        """Rolling distinct actives per day (WAU for days=7, MAU for
+        30) via offset expansion of the (key, day) relation.  Gates
+        q279/q280."""
+        from dbms_spark.operators.events import rolling_active
+
+        return rolling_active(events, key, ts_col, days)
+
     def anomaly_screen(self, events: DataFrame, key: str = "user_id",
                        ts_col: str = "ts", value_col: str = "value",
                        days: int = 7, k_sigma: int = 3,

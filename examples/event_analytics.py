@@ -77,6 +77,15 @@ def main(sf_dir: str | None = None, spark=None) -> list[dict]:
         roll = rolling_agg(ev, days=7, id_cols=["event_id"])
         emit({"stage": "rolling", "rows": roll.count(),
               "peak_7d_events": roll.agg(F.max("n_events_win")).first()[0]})
+
+        wau = eng.active_users(ev, days=7)
+        emit({"stage": "actives",
+              "days": wau.count(),
+              "peak_wau": wau.agg(F.max("n_active")).first()[0]})
+
+        emit({"stage": "anomalies",
+              "n_flagged": eng.anomaly_screen(ev, id_cols=["event_id"])
+              .filter("is_anomaly").count()})
     finally:
         if owned:
             spark.stop()

@@ -124,7 +124,7 @@ def test_event_analytics_stages(spark, sf_dir):
     stages = _load("event_analytics").main(sf_dir, spark=spark)
     by = {d["stage"]: d for d in stages}
     assert list(by) == ["sessionize", "funnel", "retention",
-                        "top_paths", "rolling"]
+                        "top_paths", "rolling", "actives", "anomalies"]
     assert by["sessionize"]["n_sessions"] <= by["sessionize"]["n_events"]
     fn = by["funnel"]
     assert fn["view"] >= fn["click"] >= fn["purchase"]   # monotone funnel
@@ -132,3 +132,5 @@ def test_event_analytics_stages(spark, sf_dir):
     assert len(by["top_paths"]["top"]) == 5
     assert by["rolling"]["rows"] == by["sessionize"]["n_events"]
     assert by["rolling"]["peak_7d_events"] >= 1
+    assert by["actives"]["peak_wau"] >= 1
+    assert by["anomalies"]["n_flagged"] >= 0

@@ -90,12 +90,20 @@ def funnel_sql(table: str, steps: list[str], key: str = "user_id",
                ts_col: str = "ts", type_col: str = "event_type",
                max_gap_seconds: int | None = None) -> str:
     """DuckDB twin of :func:`funnel` (CTE chain; ts cast to
-    TIMESTAMP mirrors the nanosecond-parquet load path)."""
+    TIMESTAMP mirrors the nanosecond-parquet load path).
+
+    The conversion-window predicate compares WHOLE-SECOND epochs via
+    floor(epoch(...)) because the Spark side compares cast-to-long
+    values (truncation); a bare ``epoch()`` returns a fractional
+    DOUBLE, so a microsecond-precision event landing inside the
+    boundary second would qualify in one engine and not the other."""
     ctes, selects = [], []
     for i, step in enumerate(steps):
         gap = ("" if max_gap_seconds is None else
-               f" AND epoch(CAST(e.{ts_col} AS TIMESTAMP))"
-               f" <= epoch(s{i - 1}.t) + {max_gap_seconds}")
+               f" AND CAST(floor(epoch(CAST(e.{ts_col} AS TIMESTAMP)))"
+               f" AS BIGINT)"
+               f" <= CAST(floor(epoch(s{i - 1}.t)) AS BIGINT)"
+               f" + {max_gap_seconds}")
         if i == 0:
             ctes.append(
                 f"s0 AS (SELECT {key}, MIN(CAST({ts_col} AS TIMESTAMP)) AS t"
@@ -317,8 +325,14 @@ def rolling_agg(events: DataFrame, key: str = "user_id",
 def rolling_agg_sql(table: str, key: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", days: int = 7,
                     id_cols: list[str] | None = None) -> str:
-    """DuckDB twin of :func:`rolling_agg` (numeric RANGE frame over
-    epoch seconds mirrors Spark's rangeBetween exactly)."""
+    """DuckDB twin of :func:`rolling_agg`.  The RANGE frame orders by
+    CAST(floor(epoch(...)) AS BIGINT) — the same WHOLE-SECOND integer
+    key Spark's cast-to-long produces.  A bare ``epoch()`` would order
+    by a fractional DOUBLE, and with microsecond-precision timestamps
+    the frame membership diverges at window boundaries (an event
+    86399.7 s back is inside a truncated-second frame but outside the
+    fractional one); ``floor`` (not CAST of the double, which rounds)
+    matches truncation for the positive epochs the tables carry."""
     ids = "".join(f"{c}, " for c in (id_cols or []))
     return f"""
 SELECT {key}, {ids}CAST({ts_col} AS TIMESTAMP) AS {ts_col},
@@ -327,7 +341,7 @@ SELECT {key}, {ids}CAST({ts_col} AS TIMESTAMP) AS {ts_col},
          AS sum_cents_win
 FROM {table}
 WINDOW w AS (PARTITION BY {key}
-             ORDER BY epoch(CAST({ts_col} AS TIMESTAMP))
+             ORDER BY CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)
              RANGE BETWEEN {days * 86400 - 1} PRECEDING AND CURRENT ROW)
 """
 
@@ -390,7 +404,9 @@ def rolling_anomaly_sql(table: str, key: str = "user_id",
                         ts_col: str = "ts", value_col: str = "value",
                         days: int = 7, k_sigma: int = 3, min_n: int = 5,
                         id_cols: list[str] | None = None) -> str:
-    """DuckDB twin of :func:`rolling_anomaly`."""
+    """DuckDB twin of :func:`rolling_anomaly` (same floor(epoch)
+    whole-second integer frame key as :func:`rolling_agg_sql` — see
+    the divergence note there)."""
     ids = "".join(f"{c}, " for c in (id_cols or []))
     dev = ("(CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)")
     var = ("(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)")
@@ -406,7 +422,8 @@ WITH b AS (
                        OVER w, 0) AS BIGINT) AS q
   FROM {table}
   WINDOW w AS (PARTITION BY {key}
-               ORDER BY epoch(CAST({ts_col} AS TIMESTAMP))
+               ORDER BY CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP)))
+                             AS BIGINT)
                RANGE BETWEEN {days * 86400 - 1} PRECEDING AND 1 PRECEDING)
 )
 SELECT {key}, {ids}{ts_col}, c AS cents, n AS baseline_n,
@@ -431,7 +448,17 @@ def top_event_paths(events: DataFrame, n: int = 3, k: int = 20,
     count is one partial-aggregated groupBy on the path string and
     the top-k a distributed TakeOrdered.  ``tiebreak`` columns make
     the within-partition order total under duplicate timestamps
-    (determinism for differential testing)."""
+    (determinism for differential testing).
+
+    Rows with NULL ``type_col`` are dropped BEFORE the window in both
+    this form and the SQL twin: concat_ws silently skips NULLs while
+    SQL '||' nulls the whole path, so a NULL event mid-window would
+    yield a shortened 'a->c' here and a NULL path in the oracle — the
+    up-front filter makes both engines see identical sequences (a
+    NULL-typed event also shouldn't silently bridge its neighbours
+    into a fake consecutive pair, so the drop is the semantic we
+    want, not just the portable one)."""
+    events = events.filter(F.col(type_col).isNotNull())
     parts = [key] + ([session_col] if session_col else [])
     order = [F.asc(ts_col)] + [F.asc(c) for c in (tiebreak or [])]
     w = Window.partitionBy(*parts).orderBy(*order)
@@ -454,7 +481,9 @@ def top_event_paths_sql(table: str, n: int = 3, k: int = 20,
                         type_col: str = "event_type",
                         tiebreak: list[str] | None = None) -> str:
     """DuckDB twin of :func:`top_event_paths` (no session form — the
-    oracle covers the per-user path)."""
+    oracle covers the per-user path).  NULL ``type_col`` rows are
+    dropped up front, mirroring the DataFrame form (see its NULL
+    note)."""
     ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + list(tiebreak or []))
     leads = [type_col] + [f"lead({type_col}, {i}) OVER w" for i in range(1, n)]
     concat = " || '->' || ".join(leads)
@@ -463,6 +492,7 @@ def top_event_paths_sql(table: str, n: int = 3, k: int = 20,
 WITH stepped AS (
   SELECT {concat} AS path, {last} IS NOT NULL AS is_complete
   FROM {table}
+  WHERE {type_col} IS NOT NULL
   WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
 ),
 counted AS (

@@ -60,10 +60,10 @@ def main() -> int:
     new, new_sp = effective(new_doc)
     regressions = {}
     for q, t_new in new.items():
-        if not old.get(q):
-            continue
         # regression only if it clears all three bars vs EVERY old
-        # record carrying the query
+        # record carrying the query — a query absent from the FIRST
+        # old record but present in a later one must still be judged
+        # (verdicts stays empty only when NO old record carries it)
         verdicts = []
         for o, o_sp in olds:
             t_old = o.get(q)
@@ -74,7 +74,8 @@ def main() -> int:
             verdicts.append(t_new > t_old * threshold and delta > 0.25
                             and delta > noise)
         if verdicts and all(verdicts):
-            t_old = old[q]
+            # report against the first old record carrying the query
+            t_old = next(o[q] for o, _ in olds if o.get(q))
             noise = old_sp.get(q, 0.0) + new_sp.get(q, 0.0)
             regressions[q] = {"old": t_old, "new": t_new,
                               "ratio": round(t_new / t_old, 2),

@@ -73,6 +73,38 @@ class TestFlagRegressions:
         assert bench.flag_regressions(self.PREV, {"q99": 60.0}, {}) == []
 
 
+class TestFlagUnstable:
+    """Spread-triggered reprobe (round-7 judge ask #1): the q55/q04
+    slip-through — an intra-run-noisy median that never regressed vs
+    history still gets a standalone re-probe."""
+
+    def test_round7_slipthroughs_flagged(self):
+        # the two committed medians the judge had to re-probe manually
+        timings = {"q55": 5.38, "q04": 3.52}
+        spreads = {"q55": 4.00, "q04": 4.25}
+        assert sorted(bench.flag_unstable(timings, spreads)) == \
+            ["q04", "q55"]
+
+    def test_relative_bar(self):
+        # spread at exactly 50% of median: not flagged (strict >)
+        assert bench.flag_unstable({"q1": 2.0}, {"q1": 1.0}) == []
+        assert bench.flag_unstable({"q1": 2.0}, {"q1": 1.01}) == ["q1"]
+
+    def test_absolute_floor_shields_subsecond_jitter(self):
+        # 0.3 s spread on a 0.4 s median is 75% but under the 0.5 s
+        # floor — harmless local[32] jitter, no pointless re-run
+        assert bench.flag_unstable({"q2": 0.4}, {"q2": 0.3}) == []
+        # above the floor AND above 50%: flagged
+        assert bench.flag_unstable({"q2": 0.9}, {"q2": 0.6}) == ["q2"]
+
+    def test_stable_queries_untouched(self):
+        assert bench.flag_unstable({"q3": 6.0, "q4": 0.8},
+                                   {"q3": 0.4, "q4": 0.05}) == []
+
+    def test_missing_spread_is_stable(self):
+        assert bench.flag_unstable({"q5": 3.0}, {}) == []
+
+
 class TestEffective:
     def test_reprobe_substitutes_value_and_spread(self):
         doc = {"queries": {"a": 5.0, "b": 1.0}, "spread": {"a": 3.0,

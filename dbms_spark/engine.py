@@ -506,6 +506,31 @@ class DbmsEngine:
 
         return rolling_active(events, key, ts_col, days)
 
+    def active_users_incremental(self, ledger: DataFrame,
+                                 new_events: DataFrame,
+                                 key: str = "user_id", ts_col: str = "ts",
+                                 days: int = 7) -> DataFrame:
+        """Nightly WAU/MAU: fold a batch into a persisted (key, day)
+        active-days ledger (:func:`dbms_spark.operators.events.
+        active_days`) and recompute only the affected-day suffix —
+        identical on that range to the full recompute.  Gate q281."""
+        from dbms_spark.operators.events import rolling_active_incremental
+
+        return rolling_active_incremental(ledger, new_events, key,
+                                          ts_col, days)
+
+    def retention_incremental(self, first: DataFrame, acts: DataFrame,
+                              new_events: DataFrame, key: str = "user_id",
+                              ts_col: str = "ts") -> DataFrame:
+        """Retention triangle after an O(batch) merge of new events
+        into persisted :func:`dbms_spark.operators.events.
+        retention_state` relations.  Gate q282."""
+        from dbms_spark.operators.events import (retention_from_state,
+                                                 retention_merge)
+
+        f, a = retention_merge(first, acts, new_events, key, ts_col)
+        return retention_from_state(f, a, key)
+
     def anomaly_screen(self, events: DataFrame, key: str = "user_id",
                        ts_col: str = "ts", value_col: str = "value",
                        days: int = 7, k_sigma: int = 3,

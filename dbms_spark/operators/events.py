@@ -181,6 +181,110 @@ FROM s{last} JOIN s0 USING ({key})
 """)
 
 
+def active_days(events: DataFrame, key: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """The deduped (key, day TIMESTAMP) relation — one partial-
+    aggregated shuffle whose volume is activity-bounded (a key
+    contributes one row per active day, never per event).  This IS
+    :func:`rolling_active`'s mergeable state: persist it (partitioned
+    by day) and nightly batches fold in via :func:`active_days_merge`
+    without ever re-reading the event history."""
+    return (events.select(F.col(key),
+                          F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+                          .alias("day"))
+            .distinct())
+
+
+def active_days_merge(ledger: DataFrame, new_events: DataFrame,
+                      key: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """O(new-batch) intake of an event batch into a persisted
+    :func:`active_days` ledger: the batch dedupes to its own (key,
+    day) rows, the ledger is probed ONLY on the batch's days (the
+    distinct-day relation broadcasts — a batch covers few calendar
+    days — so when the ledger is day-partitioned parquet the probe is
+    a partition-pruned scan, and the untouched ledger passes through
+    without a shuffle), and only genuinely new rows append.  Works
+    for late/out-of-order data: a replayed or historical day simply
+    probes that day's partition."""
+    batch = active_days(new_events, key, ts_col)
+    batch_days = batch.select("day").distinct()
+    existing = ledger.join(F.broadcast(batch_days), "day", "left_semi")
+    fresh = batch.join(existing, [key, "day"], "left_anti")
+    return ledger.unionByName(fresh)
+
+
+def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
+                             days: int = 7) -> DataFrame:
+    """The offset-expansion WAU/MAU count over an already-deduped
+    (key, day) relation (see :func:`rolling_active` for the shape
+    rationale).  Factored out so the incremental form can feed it a
+    window-clipped ledger slice instead of re-deriving state from raw
+    events."""
+    max_day = daily.agg(F.max("day").alias("__max"))
+    covering = (daily.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("__o"),
+        F.col("day"))
+        .select(F.col(key),
+                (F.col("day") + F.make_interval(days=F.col("__o")))
+                .alias("day"))
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("__max")))
+    return (covering.groupBy("day")
+            .agg(F.count_distinct(key).cast("bigint").alias("n_active")))
+
+
+def rolling_active_incremental(ledger: DataFrame, new_events: DataFrame,
+                               key: str = "user_id", ts_col: str = "ts",
+                               days: int = 7) -> DataFrame:
+    """Nightly-pipeline WAU/MAU: fold an event batch into a persisted
+    :func:`active_days` ledger and recompute the rolling count ONLY
+    for days the batch can affect — every day from the batch's first
+    activity day onward (a batch day lands in the trailing windows of
+    the following ``days`` days; recomputing the whole suffix keeps
+    the contract simple and is identical on that range to the full
+    recompute, the q271 index-vs-oneshot identity contract).
+
+    Cost is O(batch + ledger rows in the affected trailing window):
+    the merge probes only the batch's days, and the expansion scans
+    ledger rows from ``days - 1`` days before the first affected day
+    — with a day-partitioned ledger both are partition-pruned scans;
+    the event history is never re-read.  Late/out-of-order batches
+    work (the affected range starts at the EARLIEST batch day).
+
+    Returns (day TIMESTAMP, n_active BIGINT) for affected days only;
+    callers overwrite exactly those days of the serving table."""
+    merged = active_days_merge(ledger, new_events, key, ts_col)
+    lo = (active_days(new_events, key, ts_col)
+          .agg(F.min("day").alias("__lo")))
+    clipped = (merged.crossJoin(F.broadcast(lo))
+               .filter(F.col("day") >=
+                       F.col("__lo") - F.make_interval(days=F.lit(days - 1)))
+               .select(key, "day"))
+    return (rolling_active_from_days(clipped, key, days)
+            .crossJoin(F.broadcast(lo))
+            .filter(F.col("day") >= F.col("__lo"))
+            .select("day", "n_active"))
+
+
+def rolling_active_incremental_sql(table: str, cutoff: str,
+                                   key: str = "user_id", ts_col: str = "ts",
+                                   days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_active_incremental` for a ledger
+    built from ``ts < cutoff`` and a batch of ``ts >= cutoff``: the
+    incremental answer must equal the FULL-table rolling count
+    restricted to days >= the batch's first activity day — the
+    identity is the point, so the oracle is deliberately the full
+    recompute, not a re-derivation of the ledger algebra."""
+    full = rolling_active_sql(table, key, ts_col, days)
+    return f"""
+WITH full_roll AS ({full}),
+lo AS (SELECT MIN(date_trunc('day', CAST({ts_col} AS TIMESTAMP))) AS lo
+       FROM {table} WHERE CAST({ts_col} AS TIMESTAMP) >= TIMESTAMP '{cutoff}')
+SELECT day, n_active FROM full_roll, lo WHERE day >= lo.lo
+"""
+
+
 def rolling_active(events: DataFrame, key: str = "user_id",
                    ts_col: str = "ts", days: int = 7) -> DataFrame:
     """Rolling ``days``-day DISTINCT active keys per day (WAU for
@@ -201,22 +305,8 @@ def rolling_active(events: DataFrame, key: str = "user_id",
     Returns (day TIMESTAMP, n_active BIGINT) for every day from the
     first observed activity day to the last — days with no activity in
     their whole trailing window are absent (no zero rows)."""
-    daily = (events.select(F.col(key),
-                           F.date_trunc("day", F.col(ts_col).cast("timestamp"))
-                           .alias("__d"))
-             .distinct())
-    max_day = daily.agg(F.max("__d").alias("__max"))
-    covering = (daily.select(
-        F.col(key),
-        F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("__o"),
-        F.col("__d"))
-        .select(F.col(key),
-                (F.col("__d") + F.make_interval(days=F.col("__o")))
-                .alias("day"))
-        .crossJoin(F.broadcast(max_day))
-        .filter(F.col("day") <= F.col("__max")))
-    return (covering.groupBy("day")
-            .agg(F.count_distinct(key).cast("bigint").alias("n_active")))
+    return rolling_active_from_days(active_days(events, key, ts_col),
+                                    key, days)
 
 
 def rolling_active_sql(table: str, key: str = "user_id",
@@ -239,6 +329,68 @@ FROM covering GROUP BY day
 """
 
 
+def retention_state(events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts") -> tuple[DataFrame, DataFrame]:
+    """:func:`retention_cohorts`'s mergeable state, as two key-bounded
+    relations: ``first`` = (key, cohort_week TIMESTAMP) first-touch
+    map (one row per ever-seen key) and ``acts`` = (key, week
+    TIMESTAMP) distinct activity (one row per key-week).  Persist both
+    (acts partitioned by week) and nightly batches fold in via
+    :func:`retention_merge` — the event history is never re-read."""
+    ts = F.col(ts_col).cast("timestamp")
+    first = (events.groupBy(key)
+             .agg(F.date_trunc("week", F.min(ts)).alias("cohort_week")))
+    acts = (events.select(F.col(key), F.date_trunc("week", ts).alias("week"))
+            .distinct())
+    return first, acts
+
+
+def retention_merge(first: DataFrame, acts: DataFrame,
+                    new_events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts") -> tuple[DataFrame, DataFrame]:
+    """O(new-batch) intake of an event batch into persisted
+    :func:`retention_state` relations.
+
+    First-touch merge: the batch's own first-touch rows broadcast as
+    the touched-key set; untouched ledger keys pass through with NO
+    shuffle (broadcast anti-join is map-side), touched keys re-minimize
+    over ledger row + batch row — an O(batch-keys) groupBy.  Handles
+    late data: a batch event earlier than a key's recorded first touch
+    moves the cohort back, exactly as a full recompute would.
+
+    Activity merge: same day-probed append as
+    :func:`active_days_merge`, on ISO weeks — the ledger is probed
+    only on the batch's weeks (partition-pruned when week-partitioned).
+
+    The broadcast assumes a batch's distinct keys fit in executor
+    memory (a day's active users); for a backfill-sized batch drop
+    the hint and let AQE pick the join."""
+    bfirst, bacts = retention_state(new_events, key, ts_col)
+    touched = F.broadcast(bfirst.select(key))
+    upd = (first.join(touched, key, "left_semi").unionByName(bfirst)
+           .groupBy(key).agg(F.min("cohort_week").alias("cohort_week")))
+    merged_first = first.join(touched, key, "left_anti").unionByName(upd)
+    batch_weeks = bacts.select("week").distinct()
+    existing = acts.join(F.broadcast(batch_weeks), "week", "left_semi")
+    fresh = bacts.join(existing, [key, "week"], "left_anti")
+    return merged_first, acts.unionByName(fresh)
+
+
+def retention_from_state(first: DataFrame, acts: DataFrame,
+                         key: str = "user_id") -> DataFrame:
+    """The retention triangle from :func:`retention_state` relations —
+    one keyed join + one partial-aggregated groupBy, O(activity
+    ledger), never touching raw events.  Output contract identical to
+    :func:`retention_cohorts`."""
+    return (acts.join(first, key)
+            .select("cohort_week",
+                    (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+                    .cast("bigint").alias("week_offset"),
+                    F.col(key))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
 def retention_cohorts(events: DataFrame, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Weekly retention triangle: users bucketed by first-touch week
@@ -255,18 +407,8 @@ def retention_cohorts(events: DataFrame, key: str = "user_id",
     aggregates on (cohort, offset) — nothing is ever per-event wide.
     Weeks are date_trunc ISO weeks (Monday) in both engines, so the
     day difference is always an exact multiple of 7."""
-    ts = F.col(ts_col).cast("timestamp")
-    first = (events.groupBy(key)
-             .agg(F.date_trunc("week", F.min(ts)).alias("cohort_week")))
-    acts = (events.select(F.col(key), F.date_trunc("week", ts).alias("__w"))
-            .distinct())
-    return (acts.join(first, key)
-            .select("cohort_week",
-                    (F.datediff(F.col("__w"), F.col("cohort_week")) / 7)
-                    .cast("bigint").alias("week_offset"),
-                    F.col(key))
-            .groupBy("cohort_week", "week_offset")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    return retention_from_state(*retention_state(events, key, ts_col),
+                                key=key)
 
 
 def retention_cohorts_sql(table: str, key: str = "user_id",

@@ -9544,3 +9544,72 @@ def q280_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day", "dau", "wau",
                     F.expr("(CAST(1000000 AS BIGINT) * dau) DIV wau")
                     .alias("stickiness_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q281 — INCREMENTAL rolling actives (round-7 judge ask #2): the WAU
+# of q279 as a nightly product pipeline runs it — a persisted
+# (user, day) active-days ledger built from history, an O(batch)
+# merge of the new events, and a recompute of ONLY the affected-day
+# suffix.  The oracle is deliberately the FULL-table rolling count
+# restricted to the affected range: the gate pins the incremental
+# path row-identical to the one-shot recompute (the q271 contract),
+# so ledger-merge bugs (dropped late rows, double-counted repeats)
+# hash-fail.  The event history is never re-read — merge probes only
+# the batch's days, the expansion only the trailing window.
+# ---------------------------------------------------------------------------
+
+_EVENTS_CUTOFF = "2024-01-24 00:00:00"
+
+
+def _q281_sql() -> str:
+    from dbms_spark.operators.events import rolling_active_incremental_sql
+
+    return rolling_active_incremental_sql("events", _EVENTS_CUTOFF, days=7)
+
+
+@register("q281_rolling_active_incremental", _q281_sql())
+def q281_rolling_active_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import (active_days,
+                                             rolling_active_incremental)
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_EVENTS_CUTOFF).cast("timestamp")
+    ledger = active_days(ev.filter(F.col("ts") < cut))
+    return rolling_active_incremental(ledger, ev.filter(F.col("ts") >= cut),
+                                      days=7)
+
+
+# ---------------------------------------------------------------------------
+# q282 — INCREMENTAL retention triangle (round-7 judge ask #2):
+# q265's weekly cohorts through the persisted-state lifecycle —
+# (key, cohort_week) first-touch map + (key, week) activity ledger
+# built from history, an O(batch) merge (broadcast touched-key
+# anti/semi split: untouched ledger keys pass through with no
+# shuffle; the batch can even move a cohort EARLIER on late data),
+# then the triangle off the merged state.  Oracle = the full-table
+# q265 SQL: the merged state must reproduce the one-shot recompute
+# row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def _q282_sql() -> str:
+    from dbms_spark.operators.events import retention_cohorts_sql
+
+    return retention_cohorts_sql("events")
+
+
+@register("q282_retention_incremental", _q282_sql())
+def q282_retention_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import (retention_from_state,
+                                             retention_merge,
+                                             retention_state)
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_EVENTS_CUTOFF).cast("timestamp")
+    first, acts = retention_state(ev.filter(F.col("ts") < cut))
+    first, acts = retention_merge(first, acts,
+                                  ev.filter(F.col("ts") >= cut))
+    return retention_from_state(first, acts)

@@ -7,6 +7,10 @@ driven end-to-end over the events table —
     retention      weekly first-touch retention triangle
     top_paths      most common 3-step event sequences
     rolling        trailing 7-day per-user activity/spend window
+    actives        rolling 7-day distinct actives (WAU)
+    anomalies      per-user rolling z-score screen
+    actives_incremental   the nightly form: persisted (key, day)
+                   ledger + O(batch) merge + affected-suffix recompute
 
 Every stage is one or two partial-aggregated shuffles over
 fixed-width keys (users, weeks, path strings); nothing collects a
@@ -86,6 +90,22 @@ def main(sf_dir: str | None = None, spark=None) -> list[dict]:
         emit({"stage": "anomalies",
               "n_flagged": eng.anomaly_screen(ev, id_cols=["event_id"])
               .filter("is_anomaly").count()})
+
+        # the nightly-pipeline lifecycle: persistable ledger state +
+        # O(batch) intake, identical on the affected range to the
+        # one-shot recompute above
+        from dbms_spark.operators.events import active_days
+        cut = F.lit("2024-01-24").cast("timestamp")
+        ledger = active_days(ev.filter(F.col("ts") < cut))
+        inc = eng.active_users_incremental(
+            ledger, ev.filter(F.col("ts") >= cut), days=7)
+        full_tail = {r.day: r.n_active for r in inc.collect()}
+        want = {r.day: r.n_active for r in wau.collect()
+                if r.day in full_tail}
+        emit({"stage": "actives_incremental",
+              "ledger_rows": ledger.count(),
+              "affected_days": len(full_tail),
+              "matches_full_recompute": full_tail == want})
     finally:
         if owned:
             spark.stop()

@@ -210,3 +210,82 @@ def test_rolling_active_hand_values(spark):
         "2024-01-08": 1,                       # only u2's Jan 4 remains
         "2024-01-09": 2,                       # u2 (Jan 4..10) + u1's return
     }
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_active_days_merge_idempotent_and_late(spark):
+    """Re-merging the same batch adds nothing (the (key, day) probe
+    sees the rows it appended last time); a LATE batch for an old day
+    lands exactly once too."""
+    hist = _ev(spark, [(1, ts(0, day=1), "view", 1),
+                       (2, ts(0, day=2), "view", 2)])
+    batch = _ev(spark, [(1, ts(5, day=2), "view", 3),   # new (key, day)
+                        (1, ts(9, day=1), "click", 4),  # late, dup day
+                        (3, ts(0, day=1), "view", 5)])  # late, new key
+    ledger = E.active_days(hist)
+    once = E.active_days_merge(ledger, batch)
+    twice = E.active_days_merge(once, batch)
+    want = _rows(E.active_days(hist.unionByName(batch)))
+    assert _rows(once) == want
+    assert _rows(twice) == want
+
+
+def test_rolling_active_incremental_identity(spark):
+    """The incremental suffix equals the full recompute on the
+    affected range — including a batch carrying LATE mid-range data
+    (affected range starts at the batch's EARLIEST day)."""
+    hist = _ev(spark, [(u, ts(u, day=d), "view", u * 100 + d)
+                       for u in range(1, 6) for d in (1, 3, 8, 12)])
+    batch = _ev(spark, [(9, ts(0, day=5), "view", 9005),   # late day-5
+                        (1, ts(0, day=13), "view", 1013),
+                        (7, ts(0, day=14), "view", 7014)])
+    ledger = E.active_days(hist)
+    inc = E.rolling_active_incremental(ledger, batch, days=7)
+    full = E.rolling_active(hist.unionByName(batch), days=7)
+    lo = min(r.day for r in E.active_days(batch).collect())
+    assert _rows(inc) == _rows(full.filter(full.day >= lo))
+    # every emitted day is in the affected range
+    assert all(r.day >= lo for r in inc.collect())
+
+
+def test_retention_merge_late_data_moves_cohort_back(spark):
+    """A late batch event EARLIER than a key's recorded first touch
+    re-minimizes the cohort; untouched keys pass through; the merged
+    triangle equals the full recompute."""
+    hist = _ev(spark, [(1, ts(0, day=8), "view", 1),    # wk of Jan 8
+                       (2, ts(0, day=1), "view", 2),
+                       (2, ts(0, day=15), "view", 3)])
+    batch = _ev(spark, [(1, ts(0, day=1), "view", 4),   # moves u1 back
+                        (3, ts(0, day=15), "view", 5)])  # brand-new key
+    first, acts = E.retention_state(hist)
+    mf, ma = E.retention_merge(first, acts, batch)
+    got_first = {r.user_id: r.cohort_week for r in mf.collect()}
+    wf, _ = E.retention_state(hist.unionByName(batch))
+    assert got_first == {r.user_id: r.cohort_week for r in wf.collect()}
+    assert _rows(E.retention_from_state(mf, ma)) == \
+        _rows(E.retention_cohorts(hist.unionByName(batch)))
+
+
+def test_retention_merge_idempotent(spark):
+    hist = _ev(spark, [(1, ts(0, day=1), "view", 1)])
+    batch = _ev(spark, [(1, ts(0, day=9), "view", 2),
+                        (2, ts(0, day=9), "view", 3)])
+    f1, a1 = E.retention_merge(*E.retention_state(hist), batch)
+    f2, a2 = E.retention_merge(f1, a1, batch)
+    assert _rows(f1) == _rows(f2)
+    assert _rows(a1) == _rows(a2)
+
+
+def test_top_event_paths_null_type_dropped(spark):
+    """A NULL event_type mid-sequence neither nulls the path (SQL ||)
+    nor silently bridges its neighbours into a fake consecutive pair
+    wearing the shortened label — NULL rows are dropped up front, so
+    the remaining events ARE consecutive by construction."""
+    ev = _ev(spark, [(1, ts(1), "a", 1), (1, ts(2), None, 2),
+                     (1, ts(3), "c", 3), (1, ts(4), "d", 4)])
+    got = {r.path: r.n_paths
+           for r in E.top_event_paths(ev, n=2, k=10).collect()}
+    assert got == {"a->c": 1, "c->d": 1}

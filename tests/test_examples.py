@@ -124,7 +124,11 @@ def test_event_analytics_stages(spark, sf_dir):
     stages = _load("event_analytics").main(sf_dir, spark=spark)
     by = {d["stage"]: d for d in stages}
     assert list(by) == ["sessionize", "funnel", "retention",
-                        "top_paths", "rolling", "actives", "anomalies"]
+                        "top_paths", "rolling", "actives", "anomalies",
+                        "actives_incremental"]
+    inc = by["actives_incremental"]
+    assert inc["matches_full_recompute"] is True
+    assert 1 <= inc["affected_days"] <= by["actives"]["days"]
     assert by["sessionize"]["n_sessions"] <= by["sessionize"]["n_events"]
     fn = by["funnel"]
     assert fn["view"] >= fn["click"] >= fn["purchase"]   # monotone funnel

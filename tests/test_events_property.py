@@ -120,3 +120,159 @@ def test_bm25_matches_model(spark, docs, terms):
     got = [(r.doc_id, r.score_x1e6, r.rank)
            for r in bm25_rank(df, terms, k=20).orderBy("rank").collect()]
     assert got == _bm25_model(corpus, terms, 20)
+
+
+# --- round-7 judge ask #4: extend the model backstop to the rest of
+# the family (retention, paths, rolling actives/stickiness,
+# co-occurrence) — their oracle twins share authorship with the
+# engine code, so only an independent model catches a symmetric bug.
+
+
+def _week(t: dt.datetime) -> dt.datetime:
+    """Monday-truncated midnight (date_trunc('week'))."""
+    d = t.date() - dt.timedelta(days=t.weekday())
+    return dt.datetime(d.year, d.month, d.day)
+
+
+def _day(t: dt.datetime) -> dt.datetime:
+    return dt.datetime(t.year, t.month, t.day)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_retention_matches_model(spark, rows):
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in E.retention_cohorts(_df(spark, rows)).collect()}
+    first: dict[int, dt.datetime] = {}
+    acts: set[tuple[int, dt.datetime]] = set()
+    for u, s, t, v in rows:
+        ts = BASE + dt.timedelta(seconds=s)
+        first[u] = min(first.get(u, ts), ts)
+        acts.add((u, _week(ts)))
+    want: dict[tuple, int] = {}
+    for u, w in acts:
+        cw = _week(first[u])
+        key = (cw, (w - cw).days // 7)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, n=st.sampled_from([2, 3]))
+def test_top_paths_matches_model(spark, rows, n):
+    got = [(r.path, r.n_paths, r.rank)
+           for r in E.top_event_paths(_df(spark, rows), n=n, k=50,
+                                      tiebreak=["event_id"])
+           .orderBy("rank").collect()]
+    by_user: dict[int, list] = {}
+    for i, (u, s, t, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, t))
+    counts: dict[str, int] = {}
+    for evs in by_user.values():
+        types = [t for _, _, t in sorted(evs)]
+        for j in range(len(types) - n + 1):
+            p = "->".join(types[j:j + n])
+            counts[p] = counts.get(p, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    want = [(p, c, r + 1) for r, (p, c) in enumerate(ranked)]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, days=st.sampled_from([1, 3, 7]))
+def test_rolling_active_matches_model(spark, rows, days):
+    got = {r.day: r.n_active
+           for r in E.rolling_active(_df(spark, rows), days=days).collect()}
+    ad = {(u, _day(BASE + dt.timedelta(seconds=s))) for u, s, t, v in rows}
+    days_seen = sorted({d for _, d in ad})
+    want = {}
+    d = days_seen[0]
+    while d <= days_seen[-1]:
+        n = len({u for u, du in ad
+                 if d - dt.timedelta(days=days - 1) <= du <= d})
+        if n:
+            want[d] = n
+        d += dt.timedelta(days=1)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_stickiness_matches_model(spark, rows):
+    """The q280 composition (DAU join WAU + integer-ppm ratio)
+    against a from-scratch model of both windows and the ratio."""
+    from pyspark.sql import functions as F
+
+    ev = _df(spark, rows)
+    dau = E.rolling_active(ev, days=1).withColumnRenamed("n_active", "dau")
+    wau = E.rolling_active(ev, days=7).withColumnRenamed("n_active", "wau")
+    got = {r.day: (r.dau, r.wau, r.ppm)
+           for r in dau.join(wau, "day")
+           .select("day", "dau", "wau",
+                   F.expr("(CAST(1000000 AS BIGINT) * dau) DIV wau")
+                   .alias("ppm")).collect()}
+    ad = {(u, _day(BASE + dt.timedelta(seconds=s))) for u, s, t, v in rows}
+    want = {}
+    for d in {du for _, du in ad}:   # DAU days are exactly active days
+        ndau = len({u for u, du in ad if du == d})
+        nwau = len({u for u, du in ad
+                    if d - dt.timedelta(days=6) <= du <= d})
+        want[d] = (ndau, nwau, 1000000 * ndau // nwau)
+    assert got == want
+
+
+# --- token co-occurrence: model in tests/test_llm.py style ---------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["p", "q", "r", "s", "t"]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=10)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_strategy, min_df=st.sampled_from([1, 2]),
+       max_df=st.sampled_from([None, 3]),
+       per_doc_cap=st.sampled_from([None, 2]))
+def test_token_cooccurrence_matches_model(spark, docs, min_df, max_df,
+                                          per_doc_cap):
+    import hashlib
+    from itertools import combinations
+
+    from dbms_spark.llm.text import token_cooccurrence
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = [(r.tok_a, r.tok_b, r.n_pair, r.df_a, r.df_b, int(r.lift_ppm),
+            r.rank)
+           for r in token_cooccurrence(df, min_df=min_df, max_df=max_df,
+                                       min_pair=1, per_doc_cap=per_doc_cap,
+                                       k=50).orderBy("rank").collect()]
+    dfreq: dict[str, int] = {}
+    tsets = [sorted(set(t)) for t in docs]
+    for s in tsets:
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    keep = {t for t, c in dfreq.items()
+            if c >= min_df and (max_df is None or c <= max_df)}
+    pair_n: dict[tuple, int] = {}
+    for s in tsets:
+        kept = [t for t in s if t in keep]
+        if per_doc_cap is not None:
+            kept = sorted(
+                kept, key=lambda t: hashlib.md5(t.encode()).hexdigest()
+            )[:per_doc_cap]
+        for a, b in combinations(sorted(kept), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    n_docs = len(docs)
+    scored = [(a, b, c, dfreq[a], dfreq[b],
+               1000000 * c * n_docs // (dfreq[a] * dfreq[b]))
+              for (a, b), c in pair_n.items()]
+    ranked = sorted(scored, key=lambda x: (-x[5], x[0], x[1]))[:50]
+    want = [(*row, r + 1) for r, row in enumerate(ranked)]
+    assert got == want

@@ -531,14 +531,37 @@ class DbmsEngine:
         f, a = retention_merge(first, acts, new_events, key, ts_col)
         return retention_from_state(f, a, key)
 
+    def rolling_features(self, events: DataFrame, key: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         days: int = 7, id_cols: list[str] | None = None,
+                         hot_key_safe: bool = False) -> DataFrame:
+        """Trailing count/sum window per key (gate q268).  Set
+        ``hot_key_safe`` for skewed streams: the prefix-minus-probe
+        rewrite (gate q283) is linear in a hot key's rows where the
+        sliding frame is quadratic, at the cost of a second per-key
+        sort-shuffle on uniform data."""
+        from dbms_spark.operators.events import (rolling_agg,
+                                                 rolling_agg_prefix)
+
+        f = rolling_agg_prefix if hot_key_safe else rolling_agg
+        return f(events, key, ts_col, value_col, days, id_cols)
+
     def anomaly_screen(self, events: DataFrame, key: str = "user_id",
                        ts_col: str = "ts", value_col: str = "value",
                        days: int = 7, k_sigma: int = 3,
-                       id_cols: list[str] | None = None) -> DataFrame:
+                       id_cols: list[str] | None = None,
+                       hot_key_safe: bool = False) -> DataFrame:
         """Per-entity rolling z-score anomaly flags (integer-exact,
-        self-excluding baseline).  Gate q273."""
-        from dbms_spark.operators.events import rolling_anomaly
+        self-excluding baseline).  Gate q273; ``hot_key_safe`` routes
+        to the prefix rewrite (gate q284) — see
+        :meth:`rolling_features`."""
+        from dbms_spark.operators.events import (rolling_anomaly,
+                                                 rolling_anomaly_prefix)
 
+        if hot_key_safe:
+            return rolling_anomaly_prefix(events, key, ts_col, value_col,
+                                          days, k_sigma,
+                                          id_cols=id_cols)
         return rolling_anomaly(events, key, ts_col, value_col, days,
                                k_sigma, id_cols=id_cols)
 

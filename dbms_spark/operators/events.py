@@ -488,6 +488,79 @@ WINDOW w AS (PARTITION BY {key}
 """
 
 
+def rolling_agg_prefix(events: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       days: int = 7,
+                       id_cols: list[str] | None = None) -> DataFrame:
+    """HOT-KEY-PROOF :func:`rolling_agg`: identical output contract,
+    different physical shape.  Spark evaluates a bounded sliding RANGE
+    frame by RE-AGGREGATING the buffer every time the lower bound
+    moves, and a window partition cannot be split across tasks — so a
+    bot account with 10⁶ events and a ~2·10⁵-row average frame costs
+    ~10¹¹ operations in ONE task (measured quadratic:
+    tools/event_skew_smoke.py, 50k→200k hot rows = 12.6→151.9 s).
+
+    This form never slides: trailing(t) = prefix(t) − prefix(t − w),
+    in three linear passes —
+
+    1. cumulative count/sum per key ordered by epoch, RANGE unbounded
+       → current row (Spark's growing-frame evaluator accumulates
+       incrementally, O(rows), and ties at one epoch share the value);
+    2. each event emits one PROBE row at position ``epoch − w``; the
+       probe and anchor rows union and a second per-key pass takes
+       ``last(anchor_cum, ignorenulls)`` over a ROWS unbounded →
+       current frame — the merge-join trick that reads the cumulative
+       series "as of" the window's exclusive lower bound (anchors at
+       exactly ``epoch − w`` sort BEFORE the probe, matching the
+       frame's [t−w+1, t] inclusion);
+    3. the trailing aggregate is the difference, on the probe rows.
+
+    Two sort-shuffles on the key instead of one — the price of
+    linearity; for uniform keys :func:`rolling_agg` is cheaper, for
+    skewed streams this form is the only one that finishes (10⁶-row
+    hot key: sliding extrapolates to ~1 h, prefix measured in
+    seconds).  Gate q283 pins it to the SAME oracle as q268."""
+    ids = list(id_cols or [])
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cw = (Window.partitionBy(key).orderBy("__e")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    cum = (events
+           .select(F.col(key), *[F.col(c) for c in ids], F.col(ts_col),
+                   epoch.alias("__e"), cents.alias("__c"))
+           .select(key, *ids, ts_col, "__e",
+                   F.count(F.lit(1)).over(cw).cast("bigint").alias("__cn"),
+                   F.sum("__c").over(cw).cast("bigint").alias("__cs")))
+    win = days * 86400
+    types = dict(cum.dtypes)
+    null = {c: F.lit(None).cast(types[c]).alias(c)
+            for c in ["__cn", "__cs", ts_col, *ids]}
+    anchors = cum.select(
+        key, F.col("__e").alias("__pos"), F.lit(0).alias("__probe"),
+        F.col("__cn").alias("__acn"), F.col("__cs").alias("__acs"),
+        *null.values())
+    probes = cum.select(
+        key, (F.col("__e") - F.lit(win)).alias("__pos"),
+        F.lit(1).alias("__probe"),
+        F.lit(None).cast("bigint").alias("__acn"),
+        F.lit(None).cast("bigint").alias("__acs"),
+        "__cn", "__cs", ts_col, *ids)
+    mw = (Window.partitionBy(key).orderBy("__pos", "__probe")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    merged = (anchors.unionByName(probes)
+              .select("*",
+                      F.last("__acn", ignorenulls=True).over(mw)
+                      .alias("__bn"),
+                      F.last("__acs", ignorenulls=True).over(mw)
+                      .alias("__bs")))
+    return (merged.filter(F.col("__probe") == 1)
+            .select(F.col(key), *[F.col(c) for c in ids], F.col(ts_col),
+                    (F.col("__cn") - F.coalesce(F.col("__bn"), F.lit(0)))
+                    .cast("bigint").alias("n_events_win"),
+                    (F.col("__cs") - F.coalesce(F.col("__bs"), F.lit(0)))
+                    .cast("bigint").alias("sum_cents_win")))
+
+
 def rolling_anomaly(events: DataFrame, key: str = "user_id",
                     ts_col: str = "ts", value_col: str = "value",
                     days: int = 7, k_sigma: int = 3, min_n: int = 5,
@@ -536,6 +609,94 @@ def rolling_anomaly(events: DataFrame, key: str = "user_id",
            " * __s)")
     return base.select(
         F.col(key), *[F.col(c) for c in (id_cols or [])], F.col(ts_col),
+        F.col("__c").alias("cents"),
+        F.col("__n").alias("baseline_n"),
+        F.expr(f"__n >= {min_n} AND {dev} > {k_sigma * k_sigma} * {var}")
+        .alias("is_anomaly"))
+
+
+def rolling_anomaly_prefix(events: DataFrame, key: str = "user_id",
+                           ts_col: str = "ts", value_col: str = "value",
+                           days: int = 7, k_sigma: int = 3, min_n: int = 5,
+                           id_cols: list[str] | None = None) -> DataFrame:
+    """HOT-KEY-PROOF :func:`rolling_anomaly` — same prefix-minus-probe
+    rewrite as :func:`rolling_agg_prefix` (see its quadratic-frame
+    rationale), with two extra wrinkles for the self-excluding
+    baseline frame [t−w+1, t−1]:
+
+    - the UPPER bound is ``cum(t) − ties(t)``: subtracting the row's
+      whole same-epoch block from its own cumulative value excludes
+      the candidate AND its simultaneous burst, exactly like the
+      sliding frame's ``1 PRECEDING`` upper bound (one hash-partition
+      pass over (key, epoch), no sort);
+    - the LOWER bound reuses the as-of probe at ``epoch − w``.
+
+    The σ comparison is then the same integer-exact DECIMAL(38,0)
+    arithmetic as :func:`rolling_anomaly`; gate q284 pins this form
+    to the SAME oracle as q273."""
+    ids = list(id_cols or [])
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    cw = (Window.partitionBy(key).orderBy("__e")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    tw = Window.partitionBy(key, "__e")
+    q_ = F.col("__c") * F.col("__c")
+    cum = (events
+           .select(F.col(key), *[F.col(c) for c in ids], F.col(ts_col),
+                   epoch.alias("__e"), cents.alias("__c"))
+           .select(key, *ids, ts_col, "__e", "__c",
+                   F.count(F.lit(1)).over(cw).cast("bigint").alias("__cn"),
+                   F.sum("__c").over(cw).cast("bigint").alias("__cs"),
+                   F.sum(q_).over(cw).cast("bigint").alias("__cq"),
+                   (F.count(F.lit(1)).over(cw) - F.count(F.lit(1)).over(tw))
+                   .cast("bigint").alias("__un"),
+                   (F.sum("__c").over(cw) - F.sum("__c").over(tw))
+                   .cast("bigint").alias("__us"),
+                   (F.sum(q_).over(cw) - F.sum(q_).over(tw))
+                   .cast("bigint").alias("__uq")))
+    win = days * 86400
+    types = dict(cum.dtypes)
+    null = {c: F.lit(None).cast(types[c]).alias(c)
+            for c in ["__un", "__us", "__uq", "__c", ts_col, *ids]}
+    # anchor cum INCLUDES its epoch's ties (the probe's lower bound is
+    # <= e-w, tie-inclusive), while the probe carries the tie-EXCLUDED
+    # upper values.
+    anchors = cum.select(
+        key, F.col("__e").alias("__pos"), F.lit(0).alias("__probe"),
+        F.col("__cn").alias("__an"), F.col("__cs").alias("__as"),
+        F.col("__cq").alias("__aq"), *null.values())
+    probes = cum.select(
+        key, (F.col("__e") - F.lit(win)).alias("__pos"),
+        F.lit(1).alias("__probe"),
+        F.lit(None).cast("bigint").alias("__an"),
+        F.lit(None).cast("bigint").alias("__as"),
+        F.lit(None).cast("bigint").alias("__aq"),
+        "__un", "__us", "__uq", "__c", ts_col, *ids)
+    mw = (Window.partitionBy(key).orderBy("__pos", "__probe")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    merged = (anchors.unionByName(probes)
+              .select("*",
+                      F.last("__an", ignorenulls=True).over(mw)
+                      .alias("__bn"),
+                      F.last("__as", ignorenulls=True).over(mw)
+                      .alias("__bs"),
+                      F.last("__aq", ignorenulls=True).over(mw)
+                      .alias("__bq")))
+    base = (merged.filter(F.col("__probe") == 1)
+            .select(F.col(key), *[F.col(c) for c in ids], F.col(ts_col),
+                    F.col("__c"),
+                    (F.col("__un") - F.coalesce(F.col("__bn"), F.lit(0)))
+                    .cast("bigint").alias("__n"),
+                    (F.col("__us") - F.coalesce(F.col("__bs"), F.lit(0)))
+                    .cast("bigint").alias("__s"),
+                    (F.col("__uq") - F.coalesce(F.col("__bq"), F.lit(0)))
+                    .cast("bigint").alias("__q")))
+    dev = ("(CAST(__n AS DECIMAL(38,0)) * __c - __s)"
+           " * (CAST(__n AS DECIMAL(38,0)) * __c - __s)")
+    var = ("(CAST(__n AS DECIMAL(38,0)) * __q - CAST(__s AS DECIMAL(38,0))"
+           " * __s)")
+    return base.select(
+        F.col(key), *[F.col(c) for c in ids], F.col(ts_col),
         F.col("__c").alias("cents"),
         F.col("__n").alias("baseline_n"),
         F.expr(f"__n >= {min_n} AND {dev} > {k_sigma * k_sigma} * {var}")

@@ -9613,3 +9613,42 @@ def q282_retention_incremental(spark: SparkSession,
     first, acts = retention_merge(first, acts,
                                   ev.filter(F.col("ts") >= cut))
     return retention_from_state(first, acts)
+
+
+# ---------------------------------------------------------------------------
+# q283 — HOT-KEY-PROOF rolling window: q268's trailing RANGE
+# aggregates computed as prefix(t) − prefix(t−w) (two accumulating
+# O(n) per-key passes + an as-of probe merge) instead of Spark's
+# sliding frame, which RE-AGGREGATES the buffer per slide and cannot
+# split a window partition across tasks — measured quadratic on a
+# hot key (tools/event_skew_smoke.py: 50k→200k hot rows = 12.6→151.9
+# s in ONE task; the prefix form runs the same 200k in 1.7 s).  Same
+# oracle as q268: the rewrite must be row-identical.
+# ---------------------------------------------------------------------------
+
+
+@register("q283_rolling_window_prefix", _q268_sql())
+def q283_rolling_window_prefix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_agg_prefix
+
+    return rolling_agg_prefix(load_table(spark, sf_dir, "events"),
+                              days=7, id_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q284 — hot-key-proof anomaly screen: q273's self-excluding baseline
+# via the same prefix rewrite — upper bound = cum(t) minus the row's
+# whole same-epoch tie block (excludes the candidate AND its
+# simultaneous burst, like the sliding frame's 1 PRECEDING), lower
+# bound = the as-of probe at t−w.  Same oracle as q273.
+# ---------------------------------------------------------------------------
+
+
+@register("q284_rolling_anomaly_prefix", _q273_sql())
+def q284_rolling_anomaly_prefix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_anomaly_prefix
+
+    return rolling_anomaly_prefix(load_table(spark, sf_dir, "events"),
+                                  id_cols=["event_id"])

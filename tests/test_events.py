@@ -289,3 +289,58 @@ def test_top_event_paths_null_type_dropped(spark):
     got = {r.path: r.n_paths
            for r in E.top_event_paths(ev, n=2, k=10).collect()}
     assert got == {"a->c": 1, "c->d": 1}
+
+
+def test_rolling_agg_prefix_boundaries(spark):
+    """Frame is [t-w+1, t]: an event EXACTLY w seconds earlier is
+    out, w-1 in; simultaneous events (ties) count each other both
+    ways; all pinned on the prefix form whose as-of probe has to get
+    the <=/< boundaries right without a frame evaluator."""
+    w = 86400  # days=1
+    rows = [
+        (1, ts(0), "a", 1),                                    # anchor
+        (1, ts(0) + datetime.timedelta(seconds=w - 1), "a", 2),  # in
+        (1, ts(0) + datetime.timedelta(seconds=w), "a", 3),      # t=w
+        (2, ts(5), "a", 4), (2, ts(5), "a", 5),                  # ties
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ty, 1.0, i) for u, t, ty, i in rows],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " event_id long")
+    got = {r.event_id: r.n_events_win
+           for r in E.rolling_agg_prefix(ev, days=1,
+                                         id_cols=["event_id"]).collect()}
+    # event 2 at w-1 sees the anchor; event 3 at w does NOT see the
+    # anchor (exactly w back) but sees event 2; ties see each other
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
+    # and the sliding form agrees row-for-row
+    want = {r.event_id: r.n_events_win
+            for r in E.rolling_agg(ev, days=1,
+                                   id_cols=["event_id"]).collect()}
+    assert got == want
+
+
+def test_rolling_anomaly_prefix_tie_exclusion(spark):
+    """The baseline ends 1 s before the event: a simultaneous burst
+    must not vouch for itself — the prefix form excludes the row's
+    whole same-epoch tie block from the upper bound."""
+    base = [(1, ts(0) + datetime.timedelta(seconds=i * 60), "a", i)
+            for i in range(8)]                       # steady baseline
+    burst_t = ts(0) + datetime.timedelta(seconds=9 * 60)
+    burst = [(1, burst_t, "a", 100), (1, burst_t, "a", 101)]
+    rows = [(u, t, ty, i) for u, t, ty, i in base + burst]
+    ev = spark.createDataFrame(
+        [(u, t, ty, 1.0 if i < 100 else 500.0, i)
+         for u, t, ty, i in rows],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " event_id long")
+    got = {r.event_id: (r.baseline_n, r.is_anomaly)
+           for r in E.rolling_anomaly_prefix(
+               ev, days=1, id_cols=["event_id"], min_n=5).collect()}
+    # both burst rows: baseline_n = 8 (the OTHER burst row excluded),
+    # flagged against the steady baseline
+    assert got[100] == (8, True) and got[101] == (8, True)
+    want = {r.event_id: (r.baseline_n, r.is_anomaly)
+            for r in E.rolling_anomaly(
+                ev, days=1, id_cols=["event_id"], min_n=5).collect()}
+    assert got == want

@@ -276,3 +276,36 @@ def test_token_cooccurrence_matches_model(spark, docs, min_df, max_df,
     ranked = sorted(scored, key=lambda x: (-x[5], x[0], x[1]))[:50]
     want = [(*row, r + 1) for r, row in enumerate(ranked)]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, days=st.sampled_from([1, 3]))
+def test_rolling_agg_prefix_matches_model(spark, rows, days):
+    """The hot-key-proof prefix rewrite against the same brute-force
+    model as the sliding form — the rewrite must be undetectable."""
+    got = {r.event_id: (r.n_events_win, r.sum_cents_win)
+           for r in E.rolling_agg_prefix(_df(spark, rows), days=days,
+                                         id_cols=["event_id"]).collect()}
+    win = days * 86400
+    for i, (u, s, t, v) in enumerate(rows):
+        in_win = [(u2, s2) for (u2, s2, t2, v2) in rows
+                  if u2 == u and s - win + 1 <= s2 <= s]
+        cents = sum(round(v2 / 4.0 * 100) for (u2, s2, t2, v2) in rows
+                    if u2 == u and s - win + 1 <= s2 <= s)
+        assert got[i] == (len(in_win), cents), f"event {i}"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, days=st.sampled_from([1, 3]))
+def test_rolling_anomaly_prefix_identity(spark, rows, days):
+    """Prefix anomaly screen field-identical to the sliding form on
+    arbitrary tie-heavy event sets (min_n=1 so the flag logic runs
+    on tiny baselines too)."""
+    df = _df(spark, rows)
+    a = sorted(tuple(r) for r in E.rolling_anomaly(
+        df, days=days, id_cols=["event_id"], min_n=1).collect())
+    b = sorted(tuple(r) for r in E.rolling_anomaly_prefix(
+        df, days=days, id_cols=["event_id"], min_n=1).collect())
+    assert a == b

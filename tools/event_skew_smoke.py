@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Event-family skew + x100 smokes (round-7 judge asks #3 and #6).
+
+    python tools/event_skew_smoke.py skew  [n_rows]
+    python tools/event_skew_smoke.py x100  [n_rows]
+
+``skew``: rolling_agg / rolling_anomaly / funnel over a stream where
+ONE user (a bot account) owns half the events, vs the same volume
+uniform over 10k users.  All three partition or group by user, so
+this is the classic event-stream hot key: a window partition cannot
+be split across tasks (unlike AQE skew-join splitting), meaning the
+hot user's rows land in ONE task's sort + linear RangeFrame scan.
+The metric that matters is max-task-time — wall time hides a
+straggler behind parallel neighbours.
+
+``x100``: funnel and rolling_active at 10⁸ events / 10⁶ users — the
+x100 point of the SCALE.md round-7 x10 table, same deterministic
+synthetic stream.
+
+Prints one JSON line per case.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbms_spark import get_spark  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "skew_smoke_mod", os.path.join(HERE, "skew_smoke.py"))
+_sm = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_sm)
+
+
+def synth_events(spark, n: int, n_users: int, hot_frac: float = 0.0):
+    """Deterministic synthetic stream over 30 days; ``hot_frac`` of
+    the rows land on user 0 (the bot), the rest hash-uniform."""
+    uid = F.pmod(F.hash("id"), n_users)
+    if hot_frac:
+        uid = F.when(F.col("id") < int(n * hot_frac), F.lit(0)).otherwise(uid)
+    types = F.array(F.lit("view"), F.lit("click"),
+                    F.lit("purchase"), F.lit("other"))
+    return spark.range(n).select(
+        uid.cast("long").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("id") * 7919, 30 * 86400))
+        .alias("ts"),
+        F.element_at(types, (F.pmod(F.col("id"), 4) + 1).cast("int"))
+        .alias("event_type"),
+        (F.pmod(F.col("id"), 997) / 4.0).alias("value"),
+        F.col("id").alias("event_id"))
+
+
+def timed(spark, name: str, df, extra: dict | None = None) -> None:
+    before = _sm._completed_stages(spark)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 2)
+    out = {"case": name, "sec": wall,
+           "max_task_ms": _sm._max_task_ms(spark, before)}
+    out.update(extra or {})
+    print(json.dumps(out), flush=True)
+
+
+def run_skew(spark, n: int) -> None:
+    from dbms_spark.operators.events import (funnel, rolling_agg,
+                                             rolling_agg_prefix,
+                                             rolling_anomaly,
+                                             rolling_anomaly_prefix)
+
+    # the sliding frame is quadratic in the hot key's row count (it
+    # re-aggregates the buffer per slide), so measure IT on a doubling
+    # ladder of small hot keys — the full hot key would run ~1 h in
+    # one task — and the linear prefix forms + funnel at full size.
+    for hot in (50_000, 100_000, 200_000):
+        ev = synth_events(spark, hot * 2, 10_000, hot_frac=0.5).persist()
+        ev.count()
+        meta = {"shape": "hot_key_sliding_ladder", "hot_rows": hot}
+        timed(spark, "rolling_agg_sliding",
+              rolling_agg(ev, days=7, id_cols=["event_id"]), meta)
+        ev.unpersist()
+
+    for label, hot in (("uniform", 0.0), ("hot_key", 0.5)):
+        ev = synth_events(spark, n, 10_000, hot_frac=hot).persist()
+        ev.count()
+        meta = {"shape": label, "rows": n, "hot_rows": int(n * hot)}
+        if not hot:  # sliding forms only on the uniform shape
+            timed(spark, f"rolling_agg_sliding_{label}",
+                  rolling_agg(ev, days=7, id_cols=["event_id"]), meta)
+            timed(spark, f"rolling_anomaly_sliding_{label}",
+                  rolling_anomaly(ev, days=7, id_cols=["event_id"]), meta)
+        timed(spark, f"rolling_agg_prefix_{label}",
+              rolling_agg_prefix(ev, days=7, id_cols=["event_id"]), meta)
+        timed(spark, f"rolling_anomaly_prefix_{label}",
+              rolling_anomaly_prefix(ev, days=7, id_cols=["event_id"]),
+              meta)
+        timed(spark, f"funnel_{label}",
+              funnel(ev, ["view", "click", "purchase"]), meta)
+        ev.unpersist()
+
+
+def run_x100(spark, n: int) -> None:
+    from dbms_spark.operators.events import funnel, rolling_active
+
+    ev = synth_events(spark, n, max(n // 100, 1)).persist()
+    ev.count()
+    meta = {"rows": n, "users": max(n // 100, 1)}
+    timed(spark, "funnel_x100", funnel(ev, ["view", "click", "purchase"]),
+          meta)
+    timed(spark, "rolling_active_wau_x100", rolling_active(ev, days=7), meta)
+    ev.unpersist()
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        2_000_000 if mode == "skew" else 100_000_000)
+    spark = get_spark("event_skew_smoke",
+                      extra_conf={"spark.ui.enabled": "true"})
+    if mode == "skew":
+        run_skew(spark, n)
+    else:
+        run_x100(spark, n)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

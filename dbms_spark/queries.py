@@ -9652,3 +9652,71 @@ def q284_rolling_anomaly_prefix(spark: SparkSession,
 
     return rolling_anomaly_prefix(load_table(spark, sf_dir, "events"),
                                   id_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q285 — STREAMING rolling actives: the events table folded through
+# the crash-safe active-days SketchStore (streaming/events.py) in
+# three time-ordered micro-batches — including one REDELIVERED batch,
+# which the pointer-commit exactly-once contract must no-op — then
+# WAU answered from the ledger alone.  Oracle = the one-shot q279
+# SQL: the ledger after N batches must be indistinguishable from
+# having seen the whole stream.
+# ---------------------------------------------------------------------------
+
+_STREAM_CUTS = ["2024-01-12 00:00:00", "2024-01-22 00:00:00"]
+
+
+def _stream_batches(ev: DataFrame) -> list[DataFrame]:
+    c1 = F.lit(_STREAM_CUTS[0]).cast("timestamp")
+    c2 = F.lit(_STREAM_CUTS[1]).cast("timestamp")
+    return [ev.filter(F.col("ts") < c1),
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.filter(F.col("ts") >= c2)]
+
+
+def _q285_sql() -> str:
+    from dbms_spark.operators.events import rolling_active_sql
+
+    return rolling_active_sql("events", days=7)
+
+
+@register("q285_streaming_wau", _q285_sql())
+def q285_streaming_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import active_days_store, wau_from_store
+
+    store = active_days_store(
+        spark, tempfile.mkdtemp(prefix="q285_") + "/ledger")
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        store.apply_batch(b, batch_id=i)
+        if i == 1:
+            store.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return wau_from_store(store, days=7)
+
+
+# ---------------------------------------------------------------------------
+# q286 — STREAMING funnel counters: q264's first-touch funnel
+# maintained as a (key, step, anchor) chain in the crash-safe store,
+# folded over the same three time-ordered batches (the resolvedTs
+# flush contract — anchors only move forward), counts read from the
+# key-bounded state.  Oracle = the one-shot q264 SQL, zero row for
+# the absent step included.
+# ---------------------------------------------------------------------------
+
+
+@register("q286_streaming_funnel", _q264_sql())
+def q286_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import (funnel_counts_from_store,
+                                             funnel_store)
+
+    store = funnel_store(
+        spark, tempfile.mkdtemp(prefix="q286_") + "/ledger", _Q264_STEPS)
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        store.apply_batch(b, batch_id=i)
+    return funnel_counts_from_store(store, _Q264_STEPS)

@@ -498,12 +498,19 @@ class DbmsEngine:
         return retention_cohorts(events, key, ts_col)
 
     def active_users(self, events: DataFrame, key: str = "user_id",
-                     ts_col: str = "ts", days: int = 7) -> DataFrame:
+                     ts_col: str = "ts", days: int = 7,
+                     approx: bool = False) -> DataFrame:
         """Rolling distinct actives per day (WAU for days=7, MAU for
         30) via offset expansion of the (key, day) relation.  Gates
-        q279/q280."""
-        from dbms_spark.operators.events import rolling_active
+        q279/q280.  ``approx=True`` answers from per-day HLL sketches
+        instead — 64 rows of state per day regardless of key
+        cardinality (gate q287), ±~13%, for when the activity ledger
+        itself is the bottleneck."""
+        from dbms_spark.operators.events import (rolling_active,
+                                                 rolling_active_hll)
 
+        if approx:
+            return rolling_active_hll(events, key, ts_col, days)
         return rolling_active(events, key, ts_col, days)
 
     def active_users_incremental(self, ledger: DataFrame,

@@ -329,6 +329,85 @@ FROM covering GROUP BY day
 """
 
 
+def rolling_active_hll(events: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", days: int = 7) -> DataFrame:
+    """APPROXIMATE rolling actives from per-day HLL sketches — the
+    100 TB form of :func:`rolling_active`: per-day state is m=64
+    registers REGARDLESS of key cardinality, where the exact form's
+    (key, day) relation grows with activity (10⁹ users × 30 days =
+    3·10¹⁰ ledger rows; this is 30 × 64).
+
+    Shape: one partial-aggregated groupBy builds (day, bucket,
+    register); the OFFSET EXPANSION then fans out the ≤ days×64-row
+    REGISTER relation (not the stream, not the ledger) and merges
+    trailing windows by elementwise register MAX — HLL's lossless
+    combine — so each day's estimate is exactly the sketch of its
+    trailing window.  The estimator is the repo's integer-exact raw
+    HLL (alpha = 709/1000, no libm, empty-bucket term folded into the
+    final aggregate: operators/sketch.py banner), deterministic and
+    bit-identical cross-engine — gate q287 hash-compares it.
+
+    Returns (day TIMESTAMP, n_active_est BIGINT), ±~13% (1.04/√64)
+    standard error; use the exact form when activity volume is
+    manageable, this one when the ledger itself is the bottleneck."""
+    from dbms_spark.operators.sketch import (_HLL_M, _HLL_WBITS,
+                                             _hll_parts_expr)
+
+    bucket, rho = _hll_parts_expr(F.col(key))
+    daily = (events.select(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("day"),
+        bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket").agg(F.max("rho").alias("register")))
+    max_day = daily.agg(F.max("day").alias("__max"))
+    cov = (daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("__o"),
+        "day", "bucket", "register")
+        .select((F.col("day") + F.make_interval(days=F.col("__o")))
+                .alias("day"), "bucket", "register")
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("__max"))
+        .groupBy("day", "bucket").agg(F.max("register").alias("register")))
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    return cov.groupBy("day").agg(F.expr(
+        f"CAST({num} DIV (1000 * ("
+        f"SUM(CAST(POW(2, {_HLL_WBITS + 1} - register) AS BIGINT))"
+        f" + ({_HLL_M} - COUNT(*)) * {scale})) AS BIGINT)")
+        .alias("n_active_est"))
+
+
+def rolling_active_hll_sql(table: str, key: str = "user_id",
+                           ts_col: str = "ts", days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_active_hll` (same md5 bucket/rho
+    split and rational estimator as hll_ndv_by_sql)."""
+    from dbms_spark.operators.sketch import (_HLL_M, _HLL_WBITS,
+                                             _hll_parts_sql)
+
+    bucket, rho = _hll_parts_sql(key)
+    scale = 1 << (_HLL_WBITS + 1)
+    num = 709 * _HLL_M * _HLL_M * scale
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', CAST({ts_col} AS TIMESTAMP)) AS day,
+         {bucket} AS bucket, MAX({rho}) AS register
+  FROM {table} GROUP BY 1, 2
+),
+mx AS (SELECT MAX(day) AS max_d FROM daily),
+cov AS (
+  SELECT day + to_days(CAST(o AS INTEGER)) AS day, bucket,
+         MAX(register) AS register
+  FROM daily, range(0, {days}) r(o), mx
+  WHERE day + to_days(CAST(o AS INTEGER)) <= mx.max_d
+  GROUP BY 1, 2
+)
+SELECT day,
+       CAST({num} // (1000 * (
+         SUM(CAST(2 ** ({_HLL_WBITS + 1} - register) AS BIGINT))
+         + ({_HLL_M} - COUNT(*)) * {scale})) AS BIGINT) AS n_active_est
+FROM cov GROUP BY day
+"""
+
+
 def retention_state(events: DataFrame, key: str = "user_id",
                     ts_col: str = "ts") -> tuple[DataFrame, DataFrame]:
     """:func:`retention_cohorts`'s mergeable state, as two key-bounded

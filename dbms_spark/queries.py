@@ -9720,3 +9720,29 @@ def q286_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      "events"))):
         store.apply_batch(b, batch_id=i)
     return funnel_counts_from_store(store, _Q264_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# q287 — SKETCH-BACKED rolling actives: q279's WAU from per-day HLL
+# register tables — 64 rows of state per day REGARDLESS of key
+# cardinality (the exact ledger grows with activity; at 10⁹ users
+# the ledger IS the bottleneck and this is the shape that survives).
+# Trailing windows merge by elementwise register MAX (HLL's lossless
+# combine) over the offset-expanded REGISTER relation, never the
+# stream; the raw rational estimator is integer-exact and
+# deterministic, so the gate hash-compares despite being an
+# approximation of the true count.
+# ---------------------------------------------------------------------------
+
+
+def _q287_sql() -> str:
+    from dbms_spark.operators.events import rolling_active_hll_sql
+
+    return rolling_active_hll_sql("events", days=7)
+
+
+@register("q287_rolling_active_hll", _q287_sql())
+def q287_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import rolling_active_hll
+
+    return rolling_active_hll(load_table(spark, sf_dir, "events"), days=7)

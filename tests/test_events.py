@@ -344,3 +344,33 @@ def test_rolling_anomaly_prefix_tie_exclusion(spark):
             for r in E.rolling_anomaly(
                 ev, days=1, id_cols=["event_id"], min_n=5).collect()}
     assert got == want
+
+
+def test_rolling_active_hll_accuracy_and_state_bound(spark):
+    """The sketch WAU tracks the exact WAU within the m=64 error
+    regime on a few-thousand-key stream, and per-day sketch state is
+    <= 64 rows no matter how many keys were active."""
+    import datetime as dt
+
+    rows = [(u * 7919 % 3000, ts(0) + dt.timedelta(
+        seconds=(u * 104729) % (10 * 86400)), "view", u)
+        for u in range(6000)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    exact = {r.day: r.n_active
+             for r in E.rolling_active(ev, days=7).collect()}
+    est = {r.day: r.n_active_est
+           for r in E.rolling_active_hll(ev, days=7).collect()}
+    assert set(est) == set(exact)   # same covered days
+    for d, n in exact.items():
+        if n >= 200:   # raw estimator regime (no linear counting)
+            assert abs(est[d] - n) / n < 0.40, (d, n, est[d])
+    # state bound: the per-day register relation never exceeds m rows
+    from dbms_spark.operators.sketch import _HLL_M, _hll_parts_expr
+    from pyspark.sql import functions as F
+    bucket, rho = _hll_parts_expr(F.col("user_id"))
+    daily = (ev.select(F.date_trunc("day", "ts").alias("day"),
+                       bucket.alias("b"), rho.alias("r"))
+             .groupBy("day", "b").count())
+    per_day = daily.groupBy("day").count().agg(F.max("count")).first()[0]
+    assert per_day <= _HLL_M

@@ -589,6 +589,19 @@ class DbmsEngine:
         return token_cooccurrence(docs, min_df=min_df, max_df=max_df,
                                   per_doc_cap=per_doc_cap, k=k)
 
+    def attribute(self, events: DataFrame, conversion_type: str,
+                  touch_types: list[str], key: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  lookback_seconds: int | None = None,
+                  tiebreak: list[str] | None = None) -> DataFrame:
+        """Last-touch conversion attribution with optional lookback
+        (one appending ROWS frame, no join).  Gate q288."""
+        from dbms_spark.operators.events import attribute_conversions
+
+        return attribute_conversions(events, conversion_type, touch_types,
+                                     key, ts_col, type_col,
+                                     lookback_seconds, tiebreak)
+
     def top_paths(self, events: DataFrame, n: int = 3, k: int = 20,
                   key: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",

@@ -887,3 +887,102 @@ FROM counted
 ORDER BY n_paths DESC, path
 LIMIT {k}
 """
+
+
+def attribute_conversions(events: DataFrame, conversion_type: str,
+                          touch_types: list[str], key: str = "user_id",
+                          ts_col: str = "ts", type_col: str = "event_type",
+                          lookback_seconds: int | None = None,
+                          tiebreak: list[str] | None = None) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: credit each conversion event to the
+    key's most recent strictly-preceding touch event (``touch_types``),
+    optionally only within ``lookback_seconds`` — the "which campaign
+    gets the sale" join every marketing pipeline runs.  Unattributed
+    conversions surface with NULL touch columns rather than vanishing
+    (the report needs the organic share too).
+
+    Returns (key, tiebreak..., conv_ts, touch_type, touch_ts,
+    lag_seconds) — one row per conversion event.
+
+    Shape: the backward as-of join INSIDE one event stream needs no
+    join at all — ONE (key, ts) sort-shuffle and a ROWS frame ending
+    1 row before the current: ``last(touch_ts, ignorenulls)`` over it
+    reads the most recent preceding touch in O(rows) (the frame only
+    ever appends).  "Preceding" is strict in (ts, tiebreak...) order —
+    pass the event id to make simultaneous-event behavior total and
+    cross-engine deterministic.  The lookback clips AFTER the window
+    (a too-old touch NULLs out, exactly like no touch); lag uses
+    truncated whole-second epochs on both engines (the q268 floor
+    lesson)."""
+    tb = list(tiebreak or [])
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    is_touch = F.col(type_col).isin(touch_types)
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts_col).cast("timestamp"),
+                  *[F.asc(c) for c in tb])
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (events
+            .withColumn("__tt", F.last(F.when(is_touch, F.col(type_col)),
+                                       ignorenulls=True).over(w))
+            .withColumn("__tts", F.last(
+                F.when(is_touch, F.col(ts_col).cast("timestamp")),
+                ignorenulls=True).over(w))
+            .filter(F.col(type_col) == conversion_type))
+    if lookback_seconds is not None:
+        stale = (F.col("__tts").cast("long")
+                 < epoch - F.lit(lookback_seconds))
+        base = (base
+                .withColumn("__tt", F.when(~stale, F.col("__tt")))
+                .withColumn("__tts", F.when(~stale, F.col("__tts"))))
+    return base.select(
+        F.col(key), *[F.col(c) for c in tb],
+        F.col(ts_col).cast("timestamp").alias("conv_ts"),
+        F.col("__tt").alias("touch_type"),
+        F.col("__tts").alias("touch_ts"),
+        (epoch - F.col("__tts").cast("long")).cast("bigint")
+        .alias("lag_seconds"))
+
+
+def attribute_conversions_sql(table: str, conversion_type: str,
+                              touch_types: list[str], key: str = "user_id",
+                              ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              lookback_seconds: int | None = None,
+                              tiebreak: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`attribute_conversions` (same ROWS frame,
+    same strict (ts, tiebreak) order, same floor-epoch lag)."""
+    tb = list(tiebreak or [])
+    tbsel = "".join(f"{c}, " for c in tb)
+    ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + tb)
+    touches = ", ".join(_q(t) for t in touch_types)
+    ep = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)"
+    tep = "CAST(floor(epoch(tts)) AS BIGINT)"
+    stale = ("" if lookback_seconds is None else
+             f", CASE WHEN {tep} < ep - {lookback_seconds} "
+             f"THEN NULL ELSE tt END AS tt2"
+             f", CASE WHEN {tep} < ep - {lookback_seconds} "
+             f"THEN NULL ELSE tts END AS tts2")
+    tt, tts = ("tt2", "tts2") if lookback_seconds is not None else ("tt",
+                                                                    "tts")
+    return f"""
+WITH marked AS (
+  SELECT {key}, {tbsel}{type_col}, CAST({ts_col} AS TIMESTAMP) AS {ts_col},
+         {ep} AS ep,
+         last_value(CASE WHEN {type_col} IN ({touches})
+                         THEN {type_col} END IGNORE NULLS) OVER w AS tt,
+         last_value(CASE WHEN {type_col} IN ({touches})
+                         THEN CAST({ts_col} AS TIMESTAMP) END
+                    IGNORE NULLS) OVER w AS tts
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ob}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT *{stale} FROM marked WHERE {type_col} = {_q(conversion_type)}
+)
+SELECT {key}, {tbsel}{ts_col} AS conv_ts, {tt} AS touch_type,
+       {tts} AS touch_ts,
+       CAST(ep - CAST(floor(epoch({tts})) AS BIGINT) AS BIGINT)
+         AS lag_seconds
+FROM conv
+"""

@@ -9746,3 +9746,32 @@ def q287_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.events import rolling_active_hll
 
     return rolling_active_hll(load_table(spark, sf_dir, "events"), days=7)
+
+
+# ---------------------------------------------------------------------------
+# q288 — last-touch conversion attribution: every purchase credited
+# to the user's most recent strictly-preceding view/click within a
+# 7-day lookback; organic (unattributed) purchases surface with NULL
+# touch columns.  The backward as-of join INSIDE one stream needs no
+# join: ONE (user, ts, event_id) sort-shuffle and an appending ROWS
+# frame — last(touch, ignorenulls) — then the lookback clips stale
+# touches to NULL.  Whole-second lag on both engines (q268 floor
+# lesson); event_id tiebreak makes simultaneous events total.
+# ---------------------------------------------------------------------------
+
+
+def _q288_sql() -> str:
+    from dbms_spark.operators.events import attribute_conversions_sql
+
+    return attribute_conversions_sql(
+        "events", "purchase", ["view", "click"],
+        lookback_seconds=7 * 86400, tiebreak=["event_id"])
+
+
+@register("q288_attribution", _q288_sql())
+def q288_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import attribute_conversions
+
+    return attribute_conversions(
+        load_table(spark, sf_dir, "events"), "purchase", ["view", "click"],
+        lookback_seconds=7 * 86400, tiebreak=["event_id"])

@@ -374,3 +374,39 @@ def test_rolling_active_hll_accuracy_and_state_bound(spark):
              .groupBy("day", "b").count())
     per_day = daily.groupBy("day").count().agg(F.max("count")).first()[0]
     assert per_day <= _HLL_M
+
+
+def test_attribute_conversions_hand_values(spark):
+    """Last touch wins; lookback clips to organic; a conversion with
+    no preceding touch is organic; later touches never attribute
+    backward; simultaneous touch+conversion (same ts) resolves by
+    event_id order (strictly preceding rows only)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, b, "view", 1),
+        (1, b + dt.timedelta(hours=1), "click", 2),
+        (1, b + dt.timedelta(hours=2), "purchase", 3),   # -> click
+        (2, b, "purchase", 4),                            # organic
+        (2, b + dt.timedelta(hours=1), "view", 5),        # later touch
+        (3, b, "view", 6),
+        (3, b + dt.timedelta(days=9), "purchase", 7),     # stale -> organic
+        (4, b, "view", 8), (4, b, "purchase", 9),         # same ts: 8 < 9
+    ]
+    ev = _ev(spark, rows)
+    got = {r.event_id: (r.touch_type, r.lag_seconds)
+           for r in E.attribute_conversions(
+               ev, "purchase", ["view", "click"],
+               lookback_seconds=7 * 86400,
+               tiebreak=["event_id"]).collect()}
+    assert got[3] == ("click", 3600)
+    assert got[4] == (None, None)
+    assert got[7] == (None, None)
+    assert got[9] == ("view", 0)
+    # without the lookback, the 9-day-old view attributes
+    got_all = {r.event_id: r.touch_type
+               for r in E.attribute_conversions(
+                   ev, "purchase", ["view", "click"],
+                   tiebreak=["event_id"]).collect()}
+    assert got_all[7] == "view"

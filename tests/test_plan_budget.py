@@ -146,6 +146,23 @@ SHUFFLE_BUDGET = {
     # (user, day) dedup + 1-row max + offset-exploded distinct count
     "q279_rolling_active": 4,
     "q280_stickiness": 8,              # two q279 legs + day join
+    # round-8 additions
+    # ledger + batch active_days legs, day-probed merge (semi/anti),
+    # clip, expansion distinct count — the printed tree re-expands the
+    # shared events scan per leg (ReusedExchange collapses at runtime)
+    "q281_rolling_active_incremental": 14,
+    # first-touch semi/anti split + re-min + week-probed activity
+    # merge + triangle join/agg (broadcast legs don't count)
+    "q282_retention_incremental": 10,
+    "q283_rolling_window_prefix": 2,   # cumulative sort + probe-merge sort
+    "q284_rolling_anomaly_prefix": 2,  # same two per-key sorts (tie agg rides the first)
+    # returned plan reads the committed snapshot + WAU expansion
+    "q285_streaming_wau": 3,
+    "q286_streaming_funnel": 1,        # count-from-state agg (folds are committed parquet)
+    # (day, bucket) register agg + offset-expanded register merge +
+    # per-day estimate (count_distinct-free: registers, not keys)
+    "q287_rolling_active_hll": 4,
+    "q288_attribution": 1,             # ONE (user, ts) sort; no join
 }
 
 _SHUFFLE_RE = re.compile(

@@ -986,3 +986,207 @@ SELECT {key}, {tbsel}{ts_col} AS conv_ts, {tt} AS touch_type,
          AS lag_seconds
 FROM conv
 """
+
+
+def heartbeat_gaps(events: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", max_gap_seconds: int = 3600,
+                   tiebreak: list[str] | None = None) -> DataFrame:
+    """SILENCE DETECTION: per-key periods where consecutive events are
+    more than ``max_gap_seconds`` apart — the "sensor went dark /
+    device stopped heartbeating" screen, the event-time sibling of
+    the id-space :func:`dbms_spark.operators.validate.sequence_gaps`
+    (that one finds missing IDs, this one missing TIME).
+
+    Returns (key, gap_start, gap_end, gap_seconds) — one row per
+    silent period, gap_seconds in truncated whole seconds (the floor
+    rule both engines share).
+
+    Shape: ONE (key, ts) sort-shuffle and a lag() window — O(rows),
+    no self-join, no sliding frame; the output is bounded by the
+    number of silent periods, not events."""
+    tb = list(tiebreak or [])
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(key).orderBy(ts, *[F.asc(c) for c in tb])
+    prev = F.lag(ts).over(w)
+    return (events
+            .select(F.col(key), prev.alias("gap_start"),
+                    ts.alias("gap_end"),
+                    (ts.cast("long") - prev.cast("long"))
+                    .cast("bigint").alias("gap_seconds"))
+            .filter(F.col("gap_seconds") > max_gap_seconds))
+
+
+def heartbeat_gaps_sql(table: str, key: str = "user_id",
+                       ts_col: str = "ts", max_gap_seconds: int = 3600,
+                       tiebreak: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`heartbeat_gaps` (same lag window, same
+    floor-epoch whole-second delta)."""
+    ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + list(tiebreak or []))
+    ep = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)"
+    return f"""
+WITH lagged AS (
+  SELECT {key},
+         lag(CAST({ts_col} AS TIMESTAMP)) OVER w AS gap_start,
+         CAST({ts_col} AS TIMESTAMP) AS gap_end,
+         {ep} - lag({ep}) OVER w AS gap_seconds
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+)
+SELECT {key}, gap_start, gap_end, CAST(gap_seconds AS BIGINT) AS gap_seconds
+FROM lagged WHERE gap_seconds > {max_gap_seconds}
+"""
+
+
+def attribution_multi_touch(events: DataFrame, conversion_type: str,
+                            touch_types: list[str], key: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            lookback_seconds: int = 7 * 86400,
+                            id_col: str = "event_id",
+                            max_touches: int | None = None) -> DataFrame:
+    """MULTI-TOUCH attribution: every touch in the lookback window
+    before each conversion gets credit, split integer-exactly —
+    each touch receives floor(1e6 / n) ppm and the LAST (most recent)
+    touch absorbs the remainder, so per-conversion weights always sum
+    to exactly 1,000,000 (the property downstream spend-allocation
+    joins rely on; doubles would drift).
+
+    Returns (key, conv_id, conv_ts, touch_id, touch_type, touch_ts,
+    n_touches, weight_ppm), one row per (conversion, touch) pair.
+
+    Shape: one key equi-join between the conversion and touch
+    relations with the lookback range predicate — fan-out is bounded
+    by touches-per-lookback, NOT the key's history.  ``max_touches``
+    is the occupancy cap for pathological keys (a bot with 10⁶
+    touches in the window would otherwise emit 10⁶ rows per
+    conversion): keep only the N most recent touches per conversion,
+    weights renormalized over the kept set.  "Preceding" is strict
+    in (ts, id) lexicographic order, so same-timestamp events
+    resolve deterministically."""
+    convs = (events.filter(F.col(type_col) == conversion_type)
+             .select(F.col(key),
+                     F.col(id_col).alias("conv_id"),
+                     F.col(ts_col).cast("timestamp").alias("conv_ts")))
+    touches = (events.filter(F.col(type_col).isin(touch_types))
+               .select(F.col(key),
+                       F.col(id_col).alias("touch_id"),
+                       F.col(type_col).alias("touch_type"),
+                       F.col(ts_col).cast("timestamp").alias("touch_ts")))
+    strictly_before = (
+        (F.col("touch_ts") < F.col("conv_ts"))
+        | ((F.col("touch_ts") == F.col("conv_ts"))
+           & (F.col("touch_id") < F.col("conv_id"))))
+    in_window = (F.col("touch_ts").cast("long")
+                 >= F.col("conv_ts").cast("long") - F.lit(lookback_seconds))
+    pairs = convs.join(touches, key).filter(strictly_before & in_window)
+    if max_touches is not None:
+        w = (Window.partitionBy(key, "conv_id")
+             .orderBy(F.desc("touch_ts"), F.desc("touch_id")))
+        pairs = (pairs.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= max_touches).drop("__rn"))
+    cw = Window.partitionBy(key, "conv_id")
+    lastw = (Window.partitionBy(key, "conv_id")
+             .orderBy(F.desc("touch_ts"), F.desc("touch_id")))
+    n = F.count(F.lit(1)).over(cw).cast("bigint")
+    rn = F.row_number().over(lastw)
+    base = F.expr("CAST(1000000 AS BIGINT) DIV __n")
+    return (pairs
+            .withColumn("__n", n)
+            .withColumn("__rn", rn)
+            .select(F.col(key), "conv_id", "conv_ts", "touch_id",
+                    "touch_type", "touch_ts",
+                    F.col("__n").alias("n_touches"),
+                    F.when(F.col("__rn") == 1,
+                           base + F.expr("1000000 % __n"))
+                    .otherwise(base).cast("bigint").alias("weight_ppm")))
+
+
+def attribution_multi_touch_sql(table: str, conversion_type: str,
+                                touch_types: list[str],
+                                key: str = "user_id", ts_col: str = "ts",
+                                type_col: str = "event_type",
+                                lookback_seconds: int = 7 * 86400,
+                                id_col: str = "event_id",
+                                max_touches: int | None = None) -> str:
+    """DuckDB twin of :func:`attribution_multi_touch`."""
+    touches = ", ".join(_q(t) for t in touch_types)
+    cap = (f"QUALIFY ROW_NUMBER() OVER (PARTITION BY c.{key}, conv_id "
+           f"ORDER BY touch_ts DESC, touch_id DESC) <= {max_touches}"
+           if max_touches is not None else "")
+    return f"""
+WITH convs AS (
+  SELECT {key}, {id_col} AS conv_id,
+         CAST({ts_col} AS TIMESTAMP) AS conv_ts
+  FROM {table} WHERE {type_col} = {_q(conversion_type)}
+),
+touches AS (
+  SELECT {key}, {id_col} AS touch_id, {type_col} AS touch_type,
+         CAST({ts_col} AS TIMESTAMP) AS touch_ts
+  FROM {table} WHERE {type_col} IN ({touches})
+),
+pairs AS (
+  SELECT c.{key}, conv_id, conv_ts, touch_id, touch_type, touch_ts
+  FROM convs c JOIN touches t USING ({key})
+  WHERE (touch_ts < conv_ts OR (touch_ts = conv_ts AND touch_id < conv_id))
+    AND CAST(floor(epoch(touch_ts)) AS BIGINT)
+        >= CAST(floor(epoch(conv_ts)) AS BIGINT) - {lookback_seconds}
+  {cap}
+)
+SELECT {key}, conv_id, conv_ts, touch_id, touch_type, touch_ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_touches,
+       CAST(CASE WHEN ROW_NUMBER() OVER
+                      (PARTITION BY {key}, conv_id
+                       ORDER BY touch_ts DESC, touch_id DESC) = 1
+                 THEN 1000000 // COUNT(*) OVER w + 1000000 % COUNT(*) OVER w
+                 ELSE 1000000 // COUNT(*) OVER w END AS BIGINT)
+         AS weight_ppm
+FROM pairs
+WINDOW w AS (PARTITION BY {key}, conv_id)
+"""
+
+
+def funnel_conversion(events: DataFrame, steps: list[str],
+                      key: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """The funnel DROP-OFF report: :func:`funnel`'s counts plus
+    integer-ppm step-to-step and from-top conversion rates — the
+    numbers a funnel dashboard actually shows ("62% of viewers
+    click, 8% of viewers buy").  Rates are NULL where the upstream
+    count is zero (0/0 is unreported, not fake-100%).
+
+    Pure composition over the ≤ len(steps)-row funnel output; adds
+    one trivial window over that tiny relation."""
+    counts = funnel(events, steps, key, ts_col, type_col)
+    w = Window.orderBy("step")
+    base = (counts
+            .withColumn("__prev", F.lag("n_users").over(w))
+            .withColumn("__first", F.first("n_users").over(w)))
+    # integer DIV, not '/', so the ppm is exact like the oracle's //
+    return base.select(
+        "step", "event_type", "n_users",
+        F.expr("CASE WHEN __prev > 0 THEN CAST(1000000 AS BIGINT)"
+               " * n_users DIV __prev END").cast("bigint")
+        .alias("conv_from_prev_ppm"),
+        F.expr("CASE WHEN __first > 0 THEN CAST(1000000 AS BIGINT)"
+               " * n_users DIV __first END").cast("bigint")
+        .alias("conv_from_first_ppm"))
+
+
+def funnel_conversion_sql(table: str, steps: list[str],
+                          key: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel_conversion`."""
+    inner = funnel_sql(table, steps, key, ts_col, type_col)
+    return f"""
+WITH counts AS ({inner})
+SELECT step, event_type, n_users,
+       CAST(CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+                 THEN CAST(1000000 AS BIGINT) * n_users
+                      // lag(n_users) OVER (ORDER BY step) END AS BIGINT)
+         AS conv_from_prev_ppm,
+       CAST(CASE WHEN first_value(n_users) OVER (ORDER BY step) > 0
+                 THEN CAST(1000000 AS BIGINT) * n_users
+                      // first_value(n_users) OVER (ORDER BY step) END
+            AS BIGINT) AS conv_from_first_ppm
+FROM counts
+"""

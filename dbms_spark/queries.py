@@ -9775,3 +9775,77 @@ def q288_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_conversions(
         load_table(spark, sf_dir, "events"), "purchase", ["view", "click"],
         lookback_seconds=7 * 86400, tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q289 — heartbeat-gap detection: per-user silent periods longer than
+# a day — the event-TIME sibling of q272's id-space sequence gaps
+# (missing time instead of missing keys).  ONE (user, ts) sort +
+# lag(); output bounded by silent periods, never events.
+# ---------------------------------------------------------------------------
+
+
+def _q289_sql() -> str:
+    from dbms_spark.operators.events import heartbeat_gaps_sql
+
+    return heartbeat_gaps_sql("events", max_gap_seconds=86400,
+                              tiebreak=["event_id"])
+
+
+@register("q289_heartbeat_gaps", _q289_sql())
+def q289_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import heartbeat_gaps
+
+    return heartbeat_gaps(load_table(spark, sf_dir, "events"),
+                          max_gap_seconds=86400, tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q290 — MULTI-TOUCH attribution: every view/click in the 7-day
+# window before each purchase shares the credit, integer-exact
+# (floor(1e6/n) ppm each, the most recent touch absorbs the
+# remainder so each conversion's weights sum to exactly 1e6 — the
+# invariant spend-allocation joins need).  max_touches=3 exercises
+# the occupancy cap: only the 3 most recent touches credit, weights
+# renormalized over the kept set — the bound that keeps a bot's 10⁶
+# in-window touches from emitting 10⁶ rows per conversion.
+# ---------------------------------------------------------------------------
+
+
+def _q290_sql() -> str:
+    from dbms_spark.operators.events import attribution_multi_touch_sql
+
+    return attribution_multi_touch_sql(
+        "events", "purchase", ["view", "click"], max_touches=3)
+
+
+@register("q290_multi_touch_attribution", _q290_sql())
+def q290_multi_touch_attribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import attribution_multi_touch
+
+    return attribution_multi_touch(
+        load_table(spark, sf_dir, "events"), "purchase", ["view", "click"],
+        max_touches=3)
+
+
+# ---------------------------------------------------------------------------
+# q291 — funnel drop-off report: q264's counts plus integer-ppm
+# step-to-step and from-top conversion rates (the percentages a
+# funnel dashboard shows), NULL-not-100% where the upstream count is
+# zero.  Pure composition over the <= 4-row funnel output.
+# ---------------------------------------------------------------------------
+
+
+def _q291_sql() -> str:
+    from dbms_spark.operators.events import funnel_conversion_sql
+
+    return funnel_conversion_sql("events", _Q264_STEPS)
+
+
+@register("q291_funnel_conversion", _q291_sql())
+def q291_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import funnel_conversion
+
+    return funnel_conversion(load_table(spark, sf_dir, "events"),
+                             _Q264_STEPS)

@@ -410,3 +410,72 @@ def test_attribute_conversions_hand_values(spark):
                    ev, "purchase", ["view", "click"],
                    tiebreak=["event_id"]).collect()}
     assert got_all[7] == "view"
+
+
+def test_heartbeat_gaps_hand_values(spark):
+    """Silence strictly longer than the threshold reports; the first
+    event has no predecessor (no phantom gap); keys are isolated."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 10)
+    ev = _ev(spark, [
+        (1, b, "a", 1),
+        (1, b + dt.timedelta(seconds=3600), "a", 2),      # exactly 1h: not >
+        (1, b + dt.timedelta(seconds=3600 + 7200), "a", 3),  # 2h gap
+        (2, b + dt.timedelta(days=5), "a", 4),            # other key, alone
+    ])
+    got = [(r.user_id, r.gap_seconds)
+           for r in E.heartbeat_gaps(ev, max_gap_seconds=3600,
+                                     tiebreak=["event_id"]).collect()]
+    assert got == [(1, 7200)]
+
+
+def test_multi_touch_weights_sum_to_million(spark):
+    """Every conversion's weights sum to exactly 1e6 (remainder to the
+    most recent touch); the cap keeps the N most recent and
+    renormalizes; strictly-preceding tiebreak on equal timestamps."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 10)
+    ev = _ev(spark, [
+        (1, b, "view", 1),
+        (1, b + dt.timedelta(hours=1), "click", 2),
+        (1, b + dt.timedelta(hours=2), "view", 3),
+        (1, b + dt.timedelta(hours=3), "purchase", 4),    # 3 touches
+        (2, b, "view", 5), (2, b, "purchase", 6),          # same ts, 5 < 6
+    ])
+    rows = E.attribution_multi_touch(
+        ev, "purchase", ["view", "click"]).collect()
+    by_conv: dict[int, list] = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert sum(r.weight_ppm for r in by_conv[4]) == 1_000_000
+    # 1e6 DIV 3 = 333333; most recent touch (event 3) takes +1
+    w = {r.touch_id: r.weight_ppm for r in by_conv[4]}
+    assert w == {1: 333333, 2: 333333, 3: 333334}
+    assert [r.weight_ppm for r in by_conv[6]] == [1_000_000]
+    # cap at 2: only the two most recent touches, renormalized
+    capped = {r.touch_id: r.weight_ppm
+              for r in E.attribution_multi_touch(
+                  ev, "purchase", ["view", "click"],
+                  max_touches=2).collect() if r.conv_id == 4}
+    assert capped == {2: 500000, 3: 500000}
+
+
+def test_funnel_conversion_hand_values(spark):
+    """Drop-off ppm: 4 viewers -> 2 clickers -> 1 buyer; absent step
+    reports 0 with 0-ppm rates; rate after a zero count is NULL."""
+    ev = _ev(spark, [
+        (1, ts(1), "view", 1), (1, ts(2), "click", 2), (1, ts(3), "purchase", 3),
+        (2, ts(1), "view", 4), (2, ts(2), "click", 5),
+        (3, ts(1), "view", 6), (4, ts(1), "view", 7),
+    ])
+    got = {r.step: (r.n_users, r.conv_from_prev_ppm, r.conv_from_first_ppm)
+           for r in E.funnel_conversion(
+               ev, ["view", "click", "purchase", "zzgone", "zzafter"])
+           .collect()}
+    assert got[0] == (4, None, 1_000_000)
+    assert got[1] == (2, 500_000, 500_000)
+    assert got[2] == (1, 500_000, 250_000)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (0, None, 0)      # 0/0: unreported, not fake-100%

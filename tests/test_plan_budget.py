@@ -163,6 +163,9 @@ SHUFFLE_BUDGET = {
     # per-day estimate (count_distinct-free: registers, not keys)
     "q287_rolling_active_hll": 4,
     "q288_attribution": 1,             # ONE (user, ts) sort; no join
+    "q289_heartbeat_gaps": 1,          # one (user, ts) sort + lag
+    "q290_multi_touch_attribution": 1,  # one key equi-join (AQE broadcast) + pair windows ride it
+    "q291_funnel_conversion": 4,       # checkpointed funnel chain + tiny-step window
 }
 
 _SHUFFLE_RE = re.compile(

@@ -309,3 +309,104 @@ def test_rolling_anomaly_prefix_identity(spark, rows, days):
     b = sorted(tuple(r) for r in E.rolling_anomaly_prefix(
         df, days=days, id_cols=["event_id"], min_n=1).collect())
     assert a == b
+
+
+# --- round-8 additions: attribution, heartbeat gaps, drop-off -------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, lookback=st.sampled_from([None, 86400]))
+def test_attribution_matches_model(spark, rows, lookback):
+    df = _df(spark, rows)
+    got = {r.event_id: (r.touch_type,
+                        None if r.touch_ts is None else r.lag_seconds)
+           for r in E.attribute_conversions(
+               df, "c", ["a", "b"], lookback_seconds=lookback,
+               tiebreak=["event_id"]).collect()}
+    want = {}
+    for i, (u, s, t, v) in enumerate(rows):
+        if t != "c":
+            continue
+        pre = [(s2, j, t2) for j, (u2, s2, t2, v2) in enumerate(rows)
+               if u2 == u and t2 in ("a", "b") and (s2, j) < (s, i)]
+        if not pre:
+            want[i] = (None, None)
+            continue
+        s2, j, t2 = max(pre)
+        if lookback is not None and s2 < s - lookback:
+            want[i] = (None, None)
+        else:
+            want[i] = (t2, s - s2)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, cap=st.sampled_from([None, 2]))
+def test_multi_touch_matches_model(spark, rows, cap):
+    df = _df(spark, rows)
+    got = {}
+    for r in E.attribution_multi_touch(df, "c", ["a", "b"],
+                                       lookback_seconds=86400,
+                                       max_touches=cap).collect():
+        got.setdefault(r.conv_id, {})[r.touch_id] = (r.n_touches,
+                                                     r.weight_ppm)
+    want = {}
+    for i, (u, s, t, v) in enumerate(rows):
+        if t != "c":
+            continue
+        pre = [(s2, j) for j, (u2, s2, t2, v2) in enumerate(rows)
+               if u2 == u and t2 in ("a", "b") and (s2, j) < (s, i)
+               and s2 >= s - 86400]
+        pre.sort(reverse=True)          # most recent first
+        if cap is not None:
+            pre = pre[:cap]
+        if not pre:
+            continue
+        n = len(pre)
+        w = {}
+        for rank, (s2, j) in enumerate(pre):
+            w[j] = (n, 1000000 // n + (1000000 % n if rank == 0 else 0))
+        want[i] = w
+    assert got == want
+    # invariant: every conversion's ppm sums to exactly 1e6
+    for conv, ws in got.items():
+        assert sum(p for _, p in ws.values()) == 1_000_000
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets, gap=st.sampled_from([3600, 86400]))
+def test_heartbeat_gaps_matches_model(spark, rows, gap):
+    got = sorted((r.user_id, r.gap_seconds)
+                 for r in E.heartbeat_gaps(_df(spark, rows),
+                                           max_gap_seconds=gap,
+                                           tiebreak=["event_id"]).collect())
+    by_user: dict[int, list] = {}
+    for i, (u, s, t, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i))
+    want = []
+    for u, evs in by_user.items():
+        ss = [s for s, _ in sorted(evs)]
+        for a, b in zip(ss, ss[1:]):
+            if b - a > gap:
+                want.append((u, b - a))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_funnel_conversion_matches_model(spark, rows):
+    steps = ["a", "b", "c"]
+    got = {r.step: (r.n_users, r.conv_from_prev_ppm, r.conv_from_first_ppm)
+           for r in E.funnel_conversion(_df(spark, rows), steps).collect()}
+    counts = _funnel_model(rows, steps)
+    want = {}
+    for i, n in enumerate(counts):
+        prev = counts[i - 1] if i else None
+        want[i] = (n,
+                   1000000 * n // prev if prev else None,
+                   1000000 * n // counts[0] if counts[0] else None)
+    assert got == want

@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated ordered step types")
     sp.add_argument("--anomalies", action="store_true",
                     help="rolling 3-sigma anomaly count")
+    sp.add_argument("--attribute", default=None,
+                    help="CONV:TOUCH1|TOUCH2 last-touch attribution share")
+    sp.add_argument("--heartbeat-gap", type=int, default=None,
+                    help="report silent periods longer than N seconds")
 
     sp = sub.add_parser("chunk")
     sp.add_argument("--docs", required=True)
@@ -333,6 +337,20 @@ def main(argv: list[str] | None = None) -> int:
             out["anomalies"] = (rolling_anomaly(ev, id_cols=["event_id"])
                                 .filter("is_anomaly")
                                 .count())
+        if args.attribute:
+            conv, touches = args.attribute.split(":", 1)
+            att = eng.attribute(ev, conv, touches.split("|"),
+                                tiebreak=["event_id"])
+            out["attribution"] = {
+                (r.touch_type or "organic"): r.n for r in
+                att.groupBy("touch_type")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if args.heartbeat_gap:
+            from dbms_spark.operators.events import heartbeat_gaps
+
+            out["heartbeat_gaps"] = heartbeat_gaps(
+                ev, max_gap_seconds=args.heartbeat_gap,
+                tiebreak=["event_id"]).count()
         print(json.dumps(out))
         return 0
 

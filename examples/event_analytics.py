@@ -106,6 +106,20 @@ def main(sf_dir: str | None = None, spark=None) -> list[dict]:
               "ledger_rows": ledger.count(),
               "affected_days": len(full_tail),
               "matches_full_recompute": full_tail == want})
+
+        att = eng.attribute(ev, "purchase", ["view", "click"],
+                            lookback_seconds=7 * 86400,
+                            tiebreak=["event_id"])
+        shares = {(r.touch_type or "organic"): r.n for r in
+                  att.groupBy("touch_type")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        emit({"stage": "attribution", **shares})
+
+        from dbms_spark.operators.events import funnel_conversion
+        drop = {r.step: r.conv_from_first_ppm for r in funnel_conversion(
+            ev, ["view", "click", "purchase"]).collect()}
+        emit({"stage": "dropoff",
+              "from_top_ppm": {str(k): v for k, v in drop.items()}})
     finally:
         if owned:
             spark.stop()

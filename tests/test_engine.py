@@ -443,6 +443,13 @@ def test_cli_search_and_events_verbs(spark, tmp_path, capsys):
     assert rc == 0 and out["funnel"] == {"view": 1, "click": 1, "purchase": 1}
     assert out["anomalies"] == 0
 
+    rc = main(["events", "--events", ev,
+               "--attribute", "purchase:view|click",
+               "--heartbeat-gap", "1800"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["attribution"] == {"click": 1}
+    assert out["heartbeat_gaps"] == 3   # every hour step > 30 min
+
     rc = main(["overlap", "--docs", docs, "--group-col", "source",
                "--key-col", "text", "--k", "4", "--sparse"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])

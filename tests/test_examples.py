@@ -125,10 +125,13 @@ def test_event_analytics_stages(spark, sf_dir):
     by = {d["stage"]: d for d in stages}
     assert list(by) == ["sessionize", "funnel", "retention",
                         "top_paths", "rolling", "actives", "anomalies",
-                        "actives_incremental"]
+                        "actives_incremental", "attribution", "dropoff"]
     inc = by["actives_incremental"]
     assert inc["matches_full_recompute"] is True
     assert 1 <= inc["affected_days"] <= by["actives"]["days"]
+    assert sum(v for k, v in by["attribution"].items() if k != "stage") > 0
+    drop = by["dropoff"]["from_top_ppm"]
+    assert drop["0"] == 1_000_000 and drop["2"] <= drop["1"] <= 1_000_000
     assert by["sessionize"]["n_sessions"] <= by["sessionize"]["n_events"]
     fn = by["funnel"]
     assert fn["view"] >= fn["click"] >= fn["purchase"]   # monotone funnel

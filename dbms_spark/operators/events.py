@@ -1190,3 +1190,80 @@ SELECT step, event_type, n_users,
             AS BIGINT) AS conv_from_first_ppm
 FROM counts
 """
+
+
+def funnel_trend(events: DataFrame, steps: list[str],
+                 key: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 period: str = "week") -> DataFrame:
+    """FUNNEL TREND: :func:`funnel`'s ordered-progression counts split
+    by the ``period`` (ISO week/day/month) of each key's STEP-0
+    anchor — "is the signup→purchase funnel improving for newer
+    cohorts", the time axis the single funnel cannot show.  Cohort
+    membership is pinned at step 0, so a key counts in exactly one
+    period at every step and each period's counts are non-increasing
+    down the steps.
+
+    Returns (period TIMESTAMP, step BIGINT, event_type STRING,
+    n_users BIGINT) — periods with no step-0 anchors are absent;
+    later steps' zero cells are absent too (the triangle shape, like
+    retention).
+
+    Shape: the same chained key-bounded survivor relations as
+    :func:`funnel`, except step 0 keeps its anchor period and every
+    survivor carries it through the joins — counts partial-aggregate
+    on (period,) instead of one global row, still bounded by
+    distinct periods × steps."""
+    if not steps:
+        raise ValueError("funnel_trend needs at least one step")
+    reached: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        ev_i = (events.filter(F.col(type_col) == step)
+                .select(F.col(key), F.col(ts_col).alias("__ts")))
+        if reached is None:
+            cur = (ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
+                   .withColumn("__p", F.date_trunc(
+                       period, F.col("__t").cast("timestamp"))))
+        else:
+            cur = (ev_i.join(reached.select(key, "__t", "__p"), key)
+                   .filter(F.col("__ts") > F.col("__t"))
+                   .groupBy(key, "__p").agg(F.min("__ts").alias("__t")))
+        reached = cur.localCheckpoint()
+        counts.append(reached.groupBy("__p").agg(
+            F.lit(i).cast("bigint").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select(F.col("__p").alias("period"), "step", "event_type",
+                      "n_users")
+
+
+def funnel_trend_sql(table: str, steps: list[str], key: str = "user_id",
+                     ts_col: str = "ts", type_col: str = "event_type",
+                     period: str = "week") -> str:
+    """DuckDB twin of :func:`funnel_trend` (the funnel_sql CTE chain
+    carrying the step-0 anchor period through every join)."""
+    ctes, selects = [], []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {key}, MIN(CAST({ts_col} AS TIMESTAMP)) AS t,"
+                f" date_trunc({_q(period)},"
+                f" MIN(CAST({ts_col} AS TIMESTAMP))) AS p"
+                f" FROM {table} WHERE {type_col} = {_q(step)} GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{key}, s{i - 1}.p,"
+                f" MIN(CAST(e.{ts_col} AS TIMESTAMP)) AS t"
+                f" FROM {table} e JOIN s{i - 1} USING ({key})"
+                f" WHERE e.{type_col} = {_q(step)}"
+                f" AND CAST(e.{ts_col} AS TIMESTAMP) > s{i - 1}.t"
+                f" GROUP BY 1, 2)")
+        selects.append(
+            f"SELECT p AS period, CAST({i} AS BIGINT) AS step,"
+            f" {_q(step)} AS event_type,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i} GROUP BY 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

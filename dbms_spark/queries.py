@@ -9849,3 +9849,27 @@ def q291_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return funnel_conversion(load_table(spark, sf_dir, "events"),
                              _Q264_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# q292 — funnel trend by cohort week: q264's ordered progression
+# split by the ISO week of each user's step-0 anchor — "is the
+# view→click→purchase funnel improving for newer cohorts".  Cohort
+# pinned at step 0 (a user counts in exactly ONE period per step);
+# same chained key-bounded survivor shape with the period carried
+# through the joins, counts bounded by periods × steps.
+# ---------------------------------------------------------------------------
+
+
+def _q292_sql() -> str:
+    from dbms_spark.operators.events import funnel_trend_sql
+
+    return funnel_trend_sql("events", ["view", "click", "purchase"])
+
+
+@register("q292_funnel_trend", _q292_sql())
+def q292_funnel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import funnel_trend
+
+    return funnel_trend(load_table(spark, sf_dir, "events"),
+                        ["view", "click", "purchase"])

@@ -479,3 +479,28 @@ def test_funnel_conversion_hand_values(spark):
     assert got[2] == (1, 500_000, 250_000)
     assert got[3] == (0, 0, 0)
     assert got[4] == (0, None, 0)      # 0/0: unreported, not fake-100%
+
+
+def test_funnel_trend_hand_values(spark):
+    """Cohort pinned at step 0: a user advancing in a LATER week still
+    counts in their anchor week's cell; per-period counts are
+    non-increasing down the steps; the sum over periods equals the
+    global funnel."""
+    ev = _ev(spark, [
+        # u1 anchors wk of Jan 1, clicks in wk of Jan 8: still wk-1 cohort
+        (1, ts(0, day=1), "view", 1), (1, ts(0, day=9), "click", 2),
+        # u2 anchors + clicks in wk of Jan 8
+        (2, ts(0, day=9), "view", 3), (2, ts(1, day=9), "click", 4),
+        # u3 anchors wk of Jan 1, never clicks
+        (3, ts(0, day=2), "view", 5),
+    ])
+    got = {(r.period.date().isoformat(), r.step): r.n_users
+           for r in E.funnel_trend(ev, ["view", "click"]).collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
+    glob = {r.step: r.n_users
+            for r in E.funnel(ev, ["view", "click"]).collect()}
+    by_step = {}
+    for (p, s), n in got.items():
+        by_step[s] = by_step.get(s, 0) + n
+    assert by_step == glob

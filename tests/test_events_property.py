@@ -410,3 +410,38 @@ def test_funnel_conversion_matches_model(spark, rows):
                    1000000 * n // prev if prev else None,
                    1000000 * n // counts[0] if counts[0] else None)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_funnel_trend_matches_model(spark, rows):
+    """Per-(period, step) counts against the funnel model extended
+    with step-0 anchor weeks; marginals must equal the global
+    funnel."""
+    steps = ["a", "b"]
+    got = {}
+    for r in E.funnel_trend(_df(spark, rows), steps).collect():
+        got[(r.period, r.step)] = r.n_users
+    # model: reuse _funnel_model's anchor logic but track anchors
+    by_user: dict[int, list] = {}
+    for u, s, t, v in rows:
+        by_user.setdefault(u, []).append((s, t))
+    reached = None
+    cohort: dict[int, object] = {}
+    want: dict[tuple, int] = {}
+    for step_i, step in enumerate(steps):
+        cur = {}
+        for u, evs in by_user.items():
+            if step_i > 0 and u not in reached:
+                continue
+            cands = [s for s, t in evs if t == step
+                     and (step_i == 0 or s > reached[u])]
+            if cands:
+                cur[u] = min(cands)
+                if step_i == 0:
+                    cohort[u] = _week(BASE + dt.timedelta(seconds=cur[u]))
+                want_key = (cohort[u], step_i)
+                want[want_key] = want.get(want_key, 0) + 1
+        reached = cur
+    assert got == want

@@ -166,6 +166,9 @@ SHUFFLE_BUDGET = {
     "q289_heartbeat_gaps": 1,          # one (user, ts) sort + lag
     "q290_multi_touch_attribution": 1,  # one key equi-join (AQE broadcast) + pair windows ride it
     "q291_funnel_conversion": 4,       # checkpointed funnel chain + tiny-step window
+    # checkpointed survivor chain carrying the cohort period; printed
+    # plan is the per-period count-union tail
+    "q292_funnel_trend": 3,
 }
 
 _SHUFFLE_RE = re.compile(

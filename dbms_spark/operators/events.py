@@ -861,11 +861,15 @@ def top_event_paths(events: DataFrame, n: int = 3, k: int = 20,
 def top_event_paths_sql(table: str, n: int = 3, k: int = 20,
                         key: str = "user_id", ts_col: str = "ts",
                         type_col: str = "event_type",
+                        session_col: str | None = None,
                         tiebreak: list[str] | None = None) -> str:
-    """DuckDB twin of :func:`top_event_paths` (no session form — the
-    oracle covers the per-user path).  NULL ``type_col`` rows are
-    dropped up front, mirroring the DataFrame form (see its NULL
-    note)."""
+    """DuckDB twin of :func:`top_event_paths`, including the
+    session-scoped form (``session_col`` joins the window partition
+    so paths never bridge a session gap — pair with
+    :func:`dbms_spark.operators.joins.sessionize_sql` as the inner
+    table).  NULL ``type_col`` rows are dropped up front, mirroring
+    the DataFrame form (see its NULL note)."""
+    parts = ", ".join([key] + ([session_col] if session_col else []))
     ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + list(tiebreak or []))
     leads = [type_col] + [f"lead({type_col}, {i}) OVER w" for i in range(1, n)]
     concat = " || '->' || ".join(leads)
@@ -875,7 +879,7 @@ WITH stepped AS (
   SELECT {concat} AS path, {last} IS NOT NULL AS is_complete
   FROM {table}
   WHERE {type_col} IS NOT NULL
-  WINDOW w AS (PARTITION BY {key} ORDER BY {ob})
+  WINDOW w AS (PARTITION BY {parts} ORDER BY {ob})
 ),
 counted AS (
   SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths

@@ -153,3 +153,32 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
         .drop("__new")
     )
+
+
+def sessionize_sql(table: str, key: str, ts_col: str,
+                   gap_minutes: int = 30,
+                   tiebreak: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`sessionize`: same lag + running-sum
+    windows, same truncated whole-second epochs on BOTH lag operands
+    (Spark's cast-to-long truncates before differencing, so a
+    fractional epoch() here would flip boundary-second gaps — the
+    q268 floor lesson).  Preserves every input column and appends
+    ``session_id``."""
+    ob = ", ".join([f"CAST({ts_col} AS TIMESTAMP)"] + list(tiebreak or []))
+    ep = f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)"
+    return f"""
+SELECT * EXCLUDE (__prev, __new),
+       CAST(SUM(__new) OVER (PARTITION BY {key} ORDER BY {ob}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+FROM (
+  SELECT * EXCLUDE (__prev),
+         CASE WHEN __prev IS NULL OR {ep} - __prev > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS __new, __prev
+  FROM (
+    SELECT *, lag({ep}) OVER
+              (PARTITION BY {key} ORDER BY {ob}) AS __prev
+    FROM {table}
+  )
+)
+"""

@@ -9873,3 +9873,74 @@ def q292_funnel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return funnel_trend(load_table(spark, sf_dir, "events"),
                         ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# q293 — sessionization itself under the hash gate: per-session
+# (user, session_id, n_events, duration_seconds) over a 30-minute
+# gap — the first true differential gate for sessionize (its
+# semantics were previously unit-pinned only; the session ids, the
+# gap boundary, and the running-sum numbering all hash-compare here).
+# One (user, ts) sort + lag/running-sum windows + a per-session agg.
+# ---------------------------------------------------------------------------
+
+
+def _q293_sql() -> str:
+    from dbms_spark.operators.joins import sessionize_sql
+
+    inner = sessionize_sql("events", "user_id", "ts", gap_minutes=30,
+                           tiebreak=["event_id"])
+    return f"""
+WITH sess AS ({inner})
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+            - MIN(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+            AS BIGINT) AS duration_seconds
+FROM sess GROUP BY 1, 2
+"""
+
+
+@register("q293_session_stats", _q293_sql())
+def q293_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    return (sessionize(ev, "user_id", "ts", gap_minutes=30,
+                       tiebreak=["event_id"])
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 (F.max(ep) - F.min(ep)).cast("bigint")
+                 .alias("duration_seconds")))
+
+
+# ---------------------------------------------------------------------------
+# q294 — session-scoped top paths: q266's sequences bounded by REAL
+# 30-minute-gap sessions (the previously oracle-less session form of
+# top_event_paths, now differential end-to-end: sessionize feeds the
+# path window's partition in BOTH engines, so a path bridging a
+# session gap in either engine hash-fails).
+# ---------------------------------------------------------------------------
+
+
+def _q294_sql() -> str:
+    from dbms_spark.operators.events import top_event_paths_sql
+    from dbms_spark.operators.joins import sessionize_sql
+
+    inner = sessionize_sql("events", "user_id", "ts", gap_minutes=30,
+                           tiebreak=["event_id"])
+    return top_event_paths_sql(f"({inner})", n=3, k=25,
+                               session_col="session_id",
+                               tiebreak=["event_id"])
+
+
+@register("q294_session_paths", _q294_sql())
+def q294_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import top_event_paths
+    from dbms_spark.operators.joins import sessionize
+
+    sess = sessionize(load_table(spark, sf_dir, "events"), "user_id", "ts",
+                      gap_minutes=30, tiebreak=["event_id"])
+    return top_event_paths(sess, n=3, k=25, session_col="session_id",
+                           tiebreak=["event_id"])

@@ -169,6 +169,9 @@ SHUFFLE_BUDGET = {
     # checkpointed survivor chain carrying the cohort period; printed
     # plan is the per-period count-union tail
     "q292_funnel_trend": 3,
+    # sessionize windows + per-session agg ride ONE (user, ts) sort
+    "q293_session_stats": 1,
+    "q294_session_paths": 2,           # session windows + path count agg
 }
 
 _SHUFFLE_RE = re.compile(

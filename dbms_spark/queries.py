@@ -9944,3 +9944,91 @@ def q294_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                       gap_minutes=30, tiebreak=["event_id"])
     return top_event_paths(sess, n=3, k=25, session_col="session_id",
                            tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# q295 — bounce rate per day: of the sessions STARTING each day, the
+# ppm that contained exactly one event — the engagement-quality
+# metric next to q293's session stats.  Session start day anchors
+# the session to one day (a midnight-spanning session counts where
+# it began).  Composition over the per-session relation; integer ppm.
+# ---------------------------------------------------------------------------
+
+
+def _q295_sql() -> str:
+    from dbms_spark.operators.joins import sessionize_sql
+
+    inner = sessionize_sql("events", "user_id", "ts", gap_minutes=30,
+                           tiebreak=["event_id"])
+    return f"""
+WITH sess AS ({inner}),
+per_session AS (
+  SELECT user_id, session_id,
+         date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS day,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       CAST(CAST(1000000 AS BIGINT)
+            * COUNT(*) FILTER (WHERE n_events = 1)
+            // COUNT(*) AS BIGINT) AS bounce_ppm
+FROM per_session GROUP BY 1
+"""
+
+
+@register("q295_bounce_rate", _q295_sql())
+def q295_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.joins import sessionize
+
+    sess = sessionize(load_table(spark, sf_dir, "events"), "user_id", "ts",
+                      gap_minutes=30, tiebreak=["event_id"])
+    per = (sess.groupBy("user_id", "session_id")
+           .agg(F.date_trunc("day", F.min(F.col("ts").cast("timestamp")))
+                .alias("day"),
+                F.count(F.lit(1)).alias("n_events")))
+    return (per.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint")
+                 .alias("n_bounces"))
+            .select("day", "n_sessions", "n_bounces",
+                    F.expr("CAST(1000000 AS BIGINT) * n_bounces"
+                           " DIV n_sessions").cast("bigint")
+                    .alias("bounce_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q296 — retention CURVE: q265's triangle as percentages of each
+# cohort's size (offset-0 row), integer ppm — "week-3 retention is
+# 42%", the normalized form dashboards plot.  One self-join of the
+# <= cohorts x offsets triangle on its offset-0 slice.
+# ---------------------------------------------------------------------------
+
+
+def _q296_sql() -> str:
+    from dbms_spark.operators.events import retention_cohorts_sql
+
+    inner = retention_cohorts_sql("events")
+    return f"""
+WITH tri AS ({inner}),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM tri
+         WHERE week_offset = 0)
+SELECT t.cohort_week, t.week_offset, t.n_users, b.cohort_size,
+       CAST(CAST(1000000 AS BIGINT) * t.n_users // b.cohort_size AS BIGINT)
+         AS retained_ppm
+FROM tri t JOIN base b USING (cohort_week)
+"""
+
+
+@register("q296_retention_curve", _q296_sql())
+def q296_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import retention_cohorts
+
+    tri = retention_cohorts(load_table(spark, sf_dir, "events"))
+    base = (tri.filter(F.col("week_offset") == 0)
+            .select("cohort_week", F.col("n_users").alias("cohort_size")))
+    return (tri.join(base, "cohort_week")
+            .select("cohort_week", "week_offset", "n_users", "cohort_size",
+                    F.expr("CAST(1000000 AS BIGINT) * n_users"
+                           " DIV cohort_size").cast("bigint")
+                    .alias("retained_ppm")))

@@ -47,18 +47,12 @@ def active_days_store(spark, path: str, key: str = "user_id",
     merge is the probe-the-batch's-days append of
     :func:`dbms_spark.operators.events.active_days_merge` — O(batch)
     intake, exact under any ordering (set union is commutative)."""
-    from dbms_spark.operators.events import active_days
-
-    def merge(cur: DataFrame, delta: DataFrame) -> DataFrame:
-        batch_days = delta.select("day").distinct()
-        existing = cur.join(F.broadcast(batch_days), "day", "left_semi")
-        fresh = delta.join(existing, [key, "day"], "left_anti")
-        return cur.unionByName(fresh)
+    from dbms_spark.operators.events import _merge_day_rows, active_days
 
     return SketchStore(
         spark, path,
         build_fn=lambda b: active_days(b, key, ts_col),
-        merge_fn=merge,
+        merge_fn=lambda cur, d: _merge_day_rows(cur, d, key),
         schema=f"{key} {key_type}, day timestamp")
 
 

@@ -504,3 +504,32 @@ def test_funnel_trend_hand_values(spark):
     for (p, s), n in got.items():
         by_step[s] = by_step.get(s, 0) + n
     assert by_step == glob
+
+
+def test_active_days_merge_prunes_day_partitions(spark, tmp_path):
+    """The O(batch) intake claim, machine-checked: with the ledger
+    persisted day-partitioned, the merge's day-probe reaches the scan
+    as a PARTITION filter (static IN-list via the broadcast semi
+    join's DPP, or dynamicpruning) — the untouched days' files are
+    never read.  Also re-checks merge correctness through the real
+    parquet roundtrip."""
+    import datetime as dt
+
+    hist = _ev(spark, [(u, ts(0, day=d), "view", u * 100 + d)
+                       for u in range(1, 5) for d in range(1, 11)])
+    led_path = str(tmp_path / "ledger")
+    E.active_days(hist).write.partitionBy("day").parquet(led_path)
+    ledger = spark.read.parquet(led_path)
+    batch = _ev(spark, [(9, ts(0, day=10), "view", 9010),
+                        (1, ts(0, day=11), "view", 1011)])
+    merged = E.active_days_merge(ledger, batch)
+    want = _rows(E.active_days(hist.unionByName(batch)))
+    assert _rows(merged) == want
+    # the probe leg's literal day IN-list must reach the partitioned
+    # scan as a STATIC partition filter: exactly one scan carries
+    # day IN (...) — the untouched days' files are never read.  (A
+    # broadcast-semi probe would need DPP, which measurably declines
+    # to fire on builds this small.)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("day" in ln and " IN " in ln.upper() for ln in pf), pf

@@ -150,7 +150,7 @@ SHUFFLE_BUDGET = {
     # ledger + batch active_days legs, day-probed merge (semi/anti),
     # clip, expansion distinct count — the printed tree re-expands the
     # shared events scan per leg (ReusedExchange collapses at runtime)
-    "q281_rolling_active_incremental": 14,
+    "q281_rolling_active_incremental": 12,
     # first-touch semi/anti split + re-min + week-probed activity
     # merge + triangle join/agg (broadcast legs don't count)
     "q282_retention_incremental": 10,
@@ -172,6 +172,9 @@ SHUFFLE_BUDGET = {
     # sessionize windows + per-session agg ride ONE (user, ts) sort
     "q293_session_stats": 1,
     "q294_session_paths": 2,           # session windows + path count agg
+    "q295_bounce_rate": 2,             # session windows sort + per-day agg
+    # triangle legs re-print for the offset-0 self-join (runtime reuses)
+    "q296_retention_curve": 6,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -1291,3 +1291,61 @@ def funnel_trend_sql(table: str, steps: list[str], key: str = "user_id",
             f" {_q(step)} AS event_type,"
             f" CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i} GROUP BY 1")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def last_seen(events: DataFrame, key: str = "user_id",
+              ts_col: str = "ts") -> DataFrame:
+    """The (key, last_seen TIMESTAMP) relation — one row per
+    ever-seen key.  Mergeable state (max is commutative/idempotent,
+    so ANY batch order is exact); the liveness ledger behind
+    :func:`offline_keys` and the streaming last-seen store."""
+    return events.groupBy(key).agg(
+        F.max(F.col(ts_col).cast("timestamp")).alias("last_seen"))
+
+
+def last_seen_merge(ledger: DataFrame, new_events: DataFrame,
+                    key: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """O(batch) intake: the batch's per-key max broadcasts as the
+    touched-key set; untouched ledger keys pass through with no
+    shuffle (broadcast anti-join is map-side), touched keys
+    re-maximize — the retention_merge recipe with max instead of
+    min."""
+    batch = last_seen(new_events, key, ts_col)
+    touched = F.broadcast(batch.select(key))
+    upd = (ledger.join(touched, key, "left_semi").unionByName(batch)
+           .groupBy(key).agg(F.max("last_seen").alias("last_seen")))
+    return ledger.join(touched, key, "left_anti").unionByName(upd)
+
+
+def offline_keys(ledger: DataFrame, as_of: str,
+                 threshold_seconds: int = 86400,
+                 key: str = "user_id") -> DataFrame:
+    """Keys whose last activity is more than ``threshold_seconds``
+    before ``as_of`` (an ISO timestamp literal) — the "device went
+    dark" report off the liveness ledger, plus the staleness age.
+    Whole-second epochs (the floor rule); a key active within the
+    threshold is absent, not flagged false."""
+    cut = (F.lit(as_of).cast("timestamp").cast("long")
+           - F.lit(threshold_seconds))
+    return (ledger
+            .select(F.col(key), F.col("last_seen"),
+                    (F.lit(as_of).cast("timestamp").cast("long")
+                     - F.col("last_seen").cast("long"))
+                    .cast("bigint").alias("silent_seconds"))
+            .filter(F.col("last_seen").cast("long") < cut))
+
+
+def offline_keys_sql(table: str, as_of: str,
+                     threshold_seconds: int = 86400,
+                     key: str = "user_id", ts_col: str = "ts") -> str:
+    """DuckDB twin of :func:`last_seen` + :func:`offline_keys`."""
+    ep = "CAST(floor(epoch(MAX(CAST({c} AS TIMESTAMP)))) AS BIGINT)" \
+        .format(c=ts_col)
+    cut = (f"CAST(floor(epoch(TIMESTAMP '{as_of}')) AS BIGINT)"
+           f" - {threshold_seconds}")
+    now = f"CAST(floor(epoch(TIMESTAMP '{as_of}')) AS BIGINT)"
+    return f"""
+SELECT {key}, MAX(CAST({ts_col} AS TIMESTAMP)) AS last_seen,
+       CAST({now} - {ep} AS BIGINT) AS silent_seconds
+FROM {table} GROUP BY 1 HAVING {ep} < {cut}
+"""

@@ -10032,3 +10032,36 @@ def q296_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(1000000 AS BIGINT) * n_users"
                            " DIV cohort_size").cast("bigint")
                     .alias("retained_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q297 — offline-key screen off the liveness ledger: keys silent for
+# more than 3 days as of a fixed instant, with the staleness age —
+# the "device went dark" report.  The Spark side builds the
+# (key, last_seen) ledger by folding three OUT-OF-ORDER batches
+# through the touched-split merge (max is commutative, so unordered
+# intake is exact — demonstrated, not just claimed); oracle = the
+# one-shot grouped max with the same whole-second HAVING.
+# ---------------------------------------------------------------------------
+
+_Q297_ASOF = "2024-01-30 00:00:00"
+
+
+def _q297_sql() -> str:
+    from dbms_spark.operators.events import offline_keys_sql
+
+    return offline_keys_sql("events", _Q297_ASOF,
+                            threshold_seconds=3 * 86400)
+
+
+@register("q297_offline_keys", _q297_sql())
+def q297_offline_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import (last_seen, last_seen_merge,
+                                             offline_keys)
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = _stream_batches(ev)
+    ledger = last_seen(batches[2])          # deliberately out of order
+    ledger = last_seen_merge(ledger, batches[0])
+    ledger = last_seen_merge(ledger, batches[1])
+    return offline_keys(ledger, _Q297_ASOF, threshold_seconds=3 * 86400)

@@ -157,3 +157,27 @@ def funnel_counts_from_store(store: SketchStore,
                     "event_type",
                     F.coalesce(F.col("__n"), F.lit(0)).cast("bigint")
                     .alias("n_users")))
+
+
+def last_seen_store(spark, path: str, key: str = "user_id",
+                    ts_col: str = "ts",
+                    key_type: str = "long") -> SketchStore:
+    """Crash-safe maintained liveness ledger: (key, last_seen), the
+    max-merge sibling of the active-days store — exact under ANY
+    batch order (max is commutative/idempotent), so late and
+    out-of-order batches need no contract.  Feed
+    :func:`dbms_spark.operators.events.offline_keys` for the
+    device-went-dark report."""
+    from dbms_spark.operators.events import last_seen, last_seen_merge
+
+    def merge(cur: DataFrame, delta: DataFrame) -> DataFrame:
+        # delta is already the batch's (key, last_seen); the merge
+        # re-aggregates it (a no-op — max of one row per key) and
+        # touched-splits against the ledger
+        return last_seen_merge(cur, delta, key, "last_seen")
+
+    return SketchStore(
+        spark, path,
+        build_fn=lambda b: last_seen(b, key, ts_col),
+        merge_fn=merge,
+        schema=f"{key} {key_type}, last_seen timestamp")

@@ -175,6 +175,9 @@ SHUFFLE_BUDGET = {
     "q295_bounce_rate": 2,             # session windows sort + per-day agg
     # triangle legs re-print for the offset-0 self-join (runtime reuses)
     "q296_retention_curve": 6,
+    # three out-of-order touched-split merges re-print the shared
+    # events scan per leg (ReusedExchange collapses at runtime)
+    "q297_offline_keys": 16,
 }
 
 _SHUFFLE_RE = re.compile(

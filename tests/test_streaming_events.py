@@ -147,3 +147,30 @@ def test_funnel_store_anchor_times_match_batch(spark, tmp_path):
     want = {(u, 0): a for u, a in v.items()}
     want.update({(u, 1): a for u, a in c.items()})
     assert got == want
+
+
+def test_last_seen_store_out_of_order_and_redelivery(spark, tmp_path):
+    """Max-merge liveness ledger: REVERSED batches + a redelivered
+    batch converge to the one-shot grouped max; offline screen flags
+    exactly the stale keys with whole-second ages."""
+    store = SE.last_seen_store(spark, str(tmp_path / "seen"))
+    for i, batch in enumerate(reversed(_time_batches(ROWS, CUTS))):
+        store.apply_batch(_ev(spark, batch), batch_id=i)
+        if i == 0:
+            store.apply_batch(_ev(spark, batch), batch_id=i)  # redelivery
+    got = {r.user_id: r.last_seen for r in store.read().collect()}
+    want = {r.user_id: r.m for r in
+            _ev(spark, ROWS).groupBy("user_id")
+            .agg(F.max("ts").alias("m")).collect()}
+    assert got == want
+    from dbms_spark.operators.events import offline_keys
+    off = {r.user_id: r.silent_seconds for r in offline_keys(
+        store.read(), "2024-01-03 00:00:00",
+        threshold_seconds=86400).collect()}
+    # offline = last event before Jan 2 00:00 (86400 s): u2 (40300)
+    # and u3 (30); u1 (90000), u4 (100000), u5 (170000) are within
+    # the trailing day
+    assert set(off) == {2, 3}
+    for u, s in off.items():
+        assert s == 2 * 86400 - max(
+            sec for uu, sec, _ in ROWS if uu == u)

@@ -1078,36 +1078,78 @@ def attribution_multi_touch(events: DataFrame, conversion_type: str,
     Returns (key, conv_id, conv_ts, touch_id, touch_type, touch_ts,
     n_touches, weight_ppm), one row per (conversion, touch) pair.
 
-    Shape: one key equi-join between the conversion and touch
-    relations with the lookback range predicate — fan-out is bounded
-    by touches-per-lookback, NOT the key's history.  ``max_touches``
-    is the occupancy cap for pathological keys (a bot with 10⁶
-    touches in the window would otherwise emit 10⁶ rows per
-    conversion): keep only the N most recent touches per conversion,
-    weights renormalized over the kept set.  "Preceding" is strict
-    in (ts, id) lexicographic order, so same-timestamp events
-    resolve deterministically."""
-    convs = (events.filter(F.col(type_col) == conversion_type)
-             .select(F.col(key),
-                     F.col(id_col).alias("conv_id"),
-                     F.col(ts_col).cast("timestamp").alias("conv_ts")))
-    touches = (events.filter(F.col(type_col).isin(touch_types))
-               .select(F.col(key),
-                       F.col(id_col).alias("touch_id"),
-                       F.col(type_col).alias("touch_type"),
-                       F.col(ts_col).cast("timestamp").alias("touch_ts")))
+    Shape, uncapped: one key equi-join between the conversion and
+    touch relations with the lookback range predicate — the join
+    necessarily forms convs × touches pairs per key before the
+    filter, which is the workload's intrinsic output when touch
+    density is low but a measured straggler when it is not
+    (tools/event_skew_smoke.py round8: 45.6 s at 5·10⁶ events over
+    10⁴ users).
+
+    ``max_touches`` therefore switches ALGORITHM, not just output:
+    touches get per-key sequence numbers (one ordered window pass),
+    each conversion reads its preceding-touch count from the same
+    pass, and a bounded OFFSET EXPLODE joins each conversion to
+    exactly its last ≤ N touch seqs on (key, seq) — the cross
+    product is never formed (same smoke: 38.5 s post-join-capped →
+    seq-join form measured in single-digit seconds).  Equivalent by
+    construction: in-window touches are the NEWEST preceding touches,
+    so the N most recent preceding touches filtered to the window ==
+    the N most recent in-window touches.  "Preceding" is strict in
+    (ts, id) lexicographic order, so same-timestamp events resolve
+    deterministically."""
     strictly_before = (
         (F.col("touch_ts") < F.col("conv_ts"))
         | ((F.col("touch_ts") == F.col("conv_ts"))
            & (F.col("touch_id") < F.col("conv_id"))))
     in_window = (F.col("touch_ts").cast("long")
                  >= F.col("conv_ts").cast("long") - F.lit(lookback_seconds))
-    pairs = convs.join(touches, key).filter(strictly_before & in_window)
-    if max_touches is not None:
-        w = (Window.partitionBy(key, "conv_id")
-             .orderBy(F.desc("touch_ts"), F.desc("touch_id")))
-        pairs = (pairs.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") <= max_touches).drop("__rn"))
+    if max_touches is None:
+        convs = (events.filter(F.col(type_col) == conversion_type)
+                 .select(F.col(key),
+                         F.col(id_col).alias("conv_id"),
+                         F.col(ts_col).cast("timestamp").alias("conv_ts")))
+        touches = (events.filter(F.col(type_col).isin(touch_types))
+                   .select(F.col(key),
+                           F.col(id_col).alias("touch_id"),
+                           F.col(type_col).alias("touch_type"),
+                           F.col(ts_col).cast("timestamp")
+                           .alias("touch_ts")))
+        pairs = convs.join(touches, key).filter(strictly_before & in_window)
+    else:
+        is_touch = F.col(type_col).isin(touch_types)
+        relevant = events.filter(is_touch
+                                 | (F.col(type_col) == conversion_type))
+        w = (Window.partitionBy(key)
+             .orderBy(F.col(ts_col).cast("timestamp"), F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        # two consumers (touch relation + conversion relation) read
+        # the seq window — materialize once or the 1-pass sort runs
+        # twice (the funnel localCheckpoint recipe)
+        seqd = (relevant
+                .select(F.col(key), F.col(id_col), F.col(type_col),
+                        F.col(ts_col).cast("timestamp").alias(ts_col))
+                .withColumn(
+                    "__seq", F.sum(F.when(is_touch, 1).otherwise(0)).over(w))
+                .localCheckpoint())
+        touches = (seqd.filter(is_touch)
+                   .select(F.col(key), F.col("__seq").alias("seq"),
+                           F.col(id_col).alias("touch_id"),
+                           F.col(type_col).alias("touch_type"),
+                           F.col(ts_col).cast("timestamp")
+                           .alias("touch_ts")))
+        pairs = (seqd.filter(F.col(type_col) == conversion_type)
+                 .filter(F.col("__seq") > 0)
+                 .select(F.col(key),
+                         F.col(id_col).alias("conv_id"),
+                         F.col(ts_col).cast("timestamp").alias("conv_ts"),
+                         F.explode(F.sequence(
+                             F.greatest(F.lit(1),
+                                        F.col("__seq")
+                                        - F.lit(max_touches - 1)),
+                             F.col("__seq"))).alias("seq"))
+                 .join(touches, [key, "seq"]).drop("seq")
+                 .filter(strictly_before & in_window))
     cw = Window.partitionBy(key, "conv_id")
     lastw = (Window.partitionBy(key, "conv_id")
              .orderBy(F.desc("touch_ts"), F.desc("touch_id")))

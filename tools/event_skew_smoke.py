@@ -120,14 +120,51 @@ def run_x100(spark, n: int) -> None:
     ev.unpersist()
 
 
+def run_round8(spark, n: int) -> None:
+    """x10 shape check for the round-8 operators.  Users FIXED at
+    10^4 while events grow, so per-user touch density grows with n —
+    the regime where uncapped multi-touch pair volume is
+    convs x density (superlinear in n) and the cap keeps it at
+    convs x cap."""
+    from dbms_spark.operators.events import (attribute_conversions,
+                                             attribution_multi_touch,
+                                             heartbeat_gaps)
+    from dbms_spark.operators.joins import sessionize
+
+    for scale in (1, 10):
+        ev = synth_events(spark, n * scale, 10_000).persist()
+        ev.count()
+        meta = {"rows": n * scale}
+        timed(spark, f"attribution_last_touch_x{scale}",
+              attribute_conversions(ev, "purchase", ["view", "click"],
+                                    lookback_seconds=7 * 86400,
+                                    tiebreak=["event_id"]), meta)
+        timed(spark, f"multi_touch_capped8_x{scale}",
+              attribution_multi_touch(ev, "purchase", ["view", "click"],
+                                      max_touches=8), meta)
+        timed(spark, f"multi_touch_uncapped_x{scale}",
+              attribution_multi_touch(ev, "purchase", ["view", "click"]),
+              meta)
+        timed(spark, f"heartbeat_gaps_x{scale}",
+              heartbeat_gaps(ev, max_gap_seconds=3600,
+                             tiebreak=["event_id"]), meta)
+        timed(spark, f"sessionize_x{scale}",
+              sessionize(ev, "user_id", "ts", gap_minutes=30,
+                         tiebreak=["event_id"]), meta)
+        ev.unpersist()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else (
-        2_000_000 if mode == "skew" else 100_000_000)
+    defaults = {"skew": 2_000_000, "round8": 500_000}
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(
+        mode, 100_000_000)
     spark = get_spark("event_skew_smoke",
                       extra_conf={"spark.ui.enabled": "true"})
     if mode == "skew":
         run_skew(spark, n)
+    elif mode == "round8":
+        run_round8(spark, n)
     else:
         run_x100(spark, n)
     spark.stop()

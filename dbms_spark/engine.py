@@ -602,6 +602,55 @@ class DbmsEngine:
                                      key, ts_col, type_col,
                                      lookback_seconds, tiebreak)
 
+    def attribute_multi(self, events: DataFrame, conversion_type: str,
+                        touch_types: list[str],
+                        lookback_seconds: int = 7 * 86400,
+                        max_touches: int | None = None,
+                        **kw) -> DataFrame:
+        """Multi-touch attribution with exact-ppm credit split;
+        ``max_touches`` switches to the bounded seq-join algorithm.
+        Gate q290."""
+        from dbms_spark.operators.events import attribution_multi_touch
+
+        return attribution_multi_touch(events, conversion_type,
+                                       touch_types,
+                                       lookback_seconds=lookback_seconds,
+                                       max_touches=max_touches, **kw)
+
+    def heartbeat(self, events: DataFrame, max_gap_seconds: int = 3600,
+                  **kw) -> DataFrame:
+        """Per-key silent periods longer than the threshold.
+        Gate q289."""
+        from dbms_spark.operators.events import heartbeat_gaps
+
+        return heartbeat_gaps(events, max_gap_seconds=max_gap_seconds, **kw)
+
+    def funnel_report(self, events: DataFrame, steps: list[str],
+                      **kw) -> DataFrame:
+        """Funnel counts + step-to-step / from-top drop-off ppm.
+        Gate q291."""
+        from dbms_spark.operators.events import funnel_conversion
+
+        return funnel_conversion(events, steps, **kw)
+
+    def funnel_by_cohort(self, events: DataFrame, steps: list[str],
+                         period: str = "week", **kw) -> DataFrame:
+        """Funnel counts split by step-0 anchor period.  Gate q292."""
+        from dbms_spark.operators.events import funnel_trend
+
+        return funnel_trend(events, steps, period=period, **kw)
+
+    def offline_devices(self, events: DataFrame, as_of: str,
+                        threshold_seconds: int = 86400,
+                        key: str = "user_id",
+                        ts_col: str = "ts") -> DataFrame:
+        """Keys silent longer than the threshold as of an instant,
+        off the last-seen liveness ledger.  Gate q297."""
+        from dbms_spark.operators.events import last_seen, offline_keys
+
+        return offline_keys(last_seen(events, key, ts_col), as_of,
+                            threshold_seconds, key)
+
     def top_paths(self, events: DataFrame, n: int = 3, k: int = 20,
                   key: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",

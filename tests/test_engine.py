@@ -454,3 +454,29 @@ def test_cli_search_and_events_verbs(spark, tmp_path, capsys):
                "--key-col", "text", "--k", "4", "--sparse"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["groups_pairs"] == 0   # one group: no pairs
+
+
+def test_engine_round8_event_facades(spark, sf_dir):
+    """Thin façade checks for the round-8 event verbs (semantics are
+    pinned in test_events + gates q288-q297)."""
+    from pyspark.sql import functions as F
+
+    from dbms_spark.sources.catalog import load_table
+
+    eng = DbmsEngine(spark)
+    ev = load_table(spark, sf_dir, "events")
+    att = eng.attribute_multi(ev, "purchase", ["view", "click"],
+                              max_touches=3)
+    sums = (att.groupBy("conv_id").agg(F.sum("weight_ppm").alias("s"))
+            .select(F.min("s"), F.max("s")).first())
+    assert sums[0] == sums[1] == 1_000_000
+    assert eng.heartbeat(ev, max_gap_seconds=86400,
+                         tiebreak=["event_id"]).count() >= 0
+    rep = {r.step: r for r in eng.funnel_report(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert rep[0].conv_from_first_ppm == 1_000_000
+    coh = eng.funnel_by_cohort(ev, ["view", "click"]).collect()
+    assert all(r.n_users > 0 for r in coh)
+    off = eng.offline_devices(ev, "2024-01-30 00:00:00",
+                              threshold_seconds=3 * 86400)
+    assert all(r.silent_seconds > 3 * 86400 for r in off.collect())

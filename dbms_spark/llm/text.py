@@ -2044,3 +2044,82 @@ bounds AS (SELECT floor(MIN(value) / {width}) * {width} AS _lo_v,
 SELECT toks.* EXCLUDE (_n_toks) FROM toks, bounds
 WHERE {clamped} BETWEEN _lo_v AND _hi_v
 """
+
+
+def top_terms(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 5,
+              min_df: int = 1, max_df: int | None = None) -> DataFrame:
+    """SALIENT-TERM extraction: each document's top-``k`` tokens by
+    integer LIFT — how over-represented the token is in the doc
+    relative to the corpus:
+
+        lift_ppm = floor(1e6 · tf · N / (len_d · df))
+
+    (tf = in-doc count, len_d = doc tokens, df = docs containing the
+    token, N = corpus docs).  The log-free sibling of tf·idf, same
+    rationale as :func:`token_cooccurrence`: log is monotone per
+    token, integer lift keeps the gate hash-exact; the cross-token
+    ordering weights rare terms more sharply than ln — documented,
+    deliberate.  ``min_df``/``max_df`` drop hapax noise and stop-word
+    heads before ranking (the usual occupancy controls).
+
+    Returns (id, token, tf, df, lift_ppm, rank), rank 1..k per doc by
+    (lift desc, token asc).
+
+    Shape: one (id, token) partial-agg for tf (+ len via a same-pass
+    window-free sum), one token partial-agg for df, a token join, a
+    bounded per-doc top-k window — never a doc×vocab matrix."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_expr(text_col)).alias("token"))
+    tf = (toks.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dlen = (tf.groupBy(id_col)
+            .agg(F.sum("tf").cast("bigint").alias("__len")))
+    dfreq = (tf.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    keep = dfreq.where(F.col("df") >= min_df)
+    if max_df is not None:
+        keep = keep.where(F.col("df") <= max_df)
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = (tf.join(keep, "token").join(dlen, id_col)
+              .crossJoin(F.broadcast(n))
+              .select(F.col(id_col), "token", "tf", "df",
+                      F.expr("(CAST(1000000 AS DECIMAL(38,0)) * tf * __n)"
+                             " DIV (CAST(__len AS DECIMAL(38,0)) * df)")
+                      .cast("bigint").alias("lift_ppm")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("lift_ppm"), F.asc("token")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
+def top_terms_sql(table: str, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 5,
+                  min_df: int = 1, max_df: int | None = None) -> str:
+    """DuckDB twin of :func:`top_terms`."""
+    maxdf = f"AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
+),
+tf AS (SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dlen AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.{id_col}, tf.token, tf.tf, dfreq.df,
+         CAST((CAST(1000000 AS HUGEINT) * tf.tf * n.n_docs)
+              // (CAST(dlen.len AS HUGEINT) * dfreq.df) AS BIGINT)
+           AS lift_ppm
+  FROM tf JOIN dfreq USING (token) JOIN dlen USING ({id_col}), n
+  WHERE dfreq.df >= {min_df} {maxdf}
+)
+SELECT {id_col}, token, tf, df, lift_ppm,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+            ORDER BY lift_ppm DESC, token) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -1342,3 +1342,120 @@ SELECT {keys}, ANY_VALUE(m.median_v) AS median_v,
 FROM pairs p JOIN mad m USING ({keys})
 GROUP BY {keys}
 """
+
+
+def corr_screen(df, cols: list[str], scale: int = 100):
+    """Pairwise Pearson correlation SCREEN over numeric columns:
+    (col_x, col_y, n, r2_signed_ppm) — signed r² in ppm, the
+    which-columns-move-together profile an assessment pack surfaces
+    before anyone fits a model.
+
+    Integer-exact discipline, no libm: values fix-point to
+    ``scale``-cents BIGINTs; ONE pass aggregates n, Σx per column and
+    Σx², Σxy in DECIMAL(38,0) (cent squares overflow BIGINT at
+    realistic row counts); then per pair
+
+        cov = n·Σxy − Σx·Σy,  vx = n·Σx² − (Σx)²,  vy likewise,
+        r²  = cov² / (vx·vy)
+
+    cov can reach ~10²⁷ here, so cov² would overflow even
+    DECIMAL(38,0)/HUGEINT — both engines therefore downscale the
+    three moments by a FIXED 10⁹ before squaring (identical integer
+    ops → still hash-exact; the ppm floor dominates the lost digits),
+    with |cov| and its sign split out because integral division
+    truncates toward zero in Spark but floors in DuckDB — identical
+    only on non-negative operands.  Zero-variance pairs report NULL
+    (0/0 is unreported, not fake-0).
+
+    Shape: one partial-aggregated scan producing a 1-row moment
+    relation; the per-pair arithmetic is |pairs| selects over that
+    broadcast row — nothing quadratic in rows, nothing per-pair
+    rescans the table."""
+    from pyspark.sql import functions as F
+
+    cents = {c: F.round(F.col(c) * scale).cast("bigint") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    # per-row cross products stay in BIGINT (fast codegen path) and
+    # enter DECIMAL only at the accumulator: the envelope is
+    # |x·scale| · |y·scale| < 2^63 per ROW (n-row sums then live in
+    # DECIMAL(38,0)), i.e. cent magnitudes to ~3·10^9 — far beyond
+    # any profiled money/quantity column; a DECIMAL-side per-row
+    # multiply measured 1.9x slower on the q299 gate
+    def _xprod(a, b):
+        return (f"CAST(CAST(round({a} * {scale}) AS BIGINT)"
+                f" * CAST(round({b} * {scale}) AS BIGINT)"
+                f" AS DECIMAL(38,0))")
+
+    for c in cols:
+        aggs.append(F.sum(cents[c]).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(F.expr(_xprod(c, c)))
+                    .cast("decimal(38,0)").alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.expr(_xprod(a, b)))
+                    .cast("decimal(38,0)").alias(f"p_{a}__{b}"))
+    m = df.agg(*aggs).localCheckpoint()  # 1 row, read once per pair
+    outs = []
+    for a, b in pairs:
+        cov = (f"(CAST(__n AS DECIMAL(38,0)) * p_{a}__{b}"
+               f" - CAST(s_{a} AS DECIMAL(38,0)) * s_{b})")
+        vx = (f"(CAST(__n AS DECIMAL(38,0)) * q_{a}"
+              f" - CAST(s_{a} AS DECIMAL(38,0)) * s_{a})")
+        vy = (f"(CAST(__n AS DECIMAL(38,0)) * q_{b}"
+              f" - CAST(s_{b} AS DECIMAL(38,0)) * s_{b})")
+        # DIV returns BIGINT in both engines, so every square re-enters
+        # DECIMAL(38,0)/HUGEINT via an explicit cast before multiplying
+        d = 1_000_000_000
+        expr = f"""
+          CASE WHEN CAST({vx} DIV {d} AS DECIMAL(38,0))
+                    * ({vy} DIV {d}) > 0 THEN
+            (CASE WHEN {cov} < 0 THEN -1 ELSE 1 END)
+            * ((CAST(1000000 AS DECIMAL(38,0))
+                * (abs({cov}) DIV {d}) * (abs({cov}) DIV {d}))
+               DIV (CAST({vx} DIV {d} AS DECIMAL(38,0)) * ({vy} DIV {d})))
+          END"""
+        outs.append(m.select(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+            F.col("__n").alias("n"),
+            F.expr(expr).cast("bigint").alias("r2_signed_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def corr_screen_sql(table: str, cols: list[str], scale: int = 100) -> str:
+    """DuckDB twin of :func:`corr_screen` (same fixed downscale and
+    sign split; HUGEINT plays DECIMAL(38,0))."""
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM(CAST(round({c} * {scale}) AS BIGINT))"
+                    f" AS BIGINT) AS s_{c}")
+        sums.append(f"SUM(CAST(CAST(round({c} * {scale}) AS BIGINT)"
+                    f" * CAST(round({c} * {scale}) AS BIGINT)"
+                    f" AS HUGEINT)) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST(CAST(round({a} * {scale}) AS BIGINT)"
+                    f" * CAST(round({b} * {scale}) AS BIGINT)"
+                    f" AS HUGEINT)) AS p_{a}__{b}")
+    d = 1_000_000_000
+    sels = []
+    for a, b in pairs:
+        cov = (f"(CAST(n AS HUGEINT) * p_{a}__{b}"
+               f" - CAST(s_{a} AS HUGEINT) * s_{b})")
+        vx = (f"(CAST(n AS HUGEINT) * q_{a}"
+              f" - CAST(s_{a} AS HUGEINT) * s_{a})")
+        vy = (f"(CAST(n AS HUGEINT) * q_{b}"
+              f" - CAST(s_{b} AS HUGEINT) * s_{b})")
+        sels.append(f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y, n,
+       CAST(CASE WHEN CAST({vx} // {d} AS HUGEINT) * ({vy} // {d}) > 0 THEN
+         (CASE WHEN {cov} < 0 THEN -1 ELSE 1 END)
+         * ((CAST(1000000 AS HUGEINT)
+             * (abs({cov}) // {d}) * (abs({cov}) // {d}))
+            // (CAST({vx} // {d} AS HUGEINT) * ({vy} // {d})))
+       END AS BIGINT) AS r2_signed_ppm
+FROM m""")
+    return ("WITH m AS (SELECT " + ", ".join(sums) + f" FROM {table})"
+            + "\nUNION ALL\n".join(sels))

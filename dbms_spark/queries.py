@@ -10065,3 +10065,54 @@ def q297_offline_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger = last_seen_merge(ledger, batches[0])
     ledger = last_seen_merge(ledger, batches[1])
     return offline_keys(ledger, _Q297_ASOF, threshold_seconds=3 * 86400)
+
+
+# ---------------------------------------------------------------------------
+# q298 — salient terms per document: top-5 tokens by integer lift
+# (tf·N / (len·df) in ppm — the log-free tf-idf sibling, same
+# rationale as q269's lift: log is per-token monotone and integer
+# arithmetic keeps the gate hash-exact).  min_df=2 drops hapax
+# noise; the per-doc top-k is a bounded window over the doc's own
+# distinct tokens, never a doc×vocab matrix.
+# ---------------------------------------------------------------------------
+
+
+def _q298_sql() -> str:
+    from dbms_spark.llm.text import top_terms_sql
+
+    return top_terms_sql("documents", k=5, min_df=2)
+
+
+@register("q298_top_terms", _q298_sql())
+def q298_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), k=5, min_df=2)
+
+
+# ---------------------------------------------------------------------------
+# q299 — column-correlation screen: signed pairwise r² (ppm) over
+# lineitem's numeric columns from ONE moment-sum pass — the
+# which-columns-move-together profile for the assessment pack.
+# Integer-exact moments in DECIMAL(38,0)/HUGEINT; cov² would
+# overflow 38 digits, so both engines downscale the moments by a
+# fixed 10⁹ before squaring with |cov|/sign split (integral division
+# truncates in Spark but floors in DuckDB — identical only on
+# non-negatives).  extendedprice×quantity should read strongly
+# positive, discount pairs near zero.
+# ---------------------------------------------------------------------------
+
+_Q299_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q299_sql() -> str:
+    from dbms_spark.operators.assess import corr_screen_sql
+
+    return corr_screen_sql("lineitem", _Q299_COLS)
+
+
+@register("q299_corr_screen", _q299_sql())
+def q299_corr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.assess import corr_screen
+
+    return corr_screen(load_table(spark, sf_dir, "lineitem"), _Q299_COLS)

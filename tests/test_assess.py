@@ -267,3 +267,30 @@ def test_mad_outlier_profile_sketch_derived_ranges(spark):
     # medians land within a bin width of the true 50.5 / 101.0
     assert abs(out["u"].median_v - 50.5) <= 100.0 * 1.001 / 256 + 1e-9
     assert abs(out["w"].median_v - 101.0) <= 200.0 * 1.001 / 256 + 1e-9
+
+
+def test_corr_screen_planted_correlations(spark):
+    """y = 2x exactly -> signed r2 ~ +1e6; z = -3x -> ~ -1e6; an
+    alternating independent column -> ~0; and the integer pipeline
+    tracks Spark's own double corr() on the same data."""
+    from dbms_spark.operators.assess import corr_screen
+
+    rows = [(float(i % 97), 2.0 * (i % 97), -3.0 * (i % 97),
+             float((i * 7919) % 13)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {(r.col_x, r.col_y): r.r2_signed_ppm
+           for r in corr_screen(df, ["x", "y", "z", "w"]).collect()}
+    assert got[("x", "y")] >= 999_000          # perfect positive
+    assert got[("x", "z")] <= -999_000         # perfect negative
+    assert abs(got[("x", "w")]) < 20_000       # engineered independence
+    ref = round(df.stat.corr("x", "w") ** 2 * 1e6)
+    assert abs(abs(got[("x", "w")]) - ref) <= max(20, ref // 10)
+
+
+def test_corr_screen_zero_variance_null(spark):
+    from dbms_spark.operators.assess import corr_screen
+
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+                               "x double, c double")
+    rows = corr_screen(df, ["x", "c"]).collect()
+    assert rows[0].r2_signed_ppm is None      # 0/0 unreported

@@ -178,6 +178,12 @@ SHUFFLE_BUDGET = {
     # three out-of-order touched-split merges re-print the shared
     # events scan per leg (ReusedExchange collapses at runtime)
     "q297_offline_keys": 16,
+    # tf agg + df agg + doc-len agg + token join + per-doc top-k
+    # window (tf leg re-prints per consumer; runtime reuses)
+    "q298_top_terms": 7,
+    # ONE moment-sum pass; the per-pair arithmetic reads the
+    # checkpointed 1-row relation (no exchange at all)
+    "q299_corr_screen": 0,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -245,3 +245,85 @@ SELECT {gsel}prev_hi + 1 AS gap_lo, lo - 1 AS gap_hi,
        CAST(lo - prev_hi - 1 AS BIGINT) AS n_missing
 FROM g WHERE prev_hi IS NOT NULL
 """
+
+
+# Benford's law first-digit probabilities, log10(1 + 1/d) in ppm —
+# public mathematical constants, rounded half-even to 6 dp so both
+# engines carry identical literals and the gate stays hash-exact.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+               5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """FIRST-DIGIT (Benford) screen: the leading significant digit
+    distribution of a numeric column against Benford's law — the
+    classic fabricated-numbers / synthetic-data / unit-mixing
+    detector an assessment pack runs over money columns.  Natural
+    multi-order-of-magnitude data tracks the law; uniform synthetics,
+    capped prices, or injected rows bend specific digits.
+
+    Returns one row per digit 1-9: (digit, n, obs_ppm, benford_ppm,
+    abs_dev_ppm) — observed share, the law, and |obs − law|, all
+    integer ppm; digits never observed report n = 0 (the spine is
+    the 9-literal relation, so missing digits can't hide).
+
+    The digit comes from the value's STRING form (first [1-9] char),
+    not floor(x / 10^floor(log10 x)) — no libm, and zero/NULL/
+    non-positive-significand rows drop out by having no [1-9] match.
+    Caveat: both engines must render the value without scientific
+    notation — true for DECIMAL columns and for doubles in ordinary
+    ranges (the gate's money column); screen extreme-exponent
+    doubles via a DECIMAL cast first.
+
+    Shape: one map-side digit extraction + one ≤9-key partial agg;
+    the spine join is a 9-row broadcast."""
+    spark = df.sparkSession
+    # nullif before the cast: zero/NULL values match no [1-9], and
+    # CAST('' AS BIGINT) throws under ANSI instead of NULLing
+    digit = F.expr(
+        f"CAST(nullif(regexp_extract(CAST(abs(`{col}`) AS STRING),"
+        f" '([1-9])', 1), '') AS BIGINT)")
+    got = (df.select(digit.alias("digit"))
+           .where(F.col("digit").isNotNull() & (F.col("digit") > 0))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    spine = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit bigint, benford_ppm bigint")
+    total = got.agg(F.sum("n").cast("bigint").alias("__t"))
+    return (spine.join(got, "digit", "left")
+            .crossJoin(F.broadcast(total))
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+                    F.expr("CAST(1000000 AS BIGINT) * coalesce(n, 0)"
+                           " DIV __t").cast("bigint").alias("obs_ppm"),
+                    "benford_ppm")
+            .withColumn("abs_dev_ppm",
+                        F.abs(F.col("obs_ppm") - F.col("benford_ppm"))
+                        .cast("bigint")))
+
+
+def benford_screen_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`benford_screen`."""
+    spine = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS digit,"
+        f" CAST({p} AS BIGINT) AS benford_ppm"
+        for d, p in sorted(BENFORD_PPM.items()))
+    return f"""
+WITH spine AS ({spine}),
+got AS (
+  SELECT CAST(regexp_extract(CAST(abs({col}) AS VARCHAR), '([1-9])', 1)
+              AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE regexp_extract(CAST(abs({col}) AS VARCHAR), '([1-9])', 1) <> ''
+  GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM got)
+SELECT spine.digit, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(CAST(1000000 AS BIGINT) * COALESCE(n, 0) // t.total AS BIGINT)
+         AS obs_ppm,
+       benford_ppm,
+       CAST(abs(CAST(1000000 AS BIGINT) * COALESCE(n, 0) // t.total
+                - benford_ppm) AS BIGINT) AS abs_dev_ppm
+FROM spine LEFT JOIN got USING (digit), t
+"""

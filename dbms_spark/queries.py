@@ -10116,3 +10116,27 @@ def q299_corr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import corr_screen
 
     return corr_screen(load_table(spark, sf_dir, "lineitem"), _Q299_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q300 — Benford first-digit screen over order totals: the leading-
+# digit distribution of o_totalprice vs Benford's law (ppm literals,
+# identical in both engines) — the fabricated-numbers / unit-mixing
+# detector for money columns.  String-form digit extraction (no
+# libm); 9-literal spine so missing digits surface as n=0 rather
+# than vanishing; one <=9-key partial agg.
+# ---------------------------------------------------------------------------
+
+
+def _q300_sql() -> str:
+    from dbms_spark.operators.validate import benford_screen_sql
+
+    return benford_screen_sql("orders", "o_totalprice")
+
+
+@register("q300_benford_screen", _q300_sql())
+def q300_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.validate import benford_screen
+
+    return benford_screen(load_table(spark, sf_dir, "orders"),
+                          "o_totalprice")

@@ -184,6 +184,7 @@ SHUFFLE_BUDGET = {
     # ONE moment-sum pass; the per-pair arithmetic reads the
     # checkpointed 1-row relation (no exchange at all)
     "q299_corr_screen": 0,
+    "q300_benford_screen": 3,          # <=9-key digit agg + 1-row total + spine join
 }
 
 _SHUFFLE_RE = re.compile(

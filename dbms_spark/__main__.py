@@ -345,7 +345,9 @@ def main(argv: list[str] | None = None) -> int:
                 (r.touch_type or "organic"): r.n for r in
                 att.groupBy("touch_type")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
-        if args.heartbeat_gap:
+        if args.heartbeat_gap is not None:
+            if args.heartbeat_gap < 0:
+                raise SystemExit("--heartbeat-gap must be non-negative")
             from dbms_spark.operators.events import heartbeat_gaps
 
             out["heartbeat_gaps"] = heartbeat_gaps(

@@ -1359,13 +1359,23 @@ def corr_screen(df, cols: list[str], scale: int = 100):
         r²  = cov² / (vx·vy)
 
     cov can reach ~10²⁷ here, so cov² would overflow even
-    DECIMAL(38,0)/HUGEINT — both engines therefore downscale the
-    three moments by a FIXED 10⁹ before squaring (identical integer
-    ops → still hash-exact; the ppm floor dominates the lost digits),
-    with |cov| and its sign split out because integral division
-    truncates toward zero in Spark but floors in DuckDB — identical
-    only on non-negative operands.  Zero-variance pairs report NULL
-    (0/0 is unreported, not fake-0).
+    DECIMAL(38,0)/HUGEINT — both engines therefore downscale before
+    squaring by a DERIVED power of ten, one per SIDE: r² is invariant
+    under separately rescaling x and y, so vx shrinks by dx² = 10^2kx
+    with kx = ⌈(digits(vx) − 16)/2⌉, vy by dy², |cov| by dx·dy.
+    After the shrink vx', vy', cov' < 10¹⁶ PROVABLY (cov² ≤ vx·vy by
+    Cauchy-Schwarz, division only truncates further), so the worst
+    numerator 10⁶·cov'² < 10³⁸ fits DECIMAL(38,0)/HUGEINT at ANY
+    input magnitude — a fixed downscale overflowed at its own
+    docstring envelope (cov ~10²⁷ → 10⁴²: Spark silently NULLs,
+    DuckDB raises).  Digit counts come from string length (exact and
+    identical cross-engine; no libm log10), |cov| and its sign split
+    out because integral division truncates toward zero in Spark but
+    floors in DuckDB — identical only on non-negative operands.
+    Per-side derivation keeps mixed-magnitude pairs precise: each
+    moment keeps ≥ 14 significant digits against ITS OWN scale, so
+    the ppm floor dominates the truncation everywhere.  Zero-variance
+    pairs report NULL (0/0 is unreported, not fake-0).
 
     Shape: one partial-aggregated scan producing a 1-row moment
     relation; the per-pair arithmetic is |pairs| selects over that
@@ -1403,16 +1413,27 @@ def corr_screen(df, cols: list[str], scale: int = 100):
               f" - CAST(s_{a} AS DECIMAL(38,0)) * s_{a})")
         vy = (f"(CAST(__n AS DECIMAL(38,0)) * q_{b}"
               f" - CAST(s_{b} AS DECIMAL(38,0)) * s_{b})")
+        # derived per-side shrink: kx = ceil((digits(vx) - 16) / 2)
+        # via (L - 15) DIV 2 (non-negative after greatest); 10^k built
+        # from string repeat — integer-exact, no libm
+        kx = f"greatest(0, (length(CAST({vx} AS STRING)) - 15) DIV 2)"
+        ky = f"greatest(0, (length(CAST({vy} AS STRING)) - 15) DIV 2)"
+        dx2 = (f"CAST(concat('1', repeat('0', CAST(2 * ({kx}) AS INT)))"
+               f" AS DECIMAL(38,0))")
+        dy2 = (f"CAST(concat('1', repeat('0', CAST(2 * ({ky}) AS INT)))"
+               f" AS DECIMAL(38,0))")
+        dxy = (f"CAST(concat('1', repeat('0',"
+               f" CAST(({kx}) + ({ky}) AS INT))) AS DECIMAL(38,0))")
         # DIV returns BIGINT in both engines, so every square re-enters
         # DECIMAL(38,0)/HUGEINT via an explicit cast before multiplying
-        d = 1_000_000_000
         expr = f"""
-          CASE WHEN CAST({vx} DIV {d} AS DECIMAL(38,0))
-                    * ({vy} DIV {d}) > 0 THEN
+          CASE WHEN CAST({vx} DIV {dx2} AS DECIMAL(38,0))
+                    * ({vy} DIV {dy2}) > 0 THEN
             (CASE WHEN {cov} < 0 THEN -1 ELSE 1 END)
             * ((CAST(1000000 AS DECIMAL(38,0))
-                * (abs({cov}) DIV {d}) * (abs({cov}) DIV {d}))
-               DIV (CAST({vx} DIV {d} AS DECIMAL(38,0)) * ({vy} DIV {d})))
+                * (abs({cov}) DIV {dxy}) * (abs({cov}) DIV {dxy}))
+               DIV (CAST({vx} DIV {dx2} AS DECIMAL(38,0))
+                    * ({vy} DIV {dy2})))
           END"""
         outs.append(m.select(
             F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
@@ -1425,8 +1446,10 @@ def corr_screen(df, cols: list[str], scale: int = 100):
 
 
 def corr_screen_sql(table: str, cols: list[str], scale: int = 100) -> str:
-    """DuckDB twin of :func:`corr_screen` (same fixed downscale and
-    sign split; HUGEINT plays DECIMAL(38,0))."""
+    """DuckDB twin of :func:`corr_screen` (same derived per-side
+    downscale and sign split; HUGEINT plays DECIMAL(38,0), ``//``
+    plays DIV — floor vs truncate agree on the non-negative
+    operands both engines see)."""
     sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
     for c in cols:
         sums.append(f"CAST(SUM(CAST(round({c} * {scale}) AS BIGINT))"
@@ -1439,7 +1462,6 @@ def corr_screen_sql(table: str, cols: list[str], scale: int = 100) -> str:
         sums.append(f"SUM(CAST(CAST(round({a} * {scale}) AS BIGINT)"
                     f" * CAST(round({b} * {scale}) AS BIGINT)"
                     f" AS HUGEINT)) AS p_{a}__{b}")
-    d = 1_000_000_000
     sels = []
     for a, b in pairs:
         cov = (f"(CAST(n AS HUGEINT) * p_{a}__{b}"
@@ -1448,13 +1470,22 @@ def corr_screen_sql(table: str, cols: list[str], scale: int = 100) -> str:
               f" - CAST(s_{a} AS HUGEINT) * s_{a})")
         vy = (f"(CAST(n AS HUGEINT) * q_{b}"
               f" - CAST(s_{b} AS HUGEINT) * s_{b})")
+        kx = f"greatest(0, (length(CAST({vx} AS VARCHAR)) - 15) // 2)"
+        ky = f"greatest(0, (length(CAST({vy} AS VARCHAR)) - 15) // 2)"
+        dx2 = (f"CAST('1' || repeat('0', CAST(2 * ({kx}) AS INTEGER))"
+               f" AS HUGEINT)")
+        dy2 = (f"CAST('1' || repeat('0', CAST(2 * ({ky}) AS INTEGER))"
+               f" AS HUGEINT)")
+        dxy = (f"CAST('1' || repeat('0',"
+               f" CAST(({kx}) + ({ky}) AS INTEGER)) AS HUGEINT)")
         sels.append(f"""
 SELECT '{a}' AS col_x, '{b}' AS col_y, n,
-       CAST(CASE WHEN CAST({vx} // {d} AS HUGEINT) * ({vy} // {d}) > 0 THEN
+       CAST(CASE WHEN CAST({vx} // {dx2} AS HUGEINT)
+                      * ({vy} // {dy2}) > 0 THEN
          (CASE WHEN {cov} < 0 THEN -1 ELSE 1 END)
          * ((CAST(1000000 AS HUGEINT)
-             * (abs({cov}) // {d}) * (abs({cov}) // {d}))
-            // (CAST({vx} // {d} AS HUGEINT) * ({vy} // {d})))
+             * (abs({cov}) // {dxy}) * (abs({cov}) // {dxy}))
+            // (CAST({vx} // {dx2} AS HUGEINT) * ({vy} // {dy2})))
        END AS BIGINT) AS r2_signed_ppm
 FROM m""")
     return ("WITH m AS (SELECT " + ", ".join(sums) + f" FROM {table})"

@@ -221,7 +221,17 @@ def _merge_day_rows(ledger: DataFrame, batch: DataFrame,
                     key: str = "user_id") -> DataFrame:
     """Fold already-deduped (key, day) batch rows into the ledger —
     the shared probe/append kernel of :func:`active_days_merge` and
-    the streaming active-days store (see its pruning note)."""
+    the streaming active-days store (see its pruning note).
+
+    EAGER AT CONSTRUCTION: the literal day IN-list requires the
+    batch's distinct days on the driver, so building this plan runs
+    one Spark job over the batch immediately (the price of the
+    machine-checked static partition filter — the same
+    collect-at-build trade the localCheckpoint sites document).  The
+    batch is localCheckpointed first so the day probe and the
+    subsequent anti-join/union read ONE materialization instead of
+    re-deriving the batch lineage twice."""
+    batch = batch.localCheckpoint()
     days = [r[0] for r in batch.select("day").distinct().limit(1001)
             .collect()]
     if len(days) > 1000:
@@ -239,7 +249,18 @@ def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
     (key, day) relation (see :func:`rolling_active` for the shape
     rationale).  Factored out so the incremental form can feed it a
     window-clipped ledger slice instead of re-deriving state from raw
-    events."""
+    events.
+
+    TWO-PHASE distinct, not ``count_distinct``: Spark plans a single
+    distinct aggregate by shuffling on the GROUPING key alone (day),
+    so every key active in a day's trailing window lands in that
+    day's one reduce task — ~30 day-groups bound the fan-in however
+    many executors exist (measured: a 74 s max task at the x100
+    smoke).  An explicit ``.distinct()`` on (day, key) shuffles on
+    the PAIR — full spread, the salt is the key itself — and the
+    following per-day count is a plain partial-aggregated count whose
+    day-keyed shuffle moves one partial row per task per day.  Same
+    two exchanges, no straggler (x100 max task: see docs/SCALE.md)."""
     max_day = daily.agg(F.max("day").alias("__max"))
     covering = (daily.select(
         F.col(key),
@@ -250,8 +271,9 @@ def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
                 .alias("day"))
         .crossJoin(F.broadcast(max_day))
         .filter(F.col("day") <= F.col("__max")))
-    return (covering.groupBy("day")
-            .agg(F.count_distinct(key).cast("bigint").alias("n_active")))
+    return (covering.select("day", key).distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active")))
 
 
 def rolling_active_incremental(ledger: DataFrame, new_events: DataFrame,

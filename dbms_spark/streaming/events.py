@@ -66,25 +66,6 @@ def wau_from_store(store: SketchStore, key: str = "user_id",
     return rolling_active_from_days(store.read(), key, days)
 
 
-class _FoldStore(SketchStore):
-    """SketchStore variant whose merge ALWAYS runs: the base class
-    commits ``build(batch)`` directly when the ledger is empty —
-    right for sketch deltas (a batch's sketch IS valid state), wrong
-    when ``merge_fn(cur, batch)`` FOLDS raw batch rows into state of
-    a different shape.  Here the first batch folds into the empty
-    state relation instead.  Everything else (pointer commit,
-    redelivery no-op, snapshot sweep) is inherited."""
-
-    def apply_batch(self, events: DataFrame,
-                    batch_id: int | None = None) -> None:
-        ptr = self._pointer()
-        last_bid = -1 if ptr is None else ptr[1]
-        if batch_id is not None and batch_id <= last_bid:
-            return  # redelivered batch: exactly-once no-op
-        new = self._merge(self.read(), self._build(events))
-        self._commit(new, ptr, batch_id if batch_id is not None else last_bid)
-
-
 def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
                     key: str, ts_col: str, type_col: str) -> DataFrame:
     """Fold one time-ordered batch into the (key, step, anchor) chain:
@@ -131,15 +112,20 @@ def funnel_store(spark, path: str, steps: list[str],
     per-event.  Requires time-ordered batch boundaries (see module
     docstring); under that contract the state after N batches equals
     the batch :func:`dbms_spark.operators.events.funnel` chain over
-    the concatenation."""
-    return _FoldStore(
+    the concatenation.  ``fold_first_batch=True``: build only projects
+    the batch, so the anchor-chain state shape comes from the merge —
+    which must run on batch #1 too, against the empty state relation
+    (the flag replaces the former _FoldStore apply_batch override that
+    duplicated the base pointer/redelivery/commit sequence)."""
+    return SketchStore(
         spark, path,
         build_fn=lambda b: b.select(
             F.col(key), F.col(ts_col).cast("timestamp").alias(ts_col),
             F.col(type_col)),
         merge_fn=lambda cur, d: _funnel_advance(cur, d, steps, key,
                                                 ts_col, type_col),
-        schema=f"{key} {key_type}, step bigint, anchor timestamp")
+        schema=f"{key} {key_type}, step bigint, anchor timestamp",
+        fold_first_batch=True)
 
 
 def funnel_counts_from_store(store: SketchStore,

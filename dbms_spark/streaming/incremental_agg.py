@@ -244,11 +244,22 @@ class SketchStore(AggStore):
     ``build_fn(batch_df) -> sketch`` sketches one micro-batch;
     ``merge_fn(cur, delta) -> merged`` folds it into the ledger (must
     be the sketch's lossless merge so the stored state is EXACTLY the
-    sketch of everything applied)."""
+    sketch of everything applied).
 
-    def __init__(self, spark, path: str, build_fn, merge_fn, schema: str):
+    ``fold_first_batch``: by default the FIRST batch's build output is
+    committed directly (a batch's sketch IS valid state).  Stores
+    whose ``merge_fn`` folds raw batch rows into state of a DIFFERENT
+    shape (the funnel store: build passes events through, merge
+    advances the anchor chain) set this True so batch #1 also runs
+    the fold — against the empty-schema relation ``read()`` returns.
+    One flag instead of an overriding subclass: the pointer /
+    redelivery / commit sequence below stays single-sourced."""
+
+    def __init__(self, spark, path: str, build_fn, merge_fn, schema: str,
+                 fold_first_batch: bool = False):
         self.spark, self.path = spark, path
         self._build, self._merge, self._schema_str = build_fn, merge_fn, schema
+        self._fold_first = fold_first_batch
 
     def _schema(self) -> str:
         return self._schema_str
@@ -259,5 +270,6 @@ class SketchStore(AggStore):
         if batch_id is not None and batch_id <= last_bid:
             return  # redelivered batch: exactly-once no-op
         delta = self._build(events)
-        new = delta if ptr is None else self._merge(self.read(), delta)
+        new = (delta if ptr is None and not self._fold_first
+               else self._merge(self.read(), delta))
         self._commit(new, ptr, batch_id if batch_id is not None else last_bid)

@@ -287,6 +287,40 @@ def test_corr_screen_planted_correlations(spark):
     assert abs(abs(got[("x", "w")]) - ref) <= max(20, ref // 10)
 
 
+def test_corr_screen_huge_magnitudes_no_overflow(spark):
+    """The round-8 ADVICE envelope: cents ~3e9 over 1e4 rows push cov
+    to ~1e26 — the former FIXED 1e9 downscale then squared to ~1e40
+    and overflowed DECIMAL(38,0) (Spark silently NULLed, DuckDB's
+    HUGEINT raised, so the engines diverged exactly at scale).  The
+    derived per-side downscale must (a) report a value, not NULL,
+    (b) track the true r², and (c) hash-match the DuckDB twin on the
+    same rows."""
+    import duckdb
+
+    from dbms_spark.operators.assess import corr_screen, corr_screen_sql
+
+    # x spreads 0..2.9e7 (cents to 2.9e9 — inside the documented
+    # per-row envelope, square 8.4e18 < 2^63) so vx ~ n²·var ~ 7e25
+    # and cov ~ 7e25 on the affine pair: (cov DIV 1e9)² · 1e6 ~ 5e39
+    rows = [(i * 2900.0, i * 2871.0 + float((i * 7919) % 97),
+             float((i * 7919) % 1000) * 1.0e4) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "x double, y double, w double")
+    got = {(r.col_x, r.col_y): r.r2_signed_ppm
+           for r in corr_screen(df, ["x", "y", "w"]).collect()}
+    # (a) computable, (b) x and y are exactly affine -> r2 ~ 1e6
+    assert got[("x", "y")] is not None and got[("x", "y")] >= 999_000
+    ref = round(df.stat.corr("x", "w") ** 2 * 1e6)
+    assert got[("x", "w")] is not None
+    assert abs(abs(got[("x", "w")]) - ref) <= max(20, ref // 10)
+    # (c) cross-engine identical at the magnitudes that used to diverge
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        rows, columns=["x", "y", "w"]))
+    oracle = {(r[0], r[1]): r[3] for r in
+              con.sql(corr_screen_sql("t", ["x", "y", "w"])).fetchall()}
+    assert got == oracle
+
+
 def test_corr_screen_zero_variance_null(spark):
     from dbms_spark.operators.assess import corr_screen
 

@@ -185,13 +185,26 @@ def sequence_gaps(df: DataFrame, id_col: str,
     Fully distributed islands (the reverify recipe,
     ``changed_ranges_df``): an id STARTS a present-run iff id-1 is
     absent and ENDS one iff id+1 is absent — two self-anti-joins
-    shuffling only ids; run pairing and the gap derivation then
-    window over the O(n_runs) runs relation, never the raw id set.
-    (A contiguous sequence is 1 run however many rows; a pathological
-    alternating sequence degrades n_runs toward n/2 — at that point
-    the GAP REPORT is O(n) because the answer is, and the window cost
-    matches the output's.)  Duplicates are tolerated (ids are
-    distinct-ed first); NULL ids are ignored."""
+    shuffling only ids.  Every gap is (prev_end + 1, start − 1) for a
+    run start and the LARGEST run end below it, so no explicit
+    run-pairing is needed — only that backward as-of lookup over the
+    O(n_runs) starts/ends relation.  The GROUPED form answers it with
+    per-group windows (distributed across groups); the GLOBAL form
+    used to pay one unpartitioned window (single task however many
+    executors) and now range-buckets instead: starts (probes) and
+    ends (anchors) union, ``repartitionByRange`` on position — Spark
+    samples boundaries, so buckets stay balanced under ANY id
+    distribution, where fixed-width value buckets would hot-spot on
+    clustered ids — each bucket takes a running max of anchor ends
+    (a PARTITIONED window keyed on the captured range-bucket id,
+    monotone in position by construction), and a P-row per-bucket
+    summary carries the max end across buckets (the only global
+    window left touches P rows, not n_runs).  (A contiguous sequence
+    is 1 run however many rows; a pathological alternating sequence
+    degrades n_runs toward n/2 — at that point the GAP REPORT is O(n)
+    because the answer is, and the cost matches the output's.)
+    Duplicates are tolerated (ids are distinct-ed first); NULL ids
+    are ignored."""
     from pyspark.sql import Window
 
     g = [group_col] if group_col else []
@@ -201,21 +214,55 @@ def sequence_gaps(df: DataFrame, id_col: str,
                       g + ["cid"], "left_anti")
     ends = ids.join(ids.select(*g, (F.col("cid") - 1).alias("cid")),
                     g + ["cid"], "left_anti")
-    w_lo = Window.partitionBy(*g).orderBy("lo")
-    runs = (
-        starts.select(*g, F.col("cid").alias("lo"))
-        .withColumn("k", F.row_number().over(w_lo))
-        .join(ends.select(*g, F.col("cid").alias("hi"))
-              .withColumn("k", F.row_number().over(
-                  Window.partitionBy(*g).orderBy("hi"))), g + ["k"])
-        .select(*g, "lo", "hi")
-    )
-    return (runs
-            .withColumn("prev_hi", F.lag("hi").over(w_lo))
+    if group_col:
+        w_lo = Window.partitionBy(*g).orderBy("lo")
+        runs = (
+            starts.select(*g, F.col("cid").alias("lo"))
+            .withColumn("k", F.row_number().over(w_lo))
+            .join(ends.select(*g, F.col("cid").alias("hi"))
+                  .withColumn("k", F.row_number().over(
+                      Window.partitionBy(*g).orderBy("hi"))), g + ["k"])
+            .select(*g, "lo", "hi")
+        )
+        return (runs
+                .withColumn("prev_hi", F.lag("hi").over(w_lo))
+                .filter(F.col("prev_hi").isNotNull())
+                .select(*g, (F.col("prev_hi") + 1).alias("gap_lo"),
+                        (F.col("lo") - 1).alias("gap_hi"),
+                        (F.col("lo") - F.col("prev_hi") - 1)
+                        .cast("bigint").alias("n_missing")))
+    # GLOBAL form: probe rows (tag 0) ask for the largest anchor end
+    # (tag 1) strictly below them; at equal position the probe sorts
+    # first, so a singleton run (lo == hi) never sees its own end.
+    # One anchor-vs-probe position can collide only within the same
+    # id, so (pos, tag) is unique and range boundaries cannot split a
+    # tie group.
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probes = starts.select(F.col("cid").alias("pos"),
+                           F.lit(0).alias("tag"),
+                           F.lit(None).cast("bigint").alias("anc_hi"))
+    anchors = ends.select(F.col("cid").alias("pos"),
+                          F.lit(1).alias("tag"),
+                          F.col("cid").alias("anc_hi"))
+    merged = (probes.unionByName(anchors)
+              .repartitionByRange(n_buckets, "pos", "tag")
+              .withColumn("bkt", F.spark_partition_id()))
+    bw = (Window.partitionBy("bkt").orderBy("pos", "tag")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    loc = merged.withColumn("loc_hi", F.max("anc_hi").over(bw))
+    carry = (loc.groupBy("bkt").agg(F.max("anc_hi").alias("bkt_hi"))
+             .withColumn("below_hi", F.max("bkt_hi").over(
+                 Window.orderBy("bkt")
+                 .rowsBetween(Window.unboundedPreceding, -1)))
+             .select("bkt", "below_hi"))
+    return (loc.filter(F.col("tag") == 0)
+            .join(F.broadcast(carry), "bkt", "left")
+            .withColumn("prev_hi", F.greatest("loc_hi", "below_hi"))
             .filter(F.col("prev_hi").isNotNull())
-            .select(*g, (F.col("prev_hi") + 1).alias("gap_lo"),
-                    (F.col("lo") - 1).alias("gap_hi"),
-                    (F.col("lo") - F.col("prev_hi") - 1)
+            .select((F.col("prev_hi") + 1).alias("gap_lo"),
+                    (F.col("pos") - 1).alias("gap_hi"),
+                    (F.col("pos") - F.col("prev_hi") - 1)
                     .cast("bigint").alias("n_missing")))
 
 

@@ -376,3 +376,30 @@ def test_sequence_gaps_grouped(spark):
     got = sorted((r.g, r.gap_lo, r.gap_hi, r.n_missing)
                  for r in sequence_gaps(df, "id", group_col="g").collect())
     assert got == [("a", 3, 4, 2), ("b", 2, 2, 1)]
+
+
+def test_sequence_gaps_global_equals_grouped(spark):
+    """The global form's distributed range-bucket pairing must equal
+    the per-group windowed form run with a constant group — same
+    algebra, different physical shape (the grouped path windows per
+    group; the global path buckets + carries).  Ids engineered so
+    runs straddle many range buckets, including singleton runs (an id
+    that both starts and ends its run, the probe-sees-own-anchor
+    edge) and a duplicate-heavy region."""
+    import pyspark.sql.functions as F
+
+    from dbms_spark.operators.validate import sequence_gaps
+
+    ids = []
+    for base in range(0, 20_000, 97):        # runs of varying length
+        ids.extend(range(base, base + (base // 97) % 5 + 1))
+    ids += [31_000, 31_002, 31_004]          # singleton runs
+    ids += [5_000] * 50                      # duplicates
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    g_global = sorted((r.gap_lo, r.gap_hi, r.n_missing)
+                      for r in sequence_gaps(df, "id").collect())
+    g_grouped = sorted(
+        (r.gap_lo, r.gap_hi, r.n_missing)
+        for r in sequence_gaps(df.withColumn("g", F.lit(1)), "id",
+                               group_col="g").collect())
+    assert g_global == g_grouped and len(g_global) > 100

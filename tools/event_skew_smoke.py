@@ -43,13 +43,16 @@ _spec.loader.exec_module(_sm)
 
 def synth_events(spark, n: int, n_users: int, hot_frac: float = 0.0):
     """Deterministic synthetic stream over 30 days; ``hot_frac`` of
-    the rows land on user 0 (the bot), the rest hash-uniform."""
+    the rows land on user 0 (the bot), the rest hash-uniform.  The
+    source gets ~1.5M-row slices (a real table has block-sized input
+    splits, not one per core) so scan-stage max-task reflects the
+    operator, not an artificially coarse source."""
     uid = F.pmod(F.hash("id"), n_users)
     if hot_frac:
         uid = F.when(F.col("id") < int(n * hot_frac), F.lit(0)).otherwise(uid)
     types = F.array(F.lit("view"), F.lit("click"),
                     F.lit("purchase"), F.lit("other"))
-    return spark.range(n).select(
+    return spark.range(0, n, 1, max(32, n // 1_500_000)).select(
         uid.cast("long").alias("user_id"),
         F.timestamp_seconds(
             F.lit(1704067200) + F.pmod(F.col("id") * 7919, 30 * 86400))
@@ -154,9 +157,31 @@ def run_round8(spark, n: int) -> None:
         ev.unpersist()
 
 
+def run_gaps(spark, n: int) -> None:
+    """Global sequence_gaps at 10⁷ present ids (round-9 ask #3): a
+    run-dense id space (~n/3 runs — every third id absent) pushes the
+    starts/ends pairing itself to 10⁶·3 rows, the regime where the old
+    unpartitioned row_number window was ONE task however many cores.
+    The distributed form's max task should be a balanced bucket."""
+    from dbms_spark.operators.validate import sequence_gaps
+
+    # keep ids where id mod 3 != 2 -> runs of length 2, one-gap runs:
+    # ~n/3 runs and ~n/3 single-id gaps, plus a sparse far tail
+    ids = (spark.range(int(n * 1.5))
+           .filter(F.pmod("id", F.lit(3)) != 2)
+           .select(F.col("id").alias("id"))
+           .union(spark.range(100).select(
+               (F.lit(10_000_000_000) + F.col("id") * 5).alias("id")))
+           .persist())
+    n_ids = ids.count()
+    timed(spark, "sequence_gaps_global", sequence_gaps(ids, "id"),
+          {"present_ids": n_ids})
+    ids.unpersist()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
-    defaults = {"skew": 2_000_000, "round8": 500_000}
+    defaults = {"skew": 2_000_000, "round8": 500_000, "gaps": 10_000_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(
         mode, 100_000_000)
     spark = get_spark("event_skew_smoke",
@@ -165,6 +190,8 @@ def main() -> None:
         run_skew(spark, n)
     elif mode == "round8":
         run_round8(spark, n)
+    elif mode == "gaps":
+        run_gaps(spark, n)
     else:
         run_x100(spark, n)
     spark.stop()

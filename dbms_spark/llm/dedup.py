@@ -1669,10 +1669,37 @@ _CONTAIN = ("floor(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) "
             "/ size(sh_{side}) * 1000000) / 1000000")
 
 
+def derive_fp_cap(n_docs: int, floor: int = 64) -> int:
+    """The fingerprint-occupancy cap SCALE RULE as a function —
+    the derive-the-knob treatment (:func:`dbms_spark.llm.similarity.
+    derive_n_planes`, Bloom m from NDV) applied to the containment
+    family's one remaining opt-in bound: every fingerprint kept in
+    the candidate self-join proposes ≤ cap² pairs, so total pair
+    volume is ≤ cap · Σ occupancy = O(corpus fingerprint rows · cap);
+    a cap that grows only log2(n) keeps that O(n log n) — where the
+    UNCAPPED default let one boilerplate fingerprint shared by 10⁵
+    docs propose 10¹⁰ pairs on its own (the skewed-unit-of-work
+    hazard the reference's histogram divider bounds the same way,
+    database/processor/data_compare_divider.go:41-201).
+
+    Recall argument for dropping (not starring, as the capped LSH
+    does): winnowing guarantees a contained doc of ≥ n + w − 1 tokens
+    shares ALL its winnowed fingerprints with the host, so the pair
+    survives unless EVERY shared fingerprint exceeds the cap — a doc
+    made entirely of corpus-wide boilerplate, which subset-dedup
+    should skip anyway.  The log2 growth term acknowledges that
+    legitimate template occupancy rises with corpus size; the floor
+    keeps small-corpus (gate-scale) runs exactly uncapped in effect
+    (measured occupancy ≤ 4 at sf0.1)."""
+    import math
+
+    return max(floor, 8 * math.ceil(math.log2(max(2, n_docs))))
+
+
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 5, w: int = 4,
                       min_containment: float = 0.5,
-                      fp_cap: int | None = None) -> DataFrame:
+                      fp_cap: int | str | None = "auto") -> DataFrame:
     """Asymmetric near-SUBSET duplicate pairs: containment
     C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
     quote-inclusion / page-embedded-in-aggregator geometry that
@@ -1694,11 +1721,16 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     ``fp_cap`` drops fingerprints shared by more than ``cap`` docs
     (boilerplate mega-buckets — same occupancy control as the capped
     LSH; a fingerprint in 10^5 docs proposes 10^10 pairs and says
-    nothing about subset structure).
+    nothing about subset structure).  The default ``"auto"`` derives
+    the cap from the corpus size (:func:`derive_fp_cap` — one extra
+    ``count()`` job; pass an int to skip it, or None for explicitly
+    unbounded).
     """
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
+    if fp_cap == "auto":
+        fp_cap = derive_fp_cap(df.count())
     # fps feeds both self-join legs and sh feeds both verify legs —
     # persisted so the corpus is tokenized once per relation instead
     # of once per leg (4 scans -> 2 on the gate plan; a long-lived
@@ -1759,7 +1791,7 @@ def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
                               id_col: str = "doc_id", text_col: str = "text",
                               n: int = 5, w: int = 4,
                               min_containment: float = 0.5,
-                              fp_cap: int | None = None,
+                              fp_cap: int | str | None = "auto",
                               corpus_fps: DataFrame | None = None) -> DataFrame:
     """Incremental containment intake: near-subset pairs BETWEEN a new
     batch and the corpus — (new_id, corpus_id, c_new_in_corpus,
@@ -1785,12 +1817,16 @@ def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
     ``fp_cap`` drops fingerprints whose COMBINED doc count across the
     two sides exceeds the cap — same occupancy control, counted over
     the union so a fingerprint just under the cap on each side cannot
-    still propose cap² cross pairs.  Ids must be disjoint across
-    sides.  Both directions floor-quantized at 6 dp as in
-    :func:`containment_pairs`."""
+    still propose cap² cross pairs.  The default ``"auto"`` derives
+    the cap from the combined doc count (:func:`derive_fp_cap`; int
+    to skip the count jobs, None for explicitly unbounded).  Ids must
+    be disjoint across sides.  Both directions floor-quantized at
+    6 dp as in :func:`containment_pairs`."""
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
+    if fp_cap == "auto":
+        fp_cap = derive_fp_cap(new_df.count() + corpus_df.count())
     bf = winnowed_fingerprints(new_df, id_col, text_col, n, w).persist()
     cf = (corpus_fps if corpus_fps is not None
           else winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
@@ -1863,7 +1899,7 @@ WHERE greatest({c_nc}, {c_cn}) >= {min_containment}
 def drop_contained(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 5, w: int = 4,
                    min_containment: float = 0.9,
-                   fp_cap: int | None = None) -> DataFrame:
+                   fp_cap: int | str | None = "auto") -> DataFrame:
     """The actionable form of :func:`containment_pairs`: remove docs
     whose shingles are >= ``min_containment`` contained in ANOTHER doc
     (the embedded copy adds no content the host lacks), keeping the

@@ -1294,6 +1294,54 @@ def test_drop_contained_policy(spark):
     assert kept == {2, 4}
 
 
+def test_derive_fp_cap_scale_rule():
+    """Floor holds to ~250 docs (gate scale stays effectively
+    uncapped: measured occupancy <= 4); log2 growth beyond; total
+    pair volume per kept fingerprint is cap^2 — O(n log n) overall."""
+    from dbms_spark.llm.dedup import derive_fp_cap
+
+    assert derive_fp_cap(1) == 64
+    assert derive_fp_cap(5_000) == 104          # 8 * ceil(log2(5000))
+    assert derive_fp_cap(10 ** 10) == 8 * 34    # 272 at web scale
+    assert derive_fp_cap(10 ** 10) < 1_000      # never an all-pairs bucket
+
+
+def test_containment_auto_cap_kept_set_identity(spark, sf_dir):
+    """The derived default must not change results at gate scale:
+    drop_contained / containment_pairs with fp_cap='auto' equal the
+    explicitly-uncapped run on the documents table (occupancy there
+    is far below the floor), while a HOT boilerplate fingerprint
+    shared by every doc is dropped by the auto cap — bounding the
+    candidate join — without losing genuine subset pairs that share
+    any non-boilerplate fingerprint."""
+    from dbms_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    auto = {tuple(r) for r in D.containment_pairs(docs).collect()}
+    unc = {tuple(r) for r in
+           D.containment_pairs(docs, fp_cap=None).collect()}
+    assert auto == unc and len(auto) > 0
+    kept_a = {r.doc_id for r in D.drop_contained(docs).collect()}
+    kept_u = {r.doc_id for r in D.drop_contained(docs, fp_cap=None).collect()}
+    assert kept_a == kept_u
+    # hot-fingerprint behavior: 200 docs all opening with the same
+    # boilerplate sentence; doc 0 is fully embedded in doc 1 and ALSO
+    # shares unique content — the auto cap (floor 64 < 200) drops the
+    # boilerplate fingerprints yet still recalls the true subset pair
+    boiler = " ".join(f"tok{i}" for i in range(12))
+    rows = [(i, boiler + f" unique{i} filler{i} body{i} tail{i}")
+            for i in range(2, 200)]
+    rows.append((0, "special alpha beta gamma delta epsilon zeta eta"))
+    rows.append((1, "special alpha beta gamma delta epsilon zeta eta"
+                    " plus a much longer host document body here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.containment_pairs(df, min_containment=0.9)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (0, 1) in got                       # true subset recalled
+    # boilerplate-only overlaps propose no pairs under the auto cap
+    assert all(a in (0, 1) and b in (0, 1) for a, b in got)
+
+
 def test_dhash_pgm_decode_locality_recall(spark):
     """dHash over REAL decoded PGM pixels: a hand-computed 9x8 image
     (grid == pixels) matches the Python dHash bit-for-bit; exact

@@ -363,6 +363,56 @@ class DbmsEngine:
                                    id_col=id_col, vec_col=vec_col)
         raise ValueError(f"unknown similarity method {method!r}")
 
+    def ann_index_build(self, corpus: DataFrame, train_path: str,
+                        with_pq: bool = False, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+        """Build the maintainable ANN index relation (llm.similarity.
+        ivf_index_build) plus the frozen quantizers it was trained
+        with.  Returns (index_df, cents, books) — persist the index
+        ``partitionBy("cluster")``, keep the quantizers beside it,
+        and feed all three back into :meth:`ann_index_append` /
+        :meth:`ann_search_index`."""
+        from dbms_spark.llm import similarity as sim
+
+        cents = sim.train_ivf_centroids(train_path, spark=self.spark)
+        books = (sim.train_pq_codebooks(train_path, spark=self.spark)
+                 if with_pq else None)
+        return (sim.ivf_index_build(corpus, cents, books, id_col, vec_col),
+                cents, books)
+
+    def ann_index_append(self, index: DataFrame, batch: DataFrame,
+                         cents, books=None, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+        """O(batch) index intake against the FROZEN quantizers;
+        redelivered ids are a no-op.  Drift re-train trigger:
+        llm/similarity.py ivf_index_append docstring."""
+        from dbms_spark.llm import similarity as sim
+
+        return sim.ivf_index_append(index, batch, cents, books,
+                                    id_col, vec_col)
+
+    def ann_search_index(self, index: DataFrame, queries: DataFrame,
+                         cents, books=None, k: int = 5, nprobe: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+        """Top-k from the maintained index: exact in-cell cosine, or
+        the compressed ADC scan when ``books`` is given (the index
+        must have been built with them)."""
+        from dbms_spark.llm import similarity as sim
+
+        if books is not None:
+            return sim.ivf_pq_topk_from_index(index, queries, cents, books,
+                                              k, nprobe, id_col, vec_col)
+        return sim.ivf_topk_from_index(index, queries, cents, k, nprobe,
+                                       id_col, vec_col)
+
+    def ann_index_stats(self, index: DataFrame, cents) -> DataFrame:
+        """Per-cell occupancy + mean own-centroid cosine — the drift
+        statistics the re-train trigger reads."""
+        from dbms_spark.llm import similarity as sim
+
+        return sim.ivf_index_stats(index, cents)
+
     def heavy_hitters(self, df: DataFrame, key_col: str, n: int = 5) -> DataFrame:
         """Skew screen: exact top-n keys with count-min estimates
         alongside (feeds the salting planner in plans/skew)."""

@@ -417,16 +417,108 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     standard IVF sizing) to split growth between cell count and cell
     occupancy; the centroid table stays a driver-side literal at any
     realistic cell count."""
+    return ivf_topk_from_index(
+        ivf_index_build(corpus, cents, None, id_col, vec_col),
+        queries, cents, k, nprobe, id_col, vec_col)
+
+
+def ivf_index_build(corpus: DataFrame,
+                    cents: list[tuple[list[int], float]],
+                    books: list[list[list[int]]] | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The IVF(+PQ) index AS A RELATION: (id, cluster, q, norm[,
+    codes]) — the corpus with quantization, cell assignment, norm,
+    and (when ``books`` is given) PQ codes materialized ONCE, so
+    probe-time queries skip every per-corpus-row encode.  Persist it
+    ``.write.partitionBy("cluster").parquet(path)`` and a serving
+    read that filters ``cluster IN (<literal probe cells>)`` is a
+    statically partition-pruned scan (literal IN over the
+    driver-known probe list — the same guaranteed-pruning choice as
+    active_days_merge; a join-based probe would depend on DPP
+    heuristics that decline on small builds).
+
+    One relation answers BOTH ranking modes: :func:`
+    ivf_topk_from_index` (exact fixed-point cosine over q/norm) and
+    :func:`ivf_pq_topk_from_index` (ADC over codes).  Maintain it
+    incrementally with :func:`ivf_index_append`; monitor drift with
+    :func:`ivf_index_stats`."""
+    c = (corpus.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+         .withColumn("norm", F.expr(_NORM_SPARK.format(a="q")))
+         .join(ivf_assign(corpus, cents, id_col, vec_col), id_col))
+    if books is not None:
+        c = c.join(pq_encode(corpus, books, id_col, vec_col), id_col)
+    return c
+
+
+def ivf_index_append(index: DataFrame, new_df: DataFrame,
+                     cents: list[tuple[list[int], float]],
+                     books: list[list[list[int]]] | None = None,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """O(batch) incremental intake for the IVF(+PQ) index — the
+    ledger ``*_between`` pattern (duplicate_passages_between, q210)
+    applied to vector search: ONLY the batch is quantized, assigned
+    and encoded, against the SAME frozen centroids/codebooks the
+    index was built with, then appended; the persisted corpus rows
+    are never re-encoded.  Ids already present keep their existing
+    rows (anti-join guard), so a redelivered batch is a no-op — the
+    store-fold contract of the streaming ledgers.
+
+    FROZEN-QUANTIZER CONTRACT + DRIFT RE-TRAIN TRIGGER: appends keep
+    the index exactly equal to a full rebuild with the same
+    centroids (gates q301/q302 pin top-k identity), but the
+    centroids themselves age as the distribution drifts — recall
+    decays silently because drifted vectors still assign SOMEWHERE.
+    Retrain (and rebuild, a one-shot full-scan job) when
+    :func:`ivf_index_stats` shows either (a) the appended batch's
+    mean own-centroid cosine dropping below the build-time baseline
+    minus a tolerance (default guidance: 5 percentage points), or
+    (b) cell-occupancy skew max/mean exceeding ~4 — drifting data
+    funnels into few cells, degrading probe pruning toward a full
+    scan.  Both statistics are O(index) map-side aggregates; the
+    baseline is the stats output at build time, stored beside the
+    index."""
+    fresh = (ivf_index_build(new_df, cents, books, id_col, vec_col)
+             .join(index.select(id_col), id_col, "left_anti"))
+    return index.unionByName(fresh)
+
+
+def ivf_index_stats(index: DataFrame,
+                    cents: list[tuple[list[int], float]],
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-cell index health: (cluster, n_vecs, mean_own_cos_ppm) —
+    occupancy plus the mean cosine of each vector to ITS OWN
+    centroid, floor-quantized per vector at 6 dp then averaged and
+    floored to ppm (deterministic).  Feeds the drift re-train
+    trigger documented in :func:`ivf_index_append`."""
+    scores = _ivf_scores_spark(cents, vec="q")
+    own = (f"floor(element_at({scores}, CAST(cluster AS INT) + 1)"
+           f" / norm * 1000000)")
+    return (index
+            .select("cluster", F.expr(own).alias("__own"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.floor(F.avg("__own")).cast("bigint")
+                 .alias("mean_own_cos_ppm"))
+            .orderBy("cluster"))
+
+
+def ivf_topk_from_index(index: DataFrame, queries: DataFrame,
+                        cents: list[tuple[list[int], float]],
+                        k: int = 5, nprobe: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """:func:`ivf_topk`'s probe kernel over a prebuilt/maintained
+    index relation — the serving path: nprobe best cells per query,
+    exact fixed-point cosine within them, top-k.  The corpus side
+    comes entirely from the index (q/norm/cluster materialized at
+    build/append time)."""
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), quantize_expr(vec_col).alias("n_vec")
-    ).withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
-    c = c.join(
-        ivf_assign(corpus, cents, id_col, vec_col)
-        .select(F.col(id_col).alias("n_id"), "cluster"),
-        "n_id",
-    )
+    c = index.select(F.col(id_col).alias("n_id"), "cluster",
+                     F.col("q").alias("n_vec"),
+                     F.col("norm").alias("n_norm"))
     scores = _ivf_scores_spark(cents, vec="q_vec")
     # nprobe best cells: sort (-score, idx) structs -> first positions;
     # tie-break to the lower index matches list_sort in the twin
@@ -708,16 +800,26 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     corpus state is m codes per vector instead of dims floats —
     both reductions are what make 100 TB-scale vector search fit
     executor memory."""
+    return ivf_pq_topk_from_index(
+        ivf_index_build(corpus, cents, books, id_col, vec_col),
+        queries, cents, books, k, nprobe, id_col, vec_col)
+
+
+def ivf_pq_topk_from_index(index: DataFrame, queries: DataFrame,
+                           cents: list[tuple[list[int], float]],
+                           books: list[list[list[int]]], k: int = 5,
+                           nprobe: int = 2, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """:func:`ivf_pq_topk`'s probe kernel over a prebuilt/maintained
+    index relation (built WITH ``books`` so the codes column exists):
+    nprobe cells per query, ADC table lookups within them — the
+    compressed serving path of the same index that answers
+    :func:`ivf_topk_from_index` exactly."""
     from pyspark.sql import Window
 
     m = len(books)
     d = len(books[0][0])
-    c = (
-        pq_encode(corpus, books, id_col, vec_col)
-        .select(F.col(id_col).alias("n_id"), "codes")
-        .join(ivf_assign(corpus, cents, id_col, vec_col)
-              .select(F.col(id_col).alias("n_id"), "cluster"), "n_id")
-    )
+    c = index.select(F.col(id_col).alias("n_id"), "cluster", "codes")
     dtab_exprs = []
     for j in range(m):
         sub = f"slice(q, {j * d + 1}, {d})"

@@ -182,39 +182,40 @@ def sequence_gaps(df: DataFrame, id_col: str,
     and the run windows partition by the group, so the grouped form
     is the more scalable one.
 
-    Fully distributed islands (the reverify recipe,
-    ``changed_ranges_df``): an id STARTS a present-run iff id-1 is
-    absent and ENDS one iff id+1 is absent — two self-anti-joins
-    shuffling only ids.  Every gap is (prev_end + 1, start − 1) for a
-    run start and the LARGEST run end below it, so no explicit
-    run-pairing is needed — only that backward as-of lookup over the
-    O(n_runs) starts/ends relation.  The GROUPED form answers it with
-    per-group windows (distributed across groups); the GLOBAL form
-    used to pay one unpartitioned window (single task however many
-    executors) and now range-buckets instead: starts (probes) and
-    ends (anchors) union, ``repartitionByRange`` on position — Spark
-    samples boundaries, so buckets stay balanced under ANY id
+    Fully distributed islands: an id STARTS a present-run iff id-1 is
+    absent and ENDS one iff id+1 is absent.  Every gap is
+    (prev_end + 1, start − 1) for a run start and the LARGEST run end
+    below it, so no explicit run-pairing is needed — only that
+    backward as-of lookup over the O(n_runs) starts/ends relation.
+    The GROUPED form answers it with per-group windows (anti-join
+    islands + rank pairing, distributed across groups, the reverify
+    ``changed_ranges_df`` recipe); the GLOBAL form used to pay one
+    unpartitioned window (single task however many executors) and now
+    (a) derives both flags from ONE neighbor-vote exchange, (b) emits
+    probes (starts) and anchors (ends) in a single conditional
+    explode, and (c) range-buckets the as-of: ``repartitionByRange``
+    on position — sampled boundaries stay balanced under ANY id
     distribution, where fixed-width value buckets would hot-spot on
-    clustered ids — each bucket takes a running max of anchor ends
-    (a PARTITIONED window keyed on the captured range-bucket id,
+    clustered ids — each bucket takes a running max of anchor ends (a
+    PARTITIONED window keyed on the captured range-bucket id,
     monotone in position by construction), and a P-row per-bucket
     summary carries the max end across buckets (the only global
     window left touches P rows, not n_runs).  (A contiguous sequence
     is 1 run however many rows; a pathological alternating sequence
     degrades n_runs toward n/2 — at that point the GAP REPORT is O(n)
     because the answer is, and the cost matches the output's.)
-    Duplicates are tolerated (ids are distinct-ed first); NULL ids
+    Duplicates are tolerated (the flag aggregation dedups); NULL ids
     are ignored."""
     from pyspark.sql import Window
 
     g = [group_col] if group_col else []
-    ids = (df.select(*g, F.col(id_col).cast("bigint").alias("cid"))
-           .filter(F.col("cid").isNotNull()).distinct())
-    starts = ids.join(ids.select(*g, (F.col("cid") + 1).alias("cid")),
-                      g + ["cid"], "left_anti")
-    ends = ids.join(ids.select(*g, (F.col("cid") - 1).alias("cid")),
-                    g + ["cid"], "left_anti")
     if group_col:
+        ids = (df.select(*g, F.col(id_col).cast("bigint").alias("cid"))
+               .filter(F.col("cid").isNotNull()).distinct())
+        starts = ids.join(ids.select(*g, (F.col("cid") + 1).alias("cid")),
+                          g + ["cid"], "left_anti")
+        ends = ids.join(ids.select(*g, (F.col("cid") - 1).alias("cid")),
+                        g + ["cid"], "left_anti")
         w_lo = Window.partitionBy(*g).orderBy("lo")
         runs = (
             starts.select(*g, F.col("cid").alias("lo"))
@@ -231,21 +232,43 @@ def sequence_gaps(df: DataFrame, id_col: str,
                         (F.col("lo") - 1).alias("gap_hi"),
                         (F.col("lo") - F.col("prev_hi") - 1)
                         .cast("bigint").alias("n_missing")))
-    # GLOBAL form: probe rows (tag 0) ask for the largest anchor end
-    # (tag 1) strictly below them; at equal position the probe sorts
-    # first, so a singleton run (lo == hi) never sees its own end.
-    # One anchor-vs-probe position can collide only within the same
-    # id, so (pos, tag) is unique and range boundaries cannot split a
-    # tie group.
+    # GLOBAL form.  Start/end flags from ONE exchange instead of a
+    # distinct + two anti-joins: each raw id votes (x: present),
+    # (x+1: your left neighbor exists), (x-1: your right neighbor
+    # exists); a max-flag groupBy dedups and answers both neighbor
+    # probes at once.  Probes (tag 0: run starts wanting the largest
+    # anchor end below them) and anchors (tag 1: run ends) then emit
+    # from a single conditional explode — one lineage, no re-derived
+    # legs.  At equal position the probe sorts first, so a singleton
+    # run (lo == hi) never sees its own end; positions collide only
+    # within one id, so (pos, tag) is unique and range boundaries
+    # cannot split a tie group.
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    probes = starts.select(F.col("cid").alias("pos"),
-                           F.lit(0).alias("tag"),
-                           F.lit(None).cast("bigint").alias("anc_hi"))
-    anchors = ends.select(F.col("cid").alias("pos"),
-                          F.lit(1).alias("tag"),
-                          F.col("cid").alias("anc_hi"))
-    merged = (probes.unionByName(anchors)
+    flags = (df.select(F.col(id_col).cast("bigint").alias("cid"))
+             .filter(F.col("cid").isNotNull())
+             .select(F.explode(F.array(
+                 F.struct(F.col("cid").alias("cid"),
+                          F.lit(1).alias("s"), F.lit(0).alias("lp"),
+                          F.lit(0).alias("rp")),
+                 F.struct((F.col("cid") + 1).alias("cid"),
+                          F.lit(0).alias("s"), F.lit(1).alias("lp"),
+                          F.lit(0).alias("rp")),
+                 F.struct((F.col("cid") - 1).alias("cid"),
+                          F.lit(0).alias("s"), F.lit(0).alias("lp"),
+                          F.lit(1).alias("rp")))).alias("v"))
+             .select("v.*")
+             .groupBy("cid").agg(F.max("s").alias("s"),
+                                 F.max("lp").alias("lp"),
+                                 F.max("rp").alias("rp")))
+    ev = F.filter(F.array(
+        F.when((F.col("s") == 1) & (F.col("lp") == 0), F.struct(
+            F.col("cid").alias("pos"), F.lit(0).alias("tag"),
+            F.lit(None).cast("bigint").alias("anc_hi"))),
+        F.when((F.col("s") == 1) & (F.col("rp") == 0), F.struct(
+            F.col("cid").alias("pos"), F.lit(1).alias("tag"),
+            F.col("cid").alias("anc_hi")))), lambda x: x.isNotNull())
+    merged = (flags.select(F.explode(ev).alias("e")).select("e.*")
               .repartitionByRange(n_buckets, "pos", "tag")
               .withColumn("bkt", F.spark_partition_id()))
     bw = (Window.partitionBy("bkt").orderBy("pos", "tag")

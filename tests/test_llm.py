@@ -202,6 +202,57 @@ def test_ivf_ann(spark, sf_dir):
     assert recall(len(cents)) == 1.0
 
 
+def test_ivf_index_incremental_maintenance(spark, sf_dir):
+    """The index-as-relation contract: append(build(A), B) equals
+    build(A ∪ B) ROW-FOR-ROW (frozen quantizer ⇒ each row's encode is
+    independent); re-appending an already-applied batch is a no-op
+    (redelivery safety); the PQ-built index answers both ranking
+    modes; drift stats drop for an out-of-distribution batch."""
+    from dbms_spark.sources.catalog import load_table, table_path
+    from dbms_spark.llm import similarity as S
+    import pyspark.sql.functions as F
+
+    path = table_path(sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(path, k=8)
+    books = S.train_pq_codebooks(path, m=8, ksub=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.filter("vec_id % 3 != 0"), emb.filter("vec_id % 3 = 0")
+
+    idx = S.ivf_index_append(S.ivf_index_build(a, cents, books),
+                             b, cents, books)
+    full = S.ivf_index_build(emb, cents, books)
+    key = ["vec_id", "cluster", "codes"]
+    assert idx.select(*key).exceptAll(full.select(*key)).count() == 0
+    assert full.select(*key).exceptAll(idx.select(*key)).count() == 0
+
+    # redelivered batch: no duplicate rows, same count
+    again = S.ivf_index_append(idx, b, cents, books)
+    assert again.count() == idx.count()
+
+    # one index, both ranking modes, equal to the one-shot forms
+    qs = emb.filter("vec_id % 50 = 0")
+    got_cos = {tuple(r) for r in
+               S.ivf_topk_from_index(idx, qs, cents, k=3).collect()}
+    want_cos = {tuple(r) for r in S.ivf_topk(emb, qs, cents, k=3).collect()}
+    assert got_cos == want_cos
+    got_adc = {tuple(r) for r in S.ivf_pq_topk_from_index(
+        idx, qs, cents, books, k=3).collect()}
+    want_adc = {tuple(r) for r in S.ivf_pq_topk(
+        emb, qs, cents, books, k=3).collect()}
+    assert got_adc == want_adc
+
+    # drift trigger: an inverted-sign batch scores WORSE against the
+    # frozen centroids than the in-distribution index
+    stats = S.ivf_index_stats(idx, cents)
+    base_mean = (stats.agg(F.avg("mean_own_cos_ppm")).collect()[0][0])
+    drifted = b.select("vec_id", F.expr(
+        "transform(embedding, x -> -x)").alias("embedding"))
+    d_idx = S.ivf_index_build(drifted, cents)
+    d_mean = (S.ivf_index_stats(d_idx, cents)
+              .agg(F.avg("mean_own_cos_ppm")).collect()[0][0])
+    assert d_mean < base_mean - 50_000     # > 5 pp drop: retrain fires
+
+
 def test_dedup_groups_components(spark):
     # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, pair order mixed
     pairs = spark.createDataFrame(

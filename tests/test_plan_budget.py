@@ -92,8 +92,10 @@ SHUFFLE_BUDGET = {
     # persisted-relation queries: InMemoryRelation subtrees re-print
     # their child plans, overstating runtime shuffles — pinned as
     # canaries like q159/q165
-    "q242_containment_pairs": 5,
-    "q245_drop_contained": 21,
+    # (round 9: +occupancy window / its lineage re-print, from the
+    # derived fp_cap default)
+    "q242_containment_pairs": 7,
+    "q245_drop_contained": 27,
     "q248_dedup_keep_best": 32,
     "q249_strip_html": 0,              # pure codegen regexp chain
     "q250_normalize_text": 0,          # map-side Arrow NFC hop, no shuffle
@@ -109,7 +111,9 @@ SHUFFLE_BUDGET = {
     # candidate fp join + distinct + two candidate semi-joins + two
     # shingle verify joins (the persisted legs expand in the printed
     # pre-execution tree, as in q245)
-    "q259_containment_between": 15,
+    # (round 9: the derived fp_cap's occupancy union + anti-joins
+    # re-print the persisted fingerprint legs)
+    "q259_containment_between": 33,
     # two hist partial-aggs + two per-key quantile windows + fence agg
     # (persisted pair leg expands in the printed tree)
     "q260_sketch_mad_profile": 8,
@@ -133,8 +137,11 @@ SHUFFLE_BUDGET = {
     # in-flight index build + query: postings agg, checkpointed tf leg,
     # doclens join, per-doc agg (persisted-ledger runs prune to terms)
     "q271_bm25_indexed": 3,
-    # distinct + two anti-join islands + run pairing over O(n_runs)
-    "q272_sequence_gaps": 6,
+    # global form (round 9): ONE neighbor-vote flag agg + range
+    # bucketing + bkt window + P-row carry; the carry branch prints
+    # its upstream lineage twice (AQE reuses those exchanges at
+    # runtime), hence 7 printed vs ~4 executed
+    "q272_sequence_gaps": 7,
     "q273_rolling_anomaly": 1,         # one (user, ts) sort-shuffle, as q268
     # checkpointed survivor chain; printed plan is the final lag join
     "q274_funnel_lag": 2,
@@ -143,21 +150,22 @@ SHUFFLE_BUDGET = {
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
     "q277_cube": 1,                    # Expand + one partial-agg shuffle
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
-    # (user, day) dedup + 1-row max + offset-exploded distinct count
-    "q279_rolling_active": 4,
-    "q280_stickiness": 8,              # two q279 legs + day join
+    # (user, day) dedup + per-key run window + delta agg + spine
+    # join + day-spine prefix (round-9 interval sweep)
+    "q279_rolling_active": 5,
+    "q280_stickiness": 10,             # two q279 legs + day join
     # round-8 additions
     # ledger + batch active_days legs, day-probed merge (semi/anti),
     # clip, expansion distinct count — the printed tree re-expands the
     # shared events scan per leg (ReusedExchange collapses at runtime)
-    "q281_rolling_active_incremental": 12,
+    "q281_rolling_active_incremental": 14,
     # first-touch semi/anti split + re-min + week-probed activity
     # merge + triangle join/agg (broadcast legs don't count)
     "q282_retention_incremental": 10,
     "q283_rolling_window_prefix": 2,   # cumulative sort + probe-merge sort
     "q284_rolling_anomaly_prefix": 2,  # same two per-key sorts (tie agg rides the first)
     # returned plan reads the committed snapshot + WAU expansion
-    "q285_streaming_wau": 3,
+    "q285_streaming_wau": 4,
     "q286_streaming_funnel": 1,        # count-from-state agg (folds are committed parquet)
     # (day, bucket) register agg + offset-expanded register merge +
     # per-day estimate (count_distinct-free: registers, not keys)
@@ -185,6 +193,10 @@ SHUFFLE_BUDGET = {
     # checkpointed 1-row relation (no exchange at all)
     "q299_corr_screen": 0,
     "q300_benford_screen": 3,          # <=9-key digit agg + 1-row total + spine join
+    # incremental index: append is union of map-side encodes; probe =
+    # cell join + per-query top-k window (+ the anti-join guard)
+    "q301_ivf_index_incremental": 3,
+    "q302_ivf_pq_index_incremental": 3,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -10195,3 +10195,74 @@ def q302_ivf_pq_index_incremental(spark: SparkSession,
                            _ivf_cents(), _pq_books())
     return ivf_pq_topk_from_index(idx, emb.filter("vec_id % 100 = 0"),
                                   _ivf_cents(), _pq_books(), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q303 — STREAMING last-touch attribution: q288's credit assignment
+# maintained as crash-safe per-touch-type counters (+ per-key last
+# touch) folded over the three time-ordered batches; the stored last
+# touch re-enters each fold as a pseudo event strictly before every
+# batch row, so the state equals the one-shot attribution of the
+# concatenation.  Oracle = q288's one-shot SQL grouped by credited
+# touch type (NULL = organic).
+# ---------------------------------------------------------------------------
+
+
+def _q303_sql() -> str:
+    from dbms_spark.operators.events import attribute_conversions_sql
+
+    att = attribute_conversions_sql(
+        "events", "purchase", ["view", "click"],
+        lookback_seconds=7 * 86400, tiebreak=["event_id"])
+    return f"""
+WITH att AS ({att})
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n FROM att GROUP BY 1
+"""
+
+
+@register("q303_streaming_attribution", _q303_sql())
+def q303_streaming_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import (attribution_counts_from_store,
+                                             attribution_store)
+
+    store = attribution_store(
+        spark, tempfile.mkdtemp(prefix="q303_") + "/ledger",
+        "purchase", ["view", "click"], lookback_seconds=7 * 86400,
+        tiebreak=["event_id"])
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        store.apply_batch(b, batch_id=i)
+        if i == 1:
+            store.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return attribution_counts_from_store(store)
+
+
+# ---------------------------------------------------------------------------
+# q304 — STREAMING sessionization: q293's per-session stats from the
+# crash-safe session ledger — each stored session re-enters the fold
+# as a (start, end+count) pseudo-event pair, so a batch's first
+# events extend the previous batch's open sessions exactly as the
+# one-shot would.  Oracle = the one-shot q293 SQL over the whole
+# events table.
+# ---------------------------------------------------------------------------
+
+
+@register("q304_streaming_sessions", _q293_sql())
+def q304_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import (session_stats_from_store,
+                                             session_store)
+
+    store = session_store(
+        spark, tempfile.mkdtemp(prefix="q304_") + "/ledger",
+        gap_minutes=30)
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        store.apply_batch(b, batch_id=i)
+        if i == 0:
+            store.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return session_stats_from_store(store)

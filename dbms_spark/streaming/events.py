@@ -145,6 +145,185 @@ def funnel_counts_from_store(store: SketchStore,
                     .alias("n_users")))
 
 
+def _attr_advance(state: DataFrame, batch: DataFrame,
+                  conversion_type: str, touch_types: list[str], key: str,
+                  ts_col: str, type_col: str,
+                  lookback_seconds: int | None,
+                  tiebreak: list[str]) -> DataFrame:
+    """Fold one time-ordered batch into the attribution state: the
+    stored per-key LAST TOUCH re-enters the batch as a pseudo touch
+    event (strictly earlier than every batch row under the event-time
+    batch contract, so its tiebreak never matters), the batch
+    attribution runs UNCHANGED over the union, and the per-touch-type
+    conversion counters fold by sum.  New last-touch rows are the
+    (ts, tiebreak)-max over stored ∪ batch touches."""
+    from dbms_spark.operators.events import attribute_conversions
+    from pyspark.sql.window import Window
+
+    lasts = state.filter(F.col("kind") == "last")
+    cnts = state.filter(F.col("kind") == "cnt")
+    tb_types = dict(batch.dtypes)
+    pseudo = lasts.select(
+        F.col(key), F.col("touch_ts").alias(ts_col),
+        F.col("touch_type").alias(type_col),
+        *[F.lit(-1).cast(tb_types[c]).alias(c) for c in tiebreak])
+    ev = batch.select(key, ts_col, type_col, *tiebreak).unionByName(pseudo)
+    att = attribute_conversions(ev, conversion_type, touch_types, key,
+                                ts_col, type_col, lookback_seconds,
+                                tiebreak)
+    new_cnts = (cnts.select("touch_type", "n")
+                .unionByName(att.groupBy("touch_type")
+                             .agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("n")))
+                .groupBy("touch_type")
+                .agg(F.sum("n").cast("bigint").alias("n")))
+    touches = (ev.filter(F.col(type_col).isin(touch_types))
+               .select(F.col(key),
+                       F.col(ts_col).cast("timestamp").alias("touch_ts"),
+                       F.col(type_col).alias("touch_type"),
+                       *[F.col(c) for c in tiebreak]))
+    w = Window.partitionBy(key).orderBy(
+        F.desc("touch_ts"), *[F.desc(c) for c in tiebreak])
+    new_lasts = (touches.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1))
+    nulls = {"key": F.lit(None).cast(lasts.schema[key].dataType),
+             "ts": F.lit(None).cast("timestamp")}
+    return (new_lasts.select(
+        F.lit("last").alias("kind"), F.col(key), F.col("touch_type"),
+        F.col("touch_ts"), F.lit(None).cast("bigint").alias("n"))
+        .unionByName(new_cnts.select(
+            F.lit("cnt").alias("kind"), nulls["key"].alias(key),
+            F.col("touch_type"), nulls["ts"].alias("touch_ts"),
+            F.col("n"))))
+
+
+def attribution_store(spark, path: str, conversion_type: str,
+                      touch_types: list[str], key: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      lookback_seconds: int | None = None,
+                      tiebreak: list[str] | None = None,
+                      key_type: str = "long") -> SketchStore:
+    """Crash-safe maintained LAST-TOUCH ATTRIBUTION counters: per
+    touch type (NULL = organic), how many conversions so far credited
+    to it — plus the per-key last-touch rows that let the next batch's
+    conversions see across the batch boundary.  State is key-bounded
+    (one last-touch row per key, one counter row per touch type),
+    never per-event.
+
+    Requires time-ordered batch boundaries (the resolvedTs / event-
+    time-cut contract of :func:`funnel_store`): a stored last touch
+    is then strictly earlier than every batch row, so folding it in
+    as a pseudo event and running the UNCHANGED batch
+    :func:`dbms_spark.operators.events.attribute_conversions` over
+    the union yields exactly the one-shot attribution of the
+    concatenation (gate q303).  A touch arriving late, after a later
+    conversion was already attributed, cannot re-credit it — the same
+    last-write contract the funnel store documents."""
+    tb = list(tiebreak or [])
+    return SketchStore(
+        spark, path,
+        build_fn=lambda b: b.select(
+            F.col(key), F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(type_col), *[F.col(c) for c in tb]),
+        merge_fn=lambda cur, d: _attr_advance(
+            cur, d, conversion_type, touch_types, key, ts_col, type_col,
+            lookback_seconds, tb),
+        schema=(f"kind string, {key} {key_type}, touch_type string,"
+                f" touch_ts timestamp, n bigint"),
+        fold_first_batch=True)
+
+
+def attribution_counts_from_store(store: SketchStore) -> DataFrame:
+    """(touch_type, n) conversion credit per touch type from the
+    maintained state — NULL touch_type is the organic share, same
+    contract as grouping the one-shot attribution output."""
+    return (store.read().filter(F.col("kind") == "cnt")
+            .select("touch_type", F.col("n").cast("bigint").alias("n")))
+
+
+def _sess_advance(state: DataFrame, batch: DataFrame, key: str,
+                  gap_seconds: int) -> DataFrame:
+    """Fold one batch into the session ledger: every stored session
+    re-enters as TWO pseudo events (its start with weight 0, its end
+    carrying its event count), TAGGED with the session's identity —
+    a long session's endpoints can be further apart than the gap
+    (inner events chained them when it was formed), so the split
+    rule must never separate same-tag endpoints; everything else
+    splits on the plain gap rule.  The union re-sessionizes with the
+    same lag + running-sum recipe and per-session rows aggregate
+    back.  Exact whenever no late event lands strictly INSIDE an
+    already-closed session's span (the event-time batch contract
+    guarantees that); a boundary event extending the open session
+    merges exactly as the one-shot would."""
+    from pyspark.sql.window import Window
+
+    # (key, s_ep) uniquely names a stored session -> the tag
+    pseudo = (state.select(F.col(key), F.col("s_ep").alias("ep"),
+                           F.lit(0).cast("bigint").alias("w"),
+                           F.col("s_ep").alias("tag"))
+              .unionByName(state.select(F.col(key),
+                                        F.col("e_ep").alias("ep"),
+                                        F.col("n").alias("w"),
+                                        F.col("s_ep").alias("tag"))))
+    allr = pseudo.unionByName(
+        batch.withColumn("tag", F.lit(None).cast("bigint")))
+    w_ord = Window.partitionBy(key).orderBy("ep", "tag")
+    gap = F.col("ep") - F.lag("ep").over(w_ord)
+    same_tag = F.coalesce(F.col("tag") == F.lag("tag").over(w_ord),
+                          F.lit(False))
+    return (allr
+            .withColumn("__new", F.when(gap.isNull()
+                                        | ((gap > gap_seconds)
+                                           & ~same_tag), 1)
+                        .otherwise(0))
+            .withColumn("__sid", F.sum("__new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(key, "__sid")
+            .agg(F.min("ep").alias("s_ep"), F.max("ep").alias("e_ep"),
+                 F.sum("w").cast("bigint").alias("n"))
+            .drop("__sid"))
+
+
+def session_store(spark, path: str, key: str = "user_id",
+                  ts_col: str = "ts", gap_minutes: int = 30,
+                  key_type: str = "long") -> SketchStore:
+    """Crash-safe maintained gap-session ledger: one row per session
+    (key, first/last event epoch, event count) — session-bounded
+    state, the streaming sibling of
+    :func:`dbms_spark.operators.joins.sessionize`.  Same time-ordered
+    batch contract as the other fold stores; under it the ledger
+    after N batches equals the one-shot sessionization of the
+    concatenation (gate q304), including a batch's first events
+    extending the previous batch's open sessions.  Epochs are
+    truncated whole seconds (the repo-wide floor-epoch rule), so gap
+    decisions match the batch form bit-for-bit."""
+    return SketchStore(
+        spark, path,
+        build_fn=lambda b: b.select(
+            F.col(key),
+            F.col(ts_col).cast("timestamp").cast("long").alias("ep"),
+            F.lit(1).cast("bigint").alias("w")),
+        merge_fn=lambda cur, d: _sess_advance(cur, d, key,
+                                              gap_minutes * 60),
+        schema=f"{key} {key_type}, s_ep bigint, e_ep bigint, n bigint",
+        fold_first_batch=True)
+
+
+def session_stats_from_store(store: SketchStore,
+                             key: str = "user_id") -> DataFrame:
+    """(key, session_id, n_events, duration_seconds) from the session
+    ledger — session ids numbered per key in start order, matching
+    the batch sessionize's running-sum numbering (the q293 shape)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy("s_ep")
+    return store.read().select(
+        F.col(key), F.row_number().over(w).cast("bigint")
+        .alias("session_id"), F.col("n").alias("n_events"),
+        (F.col("e_ep") - F.col("s_ep")).cast("bigint")
+        .alias("duration_seconds"))
+
+
 def last_seen_store(spark, path: str, key: str = "user_id",
                     ts_col: str = "ts",
                     key_type: str = "long") -> SketchStore:

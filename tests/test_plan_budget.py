@@ -197,6 +197,9 @@ SHUFFLE_BUDGET = {
     # cell join + per-query top-k window (+ the anti-join guard)
     "q301_ivf_index_incremental": 3,
     "q302_ivf_pq_index_incremental": 3,
+    # returned plans read the committed store snapshots
+    "q303_streaming_attribution": 0,
+    "q304_streaming_sessions": 1,      # per-key session_id rank window
 }
 
 _SHUFFLE_RE = re.compile(

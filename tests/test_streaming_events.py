@@ -174,3 +174,122 @@ def test_last_seen_store_out_of_order_and_redelivery(spark, tmp_path):
     for u, s in off.items():
         assert s == 2 * 86400 - max(
             sec for uu, sec, _ in ROWS if uu == u)
+
+
+def test_attribution_store_converges_and_crash_soak(spark, tmp_path,
+                                                    monkeypatch):
+    """Last-touch credit counters folded over time-ordered batches
+    (with a stored touch crossing the batch boundary, a lookback-
+    stale touch, and an organic conversion) must equal the one-shot
+    attribution's per-type counts — including under an injected
+    crash + redelivery on every batch."""
+    import os as _os
+
+    rows = [
+        # u1: touch in batch 1, conversion in batch 2 (cross-boundary)
+        (1, 10, "click"), (1, 40_000, "purchase"),
+        # u2: view then a NEWER click wins (last-touch, same batch)
+        (2, 40_100, "view"), (2, 40_200, "click"), (2, 40_300, "purchase"),
+        # u3: organic conversion (no touch ever)
+        (3, 50_000, "purchase"),
+        # u4: touch too old for the lookback -> organic
+        (4, 20, "view"), (4, 150_000, "purchase"),
+        # u5: two conversions credit the same stored touch
+        (5, 25_000, "click"), (5, 130_000, "purchase"),
+        (5, 140_000, "purchase"),
+    ]
+    look = 100_000
+    store = SE.attribution_store(
+        spark, str(tmp_path / "attr"), "purchase", ["view", "click"],
+        lookback_seconds=look, tiebreak=["event_id"])
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.endswith(IA.AggStore._POINTER):
+            raise OSError("simulated crash before pointer commit")
+        return real_rename(src, dst)
+
+    for i, batch in enumerate(_time_batches(rows, CUTS)):
+        bdf = _ev(spark, batch)
+        monkeypatch.setattr(IA.os, "rename", crashing_rename)
+        try:
+            store.apply_batch(bdf, batch_id=i)
+        except OSError:
+            pass
+        monkeypatch.setattr(IA.os, "rename", real_rename)
+        store.apply_batch(bdf, batch_id=i)     # redelivery commits
+        store.apply_batch(bdf, batch_id=i)     # second redelivery no-op
+    got = {r.touch_type: r.n for r in
+           SE.attribution_counts_from_store(store).collect()}
+    one_shot = E.attribute_conversions(
+        _ev(spark, rows), "purchase", ["view", "click"],
+        lookback_seconds=look, tiebreak=["event_id"])
+    want = {r.touch_type: r.n for r in
+            one_shot.groupBy("touch_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()}
+    assert got == want
+    # hand model: u1 click (39,990 s lag), u2 click (newest wins);
+    # organic = u3 (never touched), u4 (touch older than lookback),
+    # u5 x2 (105 ks and 115 ks after its click -> both stale)
+    assert got[None] == 4
+    assert got["click"] == 2
+    assert got.get("view") is None
+
+
+def test_session_store_long_session_and_crash_soak(spark, tmp_path,
+                                                   monkeypatch):
+    """Session ledger folded over time-ordered batches equals the
+    one-shot sessionize stats — including a session LONGER than the
+    gap (endpoint pseudo-pairs must not re-split), a session
+    extended across a batch boundary, and injected crashes +
+    redeliveries on every batch."""
+    import os as _os
+
+    gap_m = 30                      # 1800 s
+    rows = [
+        # u1: one long session, events every 1000 s for 25 ks (span
+        # >> gap), all in batch 1; extended at the boundary by batch
+        # 2's first event 1500 s after the last
+        *[(1, s, "view") for s in range(0, 25_001, 1000)],
+        (1, 31_000, "view"),                 # batch 2: 6 ks later -> NEW
+        # u2: two sessions split inside batch 2
+        (2, 40_000, "view"), (2, 40_500, "click"), (2, 45_000, "view"),
+        # u3: session extended across the second cut (120k): last
+        # batch-2 event 119_500, batch-3 event 120_600 -> 1100 s gap
+        (3, 119_000, "view"), (3, 119_500, "view"), (3, 120_600, "view"),
+    ]
+    store = SE.session_store(spark, str(tmp_path / "sess"),
+                             gap_minutes=gap_m)
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.endswith(IA.AggStore._POINTER):
+            raise OSError("simulated crash before pointer commit")
+        return real_rename(src, dst)
+
+    for i, batch in enumerate(_time_batches(rows, CUTS)):
+        bdf = _ev(spark, batch)
+        monkeypatch.setattr(IA.os, "rename", crashing_rename)
+        try:
+            store.apply_batch(bdf, batch_id=i)
+        except OSError:
+            pass
+        monkeypatch.setattr(IA.os, "rename", real_rename)
+        store.apply_batch(bdf, batch_id=i)
+        store.apply_batch(bdf, batch_id=i)     # redelivery no-op
+    got = sorted(tuple(r) for r in
+                 SE.session_stats_from_store(store).collect())
+    from dbms_spark.operators.joins import sessionize
+    ep = F.col("ts").cast("timestamp").cast("long")
+    want = sorted(tuple(r) for r in
+                  sessionize(_ev(spark, rows), "user_id", "ts",
+                             gap_minutes=gap_m, tiebreak=["event_id"])
+                  .groupBy("user_id", "session_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                       (F.max(ep) - F.min(ep)).cast("bigint")
+                       .alias("duration_seconds")).collect())
+    assert got == want
+    # the long session survived the fold intact: u1 has exactly 2
+    # sessions (26 events spanning 25 ks, then the 31 ks singleton)
+    u1 = [t for t in got if t[0] == 1]
+    assert [(t[2], t[3]) for t in u1] == [(26, 25_000), (1, 0)]

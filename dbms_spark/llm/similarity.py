@@ -504,6 +504,30 @@ def ivf_index_stats(index: DataFrame,
             .orderBy("cluster"))
 
 
+def ivf_probe_cells(queries: DataFrame,
+                    cents: list[tuple[list[int], float]],
+                    nprobe: int = 2,
+                    vec_col: str = "embedding") -> list[int]:
+    """Driver-side UNION of a query batch's probe cells — bounded by
+    the cell count regardless of query volume, so it is safe to
+    collect and feed back as a LITERAL ``cluster IN (...)`` filter on
+    a ``partitionBy("cluster")``-persisted index read: a literal
+    filter is a STATIC partition filter (guaranteed pruning,
+    machine-checked in tests), where a join-based probe would depend
+    on dynamic-partition-pruning heuristics that measurably decline
+    to fire on small builds (the active_days_merge rule)."""
+    scores = _ivf_scores_spark(cents, vec="q_vec")
+    probes = (
+        f"transform(slice(array_sort(zip_with({scores}, "
+        f"sequence(0, {len(cents) - 1}), (s, i) -> struct(-s AS s, i AS i))), "
+        f"1, {nprobe}), x -> cast(x.i AS bigint))"
+    )
+    rows = (queries.select(quantize_expr(vec_col).alias("q_vec"))
+            .select(F.explode(F.expr(probes)).alias("cluster"))
+            .distinct().collect())
+    return sorted(r["cluster"] for r in rows)
+
+
 def ivf_topk_from_index(index: DataFrame, queries: DataFrame,
                         cents: list[tuple[list[int], float]],
                         k: int = 5, nprobe: int = 2,

@@ -445,3 +445,93 @@ def test_funnel_trend_matches_model(spark, rows):
                 want[want_key] = want.get(want_key, 0) + 1
         reached = cur
     assert got == want
+
+
+# --- streaming fold stores: fold over event-time batches must equal
+# the one-shot operator on the concatenation, for ARBITRARY event
+# sets and ARBITRARY cut points (the class of invariant that caught
+# the session-span re-split defect at gate scale) --------------------------
+
+fold_sets = st.lists(
+    st.tuples(st.integers(0, 3),                 # user
+              st.integers(0, 10_000),            # offset seconds
+              st.sampled_from(["a", "b", "c"])),  # type
+    min_size=1, max_size=40, unique=True)
+cut_pairs = st.tuples(st.integers(1, 9_999), st.integers(1, 9_999))
+
+
+def _fold(spark, store, rows, cuts):
+    lo, hi = min(cuts), max(cuts)
+    bounds = [float("-inf"), lo, hi, float("inf")]
+    for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+        batch = [r for r in rows if a <= r[1] < b]
+        bdf = spark.createDataFrame(
+            [(u, BASE + dt.timedelta(seconds=s), t, j)
+             for j, (u, s, t) in enumerate(batch)] or
+            [(None, None, None, None)],
+            "user_id long, ts timestamp, event_type string,"
+            " event_id long")
+        if not batch:
+            bdf = bdf.filter("user_id IS NOT NULL")
+        store.apply_batch(bdf, batch_id=i)
+        store.apply_batch(bdf, batch_id=i)       # redelivery no-op
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=fold_sets, cuts=cut_pairs)
+def test_session_store_fold_matches_one_shot(spark, rows, cuts):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbms_spark.operators.joins import sessionize
+    from dbms_spark.streaming import events as SE
+
+    store = SE.session_store(spark, tempfile.mkdtemp() + "/s",
+                             gap_minutes=10)          # 600 s: splits often
+    _fold(spark, store, rows, cuts)
+    got = sorted(tuple(r) for r in
+                 SE.session_stats_from_store(store).collect())
+    df = spark.createDataFrame(
+        [(u, BASE + dt.timedelta(seconds=s), t, j)
+         for j, (u, s, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    want = sorted(tuple(r) for r in
+                  sessionize(df, "user_id", "ts", gap_minutes=10,
+                             tiebreak=["event_id"])
+                  .groupBy("user_id", "session_id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                       (F.max(ep) - F.min(ep)).cast("bigint")
+                       .alias("duration_seconds")).collect())
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=fold_sets, cuts=cut_pairs)
+def test_attribution_store_fold_matches_one_shot(spark, rows, cuts):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbms_spark.streaming import events as SE
+
+    store = SE.attribution_store(
+        spark, tempfile.mkdtemp() + "/a", "c", ["a", "b"],
+        lookback_seconds=3_000, tiebreak=["event_id"])
+    _fold(spark, store, rows, cuts)
+    got = {r.touch_type: r.n for r in
+           SE.attribution_counts_from_store(store).collect()}
+    df = spark.createDataFrame(
+        [(u, BASE + dt.timedelta(seconds=s), t, j)
+         for j, (u, s, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    want = {r.touch_type: r.n for r in
+            E.attribute_conversions(df, "c", ["a", "b"],
+                                    lookback_seconds=3_000,
+                                    tiebreak=["event_id"])
+            .groupBy("touch_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()}
+    assert got == want

@@ -253,6 +253,37 @@ def test_ivf_index_incremental_maintenance(spark, sf_dir):
     assert d_mean < base_mean - 50_000     # > 5 pp drop: retrain fires
 
 
+def test_ivf_index_persisted_serving_read_prunes(spark, sf_dir, tmp_path):
+    """The serving story: persist the index partitionBy(cluster),
+    collect the query batch's probe cells driver-side (bounded by the
+    cell count), and the literal ``cluster IN`` read must land as a
+    STATIC partition filter — machine-checked, the active_days_merge
+    rule — while returning the same top-k as the in-memory probe."""
+    from dbms_spark.sources.catalog import load_table, table_path
+    from dbms_spark.llm import similarity as S
+    import pyspark.sql.functions as F
+
+    path = table_path(sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(path, k=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 50 = 0")
+
+    ipath = str(tmp_path / "ivf_index")
+    S.ivf_index_build(emb, cents).write.partitionBy("cluster") \
+        .parquet(ipath)
+    cells = S.ivf_probe_cells(qs, cents, nprobe=2)
+    assert 0 < len(cells) <= len(cents)
+    pruned = spark.read.parquet(ipath).filter(F.col("cluster").isin(cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster" in ln and " IN " in ln.upper() for ln in pf), pf
+
+    got = {tuple(r) for r in
+           S.ivf_topk_from_index(pruned, qs, cents, k=3).collect()}
+    want = {tuple(r) for r in S.ivf_topk(emb, qs, cents, k=3).collect()}
+    assert got == want
+
+
 def test_dedup_groups_components(spark):
     # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, pair order mixed
     pairs = spark.createDataFrame(

@@ -141,3 +141,16 @@ def test_event_analytics_stages(spark, sf_dir):
     assert by["rolling"]["peak_7d_events"] >= 1
     assert by["actives"]["peak_wau"] >= 1
     assert by["anomalies"]["n_flagged"] >= 0
+
+
+def test_ann_serving_stages(spark, sf_dir, tmp_path):
+    stages = _load("ann_serving").main(sf_dir, str(tmp_path), spark=spark)
+    by = {d["stage"]: d for d in stages}
+    assert list(by) == ["build", "append", "serve"]
+    assert by["append"]["index_rows"] == (by["build"]["rows"]
+                                          + by["append"]["batch_rows"])
+    # in-distribution append must NOT fire the retrain trigger
+    assert by["append"]["retrain_trigger_fired"] is False
+    assert by["serve"]["pruning_static"] is True
+    assert by["serve"]["exact_pairs"] > 0
+    assert by["serve"]["adc_pairs"] > 0

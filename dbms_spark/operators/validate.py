@@ -182,72 +182,47 @@ def sequence_gaps(df: DataFrame, id_col: str,
     and the run windows partition by the group, so the grouped form
     is the more scalable one.
 
-    Fully distributed islands: an id STARTS a present-run iff id-1 is
-    absent and ENDS one iff id+1 is absent.  Every gap is
-    (prev_end + 1, start − 1) for a run start and the LARGEST run end
-    below it, so no explicit run-pairing is needed — only that
-    backward as-of lookup over the O(n_runs) starts/ends relation.
-    The GROUPED form answers it with per-group windows (anti-join
-    islands + rank pairing, distributed across groups, the reverify
-    ``changed_ranges_df`` recipe); the GLOBAL form used to pay one
-    unpartitioned window (single task however many executors) and now
-    (a) derives both flags from ONE neighbor-vote exchange, (b) emits
-    probes (starts) and anchors (ends) in a single conditional
-    explode, and (c) range-buckets the as-of: ``repartitionByRange``
-    on position — sampled boundaries stay balanced under ANY id
-    distribution, where fixed-width value buckets would hot-spot on
-    clustered ids — each bucket takes a running max of anchor ends (a
-    PARTITIONED window keyed on the captured range-bucket id,
-    monotone in position by construction), and a P-row per-bucket
-    summary carries the max end across buckets (the only global
-    window left touches P rows, not n_runs).  (A contiguous sequence
-    is 1 run however many rows; a pathological alternating sequence
-    degrades n_runs toward n/2 — at that point the GAP REPORT is O(n)
-    because the answer is, and the cost matches the output's.)
-    Duplicates are tolerated (the flag aggregation dedups); NULL ids
-    are ignored."""
+    Fully distributed islands, ONE code path for both forms: an id
+    STARTS a present-run iff id-1 is absent and ENDS one iff id+1 is
+    absent.  Every gap is (prev_end + 1, start − 1) for a run start
+    and the LARGEST same-group run end below it, so no explicit
+    run-pairing is needed — only that backward as-of lookup over the
+    O(n_runs) starts/ends relation:
+
+    (a) both flags come from ONE neighbor-vote exchange — each raw id
+        votes (x: present), (x+1: your left neighbor exists), (x-1:
+        your right neighbor exists); a max-flag groupBy dedups and
+        answers both neighbor probes at once;
+    (b) probes (tag 0: run starts) and anchors (tag 1: run ends) emit
+        from a single conditional explode — one lineage, no
+        re-derived legs;
+    (c) the as-of is range-bucketed: ``repartitionByRange`` on
+        (group…, pos, tag) — sampled boundaries stay balanced under
+        ANY id distribution AND any group skew (a per-group window
+        would put a hot tenant's 10⁷ runs through one task, exactly
+        the hazard the old global form had) — each bucket takes a
+        per-group running max of anchor ends, and a small per-
+        (group, bucket) summary carries the max end across buckets
+        (the only cross-bucket window, partitioned by group; ≤
+        n_buckets + n_groups rows).
+
+    At equal position the probe sorts first, so a singleton run
+    (lo == hi) never sees its own end; positions collide only within
+    one id, so the range key is unique and boundaries cannot split a
+    tie group.  (A contiguous sequence is 1 run however many rows; a
+    pathological alternating sequence degrades n_runs toward n/2 —
+    at that point the GAP REPORT is O(n) because the answer is, and
+    the cost matches the output's.)  Duplicates are tolerated (the
+    flag aggregation dedups); NULL ids are ignored; a NULL group is
+    one group, matching the SQL twin's PARTITION BY."""
     from pyspark.sql import Window
 
     g = [group_col] if group_col else []
-    if group_col:
-        ids = (df.select(*g, F.col(id_col).cast("bigint").alias("cid"))
-               .filter(F.col("cid").isNotNull()).distinct())
-        starts = ids.join(ids.select(*g, (F.col("cid") + 1).alias("cid")),
-                          g + ["cid"], "left_anti")
-        ends = ids.join(ids.select(*g, (F.col("cid") - 1).alias("cid")),
-                        g + ["cid"], "left_anti")
-        w_lo = Window.partitionBy(*g).orderBy("lo")
-        runs = (
-            starts.select(*g, F.col("cid").alias("lo"))
-            .withColumn("k", F.row_number().over(w_lo))
-            .join(ends.select(*g, F.col("cid").alias("hi"))
-                  .withColumn("k", F.row_number().over(
-                      Window.partitionBy(*g).orderBy("hi"))), g + ["k"])
-            .select(*g, "lo", "hi")
-        )
-        return (runs
-                .withColumn("prev_hi", F.lag("hi").over(w_lo))
-                .filter(F.col("prev_hi").isNotNull())
-                .select(*g, (F.col("prev_hi") + 1).alias("gap_lo"),
-                        (F.col("lo") - 1).alias("gap_hi"),
-                        (F.col("lo") - F.col("prev_hi") - 1)
-                        .cast("bigint").alias("n_missing")))
-    # GLOBAL form.  Start/end flags from ONE exchange instead of a
-    # distinct + two anti-joins: each raw id votes (x: present),
-    # (x+1: your left neighbor exists), (x-1: your right neighbor
-    # exists); a max-flag groupBy dedups and answers both neighbor
-    # probes at once.  Probes (tag 0: run starts wanting the largest
-    # anchor end below them) and anchors (tag 1: run ends) then emit
-    # from a single conditional explode — one lineage, no re-derived
-    # legs.  At equal position the probe sorts first, so a singleton
-    # run (lo == hi) never sees its own end; positions collide only
-    # within one id, so (pos, tag) is unique and range boundaries
-    # cannot split a tie group.
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    flags = (df.select(F.col(id_col).cast("bigint").alias("cid"))
+    flags = (df.select(*g, F.col(id_col).cast("bigint").alias("cid"))
              .filter(F.col("cid").isNotNull())
-             .select(F.explode(F.array(
+             .select(*g, F.explode(F.array(
                  F.struct(F.col("cid").alias("cid"),
                           F.lit(1).alias("s"), F.lit(0).alias("lp"),
                           F.lit(0).alias("rp")),
@@ -257,10 +232,10 @@ def sequence_gaps(df: DataFrame, id_col: str,
                  F.struct((F.col("cid") - 1).alias("cid"),
                           F.lit(0).alias("s"), F.lit(0).alias("lp"),
                           F.lit(1).alias("rp")))).alias("v"))
-             .select("v.*")
-             .groupBy("cid").agg(F.max("s").alias("s"),
-                                 F.max("lp").alias("lp"),
-                                 F.max("rp").alias("rp")))
+             .select(*g, "v.*")
+             .groupBy(*g, "cid").agg(F.max("s").alias("s"),
+                                     F.max("lp").alias("lp"),
+                                     F.max("rp").alias("rp")))
     ev = F.filter(F.array(
         F.when((F.col("s") == 1) & (F.col("lp") == 0), F.struct(
             F.col("cid").alias("pos"), F.lit(0).alias("tag"),
@@ -268,22 +243,29 @@ def sequence_gaps(df: DataFrame, id_col: str,
         F.when((F.col("s") == 1) & (F.col("rp") == 0), F.struct(
             F.col("cid").alias("pos"), F.lit(1).alias("tag"),
             F.col("cid").alias("anc_hi")))), lambda x: x.isNotNull())
-    merged = (flags.select(F.explode(ev).alias("e")).select("e.*")
-              .repartitionByRange(n_buckets, "pos", "tag")
+    merged = (flags.select(*g, F.explode(ev).alias("e"))
+              .select(*g, "e.*")
+              .repartitionByRange(n_buckets, *g, "pos", "tag")
               .withColumn("bkt", F.spark_partition_id()))
-    bw = (Window.partitionBy("bkt").orderBy("pos", "tag")
+    bw = (Window.partitionBy("bkt", *g).orderBy("pos", "tag")
           .rowsBetween(Window.unboundedPreceding, 0))
     loc = merged.withColumn("loc_hi", F.max("anc_hi").over(bw))
-    carry = (loc.groupBy("bkt").agg(F.max("anc_hi").alias("bkt_hi"))
+    carry = (loc.groupBy("bkt", *g).agg(F.max("anc_hi").alias("bkt_hi"))
              .withColumn("below_hi", F.max("bkt_hi").over(
-                 Window.orderBy("bkt")
+                 Window.partitionBy(*g).orderBy("bkt")
                  .rowsBetween(Window.unboundedPreceding, -1)))
-             .select("bkt", "below_hi"))
-    return (loc.filter(F.col("tag") == 0)
-            .join(F.broadcast(carry), "bkt", "left")
+             .select("bkt", *[F.col(c).alias(f"__c_{c}") for c in g],
+                     "below_hi"))
+    probes = loc.filter(F.col("tag") == 0)
+    cond = probes["bkt"] == carry["bkt"]
+    for c in g:
+        cond = cond & probes[c].eqNullSafe(carry[f"__c_{c}"])
+    carry = carry if g else F.broadcast(carry)
+    return (probes.join(carry, cond, "left")
             .withColumn("prev_hi", F.greatest("loc_hi", "below_hi"))
             .filter(F.col("prev_hi").isNotNull())
-            .select((F.col("prev_hi") + 1).alias("gap_lo"),
+            .select(*[probes[c] for c in g],
+                    (F.col("prev_hi") + 1).alias("gap_lo"),
                     (F.col("pos") - 1).alias("gap_hi"),
                     (F.col("pos") - F.col("prev_hi") - 1)
                     .cast("bigint").alias("n_missing")))

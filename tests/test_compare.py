@@ -403,3 +403,25 @@ def test_sequence_gaps_global_equals_grouped(spark):
         for r in sequence_gaps(df.withColumn("g", F.lit(1)), "id",
                                group_col="g").collect())
     assert g_global == g_grouped and len(g_global) > 100
+
+
+def test_sequence_gaps_null_group_is_one_group(spark, duck):
+    """A NULL group value forms ONE group (PARTITION BY semantics),
+    matching the DuckDB twin on the same rows — pinned because a
+    null-unsafe join formulation would silently report no gaps for
+    the NULL group."""
+    import pandas as pd
+
+    from dbms_spark.operators.validate import sequence_gaps, sequence_gaps_sql
+
+    rows = [(None, 1), (None, 2), (None, 5), ("a", 1), ("a", 4)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    got = sorted(((r.g or "", r.gap_lo, r.gap_hi, r.n_missing)
+                  for r in sequence_gaps(df, "id",
+                                         group_col="g").collect()))
+    assert got == [("", 3, 4, 2), ("a", 2, 3, 2)]
+    duck.register("null_g", pd.DataFrame(rows, columns=["g", "id"]))
+    want = sorted((x or "", int(a), int(b), int(c)) for x, a, b, c in
+                  duck.sql(sequence_gaps_sql(
+                      "null_g", "id", group_col="g")).fetchall())
+    assert got == want

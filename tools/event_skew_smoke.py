@@ -176,6 +176,19 @@ def run_gaps(spark, n: int) -> None:
     n_ids = ids.count()
     timed(spark, "sequence_gaps_global", sequence_gaps(ids, "id"),
           {"present_ids": n_ids})
+    # HOT GROUP: one tenant owns the whole run-dense id space above
+    # plus 10k one-run tenants — a per-group window would put the hot
+    # tenant's ~n/3 runs through ONE task; the bucketed form spreads
+    hot = ids.select(F.lit(0).alias("g"), "id")
+    small = (spark.range(10_000).select(
+        (F.col("id") + 1).alias("g"),
+        (F.lit(20_000_000_000) + F.col("id") * 100).alias("id")))
+    gids = hot.unionByName(small).persist()
+    n_g = gids.count()
+    timed(spark, "sequence_gaps_hot_group",
+          sequence_gaps(gids, "id", group_col="g"),
+          {"present_ids": n_g, "hot_group_ids": n_ids})
+    gids.unpersist()
     ids.unpersist()
 
 

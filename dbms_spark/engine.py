@@ -588,6 +588,23 @@ class DbmsEngine:
         f, a = retention_merge(first, acts, new_events, key, ts_col)
         return retention_from_state(f, a, key)
 
+    def activity_curve(self, events: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", days: int = 28) -> DataFrame:
+        """Power-user curve (L28): users by distinct active days in
+        the trailing window — full 1..days spine, zero rows kept."""
+        from dbms_spark.operators.events import activity_curve
+
+        return activity_curve(events, key, ts_col, days)
+
+    def cohort_value(self, events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     bucket_days: int = 7) -> DataFrame:
+        """Cohort LTV: cumulative cents per acquisition cohort by age
+        bucket, with per-bucket active-key counts."""
+        from dbms_spark.operators.events import cohort_value
+
+        return cohort_value(events, key, ts_col, value_col, bucket_days)
+
     def rolling_features(self, events: DataFrame, key: str = "user_id",
                          ts_col: str = "ts", value_col: str = "value",
                          days: int = 7, id_cols: list[str] | None = None,

@@ -581,6 +581,140 @@ GROUP BY 1, 2
 """
 
 
+def activity_curve(events: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", days: int = 28) -> DataFrame:
+    """POWER-USER CURVE (the L28 shape): over the trailing ``days``
+    window ending at the last observed activity day, how many keys
+    were active on exactly 1, 2, …, ``days`` distinct days — the
+    engagement-quality histogram behind "what fraction of our MAU is
+    daily-habit users".  Returns the FULL 1..days spine
+    (n_active_days, n_users), zero rows included, so a missing
+    engagement band is visible rather than absent.
+
+    Shape: the activity dedup (one partial-aggregated shuffle,
+    activity-bounded — the same ledger rolling_active reads), a
+    per-key count, and a ≤ days-row histogram; nothing touches raw
+    events twice.  Day arithmetic on epoch-day BIGINTs (non-negative
+    epochs, the repo floor-epoch contract)."""
+    dl = (events.select(
+        F.col(key),
+        F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) DIV 86400")
+        .alias("__d")).distinct())
+    mx = dl.agg(F.max("__d").alias("__mx"))
+    counts = (dl.crossJoin(F.broadcast(mx))
+              .filter(F.col("__d") > F.col("__mx") - days)
+              .groupBy(key).agg(F.count(F.lit(1)).alias("n_active_days")))
+    hist = (counts.groupBy("n_active_days")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    spine = events.sparkSession.range(1, days + 1).select(
+        F.col("id").alias("n_active_days"))
+    return (spine.join(hist, "n_active_days", "left")
+            .select(F.col("n_active_days").cast("bigint")
+                    .alias("n_active_days"),
+                    F.coalesce("n_users", F.lit(0)).cast("bigint")
+                    .alias("n_users")))
+
+
+def activity_curve_sql(table: str, key: str = "user_id",
+                       ts_col: str = "ts", days: int = 28) -> str:
+    """DuckDB twin of :func:`activity_curve` (same truncated epoch
+    days; ``//`` floors = DIV truncates on the non-negative epochs)."""
+    d = (f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)"
+         f" // 86400")
+    return f"""
+WITH dl AS (SELECT DISTINCT {key}, {d} AS d FROM {table}),
+mx AS (SELECT MAX(d) AS mx FROM dl),
+counts AS (
+  SELECT {key}, COUNT(*) AS nd FROM dl, mx
+  WHERE d > mx - {days} GROUP BY {key}
+),
+hist AS (SELECT nd, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM counts GROUP BY nd)
+SELECT CAST(r.n AS BIGINT) AS n_active_days,
+       CAST(COALESCE(h.n_users, 0) AS BIGINT) AS n_users
+FROM range(1, {days + 1}) r(n) LEFT JOIN hist h ON h.nd = r.n
+"""
+
+
+def cohort_value(events: DataFrame, key: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 bucket_days: int = 7) -> DataFrame:
+    """COHORT LTV: cumulative value per acquisition cohort by age —
+    the revenue sibling of :func:`retention_cohorts` ("the March
+    cohort has produced X cents per ... by week N").  Cohort = the
+    key's first activity day; age = whole ``bucket_days`` buckets
+    since.  Returns (cohort_day TIMESTAMP, age_bucket, n_active_keys,
+    cum_value_cents) — ages with no activity are absent (the
+    cumulative value carries forward implicitly in the next present
+    age), active-key counts are per age bucket, values fix-point to
+    cents (integer-exact, the repo discipline).
+
+    Shape: one (key) agg for cohort days, a key-join back (both sides
+    key-partitioned), then a (cohort, age, key) partial-aggregated
+    dedup+sum — the per-user pass that makes the following distinct
+    count a PLAIN count (the rolling_active two-phase lesson: a
+    grouped count_distinct would shuffle on the small (cohort, age)
+    key and bottleneck on its few reduce groups) — and a per-cohort
+    cumulative window over ≤ span/bucket_days rows per cohort."""
+    ep_day = F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)"
+                    " DIV 86400")
+    base = events.select(
+        F.col(key), ep_day.alias("__d"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("__c"))
+    first = base.groupBy(key).agg(F.min("__d").alias("__cd"))
+    aged = (base.join(first, key)
+            .select(F.col(key), F.col("__cd"),
+                    F.expr(f"(__d - __cd) DIV {bucket_days}")
+                    .alias("__age"), F.col("__c")))
+    per_user = (aged.groupBy("__cd", "__age", key)
+                .agg(F.sum("__c").alias("__uc")))
+    per = (per_user.groupBy("__cd", "__age")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_keys"),
+                F.sum("__uc").alias("__v")))
+    w = (Window.partitionBy("__cd").orderBy("__age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return per.select(
+        F.timestamp_seconds(F.col("__cd") * 86400).alias("cohort_day"),
+        F.col("__age").cast("bigint").alias("age_bucket"),
+        "n_active_keys",
+        F.sum("__v").over(w).cast("bigint").alias("cum_value_cents"))
+
+
+def cohort_value_sql(table: str, key: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     bucket_days: int = 7) -> str:
+    """DuckDB twin of :func:`cohort_value` (same truncated epoch days
+    and cent rounding; all DIV operands non-negative)."""
+    d = (f"CAST(floor(epoch(CAST({ts_col} AS TIMESTAMP))) AS BIGINT)"
+         f" // 86400")
+    return f"""
+WITH base AS (
+  SELECT {key}, {d} AS d,
+         CAST(round({value_col} * 100) AS BIGINT) AS c
+  FROM {table}
+),
+first AS (SELECT {key}, MIN(d) AS cd FROM base GROUP BY {key}),
+aged AS (
+  SELECT b.{key}, f.cd, (b.d - f.cd) // {bucket_days} AS age, b.c
+  FROM base b JOIN first f USING ({key})
+),
+per_user AS (
+  SELECT cd, age, {key}, SUM(c) AS uc FROM aged GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT cd, age, CAST(COUNT(*) AS BIGINT) AS n_active_keys,
+         SUM(uc) AS v
+  FROM per_user GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(cd * 86400) AS TIMESTAMP) AS cohort_day,
+       CAST(age AS BIGINT) AS age_bucket, n_active_keys,
+       CAST(SUM(v) OVER (PARTITION BY cd ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_value_cents
+FROM per
+"""
+
+
 def rolling_agg(events: DataFrame, key: str = "user_id",
                 ts_col: str = "ts", value_col: str = "value",
                 days: int = 7, id_cols: list[str] | None = None) -> DataFrame:

@@ -10266,3 +10266,49 @@ def q304_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i == 0:
             store.apply_batch(b, batch_id=i)  # redelivery: must no-op
     return session_stats_from_store(store)
+
+
+# ---------------------------------------------------------------------------
+# q305 — power-user curve (L28): users by number of distinct active
+# days in the trailing 28-day window — the engagement-quality
+# histogram behind DAU/MAU.  Activity dedup (the rolling-active
+# ledger) + per-key count + <=28-row histogram on a zero-filled
+# spine; nothing reads raw events twice.
+# ---------------------------------------------------------------------------
+
+
+def _q305_sql() -> str:
+    from dbms_spark.operators.events import activity_curve_sql
+
+    return activity_curve_sql("events", days=28)
+
+
+@register("q305_activity_curve", _q305_sql())
+def q305_activity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import activity_curve
+
+    return activity_curve(load_table(spark, sf_dir, "events"), days=28)
+
+
+# ---------------------------------------------------------------------------
+# q306 — cohort LTV: cumulative cents per acquisition cohort by
+# 7-day age bucket, with per-bucket active-key counts — the revenue
+# sibling of q276's retention cohorts.  The (cohort, age, key)
+# per-user pass makes the distinct count a plain count (the q279
+# two-phase lesson); cumulative window is per cohort over bounded
+# age rows.
+# ---------------------------------------------------------------------------
+
+
+def _q306_sql() -> str:
+    from dbms_spark.operators.events import cohort_value_sql
+
+    return cohort_value_sql("events", bucket_days=7)
+
+
+@register("q306_cohort_value", _q306_sql())
+def q306_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.operators.events import cohort_value
+
+    return cohort_value(load_table(spark, sf_dir, "events"),
+                        bucket_days=7)

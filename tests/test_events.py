@@ -533,3 +533,53 @@ def test_active_days_merge_prunes_day_partitions(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("day" in ln and " IN " in ln.upper() for ln in pf), pf
+
+
+def test_activity_curve_hand_values(spark):
+    """u1 active 3 distinct days (dups collapse), u2 active 1 day, u3
+    active only BEFORE the trailing window -> excluded; spine
+    zero-fills the missing bands."""
+    import datetime as dt
+
+    from dbms_spark.operators.events import activity_curve
+
+    _TS0 = dt.datetime(2024, 3, 1)
+
+    rows = [(1, 0, "a", 1), (1, 0, "b", 2), (1, 86400, "a", 3),
+            (1, 2 * 86400, "a", 4), (2, 2 * 86400, "a", 5),
+            (3, -30 * 86400, "a", 6)]
+    df = spark.createDataFrame(
+        [(u, _TS0 + dt.timedelta(seconds=s), t, i)
+         for u, s, t, i in rows],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    got = {r.n_active_days: r.n_users
+           for r in activity_curve(df, days=7).collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
+def test_cohort_value_hand_values(spark):
+    """Two cohorts; cumulative carries across a missing age bucket;
+    active-key counts are per bucket; cents are exact."""
+    import datetime as dt
+
+    from dbms_spark.operators.events import cohort_value
+
+    _TS0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, 0, 10.00), (1, 1 * 86400, 2.50),          # cohort d0, age 0
+        (1, 15 * 86400, 5.00),                        # age 2 (skip age 1)
+        (2, 0, 1.00),                                 # cohort d0, age 0
+        (3, 7 * 86400, 4.00), (3, 8 * 86400, 4.00),   # cohort d7, age 0
+    ]
+    df = spark.createDataFrame(
+        [(u, _TS0 + dt.timedelta(seconds=s), "a", v, i)
+         for i, (u, s, v) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " event_id long")
+    got = {(r.cohort_day, r.age_bucket):
+           (r.n_active_keys, r.cum_value_cents)
+           for r in cohort_value(df, bucket_days=7).collect()}
+    d0, d7 = _TS0, _TS0 + dt.timedelta(days=7)
+    assert got == {(d0, 0): (2, 1350),    # 10.00+2.50+1.00, users 1+2
+                   (d0, 2): (1, 1850),    # +5.00, only user 1 active
+                   (d7, 0): (1, 800)}     # cohort d7: 4.00+4.00

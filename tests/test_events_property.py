@@ -535,3 +535,50 @@ def test_attribution_store_fold_matches_one_shot(spark, rows, cuts):
             .groupBy("touch_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_activity_curve_matches_model(spark, rows):
+    days = 7
+    got = {r.n_active_days: r.n_users
+           for r in E.activity_curve(_df(spark, rows), days=days).collect()}
+    daysets: dict[int, set] = {}
+    for u, s, t, v in rows:
+        daysets.setdefault(u, set()).add(s // 86400)
+    mx = max(d for ds in daysets.values() for d in ds)
+    want = {n: 0 for n in range(1, days + 1)}
+    for u, ds in daysets.items():
+        nd = len([d for d in ds if d > mx - days])
+        if nd:
+            want[nd] = want.get(nd, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_sets)
+def test_cohort_value_matches_model(spark, rows):
+    bucket = 7
+    got = {(r.cohort_day, r.age_bucket):
+           (r.n_active_keys, r.cum_value_cents)
+           for r in E.cohort_value(_df(spark, rows),
+                                   bucket_days=bucket).collect()}
+    first: dict[int, int] = {}
+    for u, s, t, v in rows:
+        d = s // 86400
+        first[u] = min(first.get(u, d), d)
+    cells: dict[tuple, dict] = {}
+    for u, s, t, v in rows:
+        cd, age = first[u], (s // 86400 - first[u]) // bucket
+        c = cells.setdefault((cd, age), {"users": set(), "v": 0})
+        c["users"].add(u)
+        c["v"] += round(v / 4.0 * 100)  # value = v/4.0 -> cents = 25v exact
+    want = {}
+    for (cd, age) in sorted(cells):
+        cum = sum(c["v"] for (cd2, a2), c in cells.items()
+                  if cd2 == cd and a2 <= age)
+        want[(BASE + dt.timedelta(days=cd), age)] = (
+            len(cells[(cd, age)]["users"]), cum)
+    assert got == want

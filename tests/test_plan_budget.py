@@ -200,6 +200,10 @@ SHUFFLE_BUDGET = {
     # returned plans read the committed store snapshots
     "q303_streaming_attribution": 0,
     "q304_streaming_sessions": 1,      # per-key session_id rank window
+    # activity dedup + per-key count + <=28-row hist + spine join
+    "q305_activity_curve": 4,
+    # cohort agg + key join + (cohort,age,key) pass + per-cohort cum
+    "q306_cohort_value": 4,
 }
 
 _SHUFFLE_RE = re.compile(

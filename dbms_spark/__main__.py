@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="CONV:TOUCH1|TOUCH2 last-touch attribution share")
     sp.add_argument("--heartbeat-gap", type=int, default=None,
                     help="report silent periods longer than N seconds")
+    sp.add_argument("--activity-curve", type=int, default=None,
+                    metavar="DAYS",
+                    help="power-user curve over the trailing N days")
+    sp.add_argument("--cohort-value", type=int, default=None,
+                    metavar="BUCKET_DAYS",
+                    help="cumulative cents per cohort by age bucket")
 
     sp = sub.add_parser("chunk")
     sp.add_argument("--docs", required=True)
@@ -353,6 +359,14 @@ def main(argv: list[str] | None = None) -> int:
             out["heartbeat_gaps"] = heartbeat_gaps(
                 ev, max_gap_seconds=args.heartbeat_gap,
                 tiebreak=["event_id"]).count()
+        if args.activity_curve is not None:
+            out["activity_curve"] = {
+                r.n_active_days: r.n_users for r in
+                eng.activity_curve(ev, days=args.activity_curve)
+                .collect()}
+        if args.cohort_value is not None:
+            out["cohort_value_rows"] = eng.cohort_value(
+                ev, bucket_days=args.cohort_value).count()
         print(json.dumps(out))
         return 0
 

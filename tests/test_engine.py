@@ -480,3 +480,32 @@ def test_engine_round8_event_facades(spark, sf_dir):
     off = eng.offline_devices(ev, "2024-01-30 00:00:00",
                               threshold_seconds=3 * 86400)
     assert all(r.silent_seconds > 3 * 86400 for r in off.collect())
+
+
+def test_cli_events_flags(spark, tmp_path, capsys):
+    """events verb: new --activity-curve/--cohort-value flags, plus
+    --heartbeat-gap 0 which the round-8 falsy check silently skipped
+    (now valid: every positive gap exceeds a zero threshold)."""
+    import datetime as dt
+    import json as _json
+
+    from dbms_spark.__main__ import main
+
+    base = dt.datetime(2024, 5, 1)
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), t, 1.0, i)
+         for i, (u, s, t) in enumerate(
+             [(1, 0, "a"), (1, 90_000, "b"), (2, 10, "a")])],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " event_id long").write.parquet(ev)
+    rc = main(["events", "--events", ev, "--funnel", "a,b",
+               "--activity-curve", "7", "--cohort-value", "7",
+               "--heartbeat-gap", "0"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_events"] == 3
+    assert out["funnel"] == {"a": 2, "b": 1}
+    assert out["activity_curve"]["1"] == 1 and out["activity_curve"]["2"] == 1
+    # all activity lands in age bucket 0 (days 0 and 1, 7-day buckets)
+    assert out["cohort_value_rows"] == 1
+    assert out["heartbeat_gaps"] >= 1          # zero threshold flags gaps

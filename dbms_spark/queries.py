@@ -10312,3 +10312,31 @@ def q306_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cohort_value(load_table(spark, sf_dir, "events"),
                         bucket_days=7)
+
+
+# ---------------------------------------------------------------------------
+# q307 — STREAMING WAU over the DAY-BUCKETED ledger: q285's fold and
+# oracle, but state lives in DayBucketLedger (manifest-pointer day
+# buckets) — per-batch I/O is O(batch days × bucket), never O(state),
+# the growing-state form of the ledger family (the SketchStore's
+# full-snapshot commit is right for bounded state only).  Redelivery
+# no-op rides the manifest watermark.
+# ---------------------------------------------------------------------------
+
+
+@register("q307_streaming_wau_day_ledger", _q285_sql())
+def q307_streaming_wau_day_ledger(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import (ActiveDaysDayLedger,
+                                             wau_from_store)
+
+    led = ActiveDaysDayLedger(
+        spark, tempfile.mkdtemp(prefix="q307_") + "/ledger")
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        led.apply_batch(b, batch_id=i)
+        if i == 2:
+            led.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return wau_from_store(led, days=7)

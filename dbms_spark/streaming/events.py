@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbms_spark.streaming.cdc import ParquetTableStore
 from dbms_spark.streaming.incremental_agg import SketchStore
 
 
@@ -322,6 +323,96 @@ def session_stats_from_store(store: SketchStore,
         .alias("session_id"), F.col("n").alias("n_events"),
         (F.col("e_ep") - F.col("s_ep")).cast("bigint")
         .alias("duration_seconds"))
+
+
+class DayBucketLedger(ParquetTableStore):
+    """GROWING-STATE ledger with DAY-keyed buckets — the scale form
+    of the SketchStore event ledgers.  SketchStore commits rewrite
+    the FULL snapshot every batch: exactly right for bounded state
+    (HLL registers, funnel anchors, counters), quadratic over time
+    for state that grows with activity (the active-days relation, the
+    session ledger).  The CDC ParquetTableStore already bounds apply
+    cost by touched buckets, but its buckets hash on the KEY — a
+    uniform-key batch touches every bucket, so nothing prunes.  This
+    subclass buckets on the DAY (epoch-day DIV days_per_bucket, no
+    modulo — the manifest gains one entry per period, trivially
+    small), the dimension along which batches are LOCAL: a nightly
+    batch rewrites only its few day buckets and re-points the rest,
+    so per-batch I/O is O(batch days × bucket size), never O(state).
+    Everything else — atomic manifest replace as the single commit
+    point, watermark-carried batch ids (redelivery no-op), time
+    travel, GC — is inherited.  Rows must carry a ``day`` TIMESTAMP
+    column (UTC midnights, the active_days contract)."""
+
+    TABLE = "ledger"
+
+    def __init__(self, spark, path: str, schema: str,
+                 key_cols: list[str], days_per_bucket: int = 1):
+        super().__init__(spark=spark, base_path=path,
+                         schemas={self.TABLE: schema},
+                         key_cols={self.TABLE: list(key_cols)})
+        self.days_per_bucket = days_per_bucket
+
+    def _day_bucket(self) -> F.Column:
+        return F.expr(
+            f"CAST(day AS LONG) DIV {86400 * self.days_per_bucket}")
+
+    def upsert_day_rows(self, delta: DataFrame,
+                        batch_id: int | None = None) -> None:
+        """Fold already-deduped ledger rows in: only genuinely new
+        rows append (set-union semantics — exact under ANY batch
+        order), and only the delta's day buckets are read or
+        rewritten.  EAGER: the touched-bucket collect (driver-bounded
+        by the batch's day span, the _merge_day_rows trade) runs one
+        job at call time; the delta is localCheckpointed so the
+        bucket probe and the anti-join read one materialization."""
+        wm = self.get_watermark(self.TABLE)
+        if batch_id is not None and batch_id <= wm:
+            return  # redelivered batch: exactly-once no-op
+        bid = wm + 1 if batch_id is None else batch_id
+        delta = delta.localCheckpoint()
+        touched = sorted(r[0] for r in delta.select(
+            self._day_bucket().alias("__b")).distinct().collect())
+        if not touched:
+            self.set_watermark(self.TABLE, bid)
+            return
+        manifest = self._read_manifest(self.TABLE)
+        existing = self._read_buckets(self.TABLE, touched)
+        cols = existing.columns
+        fresh = delta.select(*cols).join(existing, cols, "left_anti")
+        out = (existing.unionByName(fresh)
+               .withColumn("_kb", self._day_bucket()))
+        self._commit_buckets(self.TABLE, manifest, touched, out, bid)
+
+    def read(self) -> DataFrame:  # type: ignore[override]
+        return self._read_buckets(self.TABLE)
+
+    def last_batch_id(self) -> int:
+        return self.get_watermark(self.TABLE)
+
+
+class ActiveDaysDayLedger(DayBucketLedger):
+    """The active-days store over day buckets: drop-in for
+    :func:`active_days_store` (same apply_batch/read surface, same
+    :func:`wau_from_store` compatibility) with per-batch I/O bounded
+    by the batch's calendar span instead of total history — the form
+    that survives a year of nightly batches over 10⁹ users."""
+
+    def __init__(self, spark, path: str, key: str = "user_id",
+                 ts_col: str = "ts", key_type: str = "long",
+                 days_per_bucket: int = 1):
+        super().__init__(spark, path,
+                         schema=f"{key} {key_type}, day timestamp",
+                         key_cols=[key, "day"],
+                         days_per_bucket=days_per_bucket)
+        self._key, self._ts = key, ts_col
+
+    def apply_batch(self, events: DataFrame,
+                    batch_id: int | None = None) -> None:
+        from dbms_spark.operators.events import active_days
+
+        self.upsert_day_rows(active_days(events, self._key, self._ts),
+                             batch_id)
 
 
 def last_seen_store(spark, path: str, key: str = "user_id",

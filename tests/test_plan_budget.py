@@ -202,6 +202,8 @@ SHUFFLE_BUDGET = {
     "q304_streaming_sessions": 1,      # per-key session_id rank window
     # activity dedup + per-key count + <=28-row hist + spine join
     "q305_activity_curve": 4,
+    # reads committed day buckets + the q279 sweep stages
+    "q307_streaming_wau_day_ledger": 4,
     # cohort agg + key join + (cohort,age,key) pass + per-cohort cum
     "q306_cohort_value": 4,
 }

@@ -293,3 +293,71 @@ def test_session_store_long_session_and_crash_soak(spark, tmp_path,
     # sessions (26 events spanning 25 ks, then the 31 ks singleton)
     u1 = [t for t in got if t[0] == 1]
     assert [(t[2], t[3]) for t in u1] == [(26, 25_000), (1, 0)]
+
+
+def test_day_ledger_pruned_rewrites_and_equality(spark, tmp_path):
+    """The day-bucketed active-days ledger must (a) equal the
+    full-snapshot store's relation after the same batches, (b) REWRITE
+    only the batch's day buckets — untouched buckets keep their exact
+    manifest paths across commits — and (c) no-op on redelivery."""
+    led = SE.ActiveDaysDayLedger(spark, str(tmp_path / "day"))
+    full = SE.active_days_store(spark, str(tmp_path / "snap"))
+    batches = _time_batches(ROWS, CUTS)
+    for i, batch in enumerate(batches):
+        bdf = _ev(spark, batch)
+        if i == 1:
+            before = dict(led._read_manifest(led.TABLE)["buckets"])
+        led.apply_batch(bdf, batch_id=i)
+        full.apply_batch(bdf, batch_id=i)
+        if i == 1:
+            after = led._read_manifest(led.TABLE)["buckets"]
+            base_ep = int(BASE.replace(
+                tzinfo=datetime.timezone.utc).timestamp())
+            batch_buckets = {str((base_ep + s) // 86400)
+                             for (_, s, _) in batch}
+            for b, rel in before.items():
+                if b not in batch_buckets:
+                    assert after[b] == rel, f"untouched bucket {b} rewritten"
+            assert any(after[b] != before.get(b) for b in batch_buckets
+                       if b in after)
+    led.apply_batch(_ev(spark, batches[1]), batch_id=1)  # redelivery
+    got = sorted(tuple(r) for r in led.read().collect())
+    want = sorted(tuple(r) for r in full.read().collect())
+    assert got == want
+    # and the WAU read composes identically
+    a = sorted(tuple(r) for r in SE.wau_from_store(led).collect())
+    b = sorted(tuple(r) for r in SE.wau_from_store(full).collect())
+    assert a == b
+
+
+def test_day_ledger_crash_soak(spark, tmp_path, monkeypatch):
+    """Injected crash at the manifest replace (the single commit
+    point) on every batch: state must stay at the previous consistent
+    snapshot, and the redelivered apply must commit exactly once."""
+    import os as _os
+
+    from dbms_spark.streaming import cdc as CDC
+
+    led = SE.ActiveDaysDayLedger(spark, str(tmp_path / "soakday"))
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("manifest.json"):
+            raise OSError("simulated crash at manifest commit")
+        return real_replace(src, dst)
+
+    for i, batch in enumerate(_time_batches(ROWS, CUTS)):
+        bdf = _ev(spark, batch)
+        monkeypatch.setattr(CDC.os, "replace", crashing_replace)
+        try:
+            led.apply_batch(bdf, batch_id=i)
+        except OSError:
+            pass
+        monkeypatch.setattr(CDC.os, "replace", real_replace)
+        assert led.last_batch_id() == i - 1   # crash left old marker
+        led.apply_batch(bdf, batch_id=i)      # redelivery commits
+        assert led.last_batch_id() == i
+    got = sorted(tuple(r) for r in led.read().collect())
+    want = sorted(tuple(r) for r in
+                  E.active_days(_ev(spark, ROWS)).collect())
+    assert got == want

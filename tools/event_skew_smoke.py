@@ -192,9 +192,44 @@ def run_gaps(spark, n: int) -> None:
     ids.unpersist()
 
 
+def run_ledger(spark, n: int) -> None:
+    """Growing-state ledger commit cost (round-9): fold ``n`` events
+    per day for 30 daily batches into (a) the full-snapshot
+    SketchStore active-days store and (b) the day-bucketed ledger.
+    The snapshot store rewrites ALL accumulated state each batch —
+    its per-batch wall grows with history; the day ledger rewrites
+    only the batch's day bucket — flat.  Prints first/last-batch wall
+    for both."""
+    import tempfile
+
+    from dbms_spark.streaming.events import (ActiveDaysDayLedger,
+                                             active_days_store)
+
+    for name, mk in (("snapshot_store", lambda p: active_days_store(
+            spark, p)), ("day_ledger", lambda p: ActiveDaysDayLedger(
+            spark, p))):
+        store = mk(tempfile.mkdtemp(prefix=f"ledger_{name}_") + "/s")
+        walls = []
+        for day in range(30):
+            ev = spark.range(n).select(
+                F.pmod(F.hash("id"), n).cast("long").alias("user_id"),
+                F.timestamp_seconds(F.lit(1704067200 + day * 86400)
+                                    + F.pmod(F.col("id") * 7919, 86400))
+                .alias("ts"))
+            t0 = time.perf_counter()
+            store.apply_batch(ev, batch_id=day)
+            walls.append(round(time.perf_counter() - t0, 2))
+        print(json.dumps({"case": f"ledger_{name}", "events_per_day": n,
+                          "batches": 30, "first_batch_s": walls[0],
+                          "batch10_s": walls[10], "batch20_s": walls[20],
+                          "last_batch_s": walls[-1],
+                          "total_s": round(sum(walls), 1)}), flush=True)
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
-    defaults = {"skew": 2_000_000, "round8": 500_000, "gaps": 10_000_000}
+    defaults = {"skew": 2_000_000, "round8": 500_000, "gaps": 10_000_000,
+                "ledger": 200_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(
         mode, 100_000_000)
     spark = get_spark("event_skew_smoke",
@@ -205,6 +240,8 @@ def main() -> None:
         run_round8(spark, n)
     elif mode == "gaps":
         run_gaps(spark, n)
+    elif mode == "ledger":
+        run_ledger(spark, n)
     else:
         run_x100(spark, n)
     spark.stop()

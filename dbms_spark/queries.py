@@ -10340,3 +10340,31 @@ def q307_streaming_wau_day_ledger(spark: SparkSession,
         if i == 2:
             led.apply_batch(b, batch_id=i)  # redelivery: must no-op
     return wau_from_store(led, days=7)
+
+
+# ---------------------------------------------------------------------------
+# q308 — STREAMING sessions over the DAY-BUCKETED ledger: q304's fold
+# and oracle with state in SessionDayLedger — sessions bucket on
+# their END day, and an apply reads/rewrites only the buckets within
+# gap-reach of the batch, so per-batch I/O tracks the batch's span
+# rather than session history.
+# ---------------------------------------------------------------------------
+
+
+@register("q308_streaming_sessions_day_ledger", _q293_sql())
+def q308_streaming_sessions_day_ledger(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import (SessionDayLedger,
+                                             session_stats_from_store)
+
+    led = SessionDayLedger(
+        spark, tempfile.mkdtemp(prefix="q308_") + "/ledger",
+        gap_minutes=30)
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        led.apply_batch(b, batch_id=i)
+        if i == 0:
+            led.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return session_stats_from_store(led)

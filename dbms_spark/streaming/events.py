@@ -415,6 +415,63 @@ class ActiveDaysDayLedger(DayBucketLedger):
                              batch_id)
 
 
+class SessionDayLedger(DayBucketLedger):
+    """The gap-session ledger over day buckets — the growing-state
+    form of :func:`session_store`.  Sessions bucket on their END
+    day: under the time-ordered batch contract, the only stored
+    sessions a batch can touch are those ending within ``gap`` of the
+    batch's first event, so one apply reads ONLY the buckets covering
+    [batch_min − gap, batch_max], folds them with the batch through
+    the same tagged-endpoint re-sessionization as the snapshot store,
+    and rewrites just those buckets (a session whose end moves
+    forward relocates to its new end-day bucket; the emptied bucket
+    is dropped from the manifest — delete-by-overwrite).  Buckets
+    older than gap-reach are never read OR written, so per-batch I/O
+    is O(batch span), not O(session history)."""
+
+    def __init__(self, spark, path: str, key: str = "user_id",
+                 ts_col: str = "ts", gap_minutes: int = 30,
+                 key_type: str = "long", days_per_bucket: int = 1):
+        super().__init__(spark, path,
+                         schema=(f"{key} {key_type}, s_ep bigint,"
+                                 f" e_ep bigint, n bigint"),
+                         key_cols=[key, "s_ep"],
+                         days_per_bucket=days_per_bucket)
+        self._key, self._ts = key, ts_col
+        self._gap = gap_minutes * 60
+
+    def _day_bucket(self) -> F.Column:
+        return F.expr(f"e_ep DIV {86400 * self.days_per_bucket}")
+
+    def apply_batch(self, events: DataFrame,
+                    batch_id: int | None = None) -> None:
+        wm = self.get_watermark(self.TABLE)
+        if batch_id is not None and batch_id <= wm:
+            return  # redelivered batch: exactly-once no-op
+        bid = wm + 1 if batch_id is None else batch_id
+        batch = (events.select(
+            F.col(self._key),
+            F.col(self._ts).cast("timestamp").cast("long").alias("ep"),
+            F.lit(1).cast("bigint").alias("w")).localCheckpoint())
+        b = batch.agg(F.min("ep").alias("lo"),
+                      F.max("ep").alias("hi")).collect()[0]
+        if b["lo"] is None:
+            self.set_watermark(self.TABLE, bid)
+            return
+        per = 86400 * self.days_per_bucket
+        lo_b, hi_b = (b["lo"] - self._gap) // per, b["hi"] // per
+        manifest = self._read_manifest(self.TABLE)
+        reach = [int(k) for k in manifest["buckets"]
+                 if lo_b <= int(k) <= hi_b]
+        state = self._read_buckets(self.TABLE, reach)
+        out = (_sess_advance(state.select(self._key, "s_ep", "e_ep",
+                                          "n"), batch,
+                             self._key, self._gap)
+               .withColumn("_kb", self._day_bucket()))
+        touched = sorted(set(reach) | set(range(lo_b, hi_b + 1)))
+        self._commit_buckets(self.TABLE, manifest, touched, out, bid)
+
+
 def last_seen_store(spark, path: str, key: str = "user_id",
                     ts_col: str = "ts",
                     key_type: str = "long") -> SketchStore:

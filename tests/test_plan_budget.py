@@ -204,6 +204,7 @@ SHUFFLE_BUDGET = {
     "q305_activity_curve": 4,
     # reads committed day buckets + the q279 sweep stages
     "q307_streaming_wau_day_ledger": 4,
+    "q308_streaming_sessions_day_ledger": 1,  # rank over committed buckets
     # cohort agg + key join + (cohort,age,key) pass + per-cohort cum
     "q306_cohort_value": 4,
 }

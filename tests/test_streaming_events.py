@@ -361,3 +361,48 @@ def test_day_ledger_crash_soak(spark, tmp_path, monkeypatch):
     want = sorted(tuple(r) for r in
                   E.active_days(_ev(spark, ROWS)).collect())
     assert got == want
+
+
+def test_session_day_ledger_matches_snapshot_store(spark, tmp_path):
+    """SessionDayLedger == session_store relation after the same
+    batches (incl. a cross-batch session extension and a session
+    longer than the gap); buckets outside gap-reach of a batch keep
+    their exact manifest paths; redelivery no-ops."""
+    rows = [
+        *[(1, s, "view") for s in range(0, 25_001, 1000)],  # long sess
+        (1, 31_000, "view"),
+        (2, 25_000, "view"),                 # ends batch 1
+        (2, 121_000, "view"),                # far later: new session
+        (3, 119_000, "view"), (3, 120_600, "view"),  # extends over cut
+    ]
+    cuts = [30_000, 120_000]
+    led = SE.SessionDayLedger(spark, str(tmp_path / "sled"),
+                              gap_minutes=30)
+    snap = SE.session_store(spark, str(tmp_path / "ssnap"),
+                            gap_minutes=30)
+    batches = _time_batches(rows, cuts)
+    for i, batch in enumerate(batches):
+        bdf = _ev(spark, batch)
+        if i == 2:
+            before = dict(led._read_manifest(led.TABLE)["buckets"])
+        led.apply_batch(bdf, batch_id=i)
+        snap.apply_batch(bdf, batch_id=i)
+        if i == 2:
+            # batch 3 spans offsets >= 120_000 (day 1): the day-0
+            # bucket holding batch-1 sessions is beyond gap reach and
+            # must keep its exact path
+            after = led._read_manifest(led.TABLE)["buckets"]
+            base_ep = int(BASE.replace(
+                tzinfo=datetime.timezone.utc).timestamp())
+            day0 = str(base_ep // 86400)
+            assert after[day0] == before[day0]
+    led.apply_batch(_ev(spark, batches[1]), batch_id=1)   # redelivery
+    got = sorted(tuple(r) for r in led.read().collect())
+    want = sorted(tuple(r) for r in snap.read().collect())
+    assert got == want
+    # read verb composes: same per-session stats off either store
+    a = sorted(tuple(r) for r in
+               SE.session_stats_from_store(led).collect())
+    c = sorted(tuple(r) for r in
+               SE.session_stats_from_store(snap).collect())
+    assert a == c

@@ -250,21 +250,25 @@ def sequence_gaps(df: DataFrame, id_col: str,
     bw = (Window.partitionBy("bkt", *g).orderBy("pos", "tag")
           .rowsBetween(Window.unboundedPreceding, 0))
     loc = merged.withColumn("loc_hi", F.max("anc_hi").over(bw))
+    # carry columns renamed up front: the carry derives from loc, so
+    # same-name column refs in the join condition would resolve to
+    # ONE attribute (the self-join trap) — distinct names sidestep it
     carry = (loc.groupBy("bkt", *g).agg(F.max("anc_hi").alias("bkt_hi"))
              .withColumn("below_hi", F.max("bkt_hi").over(
                  Window.partitionBy(*g).orderBy("bkt")
                  .rowsBetween(Window.unboundedPreceding, -1)))
-             .select("bkt", *[F.col(c).alias(f"__c_{c}") for c in g],
+             .select(F.col("bkt").alias("__c_bkt"),
+                     *[F.col(c).alias(f"__c_{c}") for c in g],
                      "below_hi"))
     probes = loc.filter(F.col("tag") == 0)
-    cond = probes["bkt"] == carry["bkt"]
+    cond = F.col("bkt") == F.col("__c_bkt")
     for c in g:
-        cond = cond & probes[c].eqNullSafe(carry[f"__c_{c}"])
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
     carry = carry if g else F.broadcast(carry)
     return (probes.join(carry, cond, "left")
             .withColumn("prev_hi", F.greatest("loc_hi", "below_hi"))
             .filter(F.col("prev_hi").isNotNull())
-            .select(*[probes[c] for c in g],
+            .select(*g,
                     (F.col("prev_hi") + 1).alias("gap_lo"),
                     (F.col("pos") - 1).alias("gap_hi"),
                     (F.col("pos") - F.col("prev_hi") - 1)

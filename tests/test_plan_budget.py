@@ -146,7 +146,7 @@ SHUFFLE_BUDGET = {
     # checkpointed survivor chain; printed plan is the final lag join
     "q274_funnel_lag": 2,
     # grouped islands: distinct + two anti-joins + per-group pairing
-    "q275_grouped_sequence_gaps": 6,
+    "q275_grouped_sequence_gaps": 7,  # unified bucketed path (round 9), as q272
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
     "q277_cube": 1,                    # Expand + one partial-agg shuffle
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle

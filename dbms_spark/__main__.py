@@ -360,11 +360,15 @@ def main(argv: list[str] | None = None) -> int:
                 ev, max_gap_seconds=args.heartbeat_gap,
                 tiebreak=["event_id"]).count()
         if args.activity_curve is not None:
+            if args.activity_curve < 1:
+                raise SystemExit("--activity-curve must be >= 1 day")
             out["activity_curve"] = {
                 r.n_active_days: r.n_users for r in
                 eng.activity_curve(ev, days=args.activity_curve)
                 .collect()}
         if args.cohort_value is not None:
+            if args.cohort_value < 1:
+                raise SystemExit("--cohort-value must be >= 1 bucket day")
             out["cohort_value_rows"] = eng.cohort_value(
                 ev, bucket_days=args.cohort_value).count()
         print(json.dumps(out))

@@ -1819,14 +1819,22 @@ def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
     the union so a fingerprint just under the cap on each side cannot
     still propose cap² cross pairs.  The default ``"auto"`` derives
     the cap from the combined doc count (:func:`derive_fp_cap`; int
-    to skip the count jobs, None for explicitly unbounded).  Ids must
-    be disjoint across sides.  Both directions floor-quantized at
-    6 dp as in :func:`containment_pairs`."""
+    to skip the count jobs, None for explicitly unbounded) — when
+    ``corpus_fps`` is supplied, the corpus term comes from the
+    LEDGER's row count instead (one slim metadata-cheap scan; a
+    parquet-backed ledger answers from footers), never the corpus
+    itself: fingerprint rows ≥ doc count, and log2 flattens the
+    overshoot to a slightly LOOSER cap — erring toward recall — so
+    the O(batch) intake contract survives the derived default.  Ids
+    must be disjoint across sides.  Both directions floor-quantized
+    at 6 dp as in :func:`containment_pairs`."""
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     if fp_cap == "auto":
-        fp_cap = derive_fp_cap(new_df.count() + corpus_df.count())
+        corpus_n = (corpus_fps.count() if corpus_fps is not None
+                    else corpus_df.count())
+        fp_cap = derive_fp_cap(new_df.count() + corpus_n)
     bf = winnowed_fingerprints(new_df, id_col, text_col, n, w).persist()
     cf = (corpus_fps if corpus_fps is not None
           else winnowed_fingerprints(corpus_df, id_col, text_col, n, w)

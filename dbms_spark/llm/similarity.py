@@ -442,13 +442,23 @@ def ivf_index_build(corpus: DataFrame,
     ivf_topk_from_index` (exact fixed-point cosine over q/norm) and
     :func:`ivf_pq_topk_from_index` (ADC over codes).  Maintain it
     incrementally with :func:`ivf_index_append`; monitor drift with
-    :func:`ivf_index_stats`."""
-    c = (corpus.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
-         .withColumn("norm", F.expr(_NORM_SPARK.format(a="q")))
-         .join(ivf_assign(corpus, cents, id_col, vec_col), id_col))
+    :func:`ivf_index_stats`.
+
+    ONE map-side select: every index column (quantized vector, norm,
+    argmax cell, PQ codes) is an expression of the same row, so the
+    build quantizes once and shuffles nothing — the join-per-column
+    formulation paid 2-3 corpus-wide shuffles and re-quantized per
+    leg."""
+    scores = _ivf_scores_spark(cents, vec="q")
+    cluster = (f"CAST(array_position({scores}, array_max({scores})) - 1"
+               f" AS BIGINT)")
+    cols = [F.col(id_col), F.col("q"),
+            F.expr(_NORM_SPARK.format(a="q")).alias("norm"),
+            F.expr(cluster).alias("cluster")]
     if books is not None:
-        c = c.join(pq_encode(corpus, books, id_col, vec_col), id_col)
-    return c
+        cols.append(F.expr(_pq_codes_expr(books)).alias("codes"))
+    return (corpus.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+            .select(*cols))
 
 
 def ivf_index_append(index: DataFrame, new_df: DataFrame,
@@ -708,22 +718,28 @@ def _pq_dist_duck(sub: str, comps: list[int]) -> str:
             f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
 
 
+def _pq_codes_expr(books: list[list[list[int]]], vec: str = "q") -> str:
+    """The m-nearest-subspace-centroid codes as ONE expression over an
+    already-quantized vector column — shared by the standalone encode
+    and the single-select index build."""
+    m = len(books)
+    d = len(books[0][0])
+    code_exprs = []
+    for j in range(m):
+        sub = f"slice({vec}, {j * d + 1}, {d})"
+        dists = "array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")"
+        code_exprs.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS BIGINT)")
+    return "array(" + ", ".join(code_exprs) + ")"
+
+
 def pq_encode(df: DataFrame, books: list[list[list[int]]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector -> m nearest-centroid codes (map-side, no shuffle).
     Output (id, codes array<bigint>) — the compressed corpus
     representation ADC scans."""
-    m = len(books)
-    d = len(books[0][0])
-    code_exprs = []
-    for j in range(m):
-        sub = f"slice(q, {j * d + 1}, {d})"
-        dists = "array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")"
-        code_exprs.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS BIGINT)")
-    codes = "array(" + ", ".join(code_exprs) + ")"
     return (
         df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
-        .select(F.col(id_col), F.expr(codes).alias("codes"))
+        .select(F.col(id_col), F.expr(_pq_codes_expr(books)).alias("codes"))
     )
 
 

@@ -271,10 +271,20 @@ def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
     no stage carries more than the ledger itself.  Day arithmetic
     runs on epoch-day BIGINTs (non-negative epochs assumed, the
     repo-wide floor-epoch contract) — timezone-aware timestamp
-    intrinsics measured 2× slower per row at 10⁸ rows."""
+    intrinsics measured 2× slower per row at 10⁸ rows.
+
+    EAGER AT CONSTRUCTION: the day bounds collect as ONE driver row
+    so the spine is a distributed ``spark.range`` — a single corrupt
+    far-future timestamp then costs spine rows, not a multi-megabyte
+    ``sequence`` array materialized inside one row (the
+    _merge_day_rows collect-at-build trade)."""
     dl = daily.select(F.col(key),
                       F.expr("CAST(day AS LONG) DIV 86400").alias("__d"))
-    bounds = dl.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    b = dl.agg(F.min("__d").alias("__lo"),
+               F.max("__d").alias("__hi")).collect()[0]
+    spark = daily.sparkSession
+    if b["__lo"] is None:
+        return spark.createDataFrame([], "day timestamp, n_active bigint")
     w = Window.partitionBy(key).orderBy("__d")
     runs = (dl
             .withColumn("__prev", F.lag("__d").over(w))
@@ -285,17 +295,18 @@ def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .groupBy(key, "__run")
             .agg(F.min("__d").alias("__start"), F.max("__d").alias("__end")))
-    deltas = (runs.crossJoin(F.broadcast(bounds))
+    hi = int(b["__hi"])
+    deltas = (runs
               .select(F.explode(F.array(
                   F.struct(F.col("__start").alias("__d"),
                            F.lit(1).alias("__c")),
                   F.struct((F.least(F.col("__end") + F.lit(days - 1),
-                                    F.col("__hi")) + 1).alias("__d"),
+                                    F.lit(hi)) + 1).alias("__d"),
                            F.lit(-1).alias("__c")))).alias("__e"))
               .select("__e.__d", "__e.__c")
               .groupBy("__d").agg(F.sum("__c").alias("__net")))
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d"))
+    spine = spark.range(int(b["__lo"]), hi + 1).select(
+        F.col("id").alias("__d"))
     return (spine.join(deltas, "__d", "left")
             .withColumn("n_active", F.sum(F.coalesce(F.col("__net"),
                                                      F.lit(0)))

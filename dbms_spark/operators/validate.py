@@ -249,7 +249,15 @@ def sequence_gaps(df: DataFrame, id_col: str,
               .withColumn("bkt", F.spark_partition_id()))
     bw = (Window.partitionBy("bkt", *g).orderBy("pos", "tag")
           .rowsBetween(Window.unboundedPreceding, 0))
-    loc = merged.withColumn("loc_hi", F.max("anc_hi").over(bw))
+    # lazy checkpoint: the probe leg and the carry summary BOTH read
+    # this relation, and bkt comes from spark_partition_id() over a
+    # sampled range shuffle — two independent re-executions could
+    # sample different boundaries and disagree on bkt; pinning one
+    # materialization makes the bucket ids definitionally consistent
+    # (and exchange reuse an optimization, not a correctness
+    # dependency) without an eager job at construction
+    loc = (merged.withColumn("loc_hi", F.max("anc_hi").over(bw))
+           .localCheckpoint(eager=False))
     # carry columns renamed up front: the carry derives from loc, so
     # same-name column refs in the join condition would resolve to
     # ONE attribute (the self-join trap) — distinct names sidestep it

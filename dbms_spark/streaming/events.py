@@ -268,7 +268,13 @@ def _sess_advance(state: DataFrame, batch: DataFrame, key: str,
                                         F.col("s_ep").alias("tag"))))
     allr = pseudo.unionByName(
         batch.withColumn("tag", F.lit(None).cast("bigint")))
-    w_ord = Window.partitionBy(key).orderBy("ep", "tag")
+    # NULLS LAST: a batch event whose TRUNCATED epoch ties a stored
+    # session's end (sub-second timestamps either side of the batch
+    # cut) must sort AFTER the pseudo endpoint pair — nulls-first
+    # would interpose it between same-tag endpoints and re-split a
+    # longer-than-gap session into a phantom (s_ep, s_ep, 0) row
+    w_ord = Window.partitionBy(key).orderBy(
+        "ep", F.asc_nulls_last("tag"))
     gap = F.col("ep") - F.lag("ep").over(w_ord)
     same_tag = F.coalesce(F.col("tag") == F.lag("tag").over(w_ord),
                           F.lit(False))
@@ -303,7 +309,8 @@ def session_store(spark, path: str, key: str = "user_id",
         build_fn=lambda b: b.select(
             F.col(key),
             F.col(ts_col).cast("timestamp").cast("long").alias("ep"),
-            F.lit(1).cast("bigint").alias("w")),
+            F.lit(1).cast("bigint").alias("w"))
+        .filter(F.col("ep").isNotNull()),   # a session needs a time
         merge_fn=lambda cur, d: _sess_advance(cur, d, key,
                                               gap_minutes * 60),
         schema=f"{key} {key_type}, s_ep bigint, e_ep bigint, n bigint",
@@ -353,9 +360,16 @@ class DayBucketLedger(ParquetTableStore):
                          key_cols={self.TABLE: list(key_cols)})
         self.days_per_bucket = days_per_bucket
 
+    #: bucket id for NULL-day rows (a NULL-ts event survives the
+    #: activity dedup as a (key, NULL) row; the snapshot store simply
+    #: carries it, so the drop-in ledger must too) — far outside any
+    #: epoch-day bucket, and an int so the touched-bucket sort works
+    _NULL_BUCKET = -(2 ** 62)
+
     def _day_bucket(self) -> F.Column:
-        return F.expr(
-            f"CAST(day AS LONG) DIV {86400 * self.days_per_bucket}")
+        return F.coalesce(
+            F.expr(f"CAST(day AS LONG) DIV {86400 * self.days_per_bucket}"),
+            F.lit(self._NULL_BUCKET))
 
     def upsert_day_rows(self, delta: DataFrame,
                         batch_id: int | None = None) -> None:
@@ -452,7 +466,9 @@ class SessionDayLedger(DayBucketLedger):
         batch = (events.select(
             F.col(self._key),
             F.col(self._ts).cast("timestamp").cast("long").alias("ep"),
-            F.lit(1).cast("bigint").alias("w")).localCheckpoint())
+            F.lit(1).cast("bigint").alias("w"))
+            .filter(F.col("ep").isNotNull())   # a session needs a time
+            .localCheckpoint())
         b = batch.agg(F.min("ep").alias("lo"),
                       F.max("ep").alias("hi")).collect()[0]
         if b["lo"] is None:

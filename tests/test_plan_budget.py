@@ -137,35 +137,36 @@ SHUFFLE_BUDGET = {
     # in-flight index build + query: postings agg, checkpointed tf leg,
     # doclens join, per-doc agg (persisted-ledger runs prune to terms)
     "q271_bm25_indexed": 3,
-    # global form (round 9): ONE neighbor-vote flag agg + range
-    # bucketing + bkt window + P-row carry; the carry branch prints
-    # its upstream lineage twice (AQE reuses those exchanges at
-    # runtime), hence 7 printed vs ~4 executed
-    "q272_sequence_gaps": 7,
+    # unified bucketed path (round 9): vote agg + range bucketing +
+    # bkt window live INSIDE a lazy localCheckpoint (pinned so probe
+    # and carry legs share one materialization) — the printed plan
+    # shows only the post-checkpoint join + final stages
+    "q272_sequence_gaps": 2,
     "q273_rolling_anomaly": 1,         # one (user, ts) sort-shuffle, as q268
     # checkpointed survivor chain; printed plan is the final lag join
     "q274_funnel_lag": 2,
     # grouped islands: distinct + two anti-joins + per-group pairing
-    "q275_grouped_sequence_gaps": 7,  # unified bucketed path (round 9), as q272
+    "q275_grouped_sequence_gaps": 2,  # as q272 (checkpointed bucket leaf)
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
     "q277_cube": 1,                    # Expand + one partial-agg shuffle
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
     # (user, day) dedup + per-key run window + delta agg + spine
-    # join + day-spine prefix (round-9 interval sweep)
-    "q279_rolling_active": 5,
-    "q280_stickiness": 10,             # two q279 legs + day join
+    # join + day-spine prefix (round-9 interval sweep; spine is a
+    # driver-bounded spark.range)
+    "q279_rolling_active": 4,
+    "q280_stickiness": 8,              # two q279 legs + day join
     # round-8 additions
     # ledger + batch active_days legs, day-probed merge (semi/anti),
     # clip, expansion distinct count — the printed tree re-expands the
     # shared events scan per leg (ReusedExchange collapses at runtime)
-    "q281_rolling_active_incremental": 14,
+    "q281_rolling_active_incremental": 7,
     # first-touch semi/anti split + re-min + week-probed activity
     # merge + triangle join/agg (broadcast legs don't count)
     "q282_retention_incremental": 10,
     "q283_rolling_window_prefix": 2,   # cumulative sort + probe-merge sort
     "q284_rolling_anomaly_prefix": 2,  # same two per-key sorts (tie agg rides the first)
     # returned plan reads the committed snapshot + WAU expansion
-    "q285_streaming_wau": 4,
+    "q285_streaming_wau": 3,
     "q286_streaming_funnel": 1,        # count-from-state agg (folds are committed parquet)
     # (day, bucket) register agg + offset-expanded register merge +
     # per-day estimate (count_distinct-free: registers, not keys)
@@ -193,17 +194,17 @@ SHUFFLE_BUDGET = {
     # checkpointed 1-row relation (no exchange at all)
     "q299_corr_screen": 0,
     "q300_benford_screen": 3,          # <=9-key digit agg + 1-row total + spine join
-    # incremental index: append is union of map-side encodes; probe =
-    # cell join + per-query top-k window (+ the anti-join guard)
-    "q301_ivf_index_incremental": 3,
-    "q302_ivf_pq_index_incremental": 3,
+    # incremental index: build/append are ONE map-side select (zero
+    # shuffles); probe = cell join + per-query top-k window
+    "q301_ivf_index_incremental": 1,
+    "q302_ivf_pq_index_incremental": 1,
     # returned plans read the committed store snapshots
     "q303_streaming_attribution": 0,
     "q304_streaming_sessions": 1,      # per-key session_id rank window
     # activity dedup + per-key count + <=28-row hist + spine join
     "q305_activity_curve": 4,
     # reads committed day buckets + the q279 sweep stages
-    "q307_streaming_wau_day_ledger": 4,
+    "q307_streaming_wau_day_ledger": 3,
     "q308_streaming_sessions_day_ledger": 1,  # rank over committed buckets
     # cohort agg + key join + (cohort,age,key) pass + per-cohort cum
     "q306_cohort_value": 4,

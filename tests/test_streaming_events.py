@@ -406,3 +406,42 @@ def test_session_day_ledger_matches_snapshot_store(spark, tmp_path):
     c = sorted(tuple(r) for r in
                SE.session_stats_from_store(snap).collect())
     assert a == c
+
+
+def test_session_store_subsecond_boundary_tie(spark, tmp_path):
+    """A stored session whose span exceeds the gap, whose END ties the
+    next batch's first event at TRUNCATED-epoch precision (raw
+    timestamps straddle the batch cut within one second): the fold
+    must extend the session exactly as the one-shot does — nulls-
+    first ordering would interpose the batch row between the
+    session's endpoint pair and re-split it into a phantom row."""
+    import datetime as dt
+
+    from dbms_spark.operators.joins import sessionize
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(u, BASE + dt.timedelta(seconds=s), "a", i)
+             for i, (u, s) in enumerate(rows)],
+            "user_id long, ts timestamp, event_type string,"
+            " event_id long")
+
+    # chained every 50 s for 150 s (span 150 > gap 60); last event at
+    # 150.4 s, batch-2 first event at 150.6 s — both truncate to 150
+    rows1 = [(1, 0.0), (1, 50.0), (1, 100.0), (1, 150.4)]
+    rows2 = [(1, 150.6), (1, 160.0)]
+    store = SE.session_store(spark, str(tmp_path / "tie"),
+                             gap_minutes=1)
+    store.apply_batch(ev(rows1), batch_id=0)
+    store.apply_batch(ev(rows2), batch_id=1)
+    got = sorted(tuple(r) for r in store.read().collect())
+    ep = F.col("ts").cast("timestamp").cast("long")
+    want = sorted(tuple(r) for r in
+                  sessionize(ev(rows1 + rows2), "user_id", "ts",
+                             gap_minutes=1, tiebreak=["event_id"])
+                  .groupBy("user_id")
+                  .agg(F.min(ep).alias("s_ep"), F.max(ep).alias("e_ep"),
+                       F.count(F.lit(1)).alias("n")).collect())
+    assert got == want                     # ONE session, n = 6
+    base_ep = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got == [(1, base_ep, base_ep + 160, 6)]

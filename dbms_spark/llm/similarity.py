@@ -38,6 +38,34 @@ def quantize_sql(col: str = "embedding") -> str:
 _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 _NORM_SPARK = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
 
+
+def _unroll() -> bool:
+    """ANN-kernel expression mode: Spark's higher-order functions
+    (aggregate/zip_with) evaluate INTERPRETED — unrolling them to
+    scalar arithmetic measured 3-8x per-row on the 2·10⁵-vector index
+    build — but the unrolled trees are ~10³ nodes, and their analysis
+    + janino compile adds a FIXED ~2-4 s per stage, which DOMINATES
+    at gate scale (2k rows: q51 measured 1.3 → ~3 s).  So the unroll
+    is env-gated: set SPARK_GRAFT_ANN_UNROLL=1 for large-corpus jobs
+    (worth it above ~10⁵ rows per stage — docs/SCALE.md table);
+    default stays the HOF form.  Both forms are bit-identical (same
+    left-to-right FP order), pinned by test."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ANN_UNROLL", "").lower() in (
+        "1", "true", "yes")
+
+
+def _dot_pair_spark(a: str, b: str, dims: int | None) -> str:
+    """Pair dot product: unrolled scalar arithmetic when the width is
+    statically known AND SPARK_GRAFT_ANN_UNROLL is set (see
+    :func:`_unroll`), the generic HOF fold otherwise."""
+    if dims is None or not _unroll():
+        return _DOT_SPARK.format(a=a, b=b)
+    return "(" + " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dims + 1)) + ")"
+
 _DOT_DUCK = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
@@ -124,11 +152,14 @@ def plane_components(plane: int, dims: int) -> list[int]:
 
 
 def plane_expr_spark(plane: int, dims: int, vec: str = "q") -> str:
-    comps = ", ".join(f"{c}D" for c in plane_components(plane, dims))
-    dot = (
-        f"aggregate(zip_with({vec}, array({comps}), (x, p) -> x * p), "
-        f"0D, (acc, v) -> acc + v)"
-    )
+    comps = plane_components(plane, dims)
+    if _unroll():
+        dot = " + ".join(f"element_at({vec}, {i + 1}) * {c}D"
+                         for i, c in enumerate(comps))
+    else:
+        arr = ", ".join(f"{c}D" for c in comps)
+        dot = (f"aggregate(zip_with({vec}, array({arr}), (x, p) -> x * p), "
+               f"0D, (acc, v) -> acc + v)")
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
@@ -200,7 +231,7 @@ def near_dup_pairs(
     ).withColumn("__n", F.expr(_NORM_SPARK.format(a="__v")))
     a = b.alias("a").join(v.alias("va"), F.col(f"a.{id_col}") == F.col("va.__id"))
     bb = b.alias("b").join(v.alias("vb"), F.col(f"b.{id_col}") == F.col("vb.__id"))
-    dot = _DOT_SPARK.format(a="va.__v", b="vb.__v")
+    dot = _dot_pair_spark("va.__v", "vb.__v", dims)
     sim = f"floor({dot} / (va.__n * vb.__n) * 1000000) / 1000000"
     return (
         a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
@@ -254,7 +285,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 
         .select(F.col(f"qb.{id_col}").alias("q_id"), F.col(f"cb.{id_col}").alias("n_id"))
         .filter(F.col("q_id") != F.col("n_id"))
     )
-    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    dot = _dot_pair_spark("q_vec", "n_vec", dims)
     sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
     scored = (
         cand.join(q, "q_id").join(c, "n_id")
@@ -365,8 +396,14 @@ def train_ivf_centroids(parquet_path: str, k: int = 8, iters: int = 5,
 def _ivf_scores_spark(cents: list[tuple[list[int], float]], vec: str = "q") -> str:
     scores = []
     for comps, norm in cents:
-        arr = ", ".join(f"{c}D" for c in comps)
-        dot = f"aggregate(zip_with({vec}, array({arr}), (x, c) -> x * c), 0D, (a, v) -> a + v)"
+        if _unroll():
+            dot = "(" + " + ".join(
+                f"element_at({vec}, {i + 1}) * {c}D"
+                for i, c in enumerate(comps)) + ")"
+        else:
+            arr = ", ".join(f"{c}D" for c in comps)
+            dot = (f"aggregate(zip_with({vec}, array({arr}),"
+                   f" (x, c) -> x * c), 0D, (a, v) -> a + v)")
         scores.append(f"{dot} / {norm!r}D")
     return "array(" + ", ".join(scores) + ")"
 
@@ -566,7 +603,7 @@ def ivf_topk_from_index(index: DataFrame, queries: DataFrame,
     ).withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec"))).withColumn(
         "cluster", F.explode(F.expr(probes))
     )
-    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    dot = _dot_pair_spark("q_vec", "n_vec", len(cents[0][0]))
     sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
     scored = (
         q.join(c, "cluster")
@@ -706,10 +743,19 @@ def train_pq_codebooks(parquet_path: str, m: int = 8, ksub: int = 16,
     return books
 
 
-def _pq_dist_spark(sub: str, comps: list[int]) -> str:
+def _pq_dist_spark(vec: str, base: int, comps: list[int]) -> str:
+    """Squared L2 of ``vec[base .. base+d-1]`` (1-based) vs a literal
+    centroid — unrolled under SPARK_GRAFT_ANN_UNROLL (see
+    :func:`_unroll`), the HOF fold otherwise; identical FP order."""
+    if _unroll():
+        terms = [f"(element_at({vec}, {base + t}) - {c}D)"
+                 f" * (element_at({vec}, {base + t}) - {c}D)"
+                 for t, c in enumerate(comps)]
+        return "(" + " + ".join(terms) + ")"
     arr = ", ".join(f"{c}D" for c in comps)
-    return (f"aggregate(zip_with({sub}, array({arr}), "
-            f"(x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)")
+    return (f"aggregate(zip_with(slice({vec}, {base}, {len(comps)}),"
+            f" array({arr}), (x, c) -> (x - c) * (x - c)),"
+            f" 0D, (a, v) -> a + v)")
 
 
 def _pq_dist_duck(sub: str, comps: list[int]) -> str:
@@ -726,8 +772,8 @@ def _pq_codes_expr(books: list[list[list[int]]], vec: str = "q") -> str:
     d = len(books[0][0])
     code_exprs = []
     for j in range(m):
-        sub = f"slice({vec}, {j * d + 1}, {d})"
-        dists = "array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")"
+        dists = "array(" + ", ".join(
+            _pq_dist_spark(vec, j * d + 1, c) for c in books[j]) + ")"
         code_exprs.append(f"CAST(array_position({dists}, array_min({dists})) - 1 AS BIGINT)")
     return "array(" + ", ".join(code_exprs) + ")"
 
@@ -777,8 +823,8 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
         .select(F.col(id_col).alias("n_id"), "codes")
     dtab_exprs = []
     for j in range(m):
-        sub = f"slice(q, {j * d + 1}, {d})"
-        dtab_exprs.append("array(" + ", ".join(_pq_dist_spark(sub, c) for c in books[j]) + ")")
+        dtab_exprs.append("array(" + ", ".join(
+            _pq_dist_spark("q", j * d + 1, c) for c in books[j]) + ")")
     dtab = "array(" + ", ".join(dtab_exprs) + ")"
     q = (
         queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q"))
@@ -862,8 +908,8 @@ def ivf_pq_topk_from_index(index: DataFrame, queries: DataFrame,
     c = index.select(F.col(id_col).alias("n_id"), "cluster", "codes")
     dtab_exprs = []
     for j in range(m):
-        sub = f"slice(q, {j * d + 1}, {d})"
-        dtab_exprs.append("array(" + ", ".join(_pq_dist_spark(sub, cb) for cb in books[j]) + ")")
+        dtab_exprs.append("array(" + ", ".join(
+            _pq_dist_spark("q", j * d + 1, cb) for cb in books[j]) + ")")
     dtab = "array(" + ", ".join(dtab_exprs) + ")"
     scores = _ivf_scores_spark(cents, vec="q")
     probes = (
@@ -986,7 +1032,7 @@ def projected_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = project_vectors(queries, out_dims, in_dims, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.col("proj").alias("q_vec"))
     q = q.withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec")))
-    dot = _DOT_SPARK.format(a="q_vec", b="n_vec")
+    dot = _dot_pair_spark("q_vec", "n_vec", out_dims)
     sim = f"floor({dot} / (q_norm * n_norm) * 1000000) / 1000000"
     scored = (
         c.crossJoin(F.broadcast(q))

@@ -1824,3 +1824,35 @@ def test_bm25_index_query_identity_and_pruning(spark, tmp_path):
     # query for it scores only the surviving terms
     postings_capped, _ = TX.bm25_index(df, max_df=50)
     assert postings_capped.filter("token = 'common'").count() == 0
+
+
+def test_ann_unroll_mode_bit_identical(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_ANN_UNROLL swaps the interpreted HOF folds for
+    unrolled scalar arithmetic (3-8x per-row on big corpora, a fixed
+    per-stage compile cost — docs/SCALE.md); both modes must be
+    BIT-identical on every kernel (same left-to-right FP order):
+    IVF assign, PQ codes, LSH buckets, in-cell cosine."""
+    from dbms_spark.sources.catalog import load_table, table_path
+    from dbms_spark.llm import similarity as S
+
+    path = table_path(sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(path, k=8)
+    books = S.train_pq_codebooks(path, m=8, ksub=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 50 = 0")
+
+    def snapshot():
+        return (
+            sorted(tuple(r) for r in S.ivf_assign(emb, cents).collect()),
+            sorted((r[0], tuple(r[1])) for r in
+                   S.pq_encode(emb, books).collect()),
+            sorted(tuple(r) for r in S.lsh_buckets(emb, 6).collect()),
+            sorted(tuple(r) for r in
+                   S.ivf_topk(emb, qs, cents, k=3).collect()),
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_ANN_UNROLL", raising=False)
+    hof = snapshot()
+    monkeypatch.setenv("SPARK_GRAFT_ANN_UNROLL", "1")
+    unrolled = snapshot()
+    assert hof == unrolled

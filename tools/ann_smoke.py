@@ -35,6 +35,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    mode = "unrolled" if os.environ.get("SPARK_GRAFT_ANN_UNROLL") else "hof"
     spark = get_spark("ann_smoke")
     emb = load_table(spark, SF, "embeddings")
     base = emb.count()
@@ -55,7 +56,7 @@ def main() -> None:
     t0 = time.perf_counter()
     S.ivf_index_build(corpus, cents, books).write.partitionBy(
         "cluster").parquet(ipath)
-    print(json.dumps({"case": "overnight_index_build",
+    print(json.dumps({"case": "overnight_index_build", "mode": mode,
                       "rows": base * (replicas - 1),
                       "sec": round(time.perf_counter() - t0, 2)}),
           flush=True)
@@ -65,14 +66,15 @@ def main() -> None:
     S.ivf_index_append(index, batch, cents, books).write.format(
         "noop").mode("overwrite").save()
     append_s = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"case": "append_one_batch", "batch_rows": base,
-                      "sec": append_s}), flush=True)
+    print(json.dumps({"case": "append_one_batch", "mode": mode,
+                      "batch_rows": base, "sec": append_s}), flush=True)
 
     t0 = time.perf_counter()
     S.ivf_index_build(big, cents, books).write.format(
         "noop").mode("overwrite").save()
     rebuild_s = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"case": "full_rebuild", "rows": base * replicas,
+    print(json.dumps({"case": "full_rebuild", "mode": mode,
+                      "rows": base * replicas,
                       "sec": rebuild_s,
                       "rebuild_over_append": round(rebuild_s / append_s, 1)
                       }), flush=True)

@@ -34,6 +34,9 @@ contract).  What differs is the maintained state:
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -393,7 +396,14 @@ class DayBucketLedger(ParquetTableStore):
         manifest = self._read_manifest(self.TABLE)
         existing = self._read_buckets(self.TABLE, touched)
         cols = existing.columns
-        fresh = delta.select(*cols).join(existing, cols, "left_anti")
+        # null-safe anti-join: a (key, NULL-day) row rides the NULL
+        # bucket and must dedup like any other — plain equality would
+        # never match it (NULL != NULL in join keys) and re-append it
+        # on every batch that carries it
+        d, e = delta.select(*cols).alias("__d"), existing.alias("__e")
+        cond = reduce(and_, [F.col(f"__d.{c}").eqNullSafe(F.col(f"__e.{c}"))
+                             for c in cols])
+        fresh = d.join(e, cond, "left_anti").select(*cols)
         out = (existing.unionByName(fresh)
                .withColumn("_kb", self._day_bucket()))
         self._commit_buckets(self.TABLE, manifest, touched, out, bid)
@@ -483,8 +493,17 @@ class SessionDayLedger(DayBucketLedger):
         out = (_sess_advance(state.select(self._key, "s_ep", "e_ep",
                                           "n"), batch,
                              self._key, self._gap)
-               .withColumn("_kb", self._day_bucket()))
-        touched = sorted(set(reach) | set(range(lo_b, hi_b + 1)))
+               .withColumn("_kb", self._day_bucket())
+               .localCheckpoint())
+        # touched = buckets READ (reach: their sessions may relocate or
+        # merge away) ∪ buckets the fold actually PRODUCED — collected
+        # from out, which is bounded by the distinct end-days present.
+        # Never enumerate range(lo_b, hi_b + 1): one corrupt far-future
+        # timestamp makes that span astronomically wide and the driver
+        # allocation OOMs before Spark sees a row (the exact hazard the
+        # rolling_active_from_days spine avoids with spark.range).
+        new_b = [r[0] for r in out.select("_kb").distinct().collect()]
+        touched = sorted(set(reach) | set(new_b))
         self._commit_buckets(self.TABLE, manifest, touched, out, bid)
 
 

@@ -445,3 +445,43 @@ def test_session_store_subsecond_boundary_tie(spark, tmp_path):
     assert got == want                     # ONE session, n = 6
     base_ep = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
     assert got == [(1, base_ep, base_ep + 160, 6)]
+
+
+def test_day_ledger_null_day_row_dedups_across_batches(spark, tmp_path):
+    """A (key, NULL-day) row (NULL-ts event surviving the activity
+    dedup) must behave as a set element: re-appearing in later batches
+    may not re-append it — the anti-join must be null-safe (plain
+    equality never matches NULL = NULL and grew one duplicate per
+    redelivering batch)."""
+    led = SE.DayBucketLedger(spark, str(tmp_path / "nulld"),
+                             schema="user_id long, day timestamp",
+                             key_cols=["user_id", "day"])
+    delta = spark.createDataFrame(
+        [(7, None), (8, BASE)], "user_id long, day timestamp")
+    led.upsert_day_rows(delta, batch_id=0)
+    led.upsert_day_rows(delta, batch_id=1)   # same rows, NEW batch id
+    led.upsert_day_rows(delta, batch_id=1)   # plus a true redelivery
+    got = sorted((r["user_id"], r["day"]) for r in led.read().collect())
+    assert got == [(7, None), (8, BASE)]     # exactly once each
+
+
+def test_session_day_ledger_far_future_timestamp_bounded(spark, tmp_path):
+    """One corrupt far-future event (year ~2524) must not make the
+    apply enumerate every day bucket between the batch's min and max —
+    touched buckets derive from the sessions the fold actually
+    produced, so the manifest gains ONE far bucket and the fold result
+    still equals the one-shot sessionization."""
+    import datetime as dt
+
+    led = SE.SessionDayLedger(spark, str(tmp_path / "far"),
+                              gap_minutes=30)
+    far = int(dt.timedelta(days=500 * 365).total_seconds())
+    rows = [(1, 0, "view"), (1, 600, "view"), (2, far, "view")]
+    led.apply_batch(_ev(spark, rows), batch_id=0)
+    led.apply_batch(_ev(spark, [(1, 1200, "view")]), batch_id=1)
+    buckets = led._read_manifest(led.TABLE)["buckets"]
+    assert len(buckets) == 2                 # day 0 + the one far day
+    got = sorted(tuple(r) for r in led.read().collect())
+    base_ep = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got == [(1, base_ep, base_ep + 1200, 3),
+                   (2, base_ep + far, base_ep + far, 1)]

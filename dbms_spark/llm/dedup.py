@@ -1690,10 +1690,33 @@ def derive_fp_cap(n_docs: int, floor: int = 64) -> int:
     should skip anyway.  The log2 growth term acknowledges that
     legitimate template occupancy rises with corpus size; the floor
     keeps small-corpus (gate-scale) runs exactly uncapped in effect
-    (measured occupancy ≤ 4 at sf0.1)."""
-    import math
+    (measured occupancy ≤ 4 at sf0.1).
 
-    return max(floor, 8 * math.ceil(math.log2(max(2, n_docs))))
+    Exact integer arithmetic: ceil(log2(n)) computed as the bit
+    length of n-1 — the same LENGTH(BIN(n-1)) expression both engine
+    dialects emit (:func:`_fp_cap_sql_expr`, :func:`_fp_cap_col`), so
+    the Python helper, the Spark operator, and the DuckDB twin share
+    ONE cap value at every corpus size (float log2 could disagree at
+    exact powers of two)."""
+    return max(floor, 8 * max(1, n_docs - 1).bit_length())
+
+
+def _fp_cap_col(n_col: F.Column, floor: int = 64) -> F.Column:
+    """:func:`derive_fp_cap` as a Spark COLUMN over a row-count column
+    — lets the capped operators derive the cap INSIDE the plan (a
+    broadcast one-row aggregate) instead of paying an eager count()
+    job at plan-construction time."""
+    return F.greatest(
+        F.lit(floor),
+        (8 * F.length(F.bin(F.greatest(F.lit(1), n_col - 1)))).cast("int"))
+
+
+def _fp_cap_sql_expr(count_sql: str, floor: int = 64) -> str:
+    """:func:`derive_fp_cap` as a DuckDB scalar expression over a
+    COUNT(*) subquery — the oracle-side half of the shared-cap
+    contract."""
+    return (f"GREATEST({floor}, 8 * LENGTH(BIN(CAST(GREATEST(1, "
+            f"({count_sql}) - 1) AS BIGINT))))")
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -1722,15 +1745,19 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     (boilerplate mega-buckets — same occupancy control as the capped
     LSH; a fingerprint in 10^5 docs proposes 10^10 pairs and says
     nothing about subset structure).  The default ``"auto"`` derives
-    the cap from the corpus size (:func:`derive_fp_cap` — one extra
-    ``count()`` job; pass an int to skip it, or None for explicitly
-    unbounded).
+    the cap from the corpus size INSIDE the plan (a broadcast one-row
+    count aggregate — no eager job at plan-construction time; pass an
+    int to pin it, or None for explicitly unbounded), and the SQL
+    twin derives the IDENTICAL cap from the same count
+    (:func:`_fp_cap_sql_expr`), so operator and oracle share one
+    contract at every scale — not only while the floor exceeds real
+    occupancy.
     """
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
-    if fp_cap == "auto":
-        fp_cap = derive_fp_cap(df.count())
+    capdf = (df.agg(_fp_cap_col(F.count(F.lit(1))).alias("__cap"))
+             if fp_cap == "auto" else None)
     # fps feeds both self-join legs and sh feeds both verify legs —
     # persisted so the corpus is tokenized once per relation instead
     # of once per leg (4 scans -> 2 on the gate plan; a long-lived
@@ -1741,8 +1768,13 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         from pyspark.sql.window import Window
 
         wdw = Window.partitionBy("fp")
-        fps = (fps.withColumn("ndocs", F.count(F.lit(1)).over(wdw))
-               .where(F.col("ndocs") <= fp_cap).drop("ndocs"))
+        fps = fps.withColumn("ndocs", F.count(F.lit(1)).over(wdw))
+        if capdf is not None:
+            fps = (fps.crossJoin(F.broadcast(capdf))
+                   .where(F.col("ndocs") <= F.col("__cap"))
+                   .drop("ndocs", "__cap"))
+        else:
+            fps = fps.where(F.col("ndocs") <= fp_cap).drop("ndocs")
     cands = (fps.select(F.col(id_col).alias("a_id"), "fp")
              .join(fps.select(F.col(id_col).alias("b_id"), "fp"), "fp")
              .where(F.col("a_id") < F.col("b_id"))
@@ -1763,14 +1795,30 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def containment_pairs_sql(table: str, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 5, w: int = 4,
-                          min_containment: float = 0.5) -> str:
-    """DuckDB twin of :func:`containment_pairs` (uncapped)."""
-    fps = winnowed_fingerprints_sql(table, id_col, text_col, n, w)
+                          min_containment: float = 0.5,
+                          fp_cap: int | str | None = "auto") -> str:
+    """DuckDB twin of :func:`containment_pairs` — including the
+    fingerprint-occupancy cap: ``"auto"`` (default, mirroring the
+    operator) derives :func:`derive_fp_cap` from the same COUNT(*) the
+    Spark side aggregates, an int pins it, None uncaps."""
+    fps0 = winnowed_fingerprints_sql(table, id_col, text_col, n, w)
+    if fp_cap == "auto":
+        fp_cap = _fp_cap_sql_expr(f"SELECT COUNT(*) FROM {table}")
+    cap_filter = (
+        f""",
+capped AS (
+  SELECT {id_col}, fp FROM (
+    SELECT {id_col}, fp, COUNT(*) OVER (PARTITION BY fp) AS __ndocs
+    FROM fps0)
+  WHERE __ndocs <= ({fp_cap})
+)""" if fp_cap is not None else f""",
+capped AS (SELECT {id_col}, fp FROM fps0)""")
     duck_c = ("floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
               "/ len({side}.sh) * 1000000) / 1000000")
     c_ab, c_ba = duck_c.format(side="a"), duck_c.format(side="b")
     return f"""
-WITH fps AS ({fps}),
+WITH fps0 AS ({fps0}){cap_filter},
+fps AS (SELECT * FROM capped),
 cands AS (
   SELECT DISTINCT x.{id_col} AS a_id, y.{id_col} AS b_id
   FROM fps x JOIN fps y ON x.fp = y.fp AND x.{id_col} < y.{id_col}
@@ -1818,31 +1866,41 @@ def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
     two sides exceeds the cap — same occupancy control, counted over
     the union so a fingerprint just under the cap on each side cannot
     still propose cap² cross pairs.  The default ``"auto"`` derives
-    the cap from the combined doc count (:func:`derive_fp_cap`; int
-    to skip the count jobs, None for explicitly unbounded) — when
+    the cap from the combined doc count as a broadcast one-row
+    aggregate inside the plan (:func:`derive_fp_cap` semantics; no
+    eager job — int to pin, None for explicitly unbounded) — when
     ``corpus_fps`` is supplied, the corpus term comes from the
     LEDGER's row count instead (one slim metadata-cheap scan; a
     parquet-backed ledger answers from footers), never the corpus
     itself: fingerprint rows ≥ doc count, and log2 flattens the
     overshoot to a slightly LOOSER cap — erring toward recall — so
-    the O(batch) intake contract survives the derived default.  Ids
+    the O(batch) intake contract survives the derived default (the
+    SQL twin, which has no ledger, derives from doc counts; see its
+    docstring for when the two caps coincide).  Ids
     must be disjoint across sides.  Both directions floor-quantized
     at 6 dp as in :func:`containment_pairs`."""
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
+    capdf = None
     if fp_cap == "auto":
-        corpus_n = (corpus_fps.count() if corpus_fps is not None
-                    else corpus_df.count())
-        fp_cap = derive_fp_cap(new_df.count() + corpus_n)
+        side = corpus_fps if corpus_fps is not None else corpus_df
+        capdf = (new_df.agg(F.count(F.lit(1)).alias("__a"))
+                 .crossJoin(side.agg(F.count(F.lit(1)).alias("__b")))
+                 .select(_fp_cap_col(F.col("__a") + F.col("__b"))
+                         .alias("__cap")))
     bf = winnowed_fingerprints(new_df, id_col, text_col, n, w).persist()
     cf = (corpus_fps if corpus_fps is not None
           else winnowed_fingerprints(corpus_df, id_col, text_col, n, w)
           ).persist()
     if fp_cap is not None:
         occ = (bf.select("fp").unionByName(cf.select("fp"))
-               .groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
-               .where(F.col("_nd") > fp_cap).select("fp"))
+               .groupBy("fp").agg(F.count(F.lit(1)).alias("_nd")))
+        if capdf is not None:
+            occ = (occ.crossJoin(F.broadcast(capdf))
+                   .where(F.col("_nd") > F.col("__cap")).select("fp"))
+        else:
+            occ = occ.where(F.col("_nd") > fp_cap).select("fp")
         bf = bf.join(F.broadcast(occ), "fp", "left_anti")
         cf = cf.join(F.broadcast(occ), "fp", "left_anti")
     cands = (bf.select(F.col(id_col).alias("new_id"), "fp")
@@ -1873,16 +1931,40 @@ def containment_pairs_between_sql(new_sql: str, corpus_sql: str,
                                   id_col: str = "doc_id",
                                   text_col: str = "text",
                                   n: int = 5, w: int = 4,
-                                  min_containment: float = 0.5) -> str:
-    """DuckDB twin of :func:`containment_pairs_between` (uncapped)."""
+                                  min_containment: float = 0.5,
+                                  fp_cap: int | str | None = "auto") -> str:
+    """DuckDB twin of :func:`containment_pairs_between` — including
+    the COMBINED-occupancy cap.  ``"auto"`` derives the cap from the
+    two sides' doc counts; note the operator derives from the LEDGER's
+    fingerprint rows instead when ``corpus_fps`` is supplied (a
+    slightly LOOSER cap — identical results whenever no fingerprint's
+    occupancy falls between the two caps, which the floor guarantees
+    at gate scale)."""
     bf = winnowed_fingerprints_sql(f"({new_sql})", id_col, text_col, n, w)
     cf = winnowed_fingerprints_sql(f"({corpus_sql})", id_col, text_col, n, w)
+    if fp_cap == "auto":
+        fp_cap = _fp_cap_sql_expr(
+            f"SELECT (SELECT COUNT(*) FROM ({new_sql}))"
+            f" + (SELECT COUNT(*) FROM ({corpus_sql}))")
+    hot = (f"""
+hot AS (
+  SELECT fp FROM (
+    SELECT fp, COUNT(*) AS _nd
+    FROM (SELECT fp FROM bf0 UNION ALL SELECT fp FROM cf0)
+    GROUP BY fp)
+  WHERE _nd > ({fp_cap})
+),
+bf AS (SELECT * FROM bf0 WHERE fp NOT IN (SELECT fp FROM hot)),
+cf AS (SELECT * FROM cf0 WHERE fp NOT IN (SELECT fp FROM hot)),"""
+           if fp_cap is not None else """
+bf AS (SELECT * FROM bf0),
+cf AS (SELECT * FROM cf0),""")
     duck_c = ("floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
               "/ len({side}.sh) * 1000000) / 1000000")
     c_nc, c_cn = duck_c.format(side="a"), duck_c.format(side="b")
     return f"""
-WITH bf AS ({bf}),
-cf AS ({cf}),
+WITH bf0 AS ({bf}),
+cf0 AS ({cf}),{hot}
 cands AS (
   SELECT DISTINCT bf.{id_col} AS new_id, cf.{id_col} AS corpus_id
   FROM bf JOIN cf ON bf.fp = cf.fp
@@ -1936,11 +2018,13 @@ def drop_contained(df: DataFrame, id_col: str = "doc_id",
 
 def drop_contained_sql(table: str, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 5, w: int = 4,
-                       min_containment: float = 0.9) -> str:
-    """DuckDB twin of :func:`drop_contained` (uncapped)."""
+                       min_containment: float = 0.9,
+                       fp_cap: int | str | None = "auto") -> str:
+    """DuckDB twin of :func:`drop_contained` — same derived-cap
+    contract as :func:`containment_pairs_sql`."""
     thr = float(min_containment)
     pairs = containment_pairs_sql(table, id_col, text_col, n, w,
-                                  min_containment=0.0)
+                                  min_containment=0.0, fp_cap=fp_cap)
     return f"""
 WITH pairs AS ({pairs}),
 drops AS (

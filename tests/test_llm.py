@@ -1856,3 +1856,42 @@ def test_ann_unroll_mode_bit_identical(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ANN_UNROLL", "1")
     unrolled = snapshot()
     assert hof == unrolled
+
+
+def test_fp_cap_contract_shared_across_engines(spark):
+    """The derived fingerprint cap is ONE value in Python, Spark, and
+    DuckDB (exact bit-length arithmetic — float log2 could disagree at
+    powers of two), and a BINDING cap drops the same pairs on both
+    engines."""
+    import duckdb
+
+    # 1) cap value identity across the three evaluators
+    for n in [0, 1, 2, 3, 255, 256, 257, 10**5, 2**40, 2**40 + 1]:
+        py = D.derive_fp_cap(n)
+        sdf = spark.range(1).select(
+            D._fp_cap_col(F.lit(n).cast("long")).alias("c"))
+        duck = duckdb.sql(
+            f"SELECT {D._fp_cap_sql_expr(f'SELECT {n}')}").fetchone()[0]
+        assert py == sdf.collect()[0]["c"] == duck, n
+    # 2) a binding cap (int, shared by operator and twin) drops the
+    #    same candidate buckets: 3 docs all sharing one boilerplate
+    #    sentence; fp_cap=2 kills the 3-doc fingerprints on BOTH sides
+    rows = [(i, "common boiler plate sentence tokens here "
+                "plus unique words number %d tail %d" % (i, i))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in D.containment_pairs(
+        df, min_containment=0.0, fp_cap=2).collect())
+    con = duckdb.connect()
+    import pandas as pd  # noqa: F401
+    pdf = df.toPandas()
+    con.register("docs", pdf)
+    want = sorted(tuple(r) for r in con.sql(D.containment_pairs_sql(
+        "docs", min_containment=0.0, fp_cap=2)).fetchall())
+    assert got == want
+    # 3) the default "auto" twins agree end-to-end too
+    got_a = sorted(tuple(r) for r in D.containment_pairs(
+        df, min_containment=0.0).collect())
+    want_a = sorted(tuple(r) for r in con.sql(D.containment_pairs_sql(
+        "docs", min_containment=0.0)).fetchall())
+    assert got_a == want_a

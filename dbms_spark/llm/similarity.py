@@ -21,6 +21,9 @@ ranking and a fair trade for a differential-testable operator.
 
 from __future__ import annotations
 
+import functools
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,26 +42,102 @@ _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc
 _NORM_SPARK = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
 
 
+#: rows-per-stage above which the unrolled kernels win (docs/SCALE.md
+#: two-mode table: fixed ~2-4 s analysis+janino cost vs 3-8x per-row)
+_UNROLL_ROWS = 100_000
+#: assumed bytes/row when only sizeInBytes is known (64-dim float
+#: vectors measure ~400 B/row in parquet; erring high keeps small
+#: inputs on the fixed-cost-free HOF form)
+_UNROLL_BYTES_PER_ROW = 400
+
+_AUTO_UNROLL = _threading.local()
+
+
 def _unroll() -> bool:
     """ANN-kernel expression mode: Spark's higher-order functions
     (aggregate/zip_with) evaluate INTERPRETED — unrolling them to
     scalar arithmetic measured 3-8x per-row on the 2·10⁵-vector index
     build — but the unrolled trees are ~10³ nodes, and their analysis
     + janino compile adds a FIXED ~2-4 s per stage, which DOMINATES
-    at gate scale (2k rows: q51 measured 1.3 → ~3 s).  So the unroll
-    is env-gated: set SPARK_GRAFT_ANN_UNROLL=1 for large-corpus jobs
-    (worth it above ~10⁵ rows per stage — docs/SCALE.md table);
-    default stays the HOF form.  Both forms are bit-identical (same
-    left-to-right FP order), pinned by test."""
+    at gate scale (2k rows: q51 measured 1.3 → ~3 s).  The mode is
+    AUTO-SELECTED per operator call from a cheap Catalyst row
+    estimate (:func:`_auto_unroll` wraps each entrypoint; crossover
+    ~10⁵ rows/stage per docs/SCALE.md), with SPARK_GRAFT_ANN_UNROLL
+    as a manual override: 1/true forces unrolled, 0/false forces HOF,
+    unset defers to the estimate.  Both forms are bit-identical (same
+    left-to-right FP order), pinned by test — auto-switching can
+    never change a result."""
     import os
 
-    return os.environ.get("SPARK_GRAFT_ANN_UNROLL", "").lower() in (
-        "1", "true", "yes")
+    env = os.environ.get("SPARK_GRAFT_ANN_UNROLL", "").lower()
+    if env in ("1", "true", "yes"):
+        return True
+    if env in ("0", "false", "no"):
+        return False
+    return bool(getattr(_AUTO_UNROLL, "value", False))
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    """Cheap (no job) row estimate from Catalyst plan statistics:
+    rowCount when the optimizer knows it, else sizeInBytes over an
+    assumed vector-row width.  Returns 0 when stats are unreachable
+    (e.g. Spark Connect) — which keeps the fixed-cost-free HOF form."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if size >= 1 << 60:
+            # spark.sql.defaultSizeInBytes sentinel: RDD-backed plans
+            # report Long.MaxValue when stats are UNKNOWN — unknown
+            # means HOF, not "huge"
+            return 0
+        return size // _UNROLL_BYTES_PER_ROW
+    except Exception:
+        return 0
+
+
+class _auto_unroll:
+    """Context manager the ANN entrypoints wrap their expression
+    construction in: picks unrolled kernels when the LARGEST relation
+    the per-row work runs over is estimated past the measured
+    crossover.  Thread-local and re-entrant (restores the previous
+    decision), so concurrent planners don't fight."""
+
+    def __init__(self, *dfs: DataFrame):
+        self._dfs = dfs
+
+    def __enter__(self):
+        self._prev = getattr(_AUTO_UNROLL, "value", False)
+        est = max((_estimate_rows(d) for d in self._dfs), default=0)
+        _AUTO_UNROLL.value = est >= _UNROLL_ROWS
+        return self
+
+    def __exit__(self, *exc):
+        _AUTO_UNROLL.value = self._prev
+        return False
+
+
+def _auto_unroll_args(fn):
+    """Entrypoint decorator: auto-select the kernel mode from the
+    largest DataFrame argument's row estimate for the duration of the
+    call's expression construction (the decision input is whichever
+    relation the per-row kernels scan — corpus, index, or batch; the
+    max over all DataFrame args covers each operator's shape)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        dfs = [a for a in (*args, *kwargs.values())
+               if isinstance(a, DataFrame)]
+        with _auto_unroll(*dfs):
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 def _dot_pair_spark(a: str, b: str, dims: int | None) -> str:
     """Pair dot product: unrolled scalar arithmetic when the width is
-    statically known AND SPARK_GRAFT_ANN_UNROLL is set (see
+    statically known AND the mode resolves to unrolled (auto row
+    estimate or SPARK_GRAFT_ANN_UNROLL override — see
     :func:`_unroll`), the generic HOF fold otherwise."""
     if dims is None or not _unroll():
         return _DOT_SPARK.format(a=a, b=b)
@@ -171,6 +250,7 @@ def plane_expr_duck(plane: int, dims: int, vec: str = "v") -> str:
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
+@_auto_unroll_args
 def lsh_buckets(df: DataFrame, n_planes: int = 8, dims: int = 64,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector -> sign-bucket string over n deterministic hyperplanes.
@@ -201,6 +281,7 @@ def derive_n_planes(n_rows: int, target_occupancy: int = 256,
     return max(floor, math.ceil(math.log2(max(1, n_rows / target_occupancy))))
 
 
+@_auto_unroll_args
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.25,
@@ -265,6 +346,7 @@ WHERE {sim} >= {threshold}
 """
 
 
+@_auto_unroll_args
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
              dims: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
@@ -417,6 +499,7 @@ def _ivf_scores_duck(cents: list[tuple[list[int], float]], vec: str = "v") -> st
     return "[" + ", ".join(scores) + "]"
 
 
+@_auto_unroll_args
 def ivf_assign(df: DataFrame, cents: list[tuple[list[int], float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector -> nearest-centroid cluster id (map-side, no shuffle):
@@ -459,6 +542,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         queries, cents, k, nprobe, id_col, vec_col)
 
 
+@_auto_unroll_args
 def ivf_index_build(corpus: DataFrame,
                     cents: list[tuple[list[int], float]],
                     books: list[list[list[int]]] | None = None,
@@ -531,6 +615,7 @@ def ivf_index_append(index: DataFrame, new_df: DataFrame,
     return index.unionByName(fresh)
 
 
+@_auto_unroll_args
 def ivf_index_stats(index: DataFrame,
                     cents: list[tuple[list[int], float]],
                     id_col: str = "vec_id") -> DataFrame:
@@ -575,6 +660,7 @@ def ivf_probe_cells(queries: DataFrame,
     return sorted(r["cluster"] for r in rows)
 
 
+@_auto_unroll_args
 def ivf_topk_from_index(index: DataFrame, queries: DataFrame,
                         cents: list[tuple[list[int], float]],
                         k: int = 5, nprobe: int = 2,
@@ -778,6 +864,7 @@ def _pq_codes_expr(books: list[list[list[int]]], vec: str = "q") -> str:
     return "array(" + ", ".join(code_exprs) + ")"
 
 
+@_auto_unroll_args
 def pq_encode(df: DataFrame, books: list[list[list[int]]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Vector -> m nearest-centroid codes (map-side, no shuffle).
@@ -805,6 +892,7 @@ FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
 """
 
 
+@_auto_unroll_args
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
                 books: list[list[list[int]]], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -891,6 +979,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         queries, cents, books, k, nprobe, id_col, vec_col)
 
 
+@_auto_unroll_args
 def ivf_pq_topk_from_index(index: DataFrame, queries: DataFrame,
                            cents: list[tuple[list[int], float]],
                            books: list[list[list[int]]], k: int = 5,
@@ -1016,6 +1105,7 @@ def project_vectors(df: DataFrame, out_dims: int = 16, in_dims: int = 64,
     )
 
 
+@_auto_unroll_args
 def projected_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    out_dims: int = 16, in_dims: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1895,3 +1895,42 @@ def test_fp_cap_contract_shared_across_engines(spark):
     want_a = sorted(tuple(r) for r in con.sql(D.containment_pairs_sql(
         "docs", min_containment=0.0)).fetchall())
     assert got_a == want_a
+
+
+def test_ann_unroll_auto_selects_from_row_estimate(spark, monkeypatch):
+    """With no env override, the kernel mode is chosen per call from
+    a Catalyst row estimate: small inputs keep the fixed-cost-free
+    HOF form, inputs past the crossover get the unrolled scalar form
+    — and SPARK_GRAFT_ANN_UNROLL=0/1 still forces either mode."""
+    monkeypatch.delenv("SPARK_GRAFT_ANN_UNROLL", raising=False)
+    df = spark.createDataFrame(
+        [(i, [float(i % 7)] * 8) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    cents = [([1] * 8, 2.0), ([-1] * 8, 2.0)]
+
+    def plan(d):
+        return d._jdf.queryExecution().analyzed().toString()
+
+    # tiny input -> HOF folds, no unrolled element_at chains
+    # (the per-row norm stays an HOF fold in BOTH modes — only the
+    # k x dims score kernels switch, so element_at presence is the
+    # mode witness)
+    p_small = plan(S.ivf_index_build(df, cents))
+    assert "element_at" not in p_small
+    # pretend the crossover is 0 rows -> same call unrolls
+    monkeypatch.setattr(S, "_UNROLL_ROWS", 0)
+    p_big = plan(S.ivf_index_build(df, cents))
+    assert "element_at" in p_big
+    # env override beats the estimate in both directions
+    monkeypatch.setenv("SPARK_GRAFT_ANN_UNROLL", "0")
+    assert "element_at" not in plan(S.ivf_index_build(df, cents))
+    monkeypatch.setattr(S, "_UNROLL_ROWS", 100_000)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_UNROLL", "1")
+    assert "element_at" in plan(S.ivf_index_build(df, cents))
+    # the decision is call-scoped: nothing leaks into the next call
+    monkeypatch.delenv("SPARK_GRAFT_ANN_UNROLL", raising=False)
+    assert not getattr(S._AUTO_UNROLL, "value", False)
+    # a real parquet scan yields a usable nonzero estimate
+    est = S._estimate_rows(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    assert est > 0

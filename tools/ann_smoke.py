@@ -35,7 +35,13 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    mode = "unrolled" if os.environ.get("SPARK_GRAFT_ANN_UNROLL") else "hof"
+    env = os.environ.get("SPARK_GRAFT_ANN_UNROLL", "").lower()
+    # default is now AUTO: the operators pick unrolled past the
+    # ~10^5-rows/stage crossover from a Catalyst row estimate; the
+    # env var remains a manual override in either direction
+    mode = {"1": "forced-unrolled", "true": "forced-unrolled",
+            "yes": "forced-unrolled", "0": "forced-hof",
+            "false": "forced-hof", "no": "forced-hof"}.get(env, "auto")
     spark = get_spark("ann_smoke")
     emb = load_table(spark, SF, "embeddings")
     base = emb.count()

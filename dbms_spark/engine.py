@@ -413,6 +413,28 @@ class DbmsEngine:
 
         return sim.ivf_index_stats(index, cents)
 
+    def ann_index_store(self, path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+        """The PERSISTED index (llm.ann_store.AnnIndexStore): manifest
+        pointer commits, O(batch) watermark-guarded appends (no index
+        read per append), statically pruned serving reads, drift
+        stats, retrain-and-swap, compaction.  This is the serving
+        form; the DataFrame verbs above are the composition form."""
+        from dbms_spark.llm.ann_store import AnnIndexStore
+
+        return AnnIndexStore(self.spark, path, id_col, vec_col)
+
+    def ann_index_retrain(self, path: str, **kwargs) -> dict:
+        """Retrain-and-swap verb over a persisted index: retrain the
+        quantizers on a bounded reconstructed sample (or accept
+        ``quantizers=``), rebuild, and atomically swap the serving
+        relation — readers never see a half-written index (staged
+        segment + one manifest replace; crash leaves the old index).
+        Returns the post-swap drift report (fresh baseline)."""
+        store = self.ann_index_store(path)
+        store.retrain(**kwargs)
+        return store.drift()
+
     def heavy_hitters(self, df: DataFrame, key_col: str, n: int = 5) -> DataFrame:
         """Skew screen: exact top-n keys with count-min estimates
         alongside (feeds the salting planner in plans/skew)."""

@@ -586,15 +586,30 @@ def ivf_index_append(index: DataFrame, new_df: DataFrame,
                      cents: list[tuple[list[int], float]],
                      books: list[list[list[int]]] | None = None,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """O(batch) incremental intake for the IVF(+PQ) index — the
-    ledger ``*_between`` pattern (duplicate_passages_between, q210)
-    applied to vector search: ONLY the batch is quantized, assigned
-    and encoded, against the SAME frozen centroids/codebooks the
-    index was built with, then appended; the persisted corpus rows
-    are never re-encoded.  Ids already present keep their existing
-    rows (anti-join guard), so a redelivered batch is a no-op — the
-    store-fold contract of the streaming ledgers.
+                     vec_col: str = "embedding",
+                     guard: str = "anti") -> DataFrame:
+    """Incremental intake for the IVF(+PQ) index — the ledger
+    ``*_between`` pattern (duplicate_passages_between, q210) applied
+    to vector search: ONLY the batch is quantized, assigned and
+    encoded, against the SAME frozen centroids/codebooks the index
+    was built with, then appended; the persisted corpus rows are
+    never re-encoded.  The expensive half (encode) is O(batch).
+
+    ``guard`` is the redelivery policy — what keeps an id already in
+    the index from appending twice:
+
+    - ``"anti"`` (default): left-anti against the full index id
+      column.  Exact under ARBITRARY duplicate ids, but NOT O(batch):
+      LeftAnti builds its hash table over the index side, so every
+      append scans and shuffles the whole id column — O(index), fine
+      for one-shot DataFrame composition (the q301/q302 shape), wrong
+      for a nightly intake loop at 10⁹ vectors.
+    - ``"none"``: no id guard; the caller owns dedup.  This is the
+      O(batch) path — :class:`dbms_spark.llm.ann_store.AnnIndexStore`
+      uses it because its manifest WATERMARK already makes a
+      redelivered batch a no-op before any job runs (the obsolete-
+      message skip, message/tidb/consumer.go:446-448), the same
+      pointer pattern as the streaming ledgers.
 
     FROZEN-QUANTIZER CONTRACT + DRIFT RE-TRAIN TRIGGER: appends keep
     the index exactly equal to a full rebuild with the same
@@ -610,8 +625,11 @@ def ivf_index_append(index: DataFrame, new_df: DataFrame,
     scan.  Both statistics are O(index) map-side aggregates; the
     baseline is the stats output at build time, stored beside the
     index."""
-    fresh = (ivf_index_build(new_df, cents, books, id_col, vec_col)
-             .join(index.select(id_col), id_col, "left_anti"))
+    fresh = ivf_index_build(new_df, cents, books, id_col, vec_col)
+    if guard == "anti":
+        fresh = fresh.join(index.select(id_col), id_col, "left_anti")
+    elif guard != "none":
+        raise ValueError(f"unknown guard {guard!r}")
     return index.unionByName(fresh)
 
 

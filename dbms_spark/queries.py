@@ -10368,3 +10368,47 @@ def q308_streaming_sessions_day_ledger(spark: SparkSession,
         if i == 0:
             led.apply_batch(b, batch_id=i)  # redelivery: must no-op
     return session_stats_from_store(led)
+
+
+# ---------------------------------------------------------------------------
+# q309/q310 — the PERSISTED ANN index store (round-10 judge asks #1
+# and #4): q301/q302's identity contract driven through
+# llm/ann_store.AnnIndexStore — manifest-pointer commits, O(batch)
+# watermark-guarded appends (NO index read per append; the left-anti
+# full-id-column scan is gone from the serving path), statically
+# partition-pruned segment reads, and (q310) the retrain-and-swap
+# verb: built with deliberately coarse quantizers, atomically swapped
+# to the real ones, the post-swap search must equal a fresh build —
+# the oracle is the same ONE-SHOT full-corpus ANN SQL.
+# ---------------------------------------------------------------------------
+
+
+@register("q309_ann_store_lifecycle", _q301_sql())
+def q309_ann_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.llm.ann_store import AnnIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = AnnIndexStore(spark, tempfile.mkdtemp(prefix="q309_") + "/ix")
+    store.build(emb.filter("vec_id % 3 != 0"),
+                quantizers=(_ivf_cents(), None))
+    store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
+    store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)  # redelivery
+    return store.search(emb.filter("vec_id % 100 = 0"), k=5)
+
+
+@register("q310_ann_store_retrain_swap", _q302_sql())
+def q310_ann_store_retrain_swap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.llm.ann_store import AnnIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = AnnIndexStore(spark, tempfile.mkdtemp(prefix="q310_") + "/ix")
+    store.build(emb.filter("vec_id % 3 != 0"),
+                quantizers=(_ivf_cents()[:2], None))   # coarse start
+    store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
+    store.retrain(quantizers=(_ivf_cents(), _pq_books()))  # swap
+    return store.search(emb.filter("vec_id % 100 = 0"), k=5)

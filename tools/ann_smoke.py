@@ -84,6 +84,25 @@ def main() -> None:
                       "sec": rebuild_s,
                       "rebuild_over_append": round(rebuild_s / append_s, 1)
                       }), flush=True)
+
+    # the PERSISTED store's append must be FLAT in index size: the
+    # watermark guard decides redelivery before any job and no index
+    # row is read, so appending one batch onto a 10x-smaller index
+    # and onto the full index costs the same O(batch) encode+write
+    from dbms_spark.llm.ann_store import AnnIndexStore
+
+    for frac, tag in ((max(2, replicas // 10), "index_0.1x"),
+                      (replicas, "index_1x")):
+        corpus_f = big.filter(F.col("vec_id") >= base * (replicas - frac + 1))
+        store = AnnIndexStore(spark, tempfile.mkdtemp() + "/ix")
+        store.build(corpus_f, quantizers=(cents, books))
+        t0 = time.perf_counter()
+        store.append(batch, batch_id=1)
+        print(json.dumps({"case": f"store_append_{tag}", "mode": mode,
+                          "index_rows": base * (frac - 1),
+                          "batch_rows": base,
+                          "sec": round(time.perf_counter() - t0, 2)}),
+              flush=True)
     spark.stop()
 
 

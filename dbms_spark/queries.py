@@ -10412,3 +10412,33 @@ def q310_ann_store_retrain_swap(spark: SparkSession,
     store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
     store.retrain(quantizers=(_ivf_cents(), _pq_books()))  # swap
     return store.search(emb.filter("vec_id % 100 = 0"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q311 — STREAMING attribution over the DAY-BUCKETED ledger (round-10
+# judge ask #2): q303's fold and oracle with state in
+# AttributionDayLedger — last-touch rows bucket on their touch day,
+# counters in one tiny bucket, and an apply reads/rewrites only the
+# buckets within LOOKBACK reach of the batch, so per-batch I/O tracks
+# the batch span + attribution window instead of total user
+# cardinality (the SketchStore form rewrites every key every batch).
+# ---------------------------------------------------------------------------
+
+
+@register("q311_streaming_attribution_day_ledger", _q303_sql())
+def q311_streaming_attribution_day_ledger(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.streaming.events import AttributionDayLedger
+
+    led = AttributionDayLedger(
+        spark, tempfile.mkdtemp(prefix="q311_") + "/ledger",
+        "purchase", ["view", "click"], lookback_seconds=7 * 86400,
+        tiebreak=["event_id"])
+    for i, b in enumerate(_stream_batches(load_table(spark, sf_dir,
+                                                     "events"))):
+        led.apply_batch(b, batch_id=i)
+        if i == 1:
+            led.apply_batch(b, batch_id=i)  # redelivery: must no-op
+    return led.counts()

@@ -485,3 +485,100 @@ def test_session_day_ledger_far_future_timestamp_bounded(spark, tmp_path):
     base_ep = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
     assert got == [(1, base_ep, base_ep + 1200, 3),
                    (2, base_ep + far, base_ep + far, 1)]
+
+
+def test_attribution_day_ledger_matches_snapshot_store(spark, tmp_path):
+    """AttributionDayLedger counts == attribution_store counts ==
+    one-shot attribution after the same time-ordered batches (incl. a
+    redelivery); deduped lasts match the snapshot store's last-touch
+    rows; buckets beyond lookback reach keep their exact manifest
+    paths across an apply; finite lookback is enforced."""
+    import pytest as _pytest
+
+    lookback = 3600                        # 1 h window
+    rows = [
+        (1, 10, "view"), (1, 500, "click"), (1, 900, "purchase"),
+        (2, 20, "click"), (2, 200_000, "purchase"),   # out of window
+        (3, 199_000, "view"), (3, 200_500, "purchase"),  # cross-batch
+        (4, 30, "view"),                   # touch only, goes stale
+        (3, 260_000, "view"),
+    ]
+    cuts = [30_000, 200_200]
+    led = SE.AttributionDayLedger(
+        spark, str(tmp_path / "aled"), "purchase", ["view", "click"],
+        lookback_seconds=lookback, tiebreak=["event_id"])
+    snap = SE.attribution_store(
+        spark, str(tmp_path / "asnap"), "purchase", ["view", "click"],
+        lookback_seconds=lookback, tiebreak=["event_id"])
+    batches = _time_batches(rows, cuts)
+    for i, batch in enumerate(batches):
+        bdf = _ev(spark, batch)
+        if i == 2:
+            before = dict(led._read_manifest(led.TABLE)["buckets"])
+        led.apply_batch(bdf, batch_id=i)
+        snap.apply_batch(bdf, batch_id=i)
+        if i == 2:
+            # batch 3 spans >= 200_200 s (day 2): day-0 buckets are
+            # beyond the 1 h reach and must keep their exact paths
+            after = led._read_manifest(led.TABLE)["buckets"]
+            base_ep = int(BASE.replace(
+                tzinfo=datetime.timezone.utc).timestamp())
+            day0 = str(base_ep // 86400)
+            assert after[day0] == before[day0]
+    led.apply_batch(_ev(spark, batches[1]), batch_id=1)   # redelivery
+    got = sorted(((r["touch_type"] or ""), r["n"]) for r in led.counts().collect())
+    want = sorted(((r["touch_type"] or ""), r["n"]) for r in
+                  SE.attribution_counts_from_store(snap).collect())
+    assert got == want
+    one = sorted(((r["touch_type"] or ""), r["n"]) for r in
+                 E.attribute_conversions(
+                     _ev(spark, rows), "purchase", ["view", "click"],
+                     lookback_seconds=lookback, tiebreak=["event_id"])
+                 .groupBy("touch_type").agg(F.count(F.lit(1)).alias("n"))
+                 .collect())
+    assert got == one
+    # deduped lasts == snapshot store's per-key last-touch rows
+    lg = sorted(tuple(r) for r in led.lasts().collect())
+    ls = sorted(tuple(r) for r in
+                snap.read().filter("kind = 'last'")
+                .select("user_id", "touch_type", "touch_ts").collect())
+    assert lg == ls
+    with _pytest.raises(ValueError):
+        SE.AttributionDayLedger(spark, str(tmp_path / "bad"),
+                                "purchase", ["view"])
+
+
+def test_attribution_day_ledger_crash_soak(spark, tmp_path, monkeypatch):
+    import os as _os
+
+    from dbms_spark.streaming import cdc as CDC
+
+    led = SE.AttributionDayLedger(
+        spark, str(tmp_path / "asoak"), "purchase", ["view", "click"],
+        lookback_seconds=7 * 86400, tiebreak=["event_id"])
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("manifest.json"):
+            raise OSError("simulated crash at manifest commit")
+        return real_replace(src, dst)
+
+    for i, batch in enumerate(_time_batches(ROWS, CUTS)):
+        bdf = _ev(spark, batch)
+        monkeypatch.setattr(CDC.os, "replace", crashing_replace)
+        try:
+            led.apply_batch(bdf, batch_id=i)
+        except OSError:
+            pass
+        monkeypatch.setattr(CDC.os, "replace", real_replace)
+        assert led.last_batch_id() == i - 1
+        led.apply_batch(bdf, batch_id=i)
+        assert led.last_batch_id() == i
+    got = sorted(((r["touch_type"] or ""), r["n"]) for r in led.counts().collect())
+    want = sorted(((r["touch_type"] or ""), r["n"]) for r in
+                  E.attribute_conversions(
+                      _ev(spark, ROWS), "purchase", ["view", "click"],
+                      lookback_seconds=7 * 86400, tiebreak=["event_id"])
+                  .groupBy("touch_type").agg(F.count(F.lit(1)).alias("n"))
+                  .collect())
+    assert got == want

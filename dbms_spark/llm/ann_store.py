@@ -258,6 +258,21 @@ class AnnIndexStore:
         self._commit_manifest(new)
         self._gc(new)
 
+    def foreach_batch(self):
+        """Structured-Streaming intake hook:
+        ``stream.writeStream.foreachBatch(store.foreach_batch())`` —
+        the engine's batch ids are monotone per query and REPLAYED
+        after a crash/restart, which is exactly the watermark
+        contract: the replayed id is ≤ the committed watermark and
+        no-ops before any job, so the index stays exactly-once while
+        the checkpoint and the manifest disagree by at most one
+        batch.  Composes the ANN index with the CDC layer (an
+        embedding-carrying change stream maintains the serving index
+        continuously)."""
+        def apply(df: DataFrame, batch_id: int) -> None:
+            self.append(df, int(batch_id))
+        return apply
+
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 2) -> DataFrame:
         """Serving top-k: driver-literal probe cells -> statically

@@ -183,3 +183,35 @@ def test_drift_trigger_and_compact(spark, emb, quant, tmp_path):
     store.compact()
     assert len(store._read_manifest()["segments"]) == 1
     assert _rows(store.read()) == before
+
+
+def test_streaming_intake_end_to_end(spark, emb, quant, tmp_path):
+    """readStream -> foreachBatch(store.foreach_batch()) maintains
+    the index exactly-once: after the stream drains, the relation
+    equals the one-shot build over base + streamed rows, and
+    RESTARTING the stream over the same checkpoint (engine replays
+    the last batch) changes nothing — the watermark no-op."""
+    cents, _ = quant
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = AnnIndexStore(spark, str(tmp_path / "ix"))
+    store.build(emb.filter("vec_id % 2 = 0"), quantizers=(cents, None))
+    (emb.filter("vec_id % 2 = 1").coalesce(1)
+     .write.mode("overwrite").parquet(str(src)))
+
+    def run():
+        stream = (spark.readStream.schema(emb.schema)
+                  .parquet(str(src)))
+        q = (stream.writeStream.foreachBatch(store.foreach_batch())
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    want = _rows(S.ivf_index_build(emb, cents))
+    assert _rows(store.read()) == want
+    wm = store.last_batch_id()
+    run()                                  # restart: replay must no-op
+    assert _rows(store.read()) == want
+    assert store.last_batch_id() == wm

@@ -208,6 +208,11 @@ SHUFFLE_BUDGET = {
     "q308_streaming_sessions_day_ledger": 1,  # rank over committed buckets
     # cohort agg + key join + (cohort,age,key) pass + per-cohort cum
     "q306_cohort_value": 4,
+    # persisted store: probe = cell join over pruned segment scans +
+    # per-query top-k window (appends/retrains already committed)
+    "q309_ann_store_lifecycle": 1,
+    "q310_ann_store_retrain_swap": 1,
+    "q311_streaming_attribution_day_ledger": 0,  # reads ONE bucket
 }
 
 _SHUFFLE_RE = re.compile(

@@ -64,12 +64,20 @@ class AnnIndexStore:
 
     def __init__(self, spark: SparkSession, path: str,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 retention: int = 2):
+                 retention: int = 2, max_segments: int = 64):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
         self.retention = max(1, retention)
+        #: appends auto-compact when the segment list exceeds this —
+        #: a serving read unions one scan per segment, so unbounded
+        #: nightly appends would otherwise grow the plan (and the
+        #: per-cluster small-file count) linearly forever.  The
+        #: compaction is O(index) but amortized: it runs every
+        #: ~max_segments appends, so amortized append cost stays
+        #: O(batch + index/max_segments).  0 disables.
+        self.max_segments = max_segments
 
     # -- manifest: atomic snapshot pointer (ParquetTableStore shape) --
 
@@ -257,6 +265,8 @@ class AnnIndexStore:
                    segments=[*m["segments"], rel])
         self._commit_manifest(new)
         self._gc(new)
+        if self.max_segments and len(new["segments"]) > self.max_segments:
+            self.compact()          # amortized: every ~max_segments appends
 
     def foreach_batch(self):
         """Structured-Streaming intake hook:

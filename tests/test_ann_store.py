@@ -215,3 +215,18 @@ def test_streaming_intake_end_to_end(spark, emb, quant, tmp_path):
     run()                                  # restart: replay must no-op
     assert _rows(store.read()) == want
     assert store.last_batch_id() == wm
+
+
+def test_auto_compaction_bounds_segments(spark, emb, quant, tmp_path):
+    """Nightly appends must not grow the serving plan forever: past
+    max_segments the append auto-compacts (amortized O(index /
+    max_segments) per append), and the relation stays bit-identical
+    through the fold."""
+    cents, _ = quant
+    store = AnnIndexStore(spark, str(tmp_path / "ix"), max_segments=3)
+    store.build(emb.filter("vec_id % 5 = 0"), quantizers=(cents, None))
+    for i in range(1, 5):
+        store.append(emb.filter(f"vec_id % 5 = {i}"), batch_id=i)
+    assert len(store._read_manifest()["segments"]) <= 3
+    assert store.last_batch_id() == 4          # compaction keeps wm
+    assert _rows(store.read()) == _rows(S.ivf_index_build(emb, cents))

@@ -1275,3 +1275,209 @@ SELECT t_id AS train_id,
        {cos_q} >= {thr_u} AS contaminated
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — the DATA-TRAINED counterpart of the JL random
+# projection above (random_projection_expr): instead of md5-derived
+# planes, the projection axes are the top principal components of a
+# bounded training sample, so a given out_dims keeps the MOST variance
+# the data has to offer (the standard ANN preprocessing step in front
+# of IVF/PQ: rotate-and-truncate before quantizing).  Reference parity
+# note: the reference engine has no vector ops at all (wentaojin/dbms
+# is a migration/verify tool); this family extends the repo's
+# LLM-pipeline surface alongside lsh/ivf/pq.
+#
+# Rules-as-data, like the IVF centroids / PQ codebooks: trained ONCE
+# driver-side over the same bounded sample reader
+# (_sample_vectors), shipped as integer literals into BOTH dialects.
+# Cross-engine exactness: with q = round(v * SCALE) ints, component
+# ints c, and the centering folded into a precomputed integer constant
+# K = <mu, c>, each coordinate is (<q, c> - K) / norm — the numerator
+# is a sum of 64 integer products bounded ~2^33, exact in a double on
+# both engines; the division is one IEEE op.
+# ---------------------------------------------------------------------------
+
+
+def train_pca_projection(parquet_path: str, out_dims: int = 8,
+                         sample: int = 4096, vec_col: str = "embedding",
+                         spark=None):
+    """Top-``out_dims`` principal axes of a bounded sample, as
+    dialect-shippable integer literals.
+
+    Deterministic: fixed sample (smallest vec_ids), covariance via one
+    X^T X product (dims x dims, driver-side — dims is 64, never the
+    corpus), ``numpy.linalg.eigh`` (symmetric, ascending), descending
+    eigenvalue order, sign fixed so each component's
+    largest-|coordinate| entry is positive (first index on ties).
+
+    Returns ``(mean_ints, [(comps_ints, norm, explained), ...])`` with
+    ``explained`` the component's fraction of TOTAL sample variance —
+    the sizing diagnostic (pick out_dims where the cumulative share
+    plateaus).
+
+    SCALE: training reads ``sample`` rows (executor-parallel top-k
+    when ``spark`` is given — see _sample_vectors); the projection
+    itself is map-side only at any corpus size."""
+    import numpy as np
+
+    X = _sample_vectors(parquet_path, sample, vec_col, spark)
+    Q = np.round(X * _SCALE)                       # queries' quantized space
+    mu = np.round(Q.mean(axis=0))
+    Xc = Q - mu
+    C = Xc.T @ Xc                                  # dims x dims, driver-side
+    w, V = np.linalg.eigh(C)                       # ascending eigenvalues
+    total = float(w.sum()) or 1.0
+    out = []
+    for j in range(len(w) - 1, len(w) - 1 - out_dims, -1):
+        v = V[:, j]
+        i = int(np.argmax(np.abs(v)))              # deterministic sign fix
+        if v[i] < 0:
+            v = -v
+        ci = [int(x) for x in np.round(v * _SCALE)]
+        nrm = float(np.linalg.norm(np.array(ci, dtype=np.float64)))
+        out.append((ci, nrm if nrm > 0 else 1.0, float(w[j]) / total))
+    return ([int(m) for m in mu], out)
+
+
+def _pca_coord_exprs(proj, vec: str, duck: bool) -> list[str]:
+    """One expression per output coordinate: (<q, c_j> - K_j) / norm_j
+    with K_j = <mu, c_j> folded to a Python-int literal (centering
+    without a second zip over the row)."""
+    mu, comps = proj
+    exprs = []
+    for ci, nrm, _ in comps:
+        k = sum(m * c for m, c in zip(mu, ci))
+        if duck:
+            arr = ", ".join(f"CAST({c} AS DOUBLE)" for c in ci)
+            dot = f"list_sum(list_transform(list_zip({vec}, [{arr}]), p -> p[1] * p[2]))"
+        elif _unroll():
+            dot = "(" + " + ".join(
+                f"element_at({vec}, {i + 1}) * {c}D"
+                for i, c in enumerate(ci)) + ")"
+        else:
+            arr = ", ".join(f"{c}D" for c in ci)
+            dot = (f"aggregate(zip_with({vec}, array({arr}),"
+                   f" (x, c) -> x * c), 0D, (a, v) -> a + v)")
+        if duck:
+            exprs.append(f"({dot} - CAST({k} AS DOUBLE)) / {nrm!r}")
+        else:
+            exprs.append(f"({dot} - {k}D) / {nrm!r}D")
+    return exprs
+
+
+def pca_projection_expr(proj, vec: str = "q") -> str:
+    return "array(" + ", ".join(_pca_coord_exprs(proj, vec, duck=False)) + ")"
+
+
+def pca_projection_sql_expr(proj, vec: str = "v") -> str:
+    return "[" + ", ".join(_pca_coord_exprs(proj, vec, duck=True)) + "]"
+
+
+@_auto_unroll_args
+def pca_project(df: DataFrame, proj,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, proj array<double>) — map-side only, no shuffle."""
+    return (
+        df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+        .select(F.col(id_col),
+                F.expr(pca_projection_expr(proj)).alias("proj"))
+    )
+
+
+def pca_project_sql(table: str, proj,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    return f"""
+SELECT {id_col}, {pca_projection_sql_expr(proj)} AS proj
+FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
+"""
+
+
+@_auto_unroll_args
+def pca_topk(corpus: DataFrame, queries: DataFrame, proj, k: int = 5,
+             rerank: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Two-stage top-k: candidates by cosine in the PCA space
+    (out_dims multiplies per pair), then EXACT fixed-point cosine over
+    the full vectors for the best ``rerank * k`` candidates per query
+    — the rotate-truncate-rerank ladder in front of brute force.
+
+    SCALE shape: stage 1 is the projected_topk plan (queries
+    broadcast, corpus map-side scored, per-query top via one window
+    over rerank*k survivors); stage 2 re-reads only |q| * rerank * k
+    corpus rows by id.  Both stages' scores are exact doubles with
+    id tie-breaks, so the candidate set — not just the final ranking —
+    is cross-engine identical."""
+    from pyspark.sql import Window
+
+    ck = int(rerank) * int(k)
+    c = pca_project(corpus, proj, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("proj").alias("n_vec"))
+    c = c.withColumn("n_norm", F.expr(_NORM_SPARK.format(a="n_vec")))
+    q = pca_project(queries, proj, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("proj").alias("q_vec"))
+    q = q.withColumn("q_norm", F.expr(_NORM_SPARK.format(a="q_vec")))
+    out_dims = len(proj[1])
+    dot1 = _dot_pair_spark("q_vec", "n_vec", out_dims)
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.expr(
+            f"{dot1} / (q_norm * n_norm)").alias("p_sim"))
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("p_sim"), F.asc("n_id"))
+    cand = (cand.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= ck).select("q_id", "n_id"))
+
+    full = corpus.select(
+        F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v")
+    ).withColumn("__n", F.expr(_NORM_SPARK.format(a="__v")))
+    qf = full.select(F.col("__id").alias("q_id"),
+                     F.col("__v").alias("q_full"), F.col("__n").alias("q_fn"))
+    nf = full.select(F.col("__id").alias("n_id"),
+                     F.col("__v").alias("n_full"), F.col("__n").alias("n_fn"))
+    dot2 = _dot_pair_spark("q_full", "n_full", None)
+    sim = f"floor({dot2} / (q_fn * n_fn) * 1000000) / 1000000"
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        cand.join(nf, "n_id").join(F.broadcast(qf), "q_id")
+        .select("q_id", "n_id", F.expr(sim).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+def pca_topk_sql(table: str, query_filter: str, proj, k: int = 5,
+                 rerank: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    ck = int(rerank) * int(k)
+    pexp = pca_projection_sql_expr(proj)
+    pnorm = _NORM_DUCK.format(a="proj")
+    dot1 = _DOT_DUCK.format(a="q.proj", b="c.proj")
+    fnorm = _NORM_DUCK.format(a="v")
+    dot2 = _DOT_DUCK.format(a="qc.v", b="nc.v")
+    sim = f"floor({dot2} / (qc.nrm * nc.nrm) * 1000000) / 1000000"
+    return f"""
+WITH pv AS (SELECT {id_col} AS id, proj, {pnorm} AS nrm
+            FROM (SELECT {id_col}, {pexp} AS proj
+                  FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table}))),
+qp AS (SELECT id, proj, nrm FROM pv WHERE {query_filter}),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.id AS q_id, c.id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY {dot1} / (q.nrm * c.nrm) DESC, c.id) AS rn
+    FROM pv c CROSS JOIN qp q WHERE q.id <> c.id
+  ) WHERE rn <= {ck}
+),
+vecs AS (SELECT {id_col} AS id, v, {fnorm} AS nrm
+         FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table}))
+SELECT q_id AS query_id, n_id AS neighbor_id, cos_sim FROM (
+  SELECT q_id, n_id, {sim} AS cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY {sim} DESC, n_id) AS rn
+  FROM cand JOIN vecs qc ON qc.id = q_id JOIN vecs nc ON nc.id = n_id
+) WHERE rn <= {k}
+"""

@@ -10442,3 +10442,43 @@ def q311_streaming_attribution_day_ledger(spark: SparkSession,
         if i == 1:
             led.apply_batch(b, batch_id=i)  # redelivery: must no-op
     return led.counts()
+
+
+# ---------------------------------------------------------------------------
+# q312 — PCA-PRUNED top-k: the data-trained counterpart of the JL
+# random projection (q91): principal axes trained once driver-side
+# over the bounded sample, shipped as integer literals into both
+# dialects, candidates scored in the 8-dim PCA space, exact
+# fixed-point cosine re-rank over the full 64-dim vectors for the
+# survivors — the rotate-truncate-rerank ladder in front of brute
+# force (q27).  The candidate SET, not just the ranking, is
+# cross-engine identical (exact doubles + id tie-breaks).
+# ---------------------------------------------------------------------------
+
+
+def _pca_proj():
+    from dbms_spark.llm.similarity import train_pca_projection
+
+    global _PCA_PROJ
+    try:
+        return _PCA_PROJ
+    except NameError:
+        _PCA_PROJ = train_pca_projection(
+            table_path(_ORACLE_SF_DIR, "embeddings"), out_dims=8)
+        return _PCA_PROJ
+
+
+def _q312_sql() -> str:
+    from dbms_spark.llm.similarity import pca_topk_sql
+
+    return pca_topk_sql("embeddings", "id % 100 = 0", _pca_proj(),
+                        k=5, rerank=4)
+
+
+@register("q312_pca_pruned_topk", _q312_sql())
+def q312_pca_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.similarity import pca_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_topk(emb, emb.filter("vec_id % 100 = 0"), _pca_proj(),
+                    k=5, rerank=4)

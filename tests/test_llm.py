@@ -1934,3 +1934,118 @@ def test_ann_unroll_auto_selects_from_row_estimate(spark, monkeypatch):
     est = S._estimate_rows(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
     assert est > 0
+
+
+def _write_anisotropic_vectors(tmp_path, n=200, dims=16):
+    """Deterministic vectors with variance concentrated in dims 0-1
+    (signal) and near-zero elsewhere — the shape PCA is FOR."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = []
+    for i in range(n):
+        a = float((i % 17) - 8)            # dominant axis, var ~24
+        b = float(((i * 7) % 13) - 6) * 0.5  # second axis, var ~3.5
+        v = [0.0] * dims
+        v[0], v[1] = a, b
+        for j in range(2, dims):           # deterministic micro-noise
+            v[j] = 0.01 * float((i * j) % 5 - 2)
+        vecs.append(v)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    p = str(tmp_path / "aniso.parquet")
+    pq.write_table(t, p)
+    return p, vecs
+
+
+def test_pca_projection_tracks_dominant_axes(spark, tmp_path):
+    """Hand-computable anisotropy: the first principal component must
+    align with the planted dominant axis (positive sign after the
+    deterministic fix), explained shares must be descending with the
+    two signal axes carrying ~all variance, and training must be
+    deterministic."""
+    p, _ = _write_anisotropic_vectors(tmp_path)
+    proj = S.train_pca_projection(p, out_dims=4, sample=10_000)
+    assert proj == S.train_pca_projection(p, out_dims=4, sample=10_000)
+    mu, comps = proj
+    c0, _, e0 = comps[0]
+    c1, _, e1 = comps[1]
+    # first PC is the planted e0 direction (sign-fixed positive)
+    assert c0[0] > 0.99 * S._SCALE
+    assert all(abs(x) < 0.05 * S._SCALE for x in c0[1:])
+    # second PC is the planted e1 direction
+    assert abs(c1[1]) > 0.99 * S._SCALE
+    shares = [c[2] for c in comps]
+    assert shares == sorted(shares, reverse=True)
+    assert e0 + e1 > 0.99          # two signal axes carry the variance
+    # distributed trainer selects the identical sample -> same bits
+    assert S.train_pca_projection(p, out_dims=4, sample=10_000,
+                                  spark=spark) == proj
+
+
+def test_pca_topk_recall_and_parity(spark, sf_dir, duck, tmp_path):
+    """(1) On anisotropic data, 2 PCA dims + a small re-rank recover
+    nearly the exact cosine top-k (numpy oracle); (2) on the real
+    embeddings table, operator and DuckDB twin are value-identical —
+    candidate SET included, not just the final ranking."""
+    import numpy as np
+
+    p, vecs = _write_anisotropic_vectors(tmp_path)
+    proj = S.train_pca_projection(p, out_dims=2, sample=10_000)
+    df = spark.read.parquet(p)
+    got = S.pca_topk(df, df.filter("vec_id % 10 = 0"), proj,
+                     k=5, rerank=4).collect()
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # numpy exact-cosine oracle over the same quantized space
+    Q = np.round(np.array(vecs) * S._SCALE)
+    nrm = np.linalg.norm(Q, axis=1)
+    sims = (Q @ Q.T) / np.outer(nrm, nrm)
+    want = set()
+    for qi in range(0, len(vecs), 10):
+        order = sorted((i for i in range(len(vecs)) if i != qi),
+                       key=lambda i: (-sims[qi, i], i))
+        want |= {(qi, i) for i in order[:5]}
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9, recall
+
+    # cross-engine value identity on the real table
+    from dbms_spark.queries import _pca_proj, _q312_sql, q312_pca_pruned_topk
+    from dbms_spark.sources.catalog import load_table
+
+    sp = sorted(tuple(r) for r in
+                q312_pca_pruned_topk(spark, sf_dir).collect())
+    du = sorted(tuple(r) for r in duck.sql(_q312_sql()).fetchall())
+    assert sp == du
+    # projection itself is bit-identical cross-engine
+    pr = _pca_proj()
+    sp_p = {r["vec_id"]: tuple(r["proj"]) for r in S.pca_project(
+        load_table(spark, sf_dir, "embeddings"), pr).collect()}
+    du_p = {r[0]: tuple(r[1]) for r in duck.sql(
+        S.pca_project_sql("embeddings", pr)).fetchall()}
+    assert sp_p == du_p
+
+
+def test_pca_unroll_modes_bit_identical(spark, sf_dir, monkeypatch):
+    """The PCA kernels ride the same two-mode ladder as the other ANN
+    kernels: HOF and unrolled forms are bit-identical, and the mode
+    witness (element_at chains) responds to the override."""
+    from dbms_spark.sources.catalog import load_table, table_path
+
+    pr = S.train_pca_projection(table_path(sf_dir, "embeddings"),
+                                out_dims=4)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def snap():
+        return sorted((r["vec_id"], tuple(r["proj"])) for r in
+                      S.pca_project(emb, pr).collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_ANN_UNROLL", raising=False)
+    hof = snap()
+    plan_hof = (S.pca_project(emb, pr)
+                ._jdf.queryExecution().analyzed().toString())
+    assert "element_at" not in plan_hof
+    monkeypatch.setenv("SPARK_GRAFT_ANN_UNROLL", "1")
+    assert snap() == hof
+    plan_unr = (S.pca_project(emb, pr)
+                ._jdf.queryExecution().analyzed().toString())
+    assert "element_at" in plan_unr

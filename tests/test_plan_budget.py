@@ -213,6 +213,10 @@ SHUFFLE_BUDGET = {
     "q309_ann_store_lifecycle": 1,
     "q310_ann_store_retrain_swap": 1,
     "q311_streaming_attribution_day_ledger": 0,  # reads ONE bucket
+    # candidate window on q_id; the re-rank join broadcasts at test SF
+    # and PRESERVES the q_id partitioning, so the final top-k window
+    # reuses the same exchange
+    "q312_pca_pruned_topk": 1,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -41,7 +41,10 @@ Many small appends accumulate segments (and per-cluster small files);
 same staged-write + pointer-swap, and :meth:`AnnIndexStore.retrain`
 does the same swap with freshly trained quantizers when
 :meth:`AnnIndexStore.drift` trips (own-centroid cosine decay or
-cell-occupancy skew — thresholds documented on ``ivf_index_append``).
+cell-occupancy skew — both BASELINE-relative, so inherently lopsided
+data re-baselines instead of retraining every night).
+:meth:`AnnIndexStore.maintain` is the one nightly verb tying them
+together: evaluate drift -> retrain if tripped, else fold segments.
 """
 
 from __future__ import annotations
@@ -320,17 +323,25 @@ class AnnIndexStore:
             tot = sum(n for n, _ in d.values())
             return (sum(n * c for n, c in d.values()) // tot) if tot else 0
 
+        def occ_skew(d):
+            ns = [n for n, _ in d.values()]
+            return (max(ns) * len(ns) / sum(ns)) if ns and sum(ns) else 0.0
+
         cur_ppm, base_ppm = wmean(cur), wmean(base)
-        ns = [n for n, _ in cur.values()]
-        skew = (max(ns) * len(ns) / sum(ns)) if ns and sum(ns) else 0.0
+        skew, base_skew = occ_skew(cur), occ_skew(base)
         reasons = []
         if base and cur_ppm < base_ppm - cos_drop_ppm:
             reasons.append("own_cos_decay")
-        if skew > skew_ratio:
+        # skew is baseline-RELATIVE, like the cosine trigger: an index
+        # whose data is inherently lopsided re-baselines at retrain
+        # time (maintain() would otherwise retrain every night without
+        # ever helping) — only skew GROWTH past the ratio fires
+        if skew > skew_ratio and skew > base_skew * 1.25:
             reasons.append("occupancy_skew")
         return {"retrain": bool(reasons), "reasons": reasons,
                 "mean_own_cos_ppm": cur_ppm, "baseline_ppm": base_ppm,
-                "occupancy_skew": round(skew, 2)}
+                "occupancy_skew": round(skew, 2),
+                "baseline_skew": round(base_skew, 2)}
 
     # -- retrain-and-swap --
 
@@ -410,3 +421,25 @@ class AnnIndexStore:
         new = dict(m, version=version, segments=[rel])
         self._commit_manifest(new)
         self._gc(new)
+
+    def maintain(self, cos_drop_ppm: int = 50_000,
+                 skew_ratio: float = 4.0, compact_over: int = 1,
+                 **retrain_kwargs) -> dict:
+        """The nightly housekeeping verb — closes the lifecycle loop
+        the drift triggers only DESCRIBE: evaluate :meth:`drift`
+        against the committed baseline and, if it trips, run
+        :meth:`retrain` (which also folds segments); otherwise fold
+        append segments down when more than ``compact_over`` have
+        accumulated.  Returns the drift verdict plus what was done,
+        so an orchestrator can log one JSON row per night.  Safe to
+        crash anywhere: every mutation inside is a staged-write +
+        atomic pointer swap."""
+        verdict = self.drift(cos_drop_ppm, skew_ratio)
+        action = "none"
+        if verdict["retrain"]:
+            self.retrain(**retrain_kwargs)
+            action = "retrain"
+        elif len(self._read_manifest()["segments"]) > compact_over:
+            self.compact()
+            action = "compact"
+        return dict(verdict, action=action)

@@ -230,3 +230,36 @@ def test_auto_compaction_bounds_segments(spark, emb, quant, tmp_path):
     assert len(store._read_manifest()["segments"]) <= 3
     assert store.last_batch_id() == 4          # compaction keeps wm
     assert _rows(store.read()) == _rows(S.ivf_index_build(emb, cents))
+
+
+def test_maintain_closes_the_lifecycle_loop(spark, emb, quant, tmp_path):
+    """maintain() = drift verdict -> retrain when tripped, else fold
+    segments: the one nightly verb an orchestrator calls."""
+    cents, _ = quant
+    store = AnnIndexStore(spark, str(tmp_path / "ix"))
+    store.build(emb, quantizers=(cents, None))
+    # healthy index, single segment: nothing to do
+    r0 = store.maintain()
+    assert (r0["retrain"], r0["action"]) == (False, "none")
+    # healthy index, two segments: housekeeping compacts
+    store.append(emb.limit(0), batch_id=1)
+    store.append(emb.limit(0), batch_id=2)
+    r1 = store.maintain()
+    assert r1["action"] == "compact"
+    assert len(store._read_manifest()["segments"]) == 1
+    # skew-drifted index: maintain retrains and the NEW baseline is
+    # healthy (a second maintain finds nothing to do)
+    one = emb.orderBy("vec_id").limit(1).collect()[0]
+    skewed = spark.createDataFrame(
+        [(10_000 + i, list(one["embedding"])) for i in range(2000)],
+        "vec_id long, embedding array<double>")
+    store.append(skewed, batch_id=3)
+    rows_before = sorted(r["vec_id"] for r in
+                         store.read().select("vec_id").collect())
+    r2 = store.maintain()
+    assert r2["action"] == "retrain"
+    assert sorted(r["vec_id"] for r in
+                  store.read().select("vec_id").collect()) == rows_before
+    assert store.last_batch_id() == 3            # watermark survives
+    r3 = store.maintain()
+    assert r3["action"] in ("none",)             # fresh baseline holds

@@ -157,6 +157,25 @@ def main() -> None:
         extra = max(0, (k - 1).bit_length())
         return near_dup_pairs(src, n_planes=4 + (extra if big else 0))
 
+    def pca_topk_op(big):
+        from dbms_spark.llm.similarity import pca_topk, train_pca_projection
+
+        # projection trained ONCE from the sf0.1 sample (bounded
+        # driver-side job, excluded from the timed region by the warm
+        # pass); QUERY COUNT held constant across scales so the smoke
+        # measures the corpus-side cost of candidate scoring + re-rank
+        # (scaling queries 10x too would time a 100x workload)
+        global _PCA_SMOKE_PROJ
+        try:
+            proj = _PCA_SMOKE_PROJ
+        except NameError:
+            proj = _PCA_SMOKE_PROJ = train_pca_projection(
+                os.path.join(SF_DIR, "embeddings.parquet"), out_dims=8)
+        src = emb if big else load_table(spark, SF_DIR, "embeddings")
+        step = 100 * (k if big else 1)
+        return pca_topk(src, src.filter(f"vec_id % {step} = 0"), proj,
+                        k=5, rerank=4)
+
     def dedup_cc(big):
         from dbms_spark.llm.dedup import (dedup_groups, lsh_candidate_pairs,
                                           minhash_signatures)
@@ -426,6 +445,7 @@ def main() -> None:
     bench("minhash_lsh_pairs", lsh_pairs)
     bench("sequence_packing", pack)
     bench("embedding_near_dup", near_dup)
+    bench("pca_pruned_topk", pca_topk_op)
     bench("dedup_connected_components", dedup_cc)
     bench("prefix_filter_pairs", prefix_pairs)
     bench("contamination_overlap", contamination)

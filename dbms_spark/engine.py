@@ -435,6 +435,14 @@ class DbmsEngine:
         store.retrain(**kwargs)
         return store.drift()
 
+    def ann_index_maintain(self, path: str, **kwargs) -> dict:
+        """Nightly lifecycle verb over a persisted index: evaluate
+        drift against the committed baseline, retrain-and-swap when
+        tripped, else fold append segments.  Returns the drift
+        verdict plus the action taken — one JSON row per night for an
+        orchestrator."""
+        return self.ann_index_store(path).maintain(**kwargs)
+
     def heavy_hitters(self, df: DataFrame, key_col: str, n: int = 5) -> DataFrame:
         """Skew screen: exact top-n keys with count-min estimates
         alongside (feeds the salting planner in plans/skew)."""

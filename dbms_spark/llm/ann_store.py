@@ -165,6 +165,36 @@ class AnnIndexStore:
             raise ValueError(f"no index at {self.path}")
         return self._unpack_quantizers(m["quantizers"])
 
+    # -- optional PCA projection (OPQ-ish: index the projected space) --
+
+    @staticmethod
+    def _pack_projection(proj) -> dict | None:
+        if proj is None:
+            return None
+        mu, comps = proj
+        return {"mu": [int(m) for m in mu],
+                "comps": [[list(map(int, c)), float(n), float(e)]
+                          for c, n, e in comps]}
+
+    @staticmethod
+    def _unpack_projection(p):
+        if p is None:
+            return None
+        return ([int(m) for m in p["mu"]],
+                [(list(map(int, c)), float(n), float(e))
+                 for c, n, e in p["comps"]])
+
+    def _project(self, df: DataFrame, m: dict) -> DataFrame:
+        """Apply the manifest's projection to EXTERNAL intake (build /
+        append batches, search queries) — unit-scaled so the encode
+        path's re-quantization stays integer-exact (pca_project_unit).
+        Internal reconstructions (retrain) are already projected and
+        must NOT pass through here."""
+        proj = self._unpack_projection(m.get("projection"))
+        if proj is None:
+            return df
+        return sim.pca_project_unit(df, proj, self.id_col, self.vec_col)
+
     # -- reads --
 
     def _schema(self, m: dict) -> T.StructType:
@@ -210,10 +240,21 @@ class AnnIndexStore:
     def build(self, corpus: DataFrame,
               quantizers=None, train_path: str | None = None,
               with_pq: bool = False, n_cells: int = 8,
-              pq_m: int = 8, pq_ksub: int = 16) -> None:
+              pq_m: int = 8, pq_ksub: int = 16,
+              projection=None) -> None:
         """Train (or accept) the frozen quantizers, encode the corpus
         ONCE (single map-side select — ivf_index_build), write segment
-        s1, and commit manifest + build-time drift baseline."""
+        s1, and commit manifest + build-time drift baseline.
+
+        ``projection``: optional ``train_pca_projection`` literals —
+        the store then indexes the PCA space instead of the raw one
+        (project once at intake, same projection applied to every
+        append batch and every search query from the manifest; the
+        given quantizers must be trained in the projected unit-scaled
+        space, see :func:`similarity.pca_project_unit`)."""
+        if projection is not None:
+            corpus = sim.pca_project_unit(corpus, projection,
+                                          self.id_col, self.vec_col)
         if quantizers is not None:
             cents, books = quantizers
         else:
@@ -234,6 +275,7 @@ class AnnIndexStore:
         rel = self._write_segment(idx, version)
         new = {"version": version, "watermark": -1, "segments": [rel],
                "quantizers": self._pack_quantizers(cents, books),
+               "projection": self._pack_projection(projection),
                "schema": idx.schema.json(), "baseline": None}
         # baseline from the WRITTEN segment (one O(index) read) —
         # the reference point drift() compares against
@@ -260,7 +302,7 @@ class AnnIndexStore:
         if batch_id <= m["watermark"]:
             return                       # redelivery: exactly-once no-op
         cents, books = self._unpack_quantizers(m["quantizers"])
-        enc = sim.ivf_index_build(batch, cents, books,
+        enc = sim.ivf_index_build(self._project(batch, m), cents, books,
                                   self.id_col, self.vec_col)
         version = m["version"] + 1
         rel = self._write_segment(enc, version)
@@ -290,8 +332,12 @@ class AnnIndexStore:
                nprobe: int = 2) -> DataFrame:
         """Serving top-k: driver-literal probe cells -> statically
         partition-pruned segment scans -> exact in-cell cosine (or the
-        compressed ADC scan when the index carries PQ codes)."""
-        cents, books = self.quantizers()
+        compressed ADC scan when the index carries PQ codes).  With a
+        manifest projection, queries enter the same PCA space the
+        index was encoded in."""
+        m = self._read_manifest()
+        cents, books = self._unpack_quantizers(m["quantizers"])
+        queries = self._project(queries, m)
         cells = sim.ivf_probe_cells(queries, cents, nprobe, self.vec_col)
         idx = self.read_clusters(cells)
         if books is not None:
@@ -400,6 +446,9 @@ class AnnIndexStore:
         new = {"version": version, "watermark": m["watermark"],
                "segments": [rel],
                "quantizers": self._pack_quantizers(cents, books),
+               # reconstruction is already IN the projected space —
+               # the projection still applies to future intake/queries
+               "projection": m.get("projection"),
                "schema": idx.schema.json(),
                "baseline": [list(r) for r in
                             sim.ivf_index_stats(seg, cents, self.id_col)

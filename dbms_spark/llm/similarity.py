@@ -1481,3 +1481,22 @@ SELECT q_id AS query_id, n_id AS neighbor_id, cos_sim FROM (
   FROM cand JOIN vecs qc ON qc.id = q_id JOIN vecs nc ON nc.id = n_id
 ) WHERE rn <= {k}
 """
+
+
+def pca_project_unit(df: DataFrame, proj,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Projection scaled back to UNIT scale — coords divided by SCALE
+    so a downstream consumer that re-quantizes (round(x * SCALE))
+    gets round(coord): integers bounded ~2^20, keeping every fixed-
+    point dot product exactly representable (8 * (2^20)^2 < 2^53).
+    This is the intake form the persisted ANN store uses to index the
+    PCA space instead of the raw one (project once, index the
+    projections — the OPQ-ish pipeline as relations).  Output column
+    is named ``vec_col`` so it drops into any (id, vec) consumer."""
+    return (
+        df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+        .select(F.col(id_col),
+                F.expr(f"transform({pca_projection_expr(proj)},"
+                       f" x -> x / {_SCALE}D)").alias(vec_col))
+    )

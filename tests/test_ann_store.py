@@ -261,5 +261,41 @@ def test_maintain_closes_the_lifecycle_loop(spark, emb, quant, tmp_path):
     assert sorted(r["vec_id"] for r in
                   store.read().select("vec_id").collect()) == rows_before
     assert store.last_batch_id() == 3            # watermark survives
-    r3 = store.maintain()
+    # the engine facade is the same verb (one JSON row per night)
+    from dbms_spark.engine import DbmsEngine
+
+    r3 = DbmsEngine(spark).ann_index_maintain(str(tmp_path / "ix"))
     assert r3["action"] in ("none",)             # fresh baseline holds
+
+
+def test_projected_store_indexes_the_pca_space(spark, emb, sf_dir, tmp_path):
+    """OPQ-ish composition as ONE store: a manifest-carried PCA
+    projection is applied to build corpus, every append batch, and
+    every search query — and the result is exactly the manual
+    compose (project the relation, run ivf_topk in the projected
+    space)."""
+    from dbms_spark.sources.catalog import table_path
+
+    proj = S.train_pca_projection(table_path(sf_dir, "embeddings"),
+                                  out_dims=8)
+    pu = S.pca_project_unit(emb, proj).localCheckpoint()
+    pdir = str(tmp_path / "proj.parquet")
+    pu.write.parquet(pdir)
+    cents = S.train_ivf_centroids(pdir, k=8)   # trained IN the space
+
+    store = AnnIndexStore(spark, str(tmp_path / "ix"))
+    store.build(emb.filter("vec_id % 3 != 0"), quantizers=(cents, None),
+                projection=proj)
+    store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
+    qs = emb.filter("vec_id % 100 = 0")
+    got = sorted(tuple(r) for r in store.search(qs, k=5).collect())
+    want = sorted(tuple(r) for r in S.ivf_topk(
+        pu, pu.filter("vec_id % 100 = 0"), cents, k=5).collect())
+    assert got == want and got
+    # retrain stays in the projected space (reconstruction is NOT
+    # re-projected) and future queries still project
+    store.retrain()
+    after = store.search(qs, k=5)
+    per_q = after.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
+    assert store._read_manifest().get("projection") is not None

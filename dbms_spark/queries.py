@@ -10482,3 +10482,74 @@ def q312_pca_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_topk(emb, emb.filter("vec_id % 100 = 0"), _pca_proj(),
                     k=5, rerank=4)
+
+
+# ---------------------------------------------------------------------------
+# q313 — the PROJECTED ANN store: manifest-carried PCA projection
+# (build corpus, every append batch, and every search query all enter
+# the same 8-dim PCA space; quantizers trained IN that space).  The
+# oracle is the one-shot ivf_topk SQL over a projected derived table —
+# an independent engine reproducing the full projected serving path
+# (project -> assign -> probe -> in-cell exact cosine) value-for-value.
+# ---------------------------------------------------------------------------
+
+
+def _pca_unit_cents():
+    """IVF centroids trained in the unit-scaled PCA space: the
+    projected oracle table materialized once via DuckDB (same literal
+    projection both engines share), then the standard trainer."""
+    import tempfile
+
+    import duckdb
+
+    from dbms_spark.llm.similarity import (pca_projection_sql_expr,
+                                           quantize_sql,
+                                           train_ivf_centroids)
+
+    global _PCA_UNIT_CENTS
+    try:
+        return _PCA_UNIT_CENTS
+    except NameError:
+        pass
+    proj = _pca_proj()
+    p = os.path.join(tempfile.mkdtemp(prefix="q313_train_"),
+                     "proj.parquet")
+    duckdb.sql(f"""
+COPY (SELECT vec_id,
+             list_transform({pca_projection_sql_expr(proj)},
+                            x -> x / 10000.0) AS embedding
+      FROM (SELECT vec_id, {quantize_sql('embedding')} AS v
+            FROM read_parquet('{table_path(_ORACLE_SF_DIR, 'embeddings')}')))
+TO '{p}' (FORMAT parquet)
+""")
+    _PCA_UNIT_CENTS = train_ivf_centroids(p, k=8)
+    return _PCA_UNIT_CENTS
+
+
+def _q313_sql() -> str:
+    from dbms_spark.llm.similarity import (ivf_topk_sql,
+                                           pca_projection_sql_expr,
+                                           quantize_sql)
+
+    proj = _pca_proj()
+    projected = (f"(SELECT vec_id,"
+                 f" list_transform({pca_projection_sql_expr(proj)},"
+                 f" x -> x / 10000.0) AS embedding"
+                 f" FROM (SELECT vec_id, {quantize_sql('embedding')} AS v"
+                 f" FROM embeddings))")
+    return ivf_topk_sql(projected, "id % 100 = 0", _pca_unit_cents(), k=5)
+
+
+@register("q313_projected_ann_store", _q313_sql())
+def q313_projected_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dbms_spark.llm.ann_store import AnnIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = AnnIndexStore(spark, tempfile.mkdtemp(prefix="q313_") + "/ix")
+    store.build(emb.filter("vec_id % 3 != 0"),
+                quantizers=(_pca_unit_cents(), None),
+                projection=_pca_proj())
+    store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
+    return store.search(emb.filter("vec_id % 100 = 0"), k=5)

@@ -217,6 +217,9 @@ SHUFFLE_BUDGET = {
     # and PRESERVES the q_id partitioning, so the final top-k window
     # reuses the same exchange
     "q312_pca_pruned_topk": 1,
+    # projected store serving read: pruned segment scans + one
+    # per-query top-k window (projection is map-side)
+    "q313_projected_ann_store": 1,
 }
 
 _SHUFFLE_RE = re.compile(

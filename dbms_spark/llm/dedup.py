@@ -1756,7 +1756,9 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     from dbms_spark.llm.text import tokens_expr
     from dbms_spark.plans.parallelism import ensure_parallelism
 
-    capdf = (df.agg(_fp_cap_col(F.count(F.lit(1))).alias("__cap"))
+    # 1-row relation, PERSISTED: the broadcast cap feeds both
+    # self-join legs — unpersisted, each leg re-runs the corpus count
+    capdf = (df.agg(_fp_cap_col(F.count(F.lit(1))).alias("__cap")).persist()
              if fp_cap == "auto" else None)
     # fps feeds both self-join legs and sh feeds both verify legs —
     # persisted so the corpus is tokenized once per relation instead
@@ -1888,7 +1890,8 @@ def containment_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
         capdf = (new_df.agg(F.count(F.lit(1)).alias("__a"))
                  .crossJoin(side.agg(F.count(F.lit(1)).alias("__b")))
                  .select(_fp_cap_col(F.col("__a") + F.col("__b"))
-                         .alias("__cap")))
+                         .alias("__cap"))
+                 .persist())   # 1 row; the occ broadcast feeds 2 anti-joins
     bf = winnowed_fingerprints(new_df, id_col, text_col, n, w).persist()
     cf = (corpus_fps if corpus_fps is not None
           else winnowed_fingerprints(corpus_df, id_col, text_col, n, w)

@@ -2123,3 +2123,111 @@ SELECT {id_col}, token, tf, df, lift_ppm,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup — the cheapest dedup a crawl
+# pipeline runs, BEFORE any content is fetched or hashed: the same
+# page hides behind scheme/host case, www., default ports, fragments,
+# tracking params, param order, and trailing slashes.  Pure map-side
+# string expressions (both dialects share every primitive's semantics
+# — regexp_extract empty-on-miss, split('','&') = [''], binary-order
+# array_sort — probe-verified), so the canon key shuffles instead of
+# the URL text.
+# ---------------------------------------------------------------------------
+
+#: query params that never identify content (trackers)
+_TRACKING_PARAM_PREDS = ("x LIKE 'utm_%'", "x LIKE 'gclid=%'",
+                         "x LIKE 'fbclid=%'", "x LIKE 'ref=%'")
+
+
+def canonicalize_url_expr(col: str = "url") -> str:
+    """Spark SQL expression: canonical form of an absolute http(s)
+    URL.  Steps (each order-independent of param order, case, etc.):
+    drop fragment; lowercase scheme and host; strip ``www.`` and the
+    scheme's default port; collapse the path's trailing slash (root
+    stays ``/``, an empty path becomes ``/``); drop tracking params;
+    SORT the surviving query params (binary order).  Malformed rows
+    (no scheme://host) canonicalize to NULL so they can be routed to
+    a quarantine instead of colliding on ''."""
+    u = f"regexp_replace({col}, '#.*$', '')"
+    base = f"regexp_extract({u}, '^([^?]*)', 1)"
+    query = f"regexp_extract({u}, '^[^?]*\\\\?(.*)$', 1)"
+    scheme = f"lower(regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (f"regexp_replace(lower(regexp_extract({base},"
+                f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),"
+                f" '^www\\\\.', '')")
+    host = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+            f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+            f" ELSE {hostport} END")
+    path = (f"regexp_extract({base},"
+            f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1)")
+    path_c = (f"CASE WHEN {path} IN ('', '/') THEN '/'"
+              f" ELSE regexp_replace({path}, '/$', '') END")
+    drop = " OR ".join(_TRACKING_PARAM_PREDS)
+    params = f"filter(split({query}, '&'), x -> x != '' AND NOT ({drop}))"
+    qsorted = f"array_join(array_sort({params}), '&')"
+    return (f"CASE WHEN {scheme} = '' OR {host} = '' THEN NULL"
+            f" ELSE concat({scheme}, '://', {host}, {path_c},"
+            f" CASE WHEN {qsorted} = '' THEN '' ELSE concat('?', {qsorted}) END)"
+            f" END")
+
+
+def canonicalize_url_sql_expr(col: str = "url") -> str:
+    """DuckDB twin of :func:`canonicalize_url_expr` — same steps,
+    same regexes (probe-verified primitive-identical semantics)."""
+    u = f"regexp_replace({col}, '#.*$', '')"
+    base = f"regexp_extract({u}, '^([^?]*)', 1)"
+    query = f"regexp_extract({u}, '^[^?]*\\?(.*)$', 1)"
+    scheme = f"lower(regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (f"regexp_replace(lower(regexp_extract({base},"
+                f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),"
+                f" '^www\\.', '')")
+    host = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+            f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+            f" ELSE {hostport} END")
+    path = (f"regexp_extract({base},"
+            f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1)")
+    path_c = (f"CASE WHEN {path} IN ('', '/') THEN '/'"
+              f" ELSE regexp_replace({path}, '/$', '') END")
+    drop = " OR ".join(_TRACKING_PARAM_PREDS)
+    params = (f"list_filter(string_split({query}, '&'),"
+              f" x -> x != '' AND NOT ({drop}))")
+    # DuckDB's array_to_string([]) is NULL (Spark's array_join is '')
+    qsorted = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    return (f"CASE WHEN {scheme} = '' OR {host} = '' THEN NULL"
+            f" ELSE concat({scheme}, '://', {host}, {path_c},"
+            f" CASE WHEN {qsorted} = '' THEN '' ELSE concat('?', {qsorted}) END)"
+            f" END")
+
+
+def url_dedup_stats(df: DataFrame, url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-canonical-URL dedup ledger: (canon_url, n_variants
+    distinct raw spellings, n_docs, keep_doc = smallest id — the
+    deterministic survivor a fetch queue keeps).  Malformed URLs
+    (NULL canon) are excluded; route them via ``canon IS NULL``
+    upstream.  One hash groupBy on the canon key."""
+    canon = F.expr(canonicalize_url_expr(url_col))
+    return (
+        df.select(F.col(id_col), F.col(url_col), canon.alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.count_distinct(F.col(url_col)).cast("bigint").alias("n_variants"),
+             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.min(F.col(id_col)).cast("bigint").alias("keep_doc"))
+    )
+
+
+def url_dedup_stats_sql(table: str, url_col: str = "url",
+                        id_col: str = "doc_id") -> str:
+    canon = canonicalize_url_sql_expr(url_col)
+    return f"""
+SELECT canon_url,
+       CAST(COUNT(DISTINCT {url_col}) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({id_col}) AS BIGINT) AS keep_doc
+FROM (SELECT {id_col}, {url_col}, {canon} AS canon_url FROM {table})
+WHERE canon_url IS NOT NULL
+GROUP BY canon_url
+"""

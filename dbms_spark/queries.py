@@ -10553,3 +10553,43 @@ def q313_projected_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 projection=_pca_proj())
     store.append(emb.filter("vec_id % 3 = 0"), batch_id=1)
     return store.search(emb.filter("vec_id % 100 = 0"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q314 — URL canonicalization + URL-keyed dedup: the cheapest dedup a
+# crawl pipeline runs BEFORE fetching/hashing content.  Deterministic
+# messy-variant injection (case, www., default ports, fragments,
+# tracking params, param order, trailing slash, malformed rows) over
+# the documents ids, canonicalized and grouped on the canon key in
+# both engines.  Map-side expressions; one hash groupBy on the key.
+# ---------------------------------------------------------------------------
+
+_URLV_SPARK = (
+    "CASE WHEN doc_id % 4 = 0 THEN concat('HTTPS://WWW.Site',"
+    " CAST(doc_id % 7 AS STRING), '.Example.COM:443/p',"
+    " CAST(doc_id % 10 AS STRING), '/?utm_source=x&b=2&a=1#f')"
+    " WHEN doc_id % 4 = 1 THEN concat('https://site',"
+    " CAST(doc_id % 7 AS STRING), '.example.com/p',"
+    " CAST(doc_id % 10 AS STRING), '?a=1&b=2')"
+    " WHEN doc_id % 4 = 2 THEN concat('http://Host',"
+    " CAST(doc_id % 5 AS STRING), '.ORG:80/q/', CAST(doc_id % 3 AS STRING),"
+    " '?gclid=z')"
+    " ELSE concat('not a url ', CAST(doc_id AS STRING)) END")
+
+_URLV_DUCK = _URLV_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _q314_sql() -> str:
+    from dbms_spark.llm.text import url_dedup_stats_sql
+
+    return (f"WITH urls AS (SELECT doc_id, {_URLV_DUCK} AS url"
+            f" FROM documents)\n" + url_dedup_stats_sql("urls"))
+
+
+@register("q314_url_canonical_dedup", _q314_sql())
+def q314_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import url_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"{_URLV_SPARK} AS url")
+    return url_dedup_stats(urls)

@@ -2049,3 +2049,41 @@ def test_pca_unroll_modes_bit_identical(spark, sf_dir, monkeypatch):
     plan_unr = (S.pca_project(emb, pr)
                 ._jdf.queryExecution().analyzed().toString())
     assert "element_at" in plan_unr
+
+
+def test_canonicalize_url_hand_cases(spark, duck):
+    """Hand-computed canonical forms: case, www., default ports,
+    fragments, tracking params, param ORDER, trailing slash, repeated
+    keys, malformed rows -> NULL quarantine; and both dialects agree
+    bit-for-bit on every case."""
+    import pandas as pd
+
+    cases = [
+        (1, "HTTPS://WWW.Site.Example.COM:443/path/?utm_source=x&b=2&a=1#f",
+         "https://site.example.com/path?a=1&b=2"),
+        (2, "https://site.example.com/path?a=1&b=2",
+         "https://site.example.com/path?a=1&b=2"),
+        (3, "http://Host.org:80/", "http://host.org/"),
+        (4, "http://host.org", "http://host.org/"),
+        (5, "http://host.org/?gclid=zz&ref=abc", "http://host.org/"),
+        (6, "not a url", None),
+        (7, "ftp://files.org:21/x/", "ftp://files.org:21/x"),  # non-http port kept
+        (8, "https://s.com:8443/p?x=1&x=0", "https://s.com:8443/p?x=0&x=1"),
+        (9, "http://a.b/p?&&a=1#x#y", "http://a.b/p?a=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.selectExpr(
+        "doc_id", TX.canonicalize_url_expr("url") + " AS c").collect()}
+    assert got == {i: c for i, _, c in cases}
+    duck.register("__urls", pd.DataFrame(
+        [(i, u) for i, u, _ in cases], columns=["doc_id", "url"]))
+    dd = {r[0]: r[1] for r in duck.sql(
+        f"SELECT doc_id, {TX.canonicalize_url_sql_expr('url')} "
+        f"FROM __urls").fetchall()}
+    assert dd == got
+    # the dedup ledger collapses 3/4/5 into one canon with keep_doc=3
+    led = {r["canon_url"]: (r["n_variants"], r["n_rows"], r["keep_doc"])
+           for r in TX.url_dedup_stats(df).collect()}
+    assert led["http://host.org/"] == (3, 3, 3)
+    assert "not a url" not in " ".join(led)      # malformed quarantined

@@ -92,10 +92,11 @@ SHUFFLE_BUDGET = {
     # persisted-relation queries: InMemoryRelation subtrees re-print
     # their child plans, overstating runtime shuffles — pinned as
     # canaries like q159/q165
-    # (round 9: +occupancy window / its lineage re-print, from the
-    # derived fp_cap default)
-    "q242_containment_pairs": 7,
-    "q245_drop_contained": 27,
+    # (round 10: the in-plan derived fp_cap adds a 1-row count agg —
+    # PERSISTED so it executes once; its subtree re-prints per leg,
+    # same print-overstated canary as the persisted fingerprints)
+    "q242_containment_pairs": 9,
+    "q245_drop_contained": 33,
     "q248_dedup_keep_best": 32,
     "q249_strip_html": 0,              # pure codegen regexp chain
     "q250_normalize_text": 0,          # map-side Arrow NFC hop, no shuffle
@@ -111,9 +112,9 @@ SHUFFLE_BUDGET = {
     # candidate fp join + distinct + two candidate semi-joins + two
     # shingle verify joins (the persisted legs expand in the printed
     # pre-execution tree, as in q245)
-    # (round 9: the derived fp_cap's occupancy union + anti-joins
-    # re-print the persisted fingerprint legs)
-    "q259_containment_between": 33,
+    # (round 10: the derived fp_cap's occupancy union + anti-joins +
+    # persisted 1-row cap agg re-print the persisted fingerprint legs)
+    "q259_containment_between": 45,
     # two hist partial-aggs + two per-key quantile windows + fence agg
     # (persisted pair leg expands in the printed tree)
     "q260_sketch_mad_profile": 8,
@@ -220,6 +221,8 @@ SHUFFLE_BUDGET = {
     # projected store serving read: pruned segment scans + one
     # per-query top-k window (projection is map-side)
     "q313_projected_ann_store": 1,
+    # canon key groupBy; count_distinct(url) makes it two-phase
+    "q314_url_canonical_dedup": 2,
 }
 
 _SHUFFLE_RE = re.compile(

@@ -2231,3 +2231,104 @@ FROM (SELECT {id_col}, {url_col}, {canon} AS canon_url FROM {table})
 WHERE canon_url IS NOT NULL
 GROUP BY canon_url
 """
+
+
+def bigram_frequency_model(ref: DataFrame, text_col: str = "text",
+                           min_count: int = 1) -> DataFrame:
+    """Bigram model relation (bg, cnt) with bg = 'w1 w2' — the
+    conditional-context companion of :func:`token_frequency_model`
+    (same summarize-once lifecycle: one explode + partial-aggregated
+    groupBy, persist and score any number of batches)."""
+    return (ref.select(tokens_expr(text_col).alias("toks"))
+            .select(F.explode(F.expr(_BIGRAMS)).alias("bg"))
+            .groupBy("bg").agg(F.count("*").cast("bigint").alias("cnt"))
+            .where(F.col("cnt") >= min_count))
+
+
+def bigram_frequency_model_sql(table: str, text_col: str = "text",
+                               min_count: int = 1) -> str:
+    return f"""
+SELECT g AS bg, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                     for i in range(1, len(toks))]) AS g
+      FROM (SELECT {tokens_sql(text_col)} AS toks FROM {table})
+      WHERE len(toks) >= 2)
+GROUP BY g HAVING COUNT(*) >= {min_count}
+"""
+
+
+def bigram_fluency(docs: DataFrame, bg_model: DataFrame,
+                   uni_model: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   broadcast_model: bool = True) -> DataFrame:
+    """Conditional-bigram fluency: per doc, the mean add-1-smoothed
+    conditional probability P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    of its bigrams under a reference model — the context-aware
+    upgrade of :func:`corpus_frequency_score` (which a shuffled-word
+    salad passes: same unigrams, destroyed bigrams; this catches it).
+    LOG-FREE by design: the per-bigram probability is a ratio of
+    non-negative integers, fixed-pointed with DIV, so the score is
+    bit-identical cross-engine (the repo-wide no-ln discipline — the
+    arithmetic mean of conditional probabilities ranks fluency like
+    the geometric/perplexity form ranks it for filtering purposes,
+    without a transcendental whose last ulp differs between libms).
+
+    Returns (id, n_bigrams, mean_bigram_p_x1e6 BIGINT); docs with
+    < 2 tokens have no bigrams and are absent, matching
+    corpus_frequency_score's empty-doc convention.
+
+    SCALE shape: doc bigrams left-join the bigram model and the
+    unigram model (broadcast by default; pass broadcast_model=False
+    for 10^8+-row vocabularies — shuffle joins on the bg/w1 keys),
+    the vocabulary size V rides a PERSISTED 1-row broadcast (the
+    fp_cap lesson: an unpersisted knob aggregate re-runs per leg),
+    and everything folds into ONE per-doc partial aggregation."""
+    from pyspark import StorageLevel
+
+    bgs = (docs.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+           .select(F.col(id_col), F.explode(F.expr(_BIGRAMS)).alias("bg"))
+           .withColumn("w1", F.expr("split(bg, ' ')[0]")))
+    # the unigram model feeds TWO legs (vocab-size agg + w1 join) —
+    # persist unless the caller already did (the fp_cap lesson:
+    # an unpersisted shared leg re-runs its subtree per use)
+    if uni_model.storageLevel == StorageLevel.NONE:
+        uni_model = uni_model.persist()
+    vocab = uni_model.agg(F.count("*").cast("bigint").alias("v")).persist()
+    mb = bg_model
+    m1 = uni_model.select(F.col("tok").alias("w1"),
+                          F.col("cnt").alias("c1"))
+    if broadcast_model:
+        mb, m1 = F.broadcast(mb), F.broadcast(m1)
+    p = ("((COALESCE(cnt, 0) + 1) * 1000000)"
+         " DIV (COALESCE(c1, 0) + v)")
+    return (bgs.join(mb, "bg", "left").join(m1, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.expr(f"SUM({p}) DIV COUNT(*)")
+                 .cast("bigint").alias("mean_bigram_p_x1e6")))
+
+
+def bigram_fluency_sql(docs_table: str, bg_model_sql: str,
+                       uni_model_sql: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    p = "((COALESCE(cnt, 0) + 1) * 1000000) // (COALESCE(c1, 0) + v)"
+    return f"""
+WITH mb AS ({bg_model_sql}),
+m1 AS (SELECT tok AS w1, cnt AS c1 FROM ({uni_model_sql})),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ({uni_model_sql})),
+bgs AS (
+  SELECT {id_col},
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS bg
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {docs_table})
+  WHERE len(toks) >= 2
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM({p}) // COUNT(*) AS BIGINT) AS mean_bigram_p_x1e6
+FROM bgs
+LEFT JOIN mb USING (bg)
+LEFT JOIN m1 ON string_split(bg, ' ')[1] = m1.w1
+CROSS JOIN vocab
+GROUP BY {id_col}
+"""

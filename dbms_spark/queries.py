@@ -10593,3 +10593,38 @@ def q314_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     urls = docs.selectExpr("doc_id", f"{_URLV_SPARK} AS url")
     return url_dedup_stats(urls)
+
+
+# ---------------------------------------------------------------------------
+# q315 — conditional-bigram fluency scoring: mean add-1-smoothed
+# P(w2 | w1) of each document's bigrams under a reference model (docs
+# with doc_id % 3 = 0 are the reference; the rest are scored).  The
+# context-aware upgrade of q236's unigram corpus-frequency score —
+# a shuffled-word salad keeps its unigram score and loses this one.
+# Log-free rational fixed-point per the repo-wide no-ln discipline.
+# ---------------------------------------------------------------------------
+
+
+def _q315_sql() -> str:
+    from dbms_spark.llm.text import (bigram_fluency_sql,
+                                     bigram_frequency_model_sql,
+                                     token_frequency_model_sql)
+
+    ref = "(SELECT * FROM documents WHERE doc_id % 3 = 0)"
+    return bigram_fluency_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 != 0)",
+        bigram_frequency_model_sql(ref),
+        token_frequency_model_sql(ref))
+
+
+@register("q315_bigram_fluency", _q315_sql())
+def q315_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_spark.llm.text import (bigram_fluency,
+                                     bigram_frequency_model,
+                                     token_frequency_model)
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter("doc_id % 3 = 0")
+    return bigram_fluency(docs.filter("doc_id % 3 != 0"),
+                          bigram_frequency_model(ref),
+                          token_frequency_model(ref))

@@ -2087,3 +2087,34 @@ def test_canonicalize_url_hand_cases(spark, duck):
            for r in TX.url_dedup_stats(df).collect()}
     assert led["http://host.org/"] == (3, 3, 3)
     assert "not a url" not in " ".join(led)      # malformed quarantined
+
+
+def test_bigram_fluency_hand_case_and_salad(spark):
+    """Hand-computed add-1 conditional probabilities, and the
+    discrimination property the operator exists for: a shuffled-word
+    salad keeps its unigram corpus-frequency score but loses the
+    bigram-conditional one."""
+    ref = spark.createDataFrame([(0, "a b a c")], "doc_id long, text string")
+    uni = TX.token_frequency_model(ref)      # a:2 b:1 c:1 -> V=3
+    bgm = TX.bigram_frequency_model(ref)     # 'a b':1 'b a':1 'a c':1
+    doc = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    [r] = TX.bigram_fluency(doc, bgm, uni).collect()
+    # 'a b': (1+1)*1e6 // (2+3) = 400000 ; 'b c': (0+1)*1e6 // (1+3) = 250000
+    assert (r["n_bigrams"], r["mean_bigram_p_x1e6"]) == (2, 325000)
+    # < 2 tokens -> absent (corpus_frequency_score's empty-doc rule)
+    short = spark.createDataFrame([(9, "a")], "doc_id long, text string")
+    assert TX.bigram_fluency(short, bgm, uni).count() == 0
+
+    orig = "the quick brown fox jumps over the lazy dog and runs away"
+    shuf = "dog the away fox lazy runs jumps quick and brown over the"
+    ref2 = spark.createDataFrame([(0, orig)], "doc_id long, text string")
+    pair = spark.createDataFrame([(1, orig), (2, shuf)],
+                                 "doc_id long, text string")
+    flu = {x["doc_id"]: x["mean_bigram_p_x1e6"] for x in TX.bigram_fluency(
+        pair, TX.bigram_frequency_model(ref2),
+        TX.token_frequency_model(ref2)).collect()}
+    assert flu[1] > 1.5 * flu[2]             # salad collapses
+    unig = {x["doc_id"]: x["mean_tok_freq_x1000"] for x in
+            TX.corpus_frequency_score(
+                pair, TX.token_frequency_model(ref2)).collect()}
+    assert unig[1] == unig[2]                # unigram score is blind to it

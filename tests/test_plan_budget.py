@@ -223,6 +223,9 @@ SHUFFLE_BUDGET = {
     "q313_projected_ann_store": 1,
     # canon key groupBy; count_distinct(url) makes it two-phase
     "q314_url_canonical_dedup": 2,
+    # bigram model agg + unigram model agg (persisted, re-prints for
+    # the vocab leg) + 1-row vocab agg + per-doc fold
+    "q315_bigram_fluency": 5,
 }
 
 _SHUFFLE_RE = re.compile(

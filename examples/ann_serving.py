@@ -92,6 +92,24 @@ def main(sf_dir: str | None = None, work: str | None = None,
     stage(stage="serve", probe_cells=cells, pruning_static=pruned_ok,
           exact_pairs=exact.count(), adc_pairs=adc.count())
 
+    # the same lifecycle as ONE persisted store (round-10 form):
+    # manifest-pointer commits, watermark-guarded O(batch) appends
+    # (a redelivered batch id no-ops before any job), maintain() as
+    # the single nightly verb (drift verdict -> retrain-and-swap when
+    # tripped, else fold segments), serving reads statically pruned
+    from dbms_spark.llm.ann_store import AnnIndexStore
+
+    store = AnnIndexStore(spark, os.path.join(work, "store"))
+    store.build(corpus, quantizers=(cents, books))
+    store.append(batch, batch_id=1)
+    store.append(batch, batch_id=1)            # redelivery: no-op
+    nightly = store.maintain()
+    stage(stage="store",
+          watermark=store.last_batch_id(),
+          segments=len(store._read_manifest()["segments"]),
+          maintain_action=nightly["action"],
+          store_pairs=store.search(qs, k=5).count())
+
     if own:
         spark.stop()
     return stages

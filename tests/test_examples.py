@@ -146,7 +146,7 @@ def test_event_analytics_stages(spark, sf_dir):
 def test_ann_serving_stages(spark, sf_dir, tmp_path):
     stages = _load("ann_serving").main(sf_dir, str(tmp_path), spark=spark)
     by = {d["stage"]: d for d in stages}
-    assert list(by) == ["build", "append", "serve"]
+    assert list(by) == ["build", "append", "serve", "store"]
     assert by["append"]["index_rows"] == (by["build"]["rows"]
                                           + by["append"]["batch_rows"])
     # in-distribution append must NOT fire the retrain trigger
@@ -154,3 +154,9 @@ def test_ann_serving_stages(spark, sf_dir, tmp_path):
     assert by["serve"]["pruning_static"] is True
     assert by["serve"]["exact_pairs"] > 0
     assert by["serve"]["adc_pairs"] > 0
+    # the persisted store ran the same lifecycle: the redelivered
+    # batch no-opped (watermark stays 1), a healthy 2-segment store
+    # compacts on maintain (not retrain), serving answers
+    assert by["store"]["watermark"] == 1
+    assert by["store"]["maintain_action"] == "compact"
+    assert by["store"]["store_pairs"] > 0

@@ -119,7 +119,12 @@ def kmeans_assign(
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cvec"))
     )
     for _ in range(iters):
-        cent = _update(_assign(qv, cent), qv, dims).localCheckpoint()
+        # lazy: the k-row centroid RDD materializes inside whichever
+        # job first reads it (the next round's exchange or the final
+        # assignment) — same lineage truncation as the eager form
+        # with zero standalone jobs per round (round-10: q159
+        # 2.3 → ~1.6 s, q191 shares the win)
+        cent = _update(_assign(qv, cent), qv, dims).localCheckpoint(eager=False)
     return _assign(qv, cent).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cid").cast("bigint").alias("cid"),

@@ -1087,46 +1087,63 @@ def mad_outlier_profile(df: DataFrame, cols: list[str],
     (Spark percentile() / DuckDB quantile_cont agree bit-for-bit on
     the same doubles — gate q119 pins the pair).
     """
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
     g = [group_col] if group_col else []
-    arms = [
-        f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
-        for c in sorted(cols)]
-    # the pair relation feeds three aggregation passes (median, MAD,
-    # fence) — persist so the source scan + explode run once, not
-    # three times (sf0.1 gate: 8.0 -> ~5 s; at 100 TB the saved work
-    # is two full table scans).  Narrow (col, double) rows; spills
-    # cleanly if the corpus outgrows storage memory.
-    pairs = (df.select(*g,
-                       F.explode(F.array(*[F.expr(a) for a in arms])).alias("cv"))
-             .select(*g, F.col("cv.col_name").alias("col_name"),
-                     F.col("cv.val").alias("val"))
-             .where(F.col("val").isNotNull())
-             .persist())
-    keys = ["col_name", *g]
+    cs = sorted(cols)
+    # WIDE form (optimization round 10, guide §2.3/§2.4): the previous
+    # shape exploded every row into C (col, val) pairs, persisted that
+    # C-times-larger relation, and ran three groupBy(col_name…)
+    # aggregations over it — shuffling the exploded corpus three times
+    # and (on single-row-group inputs) building every percentile
+    # buffer in one task.  The per-COLUMN percentiles need no
+    # row-explosion at all: aggregate all C columns side by side in
+    # one pass per stage (median → MAD → fence), broadcast the
+    # group_count-row results between passes, and unpivot the final
+    # C-wide row(s) at the very end (output rows = C × groups, same as
+    # before).  Exchanges now carry partial aggregation state keyed on
+    # the group only; the persisted relation is the 1×-size projected
+    # base (sf0.1 gate q244: 5.7 → ~2 s; plan diff: Generate+explode
+    # gone, 3 exchanges of exploded rows → 3 single/group-key partial
+    # aggs).  percentile() buffers are identical per column, so
+    # results are bit-for-bit unchanged.
+    base = ensure_parallelism(
+        df.select(*g, *[F.col(c).cast("double").alias(c) for c in cs]),
+        min_bytes=2 << 20,
+    ).persist()
     bx = F.broadcast if broadcast_medians else (lambda d: d)
-    med = pairs.groupBy(*keys).agg(
-        F.expr("percentile(val, 0.5D)").alias("median_v"))
-    # percentile over an expression referencing the joined median:
-    # compute the deviation column first, then aggregate
-    dev = (pairs.join(bx(med), keys)
-           .select(*keys, "median_v",
-                   F.abs(F.col("val") - F.col("median_v")).alias("adev")))
-    mad = dev.groupBy(*keys).agg(
-        F.first("median_v").alias("median_v"),
-        F.expr("percentile(adev, 0.5D)").alias("mad"))
-    fenced = (pairs.join(bx(mad), keys)
-              .groupBy(*keys)
-              .agg(F.first("median_v").alias("median_v"),
-                   F.first("mad").alias("mad"),
-                   F.count("*").alias("n"),
-                   F.sum(F.when(F.abs(F.col("val") - F.col("median_v"))
-                                > F.lit(float(k)) * F.col("mad"), 1)
-                         .otherwise(0)).alias("n_outliers")))
-    return fenced.select(
-        *keys, "median_v", "mad",
-        F.col("n_outliers").cast("bigint").alias("n_outliers"),
-        F.floor(F.col("n_outliers").cast("double") * 1000000 / F.col("n"))
-        .cast("bigint").alias("outlier_ppm"))
+
+    def _attach(big: DataFrame, small: DataFrame) -> DataFrame:
+        # plain-equality join on the group key: NULL-key groups drop,
+        # exactly as the previous pair-relation join did
+        return big.join(bx(small), g) if g else big.crossJoin(bx(small))
+
+    med = base.groupBy(*g).agg(
+        *[F.expr(f"percentile({c}, 0.5D)").alias(f"__med_{c}") for c in cs])
+    mad = _attach(base, med).groupBy(*g).agg(
+        *[F.first(f"__med_{c}").alias(f"__med_{c}") for c in cs],
+        *[F.expr(f"percentile(abs({c} - __med_{c}), 0.5D)")
+          .alias(f"__mad_{c}") for c in cs])
+    fenced = _attach(base, mad).groupBy(*g).agg(
+        *[F.first(f"__med_{c}").alias(f"__med_{c}") for c in cs],
+        *[F.first(f"__mad_{c}").alias(f"__mad_{c}") for c in cs],
+        *[F.count(c).alias(f"__n_{c}") for c in cs],
+        *[F.sum(F.when(F.abs(F.col(c) - F.col(f"__med_{c}"))
+                       > F.lit(float(k)) * F.col(f"__mad_{c}"), 1)
+                .otherwise(0)).alias(f"__o_{c}") for c in cs])
+    arms = ", ".join(
+        f"'{c}', __med_{c}, __mad_{c}, __o_{c}, __n_{c}" for c in cs)
+    stacked = fenced.select(*g, F.expr(
+        f"stack({len(cs)}, {arms}) AS (col_name, median_v, mad, __o, __n)"))
+    return (stacked
+            # a (col, group) whose values are all NULL produced no pair
+            # rows before — drop its empty arm the same way
+            .filter(F.col("__n") > 0)
+            .select("col_name", *g, "median_v", "mad",
+                    F.col("__o").cast("bigint").alias("n_outliers"),
+                    F.floor(F.col("__o").cast("double") * 1000000
+                            / F.col("__n")).cast("bigint")
+                    .alias("outlier_ppm")))
 
 
 def mad_outlier_profile_sketch(df: DataFrame,

@@ -164,15 +164,19 @@ def connected_components(pairs: DataFrame, id_a: str = "a_id",
     are equal).  Rounds are data-dependent but bounded: raises after
     ``max_rounds`` (2^30 nodes would converge well within 30) rather
     than returning a wrong labeling."""
+    # LAZY checkpoints (round 10): the count() right after each
+    # checkpoint is the materializing action, so lineage truncation
+    # costs no extra job — one job per round instead of two (q192
+    # sf0.1: the loop's job count halves; same plan shapes inside)
     e = (
         pairs.filter(F.col(id_a) != F.col(id_b))
         .select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_e = e.count()
     for _ in range(max_rounds):
-        ns = _small_star(_large_star(e)).localCheckpoint()
+        ns = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # carry the count across rounds: this round's |ns| is next
         # round's |e|, so each round pays one count job, not two
         n_ns = ns.count()

@@ -46,8 +46,24 @@ def _num_partitions(df: DataFrame) -> int:
     return n
 
 
+def estimate_bytes(df: DataFrame) -> int:
+    """Cheap (no job) size estimate from Catalyst plan statistics
+    (``sizeInBytes`` — for parquet scans this tracks the compressed,
+    column-pruned file bytes).  Returns 0 when stats are unreachable
+    (e.g. Spark Connect) or carry the unknown-size sentinel."""
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if size >= 1 << 60:     # spark.sql.defaultSizeInBytes sentinel
+            return 0
+        return size
+    except Exception:
+        return 0
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
-                       keys: list[str] | None = None) -> DataFrame:
+                       keys: list[str] | None = None,
+                       min_bytes: int | None = None) -> DataFrame:
     """Repartition iff the plan's current partitioning is below the
     session's parallelism — cheap insurance before expensive per-row
     expressions; no-op on already-parallel inputs.
@@ -56,8 +72,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     keys, hash-partition on them instead of round-robin — the guard's
     exchange then *satisfies* the downstream distribution requirement,
     so the wide rows move once instead of (round-robin shuffle +
-    key shuffle)."""
+    key shuffle).
+
+    ``min_bytes``: skip the guard when the Catalyst size estimate is
+    BELOW this — for stages whose per-row cost is moderate, a small
+    input finishes faster serially than it can pay for the extra
+    exchange (round-10 measurement: the MAD profile's percentile pass
+    over 150 k rows lost ~0.3 s to an unconditional repartition).  An
+    unknown estimate (0) keeps the guard, preserving the prior
+    behavior."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes is not None and 0 < estimate_bytes(df) < min_bytes:
+        return df
     if _num_partitions(df) < target:
         from pyspark.sql import functions as F
 

@@ -78,7 +78,12 @@ def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
     cascade through several steps within one batch; committed anchors
     win via min() (under the in-order contract they are always
     earlier).  Each merged step is read twice (next step's join + the
-    output union), hence the localCheckpoint — the funnel() recipe."""
+    output union), hence the localCheckpoint — EAGER, deliberately:
+    a lazy checkpoint was measured in round 10 (q286 4.8 → 7.4 s) —
+    the deferred RDD materializes inside the commit-write job WITHOUT
+    AQE partition coalescing, so every per-step exchange runs at the
+    full static partition count; the eager form materializes each
+    step through a normal adaptive execution first."""
     out = []
     prev: DataFrame | None = None
     for i, step in enumerate(steps):

@@ -87,6 +87,21 @@ def flag_unstable(timings: dict[str, float],
             if spreads.get(q, 0.0) > max(0.5 * t, 0.5)]
 
 
+def clear_persistent_rdds(spark) -> None:
+    """Between-query cleanup, round 10: ``spark.catalog.clearCache()``
+    only drops SQL-cache entries — ``localCheckpoint()`` blocks (the
+    iterative operators and the streaming-store folds create them)
+    stay in the BlockManager until the JVM-side RDD is GC'd, so a
+    long bench session accumulates blocks and late queries pay the
+    memory pressure of early ones (measured: q311 5.3 s in a session
+    carrying prior store-gate blocks vs 4.6 s with the blocks
+    dropped).  Same spirit as the existing clearCache+gc cleanup:
+    queries must not bill each other."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -138,6 +153,7 @@ def main() -> None:
         # later queries for earlier queries' GC pressure; a full System.gc()
         # on this heap costs real wall clock, so only every 10th query
         spark.catalog.clearCache()
+        clear_persistent_rdds(spark)
         if i % 10 == 9:
             spark.sparkContext._jvm.System.gc()
 
@@ -177,6 +193,7 @@ def main() -> None:
             reprobe[q] = round(sorted(runs)[1], 3)
             reprobe_spread[q] = round(abs(runs[1] - runs[2]), 3)
             spark.catalog.clearCache()
+            clear_persistent_rdds(spark)
 
     total = round(sum(timings.values()), 3)
     total_reprobed = round(sum(reprobe.get(q, t) for q, t in

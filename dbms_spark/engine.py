@@ -21,6 +21,7 @@ from dbms_spark.operators import scan as scan_ops
 from dbms_spark.operators import structm
 from dbms_spark.plans import chunker
 from dbms_spark.sources import catalog
+from dbms_spark.plans.parallelism import literal_df
 
 
 @dataclass
@@ -911,13 +912,13 @@ class DbmsEngine:
                     sketch.kmv_by(docs, "source", text_col, k=64),
                     "source", k=64, built_k=64)
                 if "source" in docs.columns else
-                docs.sparkSession.createDataFrame(
+                literal_df(docs.sparkSession, 
                     [], "g_a string, g_b string, k_used long, "
                         "n_common long, jaccard_ppm long")),
             "source_concentration": (
                 assess_ops.categorical_concentration(docs, ["source"])
                 if "source" in docs.columns else
-                docs.sparkSession.createDataFrame(
+                literal_df(docs.sparkSession, 
                     [], "col_name string, n_rows long, ndv long, "
                         "top_share_ppm long, simpson_ppm long")),
         }

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbms_spark.llm import similarity as sim
+from dbms_spark.plans.parallelism import literal_df
 
 
 class AnnIndexStore:
@@ -209,7 +210,7 @@ class AnnIndexStore:
         if not m["segments"]:
             if m["schema"] is None:
                 raise ValueError(f"no index at {self.path}")
-            return self.spark.createDataFrame([], self._schema(m))
+            return literal_df(self.spark, [], self._schema(m))
         schema = self._schema(m)
         parts = [self.spark.read.schema(schema)
                  .parquet(os.path.join(self.path, s))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dbms_spark.plans.parallelism import literal_df
 
 #: minimal public stopword lists (frequency lists are public knowledge)
 STOPWORDS: dict[str, list[str]] = {
@@ -1325,7 +1326,7 @@ def phrase_query(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
     the phrase ("buffalo buffalo") fall out naturally because each
     occurrence votes once per index the term holds."""
     spark = df.sparkSession
-    ti = spark.createDataFrame(
+    ti = literal_df(spark, 
         [(t, i) for i, t in enumerate(phrase)], "token string, idx int")
     pos = df.select(
         F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("pos", "token"))
@@ -1601,7 +1602,7 @@ def mix_to_budget(df: DataFrame, budgets: dict[str, int],
         else:
             bound = space + 1   # no pre-filter: every hash qualifies
         rows.append((src, float(budgets[src]), bound))
-    rules = df.sparkSession.createDataFrame(
+    rules = literal_df(df.sparkSession, 
         rows, f"{source_col} string, __budget double, __hbound bigint")
     hexp = F.md5(F.col(id_col).cast("string"))
     hnum = F.conv(F.substring(hexp, 1, 15), 16, 10).cast("bigint")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbms_spark.sources.catalog import TABLES, load_table, table_path
+from dbms_spark.plans.parallelism import literal_df
 
 
 def table_overview(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> DataFrame:
@@ -33,7 +34,7 @@ def table_overview(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         p = table_path(sf_dir, t)
         meta = pq.read_metadata(p)
         rows.append((t, meta.num_rows, meta.num_columns, os.path.getsize(p)))
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, num_rows long, num_cols int, size_bytes long"
     )
 
@@ -71,7 +72,7 @@ def column_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for f in pq.read_schema(p):
             rows.append((t, str(f.type)))
-    df = spark.createDataFrame(rows, "table_name string, data_type string")
+    df = literal_df(spark, rows, "table_name string, data_type string")
     return df.groupBy("data_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -117,7 +118,7 @@ def column_catalog(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         schema = pq.read_schema(table_path(sf_dir, t))
         for i, f in enumerate(schema):
             rows.append((t, f.name, i + 1, _duck_type_name(f.type)))
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, column_name string, ordinal int, data_type string"
     )
 
@@ -257,7 +258,7 @@ def table_name_length_over_limit(spark: SparkSession, sf_dir: str, limit: int) -
     (reference: GetDatabaseSchemaTableNameLengthOverLimit
     assess_migrate.go:697)."""
     tables = [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
-    df = spark.createDataFrame([(t,) for t in tables], "table_name string")
+    df = literal_df(spark, [(t,) for t in tables], "table_name string")
     return (
         df.select("table_name", F.length("table_name").cast("bigint").alias("name_length"))
         .filter(F.col("name_length") > limit)
@@ -447,9 +448,15 @@ def column_profile(spark: SparkSession, sf_dir: str, table: str,
     from functools import reduce as _reduce
 
     from dbms_spark.functions.canonical import canon_column
-    from dbms_spark.plans.parallelism import ensure_parallelism
 
-    df = ensure_parallelism(load_table(spark, sf_dir, table))
+    # NO parallelism guard here (round 10): each arm's per-row work is
+    # a null check + distinct hash + min/max — far cheaper than the
+    # round-robin exchange the guard would fire once PER ARM (the
+    # projection pushes below the repartition, so every arm shuffled
+    # its column; measured 3.4 → 1.0 s on the 9-column orders gate).
+    # On well-laid-out big data the scan is already parallel and the
+    # guard was a no-op anyway.
+    df = load_table(spark, sf_dir, table)
     cols = cols or df.columns
     fields = {f.name: f.dataType for f in df.schema.fields}
     # one independent single-column aggregate per column, unioned:
@@ -559,7 +566,7 @@ def parquet_layout_report(spark: SparkSession, sf_dir: str,
         md = pq.read_metadata(table_path(sf_dir, t))
         rows.append((t, md.num_rows, md.num_row_groups,
                      max(md.row_group(i).num_rows for i in range(md.num_row_groups))))
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows,
         "table_name string, num_rows long, num_row_groups long, max_group_rows long")
 
@@ -700,7 +707,7 @@ def compatibility_report(objects: DataFrame) -> DataFrame:
     kind unknown to the matrix -> manual review).  Matrix broadcast;
     one join, no shuffle beyond the inventory's own aggregation."""
     spark = objects.sparkSession
-    rules = spark.createDataFrame(
+    rules = literal_df(spark, 
         O2M_COMPATIBLE_RULES,
         "category string, object_name string, is_compatible boolean, "
         "is_convertible boolean")
@@ -791,7 +798,7 @@ def index_length_over_limit(idx_df: DataFrame, catalog_df: DataFrame,
     DATA broadcast into the join, the explode is O(index columns) —
     catalog-sized, never data-sized."""
     spark = idx_df.sparkSession
-    widths = spark.createDataFrame(INDEX_BYTE_WIDTHS, "base_type string, byte_width int")
+    widths = literal_df(spark, INDEX_BYTE_WIDTHS, "base_type string, byte_width int")
     keyed = idx_df.select(
         "table_name", "index_name",
         F.explode(F.split("columns", ",")).alias("column_name"))
@@ -909,7 +916,7 @@ def approx_numeric_profile(df: DataFrame,
              .where(F.col("bin").isNotNull()))
     hist = pairs.groupBy("col_name", "bin").agg(
         F.count("*").cast("bigint").alias("cnt"))
-    scales = df.sparkSession.createDataFrame(
+    scales = literal_df(df.sparkSession, 
         [(c, float(lo), (float(hi) - float(lo)) / float(nbins))
          for c, (lo, hi) in sorted(ranges.items())],
         "col_name string, lo double, width double")
@@ -1188,7 +1195,7 @@ def mad_outlier_profile_sketch(df: DataFrame,
     arms = [
         f"named_struct('col_name', '{c}', 'val', CAST({c} AS DOUBLE))"
         for c in sorted(ranges)]
-    scales = df.sparkSession.createDataFrame(
+    scales = literal_df(df.sparkSession, 
         [(c, float(lo), (float(hi) - float(lo)) / float(nbins))
          for c, (lo, hi) in sorted(ranges.items())],
         "col_name string, lo double, width double")

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from dbms_spark.functions import canonical as C
 from dbms_spark.plans.chunker import ChunkPlan, assign_chunk_id
+from dbms_spark.plans.parallelism import literal_df
 
 
 def compare_method_for(
@@ -438,7 +439,7 @@ def seek_columns(
          bool(s_row["cnt"] == d_row["cnt"] and s_row[f"__h_{c}"] == d_row[f"__h_{c}"]))
         for c in cols
     ]
-    return src.sparkSession.createDataFrame(
+    return literal_df(src.sparkSession, 
         rows, "col_name string, src_cnt long, dst_cnt long, src_h0 decimal(38,0), dst_h0 decimal(38,0), equal boolean"
     )
 
@@ -529,7 +530,7 @@ def drilldown_chunks(
     ids = sorted(set(chunk_ids))
     pred = ranges_predicate(plan, ids, max_ranges)
     spark = src.sparkSession
-    ids_df = spark.createDataFrame([(i,) for i in ids], "__cid int")
+    ids_df = literal_df(spark, [(i,) for i in ids], "__cid int")
 
     def side(df: DataFrame) -> DataFrame:
         sub = df.filter(F.expr(pred))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from dbms_spark.plans.parallelism import literal_df
 
 
 def _q(s: str) -> str:
@@ -284,7 +285,7 @@ def rolling_active_from_days(daily: DataFrame, key: str = "user_id",
                F.max("__d").alias("__hi")).collect()[0]
     spark = daily.sparkSession
     if b["__lo"] is None:
-        return spark.createDataFrame([], "day timestamp, n_active bigint")
+        return literal_df(spark, [], "day timestamp, n_active bigint")
     w = Window.partitionBy(key).orderBy("__d")
     runs = (dl
             .withColumn("__prev", F.lag("__d").over(w))

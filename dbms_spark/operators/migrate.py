@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dbms_spark.plans.parallelism import literal_df
 
 
 @dataclass
@@ -166,7 +167,7 @@ class ChunkLedger:
 
         row = [(self.task, chunk_id, predicate, status, rows,
                 datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None))]
-        self.spark.createDataFrame(row, self._schema).write.mode("append").parquet(self.path)
+        literal_df(self.spark, row, self._schema).write.mode("append").parquet(self.path)
 
     def state(self) -> DataFrame:
         """Latest status per chunk (event-sourced resolve)."""

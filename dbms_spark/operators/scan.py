@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dbms_spark.plans.parallelism import literal_df
 
 #: classification ladder mirroring the NUMBER precision mapping
 #: (reference: database/mapping/oracle.go:30-250 — p<3 TINYINT,
@@ -84,7 +85,7 @@ def profile_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         (c, row[f"{c}__cnt"], row[f"{c}__cnt"] - row[f"{c}__nonnull"], row[f"{c}__approx_distinct"])
         for c in cols
     ]
-    return df.sparkSession.createDataFrame(
+    return literal_df(df.sparkSession, 
         rows, "col_name string, cnt long, nulls long, approx_distinct long"
     )
 

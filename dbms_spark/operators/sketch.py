@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dbms_spark.plans.parallelism import literal_df
 
 
 @dataclass
@@ -508,7 +509,7 @@ def bloom_write(bloom: DataFrame, path: str, m_bits: int, k: int,
     contract."""
     spark = bloom.sparkSession
     bloom.write.mode("overwrite").parquet(path)
-    meta = spark.createDataFrame(
+    meta = literal_df(spark, 
         [(int(m_bits), int(k),
           int(n_keys_est) if n_keys_est is not None else None)],
         "m_bits BIGINT, k INT, n_keys_est BIGINT")

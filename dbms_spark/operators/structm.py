@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from dbms_spark.plans.parallelism import literal_df
 
 
 @dataclass(frozen=True)
@@ -195,8 +196,8 @@ def datatype_rule_join(cat: DataFrame, spark) -> DataFrame:
     -> MySQL target type (O2M rules).  Both rule tables are broadcast
     — the reference's in-process map lookups become two broadcast
     joins; columns with no rule (e.g. array types) drop out."""
-    m2o = spark.createDataFrame(M2O_DATATYPE_RULES, "src_type string, oracle_type string")
-    o2m = spark.createDataFrame(O2M_DATATYPE_RULES, "ora_type string, mysql_type string")
+    m2o = literal_df(spark, M2O_DATATYPE_RULES, "src_type string, oracle_type string")
+    o2m = literal_df(spark, O2M_DATATYPE_RULES, "ora_type string, mysql_type string")
     return (
         cat.join(F.broadcast(m2o), cat.data_type == m2o.src_type)
         .join(F.broadcast(o2m), F.col("oracle_type") == o2m.ora_type)
@@ -267,7 +268,7 @@ def schema_to_df(spark, table: str, schema: T.StructType) -> DataFrame:
         (table, f.name, f.dataType.simpleString(), f.nullable, i)
         for i, f in enumerate(schema.fields)
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, col_name string, data_type string, nullable boolean, ordinal int"
     )
 
@@ -281,7 +282,7 @@ def specs_to_df(spark, table: str, specs: list[ColumnSpec]) -> DataFrame:
         (table, s.name, map_type(s)[1], s.nullable, s.default, s.comment, i)
         for i, s in enumerate(specs)
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows,
         "table_name string, col_name string, data_type string, nullable boolean, "
         "default string, comment string, ordinal int",
@@ -301,7 +302,7 @@ def indexes_to_df(spark, table: str, indexes: list[IndexSpec]) -> DataFrame:
         (table, ix.name, ",".join(ix.columns), ix.unique, ix.primary)
         for ix in indexes
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, index_name string, columns string, is_unique boolean, is_primary boolean"
     )
 
@@ -415,7 +416,7 @@ class PartitionSpec:
 def partitions_to_df(spark, table: str, partition_type: str,
                      parts: list[PartitionSpec]) -> DataFrame:
     rows = [(table, partition_type, p.name, p.high_value) for p in parts]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, partition_type string, partition_name string, high_value string"
     )
 
@@ -481,7 +482,7 @@ def partition_compare(src: DataFrame, dst: DataFrame) -> DataFrame:
 
 def table_meta_to_df(spark, rows: list[tuple[str, str | None, str, str]]) -> DataFrame:
     """(table_name, table_comment, charset, collation) rows."""
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, table_comment string, charset string, collation string"
     )
 
@@ -572,7 +573,7 @@ def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
 
     j = norm(old, "old").join(norm(new, "new"), ["table_name", "col_name"], "full_outer")
     spark = old.sparkSession
-    widen = spark.createDataFrame(
+    widen = literal_df(spark, 
         SAFE_WIDENINGS, "w_old string, w_new string, w_min long")
     j = j.join(
         F.broadcast(widen),
@@ -655,7 +656,7 @@ def pg_datatype_rule_join(cat: DataFrame, spark) -> DataFrame:
     one broadcast join, the char ladder via the shared expression;
     unmapped types surface as NULL target (the reference flags those
     for manual review rather than guessing)."""
-    rules = spark.createDataFrame(P2M_DATATYPE_RULES, "pg_type string, my_type string")
+    rules = literal_df(spark, P2M_DATATYPE_RULES, "pg_type string, my_type string")
     ladder = F.expr(map_pg_char_sql("base_type", "char_len"))
     return (
         cat.join(F.broadcast(rules), cat["base_type"] == rules["pg_type"], "left")
@@ -747,7 +748,7 @@ def m2p_datatype_rule_join(cat: DataFrame, spark,
     broadcast join, declared lengths re-attached by the shared render
     expression; unmapped types surface as NULL target (flagged for
     manual review, not guessed — same posture as the P2M join)."""
-    r = spark.createDataFrame(rules or M2P_DATATYPE_RULES,
+    r = literal_df(spark, rules or M2P_DATATYPE_RULES,
                               "my_type string, pg_type string")
     render = F.expr(map_m2p_render_sql("pg_type", "char_len"))
     return (
@@ -865,7 +866,7 @@ def sequences_to_df(spark, schema: str, seqs: list[SequenceSpec]) -> DataFrame:
          s.max_value, s.cache_size, s.cycle)
         for s in seqs
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows,
         "schema_name string, sequence_name string, last_number bigint, "
         "increment_by bigint, min_value bigint, max_value string, "
@@ -960,7 +961,7 @@ def fks_to_df(spark, table: str, fks: list[ForeignKeySpec]) -> DataFrame:
          ",".join(k.ref_columns), k.delete_rule, k.update_rule)
         for k in fks
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows,
         "table_name string, fk_name string, columns string, ref_schema string, "
         "ref_table string, ref_columns string, delete_rule string, update_rule string",
@@ -1054,7 +1055,7 @@ FROM j WHERE src_name IS NULL OR dst_name IS NULL
 def checks_to_df(spark, table: str, checks: list[tuple[str, str]]) -> DataFrame:
     """(name, expression) check constraints as a DataFrame."""
     rows = [(table, n, e) for n, e in checks]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows, "table_name string, check_name string, expression string")
 
 

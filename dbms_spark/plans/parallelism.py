@@ -46,6 +46,41 @@ def _num_partitions(df: DataFrame) -> int:
     return n
 
 
+def literal_df(spark, rows, schema):
+    """Small literal relation (rule tables, spec catalogs, index
+    frames) as an Arrow-backed DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes PICKLED rows
+    over ``defaultParallelism`` slices, and every downstream execution
+    deserializes each slice through a Python worker — measured ~0.3 s
+    of worker round-trips PER LITERAL FRAME at local[32] (a 3-frame
+    union groupBy: 0.94 s), and the rounds serialize at low core
+    counts.  Routing the same rows through pandas + Arrow yields a
+    JVM-side Arrow relation with one partition per record batch
+    (same union groupBy: 0.17 s) and no Python workers at execution.
+
+    Values are staged in dtype=object columns so ints stay exact and
+    None stays NULL; the declared ``schema`` drives the Arrow types.
+    Any conversion failure falls back to the plain path — this helper
+    may only change HOW a literal relation is shipped, never what it
+    contains."""
+    try:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        st = (T._parse_datatype_string(schema)
+              if isinstance(schema, str) else schema)
+        data = [tuple(r) for r in rows]
+        pdf = pd.DataFrame(data, columns=[f.name for f in st.fields],
+                           dtype=object)
+        out = spark.createDataFrame(pdf, st)
+        # paranoia: the Arrow path must not change arity
+        assert len(pdf) == len(data)
+        return out
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def estimate_bytes(df: DataFrame) -> int:
     """Cheap (no job) size estimate from Catalyst plan statistics
     (``sizeInBytes`` — for parquet scans this tracks the compressed,

@@ -30,6 +30,7 @@ from dbms_spark.functions import canonical as C
 from dbms_spark.operators import compare as X
 from dbms_spark.operators import scan as SC
 from dbms_spark.sources.catalog import TABLES, load_table, table_path
+from dbms_spark.plans.parallelism import literal_df
 
 # schemas are identical across scale factors; footers feed oracle-SQL text
 _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -1064,7 +1065,7 @@ GROUP BY severity
 @register("q38_rule_lookup", _Q38_SQL)
 def q38_rule_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    rules = spark.createDataFrame(_PRIORITY_RULES, "priority string, severity int")
+    rules = literal_df(spark, _PRIORITY_RULES, "priority string, severity int")
     return (
         orders.join(F.broadcast(rules), orders.o_orderpriority == rules.priority)
         .groupBy("severity")
@@ -1963,7 +1964,7 @@ def q68_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("e"))
-    w = spark.createDataFrame(_promo_windows(), "promo_id int, lo long, hi long")
+    w = literal_df(spark, _promo_windows(), "promo_id int, lo long, hi long")
     joined = range_join(ev, w, "e", "lo", "hi", bucket_width=6 * 3_600 * 1_000_000)
     return joined.groupBy("promo_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2420,7 +2421,7 @@ def q84_tables_without_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import tables_without_primary_key
 
     tables = [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
-    tdf = spark.createDataFrame([(t,) for t in tables], "table_name string")
+    tdf = literal_df(spark, [(t,) for t in tables], "table_name string")
     return tables_without_primary_key(tdf, _idx_catalog_df(spark))
 
 
@@ -2600,7 +2601,7 @@ WHERE len(string_split(columns, ',')) > 1
 @register("q90_index_column_counts_over_limit", _Q90_SQL)
 def q90_index_column_counts_over_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(t, n, c) for t, n, c, _, _ in _IDX_CATALOG]
-    idx = spark.createDataFrame(rows, "table_name string, index_name string, columns string")
+    idx = literal_df(spark, rows, "table_name string, index_name string, columns string")
     return (
         idx.select(
             "table_name", "index_name",
@@ -4286,8 +4287,8 @@ _Q139_TGT = ["order_key", "cust_key", "order_status", "total_price",
 
 @register("q139_schema_name_match", _Q139_SQL)
 def q139_schema_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = spark.createDataFrame([(c,) for c in _Q139_SRC], "s string")
-    tgt = spark.createDataFrame([(c,) for c in _Q139_TGT], "t string")
+    src = literal_df(spark, [(c,) for c in _Q139_SRC], "s string")
+    tgt = literal_df(spark, [(c,) for c in _Q139_TGT], "t string")
     lev = F.levenshtein(F.col("s"), F.col("t"))
     key = F.concat(F.lpad(lev.cast("string"), 4, "0"), F.col("t"))
     return (
@@ -6226,10 +6227,10 @@ def q181_object_name_length_over_limit(spark: SparkSession, sf_dir: str) -> Data
     from dbms_spark.operators.assess import object_name_length_over_limit
 
     fams = [
-        (spark.createDataFrame([(r[1],) for r in _IDX_CATALOG], "object_name string"), "INDEX"),
-        (spark.createDataFrame([(r[0],) for r in _SEQ_CATALOG], "object_name string"), "SEQUENCE"),
-        (spark.createDataFrame([(v,) for v in _VIEW_CATALOG], "object_name string"), "VIEW"),
-        (spark.createDataFrame([(u,) for u in _USER_CATALOG], "object_name string"), "USER"),
+        (literal_df(spark, [(r[1],) for r in _IDX_CATALOG], "object_name string"), "INDEX"),
+        (literal_df(spark, [(r[0],) for r in _SEQ_CATALOG], "object_name string"), "SEQUENCE"),
+        (literal_df(spark, [(v,) for v in _VIEW_CATALOG], "object_name string"), "VIEW"),
+        (literal_df(spark, [(u,) for u in _USER_CATALOG], "object_name string"), "USER"),
     ]
     parts = [
         object_name_length_over_limit(df, "object_name", otype, _NAMELEN_LIMIT)
@@ -6272,7 +6273,7 @@ FROM code GROUP BY object_type
 def q183_code_object_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import code_object_summary
 
-    code = spark.createDataFrame(
+    code = literal_df(spark, 
         _CODE_CATALOG, "object_name string, object_type string, lines bigint")
     return code_object_summary(code)
 
@@ -6293,7 +6294,7 @@ GROUP BY partition_type
 def q184_partition_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import partition_type_counts
 
-    parts = spark.createDataFrame(
+    parts = literal_df(spark, 
         _PART_CATALOG,
         "table_name string, partition_type string, partition_name string, high_value string")
     return partition_type_counts(parts)
@@ -6374,7 +6375,7 @@ FROM t GROUP BY table_type
 def q186_table_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import table_type_counts
 
-    types = spark.createDataFrame(
+    types = literal_df(spark, 
         _TABLE_TYPE_CATALOG, "table_name string, table_type string")
     return table_type_counts(types)
 
@@ -6508,16 +6509,16 @@ GROUP BY partitioning_type || '-' || subpartitioning_type
 def q189_dictionary_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_spark.operators.assess import dictionary_overview
 
-    syn = spark.createDataFrame(
+    syn = literal_df(spark, 
         _SYN_CATALOG,
         "owner string, synonym_name string, table_owner string, table_name string")
-    mv = spark.createDataFrame(
+    mv = literal_df(spark, 
         _MV_CATALOG,
         "owner string, mview_name string, rewrite_capability string, "
         "refresh_mode string, refresh_method string, fast_refreshable string")
-    ix = spark.createDataFrame(
+    ix = literal_df(spark, 
         [(t, n) for t, n, *_ in _IDX_CATALOG], "table_name string, index_name string")
-    sp = spark.createDataFrame(
+    sp = literal_df(spark, 
         _SUBPART_CATALOG,
         "table_name string, partitioning_type string, subpartitioning_type string")
     return dictionary_overview(syn, mv, ix, sp)

@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from dbms_spark.plans.parallelism import literal_df
 
 #: open-protocol-ish row-change envelope (reference:
 #: message/tidb/event.go:39-62 RowChangedEvent fields)
@@ -454,7 +455,7 @@ class ParquetTableStore:
     def _read_buckets(self, table: str, buckets: list[int] | None = None) -> DataFrame:
         paths = self._bucket_paths(table, self._read_manifest(table), buckets)
         if not paths:
-            return self.spark.createDataFrame([], self._stored_schema(table))
+            return literal_df(self.spark, [], self._stored_schema(table))
         return self.spark.read.schema(self._stored_schema(table)).parquet(*paths)
 
     def read(self, table: str) -> DataFrame:
@@ -469,7 +470,7 @@ class ParquetTableStore:
             if m["version"] == version:
                 paths = self._bucket_paths(table, m)
                 if not paths:
-                    return self.spark.createDataFrame([], self.schemas[table])
+                    return literal_df(self.spark, [], self.schemas[table])
                 return self.spark.read.schema(self.schemas[table]).parquet(*paths)
         raise ValueError(
             f"version {version} of {table} is not retained "

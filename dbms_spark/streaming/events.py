@@ -34,14 +34,12 @@ contract).  What differs is the maintained state:
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import and_
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbms_spark.streaming.cdc import ParquetTableStore
 from dbms_spark.streaming.incremental_agg import SketchStore
+from dbms_spark.plans.parallelism import literal_df
 
 
 def active_days_store(spark, path: str, key: str = "user_id",
@@ -143,7 +141,7 @@ def funnel_counts_from_store(store: SketchStore,
     included for unreached steps — the same (step, event_type,
     n_users) contract as the batch funnel()."""
     spark = store.spark
-    idx = spark.createDataFrame(
+    idx = literal_df(spark, 
         [(i, s) for i, s in enumerate(steps)], "step long, event_type string")
     counts = (store.read().groupBy("step")
               .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
@@ -401,15 +399,16 @@ class DayBucketLedger(ParquetTableStore):
         manifest = self._read_manifest(self.TABLE)
         existing = self._read_buckets(self.TABLE, touched)
         cols = existing.columns
-        # null-safe anti-join: a (key, NULL-day) row rides the NULL
-        # bucket and must dedup like any other — plain equality would
-        # never match it (NULL != NULL in join keys) and re-append it
-        # on every batch that carries it
-        d, e = delta.select(*cols).alias("__d"), existing.alias("__e")
-        cond = reduce(and_, [F.col(f"__d.{c}").eqNullSafe(F.col(f"__e.{c}"))
-                             for c in cols])
-        fresh = d.join(e, cond, "left_anti").select(*cols)
-        out = (existing.unionByName(fresh)
+        # set-union via union + dropDuplicates over ALL columns: the
+        # former null-safe LEFT ANTI join computed the same set but as
+        # a sort-merge join (both sides sorted); one hash aggregate
+        # over the union is the same shuffle volume with no sorts
+        # (round 10, guide §3).  dropDuplicates groups NULLs together,
+        # so a (key, NULL-day) row still dedups — the eqNullSafe
+        # contract is preserved.  Rows agree on every column inside a
+        # duplicate group, so which one survives is immaterial.
+        out = (existing.unionByName(delta.select(*cols))
+               .dropDuplicates(cols)
                .withColumn("_kb", self._day_bucket()))
         self._commit_buckets(self.TABLE, manifest, touched, out, bid)
 

@@ -27,6 +27,7 @@ import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dbms_spark.plans.parallelism import literal_df
 
 
 def _image(events: DataFrame, col: str, types: dict[str, str], sign: int,
@@ -184,7 +185,7 @@ class AggStore:
     def read(self) -> DataFrame:
         ptr = self._pointer()
         if ptr is None:
-            return self.spark.createDataFrame([], self._schema())
+            return literal_df(self.spark, [], self._schema())
         return self.spark.read.parquet(os.path.join(self.path, ptr[0]))
 
     def last_batch_id(self) -> int:

@@ -65,6 +65,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
+        # match bench.py: drop localCheckpoint blocks between queries
+        it = (spark.sparkContext._jsc.getPersistentRDDs()
+              .entrySet().iterator())
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
         med = sorted(runs)[len(runs) // 2]
         print(f"{p} median={med:.3f} runs={[round(r, 3) for r in runs]}")
     spark.stop()

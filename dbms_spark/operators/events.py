@@ -50,41 +50,71 @@ def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
     Returns (step BIGINT, event_type STRING, n_users BIGINT), one row
     per step, n_users non-increasing.
 
-    Shape: step 0 is one filtered groupBy (earliest step-0 event per
-    key); step i joins step-i events to the survivors of step i-1 and
-    keeps the earliest qualifying timestamp.  Survivor relations are
-    key-bounded and shrink monotonically; each is materialized once
-    (localCheckpoint) because two consumers read it — the next step's
-    join and its own count — and a chained recompute would re-run
-    every earlier stage per step."""
+    Shape (round 10, guide §2.4 — ONE exchange): a single
+    groupBy(key) collects each key's time-sorted step events, a
+    per-key left-to-right fold computes every step's first-touch
+    anchor in one pass, and one global aggregation sums the per-key
+    reached flags into the per-step counts.  (The previous shape ran
+    per STEP: a join against the previous step's survivors + a
+    groupBy + an eager localCheckpoint — ~2 exchanges and a
+    standalone job per step.)  Equivalence: events fold in ascending
+    (ts, step) order; a step-i event qualifies iff the running
+    step-(i-1) anchor is non-NULL and strictly earlier (plus the
+    conversion-window bound), and anchors fold by least() — the
+    running anchor at time t equals the min over seed-free step-(i-1)
+    qualifiers ≤ t, which is exactly what the per-step join compared
+    against; strict inequality makes ts ties order-independent.
+    Step 0 counts keys with ANY step-0 event (even NULL-ts), like the
+    old unconditioned groupBy; for i>0 NULL ts can never pass the
+    strict qualifier in either form.  An event type listed at SEVERAL
+    step positions contributes one fold row per position (the old
+    per-step filters each matched it independently)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    reached: DataFrame | None = None
-    counts: list[DataFrame] = []
-    for i, step in enumerate(steps):
-        ev_i = (events.filter(F.col(type_col) == step)
-                .select(F.col(key), F.col(ts_col).alias("__ts")))
-        if reached is None:
-            cur = ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
-        else:
-            qual = F.col("__ts") > F.col("__t")
-            if max_gap_seconds is not None:
-                qual = qual & (
-                    F.col("__ts").cast("timestamp").cast("long")
-                    <= F.col("__t").cast("timestamp").cast("long")
-                    + max_gap_seconds)
-            cur = (ev_i.join(reached.select(key, "__t"), key)
-                   .filter(qual)
-                   .groupBy(key).agg(F.min("__ts").alias("__t")))
-        reached = cur.localCheckpoint()
-        counts.append(reached.agg(
-            F.lit(i).cast("bigint").alias("step"),
-            F.lit(step).alias("event_type"),
-            F.count(F.lit(1)).cast("bigint").alias("n_users")))
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    k = len(steps)
+    if len(set(steps)) == k:
+        step_idx = F.when(F.col(type_col) == steps[0], 0)
+        for i in range(1, k):
+            step_idx = step_idx.when(F.col(type_col) == steps[i], i)
+        ev = (events.select(F.col(key), step_idx.cast("int").alias("__i"),
+                            F.col(ts_col).alias("__ts"))
+              .where(F.col("__i").isNotNull()))
+    else:
+        idx_arr = F.array_compact(F.array(*[
+            F.when(F.col(type_col) == s, F.lit(i).cast("int"))
+            for i, s in enumerate(steps)]))
+        ev = events.select(F.col(key), F.explode(idx_arr).alias("__i"),
+                           F.col(ts_col).alias("__ts"))
+    ts_type = ev.schema["__ts"].dataType
+    g = ev.groupBy(key).agg(
+        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__h0"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("__ts").isNotNull(),
+                   F.struct(F.col("__ts").alias("t"),
+                            F.col("__i").alias("i"))))).alias("__evs"))
+    gap = ("" if max_gap_seconds is None else
+           f" AND CAST(CAST(e.t AS TIMESTAMP) AS LONG) <= "
+           f"CAST(CAST(acc[j - 1] AS TIMESTAMP) AS LONG)"
+           f" + {int(max_gap_seconds)}")
+    # nested CASE keeps acc[j - 1] inside a branch only reachable for
+    # j >= 1 (AND/OR operands are not guaranteed lazy under ANSI)
+    fold = (f"aggregate(__evs, __seeds, (acc, e) -> "
+            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
+            f"WHEN e.i = 0 THEN least(a, e.t) "
+            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1]{gap} "
+            f"THEN least(a, e.t) ELSE a END))")
+    folded = (g.withColumn("__seeds", F.array(
+        *[F.lit(None).cast(ts_type) for _ in range(k)]))
+        .withColumn("__acc", F.expr(fold)))
+    reached = [F.col("__h0") == 1 if i == 0
+               else F.col("__acc")[i].isNotNull() for i in range(k)]
+    totals = folded.agg(*[
+        F.coalesce(F.sum(F.when(r, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias(f"__n{i}") for i, r in enumerate(reached)])
+    arms = ", ".join(
+        f"CAST({i} AS BIGINT), {_q(s)}, __n{i}" for i, s in enumerate(steps))
+    return totals.selectExpr(
+        f"stack({k}, {arms}) AS (step, event_type, n_users)")
 
 
 def funnel_sql(table: str, steps: list[str], key: str = "user_id",

@@ -75,39 +75,87 @@ def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
     the key's (already-merged) previous-step anchor, so a key can
     cascade through several steps within one batch; committed anchors
     win via min() (under the in-order contract they are always
-    earlier).  Each merged step is read twice (next step's join + the
-    output union), hence the localCheckpoint — EAGER, deliberately:
-    a lazy checkpoint was measured in round 10 (q286 4.8 → 7.4 s) —
-    the deferred RDD materializes inside the commit-write job WITHOUT
-    AQE partition coalescing, so every per-step exchange runs at the
-    full static partition count; the eager form materializes each
-    step through a normal adaptive execution first."""
-    out = []
-    prev: DataFrame | None = None
-    for i, step in enumerate(steps):
-        ev_i = (batch.filter(F.col(type_col) == step)
-                .select(F.col(key),
-                        F.col(ts_col).cast("timestamp").alias("__ts")))
-        st_i = (state.filter(F.col("step") == i)
-                .select(F.col(key), F.col("anchor").alias("__t")))
-        if i == 0:
-            cand = ev_i.groupBy(key).agg(F.min("__ts").alias("__t"))
-        else:
-            cand = (ev_i.join(prev.select(key, F.col("__t").alias("__p")),
-                              key)
-                    .filter(F.col("__ts") > F.col("__p"))
-                    .groupBy(key).agg(F.min("__ts").alias("__t")))
-        merged = (st_i.unionByName(cand)
-                  .groupBy(key).agg(F.min("__t").alias("__t"))
-                  .localCheckpoint())
-        prev = merged
-        out.append(merged.select(
-            F.col(key), F.lit(i).cast("bigint").alias("step"),
-            F.col("__t").alias("anchor")))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    earlier).
+
+    ONE exchange per batch (round 10, guide §2.4): state rows and
+    batch events union into a single groupBy(key) that collects the
+    key's time-sorted batch events and the per-step state seeds, and
+    a per-key left-to-right fold computes every step's merged anchor
+    in one pass.  (The previous shape ran per STEP: a join against
+    the previous step's anchors + two groupBys + an eager
+    localCheckpoint — ~6 exchanges and 3 standalone jobs per batch.)
+
+    Equivalence with the per-step form: events are folded in
+    ascending (ts, step) order; a step-i event is eligible iff the
+    running step-(i-1) anchor is non-NULL and strictly earlier, and
+    anchors fold by least().  The running anchor at time t equals
+    min(seed, step-(i-1) events ≤ t), which is exactly the merged
+    anchor the per-step form compares against (candidate mins are
+    first-eligible-in-time-order); strict inequality makes ts ties
+    order-independent.  A step-0 row also exists for keys whose only
+    step-0 events carry NULL ts (anchor NULL), matching the old
+    unconditioned groupBy; for i>0 NULL ts can never pass the strict
+    filter in either form.  An event type listed at SEVERAL step
+    positions contributes one fold row per position (the old per-step
+    filters each matched it independently)."""
+    k = len(steps)
+    if len(set(steps)) == k:
+        step_idx = F.when(F.col(type_col) == steps[0], 0)
+        for i in range(1, k):
+            step_idx = step_idx.when(F.col(type_col) == steps[i], i)
+        ev = (batch.select(F.col(key),
+                           step_idx.cast("int").alias("__i"),
+                           F.col(ts_col).cast("timestamp").alias("__ts"))
+              .where(F.col("__i").isNotNull())
+              .withColumn("__st", F.lit(0)))
+    else:
+        idx_arr = F.array_compact(F.array(*[
+            F.when(F.col(type_col) == s, F.lit(i).cast("int"))
+            for i, s in enumerate(steps)]))
+        ev = (batch.select(F.col(key), F.explode(idx_arr).alias("__i"),
+                           F.col(ts_col).cast("timestamp").alias("__ts"))
+              .withColumn("__st", F.lit(0)))
+    st = state.select(F.col(key), F.col("step").cast("int").alias("__i"),
+                      F.col("anchor").alias("__ts"),
+                      F.lit(1).alias("__st"))
+    g = (ev.unionByName(st)
+         .groupBy(key)
+         .agg(
+             *[F.min(F.when((F.col("__i") == i) & (F.col("__st") == 1),
+                            F.col("__ts"))).alias(f"__s{i}")
+               for i in range(k)],
+             *[F.max(F.when((F.col("__i") == i) & (F.col("__st") == 1), 1)
+                     .otherwise(0)).alias(f"__hs{i}") for i in range(k)],
+             F.max(F.when((F.col("__i") == 0) & (F.col("__st") == 0), 1)
+                   .otherwise(0)).alias("__he0"),
+             F.sort_array(F.collect_list(
+                 F.when((F.col("__st") == 0) & F.col("__ts").isNotNull(),
+                        F.struct(F.col("__ts").alias("t"),
+                                 F.col("__i").alias("i")))))
+             .alias("__evs")))
+    # nested CASE keeps acc[j - 1] inside a branch only reachable for
+    # j >= 1 (AND/OR operands are not guaranteed lazy; a top-level
+    # acc[-1] would trip ANSI array indexing)
+    seeds = ", ".join(f"__s{i}" for i in range(k))
+    fold = (f"aggregate(__evs, array({seeds}), (acc, e) -> "
+            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
+            f"WHEN e.i = 0 THEN least(a, e.t) "
+            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1] "
+            f"THEN least(a, e.t) ELSE a END))")
+    folded = g.withColumn("__acc", F.expr(fold))
+    arms = []
+    for i in range(k):
+        exists = (F.col(f"__hs{i}") == 1) | F.col("__acc")[i].isNotNull() \
+            if i else ((F.col("__hs0") == 1) | (F.col("__he0") == 1))
+        arms.append(F.when(exists, F.struct(
+            F.lit(i).cast("bigint").alias("step"),
+            F.col("__acc")[i].alias("anchor"))))
+    return (folded.select(
+        F.col(key),
+        F.explode(F.filter(F.array(*arms), lambda x: x.isNotNull()))
+        .alias("__r"))
+        .select(F.col(key), F.col("__r.step").alias("step"),
+                F.col("__r.anchor").alias("anchor")))
 
 
 def funnel_store(spark, path: str, steps: list[str],

@@ -53,6 +53,22 @@ def test_funnel_absent_step_zero(spark):
     assert got == {0: 1, 1: 0}
 
 
+def test_funnel_duplicate_step_types(spark):
+    """A type listed at several step positions participates at each
+    (regression pin for the single-pass fold: events must be tagged
+    multi-hot, not first-match)."""
+    ev = _ev(spark, [
+        (1, ts(1), "c", 1), (1, ts(2), "c", 2),   # c -> c advances both steps
+        (2, ts(1), "c", 3),                        # single c: step 0 only
+        (3, ts(1), "v", 4), (3, ts(2), "c", 5), (3, ts(3), "v", 6),
+    ])
+    got = {r.step: r.n_users for r in E.funnel(ev, ["c", "c"]).collect()}
+    assert got == {0: 3, 1: 1}   # u1 (c->c), u2, u3 have a c; only u1 repeats
+    got = {r.step: r.n_users
+           for r in E.funnel(ev, ["v", "c", "v"]).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
 def test_retention_cohorts_hand_values(spark):
     """Two cohorts; u1 retained in weeks 0 and 1, u2 only week 0;
     ISO weeks are Monday-aligned (2024-01-01 IS a Monday)."""

@@ -88,6 +88,21 @@ def test_funnel_store_converges_to_batch_funnel(spark, tmp_path):
     assert len(state) == len({(r.user_id, r.step) for r in state})
 
 
+def test_funnel_store_duplicate_step_types(spark, tmp_path):
+    """A type listed at several step positions advances each of them
+    (regression pin for the single-pass advance: batch events must be
+    tagged multi-hot, not first-match)."""
+    steps = ["view", "click", "view"]
+    store = SE.funnel_store(spark, str(tmp_path / "fun_dup"), steps)
+    for i, batch in enumerate(_time_batches(ROWS, CUTS)):
+        store.apply_batch(_ev(spark, batch), batch_id=i)
+    got = sorted(tuple(r) for r in
+                 SE.funnel_counts_from_store(store, steps).collect())
+    want = sorted(tuple(r) for r in
+                  E.funnel(_ev(spark, ROWS), steps).collect())
+    assert got == want
+
+
 def test_funnel_store_crash_soak(spark, tmp_path, monkeypatch):
     """Injected crash between snapshot write and pointer commit on
     EVERY batch, followed by redelivery: state must converge to the

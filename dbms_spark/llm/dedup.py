@@ -1764,8 +1764,12 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     # persisted so the corpus is tokenized once per relation instead
     # of once per leg (4 scans -> 2 on the gate plan; a long-lived
     # session batching many corpora should clearCache() between runs,
-    # same lifecycle note as semantic_dedup)
-    fps = winnowed_fingerprints(df, id_col, text_col, n, w).persist()
+    # same lifecycle note as semantic_dedup).  The persist sits AFTER
+    # the occupancy-cap filter so the per-fp count window and the cap
+    # broadcast also run once — persisting the raw winnow output made
+    # every self-join leg re-run Window + cap crossJoin over the cache
+    # (round 10; the q245 plan carried that subtree three times).
+    fps = winnowed_fingerprints(df, id_col, text_col, n, w)
     if fp_cap is not None:
         from pyspark.sql.window import Window
 
@@ -1777,6 +1781,7 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                    .drop("ndocs", "__cap"))
         else:
             fps = fps.where(F.col("ndocs") <= fp_cap).drop("ndocs")
+    fps = fps.persist()
     cands = (fps.select(F.col(id_col).alias("a_id"), "fp")
              .join(fps.select(F.col(id_col).alias("b_id"), "fp"), "fp")
              .where(F.col("a_id") < F.col("b_id"))

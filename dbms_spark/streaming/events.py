@@ -213,7 +213,6 @@ def _attr_advance(state: DataFrame, batch: DataFrame,
     conversion counters fold by sum.  New last-touch rows are the
     (ts, tiebreak)-max over stored ∪ batch touches."""
     from dbms_spark.operators.events import attribute_conversions
-    from pyspark.sql.window import Window
 
     lasts = state.filter(F.col("kind") == "last")
     cnts = state.filter(F.col("kind") == "cnt")
@@ -237,10 +236,19 @@ def _attr_advance(state: DataFrame, batch: DataFrame,
                        F.col(ts_col).cast("timestamp").alias("touch_ts"),
                        F.col(type_col).alias("touch_type"),
                        *[F.col(c) for c in tiebreak]))
-    w = Window.partitionBy(key).orderBy(
-        F.desc("touch_ts"), *[F.desc(c) for c in tiebreak])
-    new_lasts = (touches.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1))
+    # (ts, tiebreak)-max per key as ONE partial-aggregated max(struct)
+    # instead of the former row_number window (round 10, guide §2.3):
+    # struct ordering compares fields left to right with NULL smallest,
+    # so the selected row equals the rn=1 row of ORDER BY ts DESC,
+    # tiebreak DESC (descending NULLS LAST) — a NULL-ts touch wins only
+    # when the key has nothing else, exactly as before; the map-side
+    # partial max ships one struct per key per task where the window
+    # sorted and shipped every touch row.
+    new_lasts = (touches.groupBy(key).agg(F.max(F.struct(
+        F.col("touch_ts"), *[F.col(c) for c in tiebreak],
+        F.col("touch_type"))).alias("__m"))
+        .select(F.col(key), F.col("__m.touch_ts").alias("touch_ts"),
+                F.col("__m.touch_type").alias("touch_type")))
     nulls = {"key": F.lit(None).cast(lasts.schema[key].dataType),
              "ts": F.lit(None).cast("timestamp")}
     return (new_lasts.select(

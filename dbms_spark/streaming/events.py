@@ -438,15 +438,18 @@ class DayBucketLedger(ParquetTableStore):
         """Fold already-deduped ledger rows in: only genuinely new
         rows append (set-union semantics — exact under ANY batch
         order), and only the delta's day buckets are read or
-        rewritten.  EAGER: the touched-bucket collect (driver-bounded
-        by the batch's day span, the _merge_day_rows trade) runs one
-        job at call time; the delta is localCheckpointed so the
-        bucket probe and the anti-join read one materialization."""
+        rewritten.  The delta is localCheckpointed LAZILY and the
+        touched-bucket collect (driver-bounded by the batch's day
+        span, the _merge_day_rows trade) is its materializing action
+        — one job pins the delta AND answers the bucket probe, where
+        an eager checkpoint paid a separate materialization job
+        first (round 10, guide §1.2 job count); the commit write
+        then reads the same pinned blocks."""
         wm = self.get_watermark(self.TABLE)
         if batch_id is not None and batch_id <= wm:
             return  # redelivered batch: exactly-once no-op
         bid = wm + 1 if batch_id is None else batch_id
-        delta = delta.localCheckpoint()
+        delta = delta.localCheckpoint(eager=False)
         touched = sorted(r[0] for r in delta.select(
             self._day_bucket().alias("__b")).distinct().collect())
         if not touched:
@@ -538,7 +541,7 @@ class SessionDayLedger(DayBucketLedger):
             F.col(self._ts).cast("timestamp").cast("long").alias("ep"),
             F.lit(1).cast("bigint").alias("w"))
             .filter(F.col("ep").isNotNull())   # a session needs a time
-            .localCheckpoint())
+            .localCheckpoint(eager=False))     # min/max collect pins it
         b = batch.agg(F.min("ep").alias("lo"),
                       F.max("ep").alias("hi")).collect()[0]
         if b["lo"] is None:
@@ -554,7 +557,7 @@ class SessionDayLedger(DayBucketLedger):
                                           "n"), batch,
                              self._key, self._gap)
                .withColumn("_kb", self._day_bucket())
-               .localCheckpoint())
+               .localCheckpoint(eager=False))  # new_b collect pins it
         # touched = buckets READ (reach: their sessions may relocate or
         # merge away) ∪ buckets the fold actually PRODUCED — collected
         # from out, which is bounded by the distinct end-days present.
@@ -644,7 +647,7 @@ class AttributionDayLedger(DayBucketLedger):
             F.col(self._type),
             *[F.col(c) for c in self._tb])
             .filter(F.col(self._ts).isNotNull())
-            .localCheckpoint())
+            .localCheckpoint(eager=False))     # min/max collect pins it
         b = batch.agg(
             F.min(F.col(self._ts).cast("long")).alias("lo"),
             F.max(F.col(self._ts).cast("long")).alias("hi")).collect()[0]
@@ -661,7 +664,7 @@ class AttributionDayLedger(DayBucketLedger):
                              self._key, self._ts, self._type,
                              self._lookback, self._tb)
                .withColumn("_kb", self._day_bucket())
-               .localCheckpoint())
+               .localCheckpoint(eager=False))  # new_b collect pins it
         # touched = read buckets (their rows re-emit or tombstone by
         # omission) ∪ buckets the fold produced — never an enumerated
         # day range (the SessionDayLedger far-future rule)

@@ -101,8 +101,16 @@ def kmeans_assign(
     """
     from dbms_spark.plans.parallelism import ensure_parallelism
 
+    # hash-partition the guard's exchange on vec_id (round 10, guide
+    # §2.4): the broadcast crossJoin preserves the streamed side's
+    # partitioning, so every round's groupBy(vec_id) assignment agg
+    # AND the update's assign⋈qv join are satisfied by this ONE
+    # exchange — the former round-robin repartition (which also paid
+    # sortBeforeRepartition) forced a fresh vec_id exchange in each
+    # of those places
     qv = ensure_parallelism(
-        df.select(F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("q"))
+        df.select(F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("q")),
+        keys=["vec_id"],
     ).persist()
     # Each round's k-row centroid relation is localCheckpoint'ed: the
     # checkpoint truncates the nested assign+update lineage to a k-row

@@ -159,29 +159,40 @@ def connected_components(pairs: DataFrame, id_a: str = "a_id",
     materialized relation.  (On a cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
     executor-loss resilience; localCheckpoint trades that for speed.)
-    The convergence probe is one count + one one-sided EXCEPT (sets of
-    canonical distinct edges with equal counts and empty difference
-    are equal).  Rounds are data-dependent but bounded: raises after
-    ``max_rounds`` (2^30 nodes would converge well within 30) rather
-    than returning a wrong labeling."""
-    # LAZY checkpoints (round 10): the count() right after each
-    # checkpoint is the materializing action, so lineage truncation
-    # costs no extra job — one job per round instead of two (q192
-    # sf0.1: the loop's job count halves; same plan shapes inside)
+    The convergence probe computes (count, xor-of-row-hashes) in the
+    one materializing aggregation per round and runs the exact
+    one-sided EXCEPT only when the fingerprint repeats — on a
+    topology whose edge COUNT is invariant round over round (chains:
+    every contraction keeps n-1 edges) the count-only probe paid the
+    EXCEPT every round; the xor fingerprint of a distinct edge set
+    changes whenever the set does (up to a 2^-64 collision, and the
+    EXCEPT still confirms exactly, so a collision costs one wasted
+    probe, never a wrong answer).  Rounds are data-dependent but
+    bounded: raises after ``max_rounds`` (2^30 nodes would converge
+    well within 30) rather than returning a wrong labeling."""
+
+    # LAZY checkpoints (round 10): the signature aggregation right
+    # after each checkpoint is the materializing action, so lineage
+    # truncation costs no extra job — one job per round
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return r["n"], r["h"]
+
     e = (
         pairs.filter(F.col(id_a) != F.col(id_b))
         .select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_e = e.count()
+    sig_e = _sig(e)
     for _ in range(max_rounds):
         ns = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        # carry the count across rounds: this round's |ns| is next
-        # round's |e|, so each round pays one count job, not two
-        n_ns = ns.count()
-        converged = n_ns == n_e and ns.exceptAll(e).isEmpty()
-        e, n_e = ns, n_ns
+        # carry the signature across rounds: this round's is next
+        # round's, so each round pays one probe job, not two
+        sig_ns = _sig(ns)
+        converged = sig_ns == sig_e and ns.exceptAll(e).isEmpty()
+        e, sig_e = ns, sig_ns
         if converged:
             break
     else:

@@ -234,8 +234,14 @@ class AnnIndexStore:
 
     def _write_segment(self, df: DataFrame, version: int) -> str:
         rel = os.path.join("segments", f"s{version}")
-        df.write.partitionBy("cluster").mode("overwrite").parquet(
-            os.path.join(self.path, rel))
+        # cluster the write (guide §6): the encode upstream runs wide
+        # (ivf_index_build's parallelism guard), so an unshuffled
+        # partitionBy would emit one file per (task × cell); one
+        # exchange on the partition column makes each cell dir a
+        # single file per write, which the probe-time partition-pruned
+        # reads then open once
+        df.repartition("cluster").write.partitionBy("cluster") \
+            .mode("overwrite").parquet(os.path.join(self.path, rel))
         return rel
 
     def build(self, corpus: DataFrame,

@@ -570,6 +570,8 @@ def ivf_index_build(corpus: DataFrame,
     build quantizes once and shuffles nothing — the join-per-column
     formulation paid 2-3 corpus-wide shuffles and re-quantized per
     leg."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
     scores = _ivf_scores_spark(cents, vec="q")
     cluster = (f"CAST(array_position({scores}, array_max({scores})) - 1"
                f" AS BIGINT)")
@@ -578,7 +580,16 @@ def ivf_index_build(corpus: DataFrame,
             F.expr(cluster).alias("cluster")]
     if books is not None:
         cols.append(F.expr(_pq_codes_expr(books)).alias("codes"))
-    return (corpus.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+    # parallelism guard BEFORE the per-row encode (round 10, guide
+    # §2.5/§1.2): the cell-assignment + PQ-code expressions are the
+    # expensive per-row work of the whole IVF family, and a small
+    # parquet scan arrives in only a couple of splits — the q302 gate
+    # measured its entire encode+ADC pipeline on 2 of 32 cores.
+    # Hash-partitioning on the id (uniform, deterministic) spreads
+    # the encode; on an already-parallel scan the guard no-ops.
+    src = ensure_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col)), keys=[id_col])
+    return (src.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
             .select(*cols))
 
 

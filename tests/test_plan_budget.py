@@ -195,10 +195,14 @@ SHUFFLE_BUDGET = {
     # checkpointed 1-row relation (no exchange at all)
     "q299_corr_screen": 0,
     "q300_benford_screen": 3,          # <=9-key digit agg + 1-row total + spine join
-    # incremental index: build/append are ONE map-side select (zero
-    # shuffles); probe = cell join + per-query top-k window
-    "q301_ivf_index_incremental": 1,
-    "q302_ivf_pq_index_incremental": 1,
+    # incremental index: build/append are ONE map-side select each,
+    # preceded by the encode parallelism guard's repartition (round
+    # 10: the heavy cell-assign/PQ-code expressions measured on 2 of
+    # 32 cores off a small scan; the guard no-ops once the scan is
+    # already parallel, so these two exchanges exist only on small
+    # inputs) + probe = cell join + per-query top-k window
+    "q301_ivf_index_incremental": 4,
+    "q302_ivf_pq_index_incremental": 4,
     # returned plans read the committed store snapshots
     "q303_streaming_attribution": 0,
     "q304_streaming_sessions": 1,      # per-key session_id rank window

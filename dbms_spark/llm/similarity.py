@@ -306,22 +306,27 @@ def near_dup_pairs(
     without the extra job)."""
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
-    b = lsh_buckets(df, n_planes, dims, id_col, vec_col)
-    v = df.select(
-        F.col(id_col).alias("__id"), quantize_expr(vec_col).alias("__v")
-    ).withColumn("__n", F.expr(_NORM_SPARK.format(a="__v")))
-    a = b.alias("a").join(v.alias("va"), F.col(f"a.{id_col}") == F.col("va.__id"))
-    bb = b.alias("b").join(v.alias("vb"), F.col(f"b.{id_col}") == F.col("vb.__id"))
-    dot = _dot_pair_spark("va.__v", "vb.__v", dims)
-    sim = f"floor({dot} / (va.__n * vb.__n) * 1000000) / 1000000"
+    # bucket, quantized vector and norm are ALL map-side expressions
+    # of the same row, so they ride ONE projection — the former
+    # bucket⋈vector joins per leg re-scanned the corpus four times
+    # and paid two broadcast builds for columns the row already had
+    # (round 10, guide §2.4: q36 plan 4 scans + 2 joins → 2 scans)
+    bucket = F.concat(*[F.expr(plane_expr_spark(p, dims))
+                        for p in range(n_planes)])
+    r = (df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+         .select(F.col(id_col), bucket.alias("bucket"),
+                 F.col("q").alias("__v"))
+         .withColumn("__n", F.expr(_NORM_SPARK.format(a="__v"))))
+    a = r.select(F.col(id_col).alias("a_id"), "bucket",
+                 F.col("__v").alias("va"), F.col("__n").alias("na"))
+    bb = r.select(F.col(id_col).alias("b_id"), "bucket",
+                  F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    dot = _dot_pair_spark("va", "vb", dims)
+    sim = f"floor({dot} / (na * nb) * 1000000) / 1000000"
     return (
-        a.join(bb, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.expr(sim).alias("cos_sim"),
-        )
+        a.join(bb, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr(sim).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -901,11 +901,18 @@ def _pq_codes_expr(books: list[list[list[int]]], vec: str = "q") -> str:
 @_auto_unroll_args
 def pq_encode(df: DataFrame, books: list[list[list[int]]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Vector -> m nearest-centroid codes (map-side, no shuffle).
-    Output (id, codes array<bigint>) — the compressed corpus
-    representation ADC scans."""
+    """Vector -> m nearest-centroid codes (map-side, no shuffle on
+    an already-parallel scan).  Output (id, codes array<bigint>) —
+    the compressed corpus representation ADC scans."""
+    from dbms_spark.plans.parallelism import ensure_parallelism
+
+    # same encode parallelism guard as ivf_index_build (round 10):
+    # the per-row code selection is the family's expensive work and a
+    # small scan arrives in a couple of splits; no-op when parallel
+    src = ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col)), keys=[id_col])
     return (
-        df.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+        src.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
         .select(F.col(id_col), F.expr(_pq_codes_expr(books)).alias("codes"))
     )
 

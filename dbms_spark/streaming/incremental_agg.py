@@ -186,7 +186,17 @@ class AggStore:
         ptr = self._pointer()
         if ptr is None:
             return literal_df(self.spark, [], self._schema())
-        return self.spark.read.parquet(os.path.join(self.path, ptr[0]))
+        path = os.path.join(self.path, ptr[0])
+        # infer the snapshot schema ONCE per store instance: every
+        # apply_batch and counts read re-ran footer inference (~60 ms
+        # a read — round 10, the load_table lesson applied to stores).
+        # One store writes every snapshot with one merge_fn, so the
+        # schema is stable across versions by construction.
+        if getattr(self, "_snap_schema", None) is None:
+            df = self.spark.read.parquet(path)
+            self._snap_schema = df.schema
+            return df
+        return self.spark.read.schema(self._snap_schema).parquet(path)
 
     def last_batch_id(self) -> int:
         ptr = self._pointer()

@@ -609,11 +609,17 @@ class ParquetTableStore:
         out.write.partitionBy("_kb").mode("overwrite").parquet(stage)
         buckets = dict(manifest["buckets"])
         written = {d for d in os.listdir(stage) if d.startswith("_kb=")} if os.path.isdir(stage) else set()
+        # Point EVERY bucket the write produced — the fold may emit
+        # buckets beyond ``touched`` (a session relocating to a new
+        # end-day, a batch introducing new touch days), and learning
+        # them from the staged directory listing replaces the separate
+        # distinct-bucket collect job callers used to pay (round 10,
+        # guide §1.2 job count: the commit write is already the
+        # materializing action, so it answers the probe for free).
+        for kb in written:
+            buckets[kb[len("_kb="):]] = os.path.join(stage_rel, kb)
         for b in touched:
-            kb = f"_kb={b}"
-            if kb in written:
-                buckets[str(b)] = os.path.join(stage_rel, kb)
-            else:
+            if f"_kb={b}" not in written:
                 buckets.pop(str(b), None)   # bucket emptied by deletes
         new_manifest = {
             "version": version,

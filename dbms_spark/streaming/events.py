@@ -556,18 +556,17 @@ class SessionDayLedger(DayBucketLedger):
         out = (_sess_advance(state.select(self._key, "s_ep", "e_ep",
                                           "n"), batch,
                              self._key, self._gap)
-               .withColumn("_kb", self._day_bucket())
-               .localCheckpoint(eager=False))  # new_b collect pins it
+               .withColumn("_kb", self._day_bucket()))
         # touched = buckets READ (reach: their sessions may relocate or
-        # merge away) ∪ buckets the fold actually PRODUCED — collected
-        # from out, which is bounded by the distinct end-days present.
-        # Never enumerate range(lo_b, hi_b + 1): one corrupt far-future
-        # timestamp makes that span astronomically wide and the driver
-        # allocation OOMs before Spark sees a row (the exact hazard the
-        # rolling_active_from_days spine avoids with spark.range).
-        new_b = [r[0] for r in out.select("_kb").distinct().collect()]
-        touched = sorted(set(reach) | set(new_b))
-        self._commit_buckets(self.TABLE, manifest, touched, out, bid)
+        # merge away); buckets the fold PRODUCED are learned from the
+        # staged write itself inside _commit_buckets — the fold runs
+        # exactly once, in the commit write, with no separate
+        # distinct-bucket collect job or checkpoint (round 10, guide
+        # §1.2).  Produced buckets stay bounded by the distinct
+        # end-days present; nothing ever enumerates range(lo_b,
+        # hi_b + 1), so one corrupt far-future timestamp cannot OOM
+        # the driver (the rolling_active_from_days spine hazard).
+        self._commit_buckets(self.TABLE, manifest, reach, out, bid)
 
 
 class AttributionDayLedger(DayBucketLedger):
@@ -663,14 +662,13 @@ class AttributionDayLedger(DayBucketLedger):
         out = (_attr_advance(state, batch, self._conv, self._touch_types,
                              self._key, self._ts, self._type,
                              self._lookback, self._tb)
-               .withColumn("_kb", self._day_bucket())
-               .localCheckpoint(eager=False))  # new_b collect pins it
+               .withColumn("_kb", self._day_bucket()))
         # touched = read buckets (their rows re-emit or tombstone by
-        # omission) ∪ buckets the fold produced — never an enumerated
-        # day range (the SessionDayLedger far-future rule)
-        new_b = [r[0] for r in out.select("_kb").distinct().collect()]
-        touched = sorted(set(reach) | set(new_b))
-        self._commit_buckets(self.TABLE, manifest, touched, out, bid)
+        # omission); produced buckets are learned from the staged
+        # write inside _commit_buckets — one fold execution, no
+        # separate distinct-bucket collect (round 10, guide §1.2), and
+        # never an enumerated day range (the far-future rule)
+        self._commit_buckets(self.TABLE, manifest, reach, out, bid)
 
     def counts(self) -> DataFrame:
         """(touch_type, n) credited conversions — reads ONE bucket."""

@@ -872,11 +872,25 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 @register("q31_rollup", _Q31_SQL)
 def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate per (returnflag, linestatus) ONCE, then rollup the
+    # tiny grouped relation (round 10, guide §2.3 "aggregate before
+    # you shuffle"): rollup/cube EXPAND replicates every input row per
+    # grouping set BEFORE the partial aggregation, so running it on
+    # the base table evaluates the decimal cast + hash-agg probe
+    # grouping-set-times per lineitem row.  COUNT and exact DECIMAL
+    # SUM partials regroup exactly (no overflow below the original's
+    # own bound), so the result is bit-identical.
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
-        .cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).alias("__s"))
+    # coalesce keeps COUNT's empty-input contract (0, never NULL) on
+    # the grand-total row; on any non-empty input the values already
+    # match, since every rollup cell aggregates at least one g-row
+    return g.rollup("l_returnflag", "l_linestatus").agg(
+        F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")).alias("cnt"),
+        F.sum("__s").cast(T.DecimalType(38, 2)).cast("string")
+        .alias("sum_qty"),
     )
 
 
@@ -2154,12 +2168,16 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 @register("q75_cube_margins", _Q75_SQL)
 def q75_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-aggregate-then-Expand, as in q31/q277 (round 10, guide §2.3)
     o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("__s"))
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        g.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).cast(T.DecimalType(38, 2))
+            F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")).alias("n"),
+            F.sum("__s").cast(T.DecimalType(38, 2))
             .cast("string").alias("sum_price"),
         )
         .select(
@@ -9442,12 +9460,20 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @register("q277_cube", _Q277_SQL)
 def q277_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same pre-aggregate-then-Expand rewrite as q31 (round 10, guide
+    # §2.3): CUBE's Expand replicates every input row 4× before the
+    # partial aggregation, so the decimal cast + hash-agg probe ran 4
+    # times per lineitem row; count/exact-decimal partials regroup
+    # exactly, and grouping_id over the same columns is unchanged.
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).alias("__s"))
+    return g.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("bigint").alias("gid"),
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2)))
-        .cast(T.DecimalType(38, 2)).cast("string").alias("sum_qty"),
+        F.coalesce(F.sum("__n"), F.lit(0).cast("bigint")).alias("cnt"),
+        F.sum("__s").cast(T.DecimalType(38, 2)).cast("string")
+        .alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
 
 

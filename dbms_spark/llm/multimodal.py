@@ -294,25 +294,47 @@ def dhash_stub(assets: DataFrame, id_col: str = "asset_id",
     hash).
     """
     n = f"length({payload_col})"
-    # one hex() conversion per payload, then 2-char slices: byte p
-    # (1-based) lives at hex positions 2p-1..2p.  DuckDB's substring
-    # rejects BLOBs, so hex-string sampling is the shared dialect.
-    samples = (
-        f"transform(sequence(0, 71), k -> cast(conv(substring(hex({payload_col}), "
-        f"cast(2 * (1 + (k * cast({n} as bigint)) div 72) - 1 as int), 2), "
-        f"16, 10) as bigint))"
-    )
-    bit = ("case when s[(b div 8) * 9 + b % 8] "
-           "> s[(b div 8) * 9 + b % 8 + 1] then 1L else 0L end")
-    half = (f"aggregate(sequence({{lo}}, {{hi}}), 0L, "
-            f"(acc, b) -> acc + shiftleft({bit}, b - {{lo}}))")
+    # slice the ONE byte first, then hex it (the dhash_pgm fix, round
+    # 10, guide §4): hex(substring(payload, p, 1)) ≡
+    # substring(hex(payload), 2p-1, 2) byte-for-byte, but HOF bodies
+    # are interpreted per element and loop-invariant subexpressions
+    # are not hoisted, so the hex-the-whole-payload form re-hexed the
+    # full binary 72× per row.  (DuckDB's substring rejects BLOBs, so
+    # the SQL twin keeps whole-payload hex-string sampling — the
+    # VALUES are identical either way.)
+    # flat array(...) constructor, not transform(sequence(0, 71), ...):
+    # k is a literal per element, so the whole projection stays in
+    # whole-stage codegen instead of 72 interpreted lambda evaluations
+    samples = "array(" + ", ".join(
+        f"cast(conv(hex(substring({payload_col}, "
+        f"cast(1 + ({k} * cast({n} as bigint)) div 72 as int), 1)), "
+        f"16, 10) as bigint)" for k in range(72)) + ")"
     return (assets
             .where(F.expr(f"{payload_col} is not null and {n} > 0"))
             .select(F.col(id_col),
                     F.expr(samples).alias("s"))
             .select(id_col,
-                    F.expr(half.format(lo=0, hi=31)).alias("simhash_hi"),
-                    F.expr(half.format(lo=32, hi=63)).alias("simhash_lo")))
+                    F.expr(_dhash_half_expr(0, 31)).alias("simhash_hi"),
+                    F.expr(_dhash_half_expr(32, 63)).alias("simhash_lo")))
+
+
+def _dhash_half_expr(lo: int, hi: int) -> str:
+    """One 32-bit dHash half over the sampled grid array ``s`` as a
+    FLAT shiftleft-sum: bit b compares grid[i][j] vs grid[i][j+1]
+    (index = (b div 8) * 9 + b % 8).  The former ``aggregate(sequence
+    (lo, hi), ...)`` fold computes the identical long sum, but
+    higher-order-function bodies never enter whole-stage codegen and
+    evaluate interpreted per element — 64 interpreted lambda
+    evaluations per row across the two halves (the round-9 ANN-unroll
+    discovery; round 10, guide §4).  Long addition over the same
+    terms is associative, and a NULL sample yields the same 0 bit
+    through CASE either way, so the value is bit-identical."""
+    def bit(b: int) -> str:
+        i = (b // 8) * 9 + b % 8
+        return f"(case when s[{i}] > s[{i + 1}] then 1L else 0L end)"
+
+    return " + ".join(
+        f"shiftleft({bit(b)}, {b - lo})" for b in range(lo, hi + 1))
 
 
 #: binary PGM (P5) header as HEX pairs: 'P5'=5035, '\n'=0A, digits
@@ -375,18 +397,20 @@ def dhash_pgm(assets: DataFrame, id_col: str = "asset_id",
     # the WHOLE payload inside the 72-way lambda (HOF bodies are
     # interpreted per element and loop-invariant subexpressions are
     # not hoisted — round 10, guide §4/§1.2: q261 ~2.0 → ~0.9 s)
-    samples = (
-        f"transform(sequence(0, 71), k -> cast(conv(hex(substring("
-        f"{payload_col}, cast(off + (((k div 9) * h) div 8) * w"
-        f" + (((k % 9) * w) div 9) + 1 as int), 1)), 16, 10) as bigint))")
-    bit = ("case when s[(b div 8) * 9 + b % 8] "
-           "> s[(b div 8) * 9 + b % 8 + 1] then 1L else 0L end")
-    half = (f"aggregate(sequence({{lo}}, {{hi}}), 0L, "
-            f"(acc, b) -> acc + shiftleft({bit}, b - {{lo}}))")
+    # flat array(...) constructor with literal k per element, like
+    # dhash_stub: the projection stays in whole-stage codegen instead
+    # of 72 interpreted lambda evaluations per row
+    samples = "array(" + ", ".join(
+        f"cast(conv(hex(substring({payload_col}, "
+        f"cast(off + ((({k // 9}) * h) div 8) * w"
+        f" + ((({k % 9}) * w) div 9) + 1 as int), 1)), 16, 10) as bigint)"
+        for k in range(72)) + ")"
+    # unrolled halves (shared with dhash_stub): flat codegen'd
+    # shiftleft-sums instead of the interpreted aggregate() fold
     return (parsed.select(id_col, F.expr(samples).alias("s"))
             .select(id_col,
-                    F.expr(half.format(lo=0, hi=31)).alias("simhash_hi"),
-                    F.expr(half.format(lo=32, hi=63)).alias("simhash_lo")))
+                    F.expr(_dhash_half_expr(0, 31)).alias("simhash_hi"),
+                    F.expr(_dhash_half_expr(32, 63)).alias("simhash_lo")))
 
 
 def dhash_pgm_sql(assets_sql: str, id_col: str = "asset_id",

@@ -933,6 +933,19 @@ FROM (SELECT {id_col}, {quantize_sql(vec_col)} AS v FROM {table})
 """
 
 
+def _adc_sum_spark(m: int) -> str:
+    """ADC distance as a FLAT m-term sum: the aggregate(sequence(0,
+    m-1), ...) fold computes the identical value but interpreted, m
+    lambda evaluations per (code, query) PAIR — the scan's inner
+    loop.  m is a small literal (len(books), typically 8), so the
+    unrolled tree is tiny: always-on, no crossover needed (round 10,
+    guide §4).  Left-associative + preserves the fold's FP order, and
+    distances are non-negative so the fold's 0D seed is exact."""
+    terms = " + ".join(
+        f"dtab[{j}][CAST(codes[{j}] AS INT)]" for j in range(m))
+    return f"CAST(({terms}) AS BIGINT)"
+
+
 @_auto_unroll_args
 def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
                 books: list[list[list[int]]], k: int = 5,
@@ -959,8 +972,7 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
         queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q"))
         .select("q_id", F.expr(dtab).alias("dtab"))
     )
-    adc = (f"CAST(aggregate(sequence(0, {m - 1}), 0D, "
-           f"(acc, j) -> acc + dtab[j][CAST(codes[j] AS INT)]) AS BIGINT)")
+    adc = _adc_sum_spark(m)
     scored = (
         codes.join(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
@@ -1051,8 +1063,7 @@ def ivf_pq_topk_from_index(index: DataFrame, queries: DataFrame,
         queries.select(F.col(id_col).alias("q_id"), quantize_expr(vec_col).alias("q"))
         .select("q_id", F.expr(dtab).alias("dtab"), F.explode(F.expr(probes)).alias("cluster"))
     )
-    adc = (f"CAST(aggregate(sequence(0, {m - 1}), 0D, "
-           f"(acc, j) -> acc + dtab[j][CAST(codes[j] AS INT)]) AS BIGINT)")
+    adc = _adc_sum_spark(m)
     scored = (
         q.join(c, "cluster")
         .filter(F.col("q_id") != F.col("n_id"))

@@ -149,7 +149,11 @@ SHUFFLE_BUDGET = {
     # grouped islands: distinct + two anti-joins + per-group pairing
     "q275_grouped_sequence_gaps": 2,  # as q272 (checkpointed bucket leaf)
     "q276_funnel_window": 4,           # checkpointed survivor chain, as q264
-    "q277_cube": 1,                    # Expand + one partial-agg shuffle
+    # pre-aggregate-then-Expand (round 10, guide §2.3): the base
+    # (rf, ls) partial-agg shuffle collapses lineitem to ~|groups|
+    # rows BEFORE Expand replicates ×4, at the price of a second
+    # exchange that carries only those grouped rows
+    "q277_cube": 2,
     "q278_asof_forward": 1,            # union + one (user, ts) sort-shuffle
     # (user, day) dedup + per-key run window + delta agg + spine
     # join + day-spine prefix (round-9 interval sweep; spine is a

@@ -397,20 +397,25 @@ def dhash_pgm(assets: DataFrame, id_col: str = "asset_id",
     # the WHOLE payload inside the 72-way lambda (HOF bodies are
     # interpreted per element and loop-invariant subexpressions are
     # not hoisted — round 10, guide §4/§1.2: q261 ~2.0 → ~0.9 s)
-    # flat array(...) constructor with literal k per element, like
-    # dhash_stub: the projection stays in whole-stage codegen instead
-    # of 72 interpreted lambda evaluations per row
-    samples = "array(" + ", ".join(
-        f"cast(conv(hex(substring({payload_col}, "
-        f"cast(off + ((({k // 9}) * h) div 8) * w"
-        f" + ((({k % 9}) * w) div 9) + 1 as int), 1)), 16, 10) as bigint)"
-        for k in range(72)) + ")"
-    # unrolled halves (shared with dhash_stub): flat codegen'd
-    # shiftleft-sums instead of the interpreted aggregate() fold
+    samples = (
+        f"transform(sequence(0, 71), k -> cast(conv(hex(substring("
+        f"{payload_col}, cast(off + (((k div 9) * h) div 8) * w"
+        f" + (((k % 9) * w) div 9) + 1 as int), 1)), 16, 10) as bigint))")
+    # NOTE (round 10, measured): unlike dhash_stub, the pgm variant
+    # REGRESSED with the unrolled grid/halves (q261 1.21 → 1.68 s,
+    # q262 1.83 → 2.79 s same-window A/B) — its sampling expression
+    # depends on the regexp-derived off/h/w columns, and the flat
+    # 72-element projection re-evaluates them per element after
+    # projection collapse where the HOF form reads them once per row.
+    # The interpreted fold is the cheaper form here; keep it.
+    bit = ("case when s[(b div 8) * 9 + b % 8] "
+           "> s[(b div 8) * 9 + b % 8 + 1] then 1L else 0L end")
+    half = (f"aggregate(sequence({{lo}}, {{hi}}), 0L, "
+            f"(acc, b) -> acc + shiftleft({bit}, b - {{lo}}))")
     return (parsed.select(id_col, F.expr(samples).alias("s"))
             .select(id_col,
-                    F.expr(_dhash_half_expr(0, 31)).alias("simhash_hi"),
-                    F.expr(_dhash_half_expr(32, 63)).alias("simhash_lo")))
+                    F.expr(half.format(lo=0, hi=31)).alias("simhash_hi"),
+                    F.expr(half.format(lo=32, hi=63)).alias("simhash_lo")))
 
 
 def dhash_pgm_sql(assets_sql: str, id_col: str = "asset_id",

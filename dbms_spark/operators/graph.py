@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _INIT = 1_000_000
 _RESTART = 150_000  # floor(0.15 * _INIT)
@@ -47,7 +48,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # degrees never change across rounds: fuse them onto the edge list
     # ONCE and cache that — each round is then a single join against
-    # the rank frontier instead of re-joining the degree table
+    # the rank frontier instead of re-joining the degree table.
+    # (Round 10: an explicit repartition(src)+sortWithinPartitions
+    # before this persist was tried and REVERTED — whenever the e⋈deg
+    # join runs as SMJ its output is already hash-partitioned AND
+    # sorted on src, so the cache already satisfies each round's join
+    # prep, and the extra exchange measured q165 2.16 -> 2.27 s.)
     ed = e.join(deg, "src").persist()
     ranks = nodes.select("node", F.lit(_INIT).cast("bigint").alias("rank_e6"))
     for _ in range(iters):
@@ -110,12 +116,16 @@ def _sym(e: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every neighbor v > u to min(N(u) + {u}).  Emitted edges
-    keep the (bigger, smaller) canonical orientation."""
+    keep the (bigger, smaller) canonical orientation.
+
+    min(N(u) + {u}) is attached per row by ONE window over a single
+    exchange of the symmetrized list (guide §2.4): the groupBy + join
+    form this replaces exchanged the full list twice per call (once
+    into the per-u aggregate, once into the join's probe side)."""
     n = _sym(e)
-    m = (n.groupBy("u").agg(F.min("v").alias("mn"))
-         .select("u", F.least("mn", "u").alias("m")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        n.join(m, "u")
+        n.select("u", "v", m.alias("m"))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -124,14 +134,16 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Connect u and all its strictly-smaller neighbors to the
-    smallest of them."""
+    smallest of them.  Same one-window shape as :func:`_large_star`;
+    the per-u root link (u, m) is emitted once per row and collapsed
+    by the final distinct (which the join form needed anyway)."""
     n = _sym(e).filter(F.col("v") < F.col("u"))
-    m = n.groupBy("u").agg(F.min("v").alias("m"))
+    nm = n.select(
+        "u", "v", F.min("v").over(Window.partitionBy("u")).alias("m"))
     links = (
-        n.join(m, "u")
-        .filter(F.col("v") != F.col("m"))
+        nm.filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionAll(m.select("u", F.col("m").alias("v")))
+        .unionAll(nm.select("u", F.col("m").alias("v")))
     )
     return links.distinct()
 

@@ -160,10 +160,11 @@ def connected_components(pairs: DataFrame, id_a: str = "a_id",
     silently mislabel nodes farther than ``iters`` hops from their
     component minimum.
 
-    Scale shape per round: two neighborhood groupBys + the join back
-    (all keyed on a node id — AQE-coalesced/skew-split; a hub star is
-    exactly the fixed point, so hot keys shrink round over round, not
-    grow).  Each round's edge set is ``localCheckpoint``-ed — for a
+    Scale shape per round: two per-u min windows, each riding ONE
+    exchange of its neighbor list (keyed on a node id —
+    AQE-coalesced/skew-split; a hub star is exactly the fixed point,
+    so hot keys shrink round over round, not grow), plus the emitted
+    edges' distincts — no joins.  Each round's edge set is ``localCheckpoint``-ed — for a
     DATA-DEPENDENT loop, persist() is not enough: the logical plan
     still nests every previous round (~5 references each), so Catalyst
     analysis grows exponentially and stalls the driver around round 7;

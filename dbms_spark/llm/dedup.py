@@ -144,22 +144,37 @@ def band_keys(num_hashes: int = 8, bands: int = 2) -> list[tuple[int, str]]:
 
 
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
-            carry: list[str]) -> DataFrame:
-    """(id, carry..., band, bkey) — one leg per band, unioned.  The
-    single definition of the band bucket key (md5 of the band's
-    comma-joined minhash slots) every pair miner shares; the SQL twins
-    derive the identical key via :func:`band_keys`."""
+            carry: list[str], materialize: bool = False) -> DataFrame:
+    """(id, carry..., band, bkey) — one row per band via posexplode of
+    the band-key array.  The single definition of the band bucket key
+    (md5 of the band's comma-joined minhash slots) every pair miner
+    shares; the SQL twins derive the identical key via
+    :func:`band_keys`.
+
+    posexplode, NOT a union of per-band selects: union legs are
+    independent subtrees, so each leg would re-derive the ENTIRE
+    signature pipeline (tokenize + shingle + md5-per-shingle + k
+    minhash folds) — bands× the map work, and with the self-joins
+    above this the printed q24 plan scanned the corpus 8 times.  One
+    Generate computes the signatures once and emits ``bands`` rows.
+
+    ``materialize``: localCheckpoint the signature relation before the
+    explode — for miners whose consumers sit in independent subtrees
+    of one query (self-join legs, the capped form's window + star
+    legs) Catalyst re-derives the explode's child per consumer, and a
+    broadcast side can never reuse a shuffle exchange; pinning the
+    (id, h0..h{{k-1}}, carry) rows makes the corpus pass run exactly
+    once (the simhash_hamming_pairs lesson).  Leave False when every
+    consumer reads the banded relation once (the *_between miners)."""
     per = num_hashes // bands
-    legs = []
+    if materialize:
+        sigs = sigs.localCheckpoint()
+    keys = []
     for b in range(bands):
         cols = [f"h{i}" for i in range(b * per, (b + 1) * per)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        legs.append(sigs.select(F.col(id_col), *carry,
-                                F.lit(b).alias("band"), key.alias("bkey")))
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
-    return out
+        keys.append(F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])))
+    return sigs.select(F.col(id_col), *carry,
+                       F.posexplode(F.array(*keys)).alias("band", "bkey"))
 
 
 def _banded_sql_legs(id_col: str, num_hashes: int, bands: int) -> str:
@@ -180,12 +195,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     ``carry`` names payload columns of ``sigs`` to ride along into the
     output as ``<col>_a`` / ``<col>_b`` (e.g. the shingle array for a
     downstream Jaccard verifier): the payload is shuffled with the
-    banded legs instead of re-joined — and because both join legs are
-    the identical banded plan partitioned on the same key, Catalyst
-    reuses one exchange for both.  Pair dedup is a groupBy taking the
-    first payload (identical across bands by construction)."""
+    banded rows instead of re-joined, and the signature relation
+    (id, minhashes, carry) is pinned once (``materialize=True``) so
+    neither join leg re-derives the corpus pass — a broadcast-planned
+    leg otherwise recomputes it wholesale.  Pair dedup is a groupBy
+    taking the first payload (identical across bands by
+    construction)."""
     carry = carry or []
-    banded = _banded(sigs, id_col, num_hashes, bands, carry)
+    banded = _banded(sigs, id_col, num_hashes, bands, carry, materialize=True)
     a = banded.alias("a")
     b_ = banded.alias("b")
     joined = (
@@ -293,7 +310,7 @@ def lsh_candidate_pairs_capped(sigs: DataFrame, id_col: str = "doc_id",
     size + min), also keyed on (band, bkey); the hot bucket's window
     task is O(bucket) — a straggler, not a death.
     """
-    banded = _banded(sigs, id_col, num_hashes, bands, carry=[])
+    banded = _banded(sigs, id_col, num_hashes, bands, carry=[], materialize=True)
     w = Window.partitionBy("band", "bkey")
     sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)) \
                   .withColumn("__hub", F.min(id_col).over(w))

@@ -1197,21 +1197,21 @@ def duplicate_passage_stats(df: DataFrame, id_col: str = "doc_id",
     input doc emits a row (docs shorter than ``n`` tokens report
     0/0/0)."""
     w = _window_rel(df, id_col, text_col, n)
-    dup = (
-        w.select("wh", F.col(id_col)).distinct()
-        .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("wh", F.lit(1).alias("__dup"))
-    )
-    # ONE per-doc aggregate carries both counters: a left join tags
-    # each window with the dup flag, so total and duplicated windows
-    # fall out of the same groupBy — a semi-join + second groupBy +
-    # second base join would re-shuffle the window relation twice more
+    # ONE derivation of the O(total tokens) window relation: group to
+    # (wh, doc) occurrence counts, count the hash's distinct docs with
+    # a window over the grouped rows (each (wh, doc) row IS one
+    # distinct doc), and fold both per-doc counters out of one
+    # aggregate.  The previous shape derived `w` twice — once into the
+    # duplicated-hash set, once into the per-doc join leg — i.e. two
+    # full tokenize+window+md5 passes over the corpus.
+    g = w.groupBy("wh", id_col).agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     per_doc = (
-        w.join(dup, "wh", "left")
+        g.withColumn("__nd", nd)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_w"),
-             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_w"))
+        .agg(F.sum("c").alias("n_w"),
+             F.sum(F.when(F.col("__nd") >= 2, F.col("c"))
+                   .otherwise(F.lit(0))).alias("dup_w"))
     )
     base = df.select(F.col(id_col)).distinct()
     return (
@@ -1324,13 +1324,17 @@ def strip_duplicated_passages(df: DataFrame, id_col: str = "doc_id",
     the posexploded token relation on (doc, pos); the rebuild is one
     per-doc sort of surviving (pos, token) structs."""
     w = _window_rel(df, id_col, text_col, n)
-    dup = (
-        w.select("wh", F.col(id_col)).distinct()
-        .groupBy("wh").agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2).select("wh")
-    )
+    # ONE derivation of the window relation (the duplicate_passage_stats
+    # rewrite): fold each (wh, doc)'s start positions into one row, count
+    # the hash's distinct docs with a window over those rows, and expand
+    # covers only for hashes seen in >= 2 docs — the duplicated-set
+    # semi-join needed a second full tokenize+window+md5 pass.
+    g = w.groupBy("wh", F.col(id_col)).agg(F.collect_list("pos").alias("poss"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     covered = (
-        w.join(dup, "wh", "left_semi")
+        g.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= 2)
+        .select(F.col(id_col), F.explode("poss").alias("pos"))
         .select(F.col(id_col),
                 F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("tpos"))
         .distinct()
@@ -1552,16 +1556,18 @@ def winnowed_duplicate_stats(df: DataFrame, id_col: str = "doc_id",
     window is too much.  A fingerprint is duplicated when it appears in
     >= 2 distinct docs.  Every input doc emits a row."""
     fps = winnowed_fingerprints(df, id_col, text_col, n, w)
-    dup = (
-        fps.groupBy("fp").agg(F.expr(f"count(distinct {id_col})").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp", F.lit(1).alias("__dup"))
-    )
+    # fingerprints are per-doc DISTINCT by construction (array_distinct
+    # before the explode), so each (fp, doc) row is one distinct doc:
+    # a window count over fp IS count(distinct doc) — one derivation
+    # of the winnowing pass instead of the two the duplicated-set join
+    # paid (see duplicate_passage_stats for the same rewrite)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     per_doc = (
-        fps.join(dup, "fp", "left")
+        fps.withColumn("__nd", nd)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_f"),
-             F.sum(F.coalesce("__dup", F.lit(0))).alias("dup_f"))
+             F.sum(F.when(F.col("__nd") >= 2, F.lit(1))
+                   .otherwise(F.lit(0))).alias("dup_f"))
     )
     base = df.select(F.col(id_col)).distinct()
     return (

@@ -42,9 +42,11 @@ SHUFFLE_BUDGET = {
     # duplicate-passage family: window relation aggregated once per
     # role (dup-flag left join folds total+dup counters into ONE
     # per-doc groupBy — the semi-join form costs 2 more)
-    "q207_duplicate_passage_stats": 6,
+    # (round 10: ONE window-relation derivation — (wh, doc) pre-agg +
+    # distinct-doc window replaces the duplicated-hash join legs)
+    "q207_duplicate_passage_stats": 5,
     "q210_incremental_passage_dedup": 5,
-    "q209_strip_duplicated_passages": 7,
+    "q209_strip_duplicated_passages": 6,
     # round-5 additions: pure map-side lookups/transforms
     "q215_m2p_datatype_rules": 0,  # broadcast rule join only
     "q216_ingest_utf8": 0,         # codegen-only binary->utf8 canon

@@ -947,7 +947,11 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     tc = words.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     totals = tc.groupBy(id_col).agg(F.sum("c").alias("total"))
     docfreq = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n = words.agg(F.countDistinct(id_col).alias("n_docs"))
+    # corpus size = totals' row count (one row per doc with >= 1
+    # token, exactly countDistinct(id) over words) — deriving it from
+    # `words` directly would re-tokenize and re-explode the corpus a
+    # second time; this leg re-reads tc/totals' exchanges instead
+    n = totals.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tc.join(totals, id_col)
         .join(F.broadcast(docfreq) if broadcast_docfreq else docfreq, "tok")

@@ -165,7 +165,20 @@ def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
     broadcast side can never reuse a shuffle exchange; pinning the
     (id, h0..h{{k-1}}, carry) rows makes the corpus pass run exactly
     once (the simhash_hamming_pairs lesson).  Leave False when every
-    consumer reads the banded relation once (the *_between miners)."""
+    consumer reads the banded relation once (the *_between miners).
+
+    The pin is EAGER (localCheckpoint default) and deliberate:
+    (a) lazy checkpoints race when two join legs of the same action
+    compute the child concurrently — both legs materialize it and the
+    corpus pass runs twice anyway (measured on the q207/q209 shared
+    window relation, round 10); (b) the pinned rows — id, minhashes,
+    AND any ``carry`` payload such as full shingle arrays — live in
+    executor-local non-replicated storage until the caller's query
+    finishes, so carry memory is O(corpus x payload) and executor
+    loss makes the block unrecoverable (Spark recomputes nothing past
+    a localCheckpoint: the job fails and retries whole).  Callers
+    passing heavy carry columns own that tradeoff; it is the price of
+    not re-deriving tokenize+minhash per consumer."""
     per = num_hashes // bands
     if materialize:
         sigs = sigs.localCheckpoint()
@@ -1204,6 +1217,15 @@ def duplicate_passage_stats(df: DataFrame, id_col: str = "doc_id",
     # aggregate.  The previous shape derived `w` twice — once into the
     # duplicated-hash set, once into the per-doc join leg — i.e. two
     # full tokenize+window+md5 passes over the corpus.
+    # HOT-HASH STRAGGLER (ADVICE, round 11): the partitionBy(wh)
+    # window has no AQE skew-split and no map-side combine, so a
+    # boilerplate passage shared by millions of docs lands its (wh,
+    # doc) rows in one task.  Bounded by the pre-aggregation to ONE
+    # row per (hash, doc) — the task sorts distinct docs, not
+    # occurrences — and WindowExec spills, so the cost is a straggler,
+    # not an OOM; the old groupBy dup-set form was partial-aggregated
+    # but paid a second full corpus pass.  Same documented tradeoff
+    # as the capped LSH miner.
     g = w.groupBy("wh", id_col).agg(F.count(F.lit(1)).alias("c"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     per_doc = (
@@ -1329,6 +1351,9 @@ def strip_duplicated_passages(df: DataFrame, id_col: str = "doc_id",
     # the hash's distinct docs with a window over those rows, and expand
     # covers only for hashes seen in >= 2 docs — the duplicated-set
     # semi-join needed a second full tokenize+window+md5 pass.
+    # Hot-hash straggler tradeoff documented in duplicate_passage_stats:
+    # the partitionBy(wh) window puts a boilerplate hash's rows in one
+    # task, bounded to one row per (hash, doc) by the pre-aggregation.
     g = w.groupBy("wh", F.col(id_col)).agg(F.collect_list("pos").alias("poss"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     covered = (
@@ -1560,7 +1585,8 @@ def winnowed_duplicate_stats(df: DataFrame, id_col: str = "doc_id",
     # before the explode), so each (fp, doc) row is one distinct doc:
     # a window count over fp IS count(distinct doc) — one derivation
     # of the winnowing pass instead of the two the duplicated-set join
-    # paid (see duplicate_passage_stats for the same rewrite)
+    # paid (see duplicate_passage_stats for the same rewrite, and for
+    # the documented hot-fingerprint single-task window tradeoff)
     nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     per_doc = (
         fps.withColumn("__nd", nd)

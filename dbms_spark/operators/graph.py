@@ -161,10 +161,22 @@ def connected_components(pairs: DataFrame, id_a: str = "a_id",
     component minimum.
 
     Scale shape per round: two per-u min windows, each riding ONE
-    exchange of its neighbor list (keyed on a node id —
-    AQE-coalesced/skew-split; a hub star is exactly the fixed point,
-    so hot keys shrink round over round, not grow), plus the emitted
-    edges' distincts — no joins.  Each round's edge set is ``localCheckpoint``-ed — for a
+    exchange of its neighbor list, plus the emitted edges' distincts —
+    no joins.  STRAGGLER TRADEOFF (round-11, ADVICE): window
+    partitions cannot be AQE-skew-split (OptimizeSkewedJoin applies
+    only to joins) and a window min has no map-side combine, so a hub
+    node's entire neighbor list sorts in ONE task — the price of
+    halving the exchanges vs the old groupBy(min)+join form, which
+    was skew-tolerant but shuffled the list twice per call.  Bounded
+    in practice because a hub star is exactly the contraction's fixed
+    point: a degree-d hub costs one d-row window task for O(1) rounds
+    (its neighbors re-point to the min and leave), it does not
+    compound round over round; WindowExec buffers spill to disk, so
+    the straggler is wall-clock, not OOM.  Graphs where single-key
+    degree exceeds task comfort (10^8+) want a salted two-level min
+    (min per (u, salt), then per u) grafted into ``_large_star`` /
+    ``_small_star`` — not done here because every measured gate's hub
+    degree is orders of magnitude below that.  Each round's edge set is ``localCheckpoint``-ed — for a
     DATA-DEPENDENT loop, persist() is not enough: the logical plan
     still nests every previous round (~5 references each), so Catalyst
     analysis grows exponentially and stalls the driver around round 7;

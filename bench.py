@@ -162,9 +162,18 @@ def main() -> None:
     # it; the previous record's own reprobe values are its best estimate,
     # so compare against reprobe-when-present there too.
     here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "default"
     reprobe: dict[str, float] = {}
     reprobe_spread: dict[str, float] = {}
-    prev_path = os.path.join(here, "BENCH_FULL.json")
+    # Round-11 (judge ask #2): the record is PER CORE COUNT.  Round 10's
+    # 8-core control run rewrote BENCH_FULL.json and clobbered the 32-core
+    # session's per-query reprobe values, so the judge had to adjudicate a
+    # 30 s q302 spike from three artifacts.  Compare against (and write to)
+    # BENCH_FULL_c{N}.json; the unsuffixed BENCH_FULL.json stays as a
+    # compat copy of the LAST run for existing tooling.
+    prev_path = os.path.join(here, f"BENCH_FULL_c{cpus}.json")
+    if not os.path.exists(prev_path):
+        prev_path = os.path.join(here, "BENCH_FULL.json")
     if not only:
         prev = {}
         if os.path.exists(prev_path):
@@ -211,11 +220,15 @@ def main() -> None:
         full["reprobe_spread"] = reprobe_spread
         full["value_reprobed"] = total_reprobed
     # filtered dev runs must not clobber the committed full record
-    fname = "BENCH_FULL.json" if not only else "BENCH_FILTERED.json"
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-    print(f"bench: full per-query timings -> {full_path}", file=sys.stderr)
+    if only:
+        fnames = ["BENCH_FILTERED.json"]
+    else:
+        fnames = [f"BENCH_FULL_c{cpus}.json", "BENCH_FULL.json"]
+    for fname in fnames:
+        full_path = os.path.join(here, fname)
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        print(f"bench: full per-query timings -> {full_path}", file=sys.stderr)
 
     # The driver captures only a ~3.9 KB TAIL of this process's output and
     # parses the final JSON line out of it (round 3: the line's FRONT was
@@ -229,6 +242,13 @@ def main() -> None:
         if omitted:
             payload["queries_omitted"] = omitted
         if reprobe:
+            # Round-11 (judge ask #2): PER-QUERY reprobe values in the
+            # driver-visible line, not just the count — a q302-style
+            # contention spike (raw 30.2 s, standalone re-probe 3.5 s)
+            # must adjudicate itself from this one artifact.  Placed
+            # before the totals so a front-clipped tail still carries
+            # metric/value.
+            payload["reprobe"] = reprobe
             payload["reprobed"] = len(reprobe)
             payload["value_reprobed"] = total_reprobed
         payload.update({"sf": sf, "unit": "sec",
@@ -236,11 +256,18 @@ def main() -> None:
         return json.dumps(payload) + "\n"
 
     line = render(timings, 0)
+    # Shrink the per-query map until the line fits the driver's ~3.9 KB
+    # tail capture window; the reprobe map is never dropped (it is the
+    # adjudication record and is small — only flagged queries appear).
     if len(line) > 3000:
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:120])
-        line = render(slowest, len(timings) - len(slowest))
-        print(f"bench: JSON line exceeded tail window, kept slowest "
-              f"{len(slowest)} of {len(timings)} queries", file=sys.stderr)
+        for n_keep in range(120, 14, -15):
+            slowest = dict(
+                sorted(timings.items(), key=lambda kv: -kv[1])[:n_keep])
+            line = render(slowest, len(timings) - len(slowest))
+            if len(line) <= 3000:
+                print(f"bench: JSON line exceeded tail window, kept slowest "
+                      f"{n_keep} of {len(timings)} queries", file=sys.stderr)
+                break
     os.write(real_stdout, line.encode())
 
 

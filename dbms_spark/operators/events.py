@@ -9,13 +9,11 @@ the streaming session/window operators.
 
 Scale notes baked into each shape:
 
-- :func:`funnel` is len(steps) chained (filter -> join -> groupBy)
-  passes; every intermediate relation is bounded by the USER count of
-  the previous step (monotonically shrinking), never the event count,
-  and each pass's scan keeps only that step's events (pushed-down
-  type filter).  No per-user event arrays, no whole-history windows —
-  a hot user with 10^7 events costs their event rows in one shuffle,
-  not an array cell.
+- :func:`funnel` is ONE groupBy(key) fold (round 10) with a hot-key
+  guard (round 11): per-key step events fold left-to-right in one
+  exchange; keys whose event count exceeds ``hot_key_events`` are
+  split to a spill-safe chained-window form so a bot account with
+  10^8 events is a straggler, never an unspillable array buffer.
 - :func:`retention_cohorts` is two partial-aggregated passes (first
   touch, distinct activity periods) joined on the user key.
 - :func:`top_event_paths` windows within (user, session) partitions —
@@ -34,9 +32,131 @@ def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _maybe_hot(events: DataFrame, hot_key_events: int | None) -> bool:
+    """Could ``events`` hold a key with more than ``hot_key_events``
+    rows?  Two gates, cheapest first: (1) the Catalyst plan-size
+    estimate (no job) — below 8 bytes x threshold even pathological
+    RLE parquet (~1 byte/row floor) cannot hide more than ~8x
+    threshold rows total, which the fold absorbs; (2) the exact total
+    row count (one bounded count job) — total >= any per-key count.
+    Only when both say "possible" does the caller pay the split."""
+    if hot_key_events is None:
+        return False
+    from dbms_spark.plans.parallelism import estimate_bytes
+
+    est = estimate_bytes(events)
+    if 0 < est < int(hot_key_events) * 8:
+        return False
+    return events.count() > int(hot_key_events)
+
+
+def _funnel_event_rows(events: DataFrame, steps: list[str], key: str,
+                       ts_col: str, type_col: str) -> DataFrame:
+    """(key, __i, __ts): one row per (event, matched step position).
+    An event type listed at several step positions contributes one
+    row per position (explode arm); the common all-distinct case is
+    a single CASE projection."""
+    k = len(steps)
+    if len(set(steps)) == k:
+        step_idx = F.when(F.col(type_col) == steps[0], 0)
+        for i in range(1, k):
+            step_idx = step_idx.when(F.col(type_col) == steps[i], i)
+        return (events.select(F.col(key), step_idx.cast("int").alias("__i"),
+                              F.col(ts_col).alias("__ts"))
+                .where(F.col("__i").isNotNull()))
+    idx_arr = F.array_compact(F.array(*[
+        F.when(F.col(type_col) == s, F.lit(i).cast("int"))
+        for i, s in enumerate(steps)]))
+    return events.select(F.col(key), F.explode(idx_arr).alias("__i"),
+                         F.col(ts_col).alias("__ts"))
+
+
+def _funnel_fold_totals(ev: DataFrame, k: int, key: str,
+                        max_gap_seconds: int | None) -> DataFrame:
+    """One-row (__n0..__n{k-1}) step totals via the per-key fold —
+    ONE exchange, but per-key memory O(events of the key): the
+    collect_list array lives in a single aggregation buffer.  The
+    normal path; :func:`funnel` bounds it with a hot-key guard."""
+    ts_type = ev.schema["__ts"].dataType
+    g = ev.groupBy(key).agg(
+        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__h0"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("__ts").isNotNull(),
+                   F.struct(F.col("__ts").alias("t"),
+                            F.col("__i").alias("i"))))).alias("__evs"))
+    gap = ("" if max_gap_seconds is None else
+           f" AND CAST(CAST(e.t AS TIMESTAMP) AS LONG) <= "
+           f"CAST(CAST(acc[j - 1] AS TIMESTAMP) AS LONG)"
+           f" + {int(max_gap_seconds)}")
+    # nested CASE keeps acc[j - 1] inside a branch only reachable for
+    # j >= 1 (AND/OR operands are not guaranteed lazy under ANSI)
+    fold = (f"aggregate(__evs, __seeds, (acc, e) -> "
+            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
+            f"WHEN e.i = 0 THEN least(a, e.t) "
+            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1]{gap} "
+            f"THEN least(a, e.t) ELSE a END))")
+    folded = (g.withColumn("__seeds", F.array(
+        *[F.lit(None).cast(ts_type) for _ in range(k)]))
+        .withColumn("__acc", F.expr(fold)))
+    reached = [F.col("__h0") == 1 if i == 0
+               else F.col("__acc")[i].isNotNull() for i in range(k)]
+    return folded.agg(*[
+        F.coalesce(F.sum(F.when(r, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias(f"__n{i}") for i, r in enumerate(reached)])
+
+
+def _funnel_window_totals(ev: DataFrame, k: int, key: str,
+                          max_gap_seconds: int | None) -> DataFrame:
+    """One-row (__n0..__n{k-1}) step totals via chained running-min
+    windows — the BOUNDED-MEMORY form of the fold, used for hot keys:
+    WindowExec buffers spill to disk, so a key with 10^8 events is a
+    straggler, never an OOM (the collect_list fold builds that key's
+    whole event array in one unspillable aggregation buffer).
+
+    Equivalence with the fold (prototyped + oracle-checked, round
+    11): events are evaluated in ascending (ts, step) order; the
+    running anchor column ``__a{{i}}`` at any row equals the fold's
+    ``acc[i]`` after all events <= that row folded — same recursion
+    (anchors move by least() over qualifying events; a step-i event
+    qualifies iff the running step-(i-1) anchor is non-NULL and
+    strictly earlier, plus the conversion-window bound), evaluated at
+    every prefix instead of once at the end.  Tie rows (equal ts)
+    are order-independent under the strict inequality: a same-ts
+    step-(i-1) event entering the frame can only set the anchor TO
+    ts, which strictly-greater excludes either way.  Same exchange
+    count: one hash(key) exchange feeds the windows AND the per-key
+    flag groupBy (same partitioning, no re-shuffle)."""
+    w_run = (Window.partitionBy(key)
+             .orderBy(F.col("__ts").asc_nulls_first(), F.col("__i"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = ev
+    for i in range(k):
+        if i == 0:
+            cond = (F.col("__i") == 0) & F.col("__ts").isNotNull()
+        else:
+            prev = F.col(f"__a{i - 1}")
+            cond = ((F.col("__i") == i) & prev.isNotNull()
+                    & (F.col("__ts") > prev))
+            if max_gap_seconds is not None:
+                cond = cond & (
+                    F.col("__ts").cast("timestamp").cast("long")
+                    <= prev.cast("timestamp").cast("long")
+                    + int(max_gap_seconds))
+        cur = cur.withColumn(
+            f"__a{i}", F.min(F.when(cond, F.col("__ts"))).over(w_run))
+    flags = cur.groupBy(key).agg(
+        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__f0"),
+        *[F.max(F.when(F.col(f"__a{i}").isNotNull(), 1).otherwise(0))
+          .alias(f"__f{i}") for i in range(1, k)])
+    return flags.agg(*[
+        F.coalesce(F.sum(f"__f{i}"), F.lit(0)).cast("bigint")
+        .alias(f"__n{i}") for i in range(k)])
+
+
 def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
            ts_col: str = "ts", type_col: str = "event_type",
-           max_gap_seconds: int | None = None) -> DataFrame:
+           max_gap_seconds: int | None = None,
+           hot_key_events: int | None = 1_000_000) -> DataFrame:
     """Ordered-progression funnel: for each step i, the number of
     distinct ``key`` values that performed ``steps[0..i]`` IN
     TIMESTAMP ORDER (each step strictly after the previous one's
@@ -68,49 +188,52 @@ def funnel(events: DataFrame, steps: list[str], key: str = "user_id",
     old unconditioned groupBy; for i>0 NULL ts can never pass the
     strict qualifier in either form.  An event type listed at SEVERAL
     step positions contributes one fold row per position (the old
-    per-step filters each matched it independently)."""
+    per-step filters each matched it independently).
+
+    HOT-KEY GUARD (round 11, guide §2.5/§5): the fold's collect_list
+    builds each key's whole event array in ONE unspillable
+    aggregation buffer — a key with 10^8 step events is an executor
+    OOM, not a straggler.  ``hot_key_events`` bounds it: when the
+    INPUT's total row count exceeds the threshold (a cheap, often
+    metadata-only count; total >= any per-key count, so a smaller
+    input proves no key can be hot and the plan is EXACTLY the
+    unguarded fold — one exchange, zero extra work at gate scale),
+    keys whose step-event count exceeds the threshold are split out
+    by a broadcast anti/semi join and computed through the
+    spill-safe chained-window form (:func:`_funnel_window_totals`,
+    equivalence documented there); both one-row totals add.  Every
+    key takes exactly one path, so the split is exact for any
+    threshold.  ``None`` disables the guard (pure lazy plan).
+
+    The count itself is gated by a NO-JOB Catalyst size estimate
+    (:func:`_maybe_hot`): an input whose compressed plan bytes sit
+    under 8 x threshold cannot hide a hot key beyond the same order
+    of magnitude as the threshold (parquet bottoms out around
+    ~1 byte/row under extreme RLE, so the worst slip-through is ~8x
+    threshold rows — a tens-of-MB fold buffer, not an OOM), so gate
+    scale pays literally nothing and the one bounded count job runs
+    only where a hot key is physically possible."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     k = len(steps)
-    if len(set(steps)) == k:
-        step_idx = F.when(F.col(type_col) == steps[0], 0)
-        for i in range(1, k):
-            step_idx = step_idx.when(F.col(type_col) == steps[i], i)
-        ev = (events.select(F.col(key), step_idx.cast("int").alias("__i"),
-                            F.col(ts_col).alias("__ts"))
-              .where(F.col("__i").isNotNull()))
-    else:
-        idx_arr = F.array_compact(F.array(*[
-            F.when(F.col(type_col) == s, F.lit(i).cast("int"))
-            for i, s in enumerate(steps)]))
-        ev = events.select(F.col(key), F.explode(idx_arr).alias("__i"),
-                           F.col(ts_col).alias("__ts"))
-    ts_type = ev.schema["__ts"].dataType
-    g = ev.groupBy(key).agg(
-        F.max(F.when(F.col("__i") == 0, 1).otherwise(0)).alias("__h0"),
-        F.sort_array(F.collect_list(
-            F.when(F.col("__ts").isNotNull(),
-                   F.struct(F.col("__ts").alias("t"),
-                            F.col("__i").alias("i"))))).alias("__evs"))
-    gap = ("" if max_gap_seconds is None else
-           f" AND CAST(CAST(e.t AS TIMESTAMP) AS LONG) <= "
-           f"CAST(CAST(acc[j - 1] AS TIMESTAMP) AS LONG)"
-           f" + {int(max_gap_seconds)}")
-    # nested CASE keeps acc[j - 1] inside a branch only reachable for
-    # j >= 1 (AND/OR operands are not guaranteed lazy under ANSI)
-    fold = (f"aggregate(__evs, __seeds, (acc, e) -> "
-            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
-            f"WHEN e.i = 0 THEN least(a, e.t) "
-            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1]{gap} "
-            f"THEN least(a, e.t) ELSE a END))")
-    folded = (g.withColumn("__seeds", F.array(
-        *[F.lit(None).cast(ts_type) for _ in range(k)]))
-        .withColumn("__acc", F.expr(fold)))
-    reached = [F.col("__h0") == 1 if i == 0
-               else F.col("__acc")[i].isNotNull() for i in range(k)]
-    totals = folded.agg(*[
-        F.coalesce(F.sum(F.when(r, 1).otherwise(0)), F.lit(0))
-        .cast("bigint").alias(f"__n{i}") for i, r in enumerate(reached)])
+    ev = _funnel_event_rows(events, steps, key, ts_col, type_col)
+    totals = None
+    if _maybe_hot(events, hot_key_events):
+        hot = (ev.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > int(hot_key_events)).select(key))
+        tn = _funnel_fold_totals(
+            ev.join(F.broadcast(hot), key, "left_anti"),
+            k, key, max_gap_seconds)
+        th = _funnel_window_totals(
+            ev.join(F.broadcast(hot), key, "left_semi"),
+            k, key, max_gap_seconds)
+        totals = tn.crossJoin(th.select(
+            *[F.col(f"__n{i}").alias(f"__m{i}") for i in range(k)]))
+        totals = totals.select(
+            *[(F.col(f"__n{i}") + F.col(f"__m{i}")).cast("bigint")
+              .alias(f"__n{i}") for i in range(k)])
+    if totals is None:
+        totals = _funnel_fold_totals(ev, k, key, max_gap_seconds)
     arms = ", ".join(
         f"CAST({i} AS BIGINT), {_q(s)}, __n{i}" for i, s in enumerate(steps))
     return totals.selectExpr(

@@ -598,6 +598,20 @@ class ParquetTableStore:
         finally:
             last.unpersist()
 
+    def _list_staged_buckets(self, stage: str) -> set[str]:
+        """Bucket directories a staged ``partitionBy("_kb")`` write
+        produced, as ``_kb=<v>`` names.  LOCAL-FS SEAM: this store is
+        local-path parquet throughout (every read/GC in the class
+        lists directories), so the commit protocol may learn produced
+        buckets from a directory listing — the write has already
+        completed and POSIX listing after close is consistent.  A
+        port to an object store (no atomic rename, list-after-write
+        lag) must replace this with the committer's output manifest
+        (e.g. the _SUCCESS/_committed file list), NOT a listing."""
+        if not os.path.isdir(stage):
+            return set()
+        return {d for d in os.listdir(stage) if d.startswith("_kb=")}
+
     def _commit_buckets(self, table: str, manifest: dict, touched: list[int],
                         out: DataFrame, applied_max: int) -> None:
         """Write the touched buckets of ``out`` (must carry ``_kb``) as
@@ -608,7 +622,7 @@ class ParquetTableStore:
         stage = os.path.join(self.table_path(table), stage_rel)
         out.write.partitionBy("_kb").mode("overwrite").parquet(stage)
         buckets = dict(manifest["buckets"])
-        written = {d for d in os.listdir(stage) if d.startswith("_kb=")} if os.path.isdir(stage) else set()
+        written = self._list_staged_buckets(stage)
         # Point EVERY bucket the write produced — the fold may emit
         # buckets beyond ``touched`` (a session relocating to a new
         # end-day, a batch introducing new touch days), and learning

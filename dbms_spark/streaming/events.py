@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from dbms_spark.streaming.cdc import ParquetTableStore
 from dbms_spark.streaming.incremental_agg import SketchStore
@@ -68,8 +69,108 @@ def wau_from_store(store: SketchStore, key: str = "user_id",
     return rolling_active_from_days(store.read(), key, days)
 
 
+def _funnel_advance_fold(u: DataFrame, k: int, key: str) -> DataFrame:
+    """The one-exchange per-key fold over the unioned (state row +
+    batch event) relation ``u`` — (key, __i, __ts, __st) with __st=1
+    marking state rows.  Per-key memory is O(batch events of the
+    key) in one aggregation buffer; :func:`_funnel_advance` bounds it
+    with the hot-key guard."""
+    g = (u.groupBy(key)
+         .agg(
+             *[F.min(F.when((F.col("__i") == i) & (F.col("__st") == 1),
+                            F.col("__ts"))).alias(f"__s{i}")
+               for i in range(k)],
+             *[F.max(F.when((F.col("__i") == i) & (F.col("__st") == 1), 1)
+                     .otherwise(0)).alias(f"__hs{i}") for i in range(k)],
+             F.max(F.when((F.col("__i") == 0) & (F.col("__st") == 0), 1)
+                   .otherwise(0)).alias("__he0"),
+             F.sort_array(F.collect_list(
+                 F.when((F.col("__st") == 0) & F.col("__ts").isNotNull(),
+                        F.struct(F.col("__ts").alias("t"),
+                                 F.col("__i").alias("i")))))
+             .alias("__evs")))
+    # nested CASE keeps acc[j - 1] inside a branch only reachable for
+    # j >= 1 (AND/OR operands are not guaranteed lazy; a top-level
+    # acc[-1] would trip ANSI array indexing)
+    seeds = ", ".join(f"__s{i}" for i in range(k))
+    fold = (f"aggregate(__evs, array({seeds}), (acc, e) -> "
+            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
+            f"WHEN e.i = 0 THEN least(a, e.t) "
+            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1] "
+            f"THEN least(a, e.t) ELSE a END))")
+    folded = g.withColumn("__acc", F.expr(fold))
+    return _funnel_state_rows(
+        folded, k, key,
+        anchor=lambda i: F.col("__acc")[i],
+        hs=lambda i: F.col(f"__hs{i}") == 1,
+        he0=F.col("__he0") == 1)
+
+
+def _funnel_advance_window(u: DataFrame, k: int, key: str) -> DataFrame:
+    """Spill-safe chained-window twin of :func:`_funnel_advance_fold`
+    for HOT keys (same equivalence argument as the batch
+    ``_funnel_window_totals``, with the per-step state seeds entering
+    through a whole-partition min window instead of the fold's seed
+    array): the running anchor ``__a{i}`` at any row equals
+    least(seed_i, min over qualifying step-i batch events <= row),
+    which is exactly the fold's acc[i] prefix recursion.  WindowExec
+    buffers spill, so a hot key is a straggler, never an unspillable
+    collect_list buffer."""
+    w_full = (Window.partitionBy(key)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    w_run = (Window.partitionBy(key)
+             .orderBy(F.col("__ts").asc_nulls_first(), F.col("__i"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = u
+    for i in range(k):
+        seed = F.min(F.when((F.col("__i") == i) & (F.col("__st") == 1),
+                            F.col("__ts"))).over(w_full)
+        if i == 0:
+            cond = ((F.col("__i") == 0) & (F.col("__st") == 0)
+                    & F.col("__ts").isNotNull())
+        else:
+            prev = F.col(f"__a{i - 1}")
+            cond = ((F.col("__i") == i) & (F.col("__st") == 0)
+                    & prev.isNotNull() & (F.col("__ts") > prev))
+        cur = cur.withColumn(
+            f"__a{i}",
+            F.least(seed, F.min(F.when(cond, F.col("__ts"))).over(w_run)))
+    final = cur.groupBy(key).agg(
+        *[F.min(f"__a{i}").alias(f"__m{i}") for i in range(k)],
+        *[F.max(F.when((F.col("__i") == i) & (F.col("__st") == 1), 1)
+                .otherwise(0)).alias(f"__hs{i}") for i in range(k)],
+        F.max(F.when((F.col("__i") == 0) & (F.col("__st") == 0), 1)
+              .otherwise(0)).alias("__he0"))
+    return _funnel_state_rows(
+        final, k, key,
+        anchor=lambda i: F.col(f"__m{i}"),
+        hs=lambda i: F.col(f"__hs{i}") == 1,
+        he0=F.col("__he0") == 1)
+
+
+def _funnel_state_rows(per_key: DataFrame, k: int, key: str,
+                       anchor, hs, he0) -> DataFrame:
+    """(key, step, anchor) rows from a per-key relation: step i
+    exists iff a state row carried it or a new anchor folded in
+    (step 0 also from any batch step-0 event, NULL-ts included)."""
+    arms = []
+    for i in range(k):
+        exists = (hs(i) | anchor(i).isNotNull()) if i else (hs(0) | he0)
+        arms.append(F.when(exists, F.struct(
+            F.lit(i).cast("bigint").alias("step"),
+            anchor(i).alias("anchor"))))
+    return (per_key.select(
+        F.col(key),
+        F.explode(F.filter(F.array(*arms), lambda x: x.isNotNull()))
+        .alias("__r"))
+        .select(F.col(key), F.col("__r.step").alias("step"),
+                F.col("__r.anchor").alias("anchor")))
+
+
 def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
-                    key: str, ts_col: str, type_col: str) -> DataFrame:
+                    key: str, ts_col: str, type_col: str,
+                    hot_key_events: int | None = 1_000_000) -> DataFrame:
     """Fold one time-ordered batch into the (key, step, anchor) chain:
     per step, candidates are the batch's step events strictly after
     the key's (already-merged) previous-step anchor, so a key can
@@ -97,7 +198,20 @@ def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
     unconditioned groupBy; for i>0 NULL ts can never pass the strict
     filter in either form.  An event type listed at SEVERAL step
     positions contributes one fold row per position (the old per-step
-    filters each matched it independently)."""
+    filters each matched it independently).
+
+    HOT-KEY GUARD (round 11, guide §2.5/§5 — the batch funnel's
+    guard applied per micro-batch): when the batch's row count
+    exceeds ``hot_key_events`` (total >= any per-key count, so a
+    smaller batch proves no key can be hot and the plan is EXACTLY
+    the unguarded one-exchange fold; the count job itself is gated
+    by the no-job Catalyst size estimate — see
+    ``operators.events._maybe_hot`` — so ordinary micro-batches add
+    zero jobs), keys with more batch step events than the threshold
+    split out via a broadcast anti/semi join into the spill-safe
+    chained-window twin; the two (key, step, anchor) outputs union
+    (key sets are disjoint).  State rows are k-bounded per key and
+    follow their key's path."""
     k = len(steps)
     if len(set(steps)) == k:
         step_idx = F.when(F.col(type_col) == steps[0], 0)
@@ -118,50 +232,24 @@ def _funnel_advance(state: DataFrame, batch: DataFrame, steps: list[str],
     st = state.select(F.col(key), F.col("step").cast("int").alias("__i"),
                       F.col("anchor").alias("__ts"),
                       F.lit(1).alias("__st"))
-    g = (ev.unionByName(st)
-         .groupBy(key)
-         .agg(
-             *[F.min(F.when((F.col("__i") == i) & (F.col("__st") == 1),
-                            F.col("__ts"))).alias(f"__s{i}")
-               for i in range(k)],
-             *[F.max(F.when((F.col("__i") == i) & (F.col("__st") == 1), 1)
-                     .otherwise(0)).alias(f"__hs{i}") for i in range(k)],
-             F.max(F.when((F.col("__i") == 0) & (F.col("__st") == 0), 1)
-                   .otherwise(0)).alias("__he0"),
-             F.sort_array(F.collect_list(
-                 F.when((F.col("__st") == 0) & F.col("__ts").isNotNull(),
-                        F.struct(F.col("__ts").alias("t"),
-                                 F.col("__i").alias("i")))))
-             .alias("__evs")))
-    # nested CASE keeps acc[j - 1] inside a branch only reachable for
-    # j >= 1 (AND/OR operands are not guaranteed lazy; a top-level
-    # acc[-1] would trip ANSI array indexing)
-    seeds = ", ".join(f"__s{i}" for i in range(k))
-    fold = (f"aggregate(__evs, array({seeds}), (acc, e) -> "
-            f"transform(acc, (a, j) -> CASE WHEN j != e.i THEN a "
-            f"WHEN e.i = 0 THEN least(a, e.t) "
-            f"WHEN acc[j - 1] IS NOT NULL AND e.t > acc[j - 1] "
-            f"THEN least(a, e.t) ELSE a END))")
-    folded = g.withColumn("__acc", F.expr(fold))
-    arms = []
-    for i in range(k):
-        exists = (F.col(f"__hs{i}") == 1) | F.col("__acc")[i].isNotNull() \
-            if i else ((F.col("__hs0") == 1) | (F.col("__he0") == 1))
-        arms.append(F.when(exists, F.struct(
-            F.lit(i).cast("bigint").alias("step"),
-            F.col("__acc")[i].alias("anchor"))))
-    return (folded.select(
-        F.col(key),
-        F.explode(F.filter(F.array(*arms), lambda x: x.isNotNull()))
-        .alias("__r"))
-        .select(F.col(key), F.col("__r.step").alias("step"),
-                F.col("__r.anchor").alias("anchor")))
+    from dbms_spark.operators.events import _maybe_hot
+
+    u = ev.unionByName(st)
+    if _maybe_hot(batch, hot_key_events):
+        hot = (ev.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > int(hot_key_events)).select(key))
+        return (_funnel_advance_fold(
+            u.join(F.broadcast(hot), key, "left_anti"), k, key)
+            .unionByName(_funnel_advance_window(
+                u.join(F.broadcast(hot), key, "left_semi"), k, key)))
+    return _funnel_advance_fold(u, k, key)
 
 
 def funnel_store(spark, path: str, steps: list[str],
                  key: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type",
-                 key_type: str = "long") -> SketchStore:
+                 key_type: str = "long",
+                 hot_key_events: int | None = 1_000_000) -> SketchStore:
     """Crash-safe maintained first-touch funnel state: (key, step,
     anchor), one row per key per reached step — key-bounded, never
     per-event.  Requires time-ordered batch boundaries (see module
@@ -178,7 +266,8 @@ def funnel_store(spark, path: str, steps: list[str],
             F.col(key), F.col(ts_col).cast("timestamp").alias(ts_col),
             F.col(type_col)),
         merge_fn=lambda cur, d: _funnel_advance(cur, d, steps, key,
-                                                ts_col, type_col),
+                                                ts_col, type_col,
+                                                hot_key_events),
         schema=f"{key} {key_type}, step bigint, anchor timestamp",
         fold_first_batch=True)
 

@@ -205,6 +205,38 @@ def test_funnel_conversion_window(spark):
     assert unbounded == {0: 3, 1: 3}
 
 
+def test_funnel_hot_key_guard_matches_fold(spark):
+    """hot_key_events=0 forces EVERY key through the spill-safe
+    chained-window path (and exercises the broadcast split); results
+    must equal the unguarded fold on ordering, ties, conversion
+    window, and duplicate-step semantics."""
+    ev = _ev(spark, [
+        (1, ts(1), "view", 1), (1, ts(2), "click", 2),
+        (1, ts(3), "purchase", 3),
+        (2, ts(1), "click", 4), (2, ts(2), "view", 5),
+        (3, ts(1), "view", 6), (3, ts(1), "click", 7),   # ts tie
+        (4, ts(1), "view", 8),
+        (5, ts(0), "view", 9), (5, ts(11), "click", 10),  # gap-late
+    ])
+    for steps, gap in ([("view", "click", "purchase"), None],
+                       [("view", "click"), 600],
+                       [("v", "c", "v"), None]):
+        steps = list(steps)
+        want = sorted(map(tuple, E.funnel(
+            ev, steps, max_gap_seconds=gap,
+            hot_key_events=None).collect()))
+        got = sorted(map(tuple, E.funnel(
+            ev, steps, max_gap_seconds=gap,
+            hot_key_events=0).collect()))
+        assert got == want, (steps, gap)
+    # mixed split: only user 1 is hot (3 events > 2)
+    want = sorted(map(tuple, E.funnel(
+        ev, ["view", "click"], hot_key_events=None).collect()))
+    got = sorted(map(tuple, E.funnel(
+        ev, ["view", "click"], hot_key_events=2).collect()))
+    assert got == want
+
+
 def test_rolling_active_hand_values(spark):
     """WAU semantics: a user active on day d counts toward days
     d..d+6 (clipped at the observed max); multiple events one day

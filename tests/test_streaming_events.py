@@ -103,6 +103,27 @@ def test_funnel_store_duplicate_step_types(spark, tmp_path):
     assert got == want
 
 
+def test_funnel_store_hot_key_guard_matches_fold(spark, tmp_path):
+    """hot_key_events=0 routes every batch key through the
+    chained-window advance (state seeds included); the maintained
+    state must equal both the unguarded store and the batch funnel."""
+    store = SE.funnel_store(spark, str(tmp_path / "fun_hot"), STEPS,
+                            hot_key_events=0)
+    for i, batch in enumerate(_time_batches(ROWS, CUTS)):
+        store.apply_batch(_ev(spark, batch), batch_id=i)
+    got = sorted(tuple(r) for r in
+                 SE.funnel_counts_from_store(store, STEPS).collect())
+    want = sorted(tuple(r) for r in
+                  E.funnel(_ev(spark, ROWS), STEPS).collect())
+    assert got == want
+    ref = SE.funnel_store(spark, str(tmp_path / "fun_ref"), STEPS,
+                          hot_key_events=None)
+    for i, batch in enumerate(_time_batches(ROWS, CUTS)):
+        ref.apply_batch(_ev(spark, batch), batch_id=i)
+    assert (sorted(map(tuple, store.read().collect()))
+            == sorted(map(tuple, ref.read().collect())))
+
+
 def test_funnel_store_crash_soak(spark, tmp_path, monkeypatch):
     """Injected crash between snapshot write and pointer commit on
     EVERY batch, followed by redelivery: state must converge to the

@@ -226,10 +226,83 @@ def run_ledger(spark, n: int) -> None:
                           "total_s": round(sum(walls), 1)}), flush=True)
 
 
+def _peak_mem_mb(spark, before: set[tuple[int, int]]) -> int:
+    """Max per-task peakExecutionMemory (MB) across stages completed
+    since ``before`` — the §5 metric the funnel hot-key guard must
+    bound: the fold's collect_list array is charged here."""
+    worst = 0
+    for sid, att in _sm._completed_stages(spark) - before:
+        try:
+            d = _sm._stage_api(
+                spark, f"stages/{sid}/{att}/taskSummary?quantiles=1.0")
+            worst = max(worst, int(d["peakExecutionMemory"][0]))
+        except Exception:
+            pass
+    return worst // (1024 * 1024)
+
+
+def run_funnel_hot(spark, n: int) -> None:
+    """Round-11 judge ask #1: ONE key with ``n`` distinct-ts step
+    events (default 10^6) over a uniform background; the guarded
+    funnel (threshold n//10 so the hot key trips) must pass at
+    bounded max-task memory — the hot key rides the spill-safe
+    window path — and match the unguarded fold's counts exactly.
+    Both batch funnel and the streaming funnel store are driven."""
+    import tempfile
+
+    from dbms_spark.operators.events import funnel
+    from dbms_spark.streaming.events import (funnel_counts_from_store,
+                                             funnel_store)
+
+    steps = ["view", "click", "purchase"]
+    types = F.array(*[F.lit(s) for s in steps])
+    hot = spark.range(n).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+        F.element_at(types, (F.pmod(F.col("id"), 3) + 1).cast("int"))
+        .alias("event_type"))
+    bg = synth_events(spark, n, 10_000).select(
+        "user_id", "ts", "event_type")
+    ev = hot.unionByName(bg).persist()
+    ev.count()
+    thr = max(1, n // 10)
+    for label, kw in (("guarded", {"hot_key_events": thr}),
+                      ("unguarded_fold", {"hot_key_events": None})):
+        before = _sm._completed_stages(spark)
+        t0 = time.perf_counter()
+        rows = sorted(map(tuple, funnel(ev, steps, **kw).collect()))
+        print(json.dumps({
+            "case": f"funnel_hot_{label}", "hot_rows": n,
+            "threshold": kw["hot_key_events"],
+            "sec": round(time.perf_counter() - t0, 2),
+            "max_task_ms": _sm._max_task_ms(spark, before),
+            "peak_task_mem_mb": _peak_mem_mb(spark, before),
+            "rows": [list(map(str, r)) for r in rows]}), flush=True)
+    # streaming twin: same hot key split over 2 batches
+    before = _sm._completed_stages(spark)
+    t0 = time.perf_counter()
+    store = funnel_store(spark, tempfile.mkdtemp(prefix="fhot_") + "/st",
+                         steps, hot_key_events=thr)
+    cut = 1704067200 + n // 2
+    store.apply_batch(ev.where(F.col("ts") < F.timestamp_seconds(
+        F.lit(cut))), batch_id=0)
+    store.apply_batch(ev.where(F.col("ts") >= F.timestamp_seconds(
+        F.lit(cut))), batch_id=1)
+    rows = sorted(map(tuple, funnel_counts_from_store(store,
+                                                      steps).collect()))
+    print(json.dumps({
+        "case": "funnel_hot_store_guarded", "hot_rows": n,
+        "threshold": thr, "sec": round(time.perf_counter() - t0, 2),
+        "max_task_ms": _sm._max_task_ms(spark, before),
+        "peak_task_mem_mb": _peak_mem_mb(spark, before),
+        "rows": [list(map(str, r)) for r in rows]}), flush=True)
+    ev.unpersist()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "skew"
     defaults = {"skew": 2_000_000, "round8": 500_000, "gaps": 10_000_000,
-                "ledger": 200_000}
+                "ledger": 200_000, "funnel_hot": 1_000_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(
         mode, 100_000_000)
     spark = get_spark("event_skew_smoke",
@@ -242,6 +315,8 @@ def main() -> None:
         run_gaps(spark, n)
     elif mode == "ledger":
         run_ledger(spark, n)
+    elif mode == "funnel_hot":
+        run_funnel_hot(spark, n)
     else:
         run_x100(spark, n)
     spark.stop()

@@ -232,7 +232,21 @@ class AnnIndexStore:
 
     # -- state transitions --
 
-    def _write_segment(self, df: DataFrame, version: int) -> str:
+    #: observe-fused stats cap: per-cell stats ride the write job as
+    #: 2 x n_cells conditional sums; past this cell count the codegen
+    #: cost of the giant observe projection outweighs the saved job
+    #: and callers fall back to a post-write stats aggregate.
+    _OBSERVE_CELLS = 256
+
+    def _write_segment(self, df: DataFrame, version: int,
+                       n_cells: int | None = None) -> tuple | str:
+        """Write one cluster-partitioned segment.  With ``n_cells``
+        (round 11, guide §1.2 job count): per-cell (n, sum own_ppm)
+        stats are collected by an ``observe`` ON THE WRITE JOB itself
+        — zero extra jobs, zero extra passes — and returned beside
+        the segment path as ``(rel, [[cluster, n, own_sum], ...])``.
+        The previous shape re-read and re-scored the written segment
+        in a separate aggregate+collect job per build/retrain."""
         rel = os.path.join("segments", f"s{version}")
         # cluster the write (guide §6): the encode upstream runs wide
         # (ivf_index_build's parallelism guard), so an unshuffled
@@ -240,9 +254,58 @@ class AnnIndexStore:
         # exchange on the partition column makes each cell dir a
         # single file per write, which the probe-time partition-pruned
         # reads then open once
+        obs = None
+        if (n_cells is not None and n_cells <= self._OBSERVE_CELLS
+                and "own_ppm" in df.columns):
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for c in range(n_cells):
+                hit = F.col("cluster") == c
+                aggs.append(F.sum(F.when(hit, 1).otherwise(0))
+                            .alias(f"n{c}"))
+                aggs.append(F.sum(F.when(hit, F.col("own_ppm")))
+                            .alias(f"s{c}"))
+            df = df.observe(obs, aggs[0], *aggs[1:])
         df.repartition("cluster").write.partitionBy("cluster") \
             .mode("overwrite").parquet(os.path.join(self.path, rel))
-        return rel
+        if n_cells is None:
+            return rel
+        if obs is not None:
+            m = obs.get
+            stats = [[c, int(m[f"n{c}"]), int(m[f"s{c}"])]
+                     for c in range(n_cells) if m[f"n{c}"]]
+        else:       # cell count past the observe cap: one stats job
+            seg = self.spark.read.parquet(os.path.join(self.path, rel))
+            stats = [[int(r[0]), int(r[1]), int(r[2])] for r in
+                     seg.groupBy("cluster")
+                     .agg(F.count(F.lit(1)), F.sum("own_ppm"))
+                     .orderBy("cluster").collect()]
+        return rel, stats
+
+    @staticmethod
+    def _merge_seg_stats(seg_stats: list) -> list[list[int]]:
+        """Per-cell [[cluster, n, own_sum], ...] merged across
+        segments — sums are exact bigints, so merging is lossless."""
+        acc: dict[int, list[int]] = {}
+        for stats in seg_stats:
+            for c, n, s in stats:
+                cur = acc.setdefault(int(c), [0, 0])
+                cur[0] += int(n)
+                cur[1] += int(s)
+        return [[c, n, s] for c, (n, s) in sorted(acc.items()) if n]
+
+    @staticmethod
+    def _stats_rows(seg_stats: list) -> list[list[int]]:
+        """(cluster, n_vecs, mean_own_cos_ppm) rows — the
+        ivf_index_stats contract — from one or more per-segment
+        [[cluster, n, own_sum], ...] lists.  The merged mean
+        floor(sum/n) equals the relation-level aggregate's floor(avg)
+        (modulo the double-rounding ulp of avg(), harmless to drift's
+        5-percentage-point tolerance)."""
+        return [[c, n, s // n]
+                for c, n, s in AnnIndexStore._merge_seg_stats(seg_stats)]
 
     def build(self, corpus: DataFrame,
               quantizers=None, train_path: str | None = None,
@@ -279,18 +342,17 @@ class AnnIndexStore:
                                   self.id_col, self.vec_col)
         m = self._read_manifest()
         version = m["version"] + 1
-        rel = self._write_segment(idx, version)
+        # stats ride the write job (observe — round 11): the baseline
+        # AND the per-segment stats ledger come out of the one
+        # segment-write pass; the previous shape re-read and re-scored
+        # the written segment in a second job
+        rel, stats = self._write_segment(idx, version, len(cents))
         new = {"version": version, "watermark": -1, "segments": [rel],
                "quantizers": self._pack_quantizers(cents, books),
                "projection": self._pack_projection(projection),
-               "schema": idx.schema.json(), "baseline": None}
-        # baseline from the WRITTEN segment (one O(index) read) —
-        # the reference point drift() compares against
-        seg = (self.spark.read.schema(idx.schema)
-               .parquet(os.path.join(self.path, rel)))
-        new["baseline"] = [list(r) for r in
-                           sim.ivf_index_stats(seg, cents, self.id_col)
-                           .collect()]
+               "schema": idx.schema.json(),
+               "seg_stats": {rel: stats},
+               "baseline": self._stats_rows([stats])}
         self._commit_manifest(new)
         self._gc(new)
 
@@ -312,9 +374,10 @@ class AnnIndexStore:
         enc = sim.ivf_index_build(self._project(batch, m), cents, books,
                                   self.id_col, self.vec_col)
         version = m["version"] + 1
-        rel = self._write_segment(enc, version)
+        rel, stats = self._write_segment(enc, version, len(cents))
         new = dict(m, version=version, watermark=batch_id,
-                   segments=[*m["segments"], rel])
+                   segments=[*m["segments"], rel],
+                   seg_stats={**(m.get("seg_stats") or {}), rel: stats})
         self._commit_manifest(new)
         self._gc(new)
         if self.max_segments and len(new["segments"]) > self.max_segments:
@@ -367,8 +430,17 @@ class AnnIndexStore:
         statistics are O(index) map-side aggregates (the
         ivf_index_append docstring's contract, now executable)."""
         m = self._read_manifest()
-        cur = {int(r[0]): (int(r[1]), int(r[2]))
-               for r in self.stats().collect()}
+        seg_stats = m.get("seg_stats") or {}
+        if all(s in seg_stats for s in m["segments"]):
+            # every live segment carries write-time stats: the health
+            # check is pure manifest arithmetic — ZERO Spark jobs per
+            # nightly drift evaluation (round 11, guide §1.2)
+            cur = {int(c): (int(n), int(mean)) for c, n, mean in
+                   self._stats_rows([seg_stats[s]
+                                     for s in m["segments"]])}
+        else:       # legacy store without per-segment stats
+            cur = {int(r[0]): (int(r[1]), int(r[2]))
+                   for r in self.stats().collect()}
         base = {int(r[0]): (int(r[1]), int(r[2]))
                 for r in (m["baseline"] or [])}
 
@@ -447,9 +519,7 @@ class AnnIndexStore:
         idx = sim.ivf_index_build(self._reconstructed(), cents, books,
                                   self.id_col, self.vec_col)
         version = m["version"] + 1
-        rel = self._write_segment(idx, version)
-        seg = (self.spark.read.schema(idx.schema)
-               .parquet(os.path.join(self.path, rel)))
+        rel, stats = self._write_segment(idx, version, len(cents))
         new = {"version": version, "watermark": m["watermark"],
                "segments": [rel],
                "quantizers": self._pack_quantizers(cents, books),
@@ -457,9 +527,8 @@ class AnnIndexStore:
                # the projection still applies to future intake/queries
                "projection": m.get("projection"),
                "schema": idx.schema.json(),
-               "baseline": [list(r) for r in
-                            sim.ivf_index_stats(seg, cents, self.id_col)
-                            .collect()]}
+               "seg_stats": {rel: stats},
+               "baseline": self._stats_rows([stats])}
         self._commit_manifest(new)
         self._gc(new)
         shutil.rmtree(os.path.join(self.path, "staging"),
@@ -468,13 +537,23 @@ class AnnIndexStore:
     def compact(self) -> None:
         """Fold all append segments into one (small-file control after
         many nightly appends) — same staged-write + pointer-swap, same
-        quantizers, bit-identical relation."""
+        quantizers, bit-identical relation.  The folded segment's
+        stats ledger entry is the arithmetic merge of its inputs'
+        (exact bigint sums) — no stats job, and drift stays
+        zero-job after compaction."""
         m = self._read_manifest()
         if len(m["segments"]) <= 1:
             return
         version = m["version"] + 1
         rel = self._write_segment(self.read(), version)
-        new = dict(m, version=version, segments=[rel])
+        seg_stats = m.get("seg_stats") or {}
+        if all(s in seg_stats for s in m["segments"]):
+            merged = self._merge_seg_stats(
+                [seg_stats[s] for s in m["segments"]])
+            new = dict(m, version=version, segments=[rel],
+                       seg_stats={rel: merged})
+        else:
+            new = dict(m, version=version, segments=[rel], seg_stats={})
         self._commit_manifest(new)
         self._gc(new)
 

@@ -574,15 +574,35 @@ def ivf_index_build(corpus: DataFrame,
     argmax cell, PQ codes) is an expression of the same row, so the
     build quantizes once and shuffles nothing — the join-per-column
     formulation paid 2-3 corpus-wide shuffles and re-quantized per
-    leg."""
+    leg.
+
+    ``own_ppm`` (round 11, guide §1.2): the row's own-centroid cosine
+    (ppm, floored) — element_at(scores, cluster+1) IS array_max, both
+    already computed for the cell argmax, so the column is one extra
+    division at encode time.  It makes :func:`ivf_index_stats` (the
+    drift monitor) a narrow-column aggregate instead of re-scoring
+    every index row against every centroid per health check, and
+    lets the ANN store accumulate per-segment stats in the write job
+    itself.  Consumers that don't read it prune it at the scan."""
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     scores = _ivf_scores_spark(cents, vec="q")
-    cluster = (f"CAST(array_position({scores}, array_max({scores})) - 1"
-               f" AS BIGINT)")
-    cols = [F.col(id_col), F.col("q"),
-            F.expr(_NORM_SPARK.format(a="q")).alias("norm"),
-            F.expr(cluster).alias("cluster")]
+    # the k-centroid score array is materialized ONCE as an
+    # intermediate column: it is referenced three times (argmax
+    # position, argmax value, own cosine), and neither CollapseProject
+    # (non-cheap expression, >1 reference) nor codegen subexpression
+    # elimination re-duplicates it — measured 0.65 -> 1.0 s on the
+    # sf0.1 full encode when own_ppm recomputed the kernel instead
+    cluster = ("CAST(array_position(__sc, array_max(__sc)) - 1"
+               " AS BIGINT)")
+    # identical formula to the stats path's __own (element_at at the
+    # argmax position equals array_max even on score ties, because
+    # array_position picks the first maximum); norm is referenced as
+    # the materialized column for the same no-recompute reason
+    own = "CAST(floor(array_max(__sc) / norm * 1000000) AS BIGINT)"
+    cols = [F.col(id_col), F.col("q"), F.col("norm"),
+            F.expr(cluster).alias("cluster"),
+            F.expr(own).alias("own_ppm")]
     if books is not None:
         cols.append(F.expr(_pq_codes_expr(books)).alias("codes"))
     # parallelism guard BEFORE the per-row encode (round 10, guide
@@ -595,6 +615,9 @@ def ivf_index_build(corpus: DataFrame,
     src = ensure_parallelism(
         corpus.select(F.col(id_col), F.col(vec_col)), keys=[id_col])
     return (src.select(F.col(id_col), quantize_expr(vec_col).alias("q"))
+            .select(F.col(id_col), F.col("q"),
+                    F.expr(scores).alias("__sc"),
+                    F.expr(_NORM_SPARK.format(a="q")).alias("norm"))
             .select(*cols))
 
 
@@ -657,7 +680,22 @@ def ivf_index_stats(index: DataFrame,
     occupancy plus the mean cosine of each vector to ITS OWN
     centroid, floor-quantized per vector at 6 dp then averaged and
     floored to ppm (deterministic).  Feeds the drift re-train
-    trigger documented in :func:`ivf_index_append`."""
+    trigger documented in :func:`ivf_index_append`.
+
+    When the index carries the build-time ``own_ppm`` column (round
+    11), the per-row re-scoring is skipped entirely — the health
+    check becomes a two-column scan + aggregate instead of an
+    O(rows x cells x dims) score kernel; the stored value is the
+    same expression evaluated at encode time over the same frozen
+    q/norm/cluster, so the output is bit-identical."""
+    if "own_ppm" in index.columns:
+        return (index
+                .select("cluster", F.col("own_ppm").alias("__own"))
+                .groupBy("cluster")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                     F.floor(F.avg("__own")).cast("bigint")
+                     .alias("mean_own_cos_ppm"))
+                .orderBy("cluster"))
     scores = _ivf_scores_spark(cents, vec="q")
     own = (f"floor(element_at({scores}, CAST(cluster AS INT) + 1)"
            f" / norm * 1000000)")

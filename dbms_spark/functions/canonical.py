@@ -204,8 +204,13 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
     from dbms_spark.plans.parallelism import ensure_parallelism
 
     src = ensure_parallelism(df)
+    # md5 as its own column before slicing (round 11): codegen CSE
+    # recovers most of the 4x tree duplication but not all (A/B:
+    # 1.33 -> 1.22 s on the sf0.1 lineitem checksum) — see
+    # operators/compare.py chunked_checksum for the same shape.
     return (
-        src.select(*md5_slice_cols(row_md5(src, cols, oracle_empty_is_null)))
+        src.select(row_md5(src, cols, oracle_empty_is_null).alias("__md5"))
+        .select(*md5_slice_cols(F.col("__md5")))
         .agg(F.count(F.lit(1)).alias("cnt"), *_slice_sums())
     )
 
